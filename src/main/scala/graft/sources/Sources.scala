@@ -1,0 +1,100 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.schema.Schemas
+
+/** Sources (SURVEY.md §2.1, S1–S5).
+  *
+  * The reference ingests by driver-side HTTP fetch + Python flatten + pandas
+  * (`weather_report_data_full_load_pipeline.py:8-58`) — a pattern that dies at
+  * scale because the whole dataset is materialized on the driver. Here every
+  * source lands directly in a distributed DataFrame: parquet scans get column
+  * pruning + predicate pushdown for free; the JSON path parses with
+  * `from_json` + `explode` on executors.
+  */
+trait Source {
+  def load(spark: SparkSession): DataFrame
+}
+
+/** S5-analog / test-table scan: one parquet per table under a scale-factor
+  * dir (TESTDATA.md). At 100 TB these become partitioned directories; the
+  * API is unchanged.
+  */
+final case class ParquetTableSource(dir: String, table: String) extends Source {
+  def load(spark: SparkSession): DataFrame =
+    spark.read.parquet(s"$dir/$table.parquet")
+}
+
+/** Convenience accessors for the driver-provided tables. */
+object Tables {
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
+    ParquetTableSource(dir, name).load(spark)
+
+  def lineitem(s: SparkSession, d: String): DataFrame = apply(s, d, "lineitem")
+  def orders(s: SparkSession, d: String): DataFrame = apply(s, d, "orders")
+  def customer(s: SparkSession, d: String): DataFrame = apply(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = apply(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame = apply(s, d, "part")
+  def nation(s: SparkSession, d: String): DataFrame = apply(s, d, "nation")
+  def region(s: SparkSession, d: String): DataFrame = apply(s, d, "region")
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which vanilla Spark rejects
+    * ([PARQUET_TYPE_ILLEGAL]). We read nanos as long (runtime-settable
+    * legacy conf, so this works under any driver-built session) and floor
+    * to micros — lossless for this data (no sub-µs components), and the
+    * same truncation DuckDB applies reading the file as TIMESTAMP.
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = apply(s, d, "events")
+    if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else df
+  }
+  def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
+}
+
+/** S1+S2+S3+S4 replacement: parse OpenWeatherMap-shaped forecast JSON into
+  * the flat observation frame, entirely on executors.
+  *
+  * Reference behavior being reproduced (file:line cites are to
+  * `/root/reference/src/weather_report_pipeline/weather_report_data_full_load_pipeline.py`):
+  *  - explode `data['list']` (py:24)
+  *  - `dt` epoch seconds → timestamp (py:25-26; reference formats a string,
+  *    we keep TimestampType — SURVEY.md §1.2 cleanup)
+  *  - `main.temp`, `main.humidity`, `wind.speed` (py:27-29)
+  *  - `weather[0].description` (py:30 — unguarded index; we null-safe it
+  *    with `element_at`, coalesced to "" like the city defaults)
+  *  - city metadata with empty-string/null defaults (py:40-45) replicated
+  *    to every row (pandas broadcast → here just columns of the same row)
+  */
+object ForecastJsonSource {
+
+  /** Parse a DataFrame with a single string column `payload` (one JSON
+    * document per row — e.g. one per city fetch) into flat observations.
+    */
+  def parse(payloads: DataFrame): DataFrame = {
+    val parsed = payloads
+      .select(from_json(col("payload"), Schemas.forecastJson).as("j"))
+    parsed
+      .select(
+        col("j.city").as("city_meta"),
+        explode(col("j.list")).as("e"))
+      .select(
+        coalesce(col("city_meta.country"), lit("")).as("country"),
+        coalesce(col("city_meta.name"), lit("")).as("city"),
+        col("city_meta.coord.lat").as("latitude"),
+        col("city_meta.coord.lon").as("longitude"),
+        to_timestamp(from_unixtime(col("e.dt"))).as("weatherDate"),
+        col("e.main.temp").as("Temperature"),
+        col("e.main.humidity").cast("int").as("Humidity"),
+        col("e.wind.speed").as("WindSpeed"),
+        coalesce(try_element_at(col("e.weather"), lit(1))
+          .getField("description"), lit("")).as("WeatherDescription"))
+  }
+
+  /** Test/driver entry: read files of raw JSON text (one doc per file/line). */
+  def load(spark: SparkSession, path: String): DataFrame =
+    parse(spark.read.text(path).withColumnRenamed("value", "payload"))
+}
