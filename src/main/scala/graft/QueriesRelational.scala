@@ -1,0 +1,212 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.RelationalOps
+import graft.sources.Tables
+
+/** Window / top-k / set-op / multi-join / grouping queries — the SURVEY.md
+  * §2.7 categories absent from the reference, filled with oracle-checkable
+  * forms over the driver test tables.
+  *
+  * Determinism rules (driver hash-compares value multisets):
+  *  - every ranking has a unique tiebreak column;
+  *  - running/sliding frames are explicit ROWS frames (RANGE is ambiguous
+  *    under ties and buffers peer groups);
+  *  - double aggregates are rounded on BOTH sides so float summation-order
+  *    differences between engines can't flip a digit.
+  */
+object QueriesRelational {
+
+  private val cutTs = "2024-01-15 00:00:00"
+  private val q3Date = "1998-01-01 00:00:00"
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Window/ranking: top-3 orders per priority class.
+    "w1_topk_per_group" -> ((s, d) => {
+      RelationalOps.topKPerGroup(
+        Tables.orders(s, d).select("o_orderpriority", "o_orderkey",
+          "o_totalprice"),
+        Seq("o_orderpriority"),
+        Seq(col("o_totalprice").desc, col("o_orderkey").asc), 3)
+        .withColumn("rn", col("rn").cast("long"))
+    }),
+
+    // Running total per customer (explicit ROWS frame).
+    "w2_running_total" -> ((s, d) => {
+      RelationalOps.runningAgg(
+        Tables.orders(s, d),
+        Seq("o_custkey"),
+        Seq(col("o_orderdate").asc, col("o_orderkey").asc),
+        sum(col("o_totalprice")), "running_spend")
+        .select(col("o_custkey"), col("o_orderkey"),
+          round(col("running_spend"), 2).as("running_spend"))
+    }),
+
+    // lag(): per-user delta between consecutive event values.
+    "w3_lag_delta" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"),
+          round(col("value") - lag(col("value"), 1).over(w), 6)
+            .as("value_delta"))
+    }),
+
+    // Sliding 3-row moving average per user.
+    "w4_moving_avg" -> ((s, d) => {
+      RelationalOps.slidingAgg(
+        Tables.events(s, d),
+        Seq("user_id"),
+        Seq(col("ts").asc, col("event_id").asc),
+        avg(col("value")), 3, "moving_avg")
+        .select(col("user_id"), col("event_id"),
+          round(col("moving_avg"), 6).as("moving_avg"))
+    }),
+
+    // Global top-100 — TakeOrderedAndProject, no full sort at scale.
+    "t1_topk_global" -> ((s, d) => {
+      RelationalOps.topKGlobal(
+        Tables.orders(s, d).select("o_orderkey", "o_custkey", "o_totalprice"),
+        Seq(col("o_totalprice").desc, col("o_orderkey").asc), 100)
+    }),
+
+    // INTERSECT: users active in both halves of the month.
+    "s3_intersect_users" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val cut = lit(cutTs).cast("timestamp")
+      ev.filter(col("ts") < cut).select("user_id")
+        .intersect(ev.filter(col("ts") >= cut).select("user_id"))
+    }),
+
+    // EXCEPT: (user, event_type) combos with a high-value event only in the
+    // first half of the month.
+    "s4_except_users" -> ((s, d) => {
+      val ev = Tables.events(s, d).filter(col("value") > 300)
+      val cut = lit(cutTs).cast("timestamp")
+      ev.filter(col("ts") < cut).select("user_id", "event_type")
+        .except(ev.filter(col("ts") >= cut).select("user_id", "event_type"))
+    }),
+
+    // TPC-H Q3-shaped 3-way join + agg + top-10. customer is broadcast-able;
+    // orders⋈lineitem shuffles on the order key (AQE handles skew).
+    "j2_revenue_topn" -> ((s, d) => {
+      val cut = lit(q3Date).cast("timestamp")
+      val cust = Tables.customer(s, d)
+        .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+      val ord = Tables.orders(s, d).filter(col("o_orderdate") < cut)
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+      val li = Tables.lineitem(s, d).filter(col("l_shipdate") > cut)
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))),
+          2).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey").asc)
+        .limit(10)
+    }),
+
+    // LEFT OUTER join keeping customers with zero orders.
+    "j3_left_join_count" -> ((s, d) => {
+      Tables.customer(s, d).select("c_custkey")
+        .join(Tables.orders(s, d).select("o_orderkey", "o_custkey"),
+          col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("n_orders"))
+    }),
+
+    // LEFT SEMI join: parts with at least one heavy lineitem.
+    "j4_semi_join" -> ((s, d) => {
+      Tables.part(s, d).select("p_partkey", "p_name")
+        .join(Tables.lineitem(s, d).filter(col("l_quantity") > 45)
+          .select("l_partkey"),
+          col("p_partkey") === col("l_partkey"), "left_semi")
+    }),
+
+    // ROLLUP over (returnflag, linestatus): subtotal + grand-total rows.
+    "g1_rollup" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
+          count(lit(1)).as("n_rows"))
+    }),
+
+    // DISTINCT aggregates per return flag.
+    "g2_distinct_agg" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+          round(sum_distinct(col("l_quantity")), 2).as("sum_dist_qty"))
+    })
+  )
+
+  def oracle: Map[String, String] = Map(
+    "w1_topk_per_group" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) WHERE rn <= 3""".stripMargin,
+    "w2_running_total" ->
+      """SELECT o_custkey, o_orderkey,
+        |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+        |    AS running_spend
+        |FROM orders""".stripMargin,
+    "w3_lag_delta" ->
+      """SELECT user_id, event_id,
+        |  round(value - lag(value, 1) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id), 6) AS value_delta
+        |FROM events""".stripMargin,
+    "w4_moving_avg" ->
+      """SELECT user_id, event_id,
+        |  round(avg(value) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id
+        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS moving_avg
+        |FROM events""".stripMargin,
+    "t1_topk_global" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+    "s3_intersect_users" ->
+      s"""SELECT user_id FROM events WHERE ts < TIMESTAMP '$cutTs'
+         |INTERSECT
+         |SELECT user_id FROM events WHERE ts >= TIMESTAMP '$cutTs'"""
+        .stripMargin,
+    "s4_except_users" ->
+      s"""SELECT user_id, event_type FROM events
+         |WHERE ts < TIMESTAMP '$cutTs' AND value > 300
+         |EXCEPT
+         |SELECT user_id, event_type FROM events
+         |WHERE ts >= TIMESTAMP '$cutTs' AND value > 300""".stripMargin,
+    "j2_revenue_topn" ->
+      s"""SELECT l_orderkey, o_orderdate, o_orderpriority,
+         |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+         |FROM customer, orders, lineitem
+         |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+         |  AND l_orderkey = o_orderkey
+         |  AND o_orderdate < TIMESTAMP '$q3Date'
+         |  AND l_shipdate > TIMESTAMP '$q3Date'
+         |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+         |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "j3_left_join_count" ->
+      """SELECT c_custkey, count(o_orderkey) AS n_orders
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey""".stripMargin,
+    "j4_semi_join" ->
+      """SELECT p_partkey, p_name FROM part
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |  WHERE l_partkey = p_partkey AND l_quantity > 45)""".stripMargin,
+    "g1_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty, count(*) AS n_rows
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+    "g2_distinct_agg" ->
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_suppkey) AS n_supp,
+        |  round(sum(DISTINCT l_quantity), 2) AS sum_dist_qty
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin
+  )
+}

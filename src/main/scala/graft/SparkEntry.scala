@@ -13,10 +13,10 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    QueriesReference.queries
+    QueriesReference.queries ++ QueriesRelational.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    QueriesReference.oracle
+    QueriesReference.oracle ++ QueriesRelational.oracle
 }

@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.RelationalOps
+
+class RelationalOpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val sales = Seq(
+    ("a", 1L, 10.0), ("a", 2L, 30.0), ("a", 3L, 20.0), ("a", 4L, 30.0),
+    ("b", 5L, 5.0), ("b", 6L, 1.0)
+  ).toDF("grp", "id", "amount")
+
+  test("topKPerGroup keeps k rows per group with deterministic tiebreak") {
+    val out = RelationalOps.topKPerGroup(sales, Seq("grp"),
+      Seq(col("amount").desc, col("id").asc), 2)
+      .select("grp", "id").as[(String, Long)].collect().toSet
+    // amount ties (30.0 at id=2 and id=4) break on the lower id first.
+    assert(out == Set(("a", 2L), ("a", 4L), ("b", 5L), ("b", 6L)))
+  }
+
+  test("runningAgg accumulates in explicit ROWS-frame order") {
+    val out = RelationalOps.runningAgg(sales, Seq("grp"),
+      Seq(col("id").asc), sum(col("amount")), "run")
+      .filter(col("grp") === "a").orderBy("id")
+      .select("run").as[Double].collect().toSeq
+    assert(out == Seq(10.0, 40.0, 60.0, 90.0))
+  }
+
+  test("slidingAgg averages over the trailing n-row frame") {
+    val out = RelationalOps.slidingAgg(sales, Seq("grp"),
+      Seq(col("id").asc), avg(col("amount")), 3, "mv")
+      .filter(col("grp") === "a").orderBy("id")
+      .select("mv").as[Double].collect().toSeq
+    assert(out == Seq(10.0, 20.0, 20.0, 80.0 / 3))
+  }
+
+  test("topKGlobal plans a bounded take, not a full sort") {
+    val out = RelationalOps.topKGlobal(sales,
+      Seq(col("amount").desc, col("id").asc), 3)
+    assert(out.queryExecution.executedPlan.toString
+      .contains("TakeOrderedAndProject"))
+    assert(out.select("id").as[Long].collect().toSeq == Seq(2L, 4L, 3L))
+  }
+
+  test("empty input yields empty output everywhere") {
+    val empty = sales.filter(col("id") < 0)
+    assert(RelationalOps.topKPerGroup(empty, Seq("grp"),
+      Seq(col("amount").desc), 3).count() == 0)
+    assert(RelationalOps.runningAgg(empty, Seq("grp"), Seq(col("id")),
+      sum(col("amount")), "run").count() == 0)
+  }
+}
