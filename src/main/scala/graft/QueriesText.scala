@@ -1,0 +1,136 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.TextOps
+import graft.sources.Tables
+
+/** Text-analysis queries over `documents` (north-star extension,
+  * SURVEY.md §2.10): token counting, heuristic language ID, quality
+  * scoring, fingerprinting. All pure narrow projections — no shuffle,
+  * embarrassingly parallel at 100 TB.
+  *
+  * Oracle parity notes: DuckDB `len()` is BIGINT so Spark `size()` is cast
+  * to long; ratios are rounded to 6dp on both sides; the rolling hash uses
+  * the identical fold `(acc*31 + codepoint) % 1e9+7` (list_reduce with a
+  * prepended 0 seed on the DuckDB side); the 60-bit content hash is
+  * md5-derived on both sides (murmur3 `hash()` is engine-specific).
+  */
+object QueriesText {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Token counting: whitespace tokens, distinct tokens, BPE-ish subwords,
+    // mean token length.
+    "x1_token_stats" -> ((s, d) => {
+      val toks = TextOps.tokens(col("text"))
+      val n = size(toks).cast("long")
+      val sumLen = aggregate(toks, lit(0L), (a, t) => a + length(t))
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        n.as("n_tokens"),
+        size(array_distinct(toks)).cast("long").as("n_distinct"),
+        size(TextOps.subTokens(col("text"))).cast("long").as("n_subtokens"),
+        round(sumLen / n.cast("double"), 6).as("avg_token_len"))
+    }),
+
+    // Heuristic language ID: function-word hits per language, argmax with
+    // fixed priority tie-break.
+    "x2_lang_id" -> ((s, d) => {
+      val toks = TextOps.tokens(col("text"))
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        TextOps.langId(toks).as("pred_lang"),
+        TextOps.vocabHits(toks, TextOps.langVocab.head._2).as("en_hits"))
+    }),
+
+    // Quality scoring: punctuation noise, stopword density, composite score.
+    "x3_quality_score" -> ((s, d) => {
+      val toks = TextOps.tokens(col("text"))
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        round(TextOps.punctRatio(col("text")), 6).as("punct_ratio"),
+        round(TextOps.stopwordRatio(toks), 6).as("stop_ratio"),
+        round(TextOps.qualityScore(col("text")), 6).as("quality"))
+    }),
+
+    // Document fingerprinting: order-sensitive rolling hash + md5-derived
+    // 60-bit content hash.
+    "x4_fingerprint" -> ((s, d) => {
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        TextOps.rollingFingerprint(col("text")).as("roll_fp"),
+        TextOps.md5Prefix60(col("text")).as("md5_fp"))
+    })
+  )
+
+  private val enList = "['the','a','and','of','to','in','is']"
+  private val deList = "['der','die','das','und','ist','ein']"
+  private val esList = "['el','los','las','y','es','una']"
+  private val frList = "['le','les','et','est','une','dans']"
+  private val zhList = "['的','是','了','在']"
+
+  private val toksSql =
+    """list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '')"""
+
+  def oracle: Map[String, String] = Map(
+    "x1_token_stats" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks, text FROM documents)
+         |SELECT doc_id,
+         |  len(toks) AS n_tokens,
+         |  len(list_distinct(toks)) AS n_distinct,
+         |  len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\s]'))
+         |    AS n_subtokens,
+         |  round(list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(toks, x -> CAST(length(x) AS BIGINT))),
+         |      (a, b) -> a + b) / CAST(len(toks) AS DOUBLE), 6)
+         |    AS avg_token_len
+         |FROM t""".stripMargin,
+    "x2_lang_id" ->
+      s"""WITH t AS (SELECT doc_id, list_distinct($toksSql) AS dt
+         |           FROM documents),
+         |sc AS (SELECT doc_id,
+         |  CAST(len(list_intersect(dt, $enList)) AS BIGINT) AS s_en,
+         |  CAST(len(list_intersect(dt, $deList)) AS BIGINT) AS s_de,
+         |  CAST(len(list_intersect(dt, $esList)) AS BIGINT) AS s_es,
+         |  CAST(len(list_intersect(dt, $frList)) AS BIGINT) AS s_fr,
+         |  CAST(len(list_intersect(dt, $zhList)) AS BIGINT) AS s_zh
+         |  FROM t)
+         |SELECT doc_id,
+         |  CASE
+         |    WHEN s_en > 0 AND s_en = greatest(s_en,s_de,s_es,s_fr,s_zh)
+         |      THEN 'en'
+         |    WHEN s_de > 0 AND s_de = greatest(s_en,s_de,s_es,s_fr,s_zh)
+         |      THEN 'de'
+         |    WHEN s_es > 0 AND s_es = greatest(s_en,s_de,s_es,s_fr,s_zh)
+         |      THEN 'es'
+         |    WHEN s_fr > 0 AND s_fr = greatest(s_en,s_de,s_es,s_fr,s_zh)
+         |      THEN 'fr'
+         |    WHEN s_zh > 0 AND s_zh = greatest(s_en,s_de,s_es,s_fr,s_zh)
+         |      THEN 'zh'
+         |    ELSE 'und' END AS pred_lang,
+         |  s_en AS en_hits
+         |FROM sc""".stripMargin,
+    "x3_quality_score" ->
+      s"""WITH t AS (SELECT doc_id, text, $toksSql AS toks FROM documents)
+         |SELECT doc_id,
+         |  round(CASE WHEN length(text) = 0 THEN 0.0
+         |    ELSE length(regexp_replace(text, '[a-z0-9\\s]', '', 'g'))
+         |      / CAST(length(text) AS DOUBLE) END, 6) AS punct_ratio,
+         |  round(CASE WHEN len(toks) = 0 THEN 0.0
+         |    ELSE len(list_filter(toks, x -> list_contains($enList, x)))
+         |      / CAST(len(toks) AS DOUBLE) END, 6) AS stop_ratio,
+         |  round(least(1.0, len(toks) / 100.0) *
+         |    (1.0 - CASE WHEN length(text) = 0 THEN 0.0
+         |      ELSE length(regexp_replace(text, '[a-z0-9\\s]', '', 'g'))
+         |        / CAST(length(text) AS DOUBLE) END), 6) AS quality
+         |FROM t""".stripMargin,
+    "x4_fingerprint" ->
+      """SELECT doc_id,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(string_split(text, ''),
+        |      c -> CAST(ascii(c) AS BIGINT))),
+        |    (a, b) -> (a * 31 + b) % 1000000007) AS roll_fp,
+        |  CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT) AS md5_fp
+        |FROM documents""".stripMargin
+  )
+}

@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for the LLM-data-pipeline extension (SURVEY.md
+  * §2.10): tokenization, token counting, language ID, quality scoring,
+  * document fingerprinting.
+  *
+  * Everything is built from higher-order array functions and regexes —
+  * pure Catalyst expressions, no UDFs — so the whole pipeline stays inside
+  * whole-stage codegen and runs as a single narrow projection over the
+  * scan: zero shuffles, scales linearly to any number of partitions.
+  */
+object TextOps {
+
+  /** Whitespace tokens with empties dropped (leading/trailing/repeated
+    * whitespace would otherwise produce "" tokens).
+    */
+  def tokens(text: Column): Column =
+    filter(split(text, "\\s+"), t => t =!= "")
+
+  /** Token count as BIGINT (size() is INT; the oracle's len() is BIGINT). */
+  def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
+
+  /** BPE-ish subword segmentation: runs of letters, runs of digits, or a
+    * single other non-space character — the classic pre-tokenizer shape.
+    */
+  def subTokens(text: Column): Column =
+    regexp_extract_all(text, lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))
+
+  /** Count of tokens (distinct) that appear in a fixed vocabulary. */
+  def vocabHits(toks: Column, vocab: Seq[String]): Column =
+    size(array_intersect(array_distinct(toks),
+      array(vocab.map(lit): _*))).cast("long")
+
+  /** Tiny per-language function-word lists for the heuristic language ID.
+    * Order is the deterministic tie-break priority.
+    */
+  val langVocab: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "and", "of", "to", "in", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein"),
+    "es" -> Seq("el", "los", "las", "y", "es", "una"),
+    "fr" -> Seq("le", "les", "et", "est", "une", "dans"),
+    "zh" -> Seq("的", "是", "了", "在"))
+
+  /** Heuristic language ID: argmax of function-word hits with a fixed
+    * priority order on ties (en > de > es > fr > zh), "und"(etermined)
+    * when nothing matches. Same CASE shape as the oracle SQL.
+    */
+  def langId(toks: Column): Column = {
+    val scores = langVocab.map { case (l, v) => l -> vocabHits(toks, v) }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit("und"): Column) { case ((l, s), elseCol) =>
+      when(s > 0 && s === best, lit(l)).otherwise(elseCol)
+    }
+  }
+
+  /** Punctuation ratio: fraction of non-(alnum/space) characters. */
+  def punctRatio(text: Column): Column = {
+    val len = length(text).cast("double")
+    val cleaned = length(regexp_replace(text, "[a-z0-9\\s]", ""))
+    when(len === 0, lit(0.0)).otherwise(cleaned / len)
+  }
+
+  /** Stopword ratio over the English function-word list. */
+  def stopwordRatio(toks: Column): Column = {
+    val n = size(toks).cast("double")
+    val hits = size(filter(toks,
+      t => array_contains(array(langVocab.head._2.map(lit): _*), t)))
+    when(n === 0, lit(0.0)).otherwise(hits / n)
+  }
+
+  /** Composite quality score in [0,1]: length credit (saturating at 100
+    * tokens) discounted by punctuation noise.
+    */
+  def qualityScore(text: Column): Column = {
+    val lenCredit = least(lit(1.0), tokenCount(text).cast("double") / 100.0)
+    lenCredit * (lit(1.0) - punctRatio(text))
+  }
+
+  /** Rolling polynomial fingerprint over the document's characters:
+    * fold(acc*31 + codepoint) mod 1e9+7 — order-sensitive, so equal
+    * fingerprints mean equal character streams (mod collisions).
+    */
+  def rollingFingerprint(text: Column): Column =
+    aggregate(split(text, ""), lit(0L),
+      (acc, ch) => (acc * 31 + ascii(ch)) % 1000000007L)
+
+  /** 60-bit stable content hash: first 15 hex digits of md5, as BIGINT.
+    * Shared with DedupOps — the md5 route is the cross-engine-portable
+    * hash (Spark's murmur3 `hash()` seeds differ from other engines).
+    */
+  def md5Prefix60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+}

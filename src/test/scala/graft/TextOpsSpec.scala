@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.TextOps
+
+class TextOpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def one[T](c: org.apache.spark.sql.Column, text: String): T =
+    Seq(text).toDF("text").select(c.as("r")).collect()(0).getAs[T]("r")
+
+  test("tokens drops empties from repeated/leading whitespace") {
+    val t = Seq("  a  b\tc ").toDF("text")
+      .select(TextOps.tokens(col("text")).as("t"))
+      .as[Seq[String]].collect()(0)
+    assert(t == Seq("a", "b", "c"))
+    assert(one[Long](TextOps.tokenCount(col("text")), "") == 0L)
+  }
+
+  test("subTokens segments letter/digit/symbol runs") {
+    val t = Seq("ab 12 c-d").toDF("text")
+      .select(TextOps.subTokens(col("text")).as("t"))
+      .as[Seq[String]].collect()(0)
+    assert(t == Seq("ab", "12", "c", "-", "d"))
+  }
+
+  test("langId picks the max-hit language with priority tie-break") {
+    assert(one[String](TextOps.langId(TextOps.tokens(col("text"))),
+      "the cat and the hat") == "en")
+    assert(one[String](TextOps.langId(TextOps.tokens(col("text"))),
+      "der hund ist und") == "de")
+    // 'la' is in neither list; no hits anywhere -> undetermined
+    assert(one[String](TextOps.langId(TextOps.tokens(col("text"))),
+      "xyzzy plugh") == "und")
+    // equal one-hit scores: priority order wins (en before fr)
+    assert(one[String](TextOps.langId(TextOps.tokens(col("text"))),
+      "the le") == "en")
+  }
+
+  test("punctRatio and qualityScore") {
+    assert(one[Double](TextOps.punctRatio(col("text")), "a.b,") == 0.5)
+    assert(one[Double](TextOps.punctRatio(col("text")), "") == 0.0)
+    // 4 tokens, no punctuation -> 4/100 length credit
+    assert(math.abs(one[Double](TextOps.qualityScore(col("text")),
+      "a b c d") - 0.04) < 1e-12)
+  }
+
+  test("rollingFingerprint is order-sensitive; md5Prefix60 is not") {
+    val ab = one[Long](TextOps.rollingFingerprint(col("text")), "ab")
+    assert(ab == 97L * 31 + 98) // (0*31+97)*31+98
+    val ba = one[Long](TextOps.rollingFingerprint(col("text")), "ba")
+    assert(ab != ba)
+    // known value cross-checked against DuckDB md5 of 'abc'
+    assert(one[Long](TextOps.md5Prefix60(col("text")), "abc") ==
+      648541476951500027L)
+  }
+}
