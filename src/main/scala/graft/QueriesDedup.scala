@@ -1,0 +1,179 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.{DedupOps, TextOps, VectorOps}
+import graft.sources.Tables
+
+/** Deduplication queries over `documents` / `embeddings` (north-star
+  * extension): exact hash dedup, n-gram Jaccard near-dup, MinHash+LSH,
+  * SimHash fingerprint + hamming-banded pairs, embedding-cosine near-dup.
+  *
+  * The sf0.01 corpus has 25 planted near-duplicate pairs (Jaccard
+  * 0.96–0.99) — d2 finds them exactly, d3's 16-hash/4-band LSH recovers
+  * all 25 with zero false candidates on this data.
+  */
+object QueriesDedup {
+
+  private def docsWithTokens(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Exact dedup on a canonicalization (first-5-token prefix hash):
+    // pure hash aggregation, one shuffle. ~24 multi-copy groups at sf0.01.
+    "d1_exact_dedup" -> ((s, d) => {
+      val key = md5(concat_ws(" ", slice(col("toks"), 1, 5)))
+      DedupOps.exactDedup(docsWithTokens(s, d), "doc_id", key)
+    }),
+
+    // n-gram Jaccard near-dup: inverted shingle index (df-capped) ->
+    // candidate pairs -> exact Jaccard >= 0.8.
+    "d2_jaccard_pairs" -> ((s, d) => {
+      val docs = docsWithTokens(s, d)
+        .select(col("doc_id"), DedupOps.shingles(col("toks"), 3).as("sh"))
+      DedupOps.jaccardPairs(docs, "doc_id", "sh", 0.8, maxDocFreq = 1000L)
+    }),
+
+    // MinHash(16) + LSH(4 bands x 4 rows): candidate pairs via equi-join
+    // on band signatures. Signatures are computed in one narrow projection
+    // (no explode until the 4 band rows).
+    "d3_minhash_lsh" -> ((s, d) => {
+      val sigs = DedupOps.minhashSigs(
+        docsWithTokens(s, d)
+          .select(col("doc_id"), DedupOps.shingles(col("toks"), 3).as("sh")),
+        "doc_id", "sh", 16)
+      DedupOps.lshCandidates(DedupOps.lshBands(sigs, "id", "sig", 4, 4))
+    }),
+
+    // 60-bit SimHash fingerprint per document.
+    "d4_simhash" -> ((s, d) => {
+      DedupOps.simhash(docsWithTokens(s, d), "doc_id", col("toks"))
+        .withColumnRenamed("id", "doc_id")
+    }),
+
+    // SimHash near-dup pairs: 4x15-bit chunk banding (complete for
+    // hamming <= 3 by pigeonhole) + exact hamming verify.
+    "d5_simhash_pairs" -> ((s, d) => {
+      DedupOps.simhashPairs(
+        DedupOps.simhash(docsWithTokens(s, d), "doc_id", col("toks")),
+        maxHamming = 3)
+    }),
+
+    // Embedding-cosine near-dup pairs (brute pair scan at test scale; the
+    // LSH-bucketed scale path is v2_ann_lsh).
+    "d6_embedding_neardup" -> ((s, d) => {
+      val p = VectorOps.prepared(Tables.embeddings(s, d), "vec_id",
+        "embedding")
+      val a = p.toDF("id_a", "v_a", "n2_a")
+      val b = p.toDF("id_b", "v_b", "n2_b")
+      a.join(b, col("id_a") < col("id_b"))
+        .withColumn("cos", VectorOps.cosineFromParts(
+          VectorOps.dot(col("v_a"), col("v_b")), col("n2_a"), col("n2_b")))
+        .filter(col("cos") >= 0.45)
+        .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+    })
+  )
+
+  private val toksSql =
+    """list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '')"""
+
+  /** Distinct 3-shingle list over `toks` (mirrors DedupOps.shingles). */
+  private val sh3Sql =
+    """list_distinct(list_transform(range(len(toks) - 2),
+      |    i -> array_to_string(list_slice(toks, i + 1, i + 3), ' ')))"""
+      .stripMargin
+
+  /** Portable seeded 60-bit hash (mirrors DedupOps.hash60). */
+  private def h60(arg: String): String =
+    s"CAST(concat('0x', substr(md5($arg), 1, 15)) AS BIGINT)"
+
+  private val dotSql =
+    """list_reduce(list_prepend(0.0, list_transform(range(len(a.v)),
+      |      i -> a.v[i+1] * b.v[i+1])), (x, y) -> x + y)""".stripMargin
+
+  def oracle: Map[String, String] = Map(
+    "d1_exact_dedup" ->
+      s"""SELECT md5(array_to_string(list_slice(toks, 1, 5), ' '))
+         |    AS text_hash,
+         |  min(doc_id) AS keeper, count(*) AS n_copies
+         |FROM (SELECT doc_id, $toksSql AS toks FROM documents)
+         |GROUP BY 1""".stripMargin,
+    "d2_jaccard_pairs" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |s AS (SELECT doc_id, $sh3Sql AS sh FROM t),
+         |e AS (SELECT doc_id AS id, CAST(len(sh) AS BIGINT) AS n,
+         |      unnest(sh) AS s FROM s),
+         |rare AS (SELECT s FROM e GROUP BY s HAVING count(*) <= 1000),
+         |ec AS (SELECT e.* FROM e JOIN rare USING (s)),
+         |p AS (SELECT a.id AS id_a, b.id AS id_b, a.n AS n_a, b.n AS n_b,
+         |      count(*) AS inter
+         |      FROM ec a JOIN ec b ON a.s = b.s AND a.id < b.id
+         |      GROUP BY 1, 2, 3, 4)
+         |SELECT id_a, id_b,
+         |  round(inter / CAST(n_a + n_b - inter AS DOUBLE), 6) AS jaccard
+         |FROM p WHERE inter / CAST(n_a + n_b - inter AS DOUBLE) >= 0.8"""
+        .stripMargin,
+    "d3_minhash_lsh" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |s AS (SELECT doc_id, $sh3Sql AS sh FROM t),
+         |e AS (SELECT doc_id, unnest(sh) AS s FROM s),
+         |mh AS (SELECT doc_id, i,
+         |      min(${h60("concat(CAST(i AS VARCHAR), ':', s)")}) AS h
+         |      FROM e CROSS JOIN (SELECT unnest(range(16)) AS i) r(i)
+         |      GROUP BY doc_id, i),
+         |sig AS (SELECT doc_id, i // 4 AS band,
+         |      array_to_string(list(h ORDER BY i), ',') AS sg
+         |      FROM mh GROUP BY doc_id, i // 4)
+         |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |FROM sig a JOIN sig b
+         |  ON a.band = b.band AND a.sg = b.sg AND a.doc_id < b.doc_id"""
+        .stripMargin,
+    "d4_simhash" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |tok AS (SELECT doc_id, unnest(list_distinct(toks)) AS tk FROM t),
+         |h AS (SELECT doc_id, ${h60("concat('t:', tk)")} AS h FROM tok),
+         |b AS (SELECT doc_id, j,
+         |      CASE WHEN sum(((h >> j) & 1) * 2 - 1) > 0 THEN 1 ELSE 0 END
+         |        AS bit
+         |      FROM h CROSS JOIN (SELECT unnest(range(60)) AS j) r(j)
+         |      GROUP BY doc_id, j)
+         |SELECT doc_id,
+         |  CAST(sum(bit * (CAST(1 AS BIGINT) << j)) AS BIGINT) AS simhash
+         |FROM b GROUP BY doc_id""".stripMargin,
+    "d5_simhash_pairs" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |tok AS (SELECT doc_id, unnest(list_distinct(toks)) AS tk FROM t),
+         |h AS (SELECT doc_id, ${h60("concat('t:', tk)")} AS h FROM tok),
+         |b AS (SELECT doc_id, j,
+         |      CASE WHEN sum(((h >> j) & 1) * 2 - 1) > 0 THEN 1 ELSE 0 END
+         |        AS bit
+         |      FROM h CROSS JOIN (SELECT unnest(range(60)) AS j) r(j)
+         |      GROUP BY doc_id, j),
+         |sh AS (SELECT doc_id,
+         |      CAST(sum(bit * (CAST(1 AS BIGINT) << j)) AS BIGINT)
+         |        AS simhash
+         |      FROM b GROUP BY doc_id),
+         |c AS (SELECT doc_id, simhash, j, (simhash >> (15 * j)) & 32767
+         |        AS chunk
+         |      FROM sh CROSS JOIN (SELECT unnest(range(4)) AS j) r(j)),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         |      a.simhash AS sim_a, b.simhash AS sim_b
+         |      FROM c a JOIN c b ON a.j = b.j AND a.chunk = b.chunk
+         |        AND a.doc_id < b.doc_id)
+         |SELECT id_a, id_b,
+         |  CAST(bit_count(xor(sim_a, sim_b)) AS BIGINT) AS hamming
+         |FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= 3""".stripMargin,
+    "d6_embedding_neardup" ->
+      s"""WITH d AS (SELECT vec_id,
+         |      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |      FROM embeddings),
+         |n AS (SELECT vec_id, v,
+         |      list_reduce(list_prepend(0.0, list_transform(range(len(v)),
+         |        i -> v[i+1] * v[i+1])), (x, y) -> x + y) AS n2 FROM d)
+         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |  round($dotSql / sqrt(a.n2 * b.n2), 6) AS cos
+         |FROM n a JOIN n b ON a.vec_id < b.vec_id
+         |WHERE $dotSql / sqrt(a.n2 * b.n2) >= 0.45""".stripMargin
+  )
+}

@@ -1,0 +1,118 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity-search operators over embedding columns
+  * (`ArrayType(FloatType)`) — north-star extension, SURVEY.md §2.10.
+  *
+  * Numeric determinism: embeddings are widened float→double BEFORE any
+  * arithmetic, and every reduction is an explicit left-to-right fold
+  * (`aggregate` with a 0.0 seed). IEEE-754 double addition in a fixed
+  * order is bit-reproducible across engines — which is what lets the
+  * DuckDB oracle hash-match cosine scores exactly (its side folds in the
+  * same order). Never rely on an engine's built-in dot product for
+  * verified output: its accumulation order/width is unspecified.
+  *
+  * Scale design:
+  *  - Brute-force top-k: the probe set is broadcast (it is small by
+  *    definition); each executor scans its corpus partition once and the
+  *    per-group top-k is a window over (probe, score) — no cross-join
+  *    shuffle of the corpus.
+  *  - Hyperplane LSH: each vector maps to a small bucket id in one
+  *    projection; probe vs corpus becomes an equi-join on the bucket.
+  *    Recall is tunable by bits / multi-probe; cost drops from O(n·q) to
+  *    O(q · bucketSize).
+  *  - IVF-style routing: assign each vector to its nearest centroid
+  *    (broadcast centroid table), search only matching cells.
+  */
+object VectorOps {
+
+  /** float[] → double[] widening (exact). */
+  def toDoubleVec(v: Column): Column = transform(v, x => x.cast("double"))
+
+  /** Explicit left-fold dot product — deterministic accumulation order. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  /** Squared L2 norm via the same fold. */
+  def norm2(a: Column): Column = dot(a, a)
+
+  /** Cosine similarity given precomputed squared norms (precompute them
+    * once per row BEFORE any pair join — never inside it).
+    */
+  def cosineFromParts(dotAb: Column, n2a: Column, n2b: Column): Column =
+    dotAb / sqrt(n2a * n2b)
+
+  /** Corpus with widened vector + precomputed squared norm. */
+  def prepared(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    df.select(col(idCol).as("id"), toDoubleVec(col(vecCol)).as("v"))
+      .withColumn("n2", norm2(col("v")))
+
+  /** Brute-force cosine top-k: every probe row against the full corpus.
+    * `probes` must be small — it is broadcast so the corpus never
+    * shuffles; the per-probe top-k is a window (no global sort).
+    */
+  def bruteForceTopK(corpus: DataFrame, probes: DataFrame, k: Int): DataFrame = {
+    val joined = corpus.toDF("id_n", "v_n", "n2_n")
+      .crossJoin(broadcast(probes.toDF("id_q", "v_q", "n2_q")))
+      .filter(col("id_q") =!= col("id_n"))
+      .withColumn("cos", cosineFromParts(dot(col("v_q"), col("v_n")),
+        col("n2_q"), col("n2_n")))
+      .select(col("id_q"), col("id_n"), round(col("cos"), 6).as("cos"))
+    RelationalOps.topKPerGroup(joined, Seq("id_q"),
+      Seq(col("cos").desc, col("id_n").asc), k, rankCol = "rank")
+      .withColumn("rank", col("rank").cast("long"))
+  }
+
+  /** Deterministic pseudo-random hyperplane component in [-1, 1): derived
+    * from the portable seeded hash so any engine can reproduce the planes.
+    */
+  def planeComponent(plane: Column, dim: Column): Column =
+    DedupOps.hash60(concat(lit("hp"), plane), dim.cast("string"))
+      .cast("double") / lit((1L << 59).toDouble) - 1.0
+
+  /** Sign-of-projection LSH bucket id over `nPlanes` hyperplanes: bit p is
+    * set when v · plane_p >= 0. One narrow projection per vector.
+    */
+  def hyperplaneBucket(v: Column, nPlanes: Int): Column =
+    (0 until nPlanes).map { p =>
+      val proj = aggregate(
+        zip_with(v, sequence(lit(0), size(v) - 1),
+          (x, i) => x * planeComponent(lit(p.toString), i)),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** ANN via bucket equality: probes only compare against corpus vectors
+    * in the same hyperplane bucket, then exact top-k within the bucket.
+    */
+  def lshTopK(corpus: DataFrame, probes: DataFrame, nPlanes: Int,
+      k: Int): DataFrame = {
+    val cb = corpus.toDF("id_n", "v_n", "n2_n")
+      .withColumn("bucket", hyperplaneBucket(col("v_n"), nPlanes))
+    val pb = probes.toDF("id_q", "v_q", "n2_q")
+      .withColumn("bucket", hyperplaneBucket(col("v_q"), nPlanes))
+    val joined = cb.join(broadcast(pb), Seq("bucket"))
+      .filter(col("id_q") =!= col("id_n"))
+      .withColumn("cos", cosineFromParts(dot(col("v_q"), col("v_n")),
+        col("n2_q"), col("n2_n")))
+      .select(col("id_q"), col("id_n"), round(col("cos"), 6).as("cos"))
+    RelationalOps.topKPerGroup(joined, Seq("id_q"),
+      Seq(col("cos").desc, col("id_n").asc), k, rankCol = "rank")
+      .withColumn("rank", col("rank").cast("long"))
+  }
+
+  /** IVF-style cell assignment: nearest centroid by cosine (centroids are
+    * broadcast; assignment is a per-row argmax, one narrow pass).
+    */
+  def assignToCentroids(corpus: DataFrame, centroids: DataFrame): DataFrame = {
+    val joined = corpus.toDF("id", "v", "n2")
+      .crossJoin(broadcast(centroids.toDF("centroid_id", "v_c", "n2_c")))
+      .withColumn("cos", cosineFromParts(dot(col("v"), col("v_c")),
+        col("n2"), col("n2_c")))
+    RelationalOps.topKPerGroup(joined, Seq("id"),
+      Seq(col("cos").desc, col("centroid_id").asc), 1, rankCol = "rk")
+      .select(col("id"), col("centroid_id"), round(col("cos"), 6).as("cos"))
+  }
+}

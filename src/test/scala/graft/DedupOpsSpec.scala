@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{DedupOps, TextOps}
+
+class DedupOpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy cat"), // near-dup of 1
+    (3L, "completely different words entirely here now"),
+    (4L, "the quick brown fox jumps over the lazy dog") // exact dup of 1
+  ).toDF("doc_id", "text")
+    .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+
+  test("shingles: windows, set semantics, short-doc guard") {
+    val sh = Seq("a b c d").toDF("text")
+      .select(DedupOps.shingles(TextOps.tokens(col("text")), 3).as("s"))
+      .as[Seq[String]].collect()(0)
+    assert(sh == Seq("a b c", "b c d"))
+    val short = Seq("a b").toDF("text")
+      .select(DedupOps.shingles(TextOps.tokens(col("text")), 3).as("s"))
+      .as[Seq[String]].collect()(0)
+    assert(short == Seq())
+  }
+
+  test("exactDedup elects min id and counts copies") {
+    val out = DedupOps.exactDedup(
+      docs, "doc_id", md5(concat_ws(" ", col("toks"))))
+      .select("keeper", "n_copies").as[(Long, Long)].collect().toSet
+    assert(out == Set((1L, 2L), (2L, 1L), (3L, 1L)))
+  }
+
+  test("jaccardPairs finds the near-dup and exact-dup pairs") {
+    val withSh = docs
+      .select(col("doc_id"), DedupOps.shingles(col("toks"), 3).as("sh"))
+    val out = DedupOps.jaccardPairs(withSh, "doc_id", "sh", 0.5)
+      .select("id_a", "id_b", "jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    // 1-4 identical (jac 1.0); 1-2 and 2-4 share 5 of 9 shingles
+    assert(out.map(t => (t._1, t._2)) == Set((1L, 4L), (1L, 2L), (2L, 4L)))
+    assert(out.find(t => t._1 == 1 && t._2 == 4).get._3 == 1.0)
+  }
+
+  test("minhash+LSH: identical docs always collide, distinct docs don't") {
+    val withSh = docs
+      .select(col("doc_id"), DedupOps.shingles(col("toks"), 3).as("sh"))
+    val sigs = DedupOps.minhashSigs(withSh, "doc_id", "sh", 16)
+    val pairs = DedupOps
+      .lshCandidates(DedupOps.lshBands(sigs, "id", "sig", 4, 4))
+      .as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 4L))) // identical => identical signature
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L)) // disjoint shingles
+  }
+
+  test("simhash: identical docs get identical fingerprints; pairs verify") {
+    val sims = DedupOps.simhash(docs, "doc_id", col("toks"))
+    val byId = sims.as[(Long, Long)].collect().toMap
+    assert(byId(1L) == byId(4L))
+    assert(byId(1L) != byId(3L))
+    val pairs = DedupOps.simhashPairs(sims, maxHamming = 0)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 4L)))
+  }
+
+  test("shingleIndex drops shingles above the doc-frequency cap") {
+    val withSh = docs
+      .select(col("doc_id"), DedupOps.shingles(col("toks"), 3).as("sh"))
+    // cap 1: every shared shingle is dropped => no candidate pairs at all
+    assert(DedupOps.jaccardPairs(withSh, "doc_id", "sh", 0.0,
+      maxDocFreq = 1L).count() == 0)
+  }
+}

@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.VectorOps
+
+class VectorOpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val vecs = Seq(
+    (0L, Seq(1.0f, 0.0f, 0.0f)),
+    (1L, Seq(0.0f, 1.0f, 0.0f)),
+    (2L, Seq(1.0f, 1.0f, 0.0f)),
+    (3L, Seq(2.0f, 0.0f, 0.0f)) // colinear with 0
+  ).toDF("vec_id", "embedding")
+
+  private lazy val prep = VectorOps.prepared(vecs, "vec_id", "embedding")
+
+  test("dot and norm2 fold deterministically") {
+    val d = Seq((Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0, 6.0))).toDF("a", "b")
+      .select(VectorOps.dot(col("a"), col("b")).as("d"))
+      .as[Double].collect()(0)
+    assert(d == 32.0)
+  }
+
+  test("bruteForceTopK ranks by cosine with id tiebreak, excludes self") {
+    val out = VectorOps.bruteForceTopK(prep, prep.filter(col("id") === 0), 3)
+      .select("id_n", "cos", "rank").as[(Long, Double, Long)]
+      .collect().sortBy(_._3)
+    // neighbor order for probe 0: colinear 3 (cos 1), diagonal 2, orthogonal 1
+    assert(out.map(_._1).toSeq == Seq(3L, 2L, 1L))
+    assert(out(0)._2 == 1.0)
+    assert(out(2)._2 == 0.0)
+  }
+
+  test("lshTopK buckets colinear vectors together") {
+    val out = VectorOps.lshTopK(prep, prep.filter(col("id") === 0), 8, 3)
+      .select("id_n").as[Long].collect().toSet
+    assert(out.contains(3L)) // identical direction => identical bucket
+  }
+
+  test("assignToCentroids picks the nearest centroid") {
+    val centroids = prep.filter(col("id") < 2)
+    val out = VectorOps.assignToCentroids(prep, centroids)
+      .select("id", "centroid_id").as[(Long, Long)].collect().toMap
+    assert(out(0L) == 0L)
+    assert(out(1L) == 1L)
+    assert(out(3L) == 0L) // colinear with centroid 0
+  }
+}
