@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.VectorOps
+import graft.sources.Tables
+
+/** Similarity-search queries over `embeddings` (north-star extension):
+  * brute-force cosine top-k as the exactness baseline, hyperplane-LSH
+  * bucketed ANN as the scale path, IVF-style centroid routing.
+  *
+  * Oracle parity rests on deterministic arithmetic: float→double widening
+  * before any math, explicit left-fold reductions, ranking on the rounded
+  * score with a unique id tiebreak. The LSH hyperplanes are md5-derived
+  * constants — the Spark side embeds them as literals, the DuckDB side
+  * recomputes them from the same formula.
+  */
+object QueriesVector {
+
+  private val Dim = 64
+  private val NPlanes = 8
+
+  private def prep(s: SparkSession, d: String): DataFrame =
+    VectorOps.prepared(Tables.embeddings(s, d), "vec_id", "embedding")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Exact top-10 neighbors for the first 5 vectors: corpus scanned once,
+    // probes broadcast, per-probe top-k via window.
+    "v1_cosine_topk" -> ((s, d) => {
+      val p = prep(s, d)
+      VectorOps.bruteForceTopK(p, p.filter(col("id") < 5), 10)
+    }),
+
+    // ANN: probes only meet corpus vectors in the same 8-plane bucket.
+    "v2_ann_lsh" -> ((s, d) => {
+      val p = prep(s, d)
+      VectorOps.lshTopK(p, p.filter(col("id") < 5), NPlanes, Dim, 5)
+    }),
+
+    // IVF-style routing: nearest of 10 fixed centroids per vector.
+    "v3_centroid_assign" -> ((s, d) => {
+      val p = prep(s, d)
+      VectorOps.assignToCentroids(p, p.filter(col("id") < 10))
+        .withColumnRenamed("id", "vec_id")
+    })
+  )
+
+  /** Left-fold dot product between a.v and b.v (mirrors VectorOps.dot). */
+  private val dotSql =
+    """list_reduce(list_prepend(0.0, list_transform(range(len(a.v)),
+      |      i -> a.v[i+1] * b.v[i+1])), (x, y) -> x + y)""".stripMargin
+
+  private val preparedSql =
+    """d AS (SELECT vec_id,
+      |      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |      FROM embeddings),
+      |n AS (SELECT vec_id, v,
+      |      list_reduce(list_prepend(0.0, list_transform(range(len(v)),
+      |        i -> v[i+1] * v[i+1])), (x, y) -> x + y) AS n2 FROM d)"""
+      .stripMargin
+
+  /** Hyperplane-projection sign bits, mirroring
+    * VectorOps.hyperplaneBucket / planeComponent.
+    */
+  private def bucketSql: String = (0 until NPlanes).map { p =>
+    val comp = s"(CAST(CAST(concat('0x', substr(md5(concat('hp$p:', " +
+      "CAST(i AS VARCHAR))), 1, 15)) AS BIGINT) AS DOUBLE) " +
+      "/ 576460752303423488.0 - 1.0)"
+    val proj = "list_reduce(list_prepend(0.0, " +
+      s"list_transform(range(len(v)), i -> v[i+1] * $comp)), (x, y) -> x + y)"
+    s"(CASE WHEN $proj >= 0 THEN CAST(${1L << p} AS BIGINT) ELSE 0 END)"
+  }.mkString(" + ")
+
+  def oracle: Map[String, String] = Map(
+    "v1_cosine_topk" ->
+      s"""WITH $preparedSql,
+         |p AS (SELECT a.vec_id AS id_q, b.vec_id AS id_n,
+         |      round($dotSql / sqrt(a.n2 * b.n2), 6) AS cos
+         |      FROM n a JOIN n b ON b.vec_id <> a.vec_id
+         |      WHERE a.vec_id < 5)
+         |SELECT id_q, id_n, cos, rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY id_q
+         |    ORDER BY cos DESC, id_n) AS rank FROM p)
+         |WHERE rank <= 10""".stripMargin,
+    "v2_ann_lsh" ->
+      s"""WITH $preparedSql,
+         |c AS (SELECT vec_id, v, n2, $bucketSql AS bucket FROM n)
+         |SELECT id_q, id_n, cos, rank FROM (
+         |  SELECT a.vec_id AS id_q, b.vec_id AS id_n,
+         |    round($dotSql / sqrt(a.n2 * b.n2), 6) AS cos,
+         |    row_number() OVER (PARTITION BY a.vec_id
+         |      ORDER BY round($dotSql / sqrt(a.n2 * b.n2), 6) DESC,
+         |        b.vec_id) AS rank
+         |  FROM c a JOIN c b ON a.bucket = b.bucket
+         |    AND b.vec_id <> a.vec_id
+         |  WHERE a.vec_id < 5)
+         |WHERE rank <= 5""".stripMargin,
+    "v3_centroid_assign" ->
+      s"""WITH $preparedSql,
+         |p AS (SELECT a.vec_id, b.vec_id AS centroid_id,
+         |      $dotSql / sqrt(a.n2 * b.n2) AS cos
+         |      FROM n a JOIN n b ON b.vec_id < 10)
+         |SELECT vec_id, centroid_id, round(cos, 6) AS cos FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY cos DESC, centroid_id) AS rk FROM p)
+         |WHERE rk = 1""".stripMargin
+  )
+}

@@ -65,21 +65,27 @@ object VectorOps {
       .withColumn("rank", col("rank").cast("long"))
   }
 
-  /** Deterministic pseudo-random hyperplane component in [-1, 1): derived
-    * from the portable seeded hash so any engine can reproduce the planes.
+  /** Deterministic pseudo-random hyperplane component in [-1, 1): the
+    * md5-derived 60-bit hash of "hp<plane>:<dim>" scaled by 2^59. Computed
+    * driver-side (it is a constant per (plane, dim) — recomputing md5 per
+    * vector row would dominate the bucket projection) but from a formula
+    * any engine reproduces in SQL, which is how the oracle checks it.
     */
-  def planeComponent(plane: Column, dim: Column): Column =
-    DedupOps.hash60(concat(lit("hp"), plane), dim.cast("string"))
-      .cast("double") / lit((1L << 59).toDouble) - 1.0
+  def planeComponent(plane: Int, dim: Int): Double = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"hp$plane:$dim".getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString.substring(0, 15)
+    java.lang.Long.parseLong(hex, 16).toDouble / (1L << 59).toDouble - 1.0
+  }
 
-  /** Sign-of-projection LSH bucket id over `nPlanes` hyperplanes: bit p is
-    * set when v · plane_p >= 0. One narrow projection per vector.
+  /** Sign-of-projection LSH bucket id over `nPlanes` hyperplanes of
+    * dimension `dim`: bit p is set when v · plane_p >= 0. Planes are
+    * literal arrays; the whole bucket id is one narrow projection.
     */
-  def hyperplaneBucket(v: Column, nPlanes: Int): Column =
+  def hyperplaneBucket(v: Column, nPlanes: Int, dim: Int): Column =
     (0 until nPlanes).map { p =>
-      val proj = aggregate(
-        zip_with(v, sequence(lit(0), size(v) - 1),
-          (x, i) => x * planeComponent(lit(p.toString), i)),
+      val plane = array((0 until dim).map(i => lit(planeComponent(p, i))): _*)
+      val proj = aggregate(zip_with(v, plane, (x, c) => x * c),
         lit(0.0), (acc, x) => acc + x)
       when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
@@ -87,12 +93,12 @@ object VectorOps {
   /** ANN via bucket equality: probes only compare against corpus vectors
     * in the same hyperplane bucket, then exact top-k within the bucket.
     */
-  def lshTopK(corpus: DataFrame, probes: DataFrame, nPlanes: Int,
+  def lshTopK(corpus: DataFrame, probes: DataFrame, nPlanes: Int, dim: Int,
       k: Int): DataFrame = {
     val cb = corpus.toDF("id_n", "v_n", "n2_n")
-      .withColumn("bucket", hyperplaneBucket(col("v_n"), nPlanes))
+      .withColumn("bucket", hyperplaneBucket(col("v_n"), nPlanes, dim))
     val pb = probes.toDF("id_q", "v_q", "n2_q")
-      .withColumn("bucket", hyperplaneBucket(col("v_q"), nPlanes))
+      .withColumn("bucket", hyperplaneBucket(col("v_q"), nPlanes, dim))
     val joined = cb.join(broadcast(pb), Seq("bucket"))
       .filter(col("id_q") =!= col("id_n"))
       .withColumn("cos", cosineFromParts(dot(col("v_q"), col("v_n")),

@@ -33,7 +33,7 @@ class VectorOpsSpec extends SparkTestBase {
   }
 
   test("lshTopK buckets colinear vectors together") {
-    val out = VectorOps.lshTopK(prep, prep.filter(col("id") === 0), 8, 3)
+    val out = VectorOps.lshTopK(prep, prep.filter(col("id") === 0), 8, 3, 3)
       .select("id_n").as[Long].collect().toSet
     assert(out.contains(3L)) // identical direction => identical bucket
   }
