@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.{DedupOps, MultimodalOps}
+import graft.streaming.StreamingOps
+import graft.sources.Tables
+
+/** Event-time windowing (batch-checkable forms of the streaming operators)
+  * and multimodal-column queries.
+  *
+  * st1–st3 run the exact same transforms a `readStream` pipeline uses
+  * (StreamingSpec proves the streaming path gives identical results); the
+  * oracle checks them over the batch frame. m2 exercises the
+  * mapPartitions decode path — not SQL-expressible, so it has no oracle
+  * and the driver records a rows-only check.
+  */
+object QueriesStreaming {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Tumbling 1-hour event-time windows per event type.
+    "st1_tumbling_window" -> ((s, d) => {
+      StreamingOps.tumblingAgg(Tables.events(s, d), "ts", "1 hour",
+        Seq("event_type"))
+    }),
+
+    // Sliding 2-hour windows advancing hourly.
+    "st2_sliding_window" -> ((s, d) => {
+      StreamingOps.slidingAgg(Tables.events(s, d), "ts", "2 hours",
+        "1 hour", Seq("event_type"))
+    }),
+
+    // Per-user session windows with a 30-minute gap.
+    "st3_session_window" -> ((s, d) => {
+      StreamingOps.sessionAgg(Tables.events(s, d), "ts", "30 minutes",
+        Seq("user_id"))
+    }),
+
+    // Multimodal metadata: byte length + content hash + fake-decoded dims
+    // (SQL-expressible slice of the decode, so it gets a real oracle).
+    "m1_multimodal_meta" -> ((s, d) => {
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        octet_length(encode(col("text"), "UTF-8")).cast("long")
+          .as("n_bytes"),
+        md5(col("text")).as("content_md5"),
+        (DedupOps.hash60(lit("w"), col("text")) % 640 + 1).as("width"),
+        (DedupOps.hash60(lit("h"), col("text")) % 480 + 1).as("height"))
+    }),
+
+    // mapPartitions batch-decode path (rows-only check: no oracle).
+    "m2_decode_features" -> ((s, d) => {
+      MultimodalOps.decodeFeatures(
+        MultimodalOps.mediaBlobs(Tables.documents(s, d)))
+        .toDF().select("doc_id", "width", "height", "n_frames",
+          "brightness")
+    })
+  )
+
+  def oracle: Map[String, String] = Map(
+    "st1_tumbling_window" ->
+      """SELECT date_trunc('hour', ts) AS window_start, event_type,
+        |  count(*) AS n_events, round(avg(value), 6) AS avg_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "st2_sliding_window" ->
+      """SELECT w AS window_start, event_type, count(*) AS n_events
+        |FROM (SELECT event_type, unnest([date_trunc('hour', ts),
+        |  date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS w FROM events)
+        |GROUP BY 1, 2""".stripMargin,
+    "st3_session_window" ->
+      """WITH o AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |      OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+        |      THEN 1 ELSE 0 END AS brk
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |g AS (SELECT user_id, ts,
+        |  sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+        |  FROM o)
+        |SELECT user_id, min(ts) AS session_start,
+        |  max(ts) + INTERVAL 30 MINUTE AS session_end,
+        |  count(*) AS n_events
+        |FROM g GROUP BY user_id, sess""".stripMargin,
+    "m1_multimodal_meta" ->
+      """SELECT doc_id,
+        |  octet_length(encode(text)) AS n_bytes,
+        |  md5(text) AS content_md5,
+        |  CAST(concat('0x', substr(md5(concat('w:', text)), 1, 15))
+        |    AS BIGINT) % 640 + 1 AS width,
+        |  CAST(concat('0x', substr(md5(concat('h:', text)), 1, 15))
+        |    AS BIGINT) % 480 + 1 AS height
+        |FROM documents""".stripMargin
+  )
+}

@@ -14,11 +14,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     QueriesReference.queries ++ QueriesRelational.queries ++
-      QueriesText.queries ++ QueriesDedup.queries ++ QueriesVector.queries
+      QueriesText.queries ++ QueriesDedup.queries ++
+      QueriesVector.queries ++ QueriesStreaming.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     QueriesReference.oracle ++ QueriesRelational.oracle ++
-      QueriesText.oracle ++ QueriesDedup.oracle ++ QueriesVector.oracle
+      QueriesText.oracle ++ QueriesDedup.oracle ++
+      QueriesVector.oracle ++ QueriesStreaming.oracle
 }

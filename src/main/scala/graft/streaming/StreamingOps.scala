@@ -1,0 +1,78 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
+import org.apache.spark.sql.Row
+
+/** Event-time windowing + streaming pipeline (SURVEY.md §2.10 / O1).
+  *
+  * The reference emulates streaming with an hourly Airflow schedule plus a
+  * processing-time "last hour" filter and an anti-join
+  * (`weather_report_data_inc_load_dag.py:101`, `..._inc_load_pipeline.py:85-99`).
+  * Here the same capability is event-time-correct Structured Streaming:
+  * every transform below is a plain DataFrame operation, so it runs
+  * identically over a batch frame (how the DuckDB oracle checks it) and a
+  * `readStream` frame (how it deploys — with watermarks bounding state).
+  *
+  * Scale notes: windowed aggregations shuffle on (window, keys) with
+  * map-side partial aggregation; sliding windows multiply rows by
+  * windowDuration/slideDuration before the shuffle (keep the ratio small);
+  * session windows and dedup hold per-key state sized by the watermark
+  * delay, not by history.
+  */
+object StreamingOps {
+
+  /** Tumbling event-time window aggregate (epoch-aligned). */
+  def tumblingAgg(df: DataFrame, tsCol: String, duration: String,
+      keys: Seq[String]): DataFrame =
+    df.groupBy((window(col(tsCol), duration) +: keys.map(col)): _*)
+      .agg(count(lit(1)).as("n_events"),
+        round(avg(col("value")), 6).as("avg_value"))
+      .select((col("window.start").as("window_start") +: keys.map(col)) :+
+        col("n_events") :+ col("avg_value"): _*)
+
+  /** Sliding event-time window aggregate. */
+  def slidingAgg(df: DataFrame, tsCol: String, duration: String,
+      slide: String, keys: Seq[String]): DataFrame =
+    df.groupBy((window(col(tsCol), duration, slide) +: keys.map(col)): _*)
+      .agg(count(lit(1)).as("n_events"))
+      .select((col("window.start").as("window_start") +: keys.map(col)) :+
+        col("n_events"): _*)
+
+  /** Session windows: events of a key merge while gaps stay under
+    * `gap`; the session ends `gap` after its last event.
+    */
+  def sessionAgg(df: DataFrame, tsCol: String, gap: String,
+      keys: Seq[String]): DataFrame =
+    df.groupBy((session_window(col(tsCol), gap) +: keys.map(col)): _*)
+      .agg(count(lit(1)).as("n_events"))
+      .select((keys.map(col) :+ col("session_window.start")
+        .as("session_start") :+ col("session_window.end")
+        .as("session_end")) :+ col("n_events"): _*)
+
+  /** Streaming-safe dedup: the J1 anti-join's streaming equivalent —
+    * exactly-once per key within the watermark horizon, with state bounded
+    * by `delay` instead of the full table scan the reference re-reads
+    * every run (`..._full_load_pipeline.py:160-167`).
+    */
+  def dedupWithinWatermark(df: DataFrame, tsCol: String, delay: String,
+      keys: Seq[String]): DataFrame =
+    df.withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+
+  /** Hourly incremental sink: the reference's O1 cadence
+    * (`schedule_interval='@hourly'`) as a 1-hour processing-time trigger.
+    * `forEachBatchSink` gets the deduped micro-batch — e.g. append to a
+    * partitioned parquet table.
+    */
+  def hourlyIncremental(stream: DataFrame, tsCol: String, delay: String,
+      keys: Seq[String])(
+      forEachBatchSink: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
+    dedupWithinWatermark(stream, tsCol, delay, keys)
+      .writeStream
+      .trigger(Trigger.ProcessingTime("1 hour"))
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        forEachBatchSink(batch, id)
+      }
+}

@@ -1,0 +1,80 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.StreamingOps
+
+case class Ev(event_id: Long, ts: Timestamp, user_id: Long, value: Double)
+
+class StreamingSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def t(s: String) = Timestamp.valueOf(s)
+
+  private lazy val evs = Seq(
+    Ev(1, t("2024-01-01 10:05:00"), 1, 10.0),
+    Ev(2, t("2024-01-01 10:20:00"), 1, 20.0),
+    Ev(3, t("2024-01-01 10:55:00"), 1, 30.0), // 35min gap: new session
+    Ev(4, t("2024-01-01 11:10:00"), 1, 40.0), // 15min gap: same session
+    Ev(5, t("2024-01-01 10:05:00"), 2, 5.0)
+  )
+
+  test("sessionAgg merges under-gap events, splits at >= gap") {
+    val out = StreamingOps.sessionAgg(evs.toDF()
+      .withColumn("event_type", lit("x")), "ts", "30 minutes", Seq("user_id"))
+      .as[(Long, Timestamp, Timestamp, Long)].collect().toSet
+    assert(out == Set(
+      (1L, t("2024-01-01 10:05:00"), t("2024-01-01 10:50:00"), 2L),
+      (1L, t("2024-01-01 10:55:00"), t("2024-01-01 11:40:00"), 2L),
+      (2L, t("2024-01-01 10:05:00"), t("2024-01-01 10:35:00"), 1L)))
+  }
+
+  test("tumblingAgg epoch-aligns windows") {
+    val out = StreamingOps.tumblingAgg(evs.toDF(), "ts", "1 hour",
+      Seq("user_id"))
+      .select("window_start", "user_id", "n_events")
+      .as[(Timestamp, Long, Long)].collect().toSet
+    assert(out == Set(
+      (t("2024-01-01 10:00:00"), 1L, 3L),
+      (t("2024-01-01 11:00:00"), 1L, 1L),
+      (t("2024-01-01 10:00:00"), 2L, 1L)))
+  }
+
+  test("streaming tumbling agg over MemoryStream matches the batch result") {
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    ms.addData(evs: _*)
+    val q = StreamingOps.tumblingAgg(ms.toDF(), "ts", "1 hour",
+      Seq("user_id"))
+      .writeStream.format("memory").queryName("tumbling_t")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("tumbling_t")
+      .select("window_start", "user_id", "n_events", "avg_value")
+      .as[(Timestamp, Long, Long, Double)].collect().toSet
+    val batch = StreamingOps.tumblingAgg(evs.toDF(), "ts", "1 hour",
+      Seq("user_id"))
+      .select("window_start", "user_id", "n_events", "avg_value")
+      .as[(Timestamp, Long, Long, Double)].collect().toSet
+    assert(streamed == batch)
+  }
+
+  test("dedupWithinWatermark emits each key once across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    val q = StreamingOps.dedupWithinWatermark(ms.toDF(), "ts", "1 hour",
+      Seq("user_id", "value"))
+      .writeStream.format("memory").queryName("dedup_t")
+      .outputMode("append").start()
+    try {
+      ms.addData(evs.head, evs.head, evs(1)) // dup inside one batch
+      q.processAllAvailable()
+      ms.addData(evs.head, evs(2)) // dup across batches
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("dedup_t").select("event_id")
+      .as[Long].collect().toSeq.sorted
+    assert(out == Seq(1L, 2L, 3L))
+  }
+}
