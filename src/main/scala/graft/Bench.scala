@@ -1,23 +1,76 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Driver-run benchmark: times headline queries at SPARK_GRAFT_SF_DIR and
+  * prints ONE JSON line. A warmup pass (table reads + two small queries)
+  * runs first so the timings measure the operators, not JVM/JIT/page-cache
+  * cold start — without it the first heavy query absorbs ~30 s of
+  * one-time cost and per-query attribution is noise.
+  *
+  * SPARK_GRAFT_BENCH_ALL=1 times every registered query instead of the
+  * headline set (slower; used for local profiling).
+  */
 object Bench {
+
+  /** Fixed-order headline set: the reference-surface queries plus one
+    * representative per extension family. The quadratic-by-construction
+    * baselines (d6 brute near-dup) are excluded — their scale paths
+    * (d3 MinHash-LSH, v2 hyperplane-LSH) are what belongs in a benchmark.
+    */
+  val headline: Seq[String] = Seq(
+    // reference surface (round-1/2 continuity)
+    "p1_p6_unit_convert", "p7_period_filter", "p8_p10_recency_filter",
+    "a1_weekly_avg", "a2_period_avg", "j1_anti_join_dedup",
+    "s2_json_extract", "q1_pricing_summary",
+    // relational wave
+    "w1_topk_per_group", "w2_running_total", "t1_topk_global",
+    "j2_revenue_topn", "g1_rollup",
+    // streaming (batch form)
+    "st1_tumbling_window", "st3_session_window",
+    // text analysis
+    "x1_token_stats", "x4_fingerprint",
+    // dedup
+    "d1_exact_dedup", "d2_jaccard_pairs", "d3_minhash_lsh",
+    "d5_simhash_pairs",
+    // similarity search
+    "v1_cosine_topk", "v2_ann_lsh",
+    // multimodal
+    "m1_multimodal_meta")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    // Warmup: touch every table (page cache + parquet footers) and push a
+    // small agg + join through codegen.
+    for (t <- Seq("region", "nation", "customer", "supplier", "part",
+      "orders", "lineitem", "documents", "embeddings"))
+      spark.read.parquet(s"$sfDir/$t.parquet").count()
+    graft.sources.Tables.events(spark, sfDir).count()
+    SparkEntry.queries("a1_weekly_avg")(spark, sfDir).count()
+    SparkEntry.queries("j1_anti_join_dedup")(spark, sfDir).count()
+
+    val names =
+      if (sys.env.contains("SPARK_GRAFT_BENCH_ALL"))
+        SparkEntry.queries.keys.toSeq.sorted
+      else headline.filter(SparkEntry.queries.contains)
+    val results = names.map { name =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { SparkEntry.queries(name)(spark, sfDir).count() }
+      catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
