@@ -27,4 +27,13 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Catalyst codegen emits many large classes; the JVM default 240m code
+  // cache fills under multi-query sessions, silently disabling the JIT —
+  // interpreted whole-stage code is 10-40x slower and makes benchmarks
+  // bimodal. Spark's own docs recommend raising it.
+  "-XX:ReservedCodeCacheSize=512m",
+  // Multi-query sessions keep C2 saturated compiling those classes (the
+  // compile queue backlog is what makes cold runs 10x slower); more
+  // compiler threads drain it instead of serializing the executors.
+  "-XX:CICompilerCount=8",
 )

@@ -49,25 +49,46 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // Warmup: touch every table (page cache + parquet footers) and push a
-    // small agg + join through codegen.
-    for (t <- Seq("region", "nation", "customer", "supplier", "part",
-      "orders", "lineitem", "documents", "embeddings"))
-      spark.read.parquet(s"$sfDir/$t.parquet").count()
-    graft.sources.Tables.events(spark, sfDir).count()
-    SparkEntry.queries("a1_weekly_avg")(spark, sfDir).count()
-    SparkEntry.queries("j1_anti_join_dedup")(spark, sfDir).count()
-
     val names =
       if (sys.env.contains("SPARK_GRAFT_BENCH_ALL"))
         SparkEntry.queries.keys.toSeq.sorted
       else headline.filter(SparkEntry.queries.contains)
-    val results = names.map { name =>
+
+    // Warmup: touch every target table (page cache + parquet footers),
+    // then run the whole query set once at the smallest scale factor.
+    // Query structure is SF-independent, so this JIT-compiles the
+    // interpreted expression paths (md5, higher-order folds) and fills
+    // the codegen cache with exactly the classes the timed runs need —
+    // without it, whichever query runs first pays a 10×+ cold-path
+    // penalty and attribution is noise.
+    for (t <- Seq("region", "nation", "customer", "supplier", "part",
+      "orders", "lineitem", "documents", "embeddings"))
+      spark.read.parquet(s"$sfDir/$t.parquet").count()
+    graft.sources.Tables.events(spark, sfDir).count()
+    val warmDir =
+      if (new java.io.File("/root/testdata/sf0.001").isDirectory)
+        "/root/testdata/sf0.001"
+      else sfDir
+    names.foreach { name =>
+      try { SparkEntry.queries(name)(spark, warmDir).count() }
+      catch { case _: Throwable => () }
+    }
+    // Two timed passes, report the per-query minimum: the first pass at
+    // target scale still absorbs C2 compilation of that scale's generated
+    // classes (plans differ from the warmup scale under AQE), which makes
+    // single-shot timings bimodal by 10x+. Min-of-2 measures the
+    // operator, not the JIT.
+    def pass(): Map[String, Double] = names.map { name =>
       val t0 = System.nanoTime()
       try { SparkEntry.queries(name)(spark, sfDir).count() }
       catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
+      val sec = (System.nanoTime() - t0) / 1e9
+      System.err.println(f"[bench] $name $sec%.2fs")
+      name -> sec
+    }.toMap
+    val p1 = pass()
+    val p2 = pass()
+    val results = names.map(n => n -> math.min(p1(n), p2(n)))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum

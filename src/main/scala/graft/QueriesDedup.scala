@@ -15,9 +15,27 @@ import graft.sources.Tables
   */
 object QueriesDedup {
 
+  /** Documents tokenized once, spread across full parallelism, and
+    * PERSISTED. Three traps at once on a small corpus feeding heavy
+    * signature pipelines:
+    *  - a small parquet file is one split, and SinglePartition satisfies
+    *    every distribution, so nothing repartitions downstream — the whole
+    *    dedup pipeline runs on one core without the spread;
+    *  - interpreted higher-order lambdas re-evaluate inlined children per
+    *    element, so an un-materialized `tokens` gets re-split per shingle
+    *    (and `StringSplit` recompiles its regex per call);
+    *  - a bare repartition is no barrier: InferFiltersFromGenerate +
+    *    predicate pushdown clone the whole expression tree below it.
+    * `persist()` is the optimizer-proof materialization, and Spark's
+    * CacheManager dedups by plan equality, so d1–d5 share one cached
+    * tokenization per scale dir. The same pattern at 100 TB is
+    * "tokenize once → checkpoint → fan out to every signature".
+    */
   private def docsWithTokens(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
-      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+    DedupOps.spread(
+      Tables.documents(s, d)
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("toks")))
+      .persist()
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup on a canonicalization (first-5-token prefix hash):
@@ -102,8 +120,9 @@ object QueriesDedup {
     "d2_jaccard_pairs" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
          |s AS (SELECT doc_id, $sh3Sql AS sh FROM t),
-         |e AS (SELECT doc_id AS id, CAST(len(sh) AS BIGINT) AS n,
-         |      unnest(sh) AS s FROM s),
+         |e0 AS (SELECT doc_id AS id, CAST(len(sh) AS BIGINT) AS n,
+         |      unnest(sh) AS sh_s FROM s),
+         |e AS (SELECT id, n, ${h60("concat('sh:', sh_s)")} AS s FROM e0),
          |rare AS (SELECT s FROM e GROUP BY s HAVING count(*) <= 1000),
          |ec AS (SELECT e.* FROM e JOIN rare USING (s)),
          |p AS (SELECT a.id AS id_a, b.id AS id_b, a.n AS n_a, b.n AS n_b,
@@ -117,11 +136,18 @@ object QueriesDedup {
     "d3_minhash_lsh" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
          |s AS (SELECT doc_id, $sh3Sql AS sh FROM t),
-         |e AS (SELECT doc_id, unnest(sh) AS s FROM s),
+         |e AS (SELECT doc_id, ${h60("concat('sh:', s)")} % 1073741824
+         |        AS h30
+         |      FROM (SELECT doc_id, unnest(sh) AS s FROM s)),
+         |seeds AS (SELECT i,
+         |      (${h60("concat('mh-a:', CAST(i AS VARCHAR))")}
+         |        % 2147483646) + 1 AS a,
+         |      ${h60("concat('mh-b:', CAST(i AS VARCHAR))")}
+         |        % 2147483647 AS b
+         |      FROM (SELECT unnest(range(16)) AS i) r(i)),
          |mh AS (SELECT doc_id, i,
-         |      min(${h60("concat(CAST(i AS VARCHAR), ':', s)")}) AS h
-         |      FROM e CROSS JOIN (SELECT unnest(range(16)) AS i) r(i)
-         |      GROUP BY doc_id, i),
+         |      min((a * h30 + b) % 2147483647) AS h
+         |      FROM e CROSS JOIN seeds GROUP BY doc_id, i),
          |sig AS (SELECT doc_id, i // 4 AS band,
          |      array_to_string(list(h ORDER BY i), ',') AS sg
          |      FROM mh GROUP BY doc_id, i // 4)

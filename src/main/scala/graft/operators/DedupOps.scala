@@ -26,9 +26,34 @@ import org.apache.spark.sql.functions._
   */
 object DedupOps {
 
+  /** Spread rows across the session's full parallelism before expensive
+    * per-row compute. A small parquet file scans as ONE split, and
+    * SinglePartition satisfies every clustering requirement — so without
+    * this, Catalyst inserts no exchange anywhere and an entire
+    * hash-heavy dedup pipeline runs as one task on one core (observed:
+    * 167 s single-threaded vs ~2 s spread). The shuffle this adds moves
+    * only the raw rows — cheap — and is the same discipline that matters
+    * at 100 TB: partition by the COMPUTE, not by the input bytes.
+    *
+    * Apply to the RAW scan, before any heavy projection: projections
+    * placed below the repartition collapse into the single-split scan
+    * stage and still run on one core.
+    */
+  def spread(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
   /** Seeded portable 60-bit hash: md5 of "seed:value", first 15 hex digits. */
   def hash60(seed: Column, s: Column): Column =
     TextOps.md5Prefix60(concat(seed, lit(":"), s))
+
+  /** Driver-side twin of [[hash60]] for deriving constants (e.g. the
+    * universal-hash seeds below) from the same portable formula.
+    */
+  def driverHash60(s: String): Long = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString.substring(0, 15)
+    java.lang.Long.parseLong(hex, 16)
+  }
 
   /** Distinct word k-shingles of a token array (order-preserving windows,
     * then set semantics — Jaccard is over shingle *sets*).
@@ -47,30 +72,47 @@ object DedupOps {
     df.groupBy(keyHash.as("text_hash"))
       .agg(min(col(idCol)).as("keeper"), count(lit(1)).as("n_copies"))
 
-  /** Exploded (id, setSize, shingle) view with a document-frequency cap:
-    * shingles occurring in more than `maxDocFreq` docs are dropped before
-    * any pair join (they contribute O(df²) candidate pairs and ~0 signal).
+  /** Exploded inverted-index view (shingleHash, id, setSize). Shingles are
+    * hashed to 60-bit ints up front: every downstream shuffle/group keys
+    * on an 8-byte long instead of a ~20-byte string (collisions are
+    * negligible and the oracle applies the same hash, so counts agree
+    * either way).
     */
-  def shingleIndex(docs: DataFrame, idCol: String, shCol: String,
-      maxDocFreq: Long): DataFrame = {
-    val e = docs.select(col(idCol).as("id"),
-      size(col(shCol)).cast("long").as("n"), explode(col(shCol)).as("s"))
-    val rare = e.groupBy("s").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxDocFreq).select("s")
-    e.join(rare, Seq("s"))
-  }
+  def shingleIndex(docs: DataFrame, idCol: String, shCol: String): DataFrame =
+    docs.select(col(idCol).as("id"),
+      size(col(shCol)).cast("long").as("n"), explode(col(shCol)).as("sh_s"))
+      .select(col("id"), col("n"), hash60(lit("sh"), col("sh_s")).as("s"))
 
-  /** Exact n-gram Jaccard over candidate pairs from the inverted shingle
-    * index: pairs sharing >= 1 (df-capped) shingle, similarity
-    * |A∩B| / (|A|+|B|-|A∩B|), thresholded.
+  /** Exact n-gram Jaccard near-dup pairs: group the inverted index by
+    * shingle, emit every ordered doc pair of a shingle's posting list,
+    * count shared shingles per pair, threshold
+    * |A∩B| / (|A|+|B|-|A∩B|).
+    *
+    * Shape: groupBy(shingle) → in-row pair expansion → groupBy(pair).
+    * Two hash-aggregate shuffles, no self-join. The document-frequency
+    * cap (`size(postings) <= maxDocFreq`) both bounds the O(df²) pair
+    * fan-out AND removes zero-signal stopword shingles — the standard
+    * web-dedup trick; at 100 TB it is the difference between a linear
+    * and a quadratic stage.
     */
   def jaccardPairs(docs: DataFrame, idCol: String, shCol: String,
       threshold: Double, maxDocFreq: Long = 1000L): DataFrame = {
-    val e = shingleIndex(docs, idCol, shCol, maxDocFreq)
-    val a = e.toDF("s", "id_a", "n_a")
-    val b = e.toDF("s", "id_b", "n_b")
-    a.join(b, Seq("s")).filter(col("id_a") < col("id_b"))
-      .groupBy("id_a", "id_b", "n_a", "n_b")
+    val e = shingleIndex(docs, idCol, shCol)
+    val postings = e.groupBy("s")
+      .agg(collect_list(struct(col("id"), col("n"))).as("ds"))
+      .filter(size(col("ds")) <= maxDocFreq)
+      .select(array_sort(col("ds")).as("ds"))
+    // Pair expansion as two chained Generates (codegen'd) rather than a
+    // nested transform+flatten (interpreted): a < b keeps each unordered
+    // pair once. `ds` is an aggregate output, so the second explode reads
+    // a materialized array.
+    val pairs = postings
+      .select(col("ds"), explode(col("ds")).as("a"))
+      .select(col("a"), explode(col("ds")).as("b"))
+      .filter(col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.n").as("n_a"), col("b.n").as("n_b"))
+    pairs.groupBy("id_a", "id_b", "n_a", "n_b")
       .agg(count(lit(1)).as("inter"))
       .withColumn("jaccard",
         col("inter") / (col("n_a") + col("n_b") - col("inter")))
@@ -78,24 +120,53 @@ object DedupOps {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
-  /** MinHash signature table (id, sig: array[n]): for seeds 0..n-1, the
-    * minimum seeded hash over the document's shingle set.
+  /** Mersenne prime 2^31-1: modulus of the Carter-Wegman hash family.
+    * With inputs reduced to 30 bits and a < p, products stay below 2^61
+    * (no 64-bit overflow — engines with checked arithmetic compute
+    * identically) while wrapping p many times over, which is what makes
+    * the per-seed argmins independent. (A modulus larger than a·x, e.g.
+    * 2^61-1, silently degenerates: no wraparound → the hash is monotone
+    * in x → every seed elects the same shingle.)
+    */
+  val MinhashP: Long = 2147483647L
+
+  /** md5-derived (portable) family seeds: a in [1, p-1], b in [0, p-1]. */
+  def minhashSeedA(i: Int): Long = driverHash60(s"mh-a:$i") % (MinhashP - 1) + 1
+  def minhashSeedB(i: Int): Long = driverHash60(s"mh-b:$i") % MinhashP
+
+  /** MinHash signature table (id, sig: array[n]): minimum of the i-th
+    * universal hash over the document's shingle set, for seeds 0..n-1.
     *
-    * Shape matters: the n seeded hashes are computed once per shingle in a
-    * single projection (an inlined nested-lambda formulation re-evaluates
-    * the shingle construction per seed), and the per-seed minima come from
-    * a hash aggregate — partial aggregation collapses each document to one
-    * row before the shuffle, so the exchange is O(docs), not O(shingles).
+    * Shape matters at scale AND under a cold JIT:
+    *  - ONE md5 per shingle (the portable 60-bit content hash, reduced to
+    *    30 bits), then n arithmetic hashes — not n md5s; the per-element
+    *    work is cheap even interpreted;
+    *  - posexplode of the hash array so nothing is re-evaluated per seed
+    *    (CollapseProject would inline an n-column min(element_at(...))
+    *    formulation into n× recompute);
+    *  - per-seed minima via hash aggregate — partial aggregation collapses
+    *    each doc before the exchange, so the shuffle is O(docs·n), not
+    *    O(shingles·n).
     */
   def minhashSigs(docs: DataFrame, idCol: String, shCol: String,
       n: Int): DataFrame = {
+    val aLit = array((0 until n).map(i => lit(minhashSeedA(i))): _*)
+    val bLit = array((0 until n).map(i => lit(minhashSeedB(i))): _*)
+    // The md5 runs inside the first Generate so its output rows carry the
+    // materialized 30-bit hash — a Generate boundary is one of the few
+    // walls CollapseProject cannot inline expressions through.
     val e = docs
-      .select(col(idCol).as("id"), explode(col(shCol)).as("s"))
-      .select(col("id"), transform(sequence(lit(0), lit(n - 1)),
-        i => hash60(i.cast("string"), col("s"))).as("hv"))
-    e.groupBy("id").agg(
-      array((0 until n).map(i => min(element_at(col("hv"), i + 1))): _*)
-        .as("sig"))
+      .select(col(idCol).as("id"),
+        explode(transform(col(shCol),
+          s => hash60(lit("sh"), s) % (1L << 30))).as("h30"))
+      .select(col("id"), posexplode(transform(sequence(lit(0), lit(n - 1)),
+        i => (element_at(aLit, i + 1) * col("h30") + element_at(bLit, i + 1))
+          % MinhashP)))
+      .toDF("id", "i", "h")
+    e.groupBy("id", "i").agg(min(col("h")).as("mh"))
+      .groupBy("id").agg(
+        transform(array_sort(collect_list(struct(col("i"), col("mh")))),
+          x => x.getField("mh")).as("sig"))
   }
 
   /** LSH banding: explode the signature into `bands` rows keyed by the

@@ -32,11 +32,15 @@ final case class MediaFeatures(doc_id: Long, width: Int, height: Int,
   */
 object MultimodalOps {
 
-  /** Wrap documents as fake media blobs (payload = utf-8 bytes). */
+  /** Wrap documents as fake media blobs (payload = utf-8 bytes). The raw
+    * scan is spread first so the per-partition decode downstream uses the
+    * whole machine, not the scan's single input split.
+    */
   def mediaBlobs(docs: DataFrame): Dataset[MediaBlob] = {
     import docs.sparkSession.implicits._
-    docs.select(col("doc_id"), lit("image/fake").as("media_type"),
-      encode(col("text"), "UTF-8").as("payload")).as[MediaBlob]
+    DedupOps.spread(docs)
+      .select(col("doc_id"), lit("image/fake").as("media_type"),
+        encode(col("text"), "UTF-8").as("payload")).as[MediaBlob]
   }
 
   /** STUB decode: deterministic fake. Real codec goes here. */

@@ -31,8 +31,17 @@ object VectorOps {
   /** float[] → double[] widening (exact). */
   def toDoubleVec(v: Column): Column = transform(v, x => x.cast("double"))
 
-  /** Explicit left-fold dot product — deterministic accumulation order. */
+  /** Strict left-fold dot product — deterministic accumulation order.
+    * Backed by the native codegen'd [[org.apache.spark.sql.graft.DotProductDouble]];
+    * bit-identical to the HOF fold below (VectorOpsSpec asserts it).
+    */
   def dot(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.VectorExpressions.dotProduct(a, b)
+
+  /** Reference HOF formulation of [[dot]] — interpreted, kept as the
+    * executable spec of the fold semantics.
+    */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
 
   /** Squared L2 norm via the same fold. */
@@ -44,9 +53,14 @@ object VectorOps {
   def cosineFromParts(dotAb: Column, n2a: Column, n2b: Column): Column =
     dotAb / sqrt(n2a * n2b)
 
-  /** Corpus with widened vector + precomputed squared norm. */
+  /** Corpus with widened vector + precomputed squared norm. Spread across
+    * full parallelism first: a small parquet file is one split, and a
+    * single-partition corpus turns every pair scan downstream into a
+    * one-core job (see DedupOps.spread).
+    */
   def prepared(df: DataFrame, idCol: String, vecCol: String): DataFrame =
-    df.select(col(idCol).as("id"), toDoubleVec(col(vecCol)).as("v"))
+    DedupOps.spread(df)
+      .select(col(idCol).as("id"), toDoubleVec(col(vecCol)).as("v"))
       .withColumn("n2", norm2(col("v")))
 
   /** Brute-force cosine top-k: every probe row against the full corpus.

@@ -22,6 +22,32 @@ class VectorOpsSpec extends SparkTestBase {
     assert(d == 32.0)
   }
 
+  test("native dot is bit-identical to the HOF fold on real embeddings") {
+    val emb = spark.read.parquet(s"$sf001/embeddings.parquet").limit(100)
+    val both = VectorOps.prepared(emb, "vec_id", "embedding")
+      .select(VectorOps.dot(col("v"), col("v")).as("native"),
+        VectorOps.dotHof(col("v"), col("v")).as("hof"))
+      .as[(Double, Double)].collect()
+    assert(both.nonEmpty)
+    both.foreach { case (n, h) =>
+      assert(java.lang.Double.doubleToLongBits(n) ==
+        java.lang.Double.doubleToLongBits(h))
+    }
+  }
+
+  test("native dot fails fast on unequal lengths, nulls propagate") {
+    val df = Seq((Seq(1.0, 2.0), Seq(1.0))).toDF("a", "b")
+    val e = intercept[Exception] {
+      df.select(VectorOps.dot(col("a"), col("b"))).collect()
+    }
+    assert(e.getMessage != null)
+    val withNull = Seq((Some(Seq(1.0)), Option.empty[Seq[Double]]))
+      .toDF("a", "b")
+      .select(VectorOps.dot(col("a"), col("b")).as("d"))
+      .collect()(0)
+    assert(withNull.isNullAt(0))
+  }
+
   test("bruteForceTopK ranks by cosine with id tiebreak, excludes self") {
     val out = VectorOps.bruteForceTopK(prep, prep.filter(col("id") === 0), 3)
       .select("id_n", "cos", "rank").as[(Long, Double, Long)]
