@@ -1,0 +1,125 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Scalar-function batteries: string, date/time, math, conditional.
+  * The reference's expression surface is just `-`, `*`, `round`,
+  * `weekofyear`, `current_timestamp`, `unix_timestamp` (SURVEY.md §2.2) —
+  * these queries extend it to the function families any consumer of the
+  * engine expects, each verified against DuckDB.
+  *
+  * Parity notes: transcendentals (exp/ln/pow) can differ in the last ulp
+  * between libm implementations — outputs are rounded to 6dp; sqrt is
+  * IEEE-exact. Spark `dayofweek` is 1-based Sunday-start vs DuckDB's
+  * 0-based — the oracle maps explicitly.
+  */
+object QueriesFunctions {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // String functions over part names.
+    "f1_string_funcs" -> ((s, d) => {
+      Tables.part(s, d).select(
+        col("p_partkey"),
+        upper(col("p_name")).as("uname"),
+        length(col("p_name")).as("name_len"),
+        substring(col("p_name"), 1, 8).as("prefix8"),
+        regexp_replace(col("p_name"), "[aeiou]", "_").as("devoweled"),
+        concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"),
+        col("p_name").like("%green%").as("is_green"),
+        lpad(col("p_brand"), 12, "#").as("brand_padded"),
+        split(col("p_type"), " ").getItem(0).as("type_head"))
+    }),
+
+    // Date/time functions over order dates.
+    "f2_date_funcs" -> ((s, d) => {
+      Tables.orders(s, d).select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("y"),
+        quarter(col("o_orderdate")).as("q"),
+        month(col("o_orderdate")).as("m"),
+        dayofmonth(col("o_orderdate")).as("dom"),
+        dayofweek(col("o_orderdate")).as("dow"),
+        date_trunc("month", col("o_orderdate")).as("month_start"),
+        last_day(col("o_orderdate")).cast("timestamp").as("month_end"),
+        datediff(lit("2002-01-01").cast("date"),
+          col("o_orderdate").cast("date")).cast("long").as("days_to_2002"))
+    }),
+
+    // Math functions over lineitem measures.
+    "f3_math_funcs" -> ((s, d) => {
+      Tables.lineitem(s, d).select(
+        col("l_orderkey"), col("l_linenumber"),
+        abs(col("l_discount") - 0.05).as("disc_dev"),
+        ceil(col("l_quantity")).cast("long").as("qty_ceil"),
+        floor(col("l_extendedprice")).cast("long").as("price_floor"),
+        round(sqrt(col("l_extendedprice")), 6).as("price_sqrt"),
+        round(exp(col("l_discount")), 6).as("disc_exp"),
+        round(log(col("l_extendedprice") + 1), 6).as("price_ln"),
+        round(pow(col("l_quantity"), 2), 6).as("qty_sq"),
+        signum(col("l_discount") - col("l_tax")).cast("int").as("dt_sign"),
+        greatest(col("l_discount"), col("l_tax")).as("max_rate"))
+    }),
+
+    // Conditional expressions: CASE, coalesce, nullif.
+    "f4_conditional" -> ((s, d) => {
+      Tables.events(s, d).select(
+        col("event_id"),
+        when(col("value") >= 300, "high")
+          .when(col("value") >= 100, "mid")
+          .otherwise("low").as("value_band"),
+        coalesce(nullif(col("event_type"), lit("click")),
+          lit("(clicked)")).as("type_or_marker"),
+        (col("value") > 250 && col("user_id") % 2 === 0).as("flag"))
+    })
+  )
+
+  def oracle: Map[String, String] = Map(
+    "f1_string_funcs" ->
+      """SELECT p_partkey,
+        |  upper(p_name) AS uname,
+        |  length(p_name) AS name_len,
+        |  substr(p_name, 1, 8) AS prefix8,
+        |  regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled,
+        |  concat_ws('|', p_brand, p_type) AS brand_type,
+        |  p_name LIKE '%green%' AS is_green,
+        |  lpad(p_brand, 12, '#') AS brand_padded,
+        |  string_split(p_type, ' ')[1] AS type_head
+        |FROM part""".stripMargin,
+    "f2_date_funcs" ->
+      """SELECT o_orderkey,
+        |  CAST(year(o_orderdate) AS INTEGER) AS y,
+        |  CAST(quarter(o_orderdate) AS INTEGER) AS q,
+        |  CAST(month(o_orderdate) AS INTEGER) AS m,
+        |  CAST(day(o_orderdate) AS INTEGER) AS dom,
+        |  CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS dow,
+        |  date_trunc('month', o_orderdate) AS month_start,
+        |  CAST(last_day(o_orderdate) AS TIMESTAMP) AS month_end,
+        |  date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01')
+        |    AS days_to_2002
+        |FROM orders""".stripMargin,
+    "f3_math_funcs" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  abs(l_discount - 0.05) AS disc_dev,
+        |  CAST(ceil(l_quantity) AS BIGINT) AS qty_ceil,
+        |  CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
+        |  round(sqrt(l_extendedprice), 6) AS price_sqrt,
+        |  round(exp(l_discount), 6) AS disc_exp,
+        |  round(ln(l_extendedprice + 1), 6) AS price_ln,
+        |  round(pow(l_quantity, 2), 6) AS qty_sq,
+        |  CAST(CASE WHEN l_discount - l_tax > 0 THEN 1
+        |    WHEN l_discount - l_tax < 0 THEN -1 ELSE 0 END AS INTEGER)
+        |    AS dt_sign,
+        |  greatest(l_discount, l_tax) AS max_rate
+        |FROM lineitem""".stripMargin,
+    "f4_conditional" ->
+      """SELECT event_id,
+        |  CASE WHEN value >= 300 THEN 'high'
+        |    WHEN value >= 100 THEN 'mid' ELSE 'low' END AS value_band,
+        |  coalesce(nullif(event_type, 'click'), '(clicked)')
+        |    AS type_or_marker,
+        |  (value > 250 AND user_id % 2 = 0) AS flag
+        |FROM events""".stripMargin
+  )
+}

@@ -138,6 +138,70 @@ object QueriesRelational {
         .groupBy("l_returnflag")
         .agg(countDistinct(col("l_suppkey")).as("n_supp"),
           round(sum_distinct(col("l_quantity")), 2).as("sum_dist_qty"))
+    }),
+
+    // CUBE: all grouping-set combinations of (returnflag, linestatus).
+    "g3_cube" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .cube("l_returnflag", "l_linestatus")
+        .agg(round(avg(col("l_extendedprice")), 2).as("avg_price"),
+          count(lit(1)).as("n_rows"))
+    }),
+
+    // PIVOT: order counts by priority, one column per priority class.
+    "g4_pivot" -> ((s, d) => {
+      Tables.orders(s, d)
+        .groupBy("o_orderstatus")
+        .pivot("o_orderpriority", Seq("1-URGENT", "2-HIGH", "3-MEDIUM",
+          "4-NOT SPECIFIED", "5-LOW"))
+        .count()
+        .na.fill(0) // absent combos: DuckDB's count FILTER yields 0
+    }),
+
+    // TPC-H Q5-shaped 6-way join: revenue by nation within a region and
+    // date window. Dimension chain region->nation is broadcast; the two
+    // fact-fact joins shuffle on their keys.
+    "j5_multiway_join" -> ((s, d) => {
+      val dim = Tables.nation(s, d)
+        .join(Tables.region(s, d).filter(col("r_name") === "ASIA"),
+          col("n_regionkey") === col("r_regionkey"))
+        .select("n_nationkey", "n_name")
+      val cust = Tables.customer(s, d).select("c_custkey", "c_nationkey")
+      val supp = Tables.supplier(s, d).select("s_suppkey", "s_nationkey")
+      val ord = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        .select("o_orderkey", "o_custkey")
+      val li = Tables.lineitem(s, d)
+        .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(supp, col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(dim), col("s_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))),
+          2).as("revenue"))
+    }),
+
+    // Scalar subquery: parts priced above the global average.
+    "sub1_scalar_subquery" -> ((s, d) => {
+      val p = Tables.part(s, d)
+      val avgPrice = p.agg(avg(col("p_retailprice")).as("ap"))
+      p.join(broadcast(avgPrice))
+        .filter(col("p_retailprice") > col("ap"))
+        .select("p_partkey", "p_name", "p_retailprice")
+    }),
+
+    // IN-subquery: orders from the 100 richest customers (left-semi).
+    "sub2_in_subquery" -> ((s, d) => {
+      val top = RelationalOps.topKGlobal(Tables.customer(s, d),
+        Seq(col("c_acctbal").desc, col("c_custkey").asc), 100)
+        .select("c_custkey")
+      Tables.orders(s, d)
+        .join(broadcast(top), col("o_custkey") === col("c_custkey"),
+          "left_semi")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
     })
   )
 
@@ -207,6 +271,41 @@ object QueriesRelational {
       """SELECT l_returnflag,
         |  count(DISTINCT l_suppkey) AS n_supp,
         |  round(sum(DISTINCT l_quantity), 2) AS sum_dist_qty
-        |FROM lineitem GROUP BY l_returnflag""".stripMargin
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "g3_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(avg(l_extendedprice), 2) AS avg_price, count(*) AS n_rows
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+    "g4_pivot" ->
+      """SELECT o_orderstatus,
+        |  count(*) FILTER (WHERE o_orderpriority = '1-URGENT')
+        |    AS "1-URGENT",
+        |  count(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS "2-HIGH",
+        |  count(*) FILTER (WHERE o_orderpriority = '3-MEDIUM')
+        |    AS "3-MEDIUM",
+        |  count(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED')
+        |    AS "4-NOT SPECIFIED",
+        |  count(*) FILTER (WHERE o_orderpriority = '5-LOW') AS "5-LOW"
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
+    "j5_multiway_join" ->
+      """SELECT n_name,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM customer, orders, lineitem, supplier, nation, region
+        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |  AND r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY n_name""".stripMargin,
+    "sub1_scalar_subquery" ->
+      """SELECT p_partkey, p_name, p_retailprice FROM part
+        |WHERE p_retailprice > (SELECT avg(p_retailprice) FROM part)"""
+        .stripMargin,
+    "sub2_in_subquery" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE o_custkey IN (SELECT c_custkey FROM customer
+        |  ORDER BY c_acctbal DESC, c_custkey LIMIT 100)""".stripMargin
   )
 }

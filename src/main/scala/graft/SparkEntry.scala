@@ -15,12 +15,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     QueriesReference.queries ++ QueriesRelational.queries ++
       QueriesText.queries ++ QueriesDedup.queries ++
-      QueriesVector.queries ++ QueriesStreaming.queries
+      QueriesVector.queries ++ QueriesStreaming.queries ++
+      QueriesFunctions.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     QueriesReference.oracle ++ QueriesRelational.oracle ++
       QueriesText.oracle ++ QueriesDedup.oracle ++
-      QueriesVector.oracle ++ QueriesStreaming.oracle
+      QueriesVector.oracle ++ QueriesStreaming.oracle ++
+      QueriesFunctions.oracle
 }
