@@ -49,10 +49,14 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val names =
-      if (sys.env.contains("SPARK_GRAFT_BENCH_ALL"))
-        SparkEntry.queries.keys.toSeq.sorted
-      else headline.filter(SparkEntry.queries.contains)
+    val names = sys.env.get("SPARK_GRAFT_BENCH_ONLY") match {
+      case Some(only) => only.split(",").toSeq.map(_.trim)
+        .filter(SparkEntry.queries.contains)
+      case None =>
+        if (sys.env.contains("SPARK_GRAFT_BENCH_ALL"))
+          SparkEntry.queries.keys.toSeq.sorted
+        else headline.filter(SparkEntry.queries.contains)
+    }
 
     // Warmup: touch every target table (page cache + parquet footers),
     // then run the whole query set once at the smallest scale factor.
