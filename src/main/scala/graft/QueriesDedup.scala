@@ -31,11 +31,24 @@ object QueriesDedup {
     * tokenization per scale dir. The same pattern at 100 TB is
     * "tokenize once → checkpoint → fan out to every signature".
     */
-  private def docsWithTokens(s: SparkSession, d: String): DataFrame =
-    DedupOps.spread(
+  private def docsWithTokens(s: SparkSession, d: String): DataFrame = {
+    val df = DedupOps.spread(
       Tables.documents(s, d)
         .select(col("doc_id"), TextOps.tokens(col("text")).as("toks")))
-      .persist()
+    // storageLevel consults the session CacheManager by plan equality, so
+    // re-invocations reuse the existing cache entry instead of stacking
+    // redundant persist() calls ("Asked to cache already cached data"
+    // warnings). Library consumers can drop the cache via [[unpersistAll]].
+    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+      df.persist()
+    else df
+  }
+
+  /** Release the shared tokenization cache (for long-lived sessions that
+    * are done with the dedup query family).
+    */
+  def unpersistAll(s: SparkSession, d: String): Unit =
+    docsWithTokens(s, d).unpersist()
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup on a canonicalization (first-5-token prefix hash):
@@ -183,9 +196,12 @@ object QueriesDedup {
          |c AS (SELECT doc_id, simhash, j, (simhash >> (15 * j)) & 32767
          |        AS chunk
          |      FROM sh CROSS JOIN (SELECT unnest(range(4)) AS j) r(j)),
+         |rare AS (SELECT j, chunk FROM c GROUP BY j, chunk
+         |      HAVING count(*) <= 10000),
+         |cf AS (SELECT c.* FROM c JOIN rare USING (j, chunk)),
          |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
          |      a.simhash AS sim_a, b.simhash AS sim_b
-         |      FROM c a JOIN c b ON a.j = b.j AND a.chunk = b.chunk
+         |      FROM cf a JOIN cf b ON a.j = b.j AND a.chunk = b.chunk
          |        AND a.doc_id < b.doc_id)
          |SELECT id_a, id_b,
          |  CAST(bit_count(xor(sim_a, sim_b)) AS BIGINT) AS hamming

@@ -227,14 +227,43 @@ object DedupOps {
         expr(s"shiftright(simhash, $chunkBits * j)")
           .bitwiseAND(lit((1L << chunkBits) - 1)).as("chunk"))
 
-  /** Candidate pairs by shared chunk, verified by exact hamming distance. */
+  /** Candidate pairs by shared chunk, verified by exact hamming distance.
+    *
+    * Shape mirrors [[jaccardPairs]]: group the chunk index by (band,
+    * chunk value) into posting lists, expand pairs in-row via two chained
+    * Generates, then distinct + hamming verify. Two hash-aggregate
+    * shuffles, NO self-join — which both removes the double evaluation of
+    * the whole simhash pipeline (a self-join recomputes its input plan on
+    * each side) and makes the frequency cap natural.
+    *
+    * `maxChunkFreq` bounds the O(df²) fan-out of a saturated chunk value:
+    * with b-bit chunks, any cluster of >2^b near-identical fingerprints
+    * collides a chunk value for MANY docs and the pair expansion goes
+    * quadratic on that one skewed key. Dropping over-full buckets bounds
+    * the stage at linear cost for a bounded, tunable recall loss — the
+    * same df-cap discipline as the shingle index. The pigeonhole guard
+    * (`maxHamming < chunks`) fails fast on parameter combinations where
+    * chunk-equality banding is no longer a complete candidate generator
+    * (silent recall loss otherwise).
+    */
   def simhashPairs(sims: DataFrame, maxHamming: Int, chunks: Int = 4,
-      chunkBits: Int = 15): DataFrame = {
+      chunkBits: Int = 15, maxChunkFreq: Long = 10000L): DataFrame = {
+    require(maxHamming < chunks,
+      s"pigeonhole completeness needs maxHamming < chunks " +
+        s"(got maxHamming=$maxHamming, chunks=$chunks): a pair may differ " +
+        s"in every chunk once hamming >= chunks")
     val c = simhashChunks(sims, chunks, chunkBits)
-    val a = c.toDF("id_a", "sim_a", "j", "chunk")
-    val b = c.toDF("id_b", "sim_b", "j", "chunk")
-    a.join(b, Seq("j", "chunk")).filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "sim_a", "sim_b").distinct()
+    val postings = c.groupBy("j", "chunk")
+      .agg(collect_list(struct(col("id"), col("simhash"))).as("ds"))
+      .filter(size(col("ds")) <= maxChunkFreq)
+      .select(array_sort(col("ds")).as("ds"))
+    postings
+      .select(col("ds"), explode(col("ds")).as("a"))
+      .select(col("a"), explode(col("ds")).as("b"))
+      .filter(col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.simhash").as("sim_a"), col("b.simhash").as("sim_b"))
+      .distinct()
       .withColumn("hamming",
         expr("bit_count(sim_a ^ sim_b)").cast("long"))
       .filter(col("hamming") <= maxHamming)

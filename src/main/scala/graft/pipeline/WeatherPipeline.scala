@@ -66,9 +66,15 @@ object WeatherPipeline {
       sinks: WeatherSinks, periodStart: Column, periodEndExclusive: Column,
       clock: Column = current_timestamp(),
       recencySeconds: Long = 3600L): Unit = {
-    val maxTs = observations.agg(max(col("weatherDate"))).head().getTimestamp(0)
-    val recent = WeatherOps.recencyFilter(observations, "weatherDate",
-      lit(maxTs), recencySeconds)
-    fullLoad(spark, recent, sinks, periodStart, periodEndExclusive, clock)
+    // The max-timestamp probe is a driver-side action; without the persist
+    // it would recompute the whole upstream plan (e.g. an HTTP fetch +
+    // JSON parse) once for the probe and again for every downstream sink.
+    val obs = observations.persist()
+    try {
+      val maxTs = obs.agg(max(col("weatherDate"))).head().getTimestamp(0)
+      val recent = WeatherOps.recencyFilter(obs, "weatherDate",
+        lit(maxTs), recencySeconds)
+      fullLoad(spark, recent, sinks, periodStart, periodEndExclusive, clock)
+    } finally obs.unpersist()
   }
 }

@@ -29,16 +29,18 @@ final case class ParquetSink(path: String,
   }
   def read(spark: SparkSession): DataFrame = spark.read.parquet(path)
   def isEmpty(spark: SparkSession): Boolean = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
-    !fs.exists(new org.apache.hadoop.fs.Path(path)) ||
-      fs.listStatus(new org.apache.hadoop.fs.Path(path)).isEmpty
+    // Resolve the filesystem FROM the path (s3a://, hdfs://, file:, …) —
+    // FileSystem.get(conf) returns the *default* FS and silently probes
+    // the wrong store for any non-default scheme.
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    !fs.exists(p) || fs.listStatus(p).isEmpty
   }
 }
 
 /** JDBC parity sink (K1–K3: `FULL:146-148,155-157,170-171`; connection
-  * properties `FULL:127-132`). Not exercised by tests (no DB in the test
-  * environment) but kept API-complete.
+  * properties `FULL:127-132`). Exercised in `JdbcSinkSpec` against
+  * embedded Derby (the JDBC driver that ships with Spark).
   */
 final case class JdbcSink(url: String, table: String,
     properties: java.util.Properties) extends Sink {
@@ -46,5 +48,11 @@ final case class JdbcSink(url: String, table: String,
     df.write.mode(SaveMode.Append).jdbc(url, table, properties)
   def read(spark: SparkSession): DataFrame =
     spark.read.jdbc(url, table, properties)
-  def isEmpty(spark: SparkSession): Boolean = read(spark).isEmpty
+  /** A sink whose table doesn't exist yet IS empty — the first
+    * schema-on-write append creates it, so `read` failing to resolve the
+    * table must report empty, not crash the bootstrap run.
+    */
+  def isEmpty(spark: SparkSession): Boolean =
+    try read(spark).isEmpty
+    catch { case _: Exception => true }
 }

@@ -45,8 +45,19 @@ object Tables {
     * same truncation DuckDB applies reading the file as TIMESTAMP.
     */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = apply(s, d, "events")
+    // The conf is consulted only during eager schema inference inside
+    // `spark.read.parquet(...)` (probe-verified: a frame inferred under
+    // the flag keeps executing correctly after the flag is restored), so
+    // save/set/restore leaves no session-visible side effect.
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key, "true")
+    val df =
+      try apply(s, d, "events")
+      finally prev match {
+        case Some(v) => s.conf.set(key, v)
+        case None => s.conf.unset(key)
+      }
     if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
       df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else df

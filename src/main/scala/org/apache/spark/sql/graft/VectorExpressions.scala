@@ -20,7 +20,12 @@ import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, Double
   * accumulation of `a(i) * b(i)` into a double starting at 0.0 — so
   * results are bit-for-bit the same and the DuckDB oracle's
   * `list_reduce` fold still hash-matches. Null if either input is null
-  * (like every binary expression); unequal lengths fail fast.
+  * (like every binary expression) OR if any *element* is null — the HOF
+  * fold yields null there (`acc + null` poisons the fold), and a native
+  * loop that read a null slot would fold garbage instead. The element
+  * check is emitted only when the input types say elements can be null,
+  * so non-nullable arrays keep the tight branch-free loop. Unequal
+  * lengths fail fast.
   *
   * Lives under `org.apache.spark.sql` because `AbstractDataType` and the
   * Column↔Expression bridge are `private[sql]` — the usual extension-shim
@@ -35,15 +40,31 @@ case class DotProductDouble(left: Expression, right: Expression)
     Seq(ArrayType(DoubleType), ArrayType(DoubleType))
   override def dataType: DataType = DoubleType
 
+  /** Whether either input's type admits null elements (drives both the
+    * interpreted and generated null checks — and `nullable`, since a
+    * null element nulls the whole result).
+    */
+  private def elementsNullable: Boolean = Seq(left, right).exists {
+    e => e.dataType match {
+      case ArrayType(_, containsNull) => containsNull
+      case _ => true
+    }
+  }
+
+  override def nullable: Boolean =
+    left.nullable || right.nullable || elementsNullable
+
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val n = x.numElements()
     require(y.numElements() == n,
       s"dot product of unequal lengths: $n vs ${y.numElements()}")
+    val checkNulls = elementsNullable
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (checkNulls && (x.isNullAt(i) || y.isNullAt(i))) return null
       acc += x.getDouble(i) * y.getDouble(i)
       i += 1
     }
@@ -56,6 +77,12 @@ case class DotProductDouble(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
+      val nullCheck =
+        if (elementsNullable)
+          s"""if ($a.isNullAt($i) || $b.isNullAt($i)) {
+             |    ${ev.isNull} = true; break;
+             |  }""".stripMargin
+        else ""
       s"""
          |int $n = $a.numElements();
          |if ($b.numElements() != $n) {
@@ -65,6 +92,7 @@ case class DotProductDouble(left: Expression, right: Expression)
          |}
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
+         |  $nullCheck
          |  $acc += $a.getDouble($i) * $b.getDouble($i);
          |}
          |${ev.value} = $acc;

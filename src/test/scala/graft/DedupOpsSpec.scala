@@ -64,6 +64,16 @@ class DedupOpsSpec extends SparkTestBase {
     assert(pairs.contains((1L, 4L)))
   }
 
+  test("simhashPairs guards incomplete banding and caps hot chunks") {
+    val sims = DedupOps.simhash(docs, "doc_id", col("toks"))
+    intercept[IllegalArgumentException] {
+      DedupOps.simhashPairs(sims, maxHamming = 4, chunks = 4)
+    }
+    // chunk-frequency cap 1: every shared chunk bucket is dropped => no pairs
+    assert(DedupOps.simhashPairs(sims, maxHamming = 0,
+      maxChunkFreq = 1L).count() == 0)
+  }
+
   test("shingleIndex drops shingles above the doc-frequency cap") {
     val withSh = docs
       .select(col("doc_id"), DedupOps.shingles(col("toks"), 3).as("sh"))

@@ -48,6 +48,17 @@ class VectorOpsSpec extends SparkTestBase {
     assert(withNull.isNullAt(0))
   }
 
+  test("native dot yields null on null ELEMENTS, matching the HOF fold") {
+    val row = Seq((Seq(Option(1.0), None, Option(3.0)),
+      Seq(Option(1.0), Option(2.0), Option(3.0))))
+      .toDF("a", "b")
+      .select(VectorOps.dot(col("a"), col("b")).as("native"),
+        VectorOps.dotHof(col("a"), col("b")).as("hof"))
+      .collect()(0)
+    assert(row.isNullAt(0), "native dot must not fold garbage over nulls")
+    assert(row.isNullAt(1))
+  }
+
   test("bruteForceTopK ranks by cosine with id tiebreak, excludes self") {
     val out = VectorOps.bruteForceTopK(prep, prep.filter(col("id") === 0), 3)
       .select("id_n", "cos", "rank").as[(Long, Double, Long)]
