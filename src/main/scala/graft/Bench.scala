@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver-run benchmark: times headline queries at SPARK_GRAFT_SF_DIR and
   * prints ONE JSON line. A warmup pass (table reads + two small queries)
@@ -10,6 +10,8 @@ import org.apache.spark.sql.SparkSession
   *
   * SPARK_GRAFT_BENCH_ALL=1 times every registered query instead of the
   * headline set (slower; used for local profiling).
+  * SPARK_GRAFT_BENCH_ONLY=a,b,c times only the named queries (profiling);
+  * unknown names warn to stderr, an empty selection exits non-zero.
   */
 object Bench {
 
@@ -38,6 +40,16 @@ object Bench {
     // multimodal
     "m1_multimodal_meta")
 
+  /** Fully evaluate a query's output. `.count()` is NOT that: Catalyst
+    * prunes deterministic projections under count, so a projection-only
+    * query would time the parquet scan and none of its expressions. The
+    * noop sink materializes every output row (all columns written into
+    * the row) while discarding the bytes — the standard Spark
+    * benchmarking force.
+    */
+  private def force(df: DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -50,8 +62,20 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     val names = sys.env.get("SPARK_GRAFT_BENCH_ONLY") match {
-      case Some(only) => only.split(",").toSeq.map(_.trim)
-        .filter(SparkEntry.queries.contains)
+      case Some(only) =>
+        val requested = only.split(",").toSeq.map(_.trim).filter(_.nonEmpty)
+        val unknown = requested.filterNot(SparkEntry.queries.contains)
+        if (unknown.nonEmpty)
+          System.err.println(
+            s"[bench] WARNING: unknown queries ignored: ${unknown.mkString(",")}")
+        val selected = requested.filter(SparkEntry.queries.contains)
+        if (selected.isEmpty) {
+          System.err.println(
+            "[bench] ERROR: SPARK_GRAFT_BENCH_ONLY selected no known queries")
+          spark.stop()
+          sys.exit(2)
+        }
+        selected
       case None =>
         if (sys.env.contains("SPARK_GRAFT_BENCH_ALL"))
           SparkEntry.queries.keys.toSeq.sorted
@@ -74,7 +98,7 @@ object Bench {
         "/root/testdata/sf0.001"
       else sfDir
     names.foreach { name =>
-      try { SparkEntry.queries(name)(spark, warmDir).count() }
+      try { force(SparkEntry.queries(name)(spark, warmDir)) }
       catch { case _: Throwable => () }
     }
     // Two timed passes, report the per-query minimum: the first pass at
@@ -84,8 +108,8 @@ object Bench {
     // operator, not the JIT.
     def pass(): Map[String, Double] = names.map { name =>
       val t0 = System.nanoTime()
-      try { SparkEntry.queries(name)(spark, sfDir).count() }
-      catch { case _: Throwable => -1L }
+      try { force(SparkEntry.queries(name)(spark, sfDir)) }
+      catch { case _: Throwable => () }
       val sec = (System.nanoTime() - t0) / 1e9
       System.err.println(f"[bench] $name $sec%.2fs")
       name -> sec
