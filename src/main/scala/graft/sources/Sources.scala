@@ -108,4 +108,11 @@ object ForecastJsonSource {
   /** Test/driver entry: read files of raw JSON text (one doc per file/line). */
   def load(spark: SparkSession, path: String): DataFrame =
     parse(spark.read.text(path).withColumnRenamed("value", "payload"))
+
+  /** The reference's E1 source wiring end-to-end: fetch each url on
+    * executors ([[HttpJsonSource]]), parse to flat observations — ready
+    * for [[graft.pipeline.WeatherPipeline.fullLoad]].
+    */
+  def fromUrls(spark: SparkSession, urls: Seq[String]): DataFrame =
+    parse(HttpJsonSource(urls).load(spark))
 }

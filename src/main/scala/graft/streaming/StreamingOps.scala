@@ -62,16 +62,19 @@ object StreamingOps {
       .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
 
   /** Hourly incremental sink: the reference's O1 cadence
-    * (`schedule_interval='@hourly'`) as a 1-hour processing-time trigger.
-    * `forEachBatchSink` gets the deduped micro-batch — e.g. append to a
-    * partitioned parquet table.
+    * (`schedule_interval='@hourly'`) as a 1-hour processing-time trigger
+    * by default. `forEachBatchSink` gets the deduped micro-batch — e.g.
+    * append to a partitioned parquet table. The trigger is injectable so
+    * tests (and catch-up backfills) can drive the same writer with
+    * `Trigger.AvailableNow()` instead of waiting out the hour.
     */
   def hourlyIncremental(stream: DataFrame, tsCol: String, delay: String,
-      keys: Seq[String])(
+      keys: Seq[String],
+      trigger: Trigger = Trigger.ProcessingTime("1 hour"))(
       forEachBatchSink: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
     dedupWithinWatermark(stream, tsCol, delay, keys)
       .writeStream
-      .trigger(Trigger.ProcessingTime("1 hour"))
+      .trigger(trigger)
       .foreachBatch { (batch: DataFrame, id: Long) =>
         forEachBatchSink(batch, id)
       }

@@ -60,6 +60,23 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed == batch)
   }
 
+  test("hourlyIncremental writer runs end-to-end and dedups the batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    ms.addData(evs.head, evs.head, evs(1)) // duplicate of event 1
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val q = StreamingOps.hourlyIncremental(ms.toDF(), "ts", "1 hour",
+      Seq("user_id", "value"),
+      trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow()) {
+      (batch, id) =>
+        batch.select("event_id").collect()
+          .foreach(r => seen.synchronized { seen += ((id, r.getLong(0))) })
+    }.start()
+    try q.awaitTermination(60000) finally q.stop()
+    assert(seen.map(_._2).sorted == Seq(1L, 2L),
+      "foreachBatch sink must receive the deduped micro-batch")
+  }
+
   test("dedupWithinWatermark emits each key once across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val ms = MemoryStream[Ev]
