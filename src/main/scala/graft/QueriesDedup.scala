@@ -58,11 +58,11 @@ object QueriesDedup {
       DedupOps.exactDedup(docsWithTokens(s, d), "doc_id", key)
     }),
 
-    // n-gram Jaccard near-dup: inverted shingle index (df-capped) ->
-    // candidate pairs -> exact Jaccard >= 0.8.
+    // n-gram Jaccard near-dup: native distinct-shingle hashing ->
+    // inverted index (df-capped) -> candidate pairs -> exact Jaccard >= 0.8.
     "d2_jaccard_pairs" -> ((s, d) => {
       val docs = docsWithTokens(s, d)
-        .select(col("doc_id"), DedupOps.shingles(col("toks"), 3).as("sh"))
+        .select(col("doc_id"), DedupOps.shingleHashes(col("toks"), 3).as("sh"))
       DedupOps.jaccardPairs(docs, "doc_id", "sh", 0.8, maxDocFreq = 1000L)
     }),
 
@@ -72,7 +72,8 @@ object QueriesDedup {
     "d3_minhash_lsh" -> ((s, d) => {
       val sigs = DedupOps.minhashSigs(
         docsWithTokens(s, d)
-          .select(col("doc_id"), DedupOps.shingles(col("toks"), 3).as("sh")),
+          .select(col("doc_id"),
+            DedupOps.shingleHashes(col("toks"), 3).as("sh")),
         "doc_id", "sh", 16)
       DedupOps.lshCandidates(DedupOps.lshBands(sigs, "id", "sig", 4, 4))
     }),

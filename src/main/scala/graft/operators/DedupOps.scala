@@ -56,13 +56,25 @@ object DedupOps {
   }
 
   /** Distinct word k-shingles of a token array (order-preserving windows,
-    * then set semantics — Jaccard is over shingle *sets*).
+    * then set semantics — Jaccard is over shingle *sets*). Executable
+    * spec of [[shingleHashes]]: interpreted HOFs, kept for tests and for
+    * callers that need the shingle STRINGS.
     */
   def shingles(toks: Column, k: Int): Column =
     when(size(toks) >= k,
       array_distinct(transform(sequence(lit(0), size(toks) - k),
         i => concat_ws(" ", slice(toks, i + 1, lit(k))))))
       .otherwise(array().cast("array<string>"))
+
+  /** Distinct word k-shingles already reduced to their 60-bit content
+    * hashes, in ONE native codegen'd pass — value-equal to
+    * `transform(shingles(toks, k), s => hash60(lit("sh"), s))`
+    * (DedupOpsSpec asserts it) but without the interpreted per-window
+    * lambda/slice/concat churn that dominated the Jaccard profile. This
+    * is the scale-path input for [[jaccardPairs]] / [[minhashSigs]].
+    */
+  def shingleHashes(toks: Column, k: Int): Column =
+    org.apache.spark.sql.graft.ShingleExpressions.shingleHash60(toks, k)
 
   /** Exact dedup over an arbitrary canonicalization: group by the content
     * hash, elect the minimum id as keeper. Pure hash aggregation — one
@@ -72,16 +84,31 @@ object DedupOps {
     df.groupBy(keyHash.as("text_hash"))
       .agg(min(col(idCol)).as("keeper"), count(lit(1)).as("n_copies"))
 
+  /** True when `shCol` already carries 60-bit shingle hashes
+    * ([[shingleHashes]]) rather than shingle strings ([[shingles]]).
+    */
+  private def isHashed(docs: DataFrame, shCol: String): Boolean =
+    docs.schema(shCol).dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.LongType, _) => true
+      case _ => false
+    }
+
   /** Exploded inverted-index view (shingleHash, id, setSize). Shingles are
     * hashed to 60-bit ints up front: every downstream shuffle/group keys
     * on an 8-byte long instead of a ~20-byte string (collisions are
     * negligible and the oracle applies the same hash, so counts agree
-    * either way).
+    * either way). Accepts either shingle strings (hashed here) or
+    * pre-hashed longs from [[shingleHashes]] (used as-is).
     */
-  def shingleIndex(docs: DataFrame, idCol: String, shCol: String): DataFrame =
-    docs.select(col(idCol).as("id"),
-      size(col(shCol)).cast("long").as("n"), explode(col(shCol)).as("sh_s"))
-      .select(col("id"), col("n"), hash60(lit("sh"), col("sh_s")).as("s"))
+  def shingleIndex(docs: DataFrame, idCol: String, shCol: String): DataFrame = {
+    val e = docs.select(col(idCol).as("id"),
+      size(col(shCol)).cast("long").as("n"), explode(col(shCol)).as("sh_e"))
+    if (isHashed(docs, shCol))
+      e.select(col("id"), col("n"), col("sh_e").as("s"))
+    else
+      e.select(col("id"), col("n"), hash60(lit("sh"), col("sh_e")).as("s"))
+  }
 
   /** Exact n-gram Jaccard near-dup pairs: group the inverted index by
     * shingle, emit every ordered doc pair of a shingle's posting list,
@@ -152,13 +179,20 @@ object DedupOps {
       n: Int): DataFrame = {
     val aLit = array((0 until n).map(i => lit(minhashSeedA(i))): _*)
     val bLit = array((0 until n).map(i => lit(minhashSeedB(i))): _*)
-    // The md5 runs inside the first Generate so its output rows carry the
-    // materialized 30-bit hash — a Generate boundary is one of the few
-    // walls CollapseProject cannot inline expressions through.
-    val e = docs
-      .select(col(idCol).as("id"),
-        explode(transform(col(shCol),
-          s => hash60(lit("sh"), s) % (1L << 30))).as("h30"))
+    // Pre-hashed input: explode the longs, then the 30-bit reduction is a
+    // plain codegen'd projection. String input: the md5 runs inside the
+    // first Generate so its output rows carry the materialized 30-bit
+    // hash — a Generate boundary is one of the few walls CollapseProject
+    // cannot inline expressions through.
+    val exploded =
+      if (isHashed(docs, shCol))
+        docs.select(col(idCol).as("id"), explode(col(shCol)).as("h60"))
+          .select(col("id"), (col("h60") % (1L << 30)).as("h30"))
+      else
+        docs.select(col(idCol).as("id"),
+          explode(transform(col(shCol),
+            s => hash60(lit("sh"), s) % (1L << 30))).as("h30"))
+    val e = exploded
       .select(col("id"), posexplode(transform(sequence(lit(0), lit(n - 1)),
         i => (element_at(aLit, i + 1) * col("h30") + element_at(bLit, i + 1))
           % MinhashP)))

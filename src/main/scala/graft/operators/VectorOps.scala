@@ -94,14 +94,15 @@ object VectorOps {
 
   /** Sign-of-projection LSH bucket id over `nPlanes` hyperplanes of
     * dimension `dim`: bit p is set when v · plane_p >= 0. Planes are
-    * literal arrays; the whole bucket id is one narrow projection.
+    * literal arrays; the whole bucket id is one narrow projection. The
+    * projections use the native codegen'd [[dot]] (bit-identical to the
+    * HOF fold, so the oracle's `list_reduce` buckets agree) — the
+    * previous HOF formulation ran nPlanes interpreted folds per row.
     */
   def hyperplaneBucket(v: Column, nPlanes: Int, dim: Int): Column =
     (0 until nPlanes).map { p =>
       val plane = array((0 until dim).map(i => lit(planeComponent(p, i))): _*)
-      val proj = aggregate(zip_with(v, plane, (x, c) => x * c),
-        lit(0.0), (acc, x) => acc + x)
-      when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
+      when(dot(v, plane) >= 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
 
   /** ANN via bucket equality: probes only compare against corpus vectors

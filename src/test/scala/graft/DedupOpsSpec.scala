@@ -25,6 +25,36 @@ class DedupOpsSpec extends SparkTestBase {
     assert(short == Seq())
   }
 
+  test("shingleHashes is value-equal to the composed shingles+hash60 spec") {
+    val real = spark.read.parquet(s"$sf001/documents.parquet").limit(200)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+    val both = real.select(
+      DedupOps.shingleHashes(col("toks"), 3).as("native"),
+      transform(DedupOps.shingles(col("toks"), 3),
+        s => DedupOps.hash60(lit("sh"), s)).as("spec"))
+      .as[(Seq[Long], Seq[Long])].collect()
+    assert(both.nonEmpty)
+    both.foreach { case (native, spec) => assert(native == spec) }
+    // short-doc guard: fewer tokens than k yields an empty hash set
+    val short = Seq("a b").toDF("text")
+      .select(DedupOps.shingleHashes(
+        TextOps.tokens(col("text")), 3).as("s"))
+      .as[Seq[Long]].collect()(0)
+    assert(short.isEmpty)
+  }
+
+  test("jaccardPairs over pre-hashed shingles matches the string path") {
+    val strings = docs
+      .select(col("doc_id"), DedupOps.shingles(col("toks"), 3).as("sh"))
+    val hashed = docs
+      .select(col("doc_id"), DedupOps.shingleHashes(col("toks"), 3).as("sh"))
+    val a = DedupOps.jaccardPairs(strings, "doc_id", "sh", 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    val b = DedupOps.jaccardPairs(hashed, "doc_id", "sh", 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(a == b && a.nonEmpty)
+  }
+
   test("exactDedup elects min id and counts copies") {
     val out = DedupOps.exactDedup(
       docs, "doc_id", md5(concat_ws(" ", col("toks"))))
