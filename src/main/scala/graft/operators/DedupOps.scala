@@ -177,30 +177,37 @@ object DedupOps {
     */
   def minhashSigs(docs: DataFrame, idCol: String, shCol: String,
       n: Int): DataFrame = {
-    val aLit = array((0 until n).map(i => lit(minhashSeedA(i))): _*)
-    val bLit = array((0 until n).map(i => lit(minhashSeedB(i))): _*)
-    // Pre-hashed input: explode the longs, then the 30-bit reduction is a
-    // plain codegen'd projection. String input: the md5 runs inside the
-    // first Generate so its output rows carry the materialized 30-bit
-    // hash — a Generate boundary is one of the few walls CollapseProject
-    // cannot inline expressions through.
-    val exploded =
-      if (isHashed(docs, shCol))
-        docs.select(col(idCol).as("id"), explode(col(shCol)).as("h60"))
-          .select(col("id"), (col("h60") % (1L << 30)).as("h30"))
-      else
-        docs.select(col(idCol).as("id"),
+    if (isHashed(docs, shCol)) {
+      // Scale path: the whole signature is ONE narrow codegen'd pass per
+      // row (no posexplode row blow-up, no (id, seed) exchange) — at
+      // 100 TB signature computation costs zero shuffles and only the
+      // band equi-join exchanges data. The empty filter mirrors the
+      // exploded spec below, which drops shingle-less docs at the
+      // Generate.
+      docs.filter(size(col(shCol)) > 0)
+        .select(col(idCol).as("id"),
+          org.apache.spark.sql.graft.SignatureExpressions
+            .minhashSig(col(shCol), n).as("sig"))
+    } else {
+      // Executable spec (string shingles): explode + per-seed aggregate.
+      // The md5 runs inside the first Generate so its output rows carry
+      // the materialized 30-bit hash — a Generate boundary is one of the
+      // few walls CollapseProject cannot inline expressions through.
+      val aLit = array((0 until n).map(i => lit(minhashSeedA(i))): _*)
+      val bLit = array((0 until n).map(i => lit(minhashSeedB(i))): _*)
+      val e = docs
+        .select(col(idCol).as("id"),
           explode(transform(col(shCol),
             s => hash60(lit("sh"), s) % (1L << 30))).as("h30"))
-    val e = exploded
-      .select(col("id"), posexplode(transform(sequence(lit(0), lit(n - 1)),
-        i => (element_at(aLit, i + 1) * col("h30") + element_at(bLit, i + 1))
-          % MinhashP)))
-      .toDF("id", "i", "h")
-    e.groupBy("id", "i").agg(min(col("h")).as("mh"))
-      .groupBy("id").agg(
-        transform(array_sort(collect_list(struct(col("i"), col("mh")))),
-          x => x.getField("mh")).as("sig"))
+        .select(col("id"), posexplode(transform(sequence(lit(0), lit(n - 1)),
+          i => (element_at(aLit, i + 1) * col("h30") + element_at(bLit, i + 1))
+            % MinhashP)))
+        .toDF("id", "i", "h")
+      e.groupBy("id", "i").agg(min(col("h")).as("mh"))
+        .groupBy("id").agg(
+          transform(array_sort(collect_list(struct(col("i"), col("mh")))),
+            x => x.getField("mh")).as("sig"))
+    }
   }
 
   /** LSH banding: explode the signature into `bands` rows keyed by the
@@ -226,17 +233,29 @@ object DedupOps {
 
   /** 60-bit SimHash over a document's distinct tokens: per bit j, sum the
     * ±1 votes of each token hash's j-th bit; the fingerprint sets bit j
-    * when the vote is positive. One explode to (id, tokenHash), then a
-    * single 60-column hash aggregation — shuffle size is O(docs), not
-    * O(tokens).
+    * when the vote is positive. ONE narrow codegen'd pass per row — the
+    * signature costs zero shuffles; only the chunk equi-join downstream
+    * exchanges data. The empty filter mirrors [[simhashSpec]], which
+    * drops token-less docs at its Generate.
     */
   def simhash(docs: DataFrame, idCol: String, toksCol: Column,
       bits: Int = 60): DataFrame = {
-    // Token hashes are materialized through the aggregation barrier
-    // (md5 once per token), and the 60 bit-votes fold over the collected
-    // hash list in one narrow projection. A 60-column sum() aggregate
-    // would work too, but its generated code is enormous — it thrashes
-    // the whole-stage-codegen cache when many queries share the session.
+    require(bits == 60, s"native simhash is fixed at 60 bits, got $bits")
+    docs.filter(size(toksCol) > 0)
+      .select(col(idCol).as("id"),
+        org.apache.spark.sql.graft.SignatureExpressions
+          .simhashFromTokens(toksCol).as("simhash"))
+  }
+
+  /** Executable spec of [[simhash]] in composed Catalyst: explode the
+    * distinct tokens, md5-hash each, collect through the aggregation
+    * barrier, fold the 60 bit-votes in one narrow projection. (A
+    * 60-column sum() aggregate would work too, but its generated code is
+    * enormous — it thrashes the whole-stage-codegen cache when many
+    * queries share the session.) Kept for the value-equality test.
+    */
+  def simhashSpec(docs: DataFrame, idCol: String, toksCol: Column,
+      bits: Int = 60): DataFrame = {
     val tok = docs
       .select(col(idCol).as("id"), explode(array_distinct(toksCol)).as("t"))
       .select(col("id"), hash60(lit("t"), col("t")).as("h"))

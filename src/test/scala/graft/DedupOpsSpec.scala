@@ -55,6 +55,36 @@ class DedupOpsSpec extends SparkTestBase {
     assert(a == b && a.nonEmpty)
   }
 
+  test("native minhash signature equals the exploded-aggregate spec") {
+    val real = spark.read.parquet(s"$sf001/documents.parquet").limit(200)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+    val nativeSigs = DedupOps.minhashSigs(
+      real.select(col("doc_id"),
+        DedupOps.shingleHashes(col("toks"), 3).as("sh")),
+      "doc_id", "sh", 16)
+      .select(col("id"), col("sig").as("native"))
+    val specSigs = DedupOps.minhashSigs(
+      real.select(col("doc_id"), DedupOps.shingles(col("toks"), 3).as("sh")),
+      "doc_id", "sh", 16)
+      .select(col("id"), col("sig").as("spec"))
+    val joined = nativeSigs.join(specSigs, "id", "full_outer")
+      .as[(Long, Seq[Long], Seq[Long])].collect()
+    assert(joined.nonEmpty)
+    joined.foreach { case (id, n, s) =>
+      assert(n == s, s"sig mismatch for doc $id") }
+  }
+
+  test("native simhash equals the explode-collect-fold spec") {
+    val real = spark.read.parquet(s"$sf001/documents.parquet").limit(200)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+    val native = DedupOps.simhash(real, "doc_id", col("toks"))
+      .as[(Long, Long)].collect().toMap
+    val spec = DedupOps.simhashSpec(real, "doc_id", col("toks"))
+      .as[(Long, Long)].collect().toMap
+    assert(native.nonEmpty)
+    assert(native == spec)
+  }
+
   test("exactDedup elects min id and counts copies") {
     val out = DedupOps.exactDedup(
       docs, "doc_id", md5(concat_ws(" ", col("toks"))))
