@@ -42,6 +42,14 @@ object QueriesVector {
       val p = prep(s, d)
       VectorOps.assignToCentroids(p, p.filter(col("id") < 10))
         .withColumnRenamed("id", "vec_id")
+    }),
+
+    // Full IVF ANN search: corpus assigned to 10 cells, probes routed to
+    // their 3 nearest cells, exact top-5 among the routed cells only.
+    "v4_ivf_topk" -> ((s, d) => {
+      val p = prep(s, d)
+      VectorOps.ivfTopK(p, p.filter(col("id") < 5),
+        p.filter(col("id") < 10), nProbe = 3, k = 5)
     })
   )
 
@@ -103,6 +111,36 @@ object QueriesVector {
          |SELECT vec_id, centroid_id, round(cos, 6) AS cos FROM (
          |  SELECT *, row_number() OVER (PARTITION BY vec_id
          |    ORDER BY cos DESC, centroid_id) AS rk FROM p)
-         |WHERE rk = 1""".stripMargin
+         |WHERE rk = 1""".stripMargin,
+    "v4_ivf_topk" ->
+      s"""WITH $preparedSql,
+         |cent AS (SELECT vec_id AS centroid_id, v, n2 FROM n
+         |      WHERE vec_id < 10),
+         |ca AS (SELECT id_n, centroid_id FROM (
+         |      SELECT a.vec_id AS id_n, b.centroid_id,
+         |        row_number() OVER (PARTITION BY a.vec_id
+         |          ORDER BY $dotSql / sqrt(a.n2 * b.n2) DESC,
+         |            b.centroid_id) AS rk
+         |      FROM n a JOIN cent b ON true)
+         |      WHERE rk = 1),
+         |pr AS (SELECT id_q, centroid_id FROM (
+         |      SELECT a.vec_id AS id_q, b.centroid_id,
+         |        row_number() OVER (PARTITION BY a.vec_id
+         |          ORDER BY $dotSql / sqrt(a.n2 * b.n2) DESC,
+         |            b.centroid_id) AS rk
+         |      FROM n a JOIN cent b ON true
+         |      WHERE a.vec_id < 5)
+         |      WHERE rk <= 3),
+         |pairs AS (SELECT a.vec_id AS id_q, b.vec_id AS id_n,
+         |      round($dotSql / sqrt(a.n2 * b.n2), 6) AS cos
+         |      FROM pr
+         |      JOIN n a ON a.vec_id = pr.id_q
+         |      JOIN ca ON ca.centroid_id = pr.centroid_id
+         |      JOIN n b ON b.vec_id = ca.id_n
+         |      WHERE b.vec_id <> a.vec_id)
+         |SELECT id_q, id_n, cos, rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY id_q
+         |    ORDER BY cos DESC, id_n) AS rank FROM pairs)
+         |WHERE rank <= 5""".stripMargin
   )
 }

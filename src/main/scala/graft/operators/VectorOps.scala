@@ -124,6 +124,52 @@ object VectorOps {
       .withColumn("rank", col("rank").cast("long"))
   }
 
+  /** Route each vector to its `nProbe` nearest centroids by cosine
+    * (centroids broadcast; one narrow pass + a window). `nProbe = 1` is
+    * cell assignment; `nProbe > 1` is the probe-side fan-out that buys
+    * IVF recall back at the cell boundaries.
+    */
+  def routeToCentroids(vectors: DataFrame, centroids: DataFrame,
+      nProbe: Int): DataFrame = {
+    val joined = vectors.toDF("id", "v", "n2")
+      .crossJoin(broadcast(centroids.toDF("centroid_id", "v_c", "n2_c")))
+      .withColumn("cos", cosineFromParts(dot(col("v"), col("v_c")),
+        col("n2"), col("n2_c")))
+    RelationalOps.topKPerGroup(joined, Seq("id"),
+      Seq(col("cos").desc, col("centroid_id").asc), nProbe, rankCol = "rk")
+      .select(col("id"), col("centroid_id"))
+  }
+
+  /** Full IVF ANN search: assign the corpus to cells (top-1 centroid),
+    * route each probe to its `nProbe` nearest cells, then compare probes
+    * only against the corpus vectors of their routed cells (equi-join on
+    * the cell id) and take the exact top-k of the survivors.
+    *
+    * Scale shape: centroids broadcast twice (routing passes), probes
+    * broadcast into the cell join; the corpus is scanned once for
+    * assignment and once for search — never self-joined, never shuffled
+    * by pair. Cost per probe is O(nProbe × cellSize) instead of O(n);
+    * each corpus vector lives in exactly one cell, so no dedup step is
+    * needed.
+    */
+  def ivfTopK(corpus: DataFrame, probes: DataFrame, centroids: DataFrame,
+      nProbe: Int, k: Int): DataFrame = {
+    val corpusCells = corpus.toDF("id_n", "v_n", "n2_n")
+      .join(routeToCentroids(corpus, centroids, 1)
+        .toDF("id_n", "centroid_id"), Seq("id_n"))
+    val probeCells = probes.toDF("id_q", "v_q", "n2_q")
+      .join(routeToCentroids(probes, centroids, nProbe)
+        .toDF("id_q", "centroid_id"), Seq("id_q"))
+    val joined = corpusCells.join(broadcast(probeCells), Seq("centroid_id"))
+      .filter(col("id_q") =!= col("id_n"))
+      .withColumn("cos", cosineFromParts(dot(col("v_q"), col("v_n")),
+        col("n2_q"), col("n2_n")))
+      .select(col("id_q"), col("id_n"), round(col("cos"), 6).as("cos"))
+    RelationalOps.topKPerGroup(joined, Seq("id_q"),
+      Seq(col("cos").desc, col("id_n").asc), k, rankCol = "rank")
+      .withColumn("rank", col("rank").cast("long"))
+  }
+
   /** IVF-style cell assignment: nearest centroid by cosine (centroids are
     * broadcast; assignment is a per-row argmax, one narrow pass).
     */

@@ -75,6 +75,19 @@ class VectorOpsSpec extends SparkTestBase {
     assert(out.contains(3L)) // identical direction => identical bucket
   }
 
+  test("ivfTopK searches only routed cells and ranks exactly") {
+    val centroids = prep.filter(col("id") < 2)
+    val out = VectorOps.ivfTopK(prep, prep.filter(col("id") === 0),
+      centroids, nProbe = 2, k = 3)
+      .select("id_n", "cos", "rank").as[(Long, Double, Long)]
+      .collect().sortBy(_._3)
+    // cells: {0,2,3} -> centroid 0 (2 ties, id asc), {1} -> centroid 1;
+    // probe 0 routes to both cells => neighbors 3 (cos 1), 2, 1
+    assert(out.map(_._1).toSeq == Seq(3L, 2L, 1L))
+    assert(out(0)._2 == 1.0)
+    assert(out(2)._2 == 0.0)
+  }
+
   test("assignToCentroids picks the nearest centroid") {
     val centroids = prep.filter(col("id") < 2)
     val out = VectorOps.assignToCentroids(prep, centroids)
