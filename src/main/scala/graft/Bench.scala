@@ -36,7 +36,7 @@ object Bench {
     "d1_exact_dedup", "d2_jaccard_pairs", "d3_minhash_lsh",
     "d5_simhash_pairs",
     // similarity search
-    "v1_cosine_topk", "v2_ann_lsh", "v4_ivf_topk",
+    "v1_cosine_topk", "v2_ann_lsh", "v4_ivf_topk", "v5_neardup_lsh",
     // multimodal
     "m1_multimodal_meta")
 

@@ -60,6 +60,33 @@ object QueriesText {
         col("doc_id"),
         TextOps.rollingFingerprint(col("text")).as("roll_fp"),
         TextOps.md5Prefix60(col("text")).as("md5_fp"))
+    }),
+
+    // Vocabulary building: corpus-wide token frequencies, top 50. One
+    // hash-agg shuffle (map-side partial counts), then
+    // TakeOrderedAndProject — per-partition bounded heaps, no full sort.
+    "x5_vocab_topk" -> ((s, d) => {
+      val counts = Tables.documents(s, d)
+        .select(explode(TextOps.tokens(col("text"))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("cnt"))
+      graft.operators.RelationalOps.topKGlobal(counts,
+        Seq(col("cnt").desc, col("token").asc), 50)
+    }),
+
+    // Deterministic train/val/test split: md5-derived bucket of the doc
+    // id — reproducible across engines/runs/reshuffles (never
+    // rand()-based: resampling must not move documents between splits).
+    // Pure narrow projection, zero shuffle.
+    "x6_hash_split" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          (TextOps.md5Prefix60(
+            concat(lit("split:"), col("doc_id").cast("string"))) % 100)
+            .as("bucket"))
+        .select(col("doc_id"), col("bucket"),
+          when(col("bucket") < 80, "train")
+            .when(col("bucket") < 90, "val")
+            .otherwise("test").as("split"))
     })
   )
 
@@ -131,6 +158,20 @@ object QueriesText {
         |      c -> CAST(ascii(c) AS BIGINT))),
         |    (a, b) -> (a * 31 + b) % 1000000007) AS roll_fp,
         |  CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT) AS md5_fp
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+    "x5_vocab_topk" ->
+      s"""WITH t AS (SELECT unnest($toksSql) AS token FROM documents)
+         |SELECT token, count(*) AS cnt FROM t
+         |GROUP BY token ORDER BY cnt DESC, token LIMIT 50""".stripMargin,
+    "x6_hash_split" ->
+      """WITH b AS (SELECT doc_id,
+        |  CAST(concat('0x', substr(md5(concat('split:',
+        |    CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) % 100 AS bucket
+        |  FROM documents)
+        |SELECT doc_id, bucket,
+        |  CASE WHEN bucket < 80 THEN 'train'
+        |       WHEN bucket < 90 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM b""".stripMargin
   )
 }

@@ -19,6 +19,8 @@ object QueriesVector {
 
   private val Dim = 64
   private val NPlanes = 8
+  private val Bands = 6
+  private val RowsPerBand = 2
 
   private def prep(s: SparkSession, d: String): DataFrame =
     VectorOps.prepared(Tables.embeddings(s, d), "vec_id", "embedding")
@@ -50,6 +52,14 @@ object QueriesVector {
       val p = prep(s, d)
       VectorOps.ivfTopK(p, p.filter(col("id") < 5),
         p.filter(col("id") < 10), nProbe = 3, k = 5)
+    }),
+
+    // Embedding near-dup at scale: banded random-projection LSH (6 bands
+    // x 2 sign bits, OR-amplified) + exact cosine verify — the scale
+    // path of brute d6_embedding_neardup.
+    "v5_neardup_lsh" -> ((s, d) => {
+      VectorOps.lshNearDupPairs(prep(s, d), bands = Bands,
+        rowsPerBand = RowsPerBand, dim = Dim, threshold = 0.45)
     })
   )
 
@@ -67,16 +77,31 @@ object QueriesVector {
       |        i -> v[i+1] * v[i+1])), (x, y) -> x + y) AS n2 FROM d)"""
       .stripMargin
 
+  /** Projection of v onto md5-derived hyperplane `p`, mirroring
+    * VectorOps.planeComponent + the strict left fold of the dot product.
+    */
+  private def planeProjSql(p: Int): String = {
+    val comp = s"(CAST(CAST(concat('0x', substr(md5(concat('hp$p:', " +
+      "CAST(i AS VARCHAR))), 1, 15)) AS BIGINT) AS DOUBLE) " +
+      "/ 576460752303423488.0 - 1.0)"
+    "list_reduce(list_prepend(0.0, " +
+      s"list_transform(range(len(v)), i -> v[i+1] * $comp)), (x, y) -> x + y)"
+  }
+
   /** Hyperplane-projection sign bits, mirroring
     * VectorOps.hyperplaneBucket / planeComponent.
     */
   private def bucketSql: String = (0 until NPlanes).map { p =>
-    val comp = s"(CAST(CAST(concat('0x', substr(md5(concat('hp$p:', " +
-      "CAST(i AS VARCHAR))), 1, 15)) AS BIGINT) AS DOUBLE) " +
-      "/ 576460752303423488.0 - 1.0)"
-    val proj = "list_reduce(list_prepend(0.0, " +
-      s"list_transform(range(len(v)), i -> v[i+1] * $comp)), (x, y) -> x + y)"
-    s"(CASE WHEN $proj >= 0 THEN CAST(${1L << p} AS BIGINT) ELSE 0 END)"
+    s"(CASE WHEN ${planeProjSql(p)} >= 0 " +
+      s"THEN CAST(${1L << p} AS BIGINT) ELSE 0 END)"
+  }.mkString(" + ")
+
+  /** Band `b`'s bucket id over RowsPerBand sign bits (global plane index
+    * b*RowsPerBand+j), mirroring VectorOps.bandedBucket.
+    */
+  private def bandBucketSql(b: Int): String = (0 until RowsPerBand).map { j =>
+    s"(CASE WHEN ${planeProjSql(b * RowsPerBand + j)} >= 0 " +
+      s"THEN CAST(${1L << j} AS BIGINT) ELSE 0 END)"
   }.mkString(" + ")
 
   def oracle: Map[String, String] = Map(
@@ -141,6 +166,25 @@ object QueriesVector {
          |SELECT id_q, id_n, cos, rank FROM (
          |  SELECT *, row_number() OVER (PARTITION BY id_q
          |    ORDER BY cos DESC, id_n) AS rank FROM pairs)
-         |WHERE rank <= 5""".stripMargin
+         |WHERE rank <= 5""".stripMargin,
+    "v5_neardup_lsh" -> {
+      val bandSelects = (0 until Bands).map(b =>
+        s"SELECT vec_id, v, n2, $b AS band, ${bandBucketSql(b)} AS bucket " +
+          "FROM n").mkString("\n|      UNION ALL\n|      ")
+      s"""WITH $preparedSql,
+         |cb AS ($bandSelects),
+         |rare AS (SELECT band, bucket FROM cb GROUP BY band, bucket
+         |      HAVING count(*) <= 10000),
+         |cf AS (SELECT cb.* FROM cb JOIN rare USING (band, bucket)),
+         |cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         |      FROM cf a JOIN cf b ON a.band = b.band
+         |        AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
+         |SELECT id_a, id_b,
+         |  round($dotSql / sqrt(a.n2 * b.n2), 6) AS cos
+         |FROM cand
+         |JOIN n a ON a.vec_id = cand.id_a
+         |JOIN n b ON b.vec_id = cand.id_b
+         |WHERE $dotSql / sqrt(a.n2 * b.n2) >= 0.45""".stripMargin
+    }
   )
 }

@@ -105,6 +105,58 @@ object VectorOps {
       when(dot(v, plane) >= 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** Bucket id of band `band` over `rowsPerBand` hyperplanes (global
+    * plane indices `band*rowsPerBand ..`): the banding analog of
+    * [[hyperplaneBucket]] for OR-amplified LSH.
+    */
+  def bandedBucket(v: Column, band: Int, rowsPerBand: Int,
+      dim: Int): Column =
+    (0 until rowsPerBand).map { j =>
+      val plane = array((0 until dim)
+        .map(i => lit(planeComponent(band * rowsPerBand + j, i))): _*)
+      when(dot(v, plane) >= 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Embedding near-dup pairs at scale: banded random-projection LSH
+    * (`bands` OR-amplified bands of `rowsPerBand` sign bits — candidates
+    * share at least one full band), verified by exact cosine.
+    *
+    * This is the scale path of the brute all-pairs near-dup (d6): shape
+    * mirrors the shingle/simhash candidate generators — posting lists
+    * per (band, bucket) with a frequency cap, in-row pair expansion, NO
+    * self-join (one computation of the bucketed corpus, no O(n²) stage;
+    * the cap bounds both the pair fan-out and the collect_list group
+    * size). The same pair surviving several bands is collapsed by the
+    * final distinct (cosine is deterministic, so the duplicates are
+    * value-identical).
+    */
+  def lshNearDupPairs(corpus: DataFrame, bands: Int, rowsPerBand: Int,
+      dim: Int, threshold: Double,
+      maxBucketFreq: Long = 10000L): DataFrame = {
+    val bandStructs = array((0 until bands).map(b =>
+      struct(lit(b).as("band"),
+        bandedBucket(col("v"), b, rowsPerBand, dim).as("bucket"))): _*)
+    val banded = corpus.toDF("id", "v", "n2")
+      .select(col("id"), col("v"), col("n2"),
+        explode(bandStructs).as("bb"))
+      .select(col("id"), col("v"), col("n2"),
+        col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val postings = banded.groupBy("band", "bucket")
+      .agg(collect_list(struct(col("id"), col("v"), col("n2"))).as("ds"))
+      .filter(size(col("ds")) <= maxBucketFreq)
+      .select(array_sort(col("ds")).as("ds"))
+    postings
+      .select(col("ds"), explode(col("ds")).as("a"))
+      .select(col("a"), explode(col("ds")).as("b"))
+      .filter(col("a.id") < col("b.id"))
+      .withColumn("cos", cosineFromParts(dot(col("a.v"), col("b.v")),
+        col("a.n2"), col("b.n2")))
+      .filter(col("cos") >= threshold)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        round(col("cos"), 6).as("cos"))
+      .distinct()
+  }
+
   /** ANN via bucket equality: probes only compare against corpus vectors
     * in the same hyperplane bucket, then exact top-k within the bucket.
     */
