@@ -44,11 +44,31 @@ object QueriesDedup {
     else df
   }
 
-  /** Release the shared tokenization cache (for long-lived sessions that
-    * are done with the dedup query family).
+  /** Tokenized docs reduced to their distinct 3-shingle hashes, PERSISTED
+    * (shared by d2 and d3 via CacheManager plan equality). Materializing
+    * the shingle frame matters beyond reuse: `InferFiltersFromGenerate`
+    * clones the generator child into `isnotnull`/`size > 0` predicates
+    * that are pushed below the projection, so an un-cached
+    * `shingleHashes` would be evaluated up to three times per row (plan-
+    * audited); against the cache those predicates read a materialized
+    * array. Same discipline as [[docsWithTokens]] — at 100 TB this is
+    * "signature once → checkpoint → fan out".
     */
-  def unpersistAll(s: SparkSession, d: String): Unit =
+  private def docsWithShingles(s: SparkSession, d: String): DataFrame = {
+    val df = docsWithTokens(s, d)
+      .select(col("doc_id"), DedupOps.shingleHashes(col("toks"), 3).as("sh"))
+    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+      df.persist()
+    else df
+  }
+
+  /** Release the shared tokenization/shingle caches (for long-lived
+    * sessions that are done with the dedup query family).
+    */
+  def unpersistAll(s: SparkSession, d: String): Unit = {
+    docsWithShingles(s, d).unpersist()
     docsWithTokens(s, d).unpersist()
+  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup on a canonicalization (first-5-token prefix hash):
@@ -60,20 +80,15 @@ object QueriesDedup {
 
     // n-gram Jaccard near-dup: native distinct-shingle hashing ->
     // inverted index (df-capped) -> candidate pairs -> exact Jaccard >= 0.8.
-    "d2_jaccard_pairs" -> ((s, d) => {
-      val docs = docsWithTokens(s, d)
-        .select(col("doc_id"), DedupOps.shingleHashes(col("toks"), 3).as("sh"))
-      DedupOps.jaccardPairs(docs, "doc_id", "sh", 0.8, maxDocFreq = 1000L)
-    }),
+    "d2_jaccard_pairs" -> ((s, d) =>
+      DedupOps.jaccardPairs(docsWithShingles(s, d), "doc_id", "sh", 0.8,
+        maxDocFreq = 1000L)),
 
     // MinHash(16) + LSH(4 bands x 4 rows): candidate pairs via equi-join
     // on band signatures. Signatures are computed in one narrow projection
     // (no explode until the 4 band rows).
     "d3_minhash_lsh" -> ((s, d) => {
-      val sigs = DedupOps.minhashSigs(
-        docsWithTokens(s, d)
-          .select(col("doc_id"),
-            DedupOps.shingleHashes(col("toks"), 3).as("sh")),
+      val sigs = DedupOps.minhashSigs(docsWithShingles(s, d),
         "doc_id", "sh", 16)
       DedupOps.lshCandidates(DedupOps.lshBands(sigs, "id", "sig", 4, 4))
     }),
