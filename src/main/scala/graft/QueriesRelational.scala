@@ -184,6 +184,20 @@ object QueriesRelational {
           2).as("revenue"))
     }),
 
+    // Salted skew join: same semantics as the plain orders-lineitem join
+    // (the oracle IS the plain join), but each order key is split over 8
+    // deterministic salts so a hot key spreads across 8 reducers.
+    "j6_salted_join" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+      val ord = Tables.orders(s, d)
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+      RelationalOps.saltedJoin(li, ord, Seq("l_orderkey"), saltFactor = 8)
+        .groupBy("o_orderpriority")
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))),
+          2).as("revenue"), count(lit(1)).as("n_items"))
+    }),
+
     // Scalar subquery: parts priced above the global average.
     "sub1_scalar_subquery" -> ((s, d) => {
       val p = Tables.part(s, d)
@@ -262,6 +276,12 @@ object QueriesRelational {
       """SELECT p_partkey, p_name FROM part
         |WHERE EXISTS (SELECT 1 FROM lineitem
         |  WHERE l_partkey = p_partkey AND l_quantity > 45)""".stripMargin,
+    "j6_salted_join" ->
+      """SELECT o_orderpriority,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority""".stripMargin,
     "g1_rollup" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty, count(*) AS n_rows

@@ -48,4 +48,36 @@ object RelationalOps {
   /** Global top-k — plans as TakeOrderedAndProject (no full sort). */
   def topKGlobal(df: DataFrame, orderBy: Seq[Column], k: Int): DataFrame =
     df.orderBy(orderBy: _*).limit(k)
+
+  /** Skew-mitigating equi-join: when one join key carries a hot value, a
+    * plain shuffle join sends every row of that key to ONE reducer and
+    * the stage runs at the speed of its hottest partition. Salting
+    * splits each left key into `saltFactor` sub-keys (deterministic
+    * row-hash salt) and replicates the right side once per salt, so the
+    * hot key spreads over `saltFactor` reducers. Semantics are identical
+    * to the plain join (the salted query's oracle IS the plain join):
+    * every left row still meets every right row of its key exactly once.
+    *
+    * Cost model: right side is scanned `saltFactor`× — use for
+    * medium-sized right sides that are too big to broadcast but far
+    * smaller than the skewed left. (AQE's skew-join handles the
+    * post-shuffle case adaptively; explicit salting is the static tool
+    * when a key is known-hot or AQE can't split — e.g. a single
+    * monster key inside one block.) Restricted to join types where
+    * replicated-right is correct: an unmatched replicated right row
+    * would surface `saltFactor` times under right/full outer.
+    */
+  def saltedJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+      saltFactor: Int, joinType: String = "inner"): DataFrame = {
+    require(Set("inner", "left", "left_outer", "left_semi", "left_anti")
+      .contains(joinType.toLowerCase),
+      s"saltedJoin supports inner/left joins only, got $joinType")
+    require(saltFactor >= 1, s"saltFactor must be >= 1, got $saltFactor")
+    val saltCol = "__graft_salt"
+    val l = left.withColumn(saltCol,
+      pmod(xxhash64(left.columns.map(col): _*), lit(saltFactor)).cast("int"))
+    val r = right.withColumn(saltCol,
+      explode(array((0 until saltFactor).map(lit): _*)))
+    l.join(r, keys :+ saltCol, joinType).drop(saltCol)
+  }
 }

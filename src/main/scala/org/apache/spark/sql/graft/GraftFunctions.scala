@@ -1,0 +1,75 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.IntegerType
+
+/** SQL surface for the engine's native expressions: registers
+  * `dot_product`, `shingle_hash60`, `minhash_sig`, and `simhash60` so
+  * `spark.sql("SELECT dot_product(a, b) ...")` works — the standard
+  * extension-registration pattern, available two ways:
+  *
+  *  - `spark.sql.extensions=org.apache.spark.sql.graft.GraftExtensions`
+  *    (or `builder.withExtensions(new GraftExtensions)`) at session
+  *    build time;
+  *  - [[GraftFunctions.register]] on an already-running session (e.g. a
+  *    shared test/notebook session).
+  */
+object GraftFunctions {
+
+  private def info(name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo(getClass.getCanonicalName, null, name, usage, "")
+
+  private def intLit(e: Expression, fn: String, arg: String): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn: $arg must be an integer literal, got $other")
+  }
+
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("dot_product"),
+      info("dot_product",
+        "_FUNC_(a, b) - strict left-fold dot product of two double arrays"),
+      (es: Seq[Expression]) => {
+        require(es.length == 2, "dot_product(a, b) takes 2 arguments")
+        DotProductDouble(es.head, es(1))
+      }),
+    (FunctionIdentifier("shingle_hash60"),
+      info("shingle_hash60",
+        "_FUNC_(toks, k) - 60-bit md5 hashes of the distinct word k-shingles"),
+      (es: Seq[Expression]) => {
+        require(es.length == 2, "shingle_hash60(toks, k) takes 2 arguments")
+        ShingleHash60Expr(es.head, intLit(es(1), "shingle_hash60", "k"))
+      }),
+    (FunctionIdentifier("minhash_sig"),
+      info("minhash_sig",
+        "_FUNC_(shingle_hashes, n) - n-seed MinHash signature"),
+      (es: Seq[Expression]) => {
+        require(es.length == 2, "minhash_sig(hashes, n) takes 2 arguments")
+        MinHashSigExpr(es.head, intLit(es(1), "minhash_sig", "n"))
+      }),
+    (FunctionIdentifier("simhash60"),
+      info("simhash60",
+        "_FUNC_(toks) - 60-bit SimHash fingerprint of the distinct tokens"),
+      (es: Seq[Expression]) => {
+        require(es.length == 1, "simhash60(toks) takes 1 argument")
+        SimHashFromTokensExpr(es.head)
+      }))
+
+  /** Register on a live session (idempotent — re-registration replaces). */
+  def register(spark: SparkSession): Unit = {
+    val registry = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry
+    functions.foreach { case (id, inf, builder) =>
+      registry.registerFunction(id, inf, builder)
+    }
+  }
+}
+
+/** `spark.sql.extensions` entry point. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.functions.foreach(ext.injectFunction)
+}

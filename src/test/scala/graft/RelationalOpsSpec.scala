@@ -4,6 +4,27 @@ import org.apache.spark.sql.functions._
 import graft.operators.RelationalOps
 
 class RelationalOpsSpec extends SparkTestBase {
+
+  test("saltedJoin equals the plain join (inner, left, anti)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val left = Seq((1, "a"), (1, "b"), (2, "c"), (3, "d"))
+      .toDF("k", "lv")
+    val right = Seq((1, "X"), (1, "Y"), (2, "Z"), (9, "W"))
+      .toDF("k", "rv")
+    for (jt <- Seq("inner", "left", "left_anti")) {
+      val plain = left.join(right, Seq("k"), jt)
+        .collect().map(_.toSeq).toSeq.sortBy(_.mkString(","))
+      val salted = graft.operators.RelationalOps
+        .saltedJoin(left, right, Seq("k"), saltFactor = 4, joinType = jt)
+        .collect().map(_.toSeq).toSeq.sortBy(_.mkString(","))
+      assert(salted == plain, s"join type $jt diverged")
+    }
+    intercept[IllegalArgumentException] {
+      graft.operators.RelationalOps.saltedJoin(left, right, Seq("k"), 4,
+        joinType = "full_outer")
+    }
+  }
   import spark.implicits._
 
   private lazy val sales = Seq(
