@@ -43,6 +43,24 @@ object QueriesRelational {
           round(col("running_spend"), 2).as("running_spend"))
     }),
 
+    // The remaining ranking/navigation window family in one query:
+    // lag/lead navigation, ntile quartiles, dense_rank + percent_rank
+    // under ties (date-only ordering). One shuffle on the partition key.
+    "w5_window_variants" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("o_orderpriority")
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      val wd = org.apache.spark.sql.expressions.Window
+        .partitionBy("o_orderpriority").orderBy(col("o_orderdate").asc)
+      Tables.orders(s, d).select(
+        col("o_orderpriority"), col("o_orderkey"),
+        lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+        lead(col("o_totalprice"), 1).over(w).as("next_price"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        dense_rank().over(wd).cast("long").as("date_rank"),
+        round(percent_rank().over(wd), 6).as("date_pct"))
+    }),
+
     // lag(): per-user delta between consecutive event values.
     "w3_lag_delta" -> ((s, d) => {
       val w = org.apache.spark.sql.expressions.Window
@@ -184,6 +202,41 @@ object QueriesRelational {
           2).as("revenue"))
     }),
 
+    // FULL OUTER join: both unmatched sides survive. Each input is
+    // filtered to a proper subset so all three cases (matched, left-only,
+    // right-only) are non-empty; folded to counts so the compared output
+    // carries no null cells.
+    "j7_full_outer" -> ((s, d) => {
+      Tables.customer(s, d).filter(col("c_acctbal") > 5000)
+        .select("c_custkey")
+        .join(Tables.orders(s, d).filter(col("o_totalprice") > 300000)
+          .select("o_orderkey", "o_custkey"),
+          col("c_custkey") === col("o_custkey"), "full_outer")
+        .select(when(col("c_custkey").isNull, "no_customer")
+          .when(col("o_orderkey").isNull, "no_orders")
+          .otherwise("matched").as("side"))
+        .groupBy("side").agg(count(lit(1)).as("n"))
+    }),
+
+    // Exact per-group median without an engine median() (accumulation
+    // semantics differ across engines): sort-position pick via window —
+    // the middle one/two values averaged. Deterministic on both sides.
+    "g5_median_quantity" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("l_returnflag")
+        .orderBy(col("l_quantity").asc, col("l_orderkey").asc,
+          col("l_linenumber").asc)
+      val cw = org.apache.spark.sql.expressions.Window
+        .partitionBy("l_returnflag")
+      Tables.lineitem(s, d)
+        .select(col("l_returnflag"), col("l_quantity"),
+          row_number().over(w).as("rn"), count(lit(1)).over(cw).as("cnt"))
+        .filter(col("rn") === expr("(cnt + 1) div 2") ||
+          col("rn") === expr("(cnt + 2) div 2"))
+        .groupBy("l_returnflag")
+        .agg(round(avg(col("l_quantity")), 2).as("median_qty"))
+    }),
+
     // Salted skew join: same semantics as the plain orders-lineitem join
     // (the oracle IS the plain join), but each order key is split over 8
     // deterministic salts so a hot key spreads across 8 reducers.
@@ -282,6 +335,35 @@ object QueriesRelational {
         |  count(*) AS n_items
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority""".stripMargin,
+    "j7_full_outer" ->
+      """SELECT CASE WHEN c_custkey IS NULL THEN 'no_customer'
+        |  WHEN o_orderkey IS NULL THEN 'no_orders'
+        |  ELSE 'matched' END AS side, count(*) AS n
+        |FROM (SELECT c_custkey FROM customer WHERE c_acctbal > 5000) c
+        |FULL JOIN (SELECT o_orderkey, o_custkey FROM orders
+        |  WHERE o_totalprice > 300000) o ON c_custkey = o_custkey
+        |GROUP BY 1""".stripMargin,
+    "w5_window_variants" ->
+      """SELECT o_orderpriority, o_orderkey,
+        |  lag(o_totalprice, 1) OVER w AS prev_price,
+        |  lead(o_totalprice, 1) OVER w AS next_price,
+        |  ntile(4) OVER w AS quartile,
+        |  dense_rank() OVER wd AS date_rank,
+        |  round(percent_rank() OVER wd, 6) AS date_pct
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority
+        |    ORDER BY o_orderdate, o_orderkey),
+        |  wd AS (PARTITION BY o_orderpriority ORDER BY o_orderdate)"""
+        .stripMargin,
+    "g5_median_quantity" ->
+      """WITH r AS (SELECT l_returnflag, l_quantity,
+        |  row_number() OVER (PARTITION BY l_returnflag
+        |    ORDER BY l_quantity, l_orderkey, l_linenumber) AS rn,
+        |  count(*) OVER (PARTITION BY l_returnflag) AS cnt
+        |  FROM lineitem)
+        |SELECT l_returnflag, round(avg(l_quantity), 2) AS median_qty
+        |FROM r WHERE rn = (cnt + 1) // 2 OR rn = (cnt + 2) // 2
+        |GROUP BY l_returnflag""".stripMargin,
     "g1_rollup" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty, count(*) AS n_rows
