@@ -60,6 +60,31 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed == batch)
   }
 
+  test("session windows over a stream emit once the watermark passes") {
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    val q = StreamingOps.sessionAgg(
+      ms.toDF().withWatermark("ts", "10 minutes"),
+      "ts", "30 minutes", Seq("user_id"))
+      .writeStream.format("memory").queryName("session_t")
+      .outputMode("append").start()
+    try {
+      ms.addData(evs: _*)
+      q.processAllAvailable()
+      // advance the watermark far past every session's close
+      ms.addData(Ev(99, t("2024-01-02 12:00:00"), 9, 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("session_t")
+      .select("user_id", "session_start", "session_end", "n_events")
+      .as[(Long, Timestamp, Timestamp, Long)].collect().toSet
+    val batch = StreamingOps.sessionAgg(evs.toDF(), "ts", "30 minutes",
+      Seq("user_id"))
+      .as[(Long, Timestamp, Timestamp, Long)].collect().toSet
+    assert(batch.subsetOf(streamed),
+      "every batch session must be emitted by the stream")
+  }
+
   test("hourlyIncremental writer runs end-to-end and dedups the batch") {
     implicit val sqlCtx = spark.sqlContext
     val ms = MemoryStream[Ev]
