@@ -237,6 +237,24 @@ object QueriesRelational {
         .agg(round(avg(col("l_quantity")), 2).as("median_qty"))
     }),
 
+    // As-of join: every click annotated with the user's most recent
+    // purchase value at-or-before the click (union + running window —
+    // one shuffle, no range join). Right side deduped per (user, ts).
+    "j8_asof_join" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("user_id", "event_id", "ts")
+      val wDedup = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id", "ts").orderBy(col("event_id").desc)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .withColumn("rn", row_number().over(wDedup))
+        .filter(col("rn") === 1)
+        .select("user_id", "ts", "value")
+      RelationalOps.asofJoin(clicks, purchases, Seq("user_id"), "ts",
+        Seq("value"))
+        .withColumnRenamed("asof_value", "last_purchase")
+    }),
+
     // Salted skew join: same semantics as the plain orders-lineitem join
     // (the oracle IS the plain join), but each order key is split over 8
     // deterministic salts so a hot key spreads across 8 reducers.
@@ -343,6 +361,16 @@ object QueriesRelational {
         |FULL JOIN (SELECT o_orderkey, o_custkey FROM orders
         |  WHERE o_totalprice > 300000) o ON c_custkey = o_custkey
         |GROUP BY 1""".stripMargin,
+    "j8_asof_join" ->
+      """WITH l AS (SELECT user_id, event_id, ts FROM events
+        |  WHERE event_type = 'click'),
+        |r AS (SELECT user_id, ts, value FROM (
+        |  SELECT user_id, ts, value, row_number() OVER (
+        |    PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+        |  FROM events WHERE event_type = 'purchase') WHERE rn = 1)
+        |SELECT l.user_id, l.event_id, l.ts, r.value AS last_purchase
+        |FROM l ASOF LEFT JOIN r
+        |  ON l.user_id = r.user_id AND r.ts <= l.ts""".stripMargin,
     "w5_window_variants" ->
       """SELECT o_orderpriority, o_orderkey,
         |  lag(o_totalprice, 1) OVER w AS prev_price,

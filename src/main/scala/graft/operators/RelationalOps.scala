@@ -49,6 +49,49 @@ object RelationalOps {
   def topKGlobal(df: DataFrame, orderBy: Seq[Column], k: Int): DataFrame =
     df.orderBy(orderBy: _*).limit(k)
 
+  /** As-of join: for every left row, attach each of `valueCols` from the
+    * most recent right row of the same `keys` with `right.ts <= left.ts`
+    * (the time-series join Spark has no native operator for).
+    *
+    * Implemented as union + running last-non-null window — the scalable
+    * shape: ONE shuffle on the keys, per-row O(1) window state, no range
+    * join and none of the candidate-pair blow-up a `left.ts BETWEEN`
+    * band join produces. A right row at exactly left.ts is visible (the
+    * side tag orders right before left within a timestamp). If the right
+    * side can carry duplicate (keys, ts) rows, dedupe it first — which
+    * duplicate wins is otherwise unspecified (same as native ASOF joins).
+    *
+    * Output: all left columns plus `asof_<valueCol>` for each value
+    * column (null when no right row precedes the left row).
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+      tsCol: String, valueCols: Seq[String]): DataFrame = {
+    val extraLeft = left.columns.toSeq
+      .filterNot(c => keys.contains(c) || c == tsCol)
+    val lU = left.select(
+      keys.map(col) ++ Seq(col(tsCol), lit(1).as("__side")) ++
+        extraLeft.map(col) ++
+        valueCols.map(c => lit(null).cast(right.schema(c).dataType)
+          .as(s"__v_$c")): _*)
+    val rU = right.select(
+      keys.map(col) ++ Seq(col(tsCol), lit(0).as("__side")) ++
+        extraLeft.map(c => lit(null).cast(left.schema(c).dataType)
+          .as(c)) ++
+        valueCols.map(c => col(c).as(s"__v_$c")): _*)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(tsCol).asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    lU.unionByName(rU)
+      .select(
+        keys.map(col) ++ Seq(col(tsCol), col("__side")) ++
+          extraLeft.map(col) ++
+          valueCols.map(c =>
+            last(col(s"__v_$c"), ignoreNulls = true).over(w)
+              .as(s"asof_$c")): _*)
+      .filter(col("__side") === 1)
+      .drop("__side")
+  }
+
   /** Skew-mitigating equi-join: when one join key carries a hot value, a
     * plain shuffle join sends every row of that key to ONE reducer and
     * the stage runs at the speed of its hottest partition. Salting

@@ -5,6 +5,31 @@ import graft.operators.RelationalOps
 
 class RelationalOpsSpec extends SparkTestBase {
 
+  test("asofJoin picks the latest right row at-or-before each left ts") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val quotes = Seq( // (key, ts, px)
+      ("A", ts("2024-01-01 10:00:00"), 100.0),
+      ("A", ts("2024-01-01 10:05:00"), 101.0),
+      ("B", ts("2024-01-01 10:02:00"), 200.0)
+    ).toDF("sym", "ts", "px")
+    val trades = Seq( // (key, ts, qty)
+      ("A", ts("2024-01-01 09:59:00"), 1L), // before any quote -> null
+      ("A", ts("2024-01-01 10:00:00"), 2L), // exact tie -> 100.0
+      ("A", ts("2024-01-01 10:04:59"), 3L), // between -> 100.0
+      ("A", ts("2024-01-01 10:30:00"), 4L), // after last -> 101.0
+      ("B", ts("2024-01-01 10:03:00"), 5L)  // other key -> 200.0
+    ).toDF("sym", "ts", "qty")
+    val out = graft.operators.RelationalOps
+      .asofJoin(trades, quotes, Seq("sym"), "ts", Seq("px"))
+      .select(col("qty"), col("asof_px"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(out == Map(1L -> None, 2L -> Some(100.0), 3L -> Some(100.0),
+      4L -> Some(101.0), 5L -> Some(200.0)))
+  }
+
   test("saltedJoin equals the plain join (inner, left, anti)") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
