@@ -255,6 +255,22 @@ object QueriesRelational {
         .withColumnRenamed("asof_value", "last_purchase")
     }),
 
+    // Range join (binned): clicks within one hour after an error by the
+    // same user — intervals explode into covered hour-bins, candidates
+    // from the (user, bin) equi-join, exact BETWEEN on candidates only.
+    "j9_range_join" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"), col("ts"))
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("user_id"), col("event_id").as("error_id"),
+          col("ts").as("err_start"),
+          (col("ts") + expr("INTERVAL 1 HOUR")).as("err_end"))
+      RelationalOps.rangeJoinPoints(clicks, "ts", errors,
+        "err_start", "err_end", Seq("user_id"), binSeconds = 3600L)
+        .select("user_id", "error_id", "click_id")
+    }),
+
     // Salted skew join: same semantics as the plain orders-lineitem join
     // (the oracle IS the plain join), but each order key is split over 8
     // deterministic salts so a hot key spreads across 8 reducers.
@@ -361,6 +377,14 @@ object QueriesRelational {
         |FULL JOIN (SELECT o_orderkey, o_custkey FROM orders
         |  WHERE o_totalprice > 300000) o ON c_custkey = o_custkey
         |GROUP BY 1""".stripMargin,
+    "j9_range_join" ->
+      """SELECT c.user_id, e.event_id AS error_id, c.event_id AS click_id
+        |FROM (SELECT user_id, event_id, ts FROM events
+        |      WHERE event_type = 'click') c
+        |JOIN (SELECT user_id, event_id, ts FROM events
+        |      WHERE event_type = 'error') e
+        |  ON c.user_id = e.user_id AND c.ts >= e.ts
+        |    AND c.ts <= e.ts + INTERVAL 1 HOUR""".stripMargin,
     "j8_asof_join" ->
       """WITH l AS (SELECT user_id, event_id, ts FROM events
         |  WHERE event_type = 'click'),

@@ -92,6 +92,34 @@ object RelationalOps {
       .drop("__side")
   }
 
+  /** Range join (point-in-interval, with equi-keys): every left point
+    * row matched to the interval rows of the same `keys` whose
+    * `[iStart, iEnd]` (inclusive) contains the point's `pTs`.
+    *
+    * Spark plans a naive `ON p.ts BETWEEN i.start AND i.end` as a
+    * (broadcast) nested-loop join — O(points × intervals) per key. The
+    * scalable pattern is binning: intervals explode into the time bins
+    * they cover, points map to their single bin, candidates come from a
+    * plain equi-join on (keys, bin) and the exact BETWEEN filter runs
+    * only on candidates. Each (point, interval) pair meets in exactly
+    * one bin (the point's), so no dedup is needed. Pick `binSeconds`
+    * near the typical interval length: cost is
+    * O(intervals × span/binSeconds) explode fan-out + the equi-join.
+    */
+  def rangeJoinPoints(points: DataFrame, pTs: String, intervals: DataFrame,
+      iStart: String, iEnd: String, keys: Seq[String],
+      binSeconds: Long): DataFrame = {
+    require(binSeconds >= 1, s"binSeconds must be >= 1, got $binSeconds")
+    val p2 = points.withColumn("__bin",
+      expr(s"unix_timestamp($pTs) div $binSeconds"))
+    val i2 = intervals.withColumn("__bin",
+      explode(sequence(expr(s"unix_timestamp($iStart) div $binSeconds"),
+        expr(s"unix_timestamp($iEnd) div $binSeconds"))))
+    p2.join(i2, keys :+ "__bin")
+      .filter(col(pTs) >= col(iStart) && col(pTs) <= col(iEnd))
+      .drop("__bin")
+  }
+
   /** Skew-mitigating equi-join: when one join key carries a hot value, a
     * plain shuffle join sends every row of that key to ONE reducer and
     * the stage runs at the speed of its hottest partition. Salting

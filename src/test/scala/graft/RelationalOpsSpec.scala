@@ -30,6 +30,26 @@ class RelationalOpsSpec extends SparkTestBase {
       4L -> Some(101.0), 5L -> Some(200.0)))
   }
 
+  test("rangeJoinPoints matches inclusive bounds across bin boundaries") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val points = Seq(
+      ("u", 1L, ts("2024-01-01 10:00:00")), // == start: in
+      ("u", 2L, ts("2024-01-01 11:30:00")), // inside, next hour-bin: in
+      ("u", 3L, ts("2024-01-01 12:00:00")), // == end: in
+      ("u", 4L, ts("2024-01-01 12:00:01")), // past end: out
+      ("v", 5L, ts("2024-01-01 10:30:00"))  // wrong key: out
+    ).toDF("k", "pid", "ts")
+    val intervals = Seq(
+      ("u", 10L, ts("2024-01-01 10:00:00"), ts("2024-01-01 12:00:00"))
+    ).toDF("k", "iid", "start_ts", "end_ts")
+    val out = graft.operators.RelationalOps
+      .rangeJoinPoints(points, "ts", intervals, "start_ts", "end_ts",
+        Seq("k"), binSeconds = 3600L)
+      .select("pid").as[Long].collect().toSet
+    assert(out == Set(1L, 2L, 3L))
+  }
+
   test("saltedJoin equals the plain join (inner, left, anti)") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
