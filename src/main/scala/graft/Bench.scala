@@ -27,7 +27,8 @@ object Bench {
     "s2_json_extract", "q1_pricing_summary",
     // relational wave
     "w1_topk_per_group", "w2_running_total", "t1_topk_global",
-    "j2_revenue_topn", "j5_multiway_join", "g1_rollup", "g3_cube",
+    "j2_revenue_topn", "j5_multiway_join", "j8_asof_join",
+    "j9_range_join", "g1_rollup", "g3_cube",
     // streaming (batch form)
     "st1_tumbling_window", "st3_session_window",
     // text analysis
