@@ -60,7 +60,9 @@ object QueriesStreaming {
   def oracle: Map[String, String] = Map(
     "st1_tumbling_window" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
-        |  count(*) AS n_events, round(avg(value), 6) AS avg_value
+        |  count(*) AS n_events,
+        |  round(CAST(sum(CAST(floor(value * 1e6 + 0.5) AS BIGINT))
+        |    AS BIGINT) / 1e6 / count(*), 6) AS avg_value
         |FROM events GROUP BY 1, 2""".stripMargin,
     "st2_sliding_window" ->
       """SELECT w AS window_start, event_type, count(*) AS n_events
