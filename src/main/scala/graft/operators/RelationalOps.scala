@@ -146,7 +146,8 @@ object RelationalOps {
     require(saltFactor >= 1, s"saltFactor must be >= 1, got $saltFactor")
     val saltCol = "__graft_salt"
     val l = left.withColumn(saltCol,
-      pmod(xxhash64(left.columns.map(col): _*), lit(saltFactor)).cast("int"))
+      pmod(xxhash64(left.columns.toSeq.map(col): _*), lit(saltFactor))
+        .cast("int"))
     val r = right.withColumn(saltCol,
       explode(array((0 until saltFactor).map(lit): _*)))
     l.join(r, keys :+ saltCol, joinType).drop(saltCol)

@@ -19,7 +19,8 @@ import org.apache.spark.sql.types.IntegerType
 object GraftFunctions {
 
   private def info(name: String, usage: String): ExpressionInfo =
-    new ExpressionInfo(getClass.getCanonicalName, null, name, usage, "")
+    new ExpressionInfo(getClass.getCanonicalName, "", name, usage, "", "",
+      "", "", "", "", "built-in")
 
   private def intLit(e: Expression, fn: String, arg: String): Int = e match {
     case Literal(v: Int, IntegerType) => v
