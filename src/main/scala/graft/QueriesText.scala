@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.TextOps
+import graft.operators.{DedupOps, TextOps}
 import graft.sources.Tables
 
 /** Text-analysis queries over `documents` (north-star extension,
@@ -71,6 +71,24 @@ object QueriesText {
         .groupBy("token").agg(count(lit(1)).as("cnt"))
       graft.operators.RelationalOps.topKGlobal(counts,
         Seq(col("cnt").desc, col("token").asc), 50)
+    }),
+
+    // Repetition scoring (the Gopher/MassiveText duplicate-n-gram rule):
+    // fraction of a doc's 3-gram windows that repeat an earlier window.
+    // Distinct count via the native shingle expression (dedup is by
+    // shingle STRING before hashing, so it equals the oracle's
+    // list_distinct over strings). Pure narrow projection.
+    "x7_repetition" -> ((s, d) => {
+      val toks = TextOps.tokens(col("text"))
+      val total = greatest(size(toks) - 2, lit(0)).cast("long")
+      val dist = size(DedupOps.shingleHashes(toks, 3)).cast("long")
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        total.as("n_shingles"),
+        dist.as("n_distinct"),
+        round(when(total > 0,
+          (total - dist) / total.cast("double")).otherwise(0.0), 6)
+          .as("dup_ratio"))
     }),
 
     // Deterministic train/val/test split: md5-derived bucket of the doc
@@ -163,6 +181,19 @@ object QueriesText {
       s"""WITH t AS (SELECT unnest($toksSql) AS token FROM documents)
          |SELECT token, count(*) AS cnt FROM t
          |GROUP BY token ORDER BY cnt DESC, token LIMIT 50""".stripMargin,
+    "x7_repetition" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |c AS (SELECT doc_id,
+         |  greatest(len(toks) - 2, 0) AS n_shingles,
+         |  CAST(len(list_distinct(list_transform(range(len(toks) - 2),
+         |    i -> array_to_string(list_slice(toks, i + 1, i + 3), ' '))))
+         |    AS BIGINT) AS n_distinct
+         |  FROM t)
+         |SELECT doc_id, n_shingles, n_distinct,
+         |  round(CASE WHEN n_shingles > 0
+         |    THEN (n_shingles - n_distinct) / CAST(n_shingles AS DOUBLE)
+         |    ELSE 0.0 END, 6) AS dup_ratio
+         |FROM c""".stripMargin,
     "x6_hash_split" ->
       """WITH b AS (SELECT doc_id,
         |  CAST(concat('0x', substr(md5(concat('split:',

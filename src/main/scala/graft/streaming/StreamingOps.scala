@@ -63,6 +63,25 @@ object StreamingOps {
         .as("session_start") :+ col("session_window.end")
         .as("session_end")) :+ col("n_events"): _*)
 
+  /** Stream-stream interval join: right events within `withinSeconds`
+    * AFTER each left event of the same key (the streaming form of the
+    * binned range join — e.g. clicks within an hour of an error). Both
+    * sides carry watermarks, so Structured Streaming can bound each
+    * side's join state buffer by the watermark delay + interval width
+    * instead of holding the full history. Timestamp columns must be
+    * named differently on the two sides.
+    */
+  def streamIntervalJoin(left: DataFrame, right: DataFrame, key: String,
+      lTs: String, rTs: String, delay: String,
+      withinSeconds: Long): DataFrame = {
+    val l = left.withWatermark(lTs, delay).alias("l")
+    val r = right.withWatermark(rTs, delay).alias("r")
+    l.join(r, expr(
+      s"l.$key = r.$key AND r.$rTs >= l.$lTs AND " +
+        s"r.$rTs <= l.$lTs + interval $withinSeconds seconds"))
+      .drop(r(key))
+  }
+
   /** Streaming-safe dedup: the J1 anti-join's streaming equivalent —
     * exactly-once per key within the watermark horizon, with state bounded
     * by `delay` instead of the full table scan the reference re-reads

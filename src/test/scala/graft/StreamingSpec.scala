@@ -102,6 +102,35 @@ class StreamingSpec extends SparkTestBase {
       "foreachBatch sink must receive the deduped micro-batch")
   }
 
+  test("stream-stream interval join matches the batch range join") {
+    implicit val sqlCtx = spark.sqlContext
+    val errStream = MemoryStream[Ev]
+    val clickStream = MemoryStream[Ev]
+    val errs = Seq(
+      Ev(10, t("2024-01-01 10:00:00"), 1, 0.0),
+      Ev(11, t("2024-01-01 12:00:00"), 2, 0.0))
+    val clicks = Seq(
+      Ev(20, t("2024-01-01 10:30:00"), 1, 1.0), // within 1h of err 10
+      Ev(21, t("2024-01-01 11:30:00"), 1, 1.0), // past the hour: out
+      Ev(22, t("2024-01-01 12:15:00"), 2, 1.0), // within 1h of err 11
+      Ev(23, t("2024-01-01 12:15:00"), 3, 1.0)) // wrong user: out
+    errStream.addData(errs: _*)
+    clickStream.addData(clicks: _*)
+    val joined = StreamingOps.streamIntervalJoin(
+      errStream.toDF().selectExpr("user_id", "event_id AS error_id",
+        "ts AS err_ts"),
+      clickStream.toDF().selectExpr("user_id", "event_id AS click_id",
+        "ts AS click_ts"),
+      "user_id", "err_ts", "click_ts", "1 hour", 3600L)
+    val q = joined.select("error_id", "click_id")
+      .writeStream.format("memory").queryName("ssjoin_t")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("ssjoin_t")
+      .as[(Long, Long)].collect().toSet
+    assert(streamed == Set((10L, 20L), (11L, 22L)))
+  }
+
   test("dedupWithinWatermark emits each key once across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val ms = MemoryStream[Ev]
