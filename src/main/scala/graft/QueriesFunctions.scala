@@ -72,6 +72,30 @@ object QueriesFunctions {
         coalesce(nullif(col("event_type"), lit("click")),
           lit("(clicked)")).as("type_or_marker"),
         (col("value") > 250 && col("user_id") % 2 === 0).as("flag"))
+    }),
+
+    // Array functions over whitespace-tokenized document text. All
+    // narrow projections — codegen'd, zero shuffle, scale-free.
+    "f5_array_funcs" -> ((s, d) => {
+      val toks = split(trim(lower(col("text"))), "\\s+")
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        size(toks).cast("long").as("n_tokens"),
+        size(array_distinct(toks)).cast("long").as("n_unique"),
+        array_min(toks).as("first_tok"),
+        array_contains(toks, "the").as("has_the"),
+        concat_ws(" ", slice(toks, 1, 3)).as("head3"))
+    }),
+
+    // Regex battery: extract / count / match. Patterns are kept in the
+    // RE2∩Java-regex common subset so both engines agree.
+    "f6_regex_funcs" -> ((s, d) => {
+      Tables.part(s, d).select(
+        col("p_partkey"),
+        regexp_extract(col("p_name"), "([a-z]+)$", 1).as("last_word"),
+        regexp_extract(col("p_brand"), "([0-9]+)", 1).as("brand_num"),
+        col("p_name").rlike("[aeiou]{2}").as("vowel_pair"),
+        regexp_count(col("p_name"), lit("[aeiou]")).as("n_vowels"))
     })
   )
 
@@ -120,6 +144,24 @@ object QueriesFunctions {
         |  coalesce(nullif(event_type, 'click'), '(clicked)')
         |    AS type_or_marker,
         |  (value > 250 AND user_id % 2 = 0) AS flag
-        |FROM events""".stripMargin
+        |FROM events""".stripMargin,
+    "f5_array_funcs" ->
+      """SELECT doc_id,
+        |  CAST(len(toks) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_distinct(toks)) AS BIGINT) AS n_unique,
+        |  list_min(toks) AS first_tok,
+        |  list_contains(toks, 'the') AS has_the,
+        |  array_to_string(toks[1:3], ' ') AS head3
+        |FROM (SELECT doc_id,
+        |  regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+        |  FROM documents)""".stripMargin,
+    "f6_regex_funcs" ->
+      """SELECT p_partkey,
+        |  regexp_extract(p_name, '([a-z]+)$', 1) AS last_word,
+        |  regexp_extract(p_brand, '([0-9]+)', 1) AS brand_num,
+        |  regexp_matches(p_name, '[aeiou]{2}') AS vowel_pair,
+        |  CAST(len(regexp_extract_all(p_name, '[aeiou]')) AS INTEGER)
+        |    AS n_vowels
+        |FROM part""".stripMargin
   )
 }

@@ -303,6 +303,38 @@ object QueriesRelational {
         .join(broadcast(top), col("o_custkey") === col("c_custkey"),
           "left_semi")
         .select("o_orderkey", "o_custkey", "o_totalprice")
+    }),
+
+    // Correlated NOT EXISTS through the SQL surface: Catalyst
+    // decorrelates it to a left-anti join (same physical shape as j1),
+    // so it scales exactly like the anti-join path.
+    "sub3_not_exists" -> ((s, d) => {
+      Tables.customer(s, d).createOrReplaceTempView("graft_customer")
+      Tables.orders(s, d).createOrReplaceTempView("graft_orders")
+      s.sql("""SELECT c_custkey, c_name FROM graft_customer c
+              |WHERE NOT EXISTS (SELECT 1 FROM graft_orders o
+              |  WHERE o.o_custkey = c.c_custkey
+              |    AND o.o_totalprice > 300000)""".stripMargin)
+    }),
+
+    // GROUPING SETS via the Spark 4 DataFrame API: one shuffle, the
+    // expand happens map-side before the partial aggregate.
+    "g6_grouping_sets" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      li.groupingSets(
+          Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+            Seq(col("l_returnflag")), Seq.empty[org.apache.spark.sql.Column]),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
+          count(lit(1)).as("n"))
+    }),
+
+    // UNION ALL completing the set-operator family (s3 intersect,
+    // s4 except): tagged multiset union folded to counts.
+    "s5_union_all" -> ((s, d) => {
+      Tables.customer(s, d).select(col("c_nationkey").as("nkey"))
+        .union(Tables.supplier(s, d).select(col("s_nationkey").as("nkey")))
+        .groupBy("nkey").agg(count(lit(1)).as("n"))
     })
   )
 
@@ -460,6 +492,22 @@ object QueriesRelational {
     "sub2_in_subquery" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |WHERE o_custkey IN (SELECT c_custkey FROM customer
-        |  ORDER BY c_acctbal DESC, c_custkey LIMIT 100)""".stripMargin
+        |  ORDER BY c_acctbal DESC, c_custkey LIMIT 100)""".stripMargin,
+    "sub3_not_exists" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey
+        |    AND o.o_totalprice > 300000)""".stripMargin,
+    "g6_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+        |  (l_returnflag), ())""".stripMargin,
+    "s5_union_all" ->
+      """SELECT nkey, count(*) AS n FROM (
+        |  SELECT c_nationkey AS nkey FROM customer
+        |  UNION ALL SELECT s_nationkey FROM supplier)
+        |GROUP BY nkey""".stripMargin
   )
 }
