@@ -73,13 +73,16 @@ object QueriesReference {
         .select("event_id", "ts", "user_id", "event_type", "value")
     }),
 
-    // S2 analog (FULL:24-37): JSON field extraction on executors.
+    // S2 analog (FULL:24-37): JSON field extraction on executors. Uses the
+    // native single-key scanner (JsonExpressions) rather than `from_json` —
+    // a full Jackson parse per row to recover one scalar was the bench's
+    // dominant constant (~7 s at sf0.1); the scanner is semantically
+    // identical here (JsonExpressionsSpec asserts from_json parity).
     "s2_json_extract" -> ((s, d) => {
       Tables.events(s, d).select(
         col("event_id"),
-        from_json(col("props"),
-          org.apache.spark.sql.types.StructType.fromDDL("k LONG"))
-          .getField("k").as("k_val"))
+        org.apache.spark.sql.graft.JsonExpressions
+          .jsonGetLong(col("props"), "k").as("k_val"))
     }),
 
     // TPC-H Q1-shaped pricing summary — the classic partial-agg headline

@@ -3,7 +3,8 @@ package org.apache.spark.sql.graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import org.apache.spark.sql.types.IntegerType
+import org.apache.spark.sql.types.{IntegerType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** SQL surface for the engine's native expressions: registers
   * `dot_product`, `shingle_hash60`, `minhash_sig`, and `simhash60` so
@@ -27,6 +28,13 @@ object GraftFunctions {
     case other => throw new IllegalArgumentException(
       s"$fn: $arg must be an integer literal, got $other")
   }
+
+  private def strLit(e: Expression, fn: String, arg: String): String =
+    e match {
+      case Literal(v: UTF8String, StringType) => v.toString
+      case other => throw new IllegalArgumentException(
+        s"$fn: $arg must be a string literal, got $other")
+    }
 
   val functions: Seq[(FunctionIdentifier, ExpressionInfo,
       Seq[Expression] => Expression)] = Seq(
@@ -57,6 +65,22 @@ object GraftFunctions {
       (es: Seq[Expression]) => {
         require(es.length == 1, "simhash60(toks) takes 1 argument")
         SimHashFromTokensExpr(es.head)
+      }),
+    (FunctionIdentifier("json_get_long"),
+      info("json_get_long",
+        "_FUNC_(json, key) - top-level key as long, null if " +
+          "missing/non-integral"),
+      (es: Seq[Expression]) => {
+        require(es.length == 2, "json_get_long(json, key) takes 2 arguments")
+        JsonGetLongExpr(es.head, strLit(es(1), "json_get_long", "key"))
+      }),
+    (FunctionIdentifier("json_get_string"),
+      info("json_get_string",
+        "_FUNC_(json, key) - top-level scalar key as text, null if " +
+          "missing/non-scalar"),
+      (es: Seq[Expression]) => {
+        require(es.length == 2, "json_get_string(json, key) takes 2 arguments")
+        JsonGetStringExpr(es.head, strLit(es(1), "json_get_string", "key"))
       }))
 
   /** Register on a live session (idempotent — re-registration replaces). */

@@ -1,14 +1,23 @@
 #!/usr/bin/env python3
-"""Local stand-in for the driver's t2 correctness gate.
+"""Local stand-in for the driver's t2 correctness gate. THE one oracle
+tool — a previous near-duplicate (oracle_check.py) canonicalized floats
+with %.6g (6 significant digits), which let large aggregates drift by
+whole units and still "match"; it was removed rather than risk a local
+green the driver's stricter compare would fail.
 
 Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
+       python3 tools/check_oracle.py --selftest
 
 Reads <verifyOutDir>/oracle_sql.json (written by graft.Verify), registers
 each parquet table in <sfDir> as a DuckDB view, runs every oracle SQL, and
 compares against the Spark result parquet in <verifyOutDir>/<name>/ as a
 column-name-sorted multiset of rows (the driver sorts columns by name
-before hashing). Reports schema (dtype) mismatches separately since the
-driver may also compare schemas.
+before hashing). Floats compare after round(9) — absolute decimal places,
+not significant figures. DuckDB DECIMAL columns (e.g. SUM over a DECIMAL)
+arrive as object-dtype Decimal values; they are converted to float64
+before rounding so they compare numerically against Spark's doubles.
+Reports schema (dtype) mismatches separately since the driver may also
+compare schemas.
 """
 import sys, os, json, glob
 import duckdb
@@ -74,9 +83,14 @@ def compare(spark, oracle):
         return False, f"row count: spark={len(s)} oracle={len(o)}"
     # normalize to comparable reprs, sort rows, compare
     def norm(df):
+        import decimal
         out = pd.DataFrame()
         for c in cols:
             col = df[c]
+            if str(col.dtype) == "object" and col.map(
+                    lambda v: v is None or isinstance(v, decimal.Decimal)
+            ).all() and col.notna().any():
+                col = col.astype("float64")
             if str(col.dtype).startswith("float"):
                 out[c] = col.round(9)
             elif "datetime" in str(col.dtype):
@@ -91,5 +105,34 @@ def compare(spark, oracle):
         return False, f"{len(eq)} differing rows; first:\n{first}"
     return True, "; ".join(notes)
 
+def selftest():
+    """The guarantees the old %.6g tool silently broke: a tiny absolute
+    drift in a large aggregate must FAIL; numerically-equal Decimal vs
+    float must PASS."""
+    import pandas as pd
+    import decimal
+    base = pd.DataFrame({"g": ["a", "b"], "s": [38000000.0, 1.25]})
+    # 1e-5 drift on a ~3.8e7 aggregate: identical to 6 significant
+    # figures, different at round(9)
+    drift = pd.DataFrame({"g": ["a", "b"], "s": [38000000.00001, 1.25]})
+    ok, _ = compare(base, drift)
+    assert not ok, "1e-5 drift on a large aggregate must FAIL"
+    dec = pd.DataFrame({"g": ["a", "b"], "s": [
+        decimal.Decimal("38000000.0"), decimal.Decimal("1.25")]})
+    ok, _ = compare(base, dec)
+    assert ok, "Decimal column numerically equal to float must PASS"
+    decnull = pd.DataFrame({"g": ["a", "b"], "s": [
+        decimal.Decimal("38000000.0"), None]})
+    ok, _ = compare(
+        pd.DataFrame({"g": ["a", "b"], "s": [38000000.0, float("nan")]}),
+        decnull)
+    assert ok, "Decimal with NULLs must still compare numerically"
+    ok, _ = compare(base, base.copy())
+    assert ok, "identical frames must PASS"
+    print("selftest: 4/4 ok")
+
 if __name__ == "__main__":
+    if len(sys.argv) == 2 and sys.argv[1] == "--selftest":
+        selftest()
+        sys.exit(0)
     sys.exit(main(sys.argv[1], sys.argv[2]))
