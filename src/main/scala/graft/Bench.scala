@@ -26,20 +26,25 @@ object Bench {
     "a1_weekly_avg", "a2_period_avg", "j1_anti_join_dedup",
     "s2_json_extract", "q1_pricing_summary",
     // relational wave
-    "w1_topk_per_group", "w2_running_total", "t1_topk_global",
-    "j2_revenue_topn", "j5_multiway_join", "j8_asof_join",
-    "j9_range_join", "g1_rollup", "g3_cube",
+    "w1_topk_per_group", "w2_running_total", "w5_window_variants",
+    "t1_topk_global", "j2_revenue_topn", "j5_multiway_join",
+    "j8_asof_join", "j9_range_join", "g1_rollup", "g3_cube",
+    "g6_grouping_sets", "sub3_not_exists", "s5_union_all",
+    // scalar function families
+    "f3_math_funcs",
     // streaming (batch form)
-    "st1_tumbling_window", "st3_session_window",
+    "st1_tumbling_window", "st2_sliding_window", "st3_session_window",
+    "st4_interval_join",
     // text analysis
-    "x1_token_stats", "x4_fingerprint",
+    "x1_token_stats", "x4_fingerprint", "x7_repetition",
     // dedup
     "d1_exact_dedup", "d2_jaccard_pairs", "d3_minhash_lsh",
-    "d5_simhash_pairs",
+    "d4_simhash", "d5_simhash_pairs",
     // similarity search
-    "v1_cosine_topk", "v2_ann_lsh", "v4_ivf_topk", "v5_neardup_lsh",
+    "v1_cosine_topk", "v2_ann_lsh", "v3_centroid_assign",
+    "v4_ivf_topk", "v5_neardup_lsh",
     // multimodal
-    "m1_multimodal_meta")
+    "m1_multimodal_meta", "m3_header_decode")
 
   /** Fully evaluate a query's output. `.count()` is NOT that: Catalyst
     * prunes deterministic projections under count, so a projection-only

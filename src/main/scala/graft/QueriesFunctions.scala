@@ -82,7 +82,7 @@ object QueriesFunctions {
         col("doc_id"),
         size(toks).cast("long").as("n_tokens"),
         size(array_distinct(toks)).cast("long").as("n_unique"),
-        array_min(toks).as("first_tok"),
+        array_min(toks).as("min_tok"),
         array_contains(toks, "the").as("has_the"),
         concat_ws(" ", slice(toks, 1, 3)).as("head3"))
     }),
@@ -149,7 +149,7 @@ object QueriesFunctions {
       """SELECT doc_id,
         |  CAST(len(toks) AS BIGINT) AS n_tokens,
         |  CAST(len(list_distinct(toks)) AS BIGINT) AS n_unique,
-        |  list_min(toks) AS first_tok,
+        |  list_min(toks) AS min_tok,
         |  list_contains(toks, 'the') AS has_the,
         |  array_to_string(toks[1:3], ' ') AS head3
         |FROM (SELECT doc_id,

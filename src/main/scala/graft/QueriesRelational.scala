@@ -308,13 +308,20 @@ object QueriesRelational {
     // Correlated NOT EXISTS through the SQL surface: Catalyst
     // decorrelates it to a left-anti join (same physical shape as j1),
     // so it scales exactly like the anti-join path.
+    // The views exist only long enough for sql() to analyze the plan
+    // (analysis is eager, execution lazy) — dropped before returning so
+    // no session-global state leaks to other users of the SparkSession.
     "sub3_not_exists" -> ((s, d) => {
       Tables.customer(s, d).createOrReplaceTempView("graft_customer")
       Tables.orders(s, d).createOrReplaceTempView("graft_orders")
-      s.sql("""SELECT c_custkey, c_name FROM graft_customer c
-              |WHERE NOT EXISTS (SELECT 1 FROM graft_orders o
-              |  WHERE o.o_custkey = c.c_custkey
-              |    AND o.o_totalprice > 300000)""".stripMargin)
+      try s.sql("""SELECT c_custkey, c_name FROM graft_customer c
+                  |WHERE NOT EXISTS (SELECT 1 FROM graft_orders o
+                  |  WHERE o.o_custkey = c.c_custkey
+                  |    AND o.o_totalprice > 300000)""".stripMargin)
+      finally {
+        s.catalog.dropTempView("graft_customer")
+        s.catalog.dropTempView("graft_orders")
+      }
     }),
 
     // GROUPING SETS via the Spark 4 DataFrame API: one shuffle, the

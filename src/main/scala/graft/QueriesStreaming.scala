@@ -36,6 +36,24 @@ object QueriesStreaming {
         Seq("user_id"))
     }),
 
+    // Stream-stream interval join (clicks within 1 h after an error, per
+    // user) run over the batch frame — `withWatermark` is a no-op in
+    // batch, so this is the exact operator StreamingSpec drives over two
+    // MemoryStreams, now under the driver's oracle gate too. Semantics
+    // match j9_range_join's oracle form.
+    "st4_interval_join" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("user_id"), col("event_id").as("error_id"),
+          col("ts").as("err_ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"),
+          col("ts").as("click_ts"))
+      StreamingOps.streamIntervalJoin(errors, clicks, "user_id",
+        "err_ts", "click_ts", "2 hours", 3600L)
+        .select("user_id", "error_id", "click_id")
+    }),
+
     // Multimodal metadata: byte length + content hash + fake-decoded dims
     // (SQL-expressible slice of the decode, so it gets a real oracle).
     "m1_multimodal_meta" -> ((s, d) => {
@@ -54,10 +72,29 @@ object QueriesStreaming {
         MultimodalOps.mediaBlobs(Tables.documents(s, d)))
         .toDF().select("doc_id", "width", "height", "n_frames",
           "brightness")
+    }),
+
+    // REAL header decode: synthesize spec-conformant PNG/BMP files with
+    // md5-derived dims, then parse format + width/height back out of the
+    // actual bytes. The oracle recomputes the dims from the text with the
+    // same formula, so a parse that misreads any header byte fails the
+    // hash — this is the verified slice of the multimodal decode path.
+    "m3_header_decode" -> ((s, d) => {
+      MultimodalOps.decodeHeaders(
+        MultimodalOps.synthesizeImages(Tables.documents(s, d)))
+        .toDF().select("doc_id", "format", "width", "height")
     })
   )
 
   def oracle: Map[String, String] = Map(
+    "st4_interval_join" ->
+      """SELECT c.user_id, e.event_id AS error_id, c.event_id AS click_id
+        |FROM (SELECT user_id, event_id, ts FROM events
+        |      WHERE event_type = 'click') c
+        |JOIN (SELECT user_id, event_id, ts FROM events
+        |      WHERE event_type = 'error') e
+        |  ON c.user_id = e.user_id AND c.ts >= e.ts
+        |    AND c.ts <= e.ts + INTERVAL 1 HOUR""".stripMargin,
     "st1_tumbling_window" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
         |  count(*) AS n_events,
@@ -85,6 +122,14 @@ object QueriesStreaming {
         |  max(ts) + INTERVAL 30 MINUTE AS session_end,
         |  count(*) AS n_events
         |FROM g GROUP BY user_id, sess""".stripMargin,
+    "m3_header_decode" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'bmp' END AS format,
+        |  CAST(concat('0x', substr(md5(concat('w:', text)), 1, 15))
+        |    AS BIGINT) % 640 + 1 AS width,
+        |  CAST(concat('0x', substr(md5(concat('h:', text)), 1, 15))
+        |    AS BIGINT) % 480 + 1 AS height
+        |FROM documents""".stripMargin,
     "m1_multimodal_meta" ->
       """SELECT doc_id,
         |  octet_length(encode(text)) AS n_bytes,

@@ -310,16 +310,21 @@ object DedupOps {
       .agg(collect_list(struct(col("id"), col("simhash"))).as("ds"))
       .filter(size(col("ds")) <= maxChunkFreq)
       .select(array_sort(col("ds")).as("ds"))
+    // Hamming-verify BEFORE the distinct: bit_count per candidate
+    // occurrence is a codegen'd two-instruction check, while the distinct
+    // is a shuffle — filtering first means the exchange carries only the
+    // (rare) verified pairs as three longs, not every candidate with two
+    // 8-byte fingerprints attached. Duplicated candidates (a pair sharing
+    // several chunks) collapse in the distinct; hamming is functionally
+    // dependent on the pair so it dedups with it.
     postings
       .select(col("ds"), explode(col("ds")).as("a"))
       .select(col("a"), explode(col("ds")).as("b"))
       .filter(col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.simhash").as("sim_a"), col("b.simhash").as("sim_b"))
-      .distinct()
-      .withColumn("hamming",
-        expr("bit_count(sim_a ^ sim_b)").cast("long"))
+        expr("bit_count(a.simhash ^ b.simhash)").cast("long")
+          .as("hamming"))
       .filter(col("hamming") <= maxHamming)
-      .select("id_a", "id_b", "hamming")
+      .distinct()
   }
 }

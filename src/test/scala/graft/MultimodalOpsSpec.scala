@@ -34,6 +34,39 @@ class MultimodalOpsSpec extends SparkTestBase {
     assert(f(2L).brightness == 0.0)
   }
 
+  test("ImageHeaders: PNG/BMP encode-decode round-trip, rejects garbage") {
+    import MultimodalOps.ImageHeaders
+    // boundary + multi-byte dims (>255 exercises all four width bytes)
+    for ((w, h) <- Seq((1, 1), (640, 480), (300, 7), (65537, 2))) {
+      assert(ImageHeaders.decode(ImageHeaders.encodePng(w, h)) ==
+        Some(("png", w, h)))
+      assert(ImageHeaders.decode(ImageHeaders.encodeBmp(w, h)) ==
+        Some(("bmp", w, h)))
+    }
+    assert(ImageHeaders.decode("not an image".getBytes).isEmpty)
+    assert(ImageHeaders.decode(Array.emptyByteArray).isEmpty)
+    // truncated headers must not parse
+    assert(ImageHeaders.decode(
+      ImageHeaders.encodePng(10, 10).take(20)).isEmpty)
+    assert(ImageHeaders.decode(
+      ImageHeaders.encodeBmp(10, 10).take(10)).isEmpty)
+    // a real PNG's fixed header bytes appear where the spec says
+    val png = ImageHeaders.encodePng(2, 3)
+    assert((png(0) & 0xff) == 0x89 && png(1) == 'P')
+  }
+
+  test("synthesizeImages → decodeHeaders recovers dims from real bytes") {
+    val out = MultimodalOps.decodeHeaders(
+      MultimodalOps.synthesizeImages(docs)).collect()
+      .map(x => x.doc_id -> x).toMap
+    assert(out.keySet == Set(1L, 2L, 3L))
+    assert(out(2L).format == "png" && out(1L).format == "bmp")
+    out.values.foreach { x =>
+      assert(x.width >= 1 && x.width <= 640)
+      assert(x.height >= 1 && x.height <= 480)
+    }
+  }
+
   test("sampleFrames explodes every k-th frame index") {
     val f = MultimodalOps.decodeFeatures(MultimodalOps.mediaBlobs(docs))
     val frames = MultimodalOps.sampleFrames(f, 5)
