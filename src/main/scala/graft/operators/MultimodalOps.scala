@@ -151,10 +151,12 @@ object MultimodalOps {
     */
   def synthesizeImages(docs: DataFrame): Dataset[MediaBlob] = {
     import docs.sparkSession.implicits._
-    DedupOps.spread(docs)
+    // project to the three narrow columns BEFORE the spread: the
+    // repartition exchange then moves 3 longs per row, not the text
+    DedupOps.spread(docs
       .select(col("doc_id"),
         (DedupOps.hash60(lit("w"), col("text")) % 640 + 1).as("width"),
-        (DedupOps.hash60(lit("h"), col("text")) % 480 + 1).as("height"))
+        (DedupOps.hash60(lit("h"), col("text")) % 480 + 1).as("height")))
       .as[(Long, Long, Long)]
       .mapPartitions(_.map { case (id, w, h) =>
         if (id % 2 == 0)
