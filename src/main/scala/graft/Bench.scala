@@ -34,7 +34,7 @@ object Bench {
     "f3_math_funcs",
     // streaming (batch form)
     "st1_tumbling_window", "st2_sliding_window", "st3_session_window",
-    "st4_interval_join",
+    "st4_interval_join", "st5_custom_state",
     // text analysis
     "x1_token_stats", "x4_fingerprint", "x7_repetition",
     // dedup

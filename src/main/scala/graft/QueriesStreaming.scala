@@ -36,6 +36,14 @@ object QueriesStreaming {
         Seq("user_id"))
     }),
 
+    // Custom-state sessionization (flatMapGroupsWithState) in batch mode:
+    // same semantics as st3's built-in session window, so the same oracle
+    // verifies the hand-rolled state machine end-to-end.
+    "st5_custom_state" -> ((s, d) => {
+      StreamingOps.sessionizeWithState(Tables.events(s, d), "user_id",
+        "ts", gapSeconds = 1800L, emitOpen = true)
+    }),
+
     // Stream-stream interval join (clicks within 1 h after an error, per
     // user) run over the batch frame — `withWatermark` is a no-op in
     // batch, so this is the exact operator StreamingSpec drives over two
@@ -107,6 +115,24 @@ object QueriesStreaming {
         |  date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS w FROM events)
         |GROUP BY 1, 2""".stripMargin,
     "st3_session_window" ->
+      """WITH o AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |      OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+        |      THEN 1 ELSE 0 END AS brk
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |g AS (SELECT user_id, ts,
+        |  sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+        |  FROM o)
+        |SELECT user_id, min(ts) AS session_start,
+        |  max(ts) + INTERVAL 30 MINUTE AS session_end,
+        |  count(*) AS n_events
+        |FROM g GROUP BY user_id, sess""".stripMargin,
+    // identical semantics to st3 — the built-in session window is the
+    // custom-state operator's executable spec
+    "st5_custom_state" ->
       """WITH o AS (
         |  SELECT user_id, ts, event_id,
         |    CASE WHEN lag(ts) OVER w IS NULL

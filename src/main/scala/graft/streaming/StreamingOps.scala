@@ -2,8 +2,19 @@ package graft.streaming
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupStateTimeout, OutputMode, Trigger}
 import org.apache.spark.sql.Row
+
+/** Open session carried in the state store between micro-batches
+  * (event times in epoch micros — the state is a fixed 24 bytes/key).
+  */
+final case class OpenSession(startMicros: Long, lastMicros: Long, n: Long)
+
+/** Closed session emitted downstream (converted to timestamps by
+  * [[StreamingOps.sessionizeWithState]]'s final projection).
+  */
+final case class ClosedSession(key: Long, startMicros: Long,
+    endMicros: Long, n_events: Long)
 
 /** Event-time windowing + streaming pipeline (SURVEY.md §2.10 / O1).
   *
@@ -62,6 +73,90 @@ object StreamingOps {
       .select((keys.map(col) :+ col("session_window.start")
         .as("session_start") :+ col("session_window.end")
         .as("session_end")) :+ col("n_events"): _*)
+
+  /** Custom-state sessionization via `flatMapGroupsWithState` — the
+    * escape hatch for per-key state machines the built-in operators
+    * can't express. Semantics match [[sessionAgg]] exactly (events of a
+    * key merge while gaps stay under `gapSeconds`; the session ends
+    * `gapSeconds` after its last event), so the built-in session window
+    * is its executable spec AND its oracle; this variant exists to
+    * demonstrate/exercise the arbitrary-state API with a bounded state
+    * footprint (24 bytes per open key).
+    *
+    * Two modes:
+    *  - streaming (`emitOpen = false`): input must carry a watermark;
+    *    sessions closed by a later in-batch event emit immediately, the
+    *    open session waits in the state store with an event-time timeout
+    *    at `last + gap` and emits when the watermark passes it. A
+    *    late-but-in-watermark event that should have merged into an
+    *    already-emitted session starts a new one — the documented
+    *    tradeoff of eager emission; [[sessionAgg]] is the production
+    *    path, this is the custom-state template.
+    *  - batch (`emitOpen = true`): timeouts never fire in batch
+    *    execution, so the final open session of each key emits with the
+    *    group (all data is present — "open" cannot grow further).
+    *
+    * Scale: one shuffle on the key (groupByKey), state bounded by open
+    * keys only (closed sessions leave the store immediately), per-group
+    * work is sort + single fold over that GROUP's batch slice.
+    */
+  def sessionizeWithState(df: DataFrame, keyCol: String, tsCol: String,
+      gapSeconds: Long, emitOpen: Boolean): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val gapMicros = gapSeconds * 1000000L
+    // the watermarked event-time column must reach the state operator
+    // UNPROJECTED — any derived column drops the watermark metadata and
+    // EventTimeTimeout analysis fails; micros conversion happens inside
+    val out = df
+      .select(col(keyCol).cast("long"), col(tsCol))
+      .as[(Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[OpenSession, ClosedSession](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key, rows, state) =>
+          def close(s: OpenSession) =
+            ClosedSession(key, s.startMicros, s.lastMicros + gapMicros, s.n)
+          def micros(t: java.sql.Timestamp): Long =
+            t.getTime / 1000 * 1000000L + t.getNanos / 1000
+          if (state.hasTimedOut) {
+            // watermark passed last+gap: the open session can't grow
+            val s = state.get
+            state.remove()
+            Iterator.single(close(s))
+          } else {
+            // this group's slice of the batch may arrive unordered
+            val ts = rows.map(r => micros(r._2)).toArray
+            java.util.Arrays.sort(ts)
+            val closed = Seq.newBuilder[ClosedSession]
+            var open = state.getOption
+            for (t <- ts) {
+              open = open match {
+                case Some(s) if t - s.lastMicros < gapMicros =>
+                  Some(OpenSession(s.startMicros, t, s.n + 1))
+                case Some(s) =>
+                  closed += close(s)
+                  Some(OpenSession(t, t, 1))
+                case None => Some(OpenSession(t, t, 1))
+              }
+            }
+            if (emitOpen) {
+              open.foreach(s => closed += close(s))
+              if (state.exists) state.remove()
+            } else {
+              open.foreach { s =>
+                state.update(s)
+                state.setTimeoutTimestamp((s.lastMicros + gapMicros) / 1000L)
+              }
+            }
+            closed.result().iterator
+          }
+      }
+    out.select(col("key").as(keyCol),
+      timestamp_micros(col("startMicros")).as("session_start"),
+      timestamp_micros(col("endMicros")).as("session_end"),
+      col("n_events"))
+  }
 
   /** Stream-stream interval join: right events within `withinSeconds`
     * AFTER each left event of the same key (the streaming form of the

@@ -85,6 +85,47 @@ class StreamingSpec extends SparkTestBase {
       "every batch session must be emitted by the stream")
   }
 
+  test("sessionizeWithState in batch equals the built-in session window") {
+    val batch = StreamingOps.sessionAgg(evs.toDF(), "ts", "30 minutes",
+      Seq("user_id"))
+      .as[(Long, Timestamp, Timestamp, Long)].collect().toSet
+    val custom = StreamingOps.sessionizeWithState(evs.toDF(), "user_id",
+      "ts", gapSeconds = 1800L, emitOpen = true)
+      .as[(Long, Timestamp, Timestamp, Long)].collect().toSet
+    assert(custom == batch)
+    // out-of-order input within the group must not change the sessions
+    val shuffled = StreamingOps.sessionizeWithState(
+      evs.reverse.toDF(), "user_id", "ts", 1800L, emitOpen = true)
+      .as[(Long, Timestamp, Timestamp, Long)].collect().toSet
+    assert(shuffled == batch)
+  }
+
+  test("sessionizeWithState over a stream: eager closes + timeout flush") {
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    val q = StreamingOps.sessionizeWithState(
+      ms.toDF().withWatermark("ts", "10 minutes"),
+      "user_id", "ts", gapSeconds = 1800L, emitOpen = false)
+      .writeStream.format("memory").queryName("custom_sess_t")
+      .outputMode("append").start()
+    try {
+      ms.addData(evs: _*)
+      q.processAllAvailable()
+      // advance the watermark far past every open session's timeout; the
+      // no-data batch that follows fires the event-time timeouts
+      ms.addData(Ev(99, t("2024-01-02 12:00:00"), 9, 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("custom_sess_t")
+      .filter("user_id != 9") // the sentinel's own session stays open
+      .as[(Long, Timestamp, Timestamp, Long)].collect().toSet
+    val batch = StreamingOps.sessionizeWithState(evs.toDF(), "user_id",
+      "ts", 1800L, emitOpen = true)
+      .as[(Long, Timestamp, Timestamp, Long)].collect().toSet
+    assert(streamed == batch,
+      "streamed sessions (closes + timeouts) must equal the batch result")
+  }
+
   test("hourlyIncremental writer runs end-to-end and dedups the batch") {
     implicit val sqlCtx = spark.sqlContext
     val ms = MemoryStream[Ev]
