@@ -66,14 +66,19 @@ object WeatherPipeline {
       sinks: WeatherSinks, periodStart: Column, periodEndExclusive: Column,
       clock: Column = current_timestamp(),
       recencySeconds: Long = 3600L): Unit = {
-    // The max-timestamp probe is a driver-side action; without the persist
-    // it would recompute the whole upstream plan (e.g. an HTTP fetch +
-    // JSON parse) once for the probe and again for every downstream sink.
+    // The persist still matters: three sink actions fan out downstream,
+    // and without it each would recompute the whole upstream plan (e.g.
+    // an HTTP fetch + JSON parse).
     val obs = observations.persist()
     try {
-      val maxTs = obs.agg(max(col("weatherDate"))).head().getTimestamp(0)
-      val recent = WeatherOps.recencyFilter(obs, "weatherDate",
-        lit(maxTs), recencySeconds)
+      // max-timestamp probe as a broadcast 1-row cross join (the same
+      // shape as the p8_p10 query path) — no driver-side action, so the
+      // probe fuses into the job instead of forcing an extra round-trip
+      val maxTs = obs.agg(max(col("weatherDate")).as("__graft_now"))
+      val recent = WeatherOps.recencyFilter(
+        obs.crossJoin(broadcast(maxTs)), "weatherDate",
+        col("__graft_now"), recencySeconds)
+        .drop("__graft_now")
       fullLoad(spark, recent, sinks, periodStart, periodEndExclusive, clock)
     } finally obs.unpersist()
   }
