@@ -182,14 +182,19 @@ object VectorOps {
     * IVF recall back at the cell boundaries.
     */
   def routeToCentroids(vectors: DataFrame, centroids: DataFrame,
-      nProbe: Int): DataFrame = {
+      nProbe: Int, keepPayload: Boolean = false): DataFrame = {
     val joined = vectors.toDF("id", "v", "n2")
       .crossJoin(broadcast(centroids.toDF("centroid_id", "v_c", "n2_c")))
       .withColumn("cos", cosineFromParts(dot(col("v"), col("v_c")),
         col("n2"), col("n2_c")))
-    RelationalOps.topKPerGroup(joined, Seq("id"),
+    val ranked = RelationalOps.topKPerGroup(joined, Seq("id"),
       Seq(col("cos").desc, col("centroid_id").asc), nProbe, rankCol = "rk")
-      .select(col("id"), col("centroid_id"))
+    // keepPayload carries (v, n2) through the routing window so callers
+    // don't have to re-join the source on id to get the vectors back —
+    // that join re-scans the source and adds a shuffle for nothing
+    if (keepPayload)
+      ranked.select(col("id"), col("centroid_id"), col("v"), col("n2"))
+    else ranked.select(col("id"), col("centroid_id"))
   }
 
   /** Full IVF ANN search: assign the corpus to cells (top-1 centroid),
@@ -198,20 +203,19 @@ object VectorOps {
     * the cell id) and take the exact top-k of the survivors.
     *
     * Scale shape: centroids broadcast twice (routing passes), probes
-    * broadcast into the cell join; the corpus is scanned once for
-    * assignment and once for search — never self-joined, never shuffled
-    * by pair. Cost per probe is O(nProbe × cellSize) instead of O(n);
-    * each corpus vector lives in exactly one cell, so no dedup step is
-    * needed.
+    * broadcast into the cell join; the corpus is scanned ONCE — the
+    * routing windows carry the vectors through (`keepPayload`), so
+    * neither side re-joins its own source to recover them. Never
+    * self-joined, never shuffled by pair. Cost per probe is
+    * O(nProbe × cellSize) instead of O(n); each corpus vector lives in
+    * exactly one cell, so no dedup step is needed.
     */
   def ivfTopK(corpus: DataFrame, probes: DataFrame, centroids: DataFrame,
       nProbe: Int, k: Int): DataFrame = {
-    val corpusCells = corpus.toDF("id_n", "v_n", "n2_n")
-      .join(routeToCentroids(corpus, centroids, 1)
-        .toDF("id_n", "centroid_id"), Seq("id_n"))
-    val probeCells = probes.toDF("id_q", "v_q", "n2_q")
-      .join(routeToCentroids(probes, centroids, nProbe)
-        .toDF("id_q", "centroid_id"), Seq("id_q"))
+    val corpusCells = routeToCentroids(corpus, centroids, 1,
+      keepPayload = true).toDF("id_n", "centroid_id", "v_n", "n2_n")
+    val probeCells = routeToCentroids(probes, centroids, nProbe,
+      keepPayload = true).toDF("id_q", "centroid_id", "v_q", "n2_q")
     val joined = corpusCells.join(broadcast(probeCells), Seq("centroid_id"))
       .filter(col("id_q") =!= col("id_n"))
       .withColumn("cos", cosineFromParts(dot(col("v_q"), col("v_n")),
