@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SimpleMode
+
+/** Plan-regression guards: the physical-plan properties the engine's
+  * scale story depends on, asserted so a future edit can't silently
+  * trade them away. These are the properties a plan AUDIT checks by
+  * hand (`graft.Explain`); here the load-bearing ones are pinned.
+  */
+class PlanAuditSpec extends SparkTestBase {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf001)
+      .queryExecution.explainString(SimpleMode)
+
+  private def physical(name: String): DataFrame =
+    SparkEntry.queries(name)(spark, sf001)
+
+  test("s2_json_extract is a single narrow stage: no shuffle, no Jackson") {
+    val p = plan("s2_json_extract")
+    assert(!p.contains("Exchange"), s"s2 must not shuffle:\n$p")
+    assert(p.contains("jsongetlong"), s"s2 must use the native scanner:\n$p")
+    assert(!p.contains("from_json"), s"s2 must not Jackson-parse:\n$p")
+  }
+
+  test("filter queries push predicates into the parquet scan") {
+    for (q <- Seq("p7_period_filter", "j9_range_join", "st4_interval_join")) {
+      val p = plan(q)
+      assert(p.contains("PushedFilters: [") &&
+        !p.replaceAll("PushedFilters: \\[[^\\]]+\\]", "").contains(
+          "PushedFilters"),
+        s"$q must push at least one filter to every scan:\n$p")
+    }
+  }
+
+  test("projection queries prune the scan to the referenced columns") {
+    val p = plan("m1_multimodal_meta")
+    // documents has (doc_id, text, ...); only those two may be read
+    val reads = "ReadSchema: [^\\n]+".r.findAllIn(p).toList
+    assert(reads.nonEmpty && reads.forall(r =>
+      r.contains("doc_id") && r.contains("text") && !r.contains("url")),
+      s"m1 must scan only doc_id+text:\n$p")
+  }
+
+  test("dimension joins broadcast the small side") {
+    for (q <- Seq("j2_revenue_topn", "j5_multiway_join", "sub2_in_subquery"))
+      assert(plan(q).contains("BroadcastHashJoin"),
+        s"$q must broadcast its dimension side")
+  }
+
+  test("anti-join dedup resolves to a broadcast/shuffled hash anti join") {
+    assert(plan("j1_anti_join_dedup").contains("LeftAnti"))
+    assert(plan("sub3_not_exists").contains("LeftAnti"),
+      "NOT EXISTS must decorrelate to an anti join")
+  }
+
+  test("global top-k plans a bounded take, not a full sort") {
+    assert(plan("t1_topk_global").contains("TakeOrderedAndProject"))
+  }
+
+  test("candidate generators keep their frequency caps in the plan") {
+    // the cap filters sit on size(collect_list(...)) aggregate outputs
+    for (q <- Seq("d2_jaccard_pairs", "d5_simhash_pairs", "v5_neardup_lsh"))
+      assert(plan(q).contains("size("),
+        s"$q must retain its posting-size cap filter")
+  }
+
+  test("headline queries stay inside whole-stage codegen") {
+    // every headline plan must contain at least one codegen stage — a
+    // fully interpreted plan is a 10-40x regression waiting to happen
+    for (q <- Bench.headline.filterNot(Set("m3_header_decode",
+      "st5_custom_state"))) { // object-serde operators: no codegen stages
+      val p = plan(q)
+      // non-AQE simple-mode plans mark codegen stages with a "*(n)"
+      // operator prefix; AQE initial plans (isFinalPlan=false) carry no
+      // codegen markers until executed — CollapseCodegenStages runs per
+      // stage at runtime, so AdaptiveSparkPlan itself is the guarantee
+      assert(p.contains("WholeStageCodegen") || p.contains("*(") ||
+        p.contains("AdaptiveSparkPlan"),
+        s"$q lost whole-stage codegen:\n$p")
+    }
+  }
+}
