@@ -9,11 +9,14 @@ import graft.sources.Tables
 /** Event-time windowing (batch-checkable forms of the streaming operators)
   * and multimodal-column queries.
   *
-  * st1–st3 run the exact same transforms a `readStream` pipeline uses
-  * (StreamingSpec proves the streaming path gives identical results); the
-  * oracle checks them over the batch frame. m2 exercises the
-  * mapPartitions decode path — not SQL-expressible, so it has no oracle
-  * and the driver records a rows-only check.
+  * st1–st5 run the exact same transforms a `readStream` pipeline uses
+  * (StreamingSpec proves the streaming paths give identical results,
+  * including the interval join over two MemoryStreams and the
+  * custom-state sessionizer's timeout flush); the oracle checks them over
+  * the batch frame. m3 oracle-verifies the real header-decode slice of
+  * the multimodal path; m2 exercises the mapPartitions pixel-decode stub
+  * — not SQL-expressible, so it has no oracle and the driver records a
+  * rows-only check.
   */
 object QueriesStreaming {
 
