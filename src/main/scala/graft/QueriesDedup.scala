@@ -107,6 +107,18 @@ object QueriesDedup {
         maxHamming = 3)
     }),
 
+    // Dedup clusters: the verified Jaccard pairs (same params as d2)
+    // grouped into connected components — every doc labeled with its
+    // component's min doc_id, i.e. the canonical copy to keep. The
+    // oracle computes the same closure with a recursive CTE.
+    "d7_dedup_clusters" -> ((s, d) => {
+      DedupOps.connectedComponents(
+        DedupOps.jaccardPairs(docsWithShingles(s, d), "doc_id", "sh", 0.8,
+          maxDocFreq = 1000L),
+        "id_a", "id_b")
+        .select(col("id").as("doc_id"), col("cluster").as("cluster_id"))
+    }),
+
     // Embedding-cosine near-dup pairs (brute pair scan at test scale; the
     // LSH-bucketed scale path is v2_ann_lsh).
     "d6_embedding_neardup" -> ((s, d) => {
@@ -139,6 +151,28 @@ object QueriesDedup {
     """list_reduce(list_prepend(0.0, list_transform(range(len(a.v)),
       |      i -> a.v[i+1] * b.v[i+1])), (x, y) -> x + y)""".stripMargin
 
+  /** d2's CTE chain + final select, shared with d7 (which wraps the pair
+    * list in a recursive reachability closure).
+    */
+  private def d2Ctes =
+    s"""t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |s AS (SELECT doc_id, $sh3Sql AS sh FROM t),
+       |e0 AS (SELECT doc_id AS id, CAST(len(sh) AS BIGINT) AS n,
+       |      unnest(sh) AS sh_s FROM s),
+       |e AS (SELECT id, n, ${h60("concat('sh:', sh_s)")} AS s FROM e0),
+       |rare AS (SELECT s FROM e GROUP BY s HAVING count(*) <= 1000),
+       |ec AS (SELECT e.* FROM e JOIN rare USING (s)),
+       |p AS (SELECT a.id AS id_a, b.id AS id_b, a.n AS n_a, b.n AS n_b,
+       |      count(*) AS inter
+       |      FROM ec a JOIN ec b ON a.s = b.s AND a.id < b.id
+       |      GROUP BY 1, 2, 3, 4)""".stripMargin
+
+  private def d2Select =
+    """SELECT id_a, id_b,
+      |  round(inter / CAST(n_a + n_b - inter AS DOUBLE), 6) AS jaccard
+      |FROM p WHERE inter / CAST(n_a + n_b - inter AS DOUBLE) >= 0.8"""
+      .stripMargin
+
   def oracle: Map[String, String] = Map(
     "d1_exact_dedup" ->
       s"""SELECT md5(array_to_string(list_slice(toks, 1, 5), ' '))
@@ -146,22 +180,19 @@ object QueriesDedup {
          |  min(doc_id) AS keeper, count(*) AS n_copies
          |FROM (SELECT doc_id, $toksSql AS toks FROM documents)
          |GROUP BY 1""".stripMargin,
-    "d2_jaccard_pairs" ->
-      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
-         |s AS (SELECT doc_id, $sh3Sql AS sh FROM t),
-         |e0 AS (SELECT doc_id AS id, CAST(len(sh) AS BIGINT) AS n,
-         |      unnest(sh) AS sh_s FROM s),
-         |e AS (SELECT id, n, ${h60("concat('sh:', sh_s)")} AS s FROM e0),
-         |rare AS (SELECT s FROM e GROUP BY s HAVING count(*) <= 1000),
-         |ec AS (SELECT e.* FROM e JOIN rare USING (s)),
-         |p AS (SELECT a.id AS id_a, b.id AS id_b, a.n AS n_a, b.n AS n_b,
-         |      count(*) AS inter
-         |      FROM ec a JOIN ec b ON a.s = b.s AND a.id < b.id
-         |      GROUP BY 1, 2, 3, 4)
-         |SELECT id_a, id_b,
-         |  round(inter / CAST(n_a + n_b - inter AS DOUBLE), 6) AS jaccard
-         |FROM p WHERE inter / CAST(n_a + n_b - inter AS DOUBLE) >= 0.8"""
-        .stripMargin,
+    "d2_jaccard_pairs" -> s"WITH $d2Ctes\n$d2Select",
+    "d7_dedup_clusters" ->
+      s"""WITH RECURSIVE $d2Ctes,
+         |pairs AS ($d2Select),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |          UNION SELECT id_b, id_a FROM pairs),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e2.dst FROM reach r
+         |    JOIN edges e2 ON r.dst = e2.src)
+         |SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+         |FROM reach GROUP BY src""".stripMargin,
     "d3_minhash_lsh" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
          |s AS (SELECT doc_id, $sh3Sql AS sh FROM t),

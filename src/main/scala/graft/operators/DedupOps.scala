@@ -147,6 +147,65 @@ object DedupOps {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Connected components over an undirected pair list (the last step of
+    * every near-dup pipeline: verified pairs → dedup clusters → keep one
+    * canonical doc per cluster). Min-label propagation: every node starts
+    * labeled with its own id; each round a node takes the minimum of its
+    * label and its neighbors' labels; at fixpoint every node of a
+    * component carries the component's minimum id.
+    *
+    * Shape per round: one equi-join of the (persisted, symmetrized) edge
+    * list against the current labels + a hash aggregate — the standard
+    * Pregel iteration, O(|E|) per round, converging in O(component
+    * diameter) rounds. Near-dup clusters are band-collision cliques, so
+    * their diameter is tiny (2–4) in practice; `maxIters` guards the
+    * adversarial chain case and the loop FAILS LOUDLY rather than return
+    * half-propagated labels. The per-round `count()`s are the convergence
+    * probe of the iterative algorithm (same as GraphX/Pregel) — they move
+    * one row to the driver, not data.
+    *
+    * Output: (id, cluster) — every node that appears in `pairs`, labeled
+    * with the min id of its component. Docs in no pair are their own
+    * cluster by definition and don't need rows.
+    */
+  def connectedComponents(pairs: DataFrame, idACol: String, idBCol: String,
+      maxIters: Int = 50): DataFrame = {
+    val e = pairs.select(col(idACol).cast("long").as("src"),
+      col(idBCol).cast("long").as("dst"))
+    val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      .persist()
+    var labels = sym.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("label")).persist()
+    try {
+      var iter = 0
+      var converged = false
+      while (!converged && iter < maxIters) {
+        val nbrMin = sym.join(labels, sym("dst") === labels("id"))
+          .groupBy(col("src").as("id2")).agg(min(col("label")).as("nbr"))
+        val next = labels.join(nbrMin, labels("id") === nbrMin("id2"), "left")
+          .select(labels("id"),
+            least(col("label"), coalesce(col("nbr"), col("label")))
+              .as("label"))
+          .persist()
+        next.count() // materialize before probing for change
+        val improved = next.withColumnRenamed("label", "nl")
+          .join(labels.withColumnRenamed("label", "ol"), Seq("id"))
+          .filter(col("nl") < col("ol"))
+          .limit(1).count() > 0
+        labels.unpersist()
+        labels = next
+        converged = !improved
+        iter += 1
+      }
+      require(converged,
+        s"connectedComponents did not converge in $maxIters rounds — " +
+          "component diameter exceeds the bound; raise maxIters")
+      // detach the result from the persisted lineage so callers can use
+      // it after this method's frames are unpersisted by a later cleanup
+      labels.select(col("id"), col("label").as("cluster"))
+    } finally sym.unpersist()
+  }
+
   /** Mersenne prime 2^31-1: modulus of the Carter-Wegman hash family.
     * With inputs reduced to 30 bits and a < p, products stay below 2^61
     * (no 64-bit overflow — engines with checked arithmetic compute

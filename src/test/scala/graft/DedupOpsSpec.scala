@@ -134,6 +134,35 @@ class DedupOpsSpec extends SparkTestBase {
       maxChunkFreq = 1L).count() == 0)
   }
 
+  test("connectedComponents labels every node with its component min") {
+    import spark.implicits._
+    // a diameter-3 chain, a separate pair, and a triangle (cycle)
+    val pairs = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L),
+      (20L, 21L), (21L, 22L), (22L, 20L)).toDF("id_a", "id_b")
+    val out = graft.operators.DedupOps
+      .connectedComponents(pairs, "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+    // input order / edge direction must not matter
+    val reversed = graft.operators.DedupOps
+      .connectedComponents(
+        pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b"))
+          .orderBy(col("id_a").desc), "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+    assert(reversed == out)
+    // empty pair list → empty labeling, and the loop still terminates
+    val empty = graft.operators.DedupOps.connectedComponents(
+      Seq.empty[(Long, Long)].toDF("id_a", "id_b"), "id_a", "id_b")
+    assert(empty.count() == 0)
+    // too-small iteration bound fails loudly, not silently
+    intercept[IllegalArgumentException] {
+      graft.operators.DedupOps.connectedComponents(
+        Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
+          .toDF("id_a", "id_b"), "id_a", "id_b", maxIters = 1)
+    }
+  }
+
   test("shingleIndex drops shingles above the doc-frequency cap") {
     val withSh = docs
       .select(col("doc_id"), DedupOps.shingles(col("toks"), 3).as("sh"))
