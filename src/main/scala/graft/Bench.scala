@@ -16,8 +16,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Bench {
 
   /** Fixed-order headline set: the reference-surface queries plus at
-    * least one representative per query family of every extension (43 of
-    * the 67 registered queries). The quadratic-by-construction baselines
+    * least one representative per query family of every extension (44 of
+    * the 68 registered queries). The quadratic-by-construction baselines
     * (d6 brute near-dup) are excluded — their scale paths (d3
     * MinHash-LSH, v5 banded-LSH) are what belongs in a benchmark; the
     * remainder are timed under SPARK_GRAFT_BENCH_ALL.
@@ -38,7 +38,7 @@ object Bench {
     "st1_tumbling_window", "st2_sliding_window", "st3_session_window",
     "st4_interval_join", "st5_custom_state",
     // text analysis
-    "x1_token_stats", "x4_fingerprint", "x7_repetition",
+    "x1_token_stats", "x4_fingerprint", "x7_repetition", "x8_tfidf_topk",
     // dedup
     "d1_exact_dedup", "d2_jaccard_pairs", "d3_minhash_lsh",
     "d4_simhash", "d5_simhash_pairs", "d7_dedup_clusters",

@@ -105,6 +105,30 @@ object QueriesText {
           when(col("bucket") < 80, "train")
             .when(col("bucket") < 90, "val")
             .otherwise("test").as("split"))
+    }),
+
+    // TF-IDF top-3 terms per document. The idf factor is the exact IEEE
+    // ratio N/df rather than a log: libm log implementations differ in
+    // the last ulp across engines and a hash-compared oracle can't
+    // tolerate that; division is bit-specified, and for ranking the
+    // monotone transform changes nothing. Shape: explode → two hash
+    // aggs → equi-join on term (AQE broadcasts the vocabulary side when
+    // it's small; at web scale it stays a shuffle join) → window top-k.
+    "x8_tfidf_topk" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val tf = DedupOps.spread(docs.select(col("doc_id"),
+        explode(TextOps.tokens(col("text"))).as("term")))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val docFreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+      val scored = tf.join(docFreq, Seq("term"))
+        .crossJoin(broadcast(nDocs))
+        .withColumn("tfidf", round(
+          col("tf") * (col("n_docs").cast("double") / col("df")), 6))
+      graft.operators.RelationalOps.topKPerGroup(scored, Seq("doc_id"),
+        Seq(col("tfidf").desc, col("term").asc), 3, rankCol = "rank")
+        .select(col("doc_id"), col("term"), col("tf"), col("tfidf"),
+          col("rank").cast("long").as("rank"))
     })
   )
 
@@ -203,6 +227,21 @@ object QueriesText {
         |  CASE WHEN bucket < 80 THEN 'train'
         |       WHEN bucket < 90 THEN 'val'
         |       ELSE 'test' END AS split
-        |FROM b""".stripMargin
+        |FROM b""".stripMargin,
+    "x8_tfidf_topk" ->
+      s"""WITH t AS (SELECT doc_id, unnest($toksSql) AS term
+         |      FROM documents),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+         |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |n AS (SELECT count(*) AS n_docs FROM documents),
+         |sc AS (SELECT doc_id, term, tf,
+         |      round(tf * (CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
+         |      FROM tf JOIN df USING (term) CROSS JOIN n),
+         |r AS (SELECT doc_id, term, tf, tfidf,
+         |      row_number() OVER (PARTITION BY doc_id
+         |        ORDER BY tfidf DESC, term) AS rank
+         |      FROM sc)
+         |SELECT doc_id, term, tf, tfidf, rank FROM r WHERE rank <= 3"""
+        .stripMargin
   )
 }
