@@ -174,8 +174,11 @@ object DedupOps {
       col(idBCol).cast("long").as("dst"))
     val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
       .persist()
-    var labels = sym.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("label")).persist()
+    // fuse round 1 into the init: every node starts at min(own id,
+    // direct neighbors) — one fewer iteration for free
+    var labels = sym.groupBy(col("src"))
+      .agg(least(min(col("dst")), col("src")).as("label"))
+      .select(col("src").as("id"), col("label")).persist()
     try {
       var iter = 0
       var converged = false
@@ -187,7 +190,8 @@ object DedupOps {
             least(col("label"), coalesce(col("nbr"), col("label")))
               .as("label"))
           .persist()
-        next.count() // materialize before probing for change
+        // ONE action per round: the change probe materializes `next` into
+        // its cache as a side effect (persist caches on first evaluation)
         val improved = next.withColumnRenamed("label", "nl")
           .join(labels.withColumnRenamed("label", "ol"), Seq("id"))
           .filter(col("nl") < col("ol"))
