@@ -116,8 +116,11 @@ object QueriesText {
     // it's small; at web scale it stays a shuffle join) → window top-k.
     "x8_tfidf_topk" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val tf = DedupOps.spread(docs.select(col("doc_id"),
-        explode(TextOps.tokens(col("text"))).as("term")))
+      // spread the raw docs, not the exploded terms: the repartition then
+      // moves ~N documents instead of ~N×200 term rows
+      val tf = DedupOps.spread(docs.select(col("doc_id"), col("text")))
+        .select(col("doc_id"), explode(TextOps.tokens(col("text")))
+          .as("term"))
         .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
       val docFreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
       val nDocs = docs.agg(count(lit(1)).as("n_docs"))
