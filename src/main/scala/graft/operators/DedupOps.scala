@@ -167,6 +167,22 @@ object DedupOps {
     * Output: (id, cluster) — every node that appears in `pairs`, labeled
     * with the min id of its component. Docs in no pair are their own
     * cluster by definition and don't need rows.
+    *
+    * Every round LOCAL-CHECKPOINTS its labels instead of persisting them:
+    * round i+1's plan references round i TWICE (once in the neighbor join,
+    * once in the merge), so under plain caching the logical plan doubles
+    * per round and — worse — plan-STRING rendering (the per-action SQL
+    * event) expands the shared DAG into a tree, growing 4× per round:
+    * measured 13 KB (round 1) → 261 MB (round 8) → heap OOM around round
+    * 9 on a plain 60-node chain. The lazy checkpoint truncates the plan
+    * to a LogicalRDD immediately (constant-size plans at any round
+    * count), and the round's single probe action materializes it —
+    * `doCheckpoint` computes any partitions the `limit(1)` probe skipped
+    * before truncating lineage, so no recompute can miss data. Nothing is
+    * registered in the CacheManager, so repeated calls leak no cache
+    * entries (the checkpoint blocks of dropped rounds — and of the
+    * returned frame, once the caller drops it — are freed by the
+    * ContextCleaner when their RDDs are garbage-collected).
     */
   def connectedComponents(pairs: DataFrame, idACol: String, idBCol: String,
       maxIters: Int = 50): DataFrame = {
@@ -178,7 +194,8 @@ object DedupOps {
     // direct neighbors) — one fewer iteration for free
     var labels = sym.groupBy(col("src"))
       .agg(least(min(col("dst")), col("src")).as("label"))
-      .select(col("src").as("id"), col("label")).persist()
+      .select(col("src").as("id"), col("label"))
+      .localCheckpoint(eager = false)
     try {
       var iter = 0
       var converged = false
@@ -189,14 +206,13 @@ object DedupOps {
           .select(labels("id"),
             least(col("label"), coalesce(col("nbr"), col("label")))
               .as("label"))
-          .persist()
+          .localCheckpoint(eager = false)
         // ONE action per round: the change probe materializes `next` into
-        // its cache as a side effect (persist caches on first evaluation)
+        // its checkpoint as a side effect
         val improved = next.withColumnRenamed("label", "nl")
           .join(labels.withColumnRenamed("label", "ol"), Seq("id"))
           .filter(col("nl") < col("ol"))
           .limit(1).count() > 0
-        labels.unpersist()
         labels = next
         converged = !improved
         iter += 1
@@ -204,8 +220,9 @@ object DedupOps {
       require(converged,
         s"connectedComponents did not converge in $maxIters rounds — " +
           "component diameter exceeds the bound; raise maxIters")
-      // detach the result from the persisted lineage so callers can use
-      // it after this method's frames are unpersisted by a later cleanup
+      // labels is a checkpointed LogicalRDD: this projection carries no
+      // dependency on anything this method persisted (sym is released in
+      // the finally), so callers hold exactly one output-sized frame
       labels.select(col("id"), col("label").as("cluster"))
     } finally sym.unpersist()
   }

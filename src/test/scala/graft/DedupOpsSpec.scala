@@ -163,6 +163,22 @@ class DedupOpsSpec extends SparkTestBase {
     }
   }
 
+  test("connectedComponents survives a 200-node path graph (lineage cut)") {
+    import spark.implicits._
+    // Adversarial chain: diameter 199, so min-label propagation needs
+    // ~199 rounds. Without the per-round localCheckpoint the rendered
+    // plan grows 4x per round and OOMs the driver near round 9; with it
+    // every round's plan is a constant-size join of two LogicalRDDs.
+    // Edges shuffled so the result can't fall out of input order.
+    val n = 200L
+    val edges = scala.util.Random.shuffle(
+      (1L until n).map(i => (i, i + 1)).toList).toDF("id_a", "id_b")
+    val out = DedupOps.connectedComponents(edges, "id_a", "id_b",
+      maxIters = 250)
+      .as[(Long, Long)].collect().toMap
+    assert(out == (1L to n).map(_ -> 1L).toMap)
+  }
+
   test("shingleIndex drops shingles above the doc-frequency cap") {
     val withSh = docs
       .select(col("doc_id"), DedupOps.shingles(col("toks"), 3).as("sh"))
