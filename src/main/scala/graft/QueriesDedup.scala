@@ -31,7 +31,7 @@ object QueriesDedup {
     * tokenization per scale dir. The same pattern at 100 TB is
     * "tokenize once → checkpoint → fan out to every signature".
     */
-  private def docsWithTokens(s: SparkSession, d: String): DataFrame = {
+  private[graft] def docsWithTokens(s: SparkSession, d: String): DataFrame = {
     val df = DedupOps.spread(
       Tables.documents(s, d)
         .select(col("doc_id"), TextOps.tokens(col("text")).as("toks")))

@@ -111,19 +111,14 @@ object QueriesText {
     // ratio N/df rather than a log: libm log implementations differ in
     // the last ulp across engines and a hash-compared oracle can't
     // tolerate that; division is bit-specified, and for ranking the
-    // monotone transform changes nothing. Shape: explode → two hash
-    // aggs → equi-join on term (AQE broadcasts the vocabulary side when
-    // it's small; at web scale it stays a shuffle join) → window top-k.
+    // monotone transform changes nothing. Shape: persisted tf frame →
+    // one hash agg for df → equi-join on term (AQE broadcasts the
+    // vocabulary side when it's small; at web scale it stays a shuffle
+    // join) → window top-k.
     "x8_tfidf_topk" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      // spread the raw docs, not the exploded terms: the repartition then
-      // moves ~N documents instead of ~N×200 term rows
-      val tf = DedupOps.spread(docs.select(col("doc_id"), col("text")))
-        .select(col("doc_id"), explode(TextOps.tokens(col("text")))
-          .as("term"))
-        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val tf = tfFrame(s, d)
       val docFreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
-      val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+      val nDocs = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
       val scored = tf.join(docFreq, Seq("term"))
         .crossJoin(broadcast(nDocs))
         .withColumn("tfidf", round(
@@ -134,6 +129,28 @@ object QueriesText {
           col("rank").cast("long").as("rank"))
     })
   )
+
+  /** Per-document term frequencies, PERSISTED (the docsWithTokens house
+    * pattern: CacheManager plan-equality makes re-invocations reuse the
+    * entry). The `tf` subtree feeds BOTH branches of x8's term join —
+    * the tf rows themselves and the df aggregate over them — and
+    * `ReuseExchange` only deduplicates identical exchanges by luck of
+    * physical planning; the cache makes the reuse structural, so
+    * tokenize + explode + count runs ONCE per scale dir and the join
+    * reads materialized rows on both sides. Tokenization itself comes
+    * from the dedup family's shared cache ([[QueriesDedup.docsWithTokens]]),
+    * which also spreads the single-split scan across the machine. At
+    * 100 TB this is the same "aggregate once → checkpoint → fan out"
+    * discipline as the signature frames.
+    */
+  private def tfFrame(s: SparkSession, d: String): DataFrame = {
+    val df = QueriesDedup.docsWithTokens(s, d)
+      .select(col("doc_id"), explode(col("toks")).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+      df.persist()
+    else df
+  }
 
   private val enList = "['the','a','and','of','to','in','is']"
   private val deList = "['der','die','das','und','ist','ein']"
