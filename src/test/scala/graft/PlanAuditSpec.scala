@@ -68,17 +68,34 @@ class PlanAuditSpec extends SparkTestBase {
 
   test("headline queries stay inside whole-stage codegen") {
     // every headline plan must contain at least one codegen stage — a
-    // fully interpreted plan is a 10-40x regression waiting to happen
-    for (q <- Bench.headline.filterNot(Set("m3_header_decode",
-      "st5_custom_state"))) { // object-serde operators: no codegen stages
-      val p = plan(q)
-      // non-AQE simple-mode plans mark codegen stages with a "*(n)"
-      // operator prefix; AQE initial plans (isFinalPlan=false) carry no
-      // codegen markers until executed — CollapseCodegenStages runs per
-      // stage at runtime, so AdaptiveSparkPlan itself is the guarantee
-      assert(p.contains("WholeStageCodegen") || p.contains("*(") ||
-        p.contains("AdaptiveSparkPlan"),
-        s"$q lost whole-stage codegen:\n$p")
-    }
+    // fully interpreted plan is a 10-40x regression waiting to happen.
+    // AQE initial plans carry no codegen markers until executed (a
+    // previous form of this guard accepted any "AdaptiveSparkPlan",
+    // which every plan has — it could never fire), so the assertion
+    // runs with AQE off: CollapseCodegenStages then applies at planning
+    // time and marks codegen stages with the "*(n)" prefix.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      // object-serde operators (mapPartitions / flatMapGroupsWithState
+      // cores) have no codegen stages by design
+      for (q <- Bench.headline.filterNot(Set("m2_decode_features",
+        "m3_header_decode", "st5_custom_state"))) {
+        val p = plan(q)
+        assert(p.contains("*("), s"$q lost whole-stage codegen:\n$p")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("x8 tokenizes and aggregates once: both term-join branches read " +
+    "the persisted tf frame") {
+    val df = physical("x8_tfidf_topk")
+    df.write.format("noop").mode("overwrite").save()
+    val p = df.queryExecution.executedPlan.toString
+    // tf rows and the df aggregate over them must BOTH come from the
+    // cache — two InMemoryTableScans; a plan that re-derives either
+    // branch from parquet re-runs tokenize+explode+agg per branch
+    val scans = "InMemoryTableScan".r.findAllIn(p).size
+    assert(scans >= 2,
+      s"x8 must read the tf cache on both join branches (got $scans):\n$p")
   }
 }
