@@ -14,9 +14,8 @@ import graft.sources.Tables
   * including the interval join over two MemoryStreams and the
   * custom-state sessionizer's timeout flush); the oracle checks them over
   * the batch frame. m3 oracle-verifies the real header-decode slice of
-  * the multimodal path; m2 exercises the mapPartitions pixel-decode stub
-  * — not SQL-expressible, so it has no oracle and the driver records a
-  * rows-only check.
+  * the multimodal path; m2 oracle-verifies the real pixel-decode slice
+  * (24bpp BMP pixel arrays, byte-level round trip).
   */
 object QueriesStreaming {
 
@@ -77,12 +76,26 @@ object QueriesStreaming {
         (DedupOps.hash60(lit("h"), col("text")) % 480 + 1).as("height"))
     }),
 
-    // mapPartitions batch-decode path (rows-only check: no oracle).
+    // REAL pixel decode: synthesize complete 24bpp BMPs (headers + a
+    // deterministic pixel array), parse the pixel bytes back out, and
+    // reduce them to brightness + a 16-bin histogram. The oracle
+    // recomputes the statistics from the same md5-seeded pixel formula,
+    // so a decode that misreads any byte — offset, row size, sign
+    // extension — shifts a bin and fails the hash. Ratios are rounded in
+    // the query layer from the decoder's exact integer stats (see
+    // PixelStats); the histogram is emitted LONG-FORM (one row per bin)
+    // so every output column is a hash-friendly scalar.
     "m2_decode_features" -> ((s, d) => {
-      MultimodalOps.decodeFeatures(
-        MultimodalOps.mediaBlobs(Tables.documents(s, d)))
-        .toDF().select("doc_id", "width", "height", "n_frames",
-          "brightness")
+      val n = (col("width") * col("height") * lit(3)).cast("double")
+      MultimodalOps.decodePixelStats(
+        MultimodalOps.synthesizePixelBmps(Tables.documents(s, d)))
+        .toDF()
+        .select(col("doc_id"), col("width"), col("height"),
+          round(col("px_sum") / n, 6).as("brightness"),
+          posexplode(col("hist")))
+        .select(col("doc_id"), col("width"), col("height"),
+          col("brightness"), col("pos").cast("long").as("bin"),
+          round(col("col") / n, 6).as("bin_ratio"))
     }),
 
     // REAL header decode: synthesize spec-conformant PNG/BMP files with
@@ -151,6 +164,30 @@ object QueriesStreaming {
         |  max(ts) + INTERVAL 30 MINUTE AS session_end,
         |  count(*) AS n_events
         |FROM g GROUP BY user_id, sess""".stripMargin,
+    "m2_decode_features" ->
+      """WITH p AS (SELECT doc_id,
+        |  (CAST(concat('0x', substr(md5(concat('pw:', text)), 1, 15))
+        |    AS BIGINT) % 8 + 1) * 4 AS width,
+        |  CAST(concat('0x', substr(md5(concat('ph:', text)), 1, 15))
+        |    AS BIGINT) % 8 + 1 AS height,
+        |  CAST(concat('0x', substr(md5(concat('pa:', text)), 1, 15))
+        |    AS BIGINT) % 256 AS a,
+        |  CAST(concat('0x', substr(md5(concat('pb:', text)), 1, 15))
+        |    AS BIGINT) % 256 AS b
+        |  FROM documents),
+        |px AS (SELECT doc_id, width, height,
+        |  list_transform(range(width * height * 3),
+        |    i -> (a * i + b) % 256) AS vs
+        |  FROM p)
+        |SELECT doc_id, width, height,
+        |  round(list_reduce(list_prepend(CAST(0 AS BIGINT), vs),
+        |      (x, y) -> x + y)
+        |    / CAST(width * height * 3 AS DOUBLE), 6) AS brightness,
+        |  bin,
+        |  round(len(list_filter(vs, v -> v // 16 = bin))
+        |    / CAST(width * height * 3 AS DOUBLE), 6) AS bin_ratio
+        |FROM px CROSS JOIN (SELECT unnest(range(16)) AS bin) r(bin)"""
+        .stripMargin,
     "m3_header_decode" ->
       """SELECT doc_id,
         |  CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'bmp' END AS format,

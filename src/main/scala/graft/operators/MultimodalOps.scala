@@ -12,9 +12,14 @@ import org.apache.spark.sql.functions._
 final case class MediaBlob(doc_id: Long, media_type: String,
     payload: Array[Byte])
 
-/** Fixed-schema decode output: typed metadata + a small feature vector. */
-final case class MediaFeatures(doc_id: Long, width: Int, height: Int,
-    n_frames: Int, brightness: Double, histogram: Array[Float])
+/** Pixel-decode output: dims plus RAW integer pixel statistics (byte sum
+  * and 16-bin histogram counts). The stats stay exact integers so the
+  * query layer can derive ratios with engine-parity rounding
+  * (`round(sum/n, 6)` agrees between Spark and the DuckDB oracle; a
+  * Double produced by JVM-side arithmetic might not).
+  */
+final case class PixelStats(doc_id: Long, width: Long, height: Long,
+    px_sum: Long, hist: Array[Long])
 
 /** Header-decode output: what a real format sniffer recovers from the
   * first bytes of an image payload without a pixel codec.
@@ -25,17 +30,19 @@ final case class MediaHeader(doc_id: Long, format: String, width: Long,
 /** Multimodal-column plumbing (north-star extension): binary columns in,
   * typed features out, via per-partition batch decode.
   *
-  * Two decode tiers:
-  *  - [[decodeHeaders]] is REAL: it parses spec-conformant PNG/BMP
-  *    header bytes (format sniff + width/height), oracle-verified via
+  * Both decode tiers are REAL byte-level codecs (no library dependency,
+  * because the formats involved are simple enough to parse by hand):
+  *  - [[decodeHeaders]] parses spec-conformant PNG/BMP header bytes
+  *    (format sniff + width/height), oracle-verified via
   *    `m3_header_decode` over synthesized real image files;
-  *  - [[decodeOne]] (pixel features) remains a STUB — this container
-  *    ships no pixel codecs. It derives deterministic fake features from
-  *    the payload bytes where a real implementation would call
-  *    libjpeg/ffmpeg (JNI) or hand the iterator to an Arrow-batched
-  *    Python worker.
+  *  - [[decodePixelStats]] parses a 24bpp uncompressed BMP — header AND
+  *    pixel array — and computes brightness/histogram statistics from
+  *    the actual BGR bytes, oracle-verified via `m2_decode_features`
+  *    over [[synthesizePixelBmps]] fixtures. A compressed format
+  *    (JPEG/H.264) would swap in libjpeg/ffmpeg (JNI) or an
+  *    Arrow-batched Python worker behind the same iterator interface.
   * What the tests pin down either way is the Spark-side contract:
-  *  - schema: binary + metadata in, fixed `MediaFeatures` schema out;
+  *  - schema: binary + metadata in, fixed typed schema out;
   *  - batch shape: `mapPartitions` hands the decoder a whole partition's
   *    iterator, so codec/model initialization happens once per partition
   *    (per-row init is the classic 100×-slowdown mistake);
@@ -93,6 +100,68 @@ object MultimodalOps {
       bb.array() // remaining 24 info-header bytes stay zero
     }
 
+    /** Complete 24bpp uncompressed BMP: headers + a REAL pixel array
+      * (`width*height*3` BGR bytes, bottom-up rows per the spec). Width
+      * must be a multiple of 4 so each row's `width*3` bytes already end
+      * on the 4-byte boundary the format requires — no padding bytes,
+      * which keeps the file's pixel region a contiguous function of the
+      * linear pixel index (what the oracle replicates in SQL).
+      */
+    def encodeBmp24(width: Int, height: Int,
+        pixels: Array[Byte]): Array[Byte] = {
+      require(width % 4 == 0,
+        s"encodeBmp24 width must be a multiple of 4 (no row padding), " +
+          s"got $width")
+      require(pixels.length == width * height * 3,
+        s"pixel array must be width*height*3 = ${width * height * 3} " +
+          s"bytes, got ${pixels.length}")
+      val bb = ByteBuffer.allocate(54 + pixels.length)
+        .order(ByteOrder.LITTLE_ENDIAN)
+      bb.put('B'.toByte).put('M'.toByte)
+        .putInt(54 + pixels.length) // file size
+        .putInt(0) // reserved
+        .putInt(54) // pixel-data offset
+        .putInt(40) // info-header size
+        .putInt(width).putInt(height)
+        .putShort(1) // planes
+        .putShort(24) // bits per pixel
+      bb.position(54) // remaining info-header bytes stay zero
+      bb.put(pixels)
+      bb.array()
+    }
+
+    /** Parse a 24bpp BMP INCLUDING its pixel array: byte sum + 16-bin
+      * byte-value histogram over the `width*height*3` BGR bytes at the
+      * header-declared pixel offset. Returns None for non-BMP payloads,
+      * padded row sizes (width not a multiple of 4 — out of scope for
+      * the fixture codec), or a truncated pixel region. Shape:
+      * (width, height, pixelByteSum, histCounts[16]).
+      */
+    def decodeBmp24(bytes: Array[Byte])
+        : Option[(Int, Int, Long, Array[Long])] = {
+      decode(bytes) match {
+        case Some(("bmp", w, h)) if w > 0 && w % 4 == 0 && h > 0 =>
+          // pixel-data offset from BITMAPFILEHEADER bytes 10-13
+          val off = ByteBuffer.wrap(bytes, 10, 4)
+            .order(ByteOrder.LITTLE_ENDIAN).getInt
+          val n = w * h * 3
+          if (off < 54 || off.toLong + n > bytes.length) None
+          else {
+            var sum = 0L
+            val hist = new Array[Long](16)
+            var i = 0
+            while (i < n) {
+              val v = bytes(off + i) & 0xff
+              sum += v
+              hist(v >> 4) += 1
+              i += 1
+            }
+            Some((w, h, sum, hist))
+          }
+        case _ => None
+      }
+    }
+
     /** Sniff + parse: Some((format, width, height)) or None. */
     def decode(bytes: Array[Byte]): Option[(String, Int, Int)] = {
       if (bytes.length >= 24 && bytes.take(8).sameElements(PngSig) &&
@@ -106,40 +175,52 @@ object MultimodalOps {
     }
   }
 
-  /** Wrap documents as fake media blobs (payload = utf-8 bytes). The raw
-    * scan is spread first so the per-partition decode downstream uses the
-    * whole machine, not the scan's single input split.
+  /** Synthesize complete 24bpp BMPs — real headers AND a real pixel
+    * array — whose dims and pixel bytes derive deterministically from
+    * the document text by the same md5 formula the `m2` oracle
+    * replicates in SQL: width in {4..32} (multiple of 4 → padding-free
+    * rows), height in {1..8}, and pixel byte i = (a*i + b) mod 256 with
+    * md5-seeded (a, b). A decode that misreads ANY header field or
+    * pixel byte (offset, row size, sign extension) shifts the sum or a
+    * histogram bin and fails the oracle hash — the byte-level round
+    * trip is what's verified, not formula-vs-formula.
     */
-  def mediaBlobs(docs: DataFrame): Dataset[MediaBlob] = {
+  def synthesizePixelBmps(docs: DataFrame): Dataset[MediaBlob] = {
     import docs.sparkSession.implicits._
-    DedupOps.spread(docs)
-      .select(col("doc_id"), lit("image/fake").as("media_type"),
-        encode(col("text"), "UTF-8").as("payload")).as[MediaBlob]
+    // project to five longs BEFORE the spread: the repartition exchange
+    // then moves 40 bytes per row, not the text
+    DedupOps.spread(docs.select(col("doc_id"),
+      ((DedupOps.hash60(lit("pw"), col("text")) % 8 + 1) * 4).as("w"),
+      (DedupOps.hash60(lit("ph"), col("text")) % 8 + 1).as("h"),
+      (DedupOps.hash60(lit("pa"), col("text")) % 256).as("a"),
+      (DedupOps.hash60(lit("pb"), col("text")) % 256).as("b")))
+      .as[(Long, Long, Long, Long, Long)]
+      .mapPartitions(_.map { case (id, w, h, a, b) =>
+        val n = (w * h * 3).toInt
+        val px = new Array[Byte](n)
+        var i = 0
+        while (i < n) { px(i) = ((a * i + b) % 256).toByte; i += 1 }
+        MediaBlob(id, "image/bmp",
+          ImageHeaders.encodeBmp24(w.toInt, h.toInt, px))
+      })
   }
 
-  /** STUB decode: deterministic fake. Real codec goes here. */
-  def decodeOne(b: MediaBlob): MediaFeatures = {
-    val bytes = b.payload
-    // stand-in for "parse the header": dims from a byte hash
-    val h = bytes.foldLeft(0L)((acc, x) => (acc * 31 + (x & 0xff)) &
-      0x7fffffffffffffffL)
-    val hist = new Array[Float](16)
-    bytes.foreach(x => hist((x & 0xff) % 16) += 1f)
-    val n = math.max(bytes.length, 1)
-    MediaFeatures(b.doc_id,
-      width = (h % 640 + 1).toInt,
-      height = (h / 640 % 480 + 1).toInt,
-      n_frames = (h % 30 + 1).toInt,
-      brightness = bytes.map(x => (x & 0xff).toDouble).sum / n,
-      histogram = hist.map(_ / n))
-  }
-
-  /** Batch decode: one decoder per partition, streaming the iterator. */
-  def decodeFeatures(blobs: Dataset[MediaBlob]): Dataset[MediaFeatures] = {
+  /** REAL pixel decode: parse the 24bpp BMP pixel array out of the
+    * payload bytes and reduce it to exact integer statistics (byte sum,
+    * 16-bin histogram counts — ratios and rounding belong to the query
+    * layer, see [[PixelStats]]). Same mapPartitions batch shape as
+    * [[decodeHeaders]]: a real codec would initialize once per
+    * partition here. Undecodable payloads are dropped (production would
+    * route them to a quarantine sink).
+    */
+  def decodePixelStats(blobs: Dataset[MediaBlob]): Dataset[PixelStats] = {
     import blobs.sparkSession.implicits._
     blobs.mapPartitions { it =>
-      // real impl: initialize the codec/model ONCE here, then map
-      it.map(decodeOne)
+      it.flatMap { b =>
+        ImageHeaders.decodeBmp24(b.payload).map { case (w, h, sum, hist) =>
+          PixelStats(b.doc_id, w.toLong, h.toLong, sum, hist)
+        }
+      }
     }
   }
 
@@ -183,13 +264,14 @@ object MultimodalOps {
     }
   }
 
-  /** Frame sampling stub: every k-th frame index of a video payload —
-    * the row-explosion shape (1 blob → n_frames/k rows) that matters for
-    * sizing downstream partitions.
+  /** Frame sampling: every k-th frame index of a video payload — the
+    * row-explosion shape (1 blob → n_frames/k rows) that matters for
+    * sizing downstream partitions. Takes any frame-count frame
+    * (doc_id, n_frames); a video codec would supply n_frames the way
+    * [[decodeHeaders]] supplies dims.
     */
-  def sampleFrames(features: Dataset[MediaFeatures], everyK: Int)
-      : DataFrame =
-    features.toDF().select(col("doc_id"),
+  def sampleFrames(frames: DataFrame, everyK: Int): DataFrame =
+    frames.select(col("doc_id"),
       explode(sequence(lit(0), col("n_frames") - 1, lit(everyK)))
         .as("frame_idx"))
 }

@@ -10,28 +10,45 @@ class MultimodalOpsSpec extends SparkTestBase {
     (1L, "hello world"), (2L, ""), (3L, "αβγ") // incl. empty + multibyte
   ).toDF("doc_id", "text")
 
-  test("mediaBlobs carries utf-8 payload bytes with typed schema") {
-    val blobs = MultimodalOps.mediaBlobs(docs).collect()
-      .map(b => b.doc_id -> b.payload.length).toMap
-    assert(blobs == Map(1L -> 11, 2L -> 0, 3L -> 6))
+  test("encodeBmp24/decodeBmp24: pixel bytes round-trip exactly") {
+    import MultimodalOps.ImageHeaders
+    // 4x2 image, 24 pixel bytes with every nibble bin represented
+    val px = Array.tabulate(24)(i => (i * 11).toByte)
+    val bmp = ImageHeaders.encodeBmp24(4, 2, px)
+    val Some((w, h, sum, hist)) = ImageHeaders.decodeBmp24(bmp)
+    assert((w, h) == (4, 2))
+    assert(sum == px.map(_ & 0xff).sum.toLong)
+    val expectHist = new Array[Long](16)
+    px.foreach(b => expectHist((b & 0xff) >> 4) += 1)
+    assert(hist.toSeq == expectHist.toSeq)
+    // sign extension trap: bytes >= 0x80 must count as 128..255
+    val dark = ImageHeaders.encodeBmp24(4, 1, Array.fill(12)(0xff.toByte))
+    assert(ImageHeaders.decodeBmp24(dark).get._3 == 255L * 12)
+    // rejects: non-BMP, padded width, truncated pixel region
+    assert(ImageHeaders.decodeBmp24(ImageHeaders.encodePng(4, 2)).isEmpty)
+    assert(ImageHeaders.decodeBmp24(ImageHeaders.encodeBmp(5, 2)).isEmpty)
+    assert(ImageHeaders.decodeBmp24(bmp.dropRight(1)).isEmpty)
   }
 
-  test("decodeFeatures: fixed schema, deterministic, bounded dims") {
-    val f = MultimodalOps.decodeFeatures(MultimodalOps.mediaBlobs(docs))
-      .collect().map(x => x.doc_id -> x).toMap
-    assert(f.keySet == Set(1L, 2L, 3L))
-    f.values.foreach { x =>
-      assert(x.width >= 1 && x.width <= 640)
-      assert(x.height >= 1 && x.height <= 480)
-      assert(x.n_frames >= 1 && x.n_frames <= 30)
-      assert(x.histogram.length == 16)
+  test("synthesizePixelBmps → decodePixelStats: deterministic, exact") {
+    val out = MultimodalOps.decodePixelStats(
+      MultimodalOps.synthesizePixelBmps(docs)).collect()
+      .map(x => x.doc_id -> x).toMap
+    assert(out.keySet == Set(1L, 2L, 3L))
+    out.values.foreach { x =>
+      assert(x.width >= 4 && x.width <= 32 && x.width % 4 == 0)
+      assert(x.height >= 1 && x.height <= 8)
+      assert(x.hist.length == 16)
+      // histogram partitions the pixel bytes; sum is bounded by 255*n
+      val n = x.width * x.height * 3
+      assert(x.hist.sum == n)
+      assert(x.px_sum >= 0 && x.px_sum <= 255L * n)
     }
     // deterministic across runs
-    val again = MultimodalOps.decodeFeatures(MultimodalOps.mediaBlobs(docs))
-      .collect().map(x => x.doc_id -> x.width).toMap
-    assert(again == f.map { case (k, v) => k -> v.width })
-    // empty payload doesn't crash or divide by zero
-    assert(f(2L).brightness == 0.0)
+    val again = MultimodalOps.decodePixelStats(
+      MultimodalOps.synthesizePixelBmps(docs)).collect()
+      .map(x => x.doc_id -> x.px_sum).toMap
+    assert(again == out.map { case (k, v) => k -> v.px_sum })
   }
 
   test("ImageHeaders: PNG/BMP encode-decode round-trip, rejects garbage") {
@@ -68,11 +85,11 @@ class MultimodalOpsSpec extends SparkTestBase {
   }
 
   test("sampleFrames explodes every k-th frame index") {
-    val f = MultimodalOps.decodeFeatures(MultimodalOps.mediaBlobs(docs))
+    val nf = Map(1L -> 1, 2L -> 5, 3L -> 23)
+    val f = nf.toSeq.toDF("doc_id", "n_frames")
     val frames = MultimodalOps.sampleFrames(f, 5)
       .groupBy("doc_id").agg(count(lit(1)).as("n"))
       .as[(Long, Long)].collect().toMap
-    val nf = f.collect().map(x => x.doc_id -> x.n_frames).toMap
     nf.foreach { case (id, n) =>
       assert(frames(id) == (n + 4) / 5) // ceil(n_frames / 5)
     }

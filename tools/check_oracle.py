@@ -84,13 +84,27 @@ def compare(spark, oracle):
     # normalize to comparable reprs, sort rows, compare
     def norm(df):
         import decimal
+        import numpy as np
         out = pd.DataFrame()
         for c in cols:
             col = df[c]
+            # Decimal (or Decimal-and-float mix, e.g. NaN padding) →
+            # float64. No notna() guard: astype maps None→NaN safely, and
+            # an all-NULL object column must still convert so it compares
+            # against Spark's float NaNs instead of as 'None' strings.
             if str(col.dtype) == "object" and col.map(
-                    lambda v: v is None or isinstance(v, decimal.Decimal)
-            ).all() and col.notna().any():
+                    lambda v: v is None or
+                    isinstance(v, (decimal.Decimal, float))).all():
                 col = col.astype("float64")
+            # list/array cells are unhashable and break sort_values;
+            # normalize to tuples (rounded so float lists compare like
+            # scalar float columns)
+            elif str(col.dtype) == "object" and col.map(
+                    lambda v: isinstance(v, (list, np.ndarray))).any():
+                col = col.map(lambda v: tuple(
+                    round(float(x), 9) if isinstance(x, (float, np.floating))
+                    else x for x in v)
+                    if isinstance(v, (list, np.ndarray)) else v)
             if str(col.dtype).startswith("float"):
                 out[c] = col.round(9)
             elif "datetime" in str(col.dtype):
@@ -129,7 +143,23 @@ def selftest():
     assert ok, "Decimal with NULLs must still compare numerically"
     ok, _ = compare(base, base.copy())
     assert ok, "identical frames must PASS"
-    print("selftest: 4/4 ok")
+    # all-NULL object column vs float NaN column must compare numerically
+    ok, _ = compare(
+        pd.DataFrame({"g": ["a", "b"], "s": [float("nan"), float("nan")]}),
+        pd.DataFrame({"g": ["a", "b"], "s": [None, None]}))
+    assert ok, "all-NULL Decimal/object column must PASS against NaNs"
+    # list cells must not crash the row sort and must compare by value
+    import numpy as np
+    ok, _ = compare(
+        pd.DataFrame({"g": ["a", "b"],
+                      "v": [np.array([1.0, 2.0]), np.array([3.0])]}),
+        pd.DataFrame({"g": ["a", "b"], "v": [[1.0, 2.0], [3.0]]}))
+    assert ok, "array cells must compare by value"
+    ok, _ = compare(
+        pd.DataFrame({"g": ["a"], "v": [np.array([1.0, 2.0])]}),
+        pd.DataFrame({"g": ["a"], "v": [[1.0, 2.5]]}))
+    assert not ok, "differing array cells must FAIL"
+    print("selftest: 7/7 ok")
 
 if __name__ == "__main__":
     if len(sys.argv) == 2 and sys.argv[1] == "--selftest":
