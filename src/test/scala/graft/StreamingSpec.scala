@@ -172,6 +172,78 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed == Set((10L, 20L), (11L, 22L)))
   }
 
+  // ---- file-source deploy path (beyond MemoryStream) -------------------
+
+  /** Land a frame as ONE parquet file directly in `dir` (the layout a
+    * file-source stream actually ingests — files, not nested dirs).
+    */
+  private def land(df: org.apache.spark.sql.DataFrame,
+      dir: java.io.File, name: String): Unit = {
+    val stage = new java.io.File(dir, s".stage_$name")
+    df.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+    val part = stage.listFiles().find(_.getName.endsWith(".parquet")).get
+    java.nio.file.Files.move(part.toPath,
+      new java.io.File(dir, s"$name.parquet").toPath)
+    stage.listFiles().foreach(_.delete()); stage.delete()
+  }
+
+  test("file-source stream: declared schema → watermark → tumbling agg " +
+    "matches batch") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_land").toFile
+    // two landing files so AvailableNow+maxFilesPerTrigger=1 runs two
+    // micro-batches: the sentinel batch advances the watermark past the
+    // real data, flushing its windows in append mode (same mechanics as
+    // a production stream where later arrivals close earlier windows)
+    land(evs.toDF(), dir, "events_0")
+    Thread.sleep(50) // file source orders batches by mod time
+    land(Seq(Ev(99, t("2024-01-02 12:00:00"), 9, 0.0)).toDF(),
+      dir, "events_1")
+    // the deploy contract: schema DECLARED, never inferred — a streaming
+    // source must not depend on what files happen to be present at start
+    val schema = org.apache.spark.sql.Encoders.product[Ev].schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+    val q = StreamingOps.tumblingAgg(
+      stream.withWatermark("ts", "10 minutes"), "ts", "1 hour",
+      Seq("user_id"))
+      .writeStream.format("memory").queryName("file_tumbling_t")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination(120000) finally q.stop()
+    val streamed = spark.table("file_tumbling_t")
+      .filter("user_id != 9") // the sentinel's own window stays open
+      .select("window_start", "user_id", "n_events", "avg_value")
+      .as[(Timestamp, Long, Long, Double)].collect().toSet
+    val batch = StreamingOps.tumblingAgg(evs.toDF(), "ts", "1 hour",
+      Seq("user_id"))
+      .select("window_start", "user_id", "n_events", "avg_value")
+      .as[(Timestamp, Long, Long, Double)].collect().toSet
+    assert(streamed == batch,
+      "file-source streamed windows must equal the batch form")
+  }
+
+  test("file-source stream: hourlyIncremental dedups and appends to a " +
+    "parquet sink") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_land2").toFile
+    val sink = java.nio.file.Files.createTempDirectory("graft_sink")
+      .toFile.toString
+    land(Seq(evs.head, evs.head, evs(1)).toDF(), dir, "events_0") // dup
+    val schema = org.apache.spark.sql.Encoders.product[Ev].schema
+    val stream = spark.readStream.schema(schema).parquet(dir.toString)
+    val q = StreamingOps.hourlyIncremental(stream, "ts", "1 hour",
+      Seq("user_id", "value"),
+      trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow()) {
+      (batch, _) =>
+        batch.write.mode("append").parquet(sink)
+    }.start()
+    try q.awaitTermination(120000) finally q.stop()
+    val out = spark.read.parquet(sink).select("event_id")
+      .as[Long].collect().toSeq.sorted
+    assert(out == Seq(1L, 2L),
+      "parquet sink must hold exactly the deduped events")
+  }
+
   test("dedupWithinWatermark emits each key once across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val ms = MemoryStream[Ev]
