@@ -3,24 +3,25 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver-run benchmark: times headline queries at SPARK_GRAFT_SF_DIR and
-  * prints ONE JSON line. A warmup pass (table reads + two small queries)
-  * runs first so the timings measure the operators, not JVM/JIT/page-cache
-  * cold start — without it the first heavy query absorbs ~30 s of
-  * one-time cost and per-query attribution is noise.
+  * prints ONE JSON line. A warmup pass (table reads + the full query set
+  * at the smallest scale) runs first so the timings measure the
+  * operators, not JVM/JIT/page-cache cold start — without it the first
+  * heavy query absorbs ~30 s of one-time cost and per-query attribution
+  * is noise.
   *
-  * SPARK_GRAFT_BENCH_ALL=1 times every registered query instead of the
-  * headline set (slower; used for local profiling).
+  * SPARK_GRAFT_BENCH_ALL=1 times every registered query (headline plus
+  * the deliberately-quadratic baselines; used for local profiling).
   * SPARK_GRAFT_BENCH_ONLY=a,b,c times only the named queries (profiling);
   * unknown names warn to stderr, an empty selection exits non-zero.
   */
 object Bench {
 
-  /** Fixed-order headline set: the reference-surface queries plus at
-    * least one representative per query family of every extension (44 of
-    * the 68 registered queries). The quadratic-by-construction baselines
-    * (d6 brute near-dup) are excluded — their scale paths (d3
-    * MinHash-LSH, v5 banded-LSH) are what belongs in a benchmark; the
-    * remainder are timed under SPARK_GRAFT_BENCH_ALL.
+  /** Fixed-order headline set: every oracle-backed query — the
+    * reference surface plus all extension families. The one exclusion
+    * is d6 (brute-force embedding near-dup), quadratic BY CONSTRUCTION
+    * as the documented test-scale exactness baseline; its scale path
+    * (v5 banded-LSH) is what belongs in a benchmark. d6 still runs
+    * under SPARK_GRAFT_BENCH_ALL.
     */
   val headline: Seq[String] = Seq(
     // reference surface (round-1/2 continuity)
@@ -28,17 +29,23 @@ object Bench {
     "a1_weekly_avg", "a2_period_avg", "j1_anti_join_dedup",
     "s2_json_extract", "q1_pricing_summary",
     // relational wave
-    "w1_topk_per_group", "w2_running_total", "w5_window_variants",
-    "t1_topk_global", "j2_revenue_topn", "j5_multiway_join",
-    "j8_asof_join", "j9_range_join", "g1_rollup", "g3_cube",
-    "g6_grouping_sets", "sub3_not_exists", "s5_union_all",
+    "w1_topk_per_group", "w2_running_total", "w3_lag_delta",
+    "w4_moving_avg", "w5_window_variants",
+    "t1_topk_global", "j2_revenue_topn", "j3_left_join_count",
+    "j4_semi_join", "j5_multiway_join", "j6_salted_join", "j7_full_outer",
+    "j8_asof_join", "j9_range_join", "g1_rollup", "g2_distinct_agg",
+    "g3_cube", "g4_pivot", "g5_median_quantity", "g6_grouping_sets",
+    "sub1_scalar_subquery", "sub2_in_subquery", "sub3_not_exists",
+    "s3_intersect_users", "s4_except_users", "s5_union_all",
     // scalar function families
-    "f3_math_funcs",
+    "f1_string_funcs", "f2_date_funcs", "f3_math_funcs",
+    "f4_conditional", "f5_array_funcs", "f6_regex_funcs",
     // streaming (batch form)
     "st1_tumbling_window", "st2_sliding_window", "st3_session_window",
     "st4_interval_join", "st5_custom_state",
     // text analysis
-    "x1_token_stats", "x4_fingerprint", "x7_repetition", "x8_tfidf_topk",
+    "x1_token_stats", "x2_lang_id", "x3_quality_score", "x4_fingerprint",
+    "x5_vocab_topk", "x6_hash_split", "x7_repetition", "x8_tfidf_topk",
     // dedup
     "d1_exact_dedup", "d2_jaccard_pairs", "d3_minhash_lsh",
     "d4_simhash", "d5_simhash_pairs", "d7_dedup_clusters",
@@ -46,7 +53,7 @@ object Bench {
     "v1_cosine_topk", "v2_ann_lsh", "v3_centroid_assign",
     "v4_ivf_topk", "v5_neardup_lsh",
     // multimodal
-    "m1_multimodal_meta", "m3_header_decode")
+    "m1_multimodal_meta", "m2_decode_features", "m3_header_decode")
 
   /** Fully evaluate a query's output. `.count()` is NOT that: Catalyst
     * prunes deterministic projections under count, so a projection-only
@@ -66,6 +73,12 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // The generated-class cache is JVM-wide and defaults to 100
+      // entries; a 60+-query session compiles several codegen stages per
+      // query, so at 100 the passes evict each other's classes and every
+      // re-execution pays Janino again. Size it to hold the whole
+      // suite's classes (static conf — must be set before the session).
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -96,39 +109,79 @@ object Bench {
     // interpreted expression paths (md5, higher-order folds) and fills
     // the codegen cache with exactly the classes the timed runs need —
     // without it, whichever query runs first pays a 10×+ cold-path
-    // penalty and attribution is noise.
+    // penalty and attribution is noise. Warmup failures only warn: the
+    // timed pass will fail the same query loudly.
     for (t <- Seq("region", "nation", "customer", "supplier", "part",
       "orders", "lineitem", "documents", "embeddings"))
-      spark.read.parquet(s"$sfDir/$t.parquet").count()
-    graft.sources.Tables.events(spark, sfDir).count()
+      try spark.read.parquet(s"$sfDir/$t.parquet").count()
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] warmup table $t failed: $e") }
+    try graft.sources.Tables.events(spark, sfDir).count()
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] warmup table events failed: $e") }
     val warmDir =
       if (new java.io.File("/root/testdata/sf0.001").isDirectory)
         "/root/testdata/sf0.001"
       else sfDir
     names.foreach { name =>
       try { force(SparkEntry.queries(name)(spark, warmDir)) }
-      catch { case _: Throwable => () }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] warmup $name failed: $e") }
     }
-    // Two timed passes, report the per-query minimum: the first pass at
-    // target scale still absorbs C2 compilation of that scale's generated
-    // classes (plans differ from the warmup scale under AQE), which makes
-    // single-shot timings bimodal by 10x+. Min-of-2 measures the
-    // operator, not the JIT.
-    def pass(): Map[String, Double] = names.map { name =>
+
+    // One timed execution; None = the query THREW. A failure must never
+    // masquerade as a fast timing — failed queries are excluded from the
+    // total, listed in the JSON, and fail the run's exit code.
+    def time(name: String): Option[Double] = {
       val t0 = System.nanoTime()
-      try { force(SparkEntry.queries(name)(spark, sfDir)) }
-      catch { case _: Throwable => () }
-      val sec = (System.nanoTime() - t0) / 1e9
-      System.err.println(f"[bench] $name $sec%.2fs")
-      name -> sec
-    }.toMap
-    val p1 = pass()
-    val p2 = pass()
-    val results = names.map(n => n -> math.min(p1(n), p2(n)))
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+      try {
+        force(SparkEntry.queries(name)(spark, sfDir))
+        val sec = (System.nanoTime() - t0) / 1e9
+        System.err.println(f"[bench] $name $sec%.2fs")
+        Some(sec)
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] FAIL $name: $e")
+          None
+      }
+    }
+    // Two timed passes + per-query minimum: the first pass at target
+    // scale still absorbs C2 compilation of that scale's generated
+    // classes (plans differ from the warmup scale under AQE), which
+    // makes single-shot timings bimodal by 10x+. Min-of-2 measures the
+    // operator, not the JIT.
+    val p1 = names.map(n => n -> time(n)).toMap
+    val p2 = names.map(n => n -> time(n)).toMap
+    // Contention guard: when the two timings of a non-trivial query
+    // disagree badly (>1.4x and >0.3s apart), something external — GC
+    // burst, a co-scheduled process, page-cache eviction — polluted one
+    // of them; a third sample bounds the damage. Measured on this
+    // machine: suite timings matched isolated ones once samples are
+    // clean, so disagreement is noise, not the operator.
+    val results: Seq[(String, Option[Double])] = names.map { n =>
+      (p1(n), p2(n)) match {
+        case (Some(a), Some(b)) =>
+          val (lo, hi) = (math.min(a, b), math.max(a, b))
+          val best =
+            if (hi > lo * 1.4 && hi - lo > 0.3)
+              time(n).map(math.min(_, lo)).orElse(Some(lo))
+            else Some(lo)
+          n -> best
+        case _ => n -> None
+      }
+    }
+    val ok = results.collect { case (n, Some(s)) => n -> s }
+    val failed = results.collect { case (n, None) => n }
+    val qs = ok.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = ok.map(_._2).sum
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
+    if (failed.nonEmpty) {
+      System.err.println(
+        s"[bench] ERROR: ${failed.size} queries failed: ${failed.mkString(",")}")
+      sys.exit(1)
+    }
   }
 }
