@@ -15,10 +15,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * to recover a single scalar. Profiling showed that parse as the
   * dominant constant of the `s2_json_extract` query (~7 s at sf0.1, >100×
   * a native engine's per-row cost, 24% of the whole bench). This
-  * expression is a single forward byte scan over the `UTF8String` with no
-  * allocation on the hit path, and it participates in whole-stage codegen
-  * (the scan is opaque to Catalyst but the surrounding projection stays
-  * fused).
+  * expression is a single forward byte scan over the `UTF8String` that
+  * builds no parse tree or token objects (the long getter still boxes
+  * its return — a `java.lang.Long` per matched row — and `getBytes` may
+  * copy when the UTF8String isn't exactly array-backed; switch to a
+  * sentinel-plus-found-flag codegen variant if that ever shows in a
+  * profile), and it participates in whole-stage codegen (the scan is
+  * opaque to Catalyst but the surrounding projection stays fused).
   *
   * Semantics (documented scope, asserted against `from_json` in
   * `JsonExpressionsSpec`):
@@ -27,10 +30,15 @@ import org.apache.spark.unsafe.types.UTF8String
   *    `\uXXXX`/backslash escapes in the document never match (the corpus
   *    this engine targets has plain ASCII keys; `from_json` is the
   *    general-shape fallback);
+  *  - duplicate keys: the FIRST occurrence wins (the scan stops at the
+  *    first match), whereas Jackson-based `from_json` keeps the LAST —
+  *    duplicate-key objects are well-formed JSON, so this is a real
+  *    (pinned) divergence; RFC 8259 leaves the behavior undefined;
   *  - `json_get_long`: integral JSON numbers in `Long` range → the value;
   *    floats, exponents, strings, `null`, objects, arrays, overflow,
   *    missing key → null. Matches `from_json('k LONG')` on well-formed
-  *    documents (both reject non-integral and non-numeric values);
+  *    single-occurrence documents (both reject non-integral and
+  *    non-numeric values);
   *  - `json_get_string`: string values → the unescaped text (full
   *    `\" \\ \/ \b \f \n \r \t \uXXXX` + surrogate-pair handling);
   *    numbers and booleans → their literal text; `null`, objects,

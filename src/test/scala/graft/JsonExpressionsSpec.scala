@@ -75,6 +75,20 @@ class JsonExpressionsSpec extends SparkTestBase {
     assert(viaFromJson.isEmpty)
   }
 
+  test("duplicate keys: first occurrence wins (documented drift)") {
+    // duplicate-key objects are well-formed JSON (RFC 8259 leaves the
+    // behavior undefined); the scanner stops at the FIRST match while
+    // Jackson-based from_json keeps the LAST. Pin both sides.
+    val doc = """{"k": 1, "k": 2}"""
+    assert(longOf(doc) == Some(1L))
+    val viaFromJson = Seq(doc).toDF("j")
+      .select(from_json(col("j"), StructType.fromDDL("k LONG"))
+        .getField("k").as("v"))
+      .as[Option[Long]].collect()(0)
+    assert(viaFromJson == Some(2L))
+    assert(strOf("""{"k": "a", "k": "b"}""") == Some("a"))
+  }
+
   test("json_get_string: strings unescape, scalars keep text, rest null") {
     assert(strOf("""{"k": "plain"}""") == Some("plain"))
     assert(strOf("""{"k": "a\"b\\c\/d\ne\tf"}""") == Some("a\"b\\c/d\ne\tf"))
