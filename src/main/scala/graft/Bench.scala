@@ -43,9 +43,12 @@ object Bench {
     // streaming (batch form)
     "st1_tumbling_window", "st2_sliding_window", "st3_session_window",
     "st4_interval_join", "st5_custom_state",
-    // text analysis
+    // text analysis + curation (sampling, packing)
     "x1_token_stats", "x2_lang_id", "x3_quality_score", "x4_fingerprint",
     "x5_vocab_topk", "x6_hash_split", "x7_repetition", "x8_tfidf_topk",
+    "x9_hash_sample", "x10_stratified_sample", "x11_pack_sequences",
+    // cardinality sketches
+    "sk1_hll_distinct", "sk2_kmv_distinct",
     // dedup
     "d1_exact_dedup", "d2_jaccard_pairs", "d3_minhash_lsh",
     "d4_simhash", "d5_simhash_pairs", "d7_dedup_clusters",

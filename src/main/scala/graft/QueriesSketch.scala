@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.SketchOps
+import graft.sources.Tables
+
+/** Cardinality-sketch queries (north-star extension, SURVEY.md §2.10):
+  * portable HyperLogLog and KMV distinct-count estimation over
+  * `lineitem.l_orderkey` (the highest-cardinality key in the test data:
+  * ~1.5k / 15k / 150k distinct at sf0.001 / 0.01 / 0.1, so the sketch
+  * error behavior is visible across scales).
+  *
+  * Everything is integer-exact up to one final literal-only division
+  * (see [[SketchOps]]), which is what makes a DuckDB hash oracle
+  * possible for a randomized-looking data structure: the "randomness"
+  * is the md5 hash both engines share.
+  */
+object QueriesSketch {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Raw-HLL distinct estimate: register table -> single summary row
+    // (m, v_present, fx_sum, estimate).
+    "sk1_hll_distinct" -> ((s, d) => {
+      SketchOps.hllSummary(
+        SketchOps.hllRegisters(Tables.lineitem(s, d), col("l_orderkey")))
+    }),
+
+    // KMV distinct estimate: (k, kth_min, estimate) from the 256
+    // smallest distinct key hashes.
+    "sk2_kmv_distinct" -> ((s, d) => {
+      SketchOps.kmvSummary(Tables.lineitem(s, d), col("l_orderkey"), 256)
+    })
+  )
+
+  /** Portable seeded 60-bit hash (mirrors TextOps.md5Prefix60 usage). */
+  private def h60(arg: String): String =
+    s"CAST(concat('0x', substr(md5($arg), 1, 15)) AS BIGINT)"
+
+  def oracle: Map[String, String] = Map(
+    "sk1_hll_distinct" ->
+      s"""WITH h AS (SELECT ${h60(
+           "concat('hll:', CAST(l_orderkey AS VARCHAR))")} AS h
+         |           FROM lineitem),
+         |b AS (SELECT h % 4096 AS bucket, h >> 12 AS w FROM h),
+         |r AS (SELECT bucket,
+         |        max(CASE WHEN w = 0 THEN 49
+         |            ELSE 49 - length(bin(w)) END) AS rho
+         |      FROM b GROUP BY bucket),
+         |s AS (SELECT count(*) AS v_present,
+         |        CAST(sum(CAST(1 AS BIGINT) << (50 - rho)) AS BIGINT)
+         |          AS fx_present
+         |      FROM r)
+         |SELECT CAST(4096 AS BIGINT) AS m, v_present,
+         |  fx_present + (4096 - v_present) * (CAST(1 AS BIGINT) << 50)
+         |    AS fx_sum,
+         |  round(0.7213 / (1.0 + 1.079 / 4096.0) * 4096.0 * 4096.0
+         |    * 1125899906842624.0
+         |    / CAST(fx_present + (4096 - v_present)
+         |        * (CAST(1 AS BIGINT) << 50) AS DOUBLE), 2) AS estimate
+         |FROM s""".stripMargin,
+    "sk2_kmv_distinct" ->
+      s"""WITH h AS (SELECT DISTINCT ${h60(
+           "concat('kmv:', CAST(l_orderkey AS VARCHAR))")} AS h
+         |           FROM lineitem),
+         |k AS (SELECT h FROM h ORDER BY h LIMIT 256)
+         |SELECT CAST(256 AS BIGINT) AS k, max(h) AS kth_min,
+         |  round(255.0 * 1152921504606846976.0
+         |    / CAST(max(h) AS DOUBLE), 2) AS estimate
+         |FROM k""".stripMargin
+  )
+}

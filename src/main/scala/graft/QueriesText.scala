@@ -18,7 +18,8 @@ import graft.sources.Tables
   */
 object QueriesText {
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+      Map[String, (SparkSession, String) => DataFrame](
     // Token counting: whitespace tokens, distinct tokens, BPE-ish subwords,
     // mean token length.
     "x1_token_stats" -> ((s, d) => {
@@ -118,7 +119,11 @@ object QueriesText {
     "x8_tfidf_topk" -> ((s, d) => {
       val tf = tfFrame(s, d)
       val docFreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
-      val nDocs = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
+      // count over the shared tokens cache, not a third parquet job:
+      // docsWithTokens keeps every document row (empty token arrays
+      // included), so its count IS count(*) FROM documents
+      val nDocs = QueriesDedup.docsWithTokens(s, d)
+        .agg(count(lit(1)).as("n_docs"))
       val scored = tf.join(docFreq, Seq("term"))
         .crossJoin(broadcast(nDocs))
         .withColumn("tfidf", round(
@@ -127,6 +132,68 @@ object QueriesText {
         Seq(col("tfidf").desc, col("term").asc), 3, rankCol = "rank")
         .select(col("doc_id"), col("term"), col("tf"), col("tfidf"),
           col("rank").cast("long").as("rank"))
+    })
+  ) ++ samplingQueries
+
+  /** Deterministic-sampling and sequence-packing queries (training-data
+    * curation, SURVEY.md §2.10) live in the x-family too: see
+    * [[samplingQueries]] merged below.
+    */
+  def samplingQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Seeded Bernoulli sample: keep a doc iff its seeded hash bucket
+    // falls under the rate. Reproducible across engines/runs/reshuffles
+    // (rand() is none of those), and a DIFFERENT seed gives an
+    // independent resample — the property curation pipelines need when
+    // they draw eval sets repeatedly. Pure narrow projection.
+    "x9_hash_sample" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          (TextOps.md5Prefix60(
+            concat(lit("samp1:"), col("doc_id").cast("string"))) % 10000)
+            .as("bucket"))
+        .filter(col("bucket") < 1000) // 10% sample
+    }),
+
+    // Stratified sample: top-3 docs per predicted language, ranked by a
+    // seeded hash (uniform within stratum), tie-broken by doc_id. One
+    // window over strata — at 100 TB the rank state is O(1) per
+    // partition stream and only sampled rows survive the filter.
+    "x10_stratified_sample" -> ((s, d) => {
+      val toks = TextOps.tokens(col("text"))
+      val strat = Tables.documents(s, d).select(
+        col("doc_id"),
+        TextOps.langId(toks).as("pred_lang"),
+        TextOps.md5Prefix60(
+          concat(lit("strat:"), col("doc_id").cast("string"))).as("h"))
+      graft.operators.RelationalOps.topKPerGroup(strat, Seq("pred_lang"),
+        Seq(col("h").asc, col("doc_id").asc), 3, rankCol = "rank")
+        .select(col("pred_lang"), col("doc_id"), col("h"),
+          col("rank").cast("long").as("rank"))
+    }),
+
+    // Sequence packing: assign docs to fixed-boundary token bins
+    // (budget 2048) per train/val/test split, in doc_id order — the
+    // deterministic version of the "pack documents into training
+    // sequences" step. bin = floor(start_offset / budget) where
+    // start_offset is the running token count BEFORE the doc (an
+    // explicit ROWS frame — RANGE buffers peers and is ambiguous under
+    // ties). One sort-shuffle per split at any scale; a production
+    // packer would run the same fold per partition via mapPartitions
+    // after a range-partition on (split, doc_id).
+    "x11_pack_sequences" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(
+        col("doc_id"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"),
+        when(TextOps.md5Prefix60(
+          concat(lit("split:"), col("doc_id").cast("string"))) % 100 < 80,
+          "train").when(TextOps.md5Prefix60(
+          concat(lit("split:"), col("doc_id").cast("string"))) % 100 < 90,
+          "val").otherwise("test").as("split"))
+      graft.operators.RelationalOps.runningAgg(docs, Seq("split"),
+        Seq(col("doc_id").asc), sum(col("n_tokens")), "cum_tokens")
+        .select(col("split"), col("doc_id"), col("n_tokens"),
+          ((col("cum_tokens") - col("n_tokens")) / 2048)
+            .cast("long").as("bin"))
     })
   )
 
@@ -248,6 +315,64 @@ object QueriesText {
         |       WHEN bucket < 90 THEN 'val'
         |       ELSE 'test' END AS split
         |FROM b""".stripMargin,
+    "x9_hash_sample" ->
+      """WITH b AS (SELECT doc_id,
+        |  CAST(concat('0x', substr(md5(concat('samp1:',
+        |    CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) % 10000
+        |    AS bucket
+        |  FROM documents)
+        |SELECT doc_id, bucket FROM b WHERE bucket < 1000""".stripMargin,
+    "x10_stratified_sample" ->
+      s"""WITH t AS (SELECT doc_id, list_distinct($toksSql) AS dt
+         |           FROM documents),
+         |sc AS (SELECT doc_id,
+         |  CAST(len(list_intersect(dt, $enList)) AS BIGINT) AS s_en,
+         |  CAST(len(list_intersect(dt, $deList)) AS BIGINT) AS s_de,
+         |  CAST(len(list_intersect(dt, $esList)) AS BIGINT) AS s_es,
+         |  CAST(len(list_intersect(dt, $frList)) AS BIGINT) AS s_fr,
+         |  CAST(len(list_intersect(dt, $zhList)) AS BIGINT) AS s_zh
+         |  FROM t),
+         |l AS (SELECT doc_id,
+         |  CASE
+         |    WHEN s_en > 0 AND s_en = greatest(s_en,s_de,s_es,s_fr,s_zh)
+         |      THEN 'en'
+         |    WHEN s_de > 0 AND s_de = greatest(s_en,s_de,s_es,s_fr,s_zh)
+         |      THEN 'de'
+         |    WHEN s_es > 0 AND s_es = greatest(s_en,s_de,s_es,s_fr,s_zh)
+         |      THEN 'es'
+         |    WHEN s_fr > 0 AND s_fr = greatest(s_en,s_de,s_es,s_fr,s_zh)
+         |      THEN 'fr'
+         |    WHEN s_zh > 0 AND s_zh = greatest(s_en,s_de,s_es,s_fr,s_zh)
+         |      THEN 'zh'
+         |    ELSE 'und' END AS pred_lang
+         |  FROM sc),
+         |h AS (SELECT doc_id, pred_lang,
+         |  CAST(concat('0x', substr(md5(concat('strat:',
+         |    CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) AS h
+         |  FROM l),
+         |r AS (SELECT pred_lang, doc_id, h,
+         |  row_number() OVER (PARTITION BY pred_lang ORDER BY h, doc_id)
+         |    AS rank
+         |  FROM h)
+         |SELECT pred_lang, doc_id, h, rank FROM r WHERE rank <= 3"""
+        .stripMargin,
+    "x11_pack_sequences" ->
+      s"""WITH t AS (SELECT doc_id,
+         |  CAST(len($toksSql) AS BIGINT) AS n_tokens,
+         |  CASE WHEN CAST(concat('0x', substr(md5(concat('split:',
+         |      CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) % 100 < 80
+         |    THEN 'train'
+         |    WHEN CAST(concat('0x', substr(md5(concat('split:',
+         |      CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) % 100 < 90
+         |    THEN 'val' ELSE 'test' END AS split
+         |  FROM documents),
+         |c AS (SELECT split, doc_id, n_tokens,
+         |  CAST(sum(n_tokens) OVER (PARTITION BY split ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |    AS cum
+         |  FROM t)
+         |SELECT split, doc_id, n_tokens, (cum - n_tokens) // 2048 AS bin
+         |FROM c""".stripMargin,
     "x8_tfidf_topk" ->
       s"""WITH t AS (SELECT doc_id, unnest($toksSql) AS term
          |      FROM documents),

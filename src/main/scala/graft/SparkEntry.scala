@@ -16,7 +16,7 @@ object SparkEntry {
     QueriesReference.queries ++ QueriesRelational.queries ++
       QueriesText.queries ++ QueriesDedup.queries ++
       QueriesVector.queries ++ QueriesStreaming.queries ++
-      QueriesFunctions.queries
+      QueriesFunctions.queries ++ QueriesSketch.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -24,5 +24,5 @@ object SparkEntry {
     QueriesReference.oracle ++ QueriesRelational.oracle ++
       QueriesText.oracle ++ QueriesDedup.oracle ++
       QueriesVector.oracle ++ QueriesStreaming.oracle ++
-      QueriesFunctions.oracle
+      QueriesFunctions.oracle ++ QueriesSketch.oracle
 }

@@ -1,0 +1,104 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Cardinality sketches for training-data curation (north-star
+  * extension): portable HyperLogLog and K-Minimum-Values over an
+  * arbitrary key expression. At 100 TB "how many distinct
+  * users/URLs/n-grams" is a daily question, and exact distinct is a
+  * full shuffle of every key — a sketch answers it with a fixed-size
+  * state that merges associatively across partitions, which is exactly
+  * what Spark's partial aggregation gives for free: the map side
+  * reduces each partition to (at most) m register rows / k minima, and
+  * only those cross the wire.
+  *
+  * Spark ships HLL++ (`approx_count_distinct`) — these exist because
+  * the engine's correctness story is cross-engine differential testing,
+  * and HLL++'s registers are implementation-specific (xxhash64 + bias
+  * tables), so no other engine can reproduce them. Everything here is
+  * md5-derived and INTEGER-exact up to the final division:
+  *  - rho (leading-zero rank) is computed from the length of the
+  *    binary string — `length(bin(w))` — not `log2` (libm results
+  *    differ in the last ulp across engines);
+  *  - register sums accumulate in fixed point
+  *    (`sum(shiftleft(1, 50 - rho))`, exact BIGINT, associative — the
+  *    same discipline as the streaming fixed-point average), so the
+  *    result is identical on any engine, any partitioning, any scale;
+  *  - the estimator is one literal-only double expression at the end.
+  */
+object SketchOps {
+
+  /** 2^precision buckets; 12 → 4096 registers, ~1.6% standard error. */
+  val HllPrecision: Int = 12
+  val HllBuckets: Int = 1 << HllPrecision
+
+  /** HLL register table (bucket, rho): bucket = low `precision` bits of
+    * the 60-bit portable hash, rho = leading-zero count of the
+    * remaining 48 bits + 1 (the classic HLL rank), maxed per bucket.
+    * ONE narrow projection + ONE hash aggregate whose output is at most
+    * 4096 rows — partial aggregation collapses each partition to its
+    * own register set before the exchange, so the shuffle is O(m), not
+    * O(rows). Registers merge by elementwise max (SketchOpsSpec pins
+    * it), which is what makes the sketch usable incrementally: union of
+    * corpora = max of register tables.
+    */
+  def hllRegisters(df: DataFrame, key: Column): DataFrame = {
+    val h = TextOps.md5Prefix60(concat(lit("hll:"), key.cast("string")))
+    val w = shiftright(h, HllPrecision) // 48 bits
+    // length(bin(w)) is w's bit length (bin() prints no leading zeros);
+    // rho = 48 - bitlen + 1. w = 0 (all 48 bits zero) → rho = 49.
+    val rho = when(w === 0, lit(49))
+      .otherwise(lit(49) - length(bin(w)).cast("int"))
+    df.select((h % HllBuckets).as("bucket"), rho.as("rho"))
+      .groupBy("bucket").agg(max(col("rho")).as("rho"))
+  }
+
+  /** Single-row raw-HLL summary of a register table:
+    * (m, v_present, fx_sum, estimate).
+    *
+    * fx_sum is the fixed-point harmonic term: present buckets
+    * contribute 2^(50-rho) each, absent buckets (no key hashed there)
+    * 2^50 each — all exact BIGINTs (≤ 4096·2^50 = 2^62, no overflow).
+    * estimate = alpha_m · m² / sum(2^-rho) = alpha_m · m² · 2^50 /
+    * fx_sum, with alpha_m = 0.7213/(1 + 1.079/m) — the RAW estimator
+    * only, by documented scope: the standard small-range correction
+    * (linear counting, m·ln(m/V)) needs `ln`, which is not bit-portable
+    * across engines; production would branch to it below 2.5m. The
+    * whole expression is literals + one division, so both engines
+    * produce the identical double.
+    */
+  def hllSummary(registers: DataFrame): DataFrame = {
+    val m = HllBuckets
+    registers
+      .agg(count(lit(1)).as("v_present"),
+        sum(expr("shiftleft(CAST(1 AS BIGINT), 50 - rho)"))
+          .as("fx_present"))
+      .select(lit(m.toLong).as("m"), col("v_present"),
+        (col("fx_present") +
+          (lit(m.toLong) - col("v_present")) * lit(1L << 50)).as("fx_sum"))
+      .select(col("m"), col("v_present"), col("fx_sum"),
+        round(lit(0.7213 / (1.0 + 1.079 / 4096.0)) * lit(4096.0) *
+          lit(4096.0) * lit(1125899906842624.0) /
+          col("fx_sum").cast("double"), 2).as("estimate"))
+  }
+
+  /** K-Minimum-Values sketch: the k smallest DISTINCT 60-bit hashes of
+    * the key. kth_min/2^60 estimates the fraction of hash space k
+    * distinct values occupy, so estimate = (k-1)·2^60/kth_min. Shape:
+    * hash projection → distinct (one hash-agg shuffle, partial agg
+    * collapses duplicates map-side) → global top-k
+    * (TakeOrderedAndProject: per-partition bounded heaps, k rows to the
+    * driver stage — never a full sort). Output (k, kth_min, estimate):
+    * integers until the final literal-only division.
+    */
+  def kmvSummary(df: DataFrame, key: Column, k: Int): DataFrame = {
+    val h = TextOps.md5Prefix60(concat(lit("kmv:"), key.cast("string")))
+    val minima = RelationalOps.topKGlobal(
+      df.select(h.as("h")).distinct(), Seq(col("h").asc), k)
+    minima.agg(max(col("h")).as("kth_min"))
+      .select(lit(k.toLong).as("k"), col("kth_min"),
+        round((lit(k.toDouble) - lit(1.0)) * lit(1.152921504606846976e18) /
+          col("kth_min").cast("double"), 2).as("estimate"))
+  }
+}

@@ -86,6 +86,15 @@ class PlanAuditSpec extends SparkTestBase {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("hll registers collapse map-side: partial_max before the exchange") {
+    // the sketch's scale property: each partition reduces to <= 4096
+    // register rows BEFORE the shuffle (partial aggregation), so the
+    // exchange is O(m), not O(rows)
+    val p = plan("sk1_hll_distinct")
+    assert(p.contains("partial_max"),
+      s"sk1 must partial-aggregate registers map-side:\n$p")
+  }
+
   test("x8 tokenizes and aggregates once: both term-join branches read " +
     "the persisted tf frame") {
     val df = physical("x8_tfidf_topk")

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.SketchOps
+
+class SketchOpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // 10k distinct keys, each appearing 1-3 times (duplicates must not
+  // move either sketch)
+  private lazy val keys = (1L to 10000L)
+    .flatMap(i => Seq.fill((i % 3 + 1).toInt)(i)).toDF("k")
+
+  test("hll estimate lands within 5% of the truth at 10k distinct") {
+    val est = SketchOps.hllSummary(SketchOps.hllRegisters(keys, col("k")))
+      .select("estimate").as[Double].head()
+    assert(math.abs(est - 10000.0) / 10000.0 < 0.05,
+      s"raw HLL estimate $est too far from 10000")
+  }
+
+  test("hll registers are duplicate-insensitive and merge by max") {
+    val a = (1L to 5000L).toDF("k")
+    val b = (4000L to 10000L).toDF("k")
+    val union = SketchOps.hllRegisters(a.union(b), col("k"))
+    // merging = elementwise max over the two register tables (absent
+    // bucket = no contribution) — the property that makes the sketch
+    // incrementally maintainable across corpus shards
+    val merged = SketchOps.hllRegisters(a, col("k"))
+      .union(SketchOps.hllRegisters(b, col("k")))
+      .groupBy("bucket").agg(max(col("rho")).as("rho"))
+    assert(merged.exceptAll(union).isEmpty && union.exceptAll(merged).isEmpty)
+    // duplicates change nothing
+    val dup = SketchOps.hllRegisters(a.union(a), col("k"))
+    val plain = SketchOps.hllRegisters(a, col("k"))
+    assert(dup.exceptAll(plain).isEmpty && plain.exceptAll(dup).isEmpty)
+  }
+
+  test("hll summary is exact integers + one deterministic double") {
+    val s1 = SketchOps.hllSummary(SketchOps.hllRegisters(keys, col("k")))
+      .collect()(0)
+    val s2 = SketchOps.hllSummary(
+      SketchOps.hllRegisters(keys.repartition(7), col("k"))).collect()(0)
+    assert(s1 == s2, "summary must not depend on partitioning")
+    assert(s1.getLong(0) == 4096L)
+  }
+
+  test("kmv estimate lands within 10% of the truth at 10k distinct") {
+    val row = SketchOps.kmvSummary(keys, col("k"), 256).collect()(0)
+    assert(row.getLong(0) == 256L)
+    val est = row.getDouble(2)
+    assert(math.abs(est - 10000.0) / 10000.0 < 0.10,
+      s"KMV estimate $est too far from 10000")
+  }
+
+  test("kmv is duplicate-insensitive") {
+    val once = SketchOps.kmvSummary((1L to 3000L).toDF("k"), col("k"), 64)
+      .collect()(0)
+    val dup = SketchOps.kmvSummary(
+      (1L to 3000L).flatMap(i => Seq(i, i)).toDF("k"), col("k"), 64)
+      .collect()(0)
+    assert(once == dup)
+  }
+}
