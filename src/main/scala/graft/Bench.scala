@@ -82,6 +82,10 @@ object Bench {
       // re-execution pays Janino again. Size it to hold the whole
       // suite's classes (static conf — must be set before the session).
       .config("spark.sql.codegen.cache.maxEntries", "5000")
+      // profiling knob: SPARK_GRAFT_AQE=0 disables adaptive execution to
+      // measure how much of the per-query floor is AQE re-planning
+      .config("spark.sql.adaptive.enabled",
+        (sys.env.getOrElse("SPARK_GRAFT_AQE", "1") != "0").toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -23,7 +23,7 @@ object QueriesFunctions {
       Tables.part(s, d).select(
         col("p_partkey"),
         upper(col("p_name")).as("uname"),
-        length(col("p_name")).as("name_len"),
+        length(col("p_name")).cast("long").as("name_len"),
         substring(col("p_name"), 1, 8).as("prefix8"),
         regexp_replace(col("p_name"), "[aeiou]", "_").as("devoweled"),
         concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"),

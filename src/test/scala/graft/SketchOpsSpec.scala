@@ -52,6 +52,29 @@ class SketchOpsSpec extends SparkTestBase {
       s"KMV estimate $est too far from 10000")
   }
 
+  test("hll registers maintain incrementally over a stream") {
+    // the merge-by-max property in its natural habitat: a streaming
+    // groupBy(bucket).max(rho) in complete mode converges to exactly
+    // the batch register table no matter how the input is batched
+    implicit val sqlCtx = spark.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[Long]
+    val q = SketchOps.hllRegisters(ms.toDF().toDF("k"), col("k"))
+      .writeStream.format("memory").queryName("hll_t")
+      .outputMode("complete").start()
+    try {
+      ms.addData(1L to 5000L: _*)
+      q.processAllAvailable()
+      ms.addData(3000L to 8000L: _*) // overlap: max must win, not sum
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("hll_t")
+    val batch = SketchOps.hllRegisters((1L to 8000L).toDF("k"), col("k"))
+    assert(streamed.exceptAll(batch).isEmpty &&
+      batch.exceptAll(streamed).isEmpty,
+      "streamed register table must equal the batch register table")
+  }
+
   test("kmv is duplicate-insensitive") {
     val once = SketchOps.kmvSummary((1L to 3000L).toDF("k"), col("k"), 64)
       .collect()(0)
