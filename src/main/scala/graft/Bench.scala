@@ -56,7 +56,8 @@ object Bench {
     "v1_cosine_topk", "v2_ann_lsh", "v3_centroid_assign",
     "v4_ivf_topk", "v5_neardup_lsh",
     // multimodal
-    "m1_multimodal_meta", "m2_decode_features", "m3_header_decode")
+    "m1_multimodal_meta", "m2_decode_features", "m3_header_decode",
+    "m4_thumbnail")
 
   /** Fully evaluate a query's output. `.count()` is NOT that: Catalyst
     * prunes deterministic projections under count, so a projection-only

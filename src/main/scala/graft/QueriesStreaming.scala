@@ -98,6 +98,23 @@ object QueriesStreaming {
           round(col("col") / n, 6).as("bin_ratio"))
     }),
 
+    // REAL resize: synthesize full-pixel BMPs, nearest-neighbor them to
+    // an 8x4 thumbnail (actual byte sampling, re-encoded as a real BMP),
+    // then decode the thumbnail's pixel stats. The oracle recomputes the
+    // NN coordinate mapping (srcIdx = ((y*h/th)*w + x*w/tw)*3 + c,
+    // integer floors) over the same md5-seeded source formula — a resize
+    // that samples any wrong source byte shifts the sum and fails the
+    // hash.
+    "m4_thumbnail" -> ((s, d) => {
+      val n = (col("width") * col("height") * lit(3)).cast("double")
+      MultimodalOps.decodePixelStats(
+        MultimodalOps.thumbnails(
+          MultimodalOps.synthesizePixelBmps(Tables.documents(s, d)), 8, 4))
+        .toDF()
+        .select(col("doc_id"), col("width"), col("height"),
+          col("px_sum"), round(col("px_sum") / n, 6).as("brightness"))
+    }),
+
     // REAL header decode: synthesize spec-conformant PNG/BMP files with
     // md5-derived dims, then parse format + width/height back out of the
     // actual bytes. The oracle recomputes the dims from the text with the
@@ -188,6 +205,31 @@ object QueriesStreaming {
         |    / CAST(width * height * 3 AS DOUBLE), 6) AS bin_ratio
         |FROM px CROSS JOIN (SELECT unnest(range(16)) AS bin) r(bin)"""
         .stripMargin,
+    "m4_thumbnail" ->
+      """WITH p AS (SELECT doc_id,
+        |  (CAST(concat('0x', substr(md5(concat('pw:', text)), 1, 15))
+        |    AS BIGINT) % 8 + 1) * 4 AS w,
+        |  CAST(concat('0x', substr(md5(concat('ph:', text)), 1, 15))
+        |    AS BIGINT) % 8 + 1 AS h,
+        |  CAST(concat('0x', substr(md5(concat('pa:', text)), 1, 15))
+        |    AS BIGINT) % 256 AS a,
+        |  CAST(concat('0x', substr(md5(concat('pb:', text)), 1, 15))
+        |    AS BIGINT) % 256 AS b
+        |  FROM documents),
+        |v AS (SELECT doc_id,
+        |  list_transform(range(96), j ->
+        |    (a * (((((j // 24) * h) // 4) * w
+        |             + (((j % 24) // 3) * w) // 8) * 3
+        |           + (j % 3))
+        |     + b) % 256) AS vs
+        |  FROM p)
+        |SELECT doc_id, CAST(8 AS BIGINT) AS width,
+        |  CAST(4 AS BIGINT) AS height,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT), vs),
+        |    (x, y) -> x + y) AS px_sum,
+        |  round(list_reduce(list_prepend(CAST(0 AS BIGINT), vs),
+        |    (x, y) -> x + y) / CAST(96 AS DOUBLE), 6) AS brightness
+        |FROM v""".stripMargin,
     "m3_header_decode" ->
       """SELECT doc_id,
         |  CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'bmp' END AS format,

@@ -130,6 +130,39 @@ object MultimodalOps {
       bb.array()
     }
 
+    /** Nearest-neighbor resize of a 24bpp BMP to `tw`×`th`: REAL bytes
+      * in, REAL bytes out. Output pixel (x, y, channel) samples source
+      * pixel (x·w/tw, y·h/th) — integer floor division, the standard
+      * NN mapping. Same constraints as [[encodeBmp24]] (both widths
+      * multiples of 4, no row padding); None for non-BMP / padded /
+      * truncated payloads.
+      */
+    def resizeBmp24(bytes: Array[Byte], tw: Int,
+        th: Int): Option[Array[Byte]] = {
+      decode(bytes) match {
+        case Some(("bmp", w, h))
+            if w > 0 && w % 4 == 0 && h > 0 && tw > 0 && tw % 4 == 0 &&
+              th > 0 =>
+          val off = ByteBuffer.wrap(bytes, 10, 4)
+            .order(ByteOrder.LITTLE_ENDIAN).getInt
+          if (off < 54 || off.toLong + w * h * 3 > bytes.length) None
+          else {
+            val out = new Array[Byte](tw * th * 3)
+            var j = 0
+            while (j < out.length) {
+              val y = j / (tw * 3)
+              val x = (j % (tw * 3)) / 3
+              val c = j % 3
+              val srcIdx = ((y * h / th) * w + (x * w / tw)) * 3 + c
+              out(j) = bytes(off + srcIdx)
+              j += 1
+            }
+            Some(encodeBmp24(tw, th, out))
+          }
+        case _ => None
+      }
+    }
+
     /** Parse a 24bpp BMP INCLUDING its pixel array: byte sum + 16-bin
       * byte-value histogram over the `width*height*3` BGR bytes at the
       * header-declared pixel offset. Returns None for non-BMP payloads,
@@ -260,6 +293,24 @@ object MultimodalOps {
         ImageHeaders.decode(b.payload).map { case (fmt, w, h) =>
           MediaHeader(b.doc_id, fmt, w.toLong, h.toLong)
         }
+      }
+    }
+  }
+
+  /** REAL image resize: nearest-neighbor thumbnail of each 24bpp BMP
+    * payload — the batch "resize for the vision encoder" step. Blob in,
+    * blob out, so it composes with [[decodePixelStats]] downstream
+    * (`m4_thumbnail` runs synthesize → resize → decode, all on actual
+    * bytes). Same mapPartitions batch shape as the other codecs;
+    * unresizable payloads are dropped.
+    */
+  def thumbnails(blobs: Dataset[MediaBlob], tw: Int,
+      th: Int): Dataset[MediaBlob] = {
+    import blobs.sparkSession.implicits._
+    blobs.mapPartitions { it =>
+      it.flatMap { b =>
+        ImageHeaders.resizeBmp24(b.payload, tw, th)
+          .map(MediaBlob(b.doc_id, b.media_type, _))
       }
     }
   }

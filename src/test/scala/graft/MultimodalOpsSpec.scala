@@ -30,6 +30,26 @@ class MultimodalOpsSpec extends SparkTestBase {
     assert(ImageHeaders.decodeBmp24(bmp.dropRight(1)).isEmpty)
   }
 
+  test("resizeBmp24: identity preserves bytes, 2x upscale replicates") {
+    import MultimodalOps.ImageHeaders
+    val px = Array.tabulate(24)(i => (i * 7).toByte) // 4x2 source
+    val bmp = ImageHeaders.encodeBmp24(4, 2, px)
+    // identity resize must reproduce the exact pixel array
+    val Some((_, _, idSum, idHist)) = ImageHeaders.decodeBmp24(
+      ImageHeaders.resizeBmp24(bmp, 4, 2).get)
+    val Some((_, _, srcSum, srcHist)) = ImageHeaders.decodeBmp24(bmp)
+    assert(idSum == srcSum && idHist.toSeq == srcHist.toSeq)
+    // 2x upscale: every source pixel appears exactly 4 times
+    val Some((w2, h2, upSum, _)) = ImageHeaders.decodeBmp24(
+      ImageHeaders.resizeBmp24(bmp, 8, 4).get)
+    assert((w2, h2) == (8, 4))
+    assert(upSum == 4 * srcSum, "NN 2x upscale must replicate each pixel 4x")
+    // rejects: PNG payload, non-multiple-of-4 target width
+    assert(ImageHeaders.resizeBmp24(ImageHeaders.encodePng(4, 2), 8, 4)
+      .isEmpty)
+    assert(ImageHeaders.resizeBmp24(bmp, 6, 4).isEmpty)
+  }
+
   test("synthesizePixelBmps → decodePixelStats: deterministic, exact") {
     val out = MultimodalOps.decodePixelStats(
       MultimodalOps.synthesizePixelBmps(docs)).collect()

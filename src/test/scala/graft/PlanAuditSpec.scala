@@ -79,7 +79,7 @@ class PlanAuditSpec extends SparkTestBase {
       // object-serde operators (mapPartitions / flatMapGroupsWithState
       // cores) have no codegen stages by design
       for (q <- Bench.headline.filterNot(Set("m2_decode_features",
-        "m3_header_decode", "st5_custom_state"))) {
+        "m3_header_decode", "m4_thumbnail", "st5_custom_state"))) {
         val p = plan(q)
         assert(p.contains("*("), s"$q lost whole-stage codegen:\n$p")
       }
