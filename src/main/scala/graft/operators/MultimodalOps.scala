@@ -27,6 +27,15 @@ final case class PixelStats(doc_id: Long, width: Long, height: Long,
 final case class MediaHeader(doc_id: Long, format: String, width: Long,
     height: Long)
 
+/** Audio-decode output: header metadata + RAW integer sample statistics
+  * (peak amplitude and sum of squared samples). Exact integers for the
+  * same reason as [[PixelStats]] — the query layer derives RMS with
+  * engine-parity math (`sqrt` is IEEE correctly-rounded, so
+  * `round(sqrt(sq_sum/n), 6)` agrees across engines).
+  */
+final case class AudioStats(doc_id: Long, sample_rate: Long,
+    n_samples: Long, peak: Long, sq_sum: Long)
+
 /** Multimodal-column plumbing (north-star extension): binary columns in,
   * typed features out, via per-partition batch decode.
   *
