@@ -180,11 +180,31 @@ object Bench {
     }
     val ok = results.collect { case (n, Some(s)) => n -> s }
     val failed = results.collect { case (n, None) => n }
-    val qs = ok.map { case (k, v) => "\"" + k + "\":" + v }
+    // The driver captures only the TAIL of this process's output (2000
+    // chars observed), so the JSON line must stay well under that or
+    // its head is cut off and the artifact is unparseable (this bit
+    // round 8: 73 full names × full-precision doubles ≈ 2.3 kB). Keys
+    // are therefore the query's family code — the segment before the
+    // first '_' ("d2_jaccard_pairs" → "d2"), which is unique across the
+    // registry (asserted; a collision falls back to the full name) and
+    // is how every artifact (VERDICT, README) already refers to
+    // queries. Values are rounded to ms.
+    def shortKey(n: String): String = n.split('_').head
+    val collisions = names.groupBy(shortKey).filter(_._2.size > 1)
+      .values.flatten.toSet
+    def key(n: String): String = if (collisions(n)) n else shortKey(n)
+    def fmt(v: Double): String = BigDecimal(v)
+      .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = ok.map { case (k, v) => "\"" + key(k) + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = ok.map(_._2).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+    if (line.length > 1800)
+      System.err.println(s"[bench] WARNING: JSON line ${line.length} chars " +
+        "— approaching the driver's 2000-char tail capture")
+    println(line)
     spark.stop()
     if (failed.nonEmpty) {
       System.err.println(

@@ -26,8 +26,9 @@ object QueriesSketch {
         SketchOps.hllRegisters(Tables.lineitem(s, d), col("l_orderkey")))
     }),
 
-    // KMV distinct estimate: (k, kth_min, estimate) from the 256
-    // smallest distinct key hashes.
+    // KMV distinct estimate: (k, k_used, kth_min, estimate) from the
+    // 256 smallest distinct key hashes; exact-count fallback when the
+    // input has fewer than k distinct hashes.
     "sk2_kmv_distinct" -> ((s, d) => {
       SketchOps.kmvSummary(Tables.lineitem(s, d), col("l_orderkey"), 256)
     })
@@ -64,9 +65,11 @@ object QueriesSketch {
            "concat('kmv:', CAST(l_orderkey AS VARCHAR))")} AS h
          |           FROM lineitem),
          |k AS (SELECT h FROM h ORDER BY h LIMIT 256)
-         |SELECT CAST(256 AS BIGINT) AS k, max(h) AS kth_min,
-         |  round(255.0 * 1152921504606846976.0
-         |    / CAST(max(h) AS DOUBLE), 2) AS estimate
+         |SELECT CAST(256 AS BIGINT) AS k, count(*) AS k_used,
+         |  max(h) AS kth_min,
+         |  round(CASE WHEN count(*) < 256 THEN CAST(count(*) AS DOUBLE)
+         |    ELSE 255.0 * 1152921504606846976.0
+         |      / CAST(max(h) AS DOUBLE) END, 2) AS estimate
          |FROM k""".stripMargin
   )
 }

@@ -72,6 +72,14 @@ object MultimodalOps {
   object ImageHeaders {
     import java.nio.{ByteBuffer, ByteOrder}
 
+    /** Upper bound on header-declared width/height accepted by the
+      * pixel-reading paths. Combined with the Long-arithmetic size
+      * check it rejects hostile headers whose `w*h*3` would overflow
+      * Int (dims ≥ ~27k do) or demand absurd allocations; 2^15 per
+      * side (a 3 GiB 24bpp image) is far beyond any sane payload.
+      */
+    val MaxDim: Int = 1 << 15
+
     private val PngSig = Array(0x89, 'P', 'N', 'G', '\r', '\n', 0x1a, '\n')
       .map(_.toByte)
 
@@ -154,7 +162,14 @@ object MultimodalOps {
               th > 0 =>
           val off = ByteBuffer.wrap(bytes, 10, 4)
             .order(ByteOrder.LITTLE_ENDIAN).getInt
-          if (off < 54 || off.toLong + w * h * 3 > bytes.length) None
+          // Pixel-region size in LONG: a hostile header with huge dims
+          // would overflow w*h*3 in Int to a small/negative value and
+          // sail past the truncation guard. The dim cap additionally
+          // bounds the output allocation (tw*th*3 is caller-controlled
+          // and already sane in-engine, but the source dims come off
+          // the wire).
+          if (off < 54 || w > MaxDim || h > MaxDim ||
+            off.toLong + 3L * w * h > bytes.length) None
           else {
             val out = new Array[Byte](tw * th * 3)
             var j = 0
@@ -186,9 +201,15 @@ object MultimodalOps {
           // pixel-data offset from BITMAPFILEHEADER bytes 10-13
           val off = ByteBuffer.wrap(bytes, 10, 4)
             .order(ByteOrder.LITTLE_ENDIAN).getInt
-          val n = w * h * 3
-          if (off < 54 || off.toLong + n > bytes.length) None
+          // Size the pixel region in LONG before comparing: w*h*3 in
+          // Int overflows for hostile headers (dims ~27k+) and the
+          // truncation guard would pass on garbage. Capping dims also
+          // keeps n a valid Int below.
+          val nL = 3L * w * h
+          if (off < 54 || w > MaxDim || h > MaxDim ||
+            off.toLong + nL > bytes.length) None
           else {
+            val n = nL.toInt
             var sum = 0L
             val hist = new Array[Long](16)
             var i = 0

@@ -69,17 +69,24 @@ object SketchOps {
     * produce the identical double.
     */
   def hllSummary(registers: DataFrame): DataFrame = {
-    val m = HllBuckets
+    // Every estimator constant derives from HllBuckets so a precision
+    // change can't silently skew the estimate while the register table
+    // stays consistent: alpha_m = 0.7213/(1 + 1.079/m) (the standard
+    // m ≥ 128 approximation), the m² numerator, and the 2^50 fixed-point
+    // scale shared with the register encoding.
+    val m = HllBuckets.toDouble
+    val alphaM = 0.7213 / (1.0 + 1.079 / m)
+    val fxScale = (1L << 50).toDouble
     registers
       .agg(count(lit(1)).as("v_present"),
         sum(expr("shiftleft(CAST(1 AS BIGINT), 50 - rho)"))
           .as("fx_present"))
-      .select(lit(m.toLong).as("m"), col("v_present"),
+      .select(lit(HllBuckets.toLong).as("m"), col("v_present"),
         (col("fx_present") +
-          (lit(m.toLong) - col("v_present")) * lit(1L << 50)).as("fx_sum"))
+          (lit(HllBuckets.toLong) - col("v_present")) * lit(1L << 50))
+          .as("fx_sum"))
       .select(col("m"), col("v_present"), col("fx_sum"),
-        round(lit(0.7213 / (1.0 + 1.079 / 4096.0)) * lit(4096.0) *
-          lit(4096.0) * lit(1125899906842624.0) /
+        round(lit(alphaM) * lit(m) * lit(m) * lit(fxScale) /
           col("fx_sum").cast("double"), 2).as("estimate"))
   }
 
@@ -89,16 +96,25 @@ object SketchOps {
     * hash projection → distinct (one hash-agg shuffle, partial agg
     * collapses duplicates map-side) → global top-k
     * (TakeOrderedAndProject: per-partition bounded heaps, k rows to the
-    * driver stage — never a full sort). Output (k, kth_min, estimate):
-    * integers until the final literal-only division.
+    * driver stage — never a full sort). Output
+    * (k, k_used, kth_min, estimate): integers until the final
+    * literal-only division.
+    *
+    * k_used is the number of minima actually retained: on inputs with
+    * fewer than k distinct hashes the sketch has seen EVERY value, so
+    * the (k-1)·2^60/kth_min estimator (which assumes kth_min is the
+    * k-th order statistic of a uniform sample) is both biased and
+    * unnecessary — the estimate falls back to the exact count k_used.
     */
   def kmvSummary(df: DataFrame, key: Column, k: Int): DataFrame = {
     val h = TextOps.md5Prefix60(concat(lit("kmv:"), key.cast("string")))
     val minima = RelationalOps.topKGlobal(
       df.select(h.as("h")).distinct(), Seq(col("h").asc), k)
-    minima.agg(max(col("h")).as("kth_min"))
-      .select(lit(k.toLong).as("k"), col("kth_min"),
-        round((lit(k.toDouble) - lit(1.0)) * lit(1.152921504606846976e18) /
-          col("kth_min").cast("double"), 2).as("estimate"))
+    minima.agg(max(col("h")).as("kth_min"), count(lit(1)).as("k_used"))
+      .select(lit(k.toLong).as("k"), col("k_used"), col("kth_min"),
+        round(when(col("k_used") < k, col("k_used").cast("double"))
+          .otherwise((lit(k.toDouble) - lit(1.0)) *
+            lit(1.152921504606846976e18) / col("kth_min").cast("double")),
+          2).as("estimate"))
   }
 }

@@ -28,6 +28,13 @@ class MultimodalOpsSpec extends SparkTestBase {
     assert(ImageHeaders.decodeBmp24(ImageHeaders.encodePng(4, 2)).isEmpty)
     assert(ImageHeaders.decodeBmp24(ImageHeaders.encodeBmp(5, 2)).isEmpty)
     assert(ImageHeaders.decodeBmp24(bmp.dropRight(1)).isEmpty)
+    // hostile header: 30000x30000 declares w*h*3 = 2.7e9, which
+    // overflows Int to a negative value — without Long arithmetic the
+    // truncation guard passes and decode returns a bogus zero-stat row
+    val hostile = ImageHeaders.encodeBmp(30000, 30000)
+    assert(ImageHeaders.decodeBmp24(hostile).isEmpty,
+      "overflowing dims must be rejected, not decoded as empty")
+    assert(ImageHeaders.resizeBmp24(hostile, 4, 2).isEmpty)
   }
 
   test("resizeBmp24: identity preserves bytes, 2x upscale replicates") {

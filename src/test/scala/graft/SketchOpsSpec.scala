@@ -47,9 +47,22 @@ class SketchOpsSpec extends SparkTestBase {
   test("kmv estimate lands within 10% of the truth at 10k distinct") {
     val row = SketchOps.kmvSummary(keys, col("k"), 256).collect()(0)
     assert(row.getLong(0) == 256L)
-    val est = row.getDouble(2)
+    assert(row.getLong(1) == 256L, "k_used must equal k on large inputs")
+    val est = row.getDouble(3)
     assert(math.abs(est - 10000.0) / 10000.0 < 0.10,
       s"KMV estimate $est too far from 10000")
+  }
+
+  test("kmv is EXACT when the input has fewer distinct keys than k") {
+    // with < k distinct hashes the sketch retained every value; the
+    // order-statistic estimator would be biased, so the summary must
+    // report the true count via k_used and use it as the estimate
+    val row = SketchOps.kmvSummary(
+      (1L to 100L).flatMap(i => Seq(i, i)).toDF("k"), col("k"), 256)
+      .collect()(0)
+    assert(row.getLong(0) == 256L)
+    assert(row.getLong(1) == 100L, "k_used must be the true distinct count")
+    assert(row.getDouble(3) == 100.0, "estimate must fall back to exact")
   }
 
   test("hll registers maintain incrementally over a stream") {
