@@ -47,11 +47,15 @@ object Bench {
     "x1_token_stats", "x2_lang_id", "x3_quality_score", "x4_fingerprint",
     "x5_vocab_topk", "x6_hash_split", "x7_repetition", "x8_tfidf_topk",
     "x9_hash_sample", "x10_stratified_sample", "x11_pack_sequences",
+    // curation (PII scrub, normalization, quality gate, source caps)
+    "x12_pii_redact", "x13_text_normalize", "x14_quality_filter",
+    "x15_source_cap",
     // cardinality sketches
     "sk1_hll_distinct", "sk2_kmv_distinct",
     // dedup
     "d1_exact_dedup", "d2_jaccard_pairs", "d3_minhash_lsh",
     "d4_simhash", "d5_simhash_pairs", "d7_dedup_clusters",
+    "d8_decontaminate",
     // similarity search
     "v1_cosine_topk", "v2_ann_lsh", "v3_centroid_assign",
     "v4_ivf_topk", "v5_neardup_lsh",

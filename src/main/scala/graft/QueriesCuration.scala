@@ -1,0 +1,165 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.operators.{RelationalOps, TextOps}
+import graft.sources.Tables
+
+/** Corpus-curation queries over `documents` (north-star extension,
+  * SURVEY.md §2.10): PII scrubbing, canonical normalization,
+  * percentile-based quality gating, per-source token-budget caps — the
+  * filter/rewrite stages that sit between raw crawl and training data.
+  *
+  * Oracle parity notes: the synthetic corpus carries no PII, so x12
+  * plants it DETERMINISTICALLY from doc_id (the same md5-free formula on
+  * both engines — the m1/m3 synthesize-then-verify trick), which makes
+  * the redaction path actually execute against the oracle instead of
+  * trivially passing on no-op input. Regexes are restricted to the
+  * Java-regex ∩ RE2 common subset (classes + greedy repeats; no
+  * lookaround/backrefs). percent_rank is (rank-1)/(n-1) — exact integer
+  * ratios in IEEE double on both engines, so the 0.25 gate can't flip on
+  * a last-ulp difference the way an interpolated quantile threshold
+  * could.
+  */
+object QueriesCuration {
+
+  /** Deterministic PII planting: ~2/3 of docs get a doc_id-derived email,
+    * 1/4 get a phone, some get both, ~1/4 get neither — all four
+    * redaction cases exercised. Pure string concat of existing columns.
+    */
+  private def piiText: Column = concat(
+    col("text"),
+    when(col("doc_id") % 3 =!= 0,
+      concat(lit(" contact user"), col("doc_id").cast("string"),
+        lit("@mail"), (col("doc_id") % 7).cast("string"), lit(".org")))
+      .otherwise(lit("")),
+    when(col("doc_id") % 4 === 0,
+      concat(lit(" call +1-555-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+      .otherwise(lit("")))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // PII scrub: match counts + typed-placeholder redaction. One narrow
+    // codegen'd projection — zero shuffle, linear at any scale.
+    "x12_pii_redact" -> ((s, d) => {
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        TextOps.matchCount(piiText, TextOps.EmailRe).as("n_emails"),
+        TextOps.matchCount(piiText, TextOps.PhoneRe).as("n_phones"),
+        TextOps.redactPii(piiText).as("redacted"))
+    }),
+
+    // Canonical normalization + the dedup key it exists for. Narrow
+    // projection, zero shuffle.
+    "x13_text_normalize" -> ((s, d) => {
+      val norm = TextOps.normalizeText(col("text"))
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        norm.as("norm_text"),
+        TextOps.md5Prefix60(norm).as("norm_hash"))
+    }),
+
+    // Quality gate: drop the bottom quartile per language. percent_rank
+    // over (lang) partitions — one shuffle on lang, O(1) rank state per
+    // partition stream; the gate compares the exact (rank-1)/(n-1)
+    // ratio, rounding only the OUTPUT column.
+    "x14_quality_filter" -> ((s, d) => {
+      val q = Tables.documents(s, d).select(
+        col("doc_id"), col("lang"),
+        round(TextOps.qualityScore(col("text")), 6).as("quality"))
+      val w = Window.partitionBy("lang")
+        .orderBy(col("quality").asc, col("doc_id").asc)
+      q.withColumn("pr", percent_rank().over(w))
+        .filter(col("pr") >= 0.25)
+        .select(col("doc_id"), col("lang"), col("quality"),
+          round(col("pr"), 6).as("pr"))
+    }),
+
+    // Per-source token-budget cap (the "no domain dominates the corpus"
+    // rule): admit docs per source in seeded-hash order until the
+    // source's cumulative token count reaches the budget — a doc is kept
+    // iff it STARTS under budget, so every source gets at least one doc.
+    // One sort-shuffle on source (running sum with an explicit ROWS
+    // frame), no joins.
+    "x15_source_cap" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(
+        col("doc_id"), col("source"),
+        TextOps.tokenCount(col("text")).as("n_tokens"),
+        TextOps.md5Prefix60(
+          concat(lit("cap:"), col("doc_id").cast("string"))).as("h"))
+      RelationalOps.runningAgg(docs, Seq("source"),
+        Seq(col("h").asc, col("doc_id").asc), sum(col("n_tokens")), "cum")
+        .filter(col("cum") - col("n_tokens") < 1000)
+        .select(col("source"), col("doc_id"), col("n_tokens"),
+          (col("cum") - col("n_tokens")).as("cum_before"))
+    })
+  )
+
+  private val toksSql =
+    """list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '')"""
+
+  /** piiText in DuckDB (same doc_id-derived planting formula). */
+  private val piiSql =
+    """concat(text,
+      |  CASE WHEN doc_id % 3 <> 0
+      |    THEN concat(' contact user', CAST(doc_id AS VARCHAR), '@mail',
+      |      CAST(doc_id % 7 AS VARCHAR), '.org') ELSE '' END,
+      |  CASE WHEN doc_id % 4 = 0
+      |    THEN concat(' call +1-555-',
+      |      lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')) ELSE '' END)"""
+      .stripMargin
+
+  private val emailSql = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private val phoneSql = "\\+1-555-[0-9]{4}"
+
+  def oracle: Map[String, String] = Map(
+    "x12_pii_redact" ->
+      s"""WITH p AS (SELECT doc_id, $piiSql AS pii FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(pii, '$emailSql')) AS BIGINT)
+         |    AS n_emails,
+         |  CAST(len(regexp_extract_all(pii, '$phoneSql')) AS BIGINT)
+         |    AS n_phones,
+         |  regexp_replace(regexp_replace(pii, '$emailSql', '<EMAIL>', 'g'),
+         |    '$phoneSql', '<PHONE>', 'g') AS redacted
+         |FROM p""".stripMargin,
+    "x13_text_normalize" ->
+      """WITH n AS (SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(lower(text),
+        |    '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')) AS norm_text
+        |  FROM documents)
+        |SELECT doc_id, norm_text,
+        |  CAST(concat('0x', substr(md5(norm_text), 1, 15)) AS BIGINT)
+        |    AS norm_hash
+        |FROM n""".stripMargin,
+    "x14_quality_filter" ->
+      s"""WITH t AS (SELECT doc_id, lang, text, $toksSql AS toks
+         |           FROM documents),
+         |q AS (SELECT doc_id, lang,
+         |  round(least(1.0, len(toks) / 100.0) *
+         |    (1.0 - CASE WHEN length(text) = 0 THEN 0.0
+         |      ELSE length(regexp_replace(text, '[a-z0-9\\s]', '', 'g'))
+         |        / CAST(length(text) AS DOUBLE) END), 6) AS quality
+         |  FROM t),
+         |r AS (SELECT doc_id, lang, quality,
+         |  percent_rank() OVER (PARTITION BY lang
+         |    ORDER BY quality, doc_id) AS pr
+         |  FROM q)
+         |SELECT doc_id, lang, quality, round(pr, 6) AS pr
+         |FROM r WHERE pr >= 0.25""".stripMargin,
+    "x15_source_cap" ->
+      s"""WITH t AS (SELECT doc_id, source,
+         |  CAST(len($toksSql) AS BIGINT) AS n_tokens,
+         |  CAST(concat('0x', substr(md5(concat('cap:',
+         |    CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) AS h
+         |  FROM documents),
+         |c AS (SELECT source, doc_id, n_tokens,
+         |  CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |    AS cum
+         |  FROM t)
+         |SELECT source, doc_id, n_tokens, cum - n_tokens AS cum_before
+         |FROM c WHERE cum - n_tokens < 1000""".stripMargin
+  )
+}

@@ -119,6 +119,24 @@ object QueriesDedup {
         .select(col("id").as("doc_id"), col("cluster").as("cluster_id"))
     }),
 
+    // Test-set decontamination: training docs (x6's hash split) that
+    // share any 3-shingle with the held-out test split, with the
+    // distinct-overlap count. One equi-join on the 8-byte shingle hash
+    // + two hash-aggs; the shared shingle cache feeds both sides. The
+    // test split here is 10% of the corpus so the join stays a shuffle
+    // join — a benchmark-suite-sized held-out set would broadcast (see
+    // DedupOps.decontaminate).
+    "d8_decontaminate" -> ((s, d) => {
+      val withSplit = docsWithShingles(s, d).withColumn("bucket",
+        TextOps.md5Prefix60(
+          concat(lit("split:"), col("doc_id").cast("string"))) % 100)
+      DedupOps.decontaminate(
+        withSplit.filter(col("bucket") < 80),
+        withSplit.filter(col("bucket") >= 90),
+        "doc_id", "sh")
+        .select(col("id").as("doc_id"), col("n_hits"))
+    }),
+
     // Embedding-cosine near-dup pairs (brute pair scan at test scale; the
     // LSH-bucketed scale path is v2_ann_lsh).
     "d6_embedding_neardup" -> ((s, d) => {
@@ -181,6 +199,19 @@ object QueriesDedup {
          |FROM (SELECT doc_id, $toksSql AS toks FROM documents)
          |GROUP BY 1""".stripMargin,
     "d2_jaccard_pairs" -> s"WITH $d2Ctes\n$d2Select",
+    "d8_decontaminate" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |s AS (SELECT doc_id, $sh3Sql AS sh FROM t),
+         |b AS (SELECT doc_id, sh,
+         |      ${h60("concat('split:', CAST(doc_id AS VARCHAR))")} % 100
+         |        AS bucket FROM s),
+         |te AS (SELECT DISTINCT ${h60("concat('sh:', sh_s)")} AS sh_h
+         |      FROM (SELECT unnest(sh) AS sh_s FROM b WHERE bucket >= 90)),
+         |tr AS (SELECT doc_id, ${h60("concat('sh:', sh_s)")} AS sh_h
+         |      FROM (SELECT doc_id, unnest(sh) AS sh_s FROM b
+         |            WHERE bucket < 80))
+         |SELECT doc_id, count(*) AS n_hits
+         |FROM tr JOIN te USING (sh_h) GROUP BY 1""".stripMargin,
     "d7_dedup_clusters" ->
       s"""WITH RECURSIVE $d2Ctes,
          |pairs AS ($d2Select),

@@ -16,7 +16,8 @@ object SparkEntry {
     QueriesReference.queries ++ QueriesRelational.queries ++
       QueriesText.queries ++ QueriesDedup.queries ++
       QueriesVector.queries ++ QueriesStreaming.queries ++
-      QueriesFunctions.queries ++ QueriesSketch.queries
+      QueriesFunctions.queries ++ QueriesSketch.queries ++
+      QueriesCuration.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -24,5 +25,6 @@ object SparkEntry {
     QueriesReference.oracle ++ QueriesRelational.oracle ++
       QueriesText.oracle ++ QueriesDedup.oracle ++
       QueriesVector.oracle ++ QueriesStreaming.oracle ++
-      QueriesFunctions.oracle ++ QueriesSketch.oracle
+      QueriesFunctions.oracle ++ QueriesSketch.oracle ++
+      QueriesCuration.oracle
 }

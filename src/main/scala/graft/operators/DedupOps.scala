@@ -84,6 +84,33 @@ object DedupOps {
     df.groupBy(keyHash.as("text_hash"))
       .agg(min(col(idCol)).as("keeper"), count(lit(1)).as("n_copies"))
 
+  /** Test-set decontamination: for every training document, count how
+    * many of its distinct shingles also occur anywhere in the held-out
+    * set (docs with zero overlap don't appear — at corpus scale the
+    * contaminated set is the small output you act on). Both inputs carry
+    * a distinct-shingle column ([[shingleHashes]] longs or shingle
+    * strings — the join key is whatever `shCol` holds, so use the SAME
+    * producer on both sides).
+    *
+    * Shape: the held-out side collapses to its distinct shingle set
+    * (hash-agg with map-side partials), then ONE equi-join on the 8-byte
+    * shingle hash + one hash-agg — no pair explosion, no similarity
+    * computation. The join is a shuffle join by default, which scales to
+    * a held-out split of any size; when the held-out set is a benchmark
+    * suite (thousands of docs, the common production case) wrap it in
+    * `broadcast()` at the call site and the train side never shuffles.
+    */
+  def decontaminate(train: DataFrame, test: DataFrame, idCol: String,
+      shCol: String): DataFrame = {
+    val testSh = test.select(explode(col(shCol)).as("s")).distinct()
+    // per-doc shingle sets are distinct, so (id, s) is unique and the
+    // post-join count(*) IS the distinct overlap count — no second
+    // dedup shuffle
+    train.select(col(idCol).as("id"), explode(col(shCol)).as("s"))
+      .join(testSh, "s")
+      .groupBy("id").agg(count(lit(1)).as("n_hits"))
+  }
+
   /** True when `shCol` already carries 60-bit shingle hashes
     * ([[shingleHashes]]) rather than shingle strings ([[shingles]]).
     */

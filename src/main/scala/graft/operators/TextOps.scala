@@ -93,4 +93,36 @@ object TextOps {
     */
   def md5Prefix60(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  // ---- PII scrubbing + canonical normalization (curation family) -----
+
+  /** Email/phone patterns, deliberately restricted to syntax both Java
+    * regex (Spark) and RE2 (DuckDB, the oracle engine) interpret
+    * identically: character classes, bounded/unbounded greedy repeats —
+    * no backreferences, no lookaround (RE2 has neither).
+    */
+  val EmailRe: String = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val PhoneRe: String = "\\+1-555-[0-9]{4}"
+
+  /** Number of pattern matches in `text` (codegen'd regexp_extract_all;
+    * BIGINT to match the oracle's len()).
+    */
+  def matchCount(text: Column, pattern: String): Column =
+    size(regexp_extract_all(text, lit(pattern), lit(0))).cast("long")
+
+  /** Replace every email/phone match with a typed placeholder. Order
+    * matters only if the patterns overlap (these don't: '@' vs '+1-').
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(regexp_replace(text, EmailRe, "<EMAIL>"),
+      PhoneRe, "<PHONE>")
+
+  /** Canonical text form for dedup keying: lowercase, punctuation →
+    * space, whitespace runs collapsed, trimmed. Idempotent (CurationSpec
+    * pins it) — the property that makes it safe to re-apply at any
+    * pipeline stage.
+    */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), "[^a-z0-9\\s]", " "), "\\s+", " "))
 }
