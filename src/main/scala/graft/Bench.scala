@@ -51,14 +51,14 @@ object Bench {
     "x12_pii_redact", "x13_text_normalize", "x14_quality_filter",
     "x15_source_cap",
     // cardinality sketches
-    "sk1_hll_distinct", "sk2_kmv_distinct",
+    "sk1_hll_distinct", "sk2_kmv_distinct", "sk3_cms_topk",
     // dedup
     "d1_exact_dedup", "d2_jaccard_pairs", "d3_minhash_lsh",
     "d4_simhash", "d5_simhash_pairs", "d7_dedup_clusters",
     "d8_decontaminate",
     // similarity search
     "v1_cosine_topk", "v2_ann_lsh", "v3_centroid_assign",
-    "v4_ivf_topk", "v5_neardup_lsh",
+    "v4_ivf_topk", "v5_neardup_lsh", "v6_hybrid_topk",
     // multimodal
     "m1_multimodal_meta", "m2_decode_features", "m3_header_decode",
     "m4_thumbnail")

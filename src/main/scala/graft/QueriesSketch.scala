@@ -31,8 +31,26 @@ object QueriesSketch {
     // input has fewer than k distinct hashes.
     "sk2_kmv_distinct" -> ((s, d) => {
       SketchOps.kmvSummary(Tables.lineitem(s, d), col("l_orderkey"), 256)
+    }),
+
+    // CountMin heavy hitters: top-20 event users by exact count, each
+    // with its CMS frequency estimate alongside the truth (est ≥ exact
+    // always — one-sided error, spec-pinned). The exact count exists to
+    // VERIFY the sketch; a production pipeline reads the sketch alone.
+    "sk3_cms_topk" -> ((s, d) => {
+      import graft.operators.RelationalOps
+      val ev = Tables.events(s, d).select(col("user_id"))
+      val sketch = SketchOps.cmsSketch(ev, col("user_id"), CmsDepth, CmsWidth)
+      val est = SketchOps.cmsEstimate(sketch, ev.distinct(), col("user_id"),
+        CmsDepth, CmsWidth).withColumnRenamed("key", "user_id")
+      val exact = ev.groupBy("user_id").agg(count(lit(1)).as("exact_cnt"))
+      RelationalOps.topKGlobal(est.join(exact, "user_id"),
+        Seq(col("exact_cnt").desc, col("user_id").asc), 20)
     })
   )
+
+  private val CmsDepth = 4
+  private val CmsWidth = 1024
 
   /** Portable seeded 60-bit hash (mirrors TextOps.md5Prefix60 usage). */
   private def h60(arg: String): String =
@@ -70,6 +88,22 @@ object QueriesSketch {
          |  round(CASE WHEN count(*) < 256 THEN CAST(count(*) AS DOUBLE)
          |    ELSE 255.0 * 1152921504606846976.0
          |      / CAST(max(h) AS DOUBLE) END, 2) AS estimate
-         |FROM k""".stripMargin
+         |FROM k""".stripMargin,
+    "sk3_cms_topk" -> {
+      val bucket = h60("concat('cms', CAST(i AS VARCHAR), ':', " +
+        "CAST(user_id AS VARCHAR))") + " % 1024"
+      s"""WITH ev AS (SELECT user_id FROM events),
+         |ix AS (SELECT unnest([0, 1, 2, 3]) AS i),
+         |hx AS (SELECT user_id, i, $bucket AS bucket
+         |       FROM ev CROSS JOIN ix),
+         |sk AS (SELECT i, bucket, count(*) AS cnt FROM hx GROUP BY 1, 2),
+         |kh AS (SELECT user_id, i, $bucket AS bucket
+         |       FROM (SELECT DISTINCT user_id FROM ev) CROSS JOIN ix),
+         |est AS (SELECT user_id, min(cnt) AS est
+         |        FROM kh JOIN sk USING (i, bucket) GROUP BY 1),
+         |ex AS (SELECT user_id, count(*) AS exact_cnt FROM ev GROUP BY 1)
+         |SELECT user_id, est, exact_cnt FROM est JOIN ex USING (user_id)
+         |ORDER BY exact_cnt DESC, user_id LIMIT 20""".stripMargin
+    }
   )
 }

@@ -60,6 +60,22 @@ object QueriesVector {
     "v5_neardup_lsh" -> ((s, d) => {
       VectorOps.lshNearDupPairs(prep(s, d), bands = Bands,
         rowsPerBand = RowsPerBand, dim = Dim, threshold = 0.45)
+    }),
+
+    // Hybrid (filtered) retrieval: top-10 neighbors among ENGLISH
+    // documents only (embeddings joined to documents on vec_id =
+    // doc_id). The metadata predicate prunes the corpus BEFORE the
+    // distance computation — post-filtering a top-k under-fills k when
+    // the filter is selective. At scale the filter rides the same scan
+    // (or a semi-join against the metadata table, as here); the search
+    // itself is unchanged.
+    "v6_hybrid_topk" -> ((s, d) => {
+      val p = prep(s, d)
+      val en = Tables.documents(s, d).filter(col("lang") === "en")
+        .select(col("doc_id"))
+      val corpus = p.join(en, p("id") === en("doc_id"))
+        .select(p("id"), p("v"), p("n2"))
+      VectorOps.bruteForceTopK(corpus, p.filter(col("id") < 5), 10)
     })
   )
 
@@ -110,6 +126,18 @@ object QueriesVector {
          |p AS (SELECT a.vec_id AS id_q, b.vec_id AS id_n,
          |      round($dotSql / sqrt(a.n2 * b.n2), 6) AS cos
          |      FROM n a JOIN n b ON b.vec_id <> a.vec_id
+         |      WHERE a.vec_id < 5)
+         |SELECT id_q, id_n, cos, rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY id_q
+         |    ORDER BY cos DESC, id_n) AS rank FROM p)
+         |WHERE rank <= 10""".stripMargin,
+    "v6_hybrid_topk" ->
+      s"""WITH $preparedSql,
+         |e AS (SELECT n.* FROM n JOIN documents
+         |      ON n.vec_id = documents.doc_id WHERE lang = 'en'),
+         |p AS (SELECT a.vec_id AS id_q, b.vec_id AS id_n,
+         |      round($dotSql / sqrt(a.n2 * b.n2), 6) AS cos
+         |      FROM n a JOIN e b ON b.vec_id <> a.vec_id
          |      WHERE a.vec_id < 5)
          |SELECT id_q, id_n, cos, rank FROM (
          |  SELECT *, row_number() OVER (PARTITION BY id_q

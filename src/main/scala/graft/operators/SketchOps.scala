@@ -106,6 +106,50 @@ object SketchOps {
     * k-th order statistic of a uniform sample) is both biased and
     * unnecessary — the estimate falls back to the exact count k_used.
     */
+  /** CountMin sketch: a depth×width counter table over an arbitrary key
+    * expression — the frequency-estimation companion to the cardinality
+    * sketches (HLL/KMV answer "how many distinct", CMS answers "how
+    * often does THIS key occur" in fixed space). Row i hashes the key
+    * with an independent md5 seed; estimates read the MINIMUM across
+    * rows, so collisions only ever inflate counts (one-sided error:
+    * est ≥ true, spec-pinned).
+    *
+    * Shape: one narrow projection (posexplode of the depth hash values)
+    * + one hash aggregate whose output is at most depth·width rows —
+    * map-side partial aggregation collapses each partition to its own
+    * counter table before the exchange, so the shuffle is O(d·w), not
+    * O(rows). Counter tables merge by elementwise SUM across shards
+    * (same incremental-maintenance property as the HLL registers, by
+    * max; spec-pinned).
+    */
+  def cmsSketch(df: DataFrame, key: Column, depth: Int,
+      width: Int): DataFrame =
+    df.select(posexplode(cmsHashes(key, depth, width))
+        .as(Seq("i", "bucket")))
+      .groupBy("i", "bucket").agg(count(lit(1)).as("cnt"))
+
+  /** Frequency estimates for `keys`: min over the sketch's depth rows.
+    * The sketch is at most depth·width rows — broadcast it, so probing
+    * any number of candidate keys is one broadcast join + one hash agg,
+    * no shuffle of the sketch.
+    */
+  def cmsEstimate(sketch: DataFrame, keys: DataFrame, key: Column,
+      depth: Int, width: Int): DataFrame =
+    keys.select(key.as("key"),
+        posexplode(cmsHashes(key, depth, width)).as(Seq("i", "bucket")))
+      .join(broadcast(sketch), Seq("i", "bucket"))
+      .groupBy("key").agg(min(col("cnt")).as("est"))
+
+  /** The depth independent bucket hashes of a key: md5 with per-row
+    * seeds ("cms0:", "cms1:", ...), mod width — the same portable
+    * formula as every other sketch here, so the oracle reproduces the
+    * exact counter table.
+    */
+  private def cmsHashes(key: Column, depth: Int, width: Int): Column =
+    array((0 until depth).map(i =>
+      TextOps.md5Prefix60(concat(lit(s"cms$i:"), key.cast("string")))
+        % width): _*)
+
   def kmvSummary(df: DataFrame, key: Column, k: Int): DataFrame = {
     val h = TextOps.md5Prefix60(concat(lit("kmv:"), key.cast("string")))
     val minima = RelationalOps.topKGlobal(

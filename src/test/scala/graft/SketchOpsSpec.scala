@@ -88,6 +88,36 @@ class SketchOpsSpec extends SparkTestBase {
       "streamed register table must equal the batch register table")
   }
 
+  test("cms estimates are one-sided: est >= true count, exact when clean") {
+    // 200 keys, key i occurring (i % 5 + 1) times
+    val df = (1L to 200L).flatMap(i => Seq.fill((i % 5 + 1).toInt)(i))
+      .toDF("k")
+    val sketch = SketchOps.cmsSketch(df, col("k"), 4, 1024)
+    val est = SketchOps.cmsEstimate(sketch,
+      (1L to 200L).toDF("k"), col("k"), 4, 1024)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (1L to 200L).foreach { i =>
+      val truth = i % 5 + 1
+      assert(est(i) >= truth, s"CMS must never undercount (key $i)")
+    }
+    // 200 keys into 4x1024 buckets: the min-row is almost surely clean;
+    // allow a tiny inflation margin rather than assuming zero collisions
+    assert((1L to 200L).count(i => est(i) == i % 5 + 1) >= 190,
+      "nearly all estimates should be exact at this load factor")
+  }
+
+  test("cms counter tables merge by elementwise sum across shards") {
+    val a = (1L to 300L).toDF("k")
+    val b = (200L to 500L).toDF("k") // overlap: sums must add, not max
+    val union = SketchOps.cmsSketch(a.union(b), col("k"), 4, 256)
+    val merged = SketchOps.cmsSketch(a, col("k"), 4, 256)
+      .union(SketchOps.cmsSketch(b, col("k"), 4, 256))
+      .groupBy("i", "bucket").agg(sum(col("cnt")).as("cnt"))
+    assert(merged.exceptAll(union).isEmpty &&
+      union.exceptAll(merged).isEmpty,
+      "merged shard sketches must equal the whole-corpus sketch")
+  }
+
   test("kmv is duplicate-insensitive") {
     val once = SketchOps.kmvSummary((1L to 3000L).toDF("k"), col("k"), 64)
       .collect()(0)
