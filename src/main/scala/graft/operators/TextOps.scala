@@ -90,8 +90,17 @@ object TextOps {
   /** 60-bit stable content hash: first 15 hex digits of md5, as BIGINT.
     * Shared with DedupOps — the md5 route is the cross-engine-portable
     * hash (Spark's murmur3 `hash()` seeds differ from other engines).
+    * Native single-digest expression; [[md5Prefix60Spec]] is the
+    * composed-Catalyst executable spec it is property-tested against.
     */
   def md5Prefix60(c: Column): Column =
+    org.apache.spark.sql.graft.HashExpressions.md5Prefix60(c)
+
+  /** Composed-Catalyst spec of [[md5Prefix60]] (hex render → substring →
+    * conv parse). Kept for the value-equality property test; the native
+    * form skips the three per-row string passes.
+    */
+  def md5Prefix60Spec(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
   // ---- PII scrubbing + canonical normalization (curation family) -----
