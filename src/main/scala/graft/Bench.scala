@@ -58,7 +58,7 @@ object Bench {
     "d8_decontaminate",
     // similarity search
     "v1_cosine_topk", "v2_ann_lsh", "v3_centroid_assign",
-    "v4_ivf_topk", "v5_neardup_lsh", "v6_hybrid_topk",
+    "v4_ivf_topk", "v5_neardup_lsh", "v6_hybrid_topk", "v7_kmeans",
     // multimodal
     "m1_multimodal_meta", "m2_decode_features", "m3_header_decode",
     "m4_thumbnail")

@@ -76,6 +76,24 @@ object QueriesVector {
       val corpus = p.join(en, p("id") === en("doc_id"))
         .select(p("id"), p("v"), p("n2"))
       VectorOps.bruteForceTopK(corpus, p.filter(col("id") < 5), 10)
+    }),
+
+    // Lloyd k-means, two full iterations (K=5, init = first 5 vectors):
+    // assign → integer-exact centroid means → re-assign. Iterative ML on
+    // the engine with a hash-matching oracle — possible only because
+    // distances fold in a fixed order and centroid updates are exact
+    // until one division, so both engines take IDENTICAL argmin
+    // decisions at every round (the property that makes cross-engine
+    // verification of an iterative algorithm tractable at all).
+    "v7_kmeans" -> ((s, d) => {
+      val x = prep(s, d).select(col("id"), col("v"))
+      val cent0 = x.filter(col("id") < 5)
+        .select(col("id").as("cid"), col("v").as("c"))
+      val a0 = VectorOps.assignNearestEuclid(x, cent0)
+      val a1 = VectorOps.assignNearestEuclid(x,
+        VectorOps.centroidMeans(a0))
+      a1.select(col("id").as("vec_id"), col("cid").as("cluster"),
+        round(col("d2"), 6).as("d2"))
     })
   )
 
@@ -83,6 +101,14 @@ object QueriesVector {
   private val dotSql =
     """list_reduce(list_prepend(0.0, list_transform(range(len(a.v)),
       |      i -> a.v[i+1] * b.v[i+1])), (x, y) -> x + y)""".stripMargin
+
+  /** Left-fold squared L2 between a.v and c.c (mirrors VectorOps.euclid2:
+    * same index order, same 0.0 seed, so doubles are bit-identical).
+    */
+  private val euclid2Sql =
+    """list_reduce(list_prepend(0.0, list_transform(range(len(a.v)),
+      |      i -> (a.v[i+1] - c.c[i+1]) * (a.v[i+1] - c.c[i+1]))),
+      |      (x, y) -> x + y)""".stripMargin
 
   private val preparedSql =
     """d AS (SELECT vec_id,
@@ -143,6 +169,31 @@ object QueriesVector {
          |  SELECT *, row_number() OVER (PARTITION BY id_q
          |    ORDER BY cos DESC, id_n) AS rank FROM p)
          |WHERE rank <= 10""".stripMargin,
+    "v7_kmeans" ->
+      s"""WITH $preparedSql,
+         |c0 AS (SELECT vec_id AS cid, v AS c FROM d WHERE vec_id < 5),
+         |a0 AS (SELECT vec_id, v, cid FROM (
+         |  SELECT a.vec_id, a.v, c.cid,
+         |    row_number() OVER (PARTITION BY a.vec_id
+         |      ORDER BY $euclid2Sql, c.cid) AS rk
+         |  FROM d a CROSS JOIN c0 c) WHERE rk = 1),
+         |e AS (SELECT cid, unnest(list_transform(range(len(v)),
+         |    i -> struct_pack(pos := i,
+         |      fx := CAST(floor(v[i+1] * 1000000.0) AS BIGINT)))) AS u
+         |  FROM a0),
+         |g AS (SELECT cid, u.pos AS pos, sum(u.fx) AS sfx, count(*) AS n
+         |  FROM e GROUP BY 1, 2),
+         |c1 AS (SELECT cid, list_transform(list_sort(list(
+         |    struct_pack(pos := pos, ci := CAST(sfx AS DOUBLE)
+         |      / CAST(n * 1000000 AS DOUBLE)))), s -> s.ci) AS c
+         |  FROM g GROUP BY cid),
+         |a1 AS (SELECT vec_id, cid, d2 FROM (
+         |  SELECT a.vec_id, c.cid, $euclid2Sql AS d2,
+         |    row_number() OVER (PARTITION BY a.vec_id
+         |      ORDER BY $euclid2Sql, c.cid) AS rk
+         |  FROM d a CROSS JOIN c1 c) WHERE rk = 1)
+         |SELECT vec_id, cid AS cluster, round(d2, 6) AS d2 FROM a1"""
+        .stripMargin,
     "v2_ann_lsh" ->
       s"""WITH $preparedSql,
          |c AS (SELECT vec_id, v, n2, $bucketSql AS bucket FROM n)

@@ -238,4 +238,57 @@ object VectorOps {
       Seq(col("cos").desc, col("centroid_id").asc), 1, rankCol = "rk")
       .select(col("id"), col("centroid_id"), round(col("cos"), 6).as("cos"))
   }
+
+  // ---- Lloyd k-means (iterative clustering, bit-reproducible) ---------
+
+  /** Squared Euclidean distance via the same index-ordered left fold as
+    * [[dotHof]] — bit-reproducible across engines, which is what lets
+    * an ITERATIVE algorithm hash-match an oracle: identical distances →
+    * identical argmin assignments → identical next-round centroids.
+    */
+  def euclid2(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, e) => acc + e)
+
+  /** One Lloyd ASSIGN step: nearest centroid per point (min squared-L2,
+    * centroid_id tie-break). `points` = (id, v); `cents` = (cid, c).
+    * Centroids are broadcast (K rows) — the corpus never shuffles; the
+    * per-point argmin is a window with O(1) state. Returns
+    * (id, v, cid, d2) — v is carried through because the UPDATE step
+    * consumes it next.
+    */
+  def assignNearestEuclid(points: DataFrame, cents: DataFrame): DataFrame = {
+    val j = points.crossJoin(broadcast(cents))
+      .withColumn("d2", euclid2(col("v"), col("c")))
+    RelationalOps.topKPerGroup(j, Seq("id"),
+      Seq(col("d2").asc, col("cid").asc), 1, rankCol = "rk")
+      .select(col("id"), col("v"), col("cid"), col("d2"))
+  }
+
+  /** One Lloyd UPDATE step: elementwise mean of each cluster's vectors,
+    * INTEGER-EXACT until one final division — components are scaled to
+    * fixed point (`floor(x·10^6)`, exact longs; floor rather than round
+    * because round-half tie behavior differs across engines), summed
+    * exactly, and divided once by n·10^6. The usual
+    * `avg(double)` would be partition-order-dependent and could flip a
+    * borderline next-round assignment on one engine but not the other.
+    *
+    * Shape: posexplode (×dim) → hash agg to K·dim cells (map-side
+    * partials — the shuffle carries K·dim rows per partition, not the
+    * corpus) → K rows of re-assembled mean arrays (array_sort by pos
+    * makes collect_list's nondeterministic order irrelevant).
+    */
+  def centroidMeans(assigned: DataFrame): DataFrame = {
+    assigned
+      .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
+      .select(col("cid"), col("pos"),
+        floor(col("x") * lit(1000000.0)).as("fx"))
+      .groupBy("cid", "pos")
+      .agg(sum(col("fx")).as("sfx"), count(lit(1)).as("n"))
+      .select(col("cid"), col("pos"), (col("sfx").cast("double") /
+        (col("n") * lit(1000000L)).cast("double")).as("ci"))
+      .groupBy("cid")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("ci")))),
+        s => s.getField("ci")).as("c"))
+  }
 }

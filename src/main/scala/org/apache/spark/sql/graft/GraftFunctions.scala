@@ -66,6 +66,14 @@ object GraftFunctions {
         require(es.length == 1, "simhash60(toks) takes 1 argument")
         SimHashFromTokensExpr(es.head)
       }),
+    (FunctionIdentifier("md5_prefix60"),
+      info("md5_prefix60",
+        "_FUNC_(str) - first 60 bits of md5(str) as BIGINT (the " +
+          "engine's portable seeded hash)"),
+      (es: Seq[Expression]) => {
+        require(es.length == 1, "md5_prefix60(str) takes 1 argument")
+        Md5Prefix60Expr(es.head)
+      }),
     (FunctionIdentifier("json_get_long"),
       info("json_get_long",
         "_FUNC_(json, key) - top-level key as long, null if " +

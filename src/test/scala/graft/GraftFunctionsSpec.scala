@@ -19,6 +19,17 @@ class GraftFunctionsSpec extends SparkTestBase {
     assert(d == 32.0)
   }
 
+  test("md5_prefix60 from SQL matches the Column API and the hex formula") {
+    val got = spark.sql("SELECT md5_prefix60('split:42')")
+      .as[Long].collect()(0)
+    assert(got == DedupOps.driverHash60("split:42"))
+    assert(spark.sql(
+      """SELECT md5_prefix60(s) = CAST(conv(substring(md5(s), 1, 15),
+        |  16, 10) AS BIGINT) AS eq
+        |FROM VALUES ('a'), (''), ('中文 😀'), ('kmv:123') t(s)"""
+        .stripMargin).as[Boolean].collect().forall(identity))
+  }
+
   test("shingle_hash60 / simhash60 from SQL match the Column API") {
     spark.read.parquet(s"$sf001/documents.parquet").limit(50)
       .createOrReplaceTempView("docs_gf")

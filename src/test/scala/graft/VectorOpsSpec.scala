@@ -96,4 +96,37 @@ class VectorOpsSpec extends SparkTestBase {
     assert(out(1L) == 1L)
     assert(out(3L) == 0L) // colinear with centroid 0
   }
+
+  test("centroidMeans is the exact per-dimension mean") {
+    val assigned = Seq(
+      (0L, Seq(1.0, 2.0), 7L), (1L, Seq(3.0, 4.0), 7L),
+      (2L, Seq(10.0, 0.0), 8L))
+      .toDF("id", "v", "cid")
+    val cents = VectorOps.centroidMeans(assigned)
+      .as[(Long, Seq[Double])].collect().toMap
+    assert(cents(7L) == Seq(2.0, 3.0)) // (1+3)/2, (2+4)/2 — exact
+    assert(cents(8L) == Seq(10.0, 0.0)) // singleton cluster = itself
+  }
+
+  test("lloyd iteration recovers planted well-separated clusters") {
+    // three tight clusters around (0,0), (10,10), (20,20); one seed
+    // point per cluster as init — after update+re-assign every point
+    // must sit with its planted cluster's centroid
+    val pts = (for {
+      (cx, label) <- Seq((0.0, 0L), (10.0, 1L), (20.0, 2L))
+      i <- 0 until 5
+    } yield (label * 5 + i, Seq(cx + i * 0.1, cx - i * 0.1), label))
+      .toDF("id", "v", "truth")
+    val x = pts.select(col("id"), col("v"))
+    val init = pts.filter(col("id") % 5 === 0)
+      .select(col("truth").as("cid"), col("v").as("c"))
+    val a1 = VectorOps.assignNearestEuclid(x,
+      VectorOps.centroidMeans(
+        VectorOps.assignNearestEuclid(x, init)))
+    val got = a1.select("id", "cid").as[(Long, Long)].collect().toMap
+    pts.select("id", "truth").as[(Long, Long)].collect().foreach {
+      case (id, truth) => assert(got(id) == truth,
+        s"point $id must stay in planted cluster $truth, got ${got(id)}")
+    }
+  }
 }
