@@ -46,8 +46,33 @@ object QueriesSketch {
       val exact = ev.groupBy("user_id").agg(count(lit(1)).as("exact_cnt"))
       RelationalOps.topKGlobal(est.join(exact, "user_id"),
         Seq(col("exact_cnt").desc, col("user_id").asc), 20)
+    }),
+
+    // Bloom-filter join pruning: build a 256-word filter over the
+    // BUILDING-segment customer keys, probe every order, and report the
+    // pruning quality — orders scanned, bloom-positives, exact
+    // semi-join truth, false positives. No false negative is possible
+    // (spec-pinned); at scale the `might` predicate drops definite
+    // non-members BEFORE the join shuffle, which is the entire point.
+    "sk4_bloom_filter" -> ((s, d) => {
+      val seg = Tables.customer(s, d)
+        .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+      val bf = SketchOps.bloomBuild(seg, col("c_custkey"), BloomWords)
+      val probed = SketchOps.bloomProbe(
+        Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+        bf, col("o_custkey"), BloomWords)
+      val truth = Tables.orders(s, d)
+        .join(seg, col("o_custkey") === col("c_custkey"), "left_semi")
+        .agg(count(lit(1)).as("n_true"))
+      probed.agg(count(lit(1)).as("n_orders"),
+          sum(when(col("might"), 1L).otherwise(0L)).as("n_pass"))
+        .crossJoin(broadcast(truth))
+        .select(col("n_orders"), col("n_pass"), col("n_true"),
+          (col("n_pass") - col("n_true")).as("n_false_pos"))
     })
   )
+
+  private val BloomWords = 256
 
   private val CmsDepth = 4
   private val CmsWidth = 1024
@@ -104,6 +129,33 @@ object QueriesSketch {
          |ex AS (SELECT user_id, count(*) AS exact_cnt FROM ev GROUP BY 1)
          |SELECT user_id, est, exact_cnt FROM est JOIN ex USING (user_id)
          |ORDER BY exact_cnt DESC, user_id LIMIT 20""".stripMargin
+    },
+    "sk4_bloom_filter" -> {
+      def bh(seed: String, arg: String) =
+        h60(s"concat('$seed:', CAST($arg AS VARCHAR))") + " % 16128"
+      s"""WITH seg AS (SELECT c_custkey FROM customer
+         |       WHERE c_mktsegment = 'BUILDING'),
+         |hh AS (SELECT ${bh("bf1", "c_custkey")} AS h FROM seg
+         |       UNION ALL
+         |       SELECT ${bh("bf2", "c_custkey")} FROM seg),
+         |bf AS (SELECT h // 63 AS word,
+         |       bit_or(CAST(1 AS BIGINT) << CAST(h % 63 AS INT)) AS bits
+         |       FROM hh GROUP BY 1),
+         |pr AS (SELECT o_custkey, ${bh("bf1", "o_custkey")} AS h1,
+         |       ${bh("bf2", "o_custkey")} AS h2 FROM orders),
+         |j AS (SELECT CASE WHEN f1.bits IS NOT NULL
+         |         AND ((f1.bits >> CAST(p.h1 % 63 AS INT)) & 1) = 1
+         |         AND f2.bits IS NOT NULL
+         |         AND ((f2.bits >> CAST(p.h2 % 63 AS INT)) & 1) = 1
+         |       THEN 1 ELSE 0 END AS might
+         |       FROM pr p LEFT JOIN bf f1 ON f1.word = p.h1 // 63
+         |                 LEFT JOIN bf f2 ON f2.word = p.h2 // 63),
+         |agg AS (SELECT count(*) AS n_orders,
+         |        CAST(sum(might) AS BIGINT) AS n_pass FROM j),
+         |t AS (SELECT count(*) AS n_true FROM orders
+         |      WHERE o_custkey IN (SELECT c_custkey FROM seg))
+         |SELECT n_orders, n_pass, n_true, n_pass - n_true AS n_false_pos
+         |FROM agg CROSS JOIN t""".stripMargin
     }
   )
 }

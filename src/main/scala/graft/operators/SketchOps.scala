@@ -150,6 +150,55 @@ object SketchOps {
       TextOps.md5Prefix60(concat(lit(s"cms$i:"), key.cast("string")))
         % width): _*)
 
+  /** Bloom filter over a key set, as a (word, bits) table of 63-bit
+    * words — the membership structure behind join pruning: build it
+    * over the small side's keys, broadcast it, and the big side drops
+    * definite non-members BEFORE the join shuffle. Two md5-seeded hash
+    * functions; 63 bits per word rather than 64 because a checked
+    * engine (DuckDB, the oracle) rejects `1 << 63` as overflow, and
+    * one bit of density costs nothing.
+    *
+    * Shape: 2 narrow hash projections + one hash agg to at most `words`
+    * rows (map-side bit_or partials). Filters merge across shards by
+    * bit_or (spec-pinned) — the same incremental-maintenance property
+    * as the other sketches.
+    */
+  def bloomBuild(keys: DataFrame, key: Column, words: Int): DataFrame = {
+    val m = words * 63
+    val hs = Seq("bf1", "bf2").map(seed =>
+      TextOps.md5Prefix60(concat(lit(seed + ":"), key.cast("string"))) % m)
+    keys.select(explode(array(hs: _*)).as("h"))
+      .select(expr("h div 63").as("word"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(h % 63 AS INT))").as("mask"))
+      .groupBy("word").agg(expr("bit_or(mask)").as("bits"))
+  }
+
+  /** Probe: `might` is true iff BOTH hash bits are set — never a false
+    * negative (spec-pinned), false positives at the filter's design
+    * rate. The filter is at most `words` rows, so both lookups are
+    * broadcast left joins (an absent word row means no key hashed
+    * there → definite non-member) and the probe side never shuffles —
+    * exactly the shape that makes bloom-pruned joins cheap at scale.
+    */
+  def bloomProbe(probe: DataFrame, filter: DataFrame, key: Column,
+      words: Int): DataFrame = {
+    val m = words * 63
+    def h(seed: String) =
+      TextOps.md5Prefix60(concat(lit(seed + ":"), key.cast("string"))) % m
+    val p = probe.withColumn("__h1", h("bf1")).withColumn("__h2", h("bf2"))
+    val hit = (bits: String, hc: String) =>
+      col(bits).isNotNull &&
+        expr(s"(shiftright($bits, CAST($hc % 63 AS INT)) & 1) = 1")
+    p.join(broadcast(filter.select(expr("word").as("__w1"),
+        col("bits").as("__bits1"))),
+        expr("__h1 div 63") === col("__w1"), "left")
+      .join(broadcast(filter.select(expr("word").as("__w2"),
+        col("bits").as("__bits2"))),
+        expr("__h2 div 63") === col("__w2"), "left")
+      .withColumn("might", hit("__bits1", "__h1") && hit("__bits2", "__h2"))
+      .drop("__h1", "__h2", "__w1", "__w2", "__bits1", "__bits2")
+  }
+
   def kmvSummary(df: DataFrame, key: Column, k: Int): DataFrame = {
     val h = TextOps.md5Prefix60(concat(lit("kmv:"), key.cast("string")))
     val minima = RelationalOps.topKGlobal(

@@ -118,6 +118,30 @@ class SketchOpsSpec extends SparkTestBase {
       "merged shard sketches must equal the whole-corpus sketch")
   }
 
+  test("bloom filter has NO false negatives; filters merge by bit_or") {
+    val keys = (1L to 500L).filter(_ % 3 == 0).toDF("k")
+    val bf = SketchOps.bloomBuild(keys, col("k"), 64)
+    val probed = SketchOps.bloomProbe((1L to 1000L).toDF("k"), bf,
+      col("k"), 64)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    (1L to 500L).filter(_ % 3 == 0).foreach { k =>
+      assert(probed(k), s"member $k must pass — bloom never false-negs")
+    }
+    // false positives exist but stay well under the non-member count
+    val fps = (1L to 1000L).filter(k => k % 3 != 0 || k > 500)
+      .count(probed(_))
+    assert(fps < 300, s"false-positive rate implausibly high ($fps)")
+    // shard merge: bit_or of per-shard filters == whole-set filter
+    val a = (1L to 200L).toDF("k")
+    val b = (150L to 400L).toDF("k")
+    val union = SketchOps.bloomBuild(a.union(b), col("k"), 64)
+    val merged = SketchOps.bloomBuild(a, col("k"), 64)
+      .union(SketchOps.bloomBuild(b, col("k"), 64))
+      .groupBy("word").agg(expr("bit_or(bits)").as("bits"))
+    assert(merged.exceptAll(union).isEmpty &&
+      union.exceptAll(merged).isEmpty)
+  }
+
   test("kmv is duplicate-insensitive") {
     val once = SketchOps.kmvSummary((1L to 3000L).toDF("k"), col("k"), 64)
       .collect()(0)
