@@ -95,6 +95,45 @@ class PlanAuditSpec extends SparkTestBase {
       s"sk1 must partial-aggregate registers map-side:\n$p")
   }
 
+  test("curation window queries are single-shuffle plans") {
+    // one exchange on the partition key, a window, nothing else — the
+    // shape that scales linearly; a second exchange would mean the
+    // window or gate recomputed the input
+    for (q <- Seq("x14_quality_filter", "x15_source_cap")) {
+      val p = plan(q)
+      val exchanges = "Exchange".r.findAllIn(p).size
+      assert(exchanges == 1, s"$q must shuffle exactly once:\n$p")
+    }
+  }
+
+  test("sketch probes broadcast the sketch, never shuffle the probe side") {
+    // CMS estimate + both bloom word lookups are broadcast joins: the
+    // sketch is O(d*w)/O(words) rows by construction
+    assert(plan("sk3_cms_topk").contains("BroadcastHashJoin"),
+      "sk3's probe must broadcast the counter table")
+    val bloom = plan("sk4_bloom_filter")
+    assert("BroadcastHashJoin".r.findAllIn(bloom).size >= 2,
+      s"sk4 must broadcast the filter for both hash lookups:\n$bloom")
+  }
+
+  test("kmeans broadcasts centroids and partial-aggregates the update") {
+    val p = plan("v7_kmeans")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"),
+      s"v7 must broadcast the K centroids, never shuffle the corpus:\n$p")
+    assert(p.contains("partial_sum"),
+      s"v7's centroid means must collapse map-side before the exchange:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"v7 must never plan a cartesian product:\n$p")
+  }
+
+  test("decontamination is an equi-join on the shingle hash, no pairs") {
+    val p = plan("d8_decontaminate")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"d8 must stay an equi-join — a non-equi plan explodes at scale:\n$p")
+  }
+
   test("x8 tokenizes and aggregates once: both term-join branches read " +
     "the persisted tf frame") {
     val df = physical("x8_tfidf_topk")
