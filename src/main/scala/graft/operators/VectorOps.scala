@@ -183,18 +183,29 @@ object VectorOps {
     */
   def routeToCentroids(vectors: DataFrame, centroids: DataFrame,
       nProbe: Int, keepPayload: Boolean = false): DataFrame = {
-    val joined = vectors.toDF("id", "v", "n2")
-      .crossJoin(broadcast(centroids.toDF("centroid_id", "v_c", "n2_c")))
-      .withColumn("cos", cosineFromParts(dot(col("v"), col("v_c")),
-        col("n2"), col("n2_c")))
-    val ranked = RelationalOps.topKPerGroup(joined, Seq("id"),
-      Seq(col("cos").desc, col("centroid_id").asc), nProbe, rankCol = "rk")
-    // keepPayload carries (v, n2) through the routing window so callers
-    // don't have to re-join the source on id to get the vectors back —
-    // that join re-scans the source and adds a shuffle for nothing
+    // The K centroids collapse to ONE broadcast array row; the top-nProbe
+    // cells per vector are a narrow array computation — array_sort over
+    // (negated cos, centroid_id) structs IS the (cos desc, id asc)
+    // ranking — so routing never shuffles the vectors. The previous
+    // window formulation re-shuffled every routed corpus vector on id.
+    val centsRow = centroids.toDF("centroid_id", "v_c", "n2_c")
+      .agg(array_sort(collect_list(
+        struct(col("centroid_id"), col("v_c"), col("n2_c")))).as("cents"))
+    val top = slice(array_sort(transform(col("cents"), s =>
+      struct((-cosineFromParts(dot(col("v"), s.getField("v_c")),
+        col("n2"), s.getField("n2_c"))).as("negcos"),
+        s.getField("centroid_id").as("centroid_id")))), 1, nProbe)
+    val routed = vectors.toDF("id", "v", "n2")
+      .crossJoin(broadcast(centsRow))
+      .select(col("id"), col("v"), col("n2"),
+        explode(top).as("r"))
+    // keepPayload carries (v, n2) through the routing so callers don't
+    // have to re-join the source on id to get the vectors back — that
+    // join re-scans the source and adds a shuffle for nothing
     if (keepPayload)
-      ranked.select(col("id"), col("centroid_id"), col("v"), col("n2"))
-    else ranked.select(col("id"), col("centroid_id"))
+      routed.select(col("id"), col("r.centroid_id").as("centroid_id"),
+        col("v"), col("n2"))
+    else routed.select(col("id"), col("r.centroid_id").as("centroid_id"))
   }
 
   /** Full IVF ANN search: assign the corpus to cells (top-1 centroid),
@@ -230,13 +241,21 @@ object VectorOps {
     * broadcast; assignment is a per-row argmax, one narrow pass).
     */
   def assignToCentroids(corpus: DataFrame, centroids: DataFrame): DataFrame = {
-    val joined = corpus.toDF("id", "v", "n2")
-      .crossJoin(broadcast(centroids.toDF("centroid_id", "v_c", "n2_c")))
-      .withColumn("cos", cosineFromParts(dot(col("v"), col("v_c")),
-        col("n2"), col("n2_c")))
-    RelationalOps.topKPerGroup(joined, Seq("id"),
-      Seq(col("cos").desc, col("centroid_id").asc), 1, rankCol = "rk")
-      .select(col("id"), col("centroid_id"), round(col("cos"), 6).as("cos"))
+    // same narrow argmin as [[assignNearestEuclid]]: one broadcast
+    // centroid array row, array_min over (negated cos, centroid_id)
+    // structs — no window, no shuffle of the corpus
+    val centsRow = centroids.toDF("centroid_id", "v_c", "n2_c")
+      .agg(array_sort(collect_list(
+        struct(col("centroid_id"), col("v_c"), col("n2_c")))).as("cents"))
+    val best = array_min(transform(col("cents"), s =>
+      struct((-cosineFromParts(dot(col("v"), s.getField("v_c")),
+        col("n2"), s.getField("n2_c"))).as("negcos"),
+        s.getField("centroid_id").as("centroid_id"))))
+    corpus.toDF("id", "v", "n2")
+      .crossJoin(broadcast(centsRow))
+      .withColumn("best", best)
+      .select(col("id"), col("best.centroid_id").as("centroid_id"),
+        round(-col("best.negcos"), 6).as("cos"))
   }
 
   // ---- Lloyd k-means (iterative clustering, bit-reproducible) ---------
@@ -252,17 +271,29 @@ object VectorOps {
 
   /** One Lloyd ASSIGN step: nearest centroid per point (min squared-L2,
     * centroid_id tie-break). `points` = (id, v); `cents` = (cid, c).
-    * Centroids are broadcast (K rows) — the corpus never shuffles; the
-    * per-point argmin is a window with O(1) state. Returns
-    * (id, v, cid, d2) — v is carried through because the UPDATE step
-    * consumes it next.
+    *
+    * ZERO corpus movement: the K centroids collapse to ONE array row
+    * (an O(K·dim) aggregate — trivial), that row is broadcast, and the
+    * per-point argmin is `array_min` over (d2, cid) structs — struct
+    * ordering IS the (distance asc, centroid_id asc) tie-break, so no
+    * window, no shuffle of the points, just a narrow projection. The
+    * first formulation here was a crossJoin + window argmin, which
+    * re-shuffled the entire corpus on point id once per Lloyd round —
+    * exactly the kind of hidden exchange that turns an iterative
+    * algorithm quadratic-ish in wall-clock at 100 TB (plan-guarded
+    * against regression in PlanAuditSpec). Returns (id, v, cid, d2) —
+    * v is carried through because the UPDATE step consumes it next.
     */
   def assignNearestEuclid(points: DataFrame, cents: DataFrame): DataFrame = {
-    val j = points.crossJoin(broadcast(cents))
-      .withColumn("d2", euclid2(col("v"), col("c")))
-    RelationalOps.topKPerGroup(j, Seq("id"),
-      Seq(col("d2").asc, col("cid").asc), 1, rankCol = "rk")
-      .select(col("id"), col("v"), col("cid"), col("d2"))
+    val centsRow = cents.agg(
+      array_sort(collect_list(struct(col("cid"), col("c")))).as("cents"))
+    val best = array_min(transform(col("cents"),
+      s => struct(euclid2(col("v"), s.getField("c")).as("d2"),
+        s.getField("cid").as("cid"))))
+    points.crossJoin(broadcast(centsRow))
+      .withColumn("best", best)
+      .select(col("id"), col("v"), col("best.cid").as("cid"),
+        col("best.d2").as("d2"))
   }
 
   /** One Lloyd UPDATE step: elementwise mean of each cluster's vectors,

@@ -125,6 +125,11 @@ class PlanAuditSpec extends SparkTestBase {
       s"v7's centroid means must collapse map-side before the exchange:\n$p")
     assert(!p.contains("CartesianProduct"),
       s"v7 must never plan a cartesian product:\n$p")
+    // the assign step is array_min over a broadcast centroid array — a
+    // narrow projection; a Window here means the argmin regressed to a
+    // per-round shuffle of the whole corpus
+    assert(!p.contains("Window"),
+      s"v7's assign must be a narrow argmin, not a window shuffle:\n$p")
   }
 
   test("decontamination is an equi-join on the shingle hash, no pairs") {
