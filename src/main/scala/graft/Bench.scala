@@ -43,6 +43,8 @@ object Bench {
     // streaming (batch form)
     "st1_tumbling_window", "st2_sliding_window", "st3_session_window",
     "st4_interval_join", "st5_custom_state",
+    // event-sequence analytics
+    "e1_funnel", "e2_retention",
     // text analysis + curation (sampling, packing)
     "x1_token_stats", "x2_lang_id", "x3_quality_score", "x4_fingerprint",
     "x5_vocab_topk", "x6_hash_split", "x7_repetition", "x8_tfidf_topk",

@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Event-sequence analytics over `events` (north-star extension,
+  * SURVEY.md §2.10): ordered funnels and cohort retention — the two
+  * queries every behavioral pipeline runs, and good stress tests of
+  * ordered-semantics correctness (a funnel stage counts only events
+  * strictly AFTER the previous stage's first completion, not mere
+  * co-occurrence).
+  *
+  * Scale notes: every stage is a per-user min aggregate (map-side
+  * partials) followed by an equi-join on user_id — no windows over the
+  * raw event stream, no self-join of events with events. Stage frames
+  * shrink monotonically (funnel users ⊆ previous stage), so the join
+  * right sides get cheaper as the funnel deepens.
+  */
+object QueriesEvents {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Ordered view -> click -> purchase funnel with a 24-hour
+    // conversion window per stage: one row of per-stage user counts,
+    // each stage counting only events strictly after — and within 24
+    // hours of — the user's first completion of the previous stage (an
+    // unbounded funnel saturates on a dense event stream and
+    // discriminates nothing; sf0.01: 150 -> 60 -> 25).
+    "e1_funnel" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(
+        col("user_id"), col("event_type"), col("ts"))
+      def stage(tpe: String, prev: DataFrame, prevTs: String,
+          outTs: String): DataFrame =
+        ev.filter(col("event_type") === tpe)
+          .join(prev, "user_id")
+          .filter(col("ts") > col(prevTs) &&
+            col("ts") <= col(prevTs) + expr("INTERVAL 24 HOUR"))
+          .groupBy("user_id").agg(min(col("ts")).as(outTs))
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min(col("ts")).as("v_ts"))
+      val c = stage("click", v, "v_ts", "c_ts")
+      val p = stage("purchase", c, "c_ts", "p_ts")
+      v.agg(count(lit(1)).as("n_view"))
+        .crossJoin(broadcast(c.agg(count(lit(1)).as("n_click"))))
+        .crossJoin(broadcast(p.agg(count(lit(1)).as("n_purchase"))))
+    }),
+
+    // Day-7 cohort retention: users grouped by first-activity day, a
+    // cohort member is retained iff active again exactly 7 days later.
+    "e2_retention" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("user_id"), col("ts"))
+      val first = ev.groupBy("user_id")
+        .agg(to_date(min(col("ts"))).as("cohort_day"))
+      val active = ev.select(col("user_id"), to_date(col("ts")).as("day"))
+        .distinct()
+      val retained = first.join(active, "user_id")
+        .filter(col("day") === date_add(col("cohort_day"), 7))
+        .groupBy("cohort_day").agg(count(lit(1)).as("retained"))
+      first.groupBy("cohort_day").agg(count(lit(1)).as("cohort_size"))
+        .join(retained, Seq("cohort_day"), "left")
+        .select(col("cohort_day"), col("cohort_size"),
+          coalesce(col("retained"), lit(0L)).as("retained"),
+          round(coalesce(col("retained"), lit(0L)) /
+            col("cohort_size").cast("double"), 6).as("retention_rate"))
+    })
+  )
+
+  def oracle: Map[String, String] = Map(
+    "e1_funnel" ->
+      """WITH v AS (SELECT user_id, min(ts) AS v_ts FROM events
+        |           WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, min(e.ts) AS c_ts
+        |      FROM events e JOIN v ON e.user_id = v.user_id
+        |      WHERE e.event_type = 'click' AND e.ts > v.v_ts
+        |        AND e.ts <= v.v_ts + INTERVAL 24 HOUR GROUP BY 1),
+        |p AS (SELECT e.user_id, min(e.ts) AS p_ts
+        |      FROM events e JOIN c ON e.user_id = c.user_id
+        |      WHERE e.event_type = 'purchase' AND e.ts > c.c_ts
+        |        AND e.ts <= c.c_ts + INTERVAL 24 HOUR GROUP BY 1)
+        |SELECT (SELECT count(*) FROM v) AS n_view,
+        |  (SELECT count(*) FROM c) AS n_click,
+        |  (SELECT count(*) FROM p) AS n_purchase""".stripMargin,
+    "e2_retention" ->
+      """WITH f AS (SELECT user_id, CAST(min(ts) AS DATE) AS cohort_day
+        |           FROM events GROUP BY 1),
+        |a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+        |      FROM events),
+        |r AS (SELECT f.cohort_day, count(*) AS retained
+        |      FROM f JOIN a ON f.user_id = a.user_id
+        |      WHERE a.day = f.cohort_day + 7 GROUP BY 1),
+        |c AS (SELECT cohort_day, count(*) AS cohort_size
+        |      FROM f GROUP BY 1)
+        |SELECT c.cohort_day, c.cohort_size,
+        |  coalesce(r.retained, 0) AS retained,
+        |  round(coalesce(r.retained, 0)
+        |    / CAST(c.cohort_size AS DOUBLE), 6) AS retention_rate
+        |FROM c LEFT JOIN r ON c.cohort_day = r.cohort_day""".stripMargin
+  )
+}
