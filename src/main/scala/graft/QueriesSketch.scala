@@ -69,6 +69,17 @@ object QueriesSketch {
         .crossJoin(broadcast(truth))
         .select(col("n_orders"), col("n_pass"), col("n_true"),
           (col("n_pass") - col("n_true")).as("n_false_pos"))
+    }),
+
+    // Portable quantile sketch: price quartiles + p95 estimated from a
+    // bottom-256-by-hash uniform row sample — deterministic where
+    // t-digest/KLL are engine-specific, so the estimates themselves
+    // hash-match the oracle.
+    "sk5_quantile_sketch" -> ((s, d) => {
+      SketchOps.quantileSketch(Tables.lineitem(s, d),
+        concat(col("l_orderkey").cast("string"), lit("-"),
+          col("l_linenumber").cast("string")),
+        col("l_extendedprice"), 256, Seq(0.25, 0.5, 0.75, 0.95))
     })
   )
 
@@ -156,6 +167,15 @@ object QueriesSketch {
          |      WHERE o_custkey IN (SELECT c_custkey FROM seg))
          |SELECT n_orders, n_pass, n_true, n_pass - n_true AS n_false_pos
          |FROM agg CROSS JOIN t""".stripMargin
-    }
+    },
+    "sk5_quantile_sketch" ->
+      s"""WITH s AS (SELECT ${h60("concat('qs:', CAST(l_orderkey AS " +
+           "VARCHAR), '-', CAST(l_linenumber AS VARCHAR))")} AS h,
+         |        l_extendedprice AS v
+         |      FROM lineitem ORDER BY h LIMIT 256),
+         |r AS (SELECT v, row_number() OVER (ORDER BY v, h) AS r FROM s)
+         |SELECT CAST(CASE r WHEN 64 THEN 0.25 WHEN 128 THEN 0.5
+         |  WHEN 192 THEN 0.75 ELSE 0.95 END AS DOUBLE) AS q, v AS est
+         |FROM r WHERE r IN (64, 128, 192, 244)""".stripMargin
   )
 }

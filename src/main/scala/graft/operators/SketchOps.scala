@@ -199,6 +199,41 @@ object SketchOps {
       .drop("__h1", "__h2", "__w1", "__w2", "__bits1", "__bits2")
   }
 
+  /** Quantile sketch: a bottom-k-by-hash row sample (uniform — the hash
+    * is independent of the value) with quantile estimates read off the
+    * sorted sample. The portable alternative to t-digest/KLL, whose
+    * merge/compaction states are implementation-specific and can never
+    * hash-match another engine: a bottom-k sample is a deterministic
+    * FUNCTION of the input set, so sketch AND estimates reproduce
+    * bit-for-bit anywhere. Error is O(1/sqrt(k)) in rank — the same
+    * class as a KLL sketch of equal size.
+    *
+    * Shape: one narrow hash projection → TakeOrderedAndProject
+    * (per-partition bounded heaps, k rows out) → one k-row window.
+    * Samples from shards merge by re-taking the bottom k of the union
+    * (spec-pinned).
+    */
+  def quantileSketch(df: DataFrame, key: Column, value: Column,
+      k: Int, qs: Seq[Double]): DataFrame = {
+    val sample = RelationalOps.topKGlobal(
+      df.select(TextOps.md5Prefix60(concat(lit("qs:"), key)).as("h"),
+        value.as("v")),
+      Seq(col("h").asc), k)
+    // rank within the k-row sample (value asc, hash tie-break); the
+    // window is over exactly k rows, so the single partition is bounded
+    // by construction, not by data size
+    val ranked = sample.withColumn("r", row_number().over(
+      org.apache.spark.sql.expressions.Window
+        .orderBy(col("v").asc, col("h").asc)))
+    val picks = qs.map(q => math.ceil(q * k).toInt)
+    val qOf = picks.zip(qs).tail.foldLeft(
+      when(col("r") === picks.head, qs.head)) {
+      case (acc, (r, q)) => acc.when(col("r") === r, q)
+    }
+    ranked.filter(col("r").isin(picks.map(Integer.valueOf): _*))
+      .select(qOf.as("q"), col("v").as("est"))
+  }
+
   def kmvSummary(df: DataFrame, key: Column, k: Int): DataFrame = {
     val h = TextOps.md5Prefix60(concat(lit("kmv:"), key.cast("string")))
     val minima = RelationalOps.topKGlobal(

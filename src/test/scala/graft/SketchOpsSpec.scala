@@ -142,6 +142,24 @@ class SketchOpsSpec extends SparkTestBase {
       union.exceptAll(merged).isEmpty)
   }
 
+  test("quantile sketch lands near true quantiles and is partition-stable") {
+    // uniform 1..20000: true q-quantile = 20000q; bottom-256 sample
+    // estimates should land within ~3/sqrt(256) of the true rank
+    val df = (1L to 20000L).toDF("k")
+      .select(col("k"), col("k").cast("double").as("v"))
+    val est = SketchOps.quantileSketch(df, col("k").cast("string"),
+      col("v"), 256, Seq(0.25, 0.5, 0.75, 0.95))
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    for ((q, e) <- est)
+      assert(math.abs(e / 20000.0 - q) < 0.2,
+        s"q=$q estimate $e too far from ${20000 * q}")
+    // determinism: repartitioning must not change a single estimate
+    val est2 = SketchOps.quantileSketch(df.repartition(13),
+      col("k").cast("string"), col("v"), 256, Seq(0.25, 0.5, 0.75, 0.95))
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    assert(est == est2, "sketch must be a pure function of the input set")
+  }
+
   test("kmv is duplicate-insensitive") {
     val once = SketchOps.kmvSummary((1L to 3000L).toDF("k"), col("k"), 64)
       .collect()(0)
