@@ -58,7 +58,7 @@ object Bench {
     // dedup
     "d1_exact_dedup", "d2_jaccard_pairs", "d3_minhash_lsh",
     "d4_simhash", "d5_simhash_pairs", "d7_dedup_clusters",
-    "d8_decontaminate",
+    "d8_decontaminate", "d9_pagerank",
     // similarity search
     "v1_cosine_topk", "v2_ann_lsh", "v3_centroid_assign",
     "v4_ivf_topk", "v5_neardup_lsh", "v6_hybrid_topk", "v7_kmeans",

@@ -137,6 +137,19 @@ object QueriesDedup {
         .select(col("id").as("doc_id"), col("n_hits"))
     }),
 
+    // Integer PageRank over the verified near-dup graph (same pairs as
+    // d2/d7): centrality of each doc within its duplicate cluster —
+    // the doc most-connected to other near-dups is the natural
+    // canonical copy when clusters are dense. Two rounds, micro-unit
+    // fixed point, floor-div damping (see DedupOps.pageRank).
+    "d9_pagerank" -> ((s, d) => {
+      DedupOps.pageRank(
+        DedupOps.jaccardPairs(docsWithShingles(s, d), "doc_id", "sh", 0.8,
+          maxDocFreq = 1000L),
+        "id_a", "id_b", iters = 2)
+        .select(col("id").as("doc_id"), col("pagerank_micro"))
+    }),
+
     // Embedding-cosine near-dup pairs (brute pair scan at test scale; the
     // LSH-bucketed scale path is v2_ann_lsh).
     "d6_embedding_neardup" -> ((s, d) => {
@@ -224,6 +237,25 @@ object QueriesDedup {
          |    JOIN edges e2 ON r.dst = e2.src)
          |SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
          |FROM reach GROUP BY src""".stripMargin,
+    "d9_pagerank" ->
+      s"""WITH $d2Ctes,
+         |pairs AS ($d2Select),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |          UNION ALL SELECT id_b, id_a FROM pairs),
+         |dg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
+         |r0 AS (SELECT src AS id, deg, CAST(1000000 AS BIGINT) AS r
+         |       FROM dg),
+         |c1 AS (SELECT e.dst, sum(r.r // r.deg) AS in_sum
+         |       FROM edges e JOIN r0 r ON e.src = r.id GROUP BY 1),
+         |r1 AS (SELECT r0.id, r0.deg, CAST(150000 +
+         |         (coalesce(c1.in_sum, 0) * 17) // 20 AS BIGINT) AS r
+         |       FROM r0 LEFT JOIN c1 ON r0.id = c1.dst),
+         |c2 AS (SELECT e.dst, sum(r.r // r.deg) AS in_sum
+         |       FROM edges e JOIN r1 r ON e.src = r.id GROUP BY 1),
+         |r2 AS (SELECT r1.id, CAST(150000 +
+         |         (coalesce(c2.in_sum, 0) * 17) // 20 AS BIGINT) AS r
+         |       FROM r1 LEFT JOIN c2 ON r1.id = c2.dst)
+         |SELECT id AS doc_id, r AS pagerank_micro FROM r2""".stripMargin,
     "d3_minhash_lsh" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
          |s AS (SELECT doc_id, $sh3Sql AS sh FROM t),

@@ -254,6 +254,48 @@ object DedupOps {
     } finally sym.unpersist()
   }
 
+  /** Integer PageRank over an undirected pair list: `iters` rounds of
+    * r' = (1-d)·10^6 + d·Σ_in (r div deg) with d = 17/20, all in
+    * micro-units with FLOOR division — every round is integer-exact, so
+    * an iterative centrality measure can hash-match a cross-engine
+    * oracle (the same reason v7's k-means uses fixed-point means). The
+    * floor-div damping loses < 1 micro-unit per in-edge vs real-valued
+    * PageRank — noise at the 10^6 scale, and a price worth paying for
+    * bit-reproducibility.
+    *
+    * Shape per round: one equi-join (edges × ranks, on the 8-byte node
+    * id) + one hash agg — identical movement pattern to one
+    * [[connectedComponents]] round, O(iters) rounds total, lineage cut
+    * per round via localCheckpoint. Isolated nodes don't appear (every
+    * node in a pair list has degree ≥ 1).
+    */
+  def pageRank(pairs: DataFrame, idACol: String, idBCol: String,
+      iters: Int): DataFrame = {
+    val e = pairs.select(col(idACol).cast("long").as("src"),
+      col(idBCol).cast("long").as("dst"))
+    val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      .persist()
+    try {
+      val deg = sym.groupBy("src").agg(count(lit(1)).as("deg"))
+      var ranks = deg.select(col("src").as("id"), col("deg"),
+        lit(1000000L).as("r"))
+        .localCheckpoint(eager = false)
+      for (_ <- 1 to iters) {
+        val contrib = sym
+          .join(ranks, sym("src") === ranks("id"))
+          .select(col("dst"), expr("r div deg").as("c"))
+          .groupBy("dst").agg(sum(col("c")).as("in_sum"))
+        ranks = ranks.join(contrib, ranks("id") === contrib("dst"), "left")
+          .select(col("id"), col("deg"),
+            (lit(150000L) +
+              expr("(coalesce(in_sum, CAST(0 AS BIGINT)) * 17) div 20"))
+              .as("r"))
+          .localCheckpoint(eager = false)
+      }
+      ranks.select(col("id"), col("r").as("pagerank_micro"))
+    } finally sym.unpersist()
+  }
+
   /** Mersenne prime 2^31-1: modulus of the Carter-Wegman hash family.
     * With inputs reduced to 30 bits and a < p, products stay below 2^61
     * (no 64-bit overflow — engines with checked arithmetic compute

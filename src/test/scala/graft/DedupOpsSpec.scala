@@ -179,6 +179,22 @@ class DedupOpsSpec extends SparkTestBase {
     assert(out == (1L to n).map(_ -> 1L).toMap)
   }
 
+  test("pageRank: hand-computed micro-unit ranks on a 3-node path") {
+    import spark.implicits._
+    // path 1-2-3: deg(1)=deg(3)=1, deg(2)=2. All start at 1e6.
+    // round 1: in(1)=in(3)=r2/2=500000 -> r=150000+(500000*17)/20=575000
+    //          in(2)=r1/1+r3/1=2000000 -> r=150000+1700000=1850000
+    // round 2: in(1)=in(3)=1850000/2=925000 -> 150000+786250=936250
+    //          in(2)=575000+575000=1150000 -> 150000+977500=1127500
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val got = DedupOps.pageRank(edges, "id_a", "id_b", iters = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 936250L, 2L -> 1127500L, 3L -> 936250L))
+    // rank mass check: total stays near N*1e6 (floor-div loss only)
+    assert(got.values.sum <= 3000000L &&
+      got.values.sum > 3000000L - 100L)
+  }
+
   test("shingleIndex drops shingles above the doc-frequency cap") {
     val withSh = docs
       .select(col("doc_id"), DedupOps.shingles(col("toks"), 3).as("sh"))
