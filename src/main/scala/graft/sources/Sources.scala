@@ -26,6 +26,35 @@ final case class ParquetTableSource(dir: String, table: String) extends Source {
     spark.read.parquet(s"$dir/$table.parquet")
 }
 
+/** Schema-DECLARED scan over the other lake landing formats (csv,
+  * json-lines, orc) — the S5 trait generalized beyond parquet. The
+  * schema is required, never inferred: inference costs an extra full
+  * read of the data and guesses types from whatever rows it samples
+  * (a 100 TB landing dir cannot be read twice, and a column that looks
+  * integral in the sample may not be). csv/json get no pushdown —
+  * they're landing formats; convert to parquet before querying
+  * repeatedly (orc prunes + pushes down like parquet).
+  */
+final case class FormatTableSource(format: String, path: String,
+    schema: org.apache.spark.sql.types.StructType,
+    options: Map[String, String] = Map.empty) extends Source {
+  require(Set("csv", "json", "orc").contains(format),
+    s"unsupported landing format: $format")
+  // csv: quoted newlines-in-values are legal CSV and Spark's writer
+  // emits them, but the default reader splits records on raw newlines —
+  // multiLine makes the round trip lossless. The cost is that a
+  // multiLine csv FILE is not splittable (parallelism = number of
+  // files, not blocks); acceptable for a landing format, another
+  // reason querying happens on parquet.
+  private def defaults: Map[String, String] = format match {
+    case "csv" => Map("multiLine" -> "true")
+    case _ => Map.empty
+  }
+  def load(spark: SparkSession): DataFrame =
+    spark.read.format(format).options(defaults ++ options)
+      .schema(schema).load(path)
+}
+
 /** Convenience accessors for the driver-provided tables. */
 object Tables {
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
