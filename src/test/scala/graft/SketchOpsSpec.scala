@@ -106,6 +106,31 @@ class SketchOpsSpec extends SparkTestBase {
       "nearly all estimates should be exact at this load factor")
   }
 
+  test("cms counters maintain incrementally over a stream") {
+    // sum-merge in its natural habitat: a streaming groupBy(i, bucket)
+    // count in complete mode equals the batch counter table no matter
+    // how the input is batched — duplicates across batches must ADD
+    // (unlike HLL's max-merge)
+    implicit val sqlCtx = spark.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[Long]
+    val q = SketchOps.cmsSketch(ms.toDF().toDF("k"), col("k"), 4, 256)
+      .writeStream.format("memory").queryName("cms_t")
+      .outputMode("complete").start()
+    try {
+      ms.addData(1L to 400L: _*)
+      q.processAllAvailable()
+      ms.addData(200L to 600L: _*) // overlap: counts must sum
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("cms_t")
+    val batch = SketchOps.cmsSketch(
+      ((1L to 400L) ++ (200L to 600L)).toDF("k"), col("k"), 4, 256)
+    assert(streamed.exceptAll(batch).isEmpty &&
+      batch.exceptAll(streamed).isEmpty,
+      "streamed counter table must equal the batch counter table")
+  }
+
   test("cms counter tables merge by elementwise sum across shards") {
     val a = (1L to 300L).toDF("k")
     val b = (200L to 500L).toDF("k") // overlap: sums must add, not max
