@@ -62,10 +62,29 @@ object QueriesDedup {
     else df
   }
 
-  /** Release the shared tokenization/shingle caches (for long-lived
+  /** The verified Jaccard near-dup pair list (d2's output), PERSISTED —
+    * three queries consume it (d2 returns it, d7 clusters it, d9 ranks
+    * it), and the pair computation (shingle index → candidate join →
+    * exact verify) is the expensive part of all three. CacheManager
+    * plan equality makes the second and third consumers read the
+    * materialized pairs instead of re-running the pipeline — the same
+    * "verify once → checkpoint → fan out" discipline as the signature
+    * caches, and exactly what a production dedup pipeline does with its
+    * verified-pairs table.
+    */
+  private def verifiedPairs(s: SparkSession, d: String): DataFrame = {
+    val df = DedupOps.jaccardPairs(docsWithShingles(s, d), "doc_id", "sh",
+      0.8, maxDocFreq = 1000L)
+    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+      df.persist()
+    else df
+  }
+
+  /** Release the shared tokenization/shingle/pair caches (for long-lived
     * sessions that are done with the dedup query family).
     */
   def unpersistAll(s: SparkSession, d: String): Unit = {
+    verifiedPairs(s, d).unpersist()
     docsWithShingles(s, d).unpersist()
     docsWithTokens(s, d).unpersist()
   }
@@ -80,9 +99,7 @@ object QueriesDedup {
 
     // n-gram Jaccard near-dup: native distinct-shingle hashing ->
     // inverted index (df-capped) -> candidate pairs -> exact Jaccard >= 0.8.
-    "d2_jaccard_pairs" -> ((s, d) =>
-      DedupOps.jaccardPairs(docsWithShingles(s, d), "doc_id", "sh", 0.8,
-        maxDocFreq = 1000L)),
+    "d2_jaccard_pairs" -> ((s, d) => verifiedPairs(s, d)),
 
     // MinHash(16) + LSH(4 bands x 4 rows): candidate pairs via equi-join
     // on band signatures. Signatures are computed in one narrow projection
@@ -112,10 +129,7 @@ object QueriesDedup {
     // component's min doc_id, i.e. the canonical copy to keep. The
     // oracle computes the same closure with a recursive CTE.
     "d7_dedup_clusters" -> ((s, d) => {
-      DedupOps.connectedComponents(
-        DedupOps.jaccardPairs(docsWithShingles(s, d), "doc_id", "sh", 0.8,
-          maxDocFreq = 1000L),
-        "id_a", "id_b")
+      DedupOps.connectedComponents(verifiedPairs(s, d), "id_a", "id_b")
         .select(col("id").as("doc_id"), col("cluster").as("cluster_id"))
     }),
 
@@ -143,10 +157,7 @@ object QueriesDedup {
     // canonical copy when clusters are dense. Two rounds, micro-unit
     // fixed point, floor-div damping (see DedupOps.pageRank).
     "d9_pagerank" -> ((s, d) => {
-      DedupOps.pageRank(
-        DedupOps.jaccardPairs(docsWithShingles(s, d), "doc_id", "sh", 0.8,
-          maxDocFreq = 1000L),
-        "id_a", "id_b", iters = 2)
+      DedupOps.pageRank(verifiedPairs(s, d), "id_a", "id_b", iters = 2)
         .select(col("id").as("doc_id"), col("pagerank_micro"))
     }),
 

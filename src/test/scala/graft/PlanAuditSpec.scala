@@ -81,7 +81,12 @@ class PlanAuditSpec extends SparkTestBase {
       for (q <- Bench.headline.filterNot(Set("m2_decode_features",
         "m3_header_decode", "m4_thumbnail", "st5_custom_state"))) {
         val p = plan(q)
-        assert(p.contains("*("), s"$q lost whole-stage codegen:\n$p")
+        // a plan whose ROOT is the cache scan (d2 = the shared
+        // verified-pairs cache) has its codegen inside the cached
+        // relation's build plan — reading materialized rows is fine
+        assert(p.contains("*(") ||
+          p.linesIterator.drop(1).next().startsWith("InMemoryTableScan"),
+          s"$q lost whole-stage codegen:\n$p")
       }
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
