@@ -42,7 +42,7 @@ object Bench {
     "f4_conditional", "f5_array_funcs", "f6_regex_funcs",
     // streaming (batch form)
     "st1_tumbling_window", "st2_sliding_window", "st3_session_window",
-    "st4_interval_join", "st5_custom_state",
+    "st4_interval_join", "st5_custom_state", "st6_stream_enrich",
     // event-sequence analytics
     "e1_funnel", "e2_retention",
     // text analysis + curation (sampling, packing)

@@ -64,6 +64,25 @@ object QueriesStreaming {
         .select("user_id", "error_id", "click_id")
     }),
 
+    // Stream-static enrichment (batch form): events broadcast-joined to
+    // the customer dim, aggregated per (event_type, segment). LEFT join
+    // — dim misses survive as 'unknown' instead of silently dropping
+    // events. StreamingSpec drives the identical transform over a
+    // MemoryStream and asserts parity.
+    "st6_stream_enrich" -> ((s, d) => {
+      val dim = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment"))
+      StreamingOps.enrichWithDim(Tables.events(s, d), dim,
+        col("user_id") === col("c_custkey"))
+        .groupBy(col("event_type"),
+          coalesce(col("c_mktsegment"), lit("unknown")).as("segment"))
+        // fixed-point sum (the st1 discipline): an FP sum over doubles
+        // is partition-order-dependent; the integer sum is exact
+        .agg(count(lit(1)).as("n"),
+          round(sum(floor(col("value") * 1e6 + 0.5)) / 1e6, 2)
+            .as("total_value"))
+    }),
+
     // Multimodal metadata: byte length + content hash + fake-decoded dims
     // (SQL-expressible slice of the decode, so it gets a real oracle).
     "m1_multimodal_meta" -> ((s, d) => {
@@ -128,6 +147,13 @@ object QueriesStreaming {
   )
 
   def oracle: Map[String, String] = Map(
+    "st6_stream_enrich" ->
+      """SELECT event_type, coalesce(c_mktsegment, 'unknown') AS segment,
+        |  count(*) AS n,
+        |  round(CAST(sum(CAST(floor(value * 1e6 + 0.5) AS BIGINT))
+        |    AS BIGINT) / 1e6, 2) AS total_value
+        |FROM events LEFT JOIN customer ON user_id = c_custkey
+        |GROUP BY 1, 2""".stripMargin,
     "st4_interval_join" ->
       """SELECT c.user_id, e.event_id AS error_id, c.event_id AS click_id
         |FROM (SELECT user_id, event_id, ts FROM events

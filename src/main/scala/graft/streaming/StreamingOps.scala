@@ -177,6 +177,19 @@ object StreamingOps {
       .drop(r(key))
   }
 
+  /** Stream-static enrichment: join a (possibly unbounded) event stream
+    * to a bounded dimension frame. The dim side is broadcast — the
+    * stream never shuffles for the join, and Structured Streaming
+    * re-resolves the static side per micro-batch, so a dim table
+    * refreshed in place is picked up without restarting the query.
+    * Left join: an event with no dim row survives with nulls (callers
+    * coalesce), because dropping events on a dim miss silently skews
+    * every downstream aggregate.
+    */
+  def enrichWithDim(stream: DataFrame, dim: DataFrame,
+      joinExpr: org.apache.spark.sql.Column): DataFrame =
+    stream.join(broadcast(dim), joinExpr, "left")
+
   /** Streaming-safe dedup: the J1 anti-join's streaming equivalent —
     * exactly-once per key within the watermark horizon, with state bounded
     * by `delay` instead of the full table scan the reference re-reads

@@ -244,6 +244,36 @@ class StreamingSpec extends SparkTestBase {
       "parquet sink must hold exactly the deduped events")
   }
 
+  test("stream-static enrichment over a MemoryStream matches batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "GOLD"), (2L, "SILVER")).toDF("k", "segment")
+    val ms = MemoryStream[Ev]
+    val enriched = StreamingOps.enrichWithDim(
+      ms.toDF().withColumn("event_type", lit("click")),
+      dim, col("user_id") === col("k"))
+      .groupBy(coalesce(col("segment"), lit("unknown")).as("seg"))
+      .agg(count(lit(1)).as("n"))
+    val q = enriched.writeStream.format("memory").queryName("enrich_t")
+      .outputMode("complete").start()
+    try {
+      ms.addData(evs: _*)
+      ms.addData(Ev(9, t("2024-01-01 12:00:00"), 77L, 1.0)) // dim miss
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("enrich_t")
+      .as[(String, Long)].collect().toMap
+    // batch form of the identical transform
+    val batch = StreamingOps.enrichWithDim(
+      (evs :+ Ev(9, t("2024-01-01 12:00:00"), 77L, 1.0)).toDF()
+        .withColumn("event_type", lit("click")),
+      dim, col("user_id") === col("k"))
+      .groupBy(coalesce(col("segment"), lit("unknown")).as("seg"))
+      .agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(got == batch)
+    assert(got("unknown") == 1L, "a dim miss must survive the left join")
+  }
+
   test("dedupWithinWatermark emits each key once across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val ms = MemoryStream[Ev]
