@@ -54,7 +54,7 @@ object Bench {
     "x15_source_cap",
     // cardinality sketches
     "sk1_hll_distinct", "sk2_kmv_distinct", "sk3_cms_topk",
-    "sk4_bloom_filter", "sk5_quantile_sketch",
+    "sk4_bloom_filter", "sk5_quantile_sketch", "sk6_hll_native_agg",
     // dedup
     "d1_exact_dedup", "d2_jaccard_pairs", "d3_minhash_lsh",
     "d4_simhash", "d5_simhash_pairs", "d7_dedup_clusters",

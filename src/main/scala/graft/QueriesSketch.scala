@@ -80,6 +80,18 @@ object QueriesSketch {
         concat(col("l_orderkey").cast("string"), lit("-"),
           col("l_linenumber").cast("string")),
         col("l_extendedprice"), 256, Seq(0.25, 0.5, 0.75, 0.95))
+    }),
+
+    // The same HLL sketch as sk1 as a native TypedImperativeAggregate:
+    // one 4 KB buffer per partition partial, merged by register max —
+    // no register-table shuffle at all. The oracle is the RELATIONAL
+    // form's estimator, so the custom aggregate is cross-checked against
+    // both DuckDB and sk1 simultaneously.
+    "sk6_hll_native_agg" -> ((s, d) => {
+      Tables.lineitem(s, d).agg(
+        round(org.apache.spark.sql.graft.SketchAggregates.hllEstimate(
+          concat(lit("hll:"), col("l_orderkey").cast("string"))), 2)
+          .as("estimate"))
     })
   )
 
@@ -176,6 +188,24 @@ object QueriesSketch {
          |r AS (SELECT v, row_number() OVER (ORDER BY v, h) AS r FROM s)
          |SELECT CAST(CASE r WHEN 64 THEN 0.25 WHEN 128 THEN 0.5
          |  WHEN 192 THEN 0.75 ELSE 0.95 END AS DOUBLE) AS q, v AS est
-         |FROM r WHERE r IN (64, 128, 192, 244)""".stripMargin
+         |FROM r WHERE r IN (64, 128, 192, 244)""".stripMargin,
+    "sk6_hll_native_agg" ->
+      s"""WITH h AS (SELECT ${h60(
+           "concat('hll:', CAST(l_orderkey AS VARCHAR))")} AS h
+         |           FROM lineitem),
+         |b AS (SELECT h % 4096 AS bucket, h >> 12 AS w FROM h),
+         |r AS (SELECT bucket,
+         |        max(CASE WHEN w = 0 THEN 49
+         |            ELSE 49 - length(bin(w)) END) AS rho
+         |      FROM b GROUP BY bucket),
+         |s AS (SELECT count(*) AS v_present,
+         |        CAST(sum(CAST(1 AS BIGINT) << (50 - rho)) AS BIGINT)
+         |          AS fx_present
+         |      FROM r)
+         |SELECT round(0.7213 / (1.0 + 1.079 / 4096.0) * 4096.0 * 4096.0
+         |    * 1125899906842624.0
+         |    / CAST(fx_present + (4096 - v_present)
+         |        * (CAST(1 AS BIGINT) << 50) AS DOUBLE), 2) AS estimate
+         |FROM s""".stripMargin
   )
 }

@@ -74,6 +74,14 @@ object GraftFunctions {
         require(es.length == 1, "md5_prefix60(str) takes 1 argument")
         Md5Prefix60Expr(es.head)
       }),
+    (FunctionIdentifier("hll_estimate"),
+      info("hll_estimate",
+        "_FUNC_(str) - raw-HLL distinct estimate (native aggregate; " +
+          "pass the seeded key string)"),
+      (es: Seq[Expression]) => {
+        require(es.length == 1, "hll_estimate(str) takes 1 argument")
+        HllSketchAgg(es.head)
+      }),
     (FunctionIdentifier("json_get_long"),
       info("json_get_long",
         "_FUNC_(json, key) - top-level key as long, null if " +

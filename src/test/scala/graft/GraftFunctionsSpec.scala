@@ -19,6 +19,18 @@ class GraftFunctionsSpec extends SparkTestBase {
     assert(d == 32.0)
   }
 
+  test("hll_estimate is callable from SQL as an aggregate") {
+    // 20k distinct on 4096 buckets: comfortably above the 2.5m
+    // small-range boundary where the RAW estimator (documented scope —
+    // no linear-counting branch) is unbiased
+    spark.range(1, 20001).toDF("k").createOrReplaceTempView("hll_sql_t")
+    val est = spark.sql(
+      """SELECT hll_estimate(concat('hll:', CAST(k AS STRING)))
+        |FROM hll_sql_t""".stripMargin).as[Double].head()
+    assert(math.abs(est - 20000.0) / 20000.0 < 0.05,
+      s"SQL-surface HLL estimate $est too far from 20000")
+  }
+
   test("md5_prefix60 from SQL matches the Column API and the hex formula") {
     val got = spark.sql("SELECT md5_prefix60('split:42')")
       .as[Long].collect()(0)

@@ -185,6 +185,22 @@ class SketchOpsSpec extends SparkTestBase {
     assert(est == est2, "sketch must be a pure function of the input set")
   }
 
+  test("native hll aggregate == relational hll estimate, any partitioning") {
+    import org.apache.spark.sql.graft.SketchAggregates
+    val seeded = concat(lit("hll:"), col("k").cast("string"))
+    val relational = SketchOps.hllSummary(
+      SketchOps.hllRegisters(keys, col("k")))
+      .select("estimate").as[Double].head()
+    val native = keys.agg(
+      round(SketchAggregates.hllEstimate(seeded), 2)).as[Double].head()
+    assert(native == relational,
+      "the custom aggregate must reproduce the relational estimator " +
+        "bit-for-bit")
+    val repart = keys.repartition(17).agg(
+      round(SketchAggregates.hllEstimate(seeded), 2)).as[Double].head()
+    assert(repart == native, "partial/merge must be partition-invariant")
+  }
+
   test("kmv is duplicate-insensitive") {
     val once = SketchOps.kmvSummary((1L to 3000L).toDF("k"), col("k"), 64)
       .collect()(0)
