@@ -121,6 +121,17 @@ class PlanAuditSpec extends SparkTestBase {
       s"sk4 must broadcast the filter for both hash lookups:\n$bloom")
   }
 
+  test("native hll aggregate plans partial buffers, no register shuffle") {
+    val p = plan("sk6_hll_native_agg")
+    // TypedImperativeAggregate plans as ObjectHashAggregate with a
+    // partial_ mode below the exchange: each partition reduces to one
+    // 4 KB buffer before anything moves
+    assert(p.contains("ObjectHashAggregate"),
+      s"sk6 must use the object-buffer aggregate path:\n$p")
+    assert(p.contains("partial_hllsketchagg"),
+      s"sk6 must partial-aggregate the sketch map-side:\n$p")
+  }
+
   test("kmeans broadcasts centroids and partial-aggregates the update") {
     val p = plan("v7_kmeans")
     assert(p.contains("BroadcastNestedLoopJoin") ||
