@@ -211,7 +211,10 @@ object SketchOps {
     * Shape: one narrow hash projection → TakeOrderedAndProject
     * (per-partition bounded heaps, k rows out) → one k-row window.
     * Samples from shards merge by re-taking the bottom k of the union
-    * (spec-pinned).
+    * (spec-pinned). Precondition: the input has at least k rows — on a
+    * smaller input the upper rank picks don't exist and those quantile
+    * rows are silently absent (a sketch of a sub-k input is the input;
+    * compute exact quantiles instead).
     */
   def quantileSketch(df: DataFrame, key: Column, value: Column,
       k: Int, qs: Seq[Double]): DataFrame = {

@@ -50,7 +50,10 @@ case class HllSketchAgg(
   override def children: Seq[Expression] = Seq(child)
   override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
   override def dataType: DataType = DoubleType
-  override def nullable: Boolean = false
+  // null on zero rows seen — matching the relational form, whose
+  // sum-over-empty-registers is null (the raw estimator would otherwise
+  // report alpha*m ≈ 2954 distinct keys for an EMPTY input)
+  override def nullable: Boolean = true
 
   override def createAggregationBuffer(): Array[Byte] =
     new Array[Byte](Buckets) // rho per bucket; rho <= 49 fits a byte
@@ -81,14 +84,20 @@ case class HllSketchAgg(
   override def eval(buf: Array[Byte]): Any = {
     // identical fixed-point estimator to SketchOps.hllSummary: present
     // buckets contribute 2^(50-rho), absent ones 2^50, all exact longs;
-    // then one literal-only double expression
+    // then one literal-only double expression. An all-zero buffer means
+    // ZERO rows updated it (any seen key sets its bucket's rho to >= 1),
+    // and the estimator is meaningless there — null, like the
+    // relational form.
     var fxSum = 0L
+    var seen = false
     var i = 0
     while (i < Buckets) {
       val rho = buf(i)
+      if (rho != 0) seen = true
       fxSum += (if (rho == 0) 1L << 50 else 1L << (50 - rho))
       i += 1
     }
+    if (!seen) return null
     val m = Buckets.toDouble
     val alphaM = 0.7213 / (1.0 + 1.079 / m)
     alphaM * m * m * (1L << 50).toDouble / fxSum.toDouble

@@ -199,6 +199,11 @@ class SketchOpsSpec extends SparkTestBase {
     val repart = keys.repartition(17).agg(
       round(SketchAggregates.hllEstimate(seeded), 2)).as[Double].head()
     assert(repart == native, "partial/merge must be partition-invariant")
+    // zero rows -> null, same as the relational form (never the raw
+    // estimator's alpha*m phantom)
+    val empty = keys.filter(col("k") < 0).agg(
+      SketchAggregates.hllEstimate(seeded)).collect()(0)
+    assert(empty.isNullAt(0), "empty input must estimate null")
   }
 
   test("kmv is duplicate-insensitive") {
