@@ -51,7 +51,7 @@ object Bench {
     "x9_hash_sample", "x10_stratified_sample", "x11_pack_sequences",
     // curation (PII scrub, normalization, quality gate, source caps)
     "x12_pii_redact", "x13_text_normalize", "x14_quality_filter",
-    "x15_source_cap",
+    "x15_source_cap", "x16_cooccur_topk",
     // cardinality sketches
     "sk1_hll_distinct", "sk2_kmv_distinct", "sk3_cms_topk",
     "sk4_bloom_filter", "sk5_quantile_sketch", "sk6_hll_native_agg",

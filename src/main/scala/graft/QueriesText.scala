@@ -74,6 +74,40 @@ object QueriesText {
         Seq(col("cnt").desc, col("token").asc), 50)
     }),
 
+    // Co-occurrence mining: top-20 token pairs by document frequency
+    // (the building block of PMI phrase scoring), with the exact-ratio
+    // lift factor n_docs·df(a,b)/(df(a)·df(b)) — exact integer ratio,
+    // no log (libm-free, the x8 idf discipline). Pairs expand IN-ROW
+    // from each doc's sorted distinct tokens (the d5/v5 pattern: two
+    // explodes of the same array, a < b) — the pair stream shuffles
+    // once into the count aggregate, unigram dfs ride the shared token
+    // cache, and the pair→unigram joins are broadcasts of the top-k.
+    "x16_cooccur_topk" -> ((s, d) => {
+      val dt = QueriesDedup.docsWithTokens(s, d)
+        .select(col("doc_id"), array_distinct(col("toks")).as("dt"))
+      val pairs = dt
+        .select(col("dt"), explode(col("dt")).as("tok_a"))
+        .select(col("tok_a"), explode(col("dt")).as("tok_b"))
+        .filter(col("tok_a") < col("tok_b"))
+        .groupBy("tok_a", "tok_b").agg(count(lit(1)).as("pair_df"))
+      val top = graft.operators.RelationalOps.topKGlobal(pairs,
+        Seq(col("pair_df").desc, col("tok_a").asc, col("tok_b").asc), 20)
+      val uni = dt.select(explode(col("dt")).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("df"))
+      val nDocs = QueriesDedup.docsWithTokens(s, d)
+        .agg(count(lit(1)).as("n_docs"))
+      // the TOP side (20 rows) broadcasts into the unigram-df lookups —
+      // the vocabulary itself never broadcasts and never re-shuffles
+      val withA = uni.join(broadcast(top), col("tok") === col("tok_a"))
+        .drop("tok").withColumnRenamed("df", "df_a")
+      val withB = uni.join(broadcast(withA), col("tok") === col("tok_b"))
+        .drop("tok").withColumnRenamed("df", "df_b")
+      withB.crossJoin(broadcast(nDocs))
+        .select(col("tok_a"), col("tok_b"), col("pair_df"),
+          round(col("n_docs") * col("pair_df") /
+            (col("df_a") * col("df_b")).cast("double"), 6).as("lift"))
+    }),
+
     // Repetition scoring (the Gopher/MassiveText duplicate-n-gram rule):
     // fraction of a doc's 3-gram windows that repeat an earlier window.
     // Distinct count via the native shingle expression (dedup is by
@@ -292,6 +326,24 @@ object QueriesText {
       s"""WITH t AS (SELECT unnest($toksSql) AS token FROM documents)
          |SELECT token, count(*) AS cnt FROM t
          |GROUP BY token ORDER BY cnt DESC, token LIMIT 50""".stripMargin,
+    "x16_cooccur_topk" ->
+      s"""WITH t AS (SELECT doc_id, list_distinct($toksSql) AS dt
+         |           FROM documents),
+         |e1 AS (SELECT dt, unnest(dt) AS tok_a FROM t),
+         |e2 AS (SELECT tok_a, unnest(dt) AS tok_b FROM e1),
+         |p AS (SELECT tok_a, tok_b, count(*) AS pair_df FROM e2
+         |      WHERE tok_a < tok_b GROUP BY 1, 2),
+         |top AS (SELECT * FROM p
+         |        ORDER BY pair_df DESC, tok_a, tok_b LIMIT 20),
+         |uni AS (SELECT tok, count(*) AS df
+         |        FROM (SELECT unnest(dt) AS tok FROM t) GROUP BY 1),
+         |n AS (SELECT count(*) AS n_docs FROM documents)
+         |SELECT tok_a, tok_b, pair_df,
+         |  round(n_docs * pair_df / CAST(a.df * b.df AS DOUBLE), 6)
+         |    AS lift
+         |FROM top JOIN uni a ON a.tok = top.tok_a
+         |         JOIN uni b ON b.tok = top.tok_b
+         |CROSS JOIN n""".stripMargin,
     "x7_repetition" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
          |c AS (SELECT doc_id,
