@@ -33,7 +33,8 @@ object Bench {
     "w4_moving_avg", "w5_window_variants",
     "t1_topk_global", "j2_revenue_topn", "j3_left_join_count",
     "j4_semi_join", "j5_multiway_join", "j6_salted_join", "j7_full_outer",
-    "j8_asof_join", "j9_range_join", "g1_rollup", "g2_distinct_agg",
+    "j8_asof_join", "j9_range_join", "j10_fuzzy_join",
+    "g1_rollup", "g2_distinct_agg",
     "g3_cube", "g4_pivot", "g5_median_quantity", "g6_grouping_sets",
     "sub1_scalar_subquery", "sub2_in_subquery", "sub3_not_exists",
     "s3_intersect_users", "s4_except_users", "s5_union_all",

@@ -271,6 +271,31 @@ object QueriesRelational {
         .select("user_id", "error_id", "click_id")
     }),
 
+    // Fuzzy record-linkage join: probe names (a deterministic planted
+    // typo — 3rd character dropped) matched back to the part catalog
+    // within Levenshtein distance 1, candidates BLOCKED by a 2-char
+    // prefix equi-key and a ±2 length band. Blocking is part of the
+    // declared semantics (standard in record linkage — the oracle
+    // applies the same block), and it is what makes the operator scale:
+    // the expensive edit-distance runs only inside prefix blocks, via
+    // an equi-join on the prefix with the small probe side broadcast.
+    "j10_fuzzy_join" -> ((s, d) => {
+      val parts = Tables.part(s, d).select(col("p_partkey"), col("p_name"))
+      val probes = parts.filter(col("p_partkey") % 200 === 0)
+        .select(col("p_partkey").as("probe_key"),
+          concat(substring(col("p_name"), 1, 2),
+            substring(col("p_name"), 4, 10000)).as("probe_name"))
+      parts.join(broadcast(probes),
+          substring(col("p_name"), 1, 2) ===
+            substring(col("probe_name"), 1, 2) &&
+            abs(length(col("p_name")) - length(col("probe_name"))) <= 2)
+        .withColumn("dist",
+          levenshtein(col("p_name"), col("probe_name")).cast("long"))
+        .filter(col("dist") <= 1)
+        .select(col("probe_key"), col("p_partkey").as("cand_key"),
+          col("dist"))
+    }),
+
     // Salted skew join: same semantics as the plain orders-lineitem join
     // (the oracle IS the plain join), but each order key is split over 8
     // deterministic salts so a hot key spreads across 8 reducers.
@@ -416,6 +441,17 @@ object QueriesRelational {
         |FULL JOIN (SELECT o_orderkey, o_custkey FROM orders
         |  WHERE o_totalprice > 300000) o ON c_custkey = o_custkey
         |GROUP BY 1""".stripMargin,
+    "j10_fuzzy_join" ->
+      """WITH pr AS (SELECT p_partkey AS probe_key,
+        |      concat(substr(p_name, 1, 2), substr(p_name, 4))
+        |        AS probe_name
+        |      FROM part WHERE p_partkey % 200 = 0)
+        |SELECT probe_key, p_partkey AS cand_key,
+        |  CAST(levenshtein(p_name, probe_name) AS BIGINT) AS dist
+        |FROM part JOIN pr
+        |  ON substr(p_name, 1, 2) = substr(probe_name, 1, 2)
+        |  AND abs(length(p_name) - length(probe_name)) <= 2
+        |WHERE levenshtein(p_name, probe_name) <= 1""".stripMargin,
     "j9_range_join" ->
       """SELECT c.user_id, e.event_id AS error_id, c.event_id AS click_id
         |FROM (SELECT user_id, event_id, ts FROM events
