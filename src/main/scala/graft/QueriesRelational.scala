@@ -297,14 +297,19 @@ object QueriesRelational {
     }),
 
     // Salted skew join: same semantics as the plain orders-lineitem join
-    // (the oracle IS the plain join), but each order key is split over 8
-    // deterministic salts so a hot key spreads across 8 reducers.
+    // (the oracle IS the plain join), but each order key is split over
+    // deterministic salts so a hot key spreads across that many
+    // reducers. Salt factor 4: the factor multiplies the replicated
+    // side's row count, so it should be sized to the observed skew
+    // ratio, not maximized — 4 spreads a hot key across 4 reducers
+    // while paying 4x the dim replication (the stress test in
+    // RelationalOpsSpec demonstrates 8 on a genuinely hot key).
     "j6_salted_join" -> ((s, d) => {
       val li = Tables.lineitem(s, d)
         .select("l_orderkey", "l_extendedprice", "l_discount")
       val ord = Tables.orders(s, d)
         .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
-      RelationalOps.saltedJoin(li, ord, Seq("l_orderkey"), saltFactor = 8)
+      RelationalOps.saltedJoin(li, ord, Seq("l_orderkey"), saltFactor = 4)
         .groupBy("o_orderpriority")
         .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))),
           2).as("revenue"), count(lit(1)).as("n_items"))

@@ -131,7 +131,11 @@ object SketchOps {
   /** Frequency estimates for `keys`: min over the sketch's depth rows.
     * The sketch is at most depth·width rows — broadcast it, so probing
     * any number of candidate keys is one broadcast join + one hash agg,
-    * no shuffle of the sketch.
+    * no shuffle of the sketch. Keys the sketch never saw still get a
+    * (one-sided) estimate: an untouched bucket has no sketch row, so
+    * the min runs over the key's remaining collision buckets — an
+    * overestimate of the true 0, same error direction as every CMS
+    * answer.
     */
   def cmsEstimate(sketch: DataFrame, keys: DataFrame, key: Column,
       depth: Int, width: Int): DataFrame =
@@ -179,6 +183,8 @@ object SketchOps {
     * broadcast left joins (an absent word row means no key hashed
     * there → definite non-member) and the probe side never shuffles —
     * exactly the shape that makes bloom-pruned joins cheap at scale.
+    * Appends a `might` column; the probe frame must not already carry
+    * `might` (or the internal `__`-prefixed scratch names).
     */
   def bloomProbe(probe: DataFrame, filter: DataFrame, key: Column,
       words: Int): DataFrame = {
@@ -229,6 +235,9 @@ object SketchOps {
       org.apache.spark.sql.expressions.Window
         .orderBy(col("v").asc, col("h").asc)))
     val picks = qs.map(q => math.ceil(q * k).toInt)
+    require(picks.distinct.size == picks.size,
+      s"quantiles $qs collide at k=$k (same sample rank) — " +
+        "raise k or drop a quantile")
     val qOf = picks.zip(qs).tail.foldLeft(
       when(col("r") === picks.head, qs.head)) {
       case (acc, (r, q)) => acc.when(col("r") === r, q)
