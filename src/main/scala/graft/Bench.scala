@@ -65,7 +65,7 @@ object Bench {
     "v4_ivf_topk", "v5_neardup_lsh", "v6_hybrid_topk", "v7_kmeans",
     // multimodal
     "m1_multimodal_meta", "m2_decode_features", "m3_header_decode",
-    "m4_thumbnail")
+    "m4_thumbnail", "m5_wav_decode")
 
   /** Fully evaluate a query's output. `.count()` is NOT that: Catalyst
     * prunes deterministic projections under count, so a projection-only

@@ -134,6 +134,23 @@ object QueriesStreaming {
           col("px_sum"), round(col("px_sum") / n, 6).as("brightness"))
     }),
 
+    // REAL audio decode: synthesize complete WAV files (RIFF header + a
+    // deterministic PCM16 stream), parse the sample bytes back out, and
+    // reduce them to peak amplitude + RMS. The oracle regenerates the
+    // samples from the same md5-seeded recurrence — a decode that
+    // misreads offset, endianness, or sign fails the hash. RMS uses
+    // sqrt (IEEE correctly-rounded, unlike log) over the exact integer
+    // square sum, so the double agrees across engines.
+    "m5_wav_decode" -> ((s, d) => {
+      MultimodalOps.decodeAudioStats(
+        MultimodalOps.synthesizeWavs(Tables.documents(s, d)))
+        .toDF()
+        .select(col("doc_id"), col("sample_rate"), col("n_samples"),
+          col("peak"),
+          round(sqrt(col("sq_sum") / col("n_samples").cast("double")), 6)
+            .as("rms"))
+    }),
+
     // REAL header decode: synthesize spec-conformant PNG/BMP files with
     // md5-derived dims, then parse format + width/height back out of the
     // actual bytes. The oracle recomputes the dims from the text with the
@@ -255,6 +272,28 @@ object QueriesStreaming {
         |    (x, y) -> x + y) AS px_sum,
         |  round(list_reduce(list_prepend(CAST(0 AS BIGINT), vs),
         |    (x, y) -> x + y) / CAST(96 AS DOUBLE), 6) AS brightness
+        |FROM v""".stripMargin,
+    "m5_wav_decode" ->
+      """WITH p AS (SELECT doc_id,
+        |  8000 + CAST(concat('0x', substr(md5(concat('ws:', text)),
+        |    1, 15)) AS BIGINT) % 8 * 1000 AS sample_rate,
+        |  CAST(concat('0x', substr(md5(concat('wn:', text)), 1, 15))
+        |    AS BIGINT) % 256 + 16 AS n_samples,
+        |  CAST(concat('0x', substr(md5(concat('wa:', text)), 1, 15))
+        |    AS BIGINT) % 65536 AS a,
+        |  CAST(concat('0x', substr(md5(concat('wb:', text)), 1, 15))
+        |    AS BIGINT) % 65536 AS b
+        |  FROM documents),
+        |v AS (SELECT doc_id, sample_rate, n_samples,
+        |  list_transform(range(n_samples),
+        |    i -> (a * i + b) % 65536 - 32768) AS vs
+        |  FROM p)
+        |SELECT doc_id, sample_rate, n_samples,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT), vs),
+        |    (x, y) -> greatest(x, CAST(abs(y) AS BIGINT))) AS peak,
+        |  round(sqrt(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(vs, s -> s * s)), (x, y) -> x + y)
+        |    / CAST(n_samples AS DOUBLE)), 6) AS rms
         |FROM v""".stripMargin,
     "m3_header_decode" ->
       """SELECT doc_id,

@@ -345,6 +345,121 @@ object MultimodalOps {
     }
   }
 
+  // ---- real audio codec (WAV / PCM16) -------------------------------
+
+  /** Byte-level RIFF/WAVE codec for 16-bit mono PCM — the audio analog
+    * of the BMP pixel codec: the format is a 44-byte header plus raw
+    * little-endian int16 samples, simple enough to encode and parse by
+    * hand, so the audio decode path is REAL bytes end-to-end (a
+    * compressed codec — MP3/Opus — would swap in a library behind the
+    * same iterator interface).
+    */
+  object WavCodec {
+    import java.nio.{ByteBuffer, ByteOrder}
+
+    /** Sample-count cap for the same reason as ImageHeaders.MaxDim: a
+      * hostile header must not size an allocation or defeat the bounds
+      * check via overflow.
+      */
+    val MaxSamples: Int = 1 << 24
+
+    /** 44-byte canonical PCM header + LE int16 samples. */
+    def encodeWav16(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+      val n = samples.length
+      val bb = ByteBuffer.allocate(44 + 2 * n).order(ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + 2 * n)
+        .put("WAVE".getBytes("US-ASCII"))
+        .put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1) // PCM
+        .putShort(1) // mono
+        .putInt(sampleRate)
+        .putInt(sampleRate * 2) // byte rate
+        .putShort(2) // block align
+        .putShort(16) // bits per sample
+        .put("data".getBytes("US-ASCII")).putInt(2 * n)
+      samples.foreach(bb.putShort)
+      bb.array()
+    }
+
+    /** Parse header AND samples: (sampleRate, nSamples, peak |sample|,
+      * sum of squared samples) — exact integers, derived from the
+      * actual payload bytes. None for non-WAV / non-PCM16-mono /
+      * truncated / hostile-size payloads.
+      */
+    def decodeWav16(bytes: Array[Byte])
+        : Option[(Int, Int, Long, Long)] = {
+      def tag(off: Int, s: String): Boolean =
+        bytes.length >= off + 4 &&
+          new String(bytes, off, 4, "US-ASCII") == s
+      if (!(bytes.length >= 44 && tag(0, "RIFF") && tag(8, "WAVE") &&
+        tag(12, "fmt ") && tag(36, "data"))) return None
+      val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+      val fmtSize = bb.getInt(16)
+      val audioFormat = bb.getShort(20)
+      val channels = bb.getShort(22)
+      val bits = bb.getShort(34)
+      val dataSize = bb.getInt(40)
+      val n = dataSize / 2
+      // Long arithmetic + caps, same discipline as decodeBmp24: a
+      // declared dataSize must match the actual byte count and a sane
+      // sample budget before anything is read
+      if (fmtSize != 16 || audioFormat != 1 || channels != 1 ||
+        bits != 16 || dataSize < 0 || dataSize % 2 != 0 ||
+        n > MaxSamples || 44L + dataSize > bytes.length) return None
+      var peak = 0L
+      var sqSum = 0L
+      var i = 0
+      while (i < n) {
+        val v = bb.getShort(44 + 2 * i).toLong
+        val a = math.abs(v)
+        if (a > peak) peak = a
+        sqSum += v * v
+        i += 1
+      }
+      Some((bb.getInt(24), n, peak, sqSum))
+    }
+  }
+
+  /** Synthesize complete WAV files — real headers AND a real PCM sample
+    * stream: n, sample rate, and the linear sample recurrence
+    * `((a·i + b) mod 65536) − 32768` are all md5-seeded from the doc
+    * text, so the DuckDB oracle regenerates the exact samples and a
+    * decode that misreads any byte (offset, endianness, sign) shifts
+    * the peak or square sum and fails the hash.
+    */
+  def synthesizeWavs(docs: DataFrame): Dataset[MediaBlob] = {
+    import docs.sparkSession.implicits._
+    DedupOps.spread(docs.select(col("doc_id"),
+      (lit(8000L) + DedupOps.hash60(lit("ws"), col("text")) % 8 * 1000L)
+        .as("sr"),
+      (DedupOps.hash60(lit("wn"), col("text")) % 256 + 16).as("n"),
+      (DedupOps.hash60(lit("wa"), col("text")) % 65536).as("a"),
+      (DedupOps.hash60(lit("wb"), col("text")) % 65536).as("b")))
+      .as[(Long, Long, Long, Long, Long)]
+      .mapPartitions(_.map { case (id, sr, n, a, b) =>
+        val samples = Array.tabulate(n.toInt)(i =>
+          ((a * i + b) % 65536 - 32768).toShort)
+        MediaBlob(id, "audio/wav", WavCodec.encodeWav16(sr.toInt, samples))
+      })
+  }
+
+  /** REAL audio decode: parse the PCM stream out of each payload and
+    * reduce it to exact integer statistics (peak, square sum — RMS and
+    * rounding belong to the query layer, see [[AudioStats]]). Same
+    * mapPartitions batch shape as the image codecs; undecodable
+    * payloads are dropped.
+    */
+  def decodeAudioStats(blobs: Dataset[MediaBlob]): Dataset[AudioStats] = {
+    import blobs.sparkSession.implicits._
+    blobs.mapPartitions { it =>
+      it.flatMap { b =>
+        WavCodec.decodeWav16(b.payload).map { case (sr, n, peak, sq) =>
+          AudioStats(b.doc_id, sr.toLong, n.toLong, peak, sq)
+        }
+      }
+    }
+  }
+
   /** Frame sampling: every k-th frame index of a video payload — the
     * row-explosion shape (1 blob → n_frames/k rows) that matters for
     * sizing downstream partitions. Takes any frame-count frame

@@ -37,6 +37,40 @@ class MultimodalOpsSpec extends SparkTestBase {
     assert(ImageHeaders.resizeBmp24(hostile, 4, 2).isEmpty)
   }
 
+  test("encodeWav16/decodeWav16: PCM samples round-trip exactly") {
+    import MultimodalOps.WavCodec
+    val samples = Array[Short](0, 1, -1, 32767, -32768, 12345, -12345)
+    val wav = WavCodec.encodeWav16(16000, samples)
+    val Some((sr, n, peak, sq)) = WavCodec.decodeWav16(wav)
+    assert(sr == 16000 && n == samples.length)
+    assert(peak == 32768L, "peak must see |Short.MinValue| = 32768")
+    assert(sq == samples.map(s => s.toLong * s).sum)
+    // rejects: wrong magic, truncated data, stereo/format lies, and a
+    // hostile dataSize that overflows past the truncation guard
+    assert(WavCodec.decodeWav16(wav.dropRight(1)).isEmpty)
+    assert(WavCodec.decodeWav16("RIFFxxxxWAVE".getBytes).isEmpty)
+    val hostile = wav.clone()
+    val bb = java.nio.ByteBuffer.wrap(hostile)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(40, Int.MaxValue - 2) // declared dataSize >> actual
+    assert(WavCodec.decodeWav16(hostile).isEmpty)
+    bb.putShort(22, 2) // stereo: out of the codec's declared scope
+    assert(WavCodec.decodeWav16(hostile).isEmpty)
+  }
+
+  test("synthesizeWavs → decodeAudioStats: deterministic, exact") {
+    val stats = MultimodalOps.decodeAudioStats(
+      MultimodalOps.synthesizeWavs(docs)).collect()
+      .map(a => a.doc_id -> a).toMap
+    assert(stats.size == 3, "every synthesized payload must decode")
+    stats.values.foreach { a =>
+      assert(a.n_samples >= 16 && a.n_samples < 272)
+      assert(a.sample_rate >= 8000 && a.sample_rate <= 15000)
+      assert(a.peak <= 32768L)
+      assert(a.sq_sum <= a.n_samples * 32768L * 32768L)
+    }
+  }
+
   test("resizeBmp24: identity preserves bytes, 2x upscale replicates") {
     import MultimodalOps.ImageHeaders
     val px = Array.tabulate(24)(i => (i * 7).toByte) // 4x2 source

@@ -79,7 +79,8 @@ class PlanAuditSpec extends SparkTestBase {
       // object-serde operators (mapPartitions / flatMapGroupsWithState
       // cores) have no codegen stages by design
       for (q <- Bench.headline.filterNot(Set("m2_decode_features",
-        "m3_header_decode", "m4_thumbnail", "st5_custom_state"))) {
+        "m3_header_decode", "m4_thumbnail", "m5_wav_decode",
+        "st5_custom_state"))) {
         val p = plan(q)
         // a plan whose ROOT is the cache scan (d2 = the shared
         // verified-pairs cache) has its codegen inside the cached
