@@ -16,56 +16,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Bench {
 
-  /** Fixed-order headline set: every oracle-backed query — the
-    * reference surface plus all extension families. The one exclusion
-    * is d6 (brute-force embedding near-dup), quadratic BY CONSTRUCTION
-    * as the documented test-scale exactness baseline; its scale path
-    * (v5 banded-LSH) is what belongs in a benchmark. d6 still runs
-    * under SPARK_GRAFT_BENCH_ALL.
+  /** Headline set, DERIVED from the registry: every oracle-backed query
+    * except d6 (brute-force embedding near-dup), which is quadratic BY
+    * CONSTRUCTION as the documented test-scale exactness baseline — its
+    * scale path (v5 banded-LSH) is what belongs in a benchmark. d6
+    * still runs under SPARK_GRAFT_BENCH_ALL. Deriving the list from
+    * `SparkEntry.queries` (sorted, for a stable timing order) means a
+    * newly registered query cannot silently miss the bench — the
+    * previous hand-kept 91-name list had exactly that failure mode.
     */
-  val headline: Seq[String] = Seq(
-    // reference surface (round-1/2 continuity)
-    "p1_p6_unit_convert", "p7_period_filter", "p8_p10_recency_filter",
-    "a1_weekly_avg", "a2_period_avg", "j1_anti_join_dedup",
-    "s2_json_extract", "q1_pricing_summary",
-    // relational wave
-    "w1_topk_per_group", "w2_running_total", "w3_lag_delta",
-    "w4_moving_avg", "w5_window_variants",
-    "t1_topk_global", "j2_revenue_topn", "j3_left_join_count",
-    "j4_semi_join", "j5_multiway_join", "j6_salted_join", "j7_full_outer",
-    "j8_asof_join", "j9_range_join", "j10_fuzzy_join",
-    "g1_rollup", "g2_distinct_agg",
-    "g3_cube", "g4_pivot", "g5_median_quantity", "g6_grouping_sets",
-    "sub1_scalar_subquery", "sub2_in_subquery", "sub3_not_exists",
-    "s3_intersect_users", "s4_except_users", "s5_union_all",
-    // scalar function families
-    "f1_string_funcs", "f2_date_funcs", "f3_math_funcs",
-    "f4_conditional", "f5_array_funcs", "f6_regex_funcs",
-    // streaming (batch form)
-    "st1_tumbling_window", "st2_sliding_window", "st3_session_window",
-    "st4_interval_join", "st5_custom_state", "st6_stream_enrich",
-    // event-sequence analytics
-    "e1_funnel", "e2_retention",
-    // text analysis + curation (sampling, packing)
-    "x1_token_stats", "x2_lang_id", "x3_quality_score", "x4_fingerprint",
-    "x5_vocab_topk", "x6_hash_split", "x7_repetition", "x8_tfidf_topk",
-    "x9_hash_sample", "x10_stratified_sample", "x11_pack_sequences",
-    // curation (PII scrub, normalization, quality gate, source caps)
-    "x12_pii_redact", "x13_text_normalize", "x14_quality_filter",
-    "x15_source_cap", "x16_cooccur_topk",
-    // cardinality sketches
-    "sk1_hll_distinct", "sk2_kmv_distinct", "sk3_cms_topk",
-    "sk4_bloom_filter", "sk5_quantile_sketch", "sk6_hll_native_agg",
-    // dedup
-    "d1_exact_dedup", "d2_jaccard_pairs", "d3_minhash_lsh",
-    "d4_simhash", "d5_simhash_pairs", "d7_dedup_clusters",
-    "d8_decontaminate", "d9_pagerank",
-    // similarity search
-    "v1_cosine_topk", "v2_ann_lsh", "v3_centroid_assign",
-    "v4_ivf_topk", "v5_neardup_lsh", "v6_hybrid_topk", "v7_kmeans",
-    // multimodal
-    "m1_multimodal_meta", "m2_decode_features", "m3_header_decode",
-    "m4_thumbnail", "m5_wav_decode")
+  val headline: Seq[String] =
+    (SparkEntry.queries.keySet - "d6_embedding_neardup").toSeq.sorted
 
   /** Fully evaluate a query's output. `.count()` is NOT that: Catalyst
     * prunes deterministic projections under count, so a projection-only

@@ -274,21 +274,39 @@ object QueriesRelational {
     // Fuzzy record-linkage join: probe names (a deterministic planted
     // typo — 3rd character dropped) matched back to the part catalog
     // within Levenshtein distance 1, candidates BLOCKED by a 2-char
-    // prefix equi-key and a ±2 length band. Blocking is part of the
-    // declared semantics (standard in record linkage — the oracle
-    // applies the same block), and it is what makes the operator scale:
-    // the expensive edit-distance runs only inside prefix blocks, via
-    // an equi-join on the prefix with the small probe side broadcast.
+    // prefix and a ±2 length band. Blocking is part of the declared
+    // semantics (standard in record linkage — the oracle applies the
+    // same block), and it is what makes the operator scale: the
+    // expensive edit-distance runs only inside blocks.
+    //
+    // The block is a COMPOSITE equi-key (prefix2, length-bucket of
+    // width 3), with the probe side exploded to its ±1 neighboring
+    // buckets so bucket equality COVERS the ±2 band (|Δlen| ≤ 2 ⇒
+    // bucket Δ ∈ {-1,0,1}); the exact band is re-checked after the
+    // join, so the candidate set — and the output — is identical to a
+    // bare prefix block. Why the composite key: at demo scale the probe
+    // side broadcasts and either key works, but at corpus scale the
+    // probe side outgrows broadcast and the join degrades to a SHUFFLE
+    // on the blocking key — a bare 2-char prefix has ≤676 distinct
+    // values (far fewer over a real part vocabulary), i.e. bounded
+    // reducer parallelism plus skew. The length dimension multiplies
+    // the key cardinality for 3× probe replication, keeping the
+    // shuffled join parallel. A part pairs with a probe in at most one
+    // exploded bucket row, so no dedup step is needed.
     "j10_fuzzy_join" -> ((s, d) => {
       val parts = Tables.part(s, d).select(col("p_partkey"), col("p_name"))
       val probes = parts.filter(col("p_partkey") % 200 === 0)
         .select(col("p_partkey").as("probe_key"),
           concat(substring(col("p_name"), 1, 2),
             substring(col("p_name"), 4, 10000)).as("probe_name"))
-      parts.join(broadcast(probes),
+      val probeLb = floor(length(col("probe_name")) / 3)
+      val pb = probes.withColumn("lb",
+        explode(array(probeLb - 1, probeLb, probeLb + 1)))
+      parts.join(broadcast(pb),
           substring(col("p_name"), 1, 2) ===
             substring(col("probe_name"), 1, 2) &&
-            abs(length(col("p_name")) - length(col("probe_name"))) <= 2)
+            floor(length(col("p_name")) / 3) === col("lb"))
+        .filter(abs(length(col("p_name")) - length(col("probe_name"))) <= 2)
         .withColumn("dist",
           levenshtein(col("p_name"), col("probe_name")).cast("long"))
         .filter(col("dist") <= 1)

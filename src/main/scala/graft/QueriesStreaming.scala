@@ -151,6 +151,39 @@ object QueriesStreaming {
             .as("rms"))
     }),
 
+    // REAL video decode: synthesize complete Y4M streams (ASCII header
+    // + FRAME-marked uncompressed 4:2:0 planes), parse header/markers/
+    // plane bytes back out, recover the frame COUNT from the stream
+    // itself, and sample every 2nd frame with its exact byte sum. The
+    // oracle regenerates the per-frame sums from the same md5-seeded
+    // byte recurrence — a decode that miscounts frames, desyncs from a
+    // marker, or misreads any plane byte fails the hash. This closes
+    // the modality triple: m2-m4 image pixels, m5 audio samples, m6
+    // video frames — all byte-level round trips.
+    "m6_video_decode" -> ((s, d) => {
+      val dec = MultimodalOps.decodeVideoStats(
+        MultimodalOps.synthesizeVideos(Tables.documents(s, d))).toDF()
+      MultimodalOps.sampleFrames(dec, 2)
+        .select(col("doc_id"), col("width"), col("height"),
+          col("n_frames"), col("frame_idx"),
+          element_at(col("f_sums"), (col("frame_idx") + 1).cast("int"))
+            .as("f_sum"))
+    }),
+
+    // Watermark dedup in batch form: dropDuplicatesWithinWatermark's
+    // batch-checkable shape — keep the FIRST event per dedup key within
+    // each bounded event-time horizon (1 h tumbling window +
+    // row_number). A key re-appearing in a LATER horizon is kept again:
+    // bounded state is the whole point of watermarked dedup vs a global
+    // dropDuplicates, and it is what the oracle pins here. The
+    // streaming mode (dropDuplicatesWithinWatermark over a MemoryStream)
+    // is spec-driven in StreamingSpec; this closes the st family's
+    // oracle coverage.
+    "st7_watermark_dedup" -> ((s, d) => {
+      StreamingOps.dedupWithinHorizon(Tables.events(s, d),
+        Seq("user_id", "event_type"), "ts", "event_id", "1 hour")
+    }),
+
     // REAL header decode: synthesize spec-conformant PNG/BMP files with
     // md5-derived dims, then parse format + width/height back out of the
     // actual bytes. The oracle recomputes the dims from the text with the
@@ -295,6 +328,37 @@ object QueriesStreaming {
         |      list_transform(vs, s -> s * s)), (x, y) -> x + y)
         |    / CAST(n_samples AS DOUBLE)), 6) AS rms
         |FROM v""".stripMargin,
+    "m6_video_decode" ->
+      """WITH p AS (SELECT doc_id,
+        |  (CAST(concat('0x', substr(md5(concat('vw:', text)), 1, 15))
+        |    AS BIGINT) % 8 + 1) * 2 AS width,
+        |  (CAST(concat('0x', substr(md5(concat('vh:', text)), 1, 15))
+        |    AS BIGINT) % 8 + 1) * 2 AS height,
+        |  CAST(concat('0x', substr(md5(concat('vf:', text)), 1, 15))
+        |    AS BIGINT) % 8 + 2 AS n_frames,
+        |  CAST(concat('0x', substr(md5(concat('va:', text)), 1, 15))
+        |    AS BIGINT) % 256 AS a,
+        |  CAST(concat('0x', substr(md5(concat('vb:', text)), 1, 15))
+        |    AS BIGINT) % 256 AS b
+        |  FROM documents),
+        |f AS (SELECT doc_id, width, height, n_frames, a, b,
+        |      unnest(range(0, n_frames, 2)) AS frame_idx FROM p)
+        |SELECT doc_id, width, height, n_frames, frame_idx,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(range(width * height * 3 // 2),
+        |      i -> (a * (frame_idx * (width * height * 3 // 2) + i) + b)
+        |        % 256)),
+        |    (x, y) -> x + y) AS f_sum
+        |FROM f""".stripMargin,
+    "st7_watermark_dedup" ->
+      """WITH r AS (SELECT user_id, event_type,
+        |  date_trunc('hour', ts) AS window_start, event_id, ts,
+        |  row_number() OVER (
+        |    PARTITION BY user_id, event_type, date_trunc('hour', ts)
+        |    ORDER BY ts, event_id) AS rn
+        |  FROM events)
+        |SELECT user_id, event_type, window_start, event_id, ts
+        |FROM r WHERE rn = 1""".stripMargin,
     "m3_header_decode" ->
       """SELECT doc_id,
         |  CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'bmp' END AS format,

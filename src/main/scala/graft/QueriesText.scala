@@ -18,6 +18,12 @@ import graft.sources.Tables
   */
 object QueriesText {
 
+  /** x16's per-document distinct-token cap — bounds the in-row pair
+    * expansion to cap·(cap-1)/2 pairs per document at any document
+    * length (mirrored in the oracle SQL so hashes match).
+    */
+  val MaxCooccurTokens: Int = 128
+
   def queries: Map[String, (SparkSession, String) => DataFrame] =
       Map[String, (SparkSession, String) => DataFrame](
     // Token counting: whitespace tokens, distinct tokens, BPE-ish subwords,
@@ -82,9 +88,24 @@ object QueriesText {
     // explodes of the same array, a < b) — the pair stream shuffles
     // once into the count aggregate, unigram dfs ride the shared token
     // cache, and the pair→unigram joins are broadcasts of the top-k.
+    //
+    // The pair expansion is CAPPED at MaxCooccurTokens distinct tokens
+    // per document (the df-cap discipline every candidate generator
+    // here follows — maxDocFreq / maxChunkFreq / maxBucketFreq): the
+    // O(u²) in-row blowup is bounded to O(cap²) no matter how long one
+    // document is, so a single 10k-distinct-token document emits at
+    // most cap·(cap-1)/2 pairs into the shuffle, not 50M. The cap keeps
+    // the lexicographically first `cap` tokens (sort + slice —
+    // deterministic and engine-portable, mirrored in the oracle).
+    // Unigram dfs and the lift denominator stay UNCAPPED: the cap is a
+    // documented recall bound on pairs inside very long documents, not
+    // a frequency bias. Plan-guarded (PlanAuditSpec: slice survives)
+    // and fan-out-bounded by a long-doc fixture in TextOpsSpec.
     "x16_cooccur_topk" -> ((s, d) => {
       val dt = QueriesDedup.docsWithTokens(s, d)
-        .select(col("doc_id"), array_distinct(col("toks")).as("dt"))
+        .select(col("doc_id"), array_distinct(col("toks")).as("dtf"))
+        .withColumn("dt",
+          TextOps.capDistinctTokens(col("dtf"), MaxCooccurTokens))
       val pairs = dt
         .select(col("dt"), explode(col("dt")).as("tok_a"))
         .select(col("tok_a"), explode(col("dt")).as("tok_b"))
@@ -92,7 +113,7 @@ object QueriesText {
         .groupBy("tok_a", "tok_b").agg(count(lit(1)).as("pair_df"))
       val top = graft.operators.RelationalOps.topKGlobal(pairs,
         Seq(col("pair_df").desc, col("tok_a").asc, col("tok_b").asc), 20)
-      val uni = dt.select(explode(col("dt")).as("tok"))
+      val uni = dt.select(explode(col("dtf")).as("tok"))
         .groupBy("tok").agg(count(lit(1)).as("df"))
       val nDocs = QueriesDedup.docsWithTokens(s, d)
         .agg(count(lit(1)).as("n_docs"))
@@ -327,16 +348,19 @@ object QueriesText {
          |SELECT token, count(*) AS cnt FROM t
          |GROUP BY token ORDER BY cnt DESC, token LIMIT 50""".stripMargin,
     "x16_cooccur_topk" ->
-      s"""WITH t AS (SELECT doc_id, list_distinct($toksSql) AS dt
+      s"""WITH t AS (SELECT doc_id, list_distinct($toksSql) AS dtf
          |           FROM documents),
-         |e1 AS (SELECT dt, unnest(dt) AS tok_a FROM t),
+         |tc AS (SELECT doc_id, dtf,
+         |       list_slice(list_sort(dtf), 1, $MaxCooccurTokens) AS dt
+         |       FROM t),
+         |e1 AS (SELECT dt, unnest(dt) AS tok_a FROM tc),
          |e2 AS (SELECT tok_a, unnest(dt) AS tok_b FROM e1),
          |p AS (SELECT tok_a, tok_b, count(*) AS pair_df FROM e2
          |      WHERE tok_a < tok_b GROUP BY 1, 2),
          |top AS (SELECT * FROM p
          |        ORDER BY pair_df DESC, tok_a, tok_b LIMIT 20),
          |uni AS (SELECT tok, count(*) AS df
-         |        FROM (SELECT unnest(dt) AS tok FROM t) GROUP BY 1),
+         |        FROM (SELECT unnest(dtf) AS tok FROM tc) GROUP BY 1),
          |n AS (SELECT count(*) AS n_docs FROM documents)
          |SELECT tok_a, tok_b, pair_df,
          |  round(n_docs * pair_df / CAST(a.df * b.df AS DOUBLE), 6)

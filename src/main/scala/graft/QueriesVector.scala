@@ -18,7 +18,6 @@ import graft.sources.Tables
 object QueriesVector {
 
   private val Dim = 64
-  private val NPlanes = 8
   private val Bands = 6
   private val RowsPerBand = 2
 
@@ -33,10 +32,14 @@ object QueriesVector {
       VectorOps.bruteForceTopK(p, p.filter(col("id") < 5), 10)
     }),
 
-    // ANN: probes only meet corpus vectors in the same 8-plane bucket.
+    // ANN: probes meet corpus vectors sharing ANY of 6 band buckets
+    // (2 sign bits each, OR-amplified — the same banding as v5), exact
+    // top-5 over the deduped candidates. v8 measures this operating
+    // point's recall against the exact v1 answer.
     "v2_ann_lsh" -> ((s, d) => {
       val p = prep(s, d)
-      VectorOps.lshTopK(p, p.filter(col("id") < 5), NPlanes, Dim, 5)
+      VectorOps.lshTopK(p, p.filter(col("id") < 5), Bands, RowsPerBand,
+        Dim, 5)
     }),
 
     // IVF-style routing: nearest of 10 fixed centroids per vector.
@@ -76,6 +79,29 @@ object QueriesVector {
       val corpus = p.join(en, p("id") === en("doc_id"))
         .select(p("id"), p("v"), p("n2"))
       VectorOps.bruteForceTopK(corpus, p.filter(col("id") < 5), 10)
+    }),
+
+    // ANN recall gate: for each probe, how many of the EXACT top-10
+    // neighbors (v1, the brute-force baseline) each approximate
+    // candidate set actually contains — recall@10 as exact integers,
+    // per probe and method. v2/v4's own oracles replicate the same
+    // LSH/IVF math, so they stay green under ANY planes/bands/nProbe
+    // choice; this query is graded against the exact answer, so a
+    // retune that silently collapses recall shows up as a changed
+    // n_hits (and trips the floor VectorOpsSpec asserts on top). Shape:
+    // the approximate sets are ≤ 5·k rows — the left joins against the
+    // 50-row exact list broadcast trivially; the expensive part is the
+    // three searches themselves, each keeping its own scale shape.
+    "v8_ann_recall" -> ((s, d) => {
+      val exact = queries("v1_cosine_topk")(s, d).select("id_q", "id_n")
+      def recallOf(cand: DataFrame, method: String): DataFrame =
+        exact.join(
+            cand.select(col("id_q"), col("id_n"), lit(1L).as("hit")),
+            Seq("id_q", "id_n"), "left")
+          .groupBy("id_q").agg(count(col("hit")).as("n_hits"))
+          .select(lit(method).as("method"), col("id_q"), col("n_hits"))
+      recallOf(queries("v2_ann_lsh")(s, d), "lsh")
+        .unionAll(recallOf(queries("v4_ivf_topk")(s, d), "ivf"))
     }),
 
     // Lloyd k-means, two full iterations (K=5, init = first 5 vectors):
@@ -130,14 +156,6 @@ object QueriesVector {
       s"list_transform(range(len(v)), i -> v[i+1] * $comp)), (x, y) -> x + y)"
   }
 
-  /** Hyperplane-projection sign bits, mirroring
-    * VectorOps.hyperplaneBucket / planeComponent.
-    */
-  private def bucketSql: String = (0 until NPlanes).map { p =>
-    s"(CASE WHEN ${planeProjSql(p)} >= 0 " +
-      s"THEN CAST(${1L << p} AS BIGINT) ELSE 0 END)"
-  }.mkString(" + ")
-
   /** Band `b`'s bucket id over RowsPerBand sign bits (global plane index
     * b*RowsPerBand+j), mirroring VectorOps.bandedBucket.
     */
@@ -145,6 +163,14 @@ object QueriesVector {
     s"(CASE WHEN ${planeProjSql(b * RowsPerBand + j)} >= 0 " +
       s"THEN CAST(${1L << j} AS BIGINT) ELSE 0 END)"
   }.mkString(" + ")
+
+  /** Banded-corpus CTE body (vec_id, v, n2, band, bucket) — one branch
+    * per band, mirroring the VectorOps band explosion; shared by the
+    * v2/v5/v8 oracles.
+    */
+  private lazy val bandSelects: String = (0 until Bands).map(b =>
+    s"SELECT vec_id, v, n2, $b AS band, ${bandBucketSql(b)} AS bucket " +
+      "FROM n").mkString("\n|      UNION ALL\n|      ")
 
   def oracle: Map[String, String] = Map(
     "v1_cosine_topk" ->
@@ -196,16 +222,15 @@ object QueriesVector {
         .stripMargin,
     "v2_ann_lsh" ->
       s"""WITH $preparedSql,
-         |c AS (SELECT vec_id, v, n2, $bucketSql AS bucket FROM n)
+         |cb AS ($bandSelects),
+         |p AS (SELECT DISTINCT a.vec_id AS id_q, b.vec_id AS id_n,
+         |      round($dotSql / sqrt(a.n2 * b.n2), 6) AS cos
+         |      FROM cb a JOIN cb b ON a.band = b.band
+         |        AND a.bucket = b.bucket AND b.vec_id <> a.vec_id
+         |      WHERE a.vec_id < 5)
          |SELECT id_q, id_n, cos, rank FROM (
-         |  SELECT a.vec_id AS id_q, b.vec_id AS id_n,
-         |    round($dotSql / sqrt(a.n2 * b.n2), 6) AS cos,
-         |    row_number() OVER (PARTITION BY a.vec_id
-         |      ORDER BY round($dotSql / sqrt(a.n2 * b.n2), 6) DESC,
-         |        b.vec_id) AS rank
-         |  FROM c a JOIN c b ON a.bucket = b.bucket
-         |    AND b.vec_id <> a.vec_id
-         |  WHERE a.vec_id < 5)
+         |  SELECT *, row_number() OVER (PARTITION BY id_q
+         |    ORDER BY cos DESC, id_n) AS rank FROM p)
          |WHERE rank <= 5""".stripMargin,
     "v3_centroid_assign" ->
       s"""WITH $preparedSql,
@@ -246,10 +271,64 @@ object QueriesVector {
          |  SELECT *, row_number() OVER (PARTITION BY id_q
          |    ORDER BY cos DESC, id_n) AS rank FROM pairs)
          |WHERE rank <= 5""".stripMargin,
+    // v8 recomputes the exact top-10 (ex), the LSH top-5 (lsh), and the
+    // IVF top-5 (ivf) with the same CTE bodies as the v1/v2/v4 oracles,
+    // then counts per-probe hits — count over a LEFT join so probes
+    // with zero overlap still get a row (n_hits = 0), which is exactly
+    // the collapse the gate exists to surface.
+    "v8_ann_recall" ->
+      s"""WITH $preparedSql,
+         |ex AS (SELECT id_q, id_n FROM (
+         |  SELECT a.vec_id AS id_q, b.vec_id AS id_n,
+         |    row_number() OVER (PARTITION BY a.vec_id
+         |      ORDER BY round($dotSql / sqrt(a.n2 * b.n2), 6) DESC,
+         |        b.vec_id) AS rank
+         |  FROM n a JOIN n b ON b.vec_id <> a.vec_id
+         |  WHERE a.vec_id < 5) WHERE rank <= 10),
+         |cb AS ($bandSelects),
+         |lsh AS (SELECT id_q, id_n FROM (
+         |  SELECT id_q, id_n, row_number() OVER (PARTITION BY id_q
+         |      ORDER BY cos DESC, id_n) AS rank FROM (
+         |    SELECT DISTINCT a.vec_id AS id_q, b.vec_id AS id_n,
+         |      round($dotSql / sqrt(a.n2 * b.n2), 6) AS cos
+         |    FROM cb a JOIN cb b ON a.band = b.band
+         |      AND a.bucket = b.bucket AND b.vec_id <> a.vec_id
+         |    WHERE a.vec_id < 5)) WHERE rank <= 5),
+         |cent AS (SELECT vec_id AS centroid_id, v, n2 FROM n
+         |      WHERE vec_id < 10),
+         |ca AS (SELECT id_n, centroid_id FROM (
+         |      SELECT a.vec_id AS id_n, b.centroid_id,
+         |        row_number() OVER (PARTITION BY a.vec_id
+         |          ORDER BY $dotSql / sqrt(a.n2 * b.n2) DESC,
+         |            b.centroid_id) AS rk
+         |      FROM n a JOIN cent b ON true) WHERE rk = 1),
+         |pr AS (SELECT id_q, centroid_id FROM (
+         |      SELECT a.vec_id AS id_q, b.centroid_id,
+         |        row_number() OVER (PARTITION BY a.vec_id
+         |          ORDER BY $dotSql / sqrt(a.n2 * b.n2) DESC,
+         |            b.centroid_id) AS rk
+         |      FROM n a JOIN cent b ON true
+         |      WHERE a.vec_id < 5) WHERE rk <= 3),
+         |ivf AS (SELECT id_q, id_n FROM (
+         |  SELECT id_q, id_n, row_number() OVER (PARTITION BY id_q
+         |      ORDER BY cos DESC, id_n) AS rank FROM (
+         |    SELECT a.vec_id AS id_q, b.vec_id AS id_n,
+         |      round($dotSql / sqrt(a.n2 * b.n2), 6) AS cos
+         |    FROM pr
+         |    JOIN n a ON a.vec_id = pr.id_q
+         |    JOIN ca ON ca.centroid_id = pr.centroid_id
+         |    JOIN n b ON b.vec_id = ca.id_n
+         |    WHERE b.vec_id <> a.vec_id)) WHERE rank <= 5)
+         |SELECT 'lsh' AS method, e.id_q, count(l.id_n) AS n_hits
+         |FROM ex e LEFT JOIN lsh l
+         |  ON e.id_q = l.id_q AND e.id_n = l.id_n
+         |GROUP BY e.id_q
+         |UNION ALL
+         |SELECT 'ivf' AS method, e.id_q, count(i.id_n) AS n_hits
+         |FROM ex e LEFT JOIN ivf i
+         |  ON e.id_q = i.id_q AND e.id_n = i.id_n
+         |GROUP BY e.id_q""".stripMargin,
     "v5_neardup_lsh" -> {
-      val bandSelects = (0 until Bands).map(b =>
-        s"SELECT vec_id, v, n2, $b AS band, ${bandBucketSql(b)} AS bucket " +
-          "FROM n").mkString("\n|      UNION ALL\n|      ")
       s"""WITH $preparedSql,
          |cb AS ($bandSelects),
          |rare AS (SELECT band, bucket FROM cb GROUP BY band, bucket

@@ -36,6 +36,14 @@ final case class MediaHeader(doc_id: Long, format: String, width: Long,
 final case class AudioStats(doc_id: Long, sample_rate: Long,
     n_samples: Long, peak: Long, sq_sum: Long)
 
+/** Video-decode output: header metadata, the frame count recovered from
+  * the actual byte stream, and per-frame byte sums — RAW exact integers
+  * for the same reason as [[PixelStats]]/[[AudioStats]] (the query
+  * layer derives any ratios with engine-parity rounding).
+  */
+final case class VideoStats(doc_id: Long, width: Long, height: Long,
+    n_frames: Long, f_sums: Array[Long])
+
 /** Multimodal-column plumbing (north-star extension): binary columns in,
   * typed features out, via per-partition batch decode.
   *
@@ -460,14 +468,163 @@ object MultimodalOps {
     }
   }
 
-  /** Frame sampling: every k-th frame index of a video payload — the
-    * row-explosion shape (1 blob → n_frames/k rows) that matters for
-    * sizing downstream partitions. Takes any frame-count frame
-    * (doc_id, n_frames); a video codec would supply n_frames the way
-    * [[decodeHeaders]] supplies dims.
+  // ---- real video codec (Y4M / uncompressed 4:2:0) ------------------
+
+  /** Byte-level YUV4MPEG2 (Y4M) codec for uncompressed 8-bit 4:2:0
+    * video — the video analog of [[WavCodec]]: an ASCII parameter
+    * header line, then per frame a `FRAME\n` marker followed by
+    * exactly width·height·3/2 plane bytes (full-res luma + two
+    * quarter-res chroma planes), simple enough to encode and parse by
+    * hand so the video decode path is REAL bytes end-to-end. A
+    * compressed container (MP4/H.264) would swap in an ffmpeg-backed
+    * decoder behind the same iterator interface.
+    *
+    * Fixture-codec scope (documented, like the BMP padding rule): the
+    * spec allows frame-level parameters after `FRAME`; this parser
+    * requires the bare marker. Frame COUNT is not in the header — it
+    * is recovered by walking the actual stream, which is exactly what
+    * makes the decode verifiable: a parser that miscomputes the frame
+    * size desynchronizes from the markers and returns None.
+    */
+  object Y4MCodec {
+    import java.nio.ByteBuffer
+
+    /** Dim/frame caps, same discipline as ImageHeaders.MaxDim /
+      * WavCodec.MaxSamples: a hostile header must not size an
+      * allocation or defeat the bounds check via overflow.
+      */
+    val MaxDim: Int = 1 << 12
+    val MaxFrames: Int = 1 << 16
+
+    private val FrameMarker = "FRAME\n".getBytes("US-ASCII")
+
+    /** Header line + `FRAME\n`-prefixed raw 4:2:0 frames. Even dims
+      * required (chroma subsampling halves each axis).
+      */
+    def encodeY4m(width: Int, height: Int,
+        frames: Array[Array[Byte]]): Array[Byte] = {
+      require(width > 0 && width % 2 == 0 && height > 0 && height % 2 == 0,
+        s"C420 needs positive even dims, got ${width}x$height")
+      val fs = width * height * 3 / 2
+      frames.foreach(f => require(f.length == fs,
+        s"frame must be w*h*3/2 = $fs bytes, got ${f.length}"))
+      val header =
+        s"YUV4MPEG2 W$width H$height F25:1 Ip A1:1 C420\n"
+          .getBytes("US-ASCII")
+      val bb = ByteBuffer.allocate(
+        header.length + frames.length * (FrameMarker.length + fs))
+      bb.put(header)
+      frames.foreach { f => bb.put(FrameMarker); bb.put(f) }
+      bb.array()
+    }
+
+    /** Parse header AND every frame: (width, height, nFrames,
+      * per-frame byte sums) — exact integers from the actual payload
+      * bytes. None for non-Y4M magic, non-C420 color space, odd /
+      * hostile dims, a malformed frame marker, a truncated final
+      * frame, or a stream past the frame cap.
+      */
+    def decodeY4m(bytes: Array[Byte])
+        : Option[(Int, Int, Int, Array[Long])] = {
+      val nl = bytes.indexOf('\n'.toByte)
+      if (nl < 0) return None
+      val header = new String(bytes, 0, nl, "US-ASCII")
+      val toks = header.split(' ')
+      if (toks.isEmpty || toks(0) != "YUV4MPEG2") return None
+      var w = -1
+      var h = -1
+      var c420 = true // C420 is the Y4M default when no C tag appears
+      toks.iterator.drop(1).foreach { t =>
+        if (t.startsWith("W")) w = t.drop(1).toIntOption.getOrElse(-1)
+        else if (t.startsWith("H")) h = t.drop(1).toIntOption.getOrElse(-1)
+        else if (t.startsWith("C")) c420 = t == "C420"
+      }
+      if (w <= 0 || h <= 0 || w % 2 != 0 || h % 2 != 0 || !c420 ||
+        w > MaxDim || h > MaxDim) return None
+      // frame size in LONG first: hostile dims would overflow w*h*3/2
+      // in Int and sail past the truncation guard (the caps then make
+      // the Int narrowing exact)
+      val fsL = w.toLong * h * 3 / 2
+      val fs = fsL.toInt
+      val sums = scala.collection.mutable.ArrayBuffer.empty[Long]
+      var pos = nl + 1
+      while (pos < bytes.length) {
+        if (sums.length >= MaxFrames) return None
+        if (pos + FrameMarker.length > bytes.length ||
+          !FrameMarker.indices.forall(i => bytes(pos + i) == FrameMarker(i)))
+          return None
+        pos += FrameMarker.length
+        if (pos.toLong + fsL > bytes.length) return None // truncated frame
+        var sum = 0L
+        var i = 0
+        while (i < fs) { sum += bytes(pos + i) & 0xff; i += 1 }
+        sums += sum
+        pos += fs
+      }
+      if (sums.isEmpty) None else Some((w, h, sums.length, sums.toArray))
+    }
+  }
+
+  /** Synthesize complete Y4M streams — real header AND real frame
+    * payloads: dims (even, via ·2), frame count, and the byte
+    * recurrence `(a·j + b) mod 256` over the GLOBAL byte index j
+    * (continuous across frames) are all md5-seeded from the doc text,
+    * so the DuckDB oracle regenerates any frame's exact byte sum and a
+    * decode that misreads the header, a marker, or any payload byte
+    * shifts a sum (or the frame count) and fails the hash.
+    */
+  def synthesizeVideos(docs: DataFrame): Dataset[MediaBlob] = {
+    import docs.sparkSession.implicits._
+    DedupOps.spread(docs.select(col("doc_id"),
+      ((DedupOps.hash60(lit("vw"), col("text")) % 8 + 1) * 2).as("w"),
+      ((DedupOps.hash60(lit("vh"), col("text")) % 8 + 1) * 2).as("h"),
+      (DedupOps.hash60(lit("vf"), col("text")) % 8 + 2).as("nf"),
+      (DedupOps.hash60(lit("va"), col("text")) % 256).as("a"),
+      (DedupOps.hash60(lit("vb"), col("text")) % 256).as("b")))
+      .as[(Long, Long, Long, Long, Long, Long)]
+      .mapPartitions(_.map { case (id, w, h, nf, a, b) =>
+        val fs = (w * h * 3 / 2).toInt
+        val frames = Array.tabulate(nf.toInt) { k =>
+          val f = new Array[Byte](fs)
+          var i = 0
+          while (i < fs) {
+            f(i) = ((a * (k.toLong * fs + i) + b) % 256).toByte
+            i += 1
+          }
+          f
+        }
+        MediaBlob(id, "video/y4m",
+          Y4MCodec.encodeY4m(w.toInt, h.toInt, frames))
+      })
+  }
+
+  /** REAL video decode: parse the Y4M stream out of each payload —
+    * header, frame markers, and every plane byte — and reduce it to
+    * the recovered frame count plus exact per-frame byte sums. Same
+    * mapPartitions batch shape as the other codecs; undecodable
+    * payloads are dropped.
+    */
+  def decodeVideoStats(blobs: Dataset[MediaBlob]): Dataset[VideoStats] = {
+    import blobs.sparkSession.implicits._
+    blobs.mapPartitions { it =>
+      it.flatMap { b =>
+        Y4MCodec.decodeY4m(b.payload).map { case (w, h, nf, sums) =>
+          VideoStats(b.doc_id, w.toLong, h.toLong, nf.toLong, sums)
+        }
+      }
+    }
+  }
+
+  /** Frame sampling: every k-th frame index — the row-explosion shape
+    * (1 video → ⌈n_frames/k⌉ rows) that matters for sizing downstream
+    * partitions. Consumes a DECODED `n_frames` column
+    * ([[decodeVideoStats]] wires straight in — `m6_video_decode` runs
+    * synthesize → decode → sample on actual bytes); all other columns
+    * are carried through so per-frame payloads (e.g. the decoded
+    * per-frame sums) can be picked by index downstream.
     */
   def sampleFrames(frames: DataFrame, everyK: Int): DataFrame =
-    frames.select(col("doc_id"),
-      explode(sequence(lit(0), col("n_frames") - 1, lit(everyK)))
-        .as("frame_idx"))
+    frames.withColumn("frame_idx",
+      explode(sequence(lit(0L), col("n_frames").cast("long") - 1,
+        lit(everyK.toLong))))
 }

@@ -131,18 +131,20 @@ object SketchOps {
   /** Frequency estimates for `keys`: min over the sketch's depth rows.
     * The sketch is at most depth·width rows — broadcast it, so probing
     * any number of candidate keys is one broadcast join + one hash agg,
-    * no shuffle of the sketch. Keys the sketch never saw still get a
-    * (one-sided) estimate: an untouched bucket has no sketch row, so
-    * the min runs over the key's remaining collision buckets — an
-    * overestimate of the true 0, same error direction as every CMS
-    * answer.
+    * no shuffle of the sketch. Keys the sketch never saw get the exact
+    * CMS answer: an untouched (i, bucket) cell has no sketch row — its
+    * counter is 0 — so the LEFT join's null coalesces to 0 before the
+    * min, and any key with at least one untouched cell estimates 0
+    * (its true count: a nonzero count would have touched every cell).
+    * An inner join here would silently DROP fully-unseen keys and
+    * inflate partially-unseen ones to the min of their collision cells.
     */
   def cmsEstimate(sketch: DataFrame, keys: DataFrame, key: Column,
       depth: Int, width: Int): DataFrame =
     keys.select(key.as("key"),
         posexplode(cmsHashes(key, depth, width)).as(Seq("i", "bucket")))
-      .join(broadcast(sketch), Seq("i", "bucket"))
-      .groupBy("key").agg(min(col("cnt")).as("est"))
+      .join(broadcast(sketch), Seq("i", "bucket"), "left")
+      .groupBy("key").agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
 
   /** The depth independent bucket hashes of a key: md5 with per-row
     * seeds ("cms0:", "cms1:", ...), mod width — the same portable

@@ -79,6 +79,18 @@ object TextOps {
     lenCredit * (lit(1.0) - punctRatio(text))
   }
 
+  /** Deterministic per-document token cap — the co-occurrence analog of
+    * the candidate-generator frequency caps (maxDocFreq / maxChunkFreq /
+    * maxBucketFreq): sort + slice keeps the lexicographically first
+    * `cap` entries of a distinct-token array, so any in-row pair
+    * expansion over the result is O(cap²) per document no matter how
+    * long the document is. Sort + slice (rather than slice alone)
+    * because array_distinct preserves encounter order, which is not a
+    * property an oracle engine reproduces; lexicographic order is.
+    */
+  def capDistinctTokens(distinctToks: Column, cap: Int): Column =
+    slice(array_sort(distinctToks), 1, cap)
+
   /** Rolling polynomial fingerprint over the document's characters:
     * fold(acc*31 + codepoint) mod 1e9+7 — order-sensitive, so equal
     * fingerprints mean equal character streams (mod collisions).

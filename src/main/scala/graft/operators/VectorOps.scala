@@ -19,10 +19,12 @@ import org.apache.spark.sql.functions._
   *    definition); each executor scans its corpus partition once and the
   *    per-group top-k is a window over (probe, score) — no cross-join
   *    shuffle of the corpus.
-  *  - Hyperplane LSH: each vector maps to a small bucket id in one
-  *    projection; probe vs corpus becomes an equi-join on the bucket.
-  *    Recall is tunable by bits / multi-probe; cost drops from O(n·q) to
-  *    O(q · bucketSize).
+  *  - Hyperplane LSH: each vector maps to small band-bucket ids in one
+  *    projection; probe vs corpus becomes an equi-join on (band,
+  *    bucket). Recall 1-(1-p^rowsPerBand)^bands is tunable up with
+  *    bands, cost O(q · bands · bucketSize) down with rowsPerBand —
+  *    and MEASURED, not assumed: v8_ann_recall grades the candidates
+  *    against the exact top-10 and VectorOpsSpec floors the result.
   *  - IVF-style routing: assign each vector to its nearest centroid
   *    (broadcast centroid table), search only matching cells.
   */
@@ -92,22 +94,12 @@ object VectorOps {
     java.lang.Long.parseLong(hex, 16).toDouble / (1L << 59).toDouble - 1.0
   }
 
-  /** Sign-of-projection LSH bucket id over `nPlanes` hyperplanes of
-    * dimension `dim`: bit p is set when v · plane_p >= 0. Planes are
-    * literal arrays; the whole bucket id is one narrow projection. The
-    * projections use the native codegen'd [[dot]] (bit-identical to the
-    * HOF fold, so the oracle's `list_reduce` buckets agree) — the
-    * previous HOF formulation ran nPlanes interpreted folds per row.
-    */
-  def hyperplaneBucket(v: Column, nPlanes: Int, dim: Int): Column =
-    (0 until nPlanes).map { p =>
-      val plane = array((0 until dim).map(i => lit(planeComponent(p, i))): _*)
-      when(dot(v, plane) >= 0, lit(1L << p)).otherwise(lit(0L))
-    }.reduce(_ + _)
-
-  /** Bucket id of band `band` over `rowsPerBand` hyperplanes (global
-    * plane indices `band*rowsPerBand ..`): the banding analog of
-    * [[hyperplaneBucket]] for OR-amplified LSH.
+  /** Sign-of-projection bucket id of band `band` over `rowsPerBand`
+    * hyperplanes (global plane indices `band*rowsPerBand ..`): bit j is
+    * set when v · plane_j >= 0. Planes are literal arrays; a bucket id
+    * is one narrow projection. The projections use the native codegen'd
+    * [[dot]] (bit-identical to the HOF fold, so the oracle's
+    * `list_reduce` buckets agree).
     */
   def bandedBucket(v: Column, band: Int, rowsPerBand: Int,
       dim: Int): Column =
@@ -157,20 +149,41 @@ object VectorOps {
       .distinct()
   }
 
-  /** ANN via bucket equality: probes only compare against corpus vectors
-    * in the same hyperplane bucket, then exact top-k within the bucket.
+  /** ANN via OR-amplified banded bucket equality: a corpus vector is a
+    * candidate for a probe when ANY of the `bands` band buckets
+    * (`rowsPerBand` sign bits each) matches, then exact top-k over the
+    * deduped candidates. The single-bucket formulation this replaces
+    * (one AND over nPlanes sign bits) is high-precision/low-recall by
+    * construction — on weakly-similar neighbors (cos ≈ 0.3, the top-10
+    * regime of random-ish embeddings) its match probability is
+    * p^nPlanes ≈ 1%, and the v8 recall gate measured it at ~0/10.
+    * OR-amplification is the standard fix: recall 1-(1-p^r)^b is
+    * tunable upward with more bands, cost (≈ bands·n/2^r candidate
+    * comparisons per probe) downward with more rows per band —
+    * v8_ann_recall measures the operating point and VectorOpsSpec
+    * floors it. Shape: the corpus explodes ×bands (narrow), probes
+    * broadcast (×bands rows), one equi-join on (band, bucket), distinct
+    * on the deterministic (id, id, cos) triple — the corpus never
+    * shuffles.
     */
-  def lshTopK(corpus: DataFrame, probes: DataFrame, nPlanes: Int, dim: Int,
-      k: Int): DataFrame = {
-    val cb = corpus.toDF("id_n", "v_n", "n2_n")
-      .withColumn("bucket", hyperplaneBucket(col("v_n"), nPlanes, dim))
-    val pb = probes.toDF("id_q", "v_q", "n2_q")
-      .withColumn("bucket", hyperplaneBucket(col("v_q"), nPlanes, dim))
-    val joined = cb.join(broadcast(pb), Seq("bucket"))
+  def lshTopK(corpus: DataFrame, probes: DataFrame, bands: Int,
+      rowsPerBand: Int, dim: Int, k: Int): DataFrame = {
+    def banded(df: DataFrame, idc: String, vc: String, n2c: String) = {
+      val bandStructs = array((0 until bands).map(b =>
+        struct(lit(b).as("band"),
+          bandedBucket(col(vc), b, rowsPerBand, dim).as("bucket"))): _*)
+      df.select(col(idc), col(vc), col(n2c), explode(bandStructs).as("bb"))
+        .select(col(idc), col(vc), col(n2c),
+          col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    }
+    val cb = banded(corpus.toDF("id_n", "v_n", "n2_n"), "id_n", "v_n", "n2_n")
+    val pb = banded(probes.toDF("id_q", "v_q", "n2_q"), "id_q", "v_q", "n2_q")
+    val joined = cb.join(broadcast(pb), Seq("band", "bucket"))
       .filter(col("id_q") =!= col("id_n"))
       .withColumn("cos", cosineFromParts(dot(col("v_q"), col("v_n")),
         col("n2_q"), col("n2_n")))
       .select(col("id_q"), col("id_n"), round(col("cos"), 6).as("cos"))
+      .distinct()
     RelationalOps.topKPerGroup(joined, Seq("id_q"),
       Seq(col("cos").desc, col("id_n").asc), k, rankCol = "rank")
       .withColumn("rank", col("rank").cast("long"))

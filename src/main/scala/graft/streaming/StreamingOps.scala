@@ -158,6 +158,35 @@ object StreamingOps {
       col("n_events"))
   }
 
+  /** Bounded-horizon dedup, batch form of
+    * `dropDuplicatesWithinWatermark`: keep the FIRST event (by
+    * `tsCol`, tie-broken by `tieCol`) per dedup key within each
+    * tumbling `horizon` window — a duplicate key re-appearing in a
+    * later horizon is kept again. That re-admission is the semantic
+    * point of watermarked dedup: the streaming form can drop per-key
+    * state once the watermark passes the horizon, so state is bounded
+    * by the horizon width instead of growing with history (a global
+    * dropDuplicates never forgets). Shape: one shuffle on
+    * (keys, window) + a window-function rank — the same single-shuffle
+    * discipline as the curation gates; at 100 TB the rank state is
+    * O(1) per partition stream and only first-seen rows survive.
+    * StreamingSpec drives the true streaming operator
+    * (`dropDuplicatesWithinWatermark` over a MemoryStream); this form
+    * is what the cross-engine oracle can check.
+    */
+  def dedupWithinHorizon(df: DataFrame, keys: Seq[String], tsCol: String,
+      tieCol: String, horizon: String): DataFrame = {
+    val withWin = df.withColumn("window_start",
+      window(col(tsCol), horizon).getField("start"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy((keys.map(col) :+ col("window_start")): _*)
+      .orderBy(col(tsCol).asc, col(tieCol).asc)
+    withWin.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select((keys.map(col) :+ col("window_start") :+ col(tieCol) :+
+        col(tsCol)): _*)
+  }
+
   /** Stream-stream interval join: right events within `withinSeconds`
     * AFTER each left event of the same key (the streaming form of the
     * binned range join — e.g. clicks within an hour of an error). Both

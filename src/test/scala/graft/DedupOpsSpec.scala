@@ -179,6 +179,33 @@ class DedupOpsSpec extends SparkTestBase {
     assert(out == (1L to n).map(_ -> 1L).toMap)
   }
 
+  test("graph iterators survive a 10k-edge high-degree hub (star)") {
+    import spark.implicits._
+    // Degree skew: hub 0 carries 10000 edges while every spoke has 1 —
+    // the shape a near-dup graph takes when one boilerplate document
+    // pairs with everything. One component of diameter 2: the per-round
+    // join+agg moves O(|E|) rows and the label fixpoint lands in the
+    // fused init round, so the hub costs volume, never rounds — the
+    // degree-skew half of the 100 TB argument (the 200-node path test
+    // above is the diameter half).
+    val star = (1L to 10000L).map(i => (0L, i)).toDF("id_a", "id_b")
+    val cc = DedupOps.connectedComponents(star, "id_a", "id_b")
+      .as[(Long, Long)].collect()
+    assert(cc.length == 10001 && cc.forall(_._2 == 0L))
+    // pageRank on the same star, 2 rounds — hand-computable because the
+    // spokes are interchangeable: every round the hub receives each
+    // spoke's full rank (deg 1) and each spoke receives rank div 10000.
+    val pr = DedupOps.pageRank(star, "id_a", "id_b", iters = 2)
+      .as[(Long, Long)].collect().toMap
+    val hub1 = 150000L + 10000L * 1000000L * 17 / 20
+    val spoke1 = 150000L + (1000000L / 10000L) * 17 / 20
+    val hub2 = 150000L + 10000L * spoke1 * 17 / 20
+    val spoke2 = 150000L + (hub1 / 10000L) * 17 / 20
+    assert(pr(0L) == hub2, s"hub rank ${pr(0L)} != expected $hub2")
+    assert((1L to 10000L).forall(i => pr(i) == spoke2),
+      "all spokes must carry the identical rank")
+  }
+
   test("pageRank: hand-computed micro-unit ranks on a 3-node path") {
     import spark.implicits._
     // path 1-2-3: deg(1)=deg(3)=1, deg(2)=2. All start at 1e6.

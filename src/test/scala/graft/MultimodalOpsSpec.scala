@@ -145,6 +145,73 @@ class MultimodalOpsSpec extends SparkTestBase {
     }
   }
 
+  test("encodeY4m/decodeY4m: frame bytes round-trip exactly") {
+    import MultimodalOps.Y4MCodec
+    // 4x2 C420 frames are 4*2*3/2 = 12 bytes; three frames with
+    // distinct contents, incl. >= 0x80 bytes (sign-extension trap)
+    val frames = Array(
+      Array.tabulate(12)(i => i.toByte),
+      Array.tabulate(12)(i => (i * 21).toByte),
+      Array.fill(12)(0xff.toByte))
+    val y4m = Y4MCodec.encodeY4m(4, 2, frames)
+    val Some((w, h, nf, sums)) = Y4MCodec.decodeY4m(y4m)
+    assert((w, h, nf) == (4, 2, 3))
+    assert(sums.toSeq == frames.toSeq.map(_.map(_ & 0xff).sum.toLong))
+    assert(sums(2) == 255L * 12, "0xff bytes must count as 255, not -1")
+    // rejects: wrong magic, odd dims, non-C420, truncated final frame,
+    // trailing garbage after the last frame, corrupted frame marker
+    assert(Y4MCodec.decodeY4m("JUNK W4 H2\n".getBytes).isEmpty)
+    assert(Y4MCodec.decodeY4m(
+      "YUV4MPEG2 W3 H2 C420\nFRAME\n".getBytes ++ new Array[Byte](9))
+      .isEmpty, "odd width is outside C420")
+    assert(Y4MCodec.decodeY4m(
+      "YUV4MPEG2 W4 H2 C444\nFRAME\n".getBytes ++ new Array[Byte](24))
+      .isEmpty, "non-C420 color space must be rejected")
+    assert(Y4MCodec.decodeY4m(y4m.dropRight(1)).isEmpty)
+    assert(Y4MCodec.decodeY4m(y4m :+ 0.toByte).isEmpty,
+      "trailing bytes that are not a full FRAME must be rejected")
+    val corrupt = y4m.clone()
+    corrupt(y4m.length - 12 - 6) = 'G'.toByte // last frame's marker
+    assert(Y4MCodec.decodeY4m(corrupt).isEmpty)
+    // hostile header: dims past MaxDim would size a bogus frame; the
+    // Long-arithmetic frame size + dim caps must reject it before any
+    // allocation or read
+    assert(Y4MCodec.decodeY4m(
+      "YUV4MPEG2 W65536 H65536 C420\nFRAME\n".getBytes).isEmpty)
+    // frame count is recovered from the stream, not the header: a
+    // one-frame stream of the same dims reports nf = 1
+    assert(Y4MCodec.decodeY4m(Y4MCodec.encodeY4m(4, 2,
+      frames.take(1))).get._3 == 1)
+  }
+
+  test("synthesizeVideos → decodeVideoStats: deterministic, exact") {
+    import graft.operators.DedupOps
+    val stats = MultimodalOps.decodeVideoStats(
+      MultimodalOps.synthesizeVideos(docs)).collect()
+      .map(v => v.doc_id -> v).toMap
+    assert(stats.keySet == Set(1L, 2L, 3L))
+    // recompute the expected per-frame sums from the md5 formula the
+    // synthesizer (and the m6 oracle) uses — the decode must recover
+    // them from the actual container bytes
+    val seeds = docs.select(col("doc_id"),
+      DedupOps.hash60(lit("vw"), col("text")).as("vw"),
+      DedupOps.hash60(lit("vh"), col("text")).as("vh"),
+      DedupOps.hash60(lit("vf"), col("text")).as("vf"),
+      DedupOps.hash60(lit("va"), col("text")).as("va"),
+      DedupOps.hash60(lit("vb"), col("text")).as("vb"))
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    seeds.foreach { case (id, vw, vh, vf, va, vb) =>
+      val (w, h, nf) = ((vw % 8 + 1) * 2, (vh % 8 + 1) * 2, vf % 8 + 2)
+      val (a, b) = (va % 256, vb % 256) // the synthesizer's byte seeds
+      val s = stats(id)
+      assert((s.width, s.height, s.n_frames) == (w, h, nf))
+      val fs = (w * h * 3 / 2).toInt
+      val expect = Array.tabulate(nf.toInt)(k =>
+        (0 until fs).map(i => (a * (k.toLong * fs + i) + b) % 256).sum)
+      assert(s.f_sums.toSeq == expect.toSeq)
+    }
+  }
+
   test("sampleFrames explodes every k-th frame index") {
     val nf = Map(1L -> 1, 2L -> 5, 3L -> 23)
     val f = nf.toSeq.toDF("doc_id", "n_frames")

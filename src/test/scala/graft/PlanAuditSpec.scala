@@ -64,6 +64,24 @@ class PlanAuditSpec extends SparkTestBase {
     for (q <- Seq("d2_jaccard_pairs", "d5_simhash_pairs", "v5_neardup_lsh"))
       assert(plan(q).contains("size("),
         s"$q must retain its posting-size cap filter")
+    // x16's cap is a sort+slice of the distinct-token array BEFORE the
+    // double explode — dropping it re-opens the only uncapped quadratic
+    // stage the repo ever had (one long document → O(u²) pairs)
+    assert(plan("x16_cooccur_topk").contains("slice("),
+      "x16 must retain its per-document token cap (sort+slice)")
+  }
+
+  test("j10 blocks on a composite equi-key, not the bare prefix") {
+    val p = plan("j10_fuzzy_join")
+    assert(p.contains("BroadcastHashJoin"),
+      s"j10's blocked join must be a hash join:\n$p")
+    // the length bucket must be part of the JOIN KEY (the equi-key
+    // cardinality story at scale), not a post-join filter: the hash-join
+    // line itself carries the FLOOR(length/3) expression
+    val joinLine = p.linesIterator
+      .find(_.contains("BroadcastHashJoin")).getOrElse("")
+    assert(joinLine.toUpperCase.contains("FLOOR"),
+      s"j10 must join on (prefix, length bucket), got:\n$joinLine")
   }
 
   test("headline queries stay inside whole-stage codegen") {
@@ -78,15 +96,21 @@ class PlanAuditSpec extends SparkTestBase {
     try {
       // object-serde operators (mapPartitions / flatMapGroupsWithState
       // cores) have no codegen stages by design
-      for (q <- Bench.headline.filterNot(Set("m2_decode_features",
-        "m3_header_decode", "m4_thumbnail", "m5_wav_decode",
-        "st5_custom_state"))) {
+      val objectSerde = Set("m2_decode_features", "m3_header_decode",
+        "m4_thumbnail", "m5_wav_decode", "m6_video_decode",
+        "st5_custom_state")
+      // plans whose ROOT is the shared verified-pairs cache scan have
+      // their codegen inside the cached relation's build plan — reading
+      // materialized rows is fine. Explicit allowlist: ONLY the dedup
+      // consumers of that cache may be cache-rooted; any other query
+      // regressing to a codegen-free cache-rooted plan must fail here.
+      val cacheRooted = Set("d2_jaccard_pairs", "d7_dedup_clusters",
+        "d9_pagerank")
+      for (q <- Bench.headline.filterNot(objectSerde)) {
         val p = plan(q)
-        // a plan whose ROOT is the cache scan (d2 = the shared
-        // verified-pairs cache) has its codegen inside the cached
-        // relation's build plan — reading materialized rows is fine
         assert(p.contains("*(") ||
-          p.linesIterator.drop(1).next().startsWith("InMemoryTableScan"),
+          (cacheRooted(q) &&
+            p.linesIterator.drop(1).next().startsWith("InMemoryTableScan")),
           s"$q lost whole-stage codegen:\n$p")
       }
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")

@@ -106,6 +106,25 @@ class SketchOpsSpec extends SparkTestBase {
       "nearly all estimates should be exact at this load factor")
   }
 
+  test("cms estimates fully-unseen keys as 0 (untouched cells coalesce)") {
+    // keys 1..10 inserted; probes 1000001..1000010 never inserted. With
+    // 40 touched cells out of 4x1024, each probe hits at least one
+    // untouched (i, bucket) cell (deterministic md5 layout), so the
+    // LEFT join's null coalesces to 0 and the min gives the exact
+    // answer 0. The previous inner-join formulation silently DROPPED
+    // fully-unseen keys from the output and inflated partially-unseen
+    // ones to the min of their collision cells.
+    val sketch = SketchOps.cmsSketch((1L to 10L).toDF("k"), col("k"),
+      4, 1024)
+    val est = SketchOps.cmsEstimate(sketch,
+      (1000001L to 1000010L).toDF("k"), col("k"), 4, 1024)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(est.keySet == (1000001L to 1000010L).toSet,
+      "every probed key must appear in the output")
+    assert(est.values.forall(_ == 0L),
+      s"unseen keys must estimate 0, got $est")
+  }
+
   test("cms counters maintain incrementally over a stream") {
     // sum-merge in its natural habitat: a streaming groupBy(i, bucket)
     // count in complete mode equals the batch counter table no matter

@@ -45,6 +45,31 @@ class TextOpsSpec extends SparkTestBase {
       "a b c d") - 0.04) < 1e-12)
   }
 
+  test("capDistinctTokens bounds the co-occurrence pair fan-out") {
+    // one pathological document with 10k distinct tokens: the uncapped
+    // in-row pair expansion would emit 10000·9999/2 ≈ 50M pairs into
+    // the shuffle; the cap bounds it to cap·(cap-1)/2 regardless of
+    // document length. This applies exactly the expression sequence
+    // x16_cooccur_topk plans (cap → explode → explode → a < b).
+    val cap = QueriesText.MaxCooccurTokens
+    val doc = Seq((1L, (1 to 10000).map(i => f"tok$i%05d")))
+      .toDF("doc_id", "dt")
+    val capped = doc.select(col("doc_id"),
+      TextOps.capDistinctTokens(col("dt"), cap).as("dt"))
+    assert(capped.select(size(col("dt"))).collect()(0).getInt(0) == cap)
+    val pairs = capped
+      .select(col("dt"), explode(col("dt")).as("tok_a"))
+      .select(col("tok_a"), explode(col("dt")).as("tok_b"))
+      .filter(col("tok_a") < col("tok_b"))
+    assert(pairs.count() == cap.toLong * (cap - 1) / 2)
+    // short docs pass through complete (sorted — the deterministic
+    // order the oracle's list_sort mirrors)
+    val short = Seq(Tuple1(Seq("b", "a"))).toDF("dt")
+      .select(TextOps.capDistinctTokens(col("dt"), cap).as("dt"))
+      .as[Seq[String]].collect()(0)
+    assert(short == Seq("a", "b"))
+  }
+
   test("rollingFingerprint is order-sensitive; md5Prefix60 is not") {
     val ab = one[Long](TextOps.rollingFingerprint(col("text")), "ab")
     assert(ab == 97L * 31 + 98) // (0*31+97)*31+98
