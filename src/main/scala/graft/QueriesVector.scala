@@ -21,8 +21,27 @@ object QueriesVector {
   private val Bands = 6
   private val RowsPerBand = 2
 
-  private def prep(s: SparkSession, d: String): DataFrame =
-    VectorOps.prepared(Tables.embeddings(s, d), "vec_id", "embedding")
+  /** Prepared corpus (widened vectors + precomputed norms), PERSISTED —
+    * the docsWithTokens house pattern: CacheManager plan equality makes
+    * every v-family query reuse one materialized prep per scale dir
+    * instead of re-widening and re-norming the embeddings per query
+    * (v8 alone consumes the frame five times across its three
+    * searches). At 100 TB this is the standard "prepare once →
+    * checkpoint → fan out to every index build" discipline.
+    */
+  private def prep(s: SparkSession, d: String): DataFrame = {
+    val df = VectorOps.prepared(Tables.embeddings(s, d), "vec_id",
+      "embedding")
+    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+      df.persist()
+    else df
+  }
+
+  /** Release the shared prep cache (for long-lived sessions done with
+    * the similarity-search family).
+    */
+  def unpersistAll(s: SparkSession, d: String): Unit =
+    prep(s, d).unpersist()
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact top-10 neighbors for the first 5 vectors: corpus scanned once,
