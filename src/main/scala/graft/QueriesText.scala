@@ -24,6 +24,12 @@ object QueriesText {
     */
   val MaxCooccurTokens: Int = 128
 
+  /** x17's chunking geometry: 64-token windows at stride 48 — each
+    * consecutive pair overlaps by 16 tokens (mirrored in the oracle).
+    */
+  val ChunkSize: Int = 64
+  val ChunkStride: Int = 48
+
   def queries: Map[String, (SparkSession, String) => DataFrame] =
       Map[String, (SparkSession, String) => DataFrame](
     // Token counting: whitespace tokens, distinct tokens, BPE-ish subwords,
@@ -224,6 +230,27 @@ object QueriesText {
         Seq(col("h").asc, col("doc_id").asc), 3, rankCol = "rank")
         .select(col("pred_lang"), col("doc_id"), col("h"),
           col("rank").cast("long").as("rank"))
+    }),
+
+    // RAG-style document chunking: 64-token sliding windows at stride
+    // 48 (16-token overlap) per document — the "split long docs into
+    // retrievable/trainable chunks" step every retrieval and packing
+    // pipeline runs before embedding. Rides the shared tokenization
+    // cache (no re-tokenize, no Generate-clone re-evaluation), then a
+    // pure narrow explode: zero shuffle, embarrassingly parallel.
+    // Chunk identity is the md5-60 hash of the space-joined window —
+    // the downstream dedup/embedding key.
+    "x17_chunk_overlap" -> ((s, d) => {
+      QueriesDedup.docsWithTokens(s, d)
+        .filter(size(col("toks")) > 0)
+        .select(col("doc_id"),
+          explode(TextOps.tokenChunks(col("toks"), ChunkSize, ChunkStride))
+            .as("c"))
+        .select(col("doc_id"), col("c.chunk_idx").as("chunk_idx"),
+          col("c.start").as("start"),
+          size(col("c.chunk")).cast("long").as("n_chunk_tokens"),
+          TextOps.md5Prefix60(concat_ws(" ", col("c.chunk")))
+            .as("chunk_hash"))
     }),
 
     // Sequence packing: assign docs to fixed-boundary token bins
@@ -432,6 +459,19 @@ object QueriesText {
          |  FROM h)
          |SELECT pred_lang, doc_id, h, rank FROM r WHERE rank <= 3"""
         .stripMargin,
+    "x17_chunk_overlap" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |f AS (SELECT doc_id, toks FROM t WHERE len(toks) > 0),
+         |e AS (SELECT doc_id, toks,
+         |      unnest(range(0, len(toks), $ChunkStride)) AS start
+         |      FROM f)
+         |SELECT doc_id, start // $ChunkStride AS chunk_idx, start,
+         |  CAST(len(list_slice(toks, start + 1, start + $ChunkSize))
+         |    AS BIGINT) AS n_chunk_tokens,
+         |  CAST(concat('0x', substr(md5(array_to_string(
+         |    list_slice(toks, start + 1, start + $ChunkSize), ' ')),
+         |    1, 15)) AS BIGINT) AS chunk_hash
+         |FROM e""".stripMargin,
     "x11_pack_sequences" ->
       s"""WITH t AS (SELECT doc_id,
          |  CAST(len($toksSql) AS BIGINT) AS n_tokens,

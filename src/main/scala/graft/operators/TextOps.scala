@@ -91,6 +91,23 @@ object TextOps {
   def capDistinctTokens(distinctToks: Column, cap: Int): Column =
     slice(array_sort(distinctToks), 1, cap)
 
+  /** Sliding token chunks for RAG/packing pipelines: windows of
+    * `chunkSize` tokens starting at 0, stride, 2·stride, … < n (the
+    * short tail chunk is kept, so every token lands in ≥1 chunk and
+    * consecutive chunks overlap by chunkSize − stride). One narrow
+    * `sequence` + per-start `slice` — zero shuffle, embarrassingly
+    * parallel at any scale. Requires a non-empty token array (an empty
+    * doc would yield one empty chunk; callers filter instead, because
+    * "no chunks" is the semantics a chunker downstream expects).
+    * Returns an array of (chunk_idx, start, chunk) structs.
+    */
+  def tokenChunks(toks: Column, chunkSize: Int, stride: Int): Column =
+    transform(
+      sequence(lit(0), size(toks) - 1, lit(stride)),
+      s => struct((s / stride).cast("long").as("chunk_idx"),
+        s.cast("long").as("start"),
+        slice(toks, s + 1, lit(chunkSize)).as("chunk")))
+
   /** Rolling polynomial fingerprint over the document's characters:
     * fold(acc*31 + codepoint) mod 1e9+7 — order-sensitive, so equal
     * fingerprints mean equal character streams (mod collisions).

@@ -70,6 +70,29 @@ class TextOpsSpec extends SparkTestBase {
     assert(short == Seq("a", "b"))
   }
 
+  test("tokenChunks: stride-overlapped windows cover the doc exactly") {
+    val toks = (1 to 100).map(i => f"t$i%03d")
+    val out = Seq(Tuple1(toks)).toDF("toks")
+      .select(explode(TextOps.tokenChunks(col("toks"), 64, 48)).as("c"))
+      .select("c.chunk_idx", "c.start", "c.chunk")
+      .as[(Long, Long, Seq[String])].collect().sortBy(_._1)
+    // 100 tokens at stride 48 → starts 0, 48, 96 (every start < n)
+    assert(out.map(x => (x._1, x._2)).toSeq ==
+      Seq((0L, 0L), (1L, 48L), (2L, 96L)))
+    assert(out(0)._3 == toks.slice(0, 64))
+    assert(out(1)._3 == toks.slice(48, 100)) // tail-truncated to 52
+    assert(out(2)._3 == toks.slice(96, 100)) // short tail chunk kept
+    // consecutive chunks overlap by chunkSize - stride = 16 tokens
+    assert(out(0)._3.takeRight(16) == out(1)._3.take(16))
+    // every token is covered at least once
+    assert(out.flatMap(_._3).distinct.sorted.toSeq == toks)
+    // a one-token doc is a single one-token chunk
+    val one = Seq(Tuple1(Seq("x"))).toDF("toks")
+      .select(explode(TextOps.tokenChunks(col("toks"), 64, 48)).as("c"))
+      .select("c.start", "c.chunk").as[(Long, Seq[String])].collect()
+    assert(one.toSeq == Seq((0L, Seq("x"))))
+  }
+
   test("rollingFingerprint is order-sensitive; md5Prefix60 is not") {
     val ab = one[Long](TextOps.rollingFingerprint(col("text")), "ab")
     assert(ab == 97L * 31 + 98) // (0*31+97)*31+98
