@@ -123,6 +123,40 @@ object QueriesVector {
         .unionAll(recallOf(queries("v4_ivf_topk")(s, d), "ivf"))
     }),
 
+    // Symmetric int8 embedding quantization — the compression step a
+    // 100 TB ANN index runs before storing vectors (4x memory/IO vs
+    // float32; IVF/LSH candidate generation is unchanged, exact
+    // re-ranking dequantizes). Per vector: scale = 127/max|x_i|,
+    // q_i = floor(x_i·scale + 0.5) (round-half-up — floor-based
+    // because round()'s half-even vs half-away behavior differs across
+    // engines), dequant via the single inverse division maxAbs/127.
+    // Pure narrow projection, zero shuffle; outputs are hash-friendly
+    // scalars (scale, integer checksum of the codes, fold-ordered
+    // reconstruction error). Zero vectors quantize to scale 0 / codes
+    // 0 / error 0 (the inv-multiply guard avoids a 0/0 NaN that would
+    // diverge between engines).
+    "v9_quantize_int8" -> ((s, d) => {
+      val maxAbs = array_max(transform(col("v"), x => abs(x)))
+      val withScale = prep(s, d)
+        .withColumn("max_abs", maxAbs)
+        .withColumn("scale",
+          when(col("max_abs") > 0, lit(127.0) / col("max_abs"))
+            .otherwise(lit(0.0)))
+        .withColumn("inv",
+          when(col("max_abs") > 0, col("max_abs") / lit(127.0))
+            .otherwise(lit(0.0)))
+        .withColumn("qs",
+          transform(col("v"), x => floor(x * col("scale") + lit(0.5))))
+      withScale.select(
+        col("id").as("vec_id"),
+        round(col("scale"), 6).as("scale"),
+        aggregate(col("qs"), lit(0L), (a, q) => a + q).as("q_sum"),
+        round(aggregate(
+          zip_with(col("v"), col("qs"),
+            (x, q) => (x - q * col("inv")) * (x - q * col("inv"))),
+          lit(0.0), (a, e) => a + e), 6).as("recon_err"))
+    }),
+
     // Lloyd k-means, two full iterations (K=5, init = first 5 vectors):
     // assign → integer-exact centroid means → re-assign. Iterative ML on
     // the engine with a hash-matching oracle — possible only because
@@ -290,6 +324,36 @@ object QueriesVector {
          |  SELECT *, row_number() OVER (PARTITION BY id_q
          |    ORDER BY cos DESC, id_n) AS rank FROM pairs)
          |WHERE rank <= 5""".stripMargin,
+    // v9's quantization mirrors exactly: max via a greatest-fold (==
+    // array_max — max is order-insensitive), one 127/maxAbs division,
+    // floor-based round-half-up codes, the single-inverse dequant, and
+    // the same index-ordered error fold.
+    "v9_quantize_int8" ->
+      s"""WITH d AS (SELECT vec_id,
+         |      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |      FROM embeddings),
+         |m AS (SELECT vec_id, v,
+         |      list_reduce(list_prepend(0.0,
+         |        list_transform(v, x -> abs(x))),
+         |        (a, b) -> greatest(a, b)) AS max_abs FROM d),
+         |q AS (SELECT vec_id, v,
+         |      CASE WHEN max_abs > 0 THEN 127.0 / max_abs
+         |           ELSE 0.0 END AS scale,
+         |      CASE WHEN max_abs > 0 THEN max_abs / 127.0
+         |           ELSE 0.0 END AS inv,
+         |      list_transform(v, x -> floor(x *
+         |        (CASE WHEN max_abs > 0 THEN 127.0 / max_abs
+         |              ELSE 0.0 END) + 0.5)) AS qs
+         |      FROM m)
+         |SELECT vec_id, round(scale, 6) AS scale,
+         |  CAST(list_reduce(list_prepend(0.0, qs), (a, b) -> a + b)
+         |    AS BIGINT) AS q_sum,
+         |  round(list_reduce(list_prepend(0.0,
+         |      list_transform(range(len(v)),
+         |        i -> (v[i+1] - qs[i+1] * inv) * (v[i+1] - qs[i+1] * inv))),
+         |    (a, b) -> a + b), 6) AS recon_err
+         |FROM q""".stripMargin,
+
     // v8 recomputes the exact top-10 (ex), the LSH top-5 (lsh), and the
     // IVF top-5 (ivf) with the same CTE bodies as the v1/v2/v4 oracles,
     // then counts per-probe hits — count over a LEFT join so probes

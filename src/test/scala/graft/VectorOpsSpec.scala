@@ -111,6 +111,31 @@ class VectorOpsSpec extends SparkTestBase {
     assert(cents(8L) == Seq(10.0, 0.0)) // singleton cluster = itself
   }
 
+  test("int8 quantization (v9): error bounded by half a step, zero-safe") {
+    val out = SparkEntry.queries("v9_quantize_int8")(spark, sf0001)
+      .as[(Long, Double, Long, Double)].collect()
+    assert(out.nonEmpty)
+    out.foreach { case (id, scale, qSum, err) =>
+      assert(scale > 0, s"vec $id: testdata has no zero vectors")
+      // round-half-up codes are within half a quantization step per
+      // component: per-dim error <= (maxAbs/127)/2, squared and summed
+      // over 64 dims => err <= 64 * (1/(2*scale))^2 (+ rounding slack)
+      val bound = 64.0 * math.pow(1.0 / (2.0 * scale), 2) + 1e-6
+      assert(err >= 0 && err <= bound,
+        s"vec $id: recon_err $err exceeds half-step bound $bound")
+      assert(math.abs(qSum) <= 64L * 127L)
+    }
+    // zero vector: scale 0, codes 0, error 0 — no 0/0 NaN divergence
+    val z = Seq((99L, Seq.fill(4)(0.0f))).toDF("vec_id", "embedding")
+    val prepZ = VectorOps.prepared(z, "vec_id", "embedding")
+    val maxAbs = array_max(transform(col("v"), x => abs(x)))
+    val qz = prepZ.withColumn("max_abs", maxAbs)
+      .select(when(col("max_abs") > 0, lit(127.0) / col("max_abs"))
+        .otherwise(lit(0.0)).as("scale"))
+      .as[Double].collect()
+    assert(qz.toSeq == Seq(0.0))
+  }
+
   test("ANN recall@10 stays above the tuned floor (v8 gate)") {
     // v8 counts, per probe and method, how many of the exact top-10
     // (v1) the approximate top-5 candidates hit — max 5. Measured at
