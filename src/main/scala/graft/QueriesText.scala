@@ -253,6 +253,36 @@ object QueriesText {
             .as("chunk_hash"))
     }),
 
+    // Chunk-level boilerplate mining: the 64-token windows from x17's
+    // chunker, grouped by chunk hash — a chunk appearing in 2+ DISTINCT
+    // documents is shared boilerplate (headers, footers, licenses,
+    // navigation), the thing curation pipelines strip before training.
+    // Works at sub-document granularity where whole-doc dedup (d1) and
+    // near-dup (d2) can't see. Alignment-sensitive by construction:
+    // fixed-stride windows collide only at matching offsets (shared
+    // prefixes, duplicated docs) — a production pipeline chunks on
+    // line/sentence boundaries to catch arbitrary-offset boilerplate,
+    // with the identical aggregate shape. That shape is the point:
+    // one hash-agg shuffle with map-side partials over the chunk
+    // hashes + a bounded top-k — linear at any corpus size.
+    "x18_boilerplate" -> ((s, d) => {
+      val chunks = QueriesDedup.docsWithTokens(s, d)
+        .filter(size(col("toks")) > 0)
+        .select(col("doc_id"),
+          explode(TextOps.tokenChunks(col("toks"), ChunkSize, ChunkStride))
+            .as("c"))
+        .select(col("doc_id"),
+          TextOps.md5Prefix60(concat_ws(" ", col("c.chunk")))
+            .as("chunk_hash"))
+      val shared = chunks.groupBy("chunk_hash")
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_occurrences"))
+        .filter(col("n_docs") >= 2)
+      graft.operators.RelationalOps.topKGlobal(shared,
+        Seq(col("n_docs").desc, col("n_occurrences").desc,
+          col("chunk_hash").asc), 20)
+    }),
+
     // Sequence packing: assign docs to fixed-boundary token bins
     // (budget 2048) per train/val/test split, in doc_id order — the
     // deterministic version of the "pack documents into training
@@ -472,6 +502,24 @@ object QueriesText {
          |    list_slice(toks, start + 1, start + $ChunkSize), ' ')),
          |    1, 15)) AS BIGINT) AS chunk_hash
          |FROM e""".stripMargin,
+    "x18_boilerplate" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |f AS (SELECT doc_id, toks FROM t WHERE len(toks) > 0),
+         |e AS (SELECT doc_id, toks,
+         |      unnest(range(0, len(toks), $ChunkStride)) AS start
+         |      FROM f),
+         |c AS (SELECT doc_id,
+         |      CAST(concat('0x', substr(md5(array_to_string(
+         |        list_slice(toks, start + 1, start + $ChunkSize), ' ')),
+         |        1, 15)) AS BIGINT) AS chunk_hash
+         |      FROM e),
+         |g AS (SELECT chunk_hash,
+         |      CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         |      count(*) AS n_occurrences
+         |      FROM c GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2)
+         |SELECT chunk_hash, n_docs, n_occurrences FROM g
+         |ORDER BY n_docs DESC, n_occurrences DESC, chunk_hash
+         |LIMIT 20""".stripMargin,
     "x11_pack_sequences" ->
       s"""WITH t AS (SELECT doc_id,
          |  CAST(len($toksSql) AS BIGINT) AS n_tokens,

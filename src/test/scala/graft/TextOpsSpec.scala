@@ -93,6 +93,28 @@ class TextOpsSpec extends SparkTestBase {
     assert(one.toSeq == Seq((0L, Seq("x"))))
   }
 
+  test("chunk hashing surfaces shared-prefix boilerplate across docs") {
+    // two docs share their first 80 tokens (a "license header") then
+    // diverge; a third is unrelated. Chunk 0 (tokens 0-63) hashes
+    // identically for the first two — the x18 aggregate's signal
+    val header = (1 to 80).map(i => f"lic$i%03d")
+    val docs = Seq(
+      (1L, header ++ (1 to 40).map(i => s"apple$i")),
+      (2L, header ++ (1 to 40).map(i => s"pear$i")),
+      (3L, (1 to 120).map(i => s"other$i"))).toDF("doc_id", "toks")
+    val hashes = docs
+      .select(col("doc_id"),
+        explode(TextOps.tokenChunks(col("toks"), 64, 48)).as("c"))
+      .select(col("doc_id"), col("c.start"),
+        TextOps.md5Prefix60(concat_ws(" ", col("c.chunk"))).as("h"))
+      .as[(Long, Long, Long)].collect()
+    val shared = hashes.groupBy(_._3).filter(_._2.map(_._1).distinct.size >= 2)
+    // exactly the aligned chunk-0 window is shared, nothing else
+    assert(shared.size == 1)
+    assert(shared.values.head.map(x => (x._1, x._2)).toSet ==
+      Set((1L, 0L), (2L, 0L)))
+  }
+
   test("rollingFingerprint is order-sensitive; md5Prefix60 is not") {
     val ab = one[Long](TextOps.rollingFingerprint(col("text")), "ab")
     assert(ab == 97L * 31 + 98) // (0*31+97)*31+98
