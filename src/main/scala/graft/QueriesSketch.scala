@@ -92,6 +92,24 @@ object QueriesSketch {
         round(org.apache.spark.sql.graft.SketchAggregates.hllEstimate(
           concat(lit("hll:"), col("l_orderkey").cast("string"))), 2)
           .as("estimate"))
+    }),
+
+    // The native HLL aggregate in its production shape: GROUPED —
+    // distinct users per event type, one 4 KB sketch buffer per (group,
+    // partition) partial, merged by register max per group. This is
+    // what per-segment cardinality dashboards run at 100 TB: a
+    // count-distinct per group shuffles every (group, user) pair,
+    // while the sketch shuffles a fixed buffer per group per partition
+    // — ONE exchange of O(groups × 4 KB), plan-guarded. (Deliberately
+    // no exact-count companion column in-query: mixing a distinct
+    // aggregate back in would re-plan exactly the per-(group, user)
+    // expand+shuffle the sketch exists to avoid; the oracle's exact
+    // per-group computation is the accuracy witness instead.)
+    "sk7_hll_grouped" -> ((s, d) => {
+      Tables.events(s, d).groupBy("event_type")
+        .agg(round(org.apache.spark.sql.graft.SketchAggregates.hllEstimate(
+            concat(lit("hll:"), col("user_id").cast("string"))), 2)
+            .as("estimate"))
     })
   )
 
@@ -203,6 +221,26 @@ object QueriesSketch {
          |          AS fx_present
          |      FROM r)
          |SELECT round(0.7213 / (1.0 + 1.079 / 4096.0) * 4096.0 * 4096.0
+         |    * 1125899906842624.0
+         |    / CAST(fx_present + (4096 - v_present)
+         |        * (CAST(1 AS BIGINT) << 50) AS DOUBLE), 2) AS estimate
+         |FROM s""".stripMargin,
+    "sk7_hll_grouped" ->
+      s"""WITH h AS (SELECT event_type, user_id, ${h60(
+           "concat('hll:', CAST(user_id AS VARCHAR))")} AS h
+         |           FROM events),
+         |b AS (SELECT event_type, h % 4096 AS bucket, h >> 12 AS w
+         |      FROM h),
+         |r AS (SELECT event_type, bucket,
+         |        max(CASE WHEN w = 0 THEN 49
+         |            ELSE 49 - length(bin(w)) END) AS rho
+         |      FROM b GROUP BY 1, 2),
+         |s AS (SELECT event_type, count(*) AS v_present,
+         |        CAST(sum(CAST(1 AS BIGINT) << (50 - rho)) AS BIGINT)
+         |          AS fx_present
+         |      FROM r GROUP BY 1)
+         |SELECT event_type,
+         |  round(0.7213 / (1.0 + 1.079 / 4096.0) * 4096.0 * 4096.0
          |    * 1125899906842624.0
          |    / CAST(fx_present + (4096 - v_present)
          |        * (CAST(1 AS BIGINT) << 50) AS DOUBLE), 2) AS estimate

@@ -155,6 +155,15 @@ class PlanAuditSpec extends SparkTestBase {
       s"sk6 must use the object-buffer aggregate path:\n$p")
     assert(p.contains("partial_hllsketchagg"),
       s"sk6 must partial-aggregate the sketch map-side:\n$p")
+    // the GROUPED form must keep the same property per group: one
+    // exchange of O(groups x 4 KB) buffers — a second exchange means a
+    // distinct-aggregate (per-(group,user) expand+shuffle) crept back
+    // into the plan, the exact shape the sketch exists to avoid
+    val pg = plan("sk7_hll_grouped")
+    assert(pg.contains("partial_hllsketchagg"),
+      s"sk7 must partial-aggregate per (group, partition):\n$pg")
+    assert("Exchange".r.findAllIn(pg).size == 1,
+      s"sk7 must shuffle exactly once (sketch buffers only):\n$pg")
   }
 
   test("kmeans broadcasts centroids and partial-aggregates the update") {

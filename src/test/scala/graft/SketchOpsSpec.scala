@@ -225,6 +225,27 @@ class SketchOpsSpec extends SparkTestBase {
     assert(empty.isNullAt(0), "empty input must estimate null")
   }
 
+  test("native hll aggregate groups independently (per-group sketches)") {
+    import org.apache.spark.sql.graft.SketchAggregates
+    // two groups with disjoint key ranges of different sizes: the
+    // grouped aggregate must equal the relational estimator computed
+    // over each group's rows ALONE — cross-group register bleed would
+    // skew both
+    val df = (1L to 3000L).map(i => (if (i <= 1000) "a" else "b", i))
+      .toDF("g", "k")
+    val grouped = df.groupBy("g")
+      .agg(round(SketchAggregates.hllEstimate(
+        concat(lit("hll:"), col("k").cast("string"))), 2).as("est"))
+      .as[(String, Double)].collect().toMap
+    for (g <- Seq("a", "b")) {
+      val expected = SketchOps.hllSummary(
+        SketchOps.hllRegisters(df.filter(col("g") === g), col("k")))
+        .select("estimate").as[Double].head()
+      assert(grouped(g) == expected,
+        s"group $g: grouped native ${grouped(g)} != relational $expected")
+    }
+  }
+
   test("kmv is duplicate-insensitive") {
     val once = SketchOps.kmvSummary((1L to 3000L).toDF("k"), col("k"), 64)
       .collect()(0)
