@@ -59,6 +59,23 @@ class PlanAuditSpec extends SparkTestBase {
     assert(plan("t1_topk_global").contains("TakeOrderedAndProject"))
   }
 
+  test("rank-filter per-group top-k gets the map-side WindowGroupLimit") {
+    // Catalyst's InferWindowGroupLimit rewrites row_number-window +
+    // rank<=k filter into a per-partition group-limit BEFORE the
+    // window's shuffle (plus a final one after): the shuffle carries
+    // O(groups·k) rows per partition instead of O(n). This is the
+    // engine's hottest pattern (topKPerGroup backs w1/x8/x10/v1...),
+    // and the optimization is FREE only while the plan shape stays
+    // eligible — a rank function the rule doesn't know, or a filter it
+    // can't read, silently reverts to full-input windows. Pin it.
+    for (q <- Seq("w1_topk_per_group", "x8_tfidf_topk", "v1_cosine_topk",
+      "st7_watermark_dedup")) {
+      val p = plan(q)
+      assert(p.contains("WindowGroupLimit"),
+        s"$q lost the map-side window group limit:\n$p")
+    }
+  }
+
   test("candidate generators keep their frequency caps in the plan") {
     // the cap filters sit on size(collect_list(...)) aggregate outputs
     for (q <- Seq("d2_jaccard_pairs", "d5_simhash_pairs", "v5_neardup_lsh"))
