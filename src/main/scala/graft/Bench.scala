@@ -16,17 +16,26 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Bench {
 
-  /** Headline set, DERIVED from the registry: every oracle-backed query
-    * except d6 (brute-force embedding near-dup), which is quadratic BY
-    * CONSTRUCTION as the documented test-scale exactness baseline — its
-    * scale path (v5 banded-LSH) is what belongs in a benchmark. d6
-    * still runs under SPARK_GRAFT_BENCH_ALL. Deriving the list from
-    * `SparkEntry.queries` (sorted, for a stable timing order) means a
-    * newly registered query cannot silently miss the bench — the
-    * previous hand-kept 91-name list had exactly that failure mode.
+  /** Headline set, DERIVED from the registry: every ORACLE-BACKED query
+    * (the DuckDB comparison only makes sense for queries the DuckDB
+    * side also runs — `queries ∩ oracleSql`, so a rows-only query can
+    * never silently skew the published ratio) except d6 (brute-force
+    * embedding near-dup), which is quadratic BY CONSTRUCTION as the
+    * documented test-scale exactness baseline — its scale path (v5
+    * banded-LSH) is what belongs in a benchmark. d6 still runs under
+    * SPARK_GRAFT_BENCH_ALL. Deriving the list (sorted, for a stable
+    * timing order) means a newly registered query cannot silently miss
+    * the bench — the previous hand-kept 91-name list had exactly that
+    * failure mode — and the exclusion is asserted to exist so a rename
+    * can't silently pull the quadratic baseline back in.
     */
-  val headline: Seq[String] =
-    (SparkEntry.queries.keySet - "d6_embedding_neardup").toSeq.sorted
+  val headline: Seq[String] = {
+    val excluded = "d6_embedding_neardup"
+    require(SparkEntry.queries.contains(excluded),
+      s"headline exclusion '$excluded' is not in the registry — renamed?")
+    ((SparkEntry.queries.keySet
+      intersect SparkEntry.oracleSql.keySet) - excluded).toSeq.sorted
+  }
 
   /** Fully evaluate a query's output. `.count()` is NOT that: Catalyst
     * prunes deterministic projections under count, so a projection-only

@@ -182,6 +182,7 @@ object QueriesStreaming {
     "st7_watermark_dedup" -> ((s, d) => {
       StreamingOps.dedupWithinHorizon(Tables.events(s, d),
         Seq("user_id", "event_type"), "ts", "event_id", "1 hour")
+        .select("user_id", "event_type", "window_start", "event_id", "ts")
     }),
 
     // REAL header decode: synthesize spec-conformant PNG/BMP files with

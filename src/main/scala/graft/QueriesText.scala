@@ -239,19 +239,9 @@ object QueriesText {
     // cache (no re-tokenize, no Generate-clone re-evaluation), then a
     // pure narrow explode: zero shuffle, embarrassingly parallel.
     // Chunk identity is the md5-60 hash of the space-joined window —
-    // the downstream dedup/embedding key.
-    "x17_chunk_overlap" -> ((s, d) => {
-      QueriesDedup.docsWithTokens(s, d)
-        .filter(size(col("toks")) > 0)
-        .select(col("doc_id"),
-          explode(TextOps.tokenChunks(col("toks"), ChunkSize, ChunkStride))
-            .as("c"))
-        .select(col("doc_id"), col("c.chunk_idx").as("chunk_idx"),
-          col("c.start").as("start"),
-          size(col("c.chunk")).cast("long").as("n_chunk_tokens"),
-          TextOps.md5Prefix60(concat_ws(" ", col("c.chunk")))
-            .as("chunk_hash"))
-    }),
+    // the downstream dedup/embedding key. x18 consumes the SAME
+    // [[chunkFrame]], so chunk identity cannot drift between them.
+    "x17_chunk_overlap" -> ((s, d) => chunkFrame(s, d)),
 
     // Chunk-level boilerplate mining: the 64-token windows from x17's
     // chunker, grouped by chunk hash — a chunk appearing in 2+ DISTINCT
@@ -264,17 +254,12 @@ object QueriesText {
     // line/sentence boundaries to catch arbitrary-offset boilerplate,
     // with the identical aggregate shape. That shape is the point:
     // one hash-agg shuffle with map-side partials over the chunk
-    // hashes + a bounded top-k — linear at any corpus size.
+    // hashes + a bounded top-k — linear at any corpus size. Consumes
+    // [[chunkFrame]] — the exact frame x17 returns — so the mined
+    // hashes are BY CONSTRUCTION the chunk identities x17 emits
+    // (Catalyst prunes the columns this aggregate doesn't read).
     "x18_boilerplate" -> ((s, d) => {
-      val chunks = QueriesDedup.docsWithTokens(s, d)
-        .filter(size(col("toks")) > 0)
-        .select(col("doc_id"),
-          explode(TextOps.tokenChunks(col("toks"), ChunkSize, ChunkStride))
-            .as("c"))
-        .select(col("doc_id"),
-          TextOps.md5Prefix60(concat_ws(" ", col("c.chunk")))
-            .as("chunk_hash"))
-      val shared = chunks.groupBy("chunk_hash")
+      val shared = chunkFrame(s, d).groupBy("chunk_hash")
         .agg(countDistinct(col("doc_id")).as("n_docs"),
           count(lit(1)).as("n_occurrences"))
         .filter(col("n_docs") >= 2)
@@ -309,6 +294,23 @@ object QueriesText {
     })
   )
 
+  /** x17/x18's shared chunk frame: (doc_id, chunk_idx, start,
+    * n_chunk_tokens, chunk_hash) — x17 returns it verbatim, x18
+    * aggregates over it, so a geometry or hashing edit changes both
+    * queries together (chunk identity cannot silently desynchronize).
+    */
+  private def chunkFrame(s: SparkSession, d: String): DataFrame =
+    QueriesDedup.docsWithTokens(s, d)
+      .filter(size(col("toks")) > 0)
+      .select(col("doc_id"),
+        explode(TextOps.tokenChunks(col("toks"), ChunkSize, ChunkStride))
+          .as("c"))
+      .select(col("doc_id"), col("c.chunk_idx").as("chunk_idx"),
+        col("c.start").as("start"),
+        size(col("c.chunk")).cast("long").as("n_chunk_tokens"),
+        TextOps.md5Prefix60(concat_ws(" ", col("c.chunk")))
+          .as("chunk_hash"))
+
   /** Per-document term frequencies, PERSISTED (the docsWithTokens house
     * pattern: CacheManager plan-equality makes re-invocations reuse the
     * entry). The `tf` subtree feeds BOTH branches of x8's term join —
@@ -339,6 +341,24 @@ object QueriesText {
 
   private val toksSql =
     """list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '')"""
+
+  /** Shared chunk CTE chain mirroring [[chunkFrame]] — both the x17 and
+    * x18 oracles read the `c` relation, the same single-source-of-truth
+    * discipline as the Spark side (lazy: references toksSql above).
+    */
+  private lazy val chunkCte: String =
+    s"""t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |f AS (SELECT doc_id, toks FROM t WHERE len(toks) > 0),
+       |e AS (SELECT doc_id, toks,
+       |      unnest(range(0, len(toks), $ChunkStride)) AS start
+       |      FROM f),
+       |c AS (SELECT doc_id, start // $ChunkStride AS chunk_idx, start,
+       |      CAST(len(list_slice(toks, start + 1, start + $ChunkSize))
+       |        AS BIGINT) AS n_chunk_tokens,
+       |      CAST(concat('0x', substr(md5(array_to_string(
+       |        list_slice(toks, start + 1, start + $ChunkSize), ' ')),
+       |        1, 15)) AS BIGINT) AS chunk_hash
+       |      FROM e)""".stripMargin
 
   def oracle: Map[String, String] = Map(
     "x1_token_stats" ->
@@ -490,29 +510,11 @@ object QueriesText {
          |SELECT pred_lang, doc_id, h, rank FROM r WHERE rank <= 3"""
         .stripMargin,
     "x17_chunk_overlap" ->
-      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
-         |f AS (SELECT doc_id, toks FROM t WHERE len(toks) > 0),
-         |e AS (SELECT doc_id, toks,
-         |      unnest(range(0, len(toks), $ChunkStride)) AS start
-         |      FROM f)
-         |SELECT doc_id, start // $ChunkStride AS chunk_idx, start,
-         |  CAST(len(list_slice(toks, start + 1, start + $ChunkSize))
-         |    AS BIGINT) AS n_chunk_tokens,
-         |  CAST(concat('0x', substr(md5(array_to_string(
-         |    list_slice(toks, start + 1, start + $ChunkSize), ' ')),
-         |    1, 15)) AS BIGINT) AS chunk_hash
-         |FROM e""".stripMargin,
+      s"""WITH $chunkCte
+         |SELECT doc_id, chunk_idx, start, n_chunk_tokens, chunk_hash
+         |FROM c""".stripMargin,
     "x18_boilerplate" ->
-      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
-         |f AS (SELECT doc_id, toks FROM t WHERE len(toks) > 0),
-         |e AS (SELECT doc_id, toks,
-         |      unnest(range(0, len(toks), $ChunkStride)) AS start
-         |      FROM f),
-         |c AS (SELECT doc_id,
-         |      CAST(concat('0x', substr(md5(array_to_string(
-         |        list_slice(toks, start + 1, start + $ChunkSize), ' ')),
-         |        1, 15)) AS BIGINT) AS chunk_hash
-         |      FROM e),
+      s"""WITH $chunkCte,
          |g AS (SELECT chunk_hash,
          |      CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
          |      count(*) AS n_occurrences

@@ -181,10 +181,13 @@ object StreamingOps {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy((keys.map(col) :+ col("window_start")): _*)
       .orderBy(col(tsCol).asc, col(tieCol).asc)
+    // the surviving row is kept WHOLE (all input columns plus the
+    // appended window_start), matching dropDuplicatesWithinWatermark —
+    // a dedup that silently projected payload columns away would
+    // surprise any caller reading them off the survivors
     withWin.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
-      .select((keys.map(col) :+ col("window_start") :+ col(tieCol) :+
-        col(tsCol)): _*)
+      .drop("__rn")
   }
 
   /** Stream-stream interval join: right events within `withinSeconds`
