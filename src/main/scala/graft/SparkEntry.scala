@@ -17,7 +17,8 @@ object SparkEntry {
       QueriesText.queries ++ QueriesDedup.queries ++
       QueriesVector.queries ++ QueriesStreaming.queries ++
       QueriesFunctions.queries ++ QueriesSketch.queries ++
-      QueriesCuration.queries ++ QueriesEvents.queries
+      QueriesCuration.queries ++ QueriesEvents.queries ++
+      QueriesGraph.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -26,5 +27,6 @@ object SparkEntry {
       QueriesText.oracle ++ QueriesDedup.oracle ++
       QueriesVector.oracle ++ QueriesStreaming.oracle ++
       QueriesFunctions.oracle ++ QueriesSketch.oracle ++
-      QueriesCuration.oracle ++ QueriesEvents.oracle
+      QueriesCuration.oracle ++ QueriesEvents.oracle ++
+      QueriesGraph.oracle
 }

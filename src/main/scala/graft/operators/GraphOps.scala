@@ -1,0 +1,157 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Graph construction + analysis operators (north-star extension,
+  * alongside [[DedupOps.connectedComponents]] / [[DedupOps.pageRank]]):
+  * the "build a similarity graph from co-occurrence, then analyze it"
+  * pipeline a production dedup/recommendation system runs over its
+  * entity tables.
+  *
+  * Every stage is fan-out-bounded — the house candidate-generator
+  * discipline:
+  *  - co-occurrence pair expansion is capped per group key (an
+  *    uncapped hot key would emit O(groupSize²) pairs);
+  *  - the graph keeps only each node's top-k strongest neighbors, so
+  *    edge count is ≤ k·n regardless of how dense co-occurrence is;
+  *  - triangle counting orients every edge from its lower-(degree,id)
+  *    endpoint to its higher one, so a node's out-degree is bounded by
+  *    O(√m) and the 2-path join does O(m^1.5) work total instead of
+  *    Σ deg² (the standard orientation bound — on a skewed graph the
+  *    hub's quadratic fan-out moves to its many low-degree neighbors).
+  */
+object GraphOps {
+
+  /** Pack the (degree, id) orientation key into one comparable Long:
+    * total order = degree, then id. Ids must be < 10^9 (holds for every
+    * key space in the test tables); degrees are ≤ n < 10^9, so the
+    * product stays far below Long range. A single Long key keeps the
+    * orientation compare codegen-friendly and trivially portable to the
+    * SQL oracle (struct/row comparison semantics differ across engines;
+    * integer compare doesn't).
+    */
+  private val OrientBase = 1000000000L
+
+  /** Weighted co-occurrence pairs: members sharing a group key become a
+    * pair weighted by how many keys they share. The per-key member list
+    * is capped at `maxMembersPerKey` (smallest ids kept — deterministic
+    * under any partitioning) BEFORE the in-row pair expansion, so one
+    * hot key expands to at most O(cap²) pairs — same discipline as
+    * x16's token cap and every LSH bucket cap. One hash-agg to build
+    * the capped lists, one narrow double-explode, one hash-agg to
+    * count: two shuffles total, both with map-side partials.
+    */
+  def coOccurrenceWeights(pairs: DataFrame, keyCol: String,
+      memberCol: String, maxMembersPerKey: Int): DataFrame = {
+    // no .distinct() before the groupBy: collect_set dedups (k,m) by
+    // definition, and a distinct would add a full extra shuffle of the
+    // raw input on a different key
+    val capped = pairs
+      .select(col(keyCol).as("k"), col(memberCol).cast("long").as("m"))
+      .groupBy("k")
+      .agg(slice(sort_array(collect_set(col("m"))), 1, maxMembersPerKey)
+        .as("ms"))
+    // ordered-pair expansion: `ms` is sorted asc, so pairing element i
+    // with the tail after it yields exactly the C(s,2) a<b pairs —
+    // half the rows of a full s² cross-explode + filter
+    capped
+      .select(col("ms"), posexplode(col("ms")))
+      .select(col("col").as("a"),
+        explode(slice(col("ms"), col("pos") + lit(2),
+          lit(maxMembersPerKey))).as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("w"))
+  }
+
+  /** Top-k similarity graph from weighted pairs: each node keeps its k
+    * strongest neighbors (weight desc, neighbor id asc as the unique
+    * tiebreak), and an undirected edge survives if EITHER endpoint kept
+    * it (union-mutualization — the usual k-NN-graph construction).
+    * Edge count is ≤ k·n by construction, which is what makes the
+    * downstream triangle join safe on arbitrarily dense co-occurrence:
+    * thresholding by absolute weight is data-distribution-tuned (the
+    * mean shared-key count shifts with scale), but "your k closest"
+    * is not. One shuffle for the per-node window, one distinct.
+    */
+  def topKNeighborGraph(weights: DataFrame, k: Int): DataFrame = {
+    // symmetrize with a narrow 2-row explode, not a self-union: a union
+    // references `weights` twice, and in a composed pipeline every extra
+    // reference re-expands the whole upstream co-occurrence subtree
+    val sym = weights.select(col("w"), explode(array(
+        struct(col("a").as("u"), col("b").as("v")),
+        struct(col("b").as("u"), col("a").as("v")))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"), col("w"))
+    val win = Window.partitionBy("u").orderBy(col("w").desc, col("v").asc)
+    sym.withColumn("rn", row_number().over(win))
+      .filter(col("rn") <= k)
+      .select(least(col("u"), col("v")).as("a"),
+        greatest(col("u"), col("v")).as("b"))
+      .distinct()
+  }
+
+  /** Per-node triangle counts over an undirected edge list (`a` < `b`
+    * per row, no duplicates — [[topKNeighborGraph]]'s contract).
+    *
+    * Degree-oriented algorithm: every edge points from its lower
+    * (degree, id) endpoint to its higher one; a triangle {u,v,w} is
+    * found exactly once as two out-edges u→v, u→w (v before w in
+    * orientation order) whose closing edge v→w exists. The per-node
+    * count then explodes each found triangle to its three corners and
+    * hash-aggregates. Joins are all on 8-byte keys; the orientation
+    * key packs (degree, id) into one Long ([[OrientBase]]) so the
+    * v-before-w predicate is a primitive compare inside codegen.
+    */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    // The triangle join necessarily references the edge list many times
+    // (degrees, orientation join, both 2-path sides, the closing probe).
+    // Without lineage cuts those references multiply: each re-expands
+    // the full upstream pipeline (measured 60 copies of the co-occurrence
+    // aggregate in the composed d10 plan). localCheckpoint (the d7/d9
+    // pattern) collapses each shared frame to one persisted RDD — no
+    // CacheManager entry to leak, computed once at the first action,
+    // MEMORY_AND_DISK so a 100 TB edge list spills instead of OOMing.
+    val e = edges.select(col("a").cast("long").as("a"),
+      col("b").cast("long").as("b"))
+      .localCheckpoint(eager = false)
+    val deg = e.select(explode(array(col("a"), col("b"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+      .localCheckpoint(eager = false)
+    val keyed = e
+      .join(deg.select(col("id").as("a"),
+        (col("deg") * OrientBase + col("a")).as("oka")), Seq("a"))
+      .join(deg.select(col("id").as("b"),
+        (col("deg") * OrientBase + col("b")).as("okb")), Seq("b"))
+    val oriented = keyed.select(
+      when(col("oka") < col("okb"), col("a")).otherwise(col("b")).as("u"),
+      when(col("oka") < col("okb"), col("b")).otherwise(col("a")).as("v"),
+      greatest(col("oka"), col("okb")).as("okv"))
+      .localCheckpoint(eager = false)
+    val e1 = oriented.select(col("u"), col("v").as("v1"),
+      col("okv").as("ok1"))
+    val e2 = oriented.select(col("u"), col("v").as("v2"),
+      col("okv").as("ok2"))
+    val paths = e1.join(e2, Seq("u")).filter(col("ok1") < col("ok2"))
+    val closing = oriented.select(col("u").as("v1"), col("v").as("v2"))
+    val tris = paths.join(closing, Seq("v1", "v2"))
+      .select(col("u"), col("v1"), col("v2"))
+    tris.select(explode(array(col("u"), col("v1"), col("v2"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("n_triangles"))
+  }
+
+  /** Convenience composition: co-occurrence → top-k graph → per-node
+    * triangle counts, returning the `topK` most triangle-dense nodes
+    * (count desc, id asc). The full "similarity-graph analytics"
+    * pipeline in one call.
+    */
+  def cooccurrenceTriangles(pairs: DataFrame, keyCol: String,
+      memberCol: String, maxMembersPerKey: Int, neighborsK: Int,
+      topK: Int): DataFrame = {
+    val counts = triangleCounts(
+      topKNeighborGraph(
+        coOccurrenceWeights(pairs, keyCol, memberCol, maxMembersPerKey),
+        neighborsK))
+    RelationalOps.topKGlobal(counts,
+      Seq(col("n_triangles").desc, col("id").asc), topK)
+  }
+}

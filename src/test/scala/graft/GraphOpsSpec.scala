@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.GraphOps
+
+class GraphOpsSpec extends SparkTestBase {
+
+  test("coOccurrenceWeights counts shared keys and caps hot keys") {
+    import spark.implicits._
+    val pairs = Seq(
+      // key k1: members 1,2 (plus a duplicate row that must not double-count)
+      ("k1", 1L), ("k1", 2L), ("k1", 2L),
+      // key k2: members 1,2,3
+      ("k2", 1L), ("k2", 2L), ("k2", 3L)
+    ).toDF("k", "m")
+    val w = GraphOps.coOccurrenceWeights(pairs, "k", "m", maxMembersPerKey = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // (1,2) share k1+k2 -> 2; (1,3) and (2,3) share only k2 -> 1
+    assert(w == Map((1L, 2L) -> 2L, (1L, 3L) -> 1L, (2L, 3L) -> 1L))
+
+    // hot key 1..5 with cap 3 keeps smallest ids 1,2,3 -> C(3,2)=3 pairs
+    val hot = (1L to 5L).map(("h", _)).toDF("k", "m")
+    val cappedDf = GraphOps.coOccurrenceWeights(hot, "k", "m", maxMembersPerKey = 3)
+    val capped = cappedDf.select("a", "b").as[(Long, Long)].collect().toSet
+    assert(capped == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    // plan-pin the cap at operator level (d10's composed plan hides it
+    // below the triangle stage's lineage cuts, so PlanAuditSpec can't)
+    assert(cappedDf.queryExecution.optimizedPlan.toString.contains("slice("),
+      "coOccurrenceWeights must cap the member list before pair expansion")
+  }
+
+  test("topKNeighborGraph keeps an edge only if some endpoint ranks it") {
+    import spark.implicits._
+    // A=1,B=2,C=3,D=4. A-B weight 1; A,B each have stronger edges to C,D.
+    val w = Seq(
+      (1L, 2L, 1L),
+      (1L, 3L, 10L), (1L, 4L, 9L),
+      (2L, 3L, 10L), (2L, 4L, 9L)
+    ).toDF("a", "b", "w")
+    val edges = GraphOps.topKNeighborGraph(w, k = 2)
+      .as[(Long, Long)].collect().toSet
+    // k=2: A keeps {C,D}, B keeps {C,D}; C and D keep both their neighbors.
+    // A-B is ranked by NEITHER endpoint -> dropped.
+    assert(edges == Set((1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L)))
+  }
+
+  test("triangleCounts on K4, a pendant edge, and a triangle-free path") {
+    import spark.implicits._
+    // K4 on nodes 1..4 (4 triangles, each node in 3) plus pendant 4-5.
+    val k4 = (for {
+      a <- 1L to 4L; b <- (a + 1) to 4L
+    } yield (a, b)) :+ ((4L, 5L))
+    val counts = GraphOps.triangleCounts(k4.toDF("a", "b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(counts == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // total triangle incidences = 3 * #triangles = 12
+    assert(counts.values.sum == 12L)
+
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("a", "b")
+    assert(GraphOps.triangleCounts(path).count() == 0L)
+  }
+
+  test("d10_triangles runs on sf0.001 with bounded shapes") {
+    val out = QueriesGraph.queries("d10_triangles")(spark, sf0001)
+    val rows = out.collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    assert(out.columns.toSeq == Seq("suppkey", "n_triangles"))
+    // counts sorted desc with id tiebreak (topKGlobal contract)
+    val tri = rows.map(_.getLong(1))
+    assert(tri.sameElements(tri.sortBy(-_)))
+  }
+}

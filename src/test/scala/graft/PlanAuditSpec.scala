@@ -86,6 +86,9 @@ class PlanAuditSpec extends SparkTestBase {
     // stage the repo ever had (one long document → O(u²) pairs)
     assert(plan("x16_cooccur_topk").contains("slice("),
       "x16 must retain its per-document token cap (sort+slice)")
+    // d10's cap (same shape, on the per-key member list) sits BELOW the
+    // triangle stage's lineage cuts, so it is pinned at operator level
+    // on coOccurrenceWeights' optimized plan in GraphOpsSpec instead.
   }
 
   test("j10 blocks on a composite equi-key, not the bare prefix") {
