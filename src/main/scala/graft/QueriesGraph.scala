@@ -25,6 +25,25 @@ object QueriesGraph {
     */
   private[graft] val NeighborsK = 8
 
+  /** d11 substrate: customers co-purchasing the same part. Per-part
+    * member cap (the generator discipline) and a minimum shared-part
+    * count of 2 as the edge SEMANTIC ("repeat co-purchasers"), giving a
+    * graph with real degree variance — unlike the co-supplier graph,
+    * which is near-complete at every SF (TPC-H assigns suppliers to
+    * parts uniformly), and unlike the top-k graph, whose min degree is
+    * ≥ k by construction (all-or-nothing cores).
+    */
+  private[graft] val MaxCustomersPerPart = 16
+  private[graft] val MinSharedParts = 2
+  private[graft] val KCoreK = 4
+
+  /** Peel-round bound: Spark fails loudly past it, and the SQL oracle
+    * unrolls exactly this many rounds (rounds past convergence are
+    * no-ops — the k-core is a unique fixpoint). Observed convergence:
+    * ≤ 3 rounds at sf0.001–sf0.1.
+    */
+  private[graft] val PeelRounds = 8
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Co-supplier similarity graph over lineitem (suppliers weighted by
     // shared parts, per-part cap 32, top-8 neighbors per supplier),
@@ -38,6 +57,23 @@ object QueriesGraph {
         "l_partkey", "l_suppkey",
         MaxSuppliersPerPart, NeighborsK, topK = 20)
         .select(col("id").cast("long").as("suppkey"), col("n_triangles"))
+    }),
+
+    // k-core of the customer co-purchase graph (customers sharing ≥ 2
+    // parts, per-part cap 16): iterative peeling to the unique maximal
+    // subgraph of min-degree ≥ 4, reporting each survivor's within-core
+    // degree. The d7/d9 loop shape — one hash-agg + one probe + two
+    // anti-joins per round, lineage cut per round.
+    "d11_kcore" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
+      val ord = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+      val cp = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .select(col("l_partkey"), col("o_custkey"))
+      val w = GraphOps.coOccurrenceWeights(
+        cp, "l_partkey", "o_custkey", MaxCustomersPerPart)
+      val edges = w.filter(col("w") >= MinSharedParts).select(col("a"), col("b"))
+      GraphOps.kCore(edges, KCoreK, PeelRounds)
+        .select(col("id").cast("long").as("custkey"), col("core_deg"))
     })
   )
 
@@ -89,6 +125,39 @@ object QueriesGraph {
          |       UNION ALL SELECT v1 FROM tri
          |       UNION ALL SELECT v2 FROM tri) GROUP BY 1)
          |SELECT CAST(id AS BIGINT) AS suppkey, n_triangles FROM pn
-         |ORDER BY n_triangles DESC, id LIMIT 20""".stripMargin
+         |ORDER BY n_triangles DESC, id LIMIT 20""".stripMargin,
+
+    "d11_kcore" ->
+      s"""WITH cp AS MATERIALIZED (
+         |     SELECT DISTINCT l_partkey AS p, o_custkey AS m
+         |     FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         |cap AS MATERIALIZED (SELECT p, m FROM (
+         |        SELECT p, m, row_number() OVER (PARTITION BY p
+         |          ORDER BY m) AS rn FROM cp) WHERE rn <= $MaxCustomersPerPart),
+         |pw AS MATERIALIZED (SELECT a.m AS a, b.m AS b, count(*) AS w
+         |       FROM cap a JOIN cap b ON a.p = b.p AND a.m < b.m
+         |       GROUP BY 1, 2),
+         |e0 AS MATERIALIZED (SELECT a, b FROM pw WHERE w >= $MinSharedParts),
+         |d0 AS MATERIALIZED (SELECT id, count(*) AS dg FROM (
+         |     SELECT a AS id FROM e0 UNION ALL SELECT b FROM e0) GROUP BY 1),
+         |${unrolledPeel(PeelRounds, KCoreK)}
+         |SELECT CAST(id AS BIGINT) AS custkey, dg AS core_deg
+         |FROM d$PeelRounds""".stripMargin
   )
+
+  /** One peel round i→i+1: keep edges whose both endpoints had degree
+    * ≥ k in round i, then recount degrees. Rounds past convergence
+    * filter nothing — the fixpoint is reached and held, which is what
+    * makes a FIXED unroll depth correct for any input that converges
+    * within it (Spark's kCore enforces that bound loudly).
+    */
+  private def unrolledPeel(rounds: Int, k: Int): String =
+    (0 until rounds).map { i =>
+      s"""e${i + 1} AS MATERIALIZED (SELECT e.a, e.b FROM e$i e
+         |     JOIN d$i da ON da.id = e.a JOIN d$i db ON db.id = e.b
+         |     WHERE da.dg >= $k AND db.dg >= $k),
+         |d${i + 1} AS MATERIALIZED (SELECT id, count(*) AS dg FROM (
+         |     SELECT a AS id FROM e${i + 1}
+         |     UNION ALL SELECT b FROM e${i + 1}) GROUP BY 1)""".stripMargin
+    }.mkString(",\n")
 }

@@ -139,6 +139,51 @@ object GraphOps {
       .groupBy("id").agg(count(lit(1)).as("n_triangles"))
   }
 
+  /** k-core decomposition by iterative peeling: repeatedly delete every
+    * node whose current degree is < k until none remains, then report
+    * each surviving node's within-core degree. The k-core is the UNIQUE
+    * maximal subgraph of min-degree ≥ k — peel order doesn't matter —
+    * which is what lets an iterative Spark loop hash-match a SQL oracle
+    * that unrolls the peel: both converge to the same fixpoint, and
+    * extra unrolled rounds past convergence are no-ops.
+    *
+    * Shape per round (the d7/d9 iterative discipline): one hash-agg for
+    * degrees, one bounded probe action on the peel set, two anti-joins
+    * to drop edges touching peeled nodes; every round's edge list is
+    * lineage-cut via localCheckpoint so the plan stays constant-size at
+    * any round count. Converges in O(rounds) ≤ the graph's degeneracy
+    * ordering depth; a non-convergent input fails loudly rather than
+    * returning a partial peel.
+    */
+  def kCore(edges: DataFrame, k: Int, maxRounds: Int = 20): DataFrame = {
+    var e = edges.select(col("a").cast("long").as("a"),
+      col("b").cast("long").as("b"))
+      .localCheckpoint(eager = false)
+    def degrees(ed: DataFrame): DataFrame = ed
+      .select(explode(array(col("a"), col("b"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("core_deg"))
+    var round = 0
+    var converged = false
+    while (!converged) {
+      val bad = degrees(e).filter(col("core_deg") < k).select(col("id"))
+        .localCheckpoint(eager = false)
+      // ONE action per round: the probe materializes `bad` into its
+      // checkpoint as a side effect (doCheckpoint computes partitions
+      // the limit(1) skipped before truncating lineage)
+      if (bad.limit(1).count() == 0) converged = true
+      else {
+        round += 1
+        require(round <= maxRounds,
+          s"kCore did not converge in $maxRounds peel rounds")
+        e = e.join(bad.select(col("id").as("a")), Seq("a"), "left_anti")
+          .join(bad.select(col("id").as("b")), Seq("b"), "left_anti")
+          .select(col("a"), col("b"))
+          .localCheckpoint(eager = false)
+      }
+    }
+    degrees(e)
+  }
+
   /** Convenience composition: co-occurrence → top-k graph → per-node
     * triangle counts, returning the `topK` most triangle-dense nodes
     * (count desc, id asc). The full "similarity-graph analytics"

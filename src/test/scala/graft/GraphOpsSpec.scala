@@ -60,6 +60,30 @@ class GraphOpsSpec extends SparkTestBase {
     assert(GraphOps.triangleCounts(path).count() == 0L)
   }
 
+  test("kCore peels cascades to the unique fixpoint") {
+    import spark.implicits._
+    // K4 on 1..4 plus a chain 4-5-6-7: peeling k=3 removes 5,6,7 in one
+    // round (degrees 2,2,1), leaving exactly the K4 with degrees 3.
+    val k4chain = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (5L, 6L), (6L, 7L)).toDF("a", "b")
+    val core = GraphOps.kCore(k4chain, k = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // k=2 cascades down the chain: 7 peels, exposing 6, exposing 5 —
+    // three dependent rounds to the 2-core (the K4)
+    val core2 = GraphOps.kCore(k4chain, k = 2)
+      .collect().map(_.getLong(0)).toSet
+    assert(core2 == Set(1L, 2L, 3L, 4L))
+    // k above the max degree peels everything away
+    assert(GraphOps.kCore(k4chain, k = 5).count() == 0L)
+    // the same cascade must NOT converge in one round: fail loudly,
+    // never return a partial peel
+    val ex = intercept[IllegalArgumentException] {
+      GraphOps.kCore(k4chain, k = 2, maxRounds = 1).count()
+    }
+    assert(ex.getMessage.contains("did not converge"))
+  }
+
   test("d10_triangles runs on sf0.001 with bounded shapes") {
     val out = QueriesGraph.queries("d10_triangles")(spark, sf0001)
     val rows = out.collect()
