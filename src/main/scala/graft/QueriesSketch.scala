@@ -110,10 +110,34 @@ object QueriesSketch {
         .agg(round(org.apache.spark.sql.graft.SketchAggregates.hllEstimate(
             concat(lit("hll:"), col("user_id").cast("string"))), 2)
             .as("estimate"))
+    }),
+
+    // KMV set algebra: union / Jaccard / intersection estimates between
+    // two order cohorts (orders containing a returned 'R' line vs an 'N'
+    // line — ~0.58 true Jaccard at every SF), with the exact counts
+    // alongside as the accuracy witness (sk3/sk4 pattern: truth columns
+    // VERIFY the sketch; production reads the sketch alone — the two
+    // exact distincts here are what the sketch exists to avoid).
+    "sk8_kmv_setops" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      def cohort(flag: String) =
+        li.filter(col("l_returnflag") === flag).select(col("l_orderkey"))
+      val est = SketchOps.kmvSetOps(
+        cohort("R"), col("l_orderkey"), cohort("N"), col("l_orderkey"),
+        KmvSetK)
+      val ra = cohort("R").distinct()
+      val rn = cohort("N").distinct()
+      val exact = ra.union(rn).distinct().agg(count(lit(1)).as("exact_union"))
+        .crossJoin(ra.join(rn, Seq("l_orderkey"), "left_semi")
+          .agg(count(lit(1)).as("exact_inter")))
+      est.crossJoin(exact)
     })
   )
 
   private val BloomWords = 256
+
+  /** Bottom-k size for the sk8 set-operation sketches. */
+  private val KmvSetK = 256
 
   private val CmsDepth = 4
   private val CmsWidth = 1024
@@ -244,6 +268,46 @@ object QueriesSketch {
          |    * 1125899906842624.0
          |    / CAST(fx_present + (4096 - v_present)
          |        * (CAST(1 AS BIGINT) << 50) AS DOUBLE), 2) AS estimate
-         |FROM s""".stripMargin
+         |FROM s""".stripMargin,
+
+    "sk8_kmv_setops" -> {
+      val h = h60("concat('kmv:', CAST(l_orderkey AS VARCHAR))")
+      val unionRaw = s"""CASE WHEN k_used < $KmvSetK
+         |      THEN CAST(k_used AS DOUBLE)
+         |      ELSE ${KmvSetK - 1}.0 * 1152921504606846976.0
+         |        / CAST(kth_min AS DOUBLE) END""".stripMargin
+      val jaccardRaw = "CAST(matches AS DOUBLE) / CAST(k_used AS DOUBLE)"
+      s"""WITH sa AS (SELECT DISTINCT $h AS h FROM lineitem
+         |            WHERE l_returnflag = 'R'
+         |            ORDER BY h LIMIT $KmvSetK),
+         |sb AS (SELECT DISTINCT $h AS h FROM lineitem
+         |       WHERE l_returnflag = 'N'
+         |       ORDER BY h LIMIT $KmvSetK),
+         |su AS (SELECT DISTINCT h
+         |       FROM (SELECT h FROM sa UNION ALL SELECT h FROM sb)
+         |       ORDER BY h LIMIT $KmvSetK),
+         |st AS (SELECT count(*) AS k_used, max(h) AS kth_min,
+         |         (SELECT count(*) FROM su
+         |          WHERE h IN (SELECT h FROM sa)
+         |            AND h IN (SELECT h FROM sb)) AS matches
+         |       FROM su),
+         |ex AS (SELECT count(DISTINCT l_orderkey) AS exact_union,
+         |         count(DISTINCT CASE WHEN rr > 0 AND nn > 0
+         |           THEN l_orderkey END) AS exact_inter
+         |       FROM (SELECT l_orderkey,
+         |               sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0
+         |                   END) AS rr,
+         |               sum(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0
+         |                   END) AS nn
+         |             FROM lineitem
+         |             WHERE l_returnflag IN ('R', 'N')
+         |             GROUP BY 1))
+         |SELECT CAST($KmvSetK AS BIGINT) AS k, k_used, matches,
+         |  round($unionRaw, 2) AS union_est,
+         |  round($jaccardRaw, 6) AS jaccard_est,
+         |  round($jaccardRaw * $unionRaw, 2) AS inter_est,
+         |  exact_union, exact_inter
+         |FROM st, ex""".stripMargin
+    }
   )
 }

@@ -248,6 +248,55 @@ object SketchOps {
       .select(qOf.as("q"), col("v").as("est"))
   }
 
+  /** KMV set-operation estimates between two keyed sets: sketch each
+    * side as its k smallest distinct key hashes, take the union
+    * sketch (k smallest of the merged minima — the KMV merge), and
+    * estimate
+    *   |A∪B|  from the union sketch's kth minimum (the sk2 estimator),
+    *   J(A,B) as the fraction of union minima present in BOTH input
+    *          sketches (each union minimum is a uniform sample of A∪B,
+    *          and it sits in both sketches iff it's in A∩B),
+    *   |A∩B|  as J·|A∪B|.
+    * When the union has fewer than k distinct hashes every set is fully
+    * enumerated and all three estimates collapse to exact counts — the
+    * sk2 small-input fallback, inherited per-branch.
+    *
+    * Everything after the per-side distinct is k-row-bounded: the merge
+    * is a union of two k-row frames, the membership probes are
+    * broadcast semi-joins of k-row frames. At 100 TB only the two
+    * distinct+bottom-k passes touch the data — the set algebra itself
+    * runs on 3k rows, which is the point of sketch set operations.
+    * Deterministic for the usual reason: the "randomness" is the
+    * shared md5 hash, the estimator is one literal-only division.
+    */
+  def kmvSetOps(a: DataFrame, aKey: Column, b: DataFrame, bKey: Column,
+      k: Int): DataFrame = {
+    def sketch(df: DataFrame, key: Column): DataFrame =
+      RelationalOps.topKGlobal(
+        df.select(TextOps.md5Prefix60(
+          concat(lit("kmv:"), key.cast("string"))).as("h")).distinct(),
+        Seq(col("h").asc), k)
+    val sa = sketch(a, aKey)
+    val sb = sketch(b, bKey)
+    val su = RelationalOps.topKGlobal(
+      sa.union(sb).distinct(), Seq(col("h").asc), k)
+    val both = su.join(sa, Seq("h"), "left_semi")
+      .join(sb, Seq("h"), "left_semi")
+    val stats = su.agg(count(lit(1)).as("k_used"), max(col("h")).as("kth_min"))
+      .crossJoin(both.agg(count(lit(1)).as("matches")))
+    // raw (un-rounded) estimators, composed then rounded ONCE per
+    // output — the SQL oracle mirrors the exact expression shapes
+    val unionRaw = when(col("k_used") < k, col("k_used").cast("double"))
+      .otherwise((lit(k.toDouble) - lit(1.0)) *
+        lit(1.152921504606846976e18) / col("kth_min").cast("double"))
+    val jaccardRaw = col("matches").cast("double") /
+      col("k_used").cast("double")
+    stats.select(lit(k.toLong).as("k"), col("k_used"), col("matches"),
+      round(unionRaw, 2).as("union_est"),
+      round(jaccardRaw, 6).as("jaccard_est"),
+      round(jaccardRaw * unionRaw, 2).as("inter_est"))
+  }
+
   def kmvSummary(df: DataFrame, key: Column, k: Int): DataFrame = {
     val h = TextOps.md5Prefix60(concat(lit("kmv:"), key.cast("string")))
     val minima = RelationalOps.topKGlobal(

@@ -246,6 +246,33 @@ class SketchOpsSpec extends SparkTestBase {
     }
   }
 
+  test("kmv set ops collapse to exact counts under k distinct") {
+    val a = (1L to 10L).toDF("k")
+    val b = (6L to 15L).toDF("k")
+    val r = SketchOps.kmvSetOps(a, col("k"), b, col("k"), k = 16)
+      .collect()(0)
+    // union=15 < k: fully enumerated -> every output is exact
+    assert(r.getAs[Long]("k_used") == 15L)
+    assert(r.getAs[Long]("matches") == 5L)
+    assert(r.getAs[Double]("union_est") == 15.0)
+    assert(r.getAs[Double]("jaccard_est") == 0.333333)
+    assert(r.getAs[Double]("inter_est") == 5.0)
+  }
+
+  test("kmv set ops estimate within tolerance in sketch mode") {
+    // |A|=2000, |B|=2000, inter=1000, union=3000, J=1/3
+    val a = (1L to 2000L).toDF("k")
+    val b = (1001L to 3000L).toDF("k")
+    val r = SketchOps.kmvSetOps(a, col("k"), b, col("k"), k = 256)
+      .collect()(0)
+    val u = r.getAs[Double]("union_est")
+    val j = r.getAs[Double]("jaccard_est")
+    val i = r.getAs[Double]("inter_est")
+    assert(math.abs(u - 3000) / 3000.0 < 0.15, s"union_est=$u")
+    assert(math.abs(j - 1.0 / 3) < 0.1, s"jaccard_est=$j")
+    assert(math.abs(i - 1000) / 1000.0 < 0.25, s"inter_est=$i")
+  }
+
   test("kmv is duplicate-insensitive") {
     val once = SketchOps.kmvSummary((1L to 3000L).toDF("k"), col("k"), 64)
       .collect()(0)
