@@ -62,6 +62,30 @@ object QueriesEvents {
           coalesce(col("retained"), lit(0L)).as("retained"),
           round(coalesce(col("retained"), lit(0L)) /
             col("cohort_size").cast("double"), 6).as("retention_rate"))
+    }),
+
+    // First-order Markov transition matrix of the per-user event
+    // stream: how often event type A is IMMEDIATELY followed by B in
+    // the same user's timeline, with each transition's share of all
+    // transitions (exact integer counts, one rounded output ratio).
+    // Ordering ties broken by event_id (unique), so the lag is
+    // deterministic under any partitioning. Shape: ONE window shuffle
+    // by user_id + one tiny hash-agg — no event×event self-join; at
+    // 100 TB this is the same movement as any per-user window.
+    "e3_transitions" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val win = Window.partitionBy("user_id")
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val tr = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+        .withColumn("prev_type", lag(col("event_type"), 1).over(win))
+        .filter(col("prev_type").isNotNull)
+        .groupBy(col("prev_type"), col("event_type").as("next_type"))
+        .agg(count(lit(1)).as("n"))
+      tr.crossJoin(broadcast(tr.agg(sum(col("n")).as("tot"))))
+        .select(col("prev_type"), col("next_type"), col("n"),
+          round(col("n").cast("double") / col("tot").cast("double"), 6)
+            .as("share"))
     })
   )
 
@@ -94,6 +118,17 @@ object QueriesEvents {
         |  coalesce(r.retained, 0) AS retained,
         |  round(coalesce(r.retained, 0)
         |    / CAST(c.cohort_size AS DOUBLE), 6) AS retention_rate
-        |FROM c LEFT JOIN r ON c.cohort_day = r.cohort_day""".stripMargin
+        |FROM c LEFT JOIN r ON c.cohort_day = r.cohort_day""".stripMargin,
+    "e3_transitions" ->
+      """WITH tr AS (SELECT lag(event_type) OVER (PARTITION BY user_id
+        |              ORDER BY ts, event_id) AS prev_type,
+        |            event_type AS next_type
+        |            FROM events),
+        |t AS (SELECT prev_type, next_type, count(*) AS n FROM tr
+        |      WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+        |tot AS (SELECT sum(n) AS tot FROM t)
+        |SELECT prev_type, next_type, n,
+        |  round(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS share
+        |FROM t, tot""".stripMargin
   )
 }

@@ -21,6 +21,11 @@ object QueriesRelational {
   private val cutTs = "2024-01-15 00:00:00"
   private val q3Date = "1998-01-01 00:00:00"
 
+  /** cdc1 snapshot cutoffs — both mid-range of the 1995–2001 ship
+    * dates, so both snapshots are non-trivial at every SF. */
+  private val CdcCutOld = "1998-06-30 00:00:00"
+  private val CdcCutNew = "1999-06-30 00:00:00"
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Window/ranking: top-3 orders per priority class.
     "w1_topk_per_group" -> ((s, d) => {
@@ -390,6 +395,34 @@ object QueriesRelational {
       Tables.customer(s, d).select(col("c_nationkey").as("nkey"))
         .union(Tables.supplier(s, d).select(col("s_nationkey").as("nkey")))
         .groupBy("nkey").agg(count(lit(1)).as("n"))
+    }),
+
+    // CDC-style snapshot diff: per-order shipped-quantity state at two
+    // ship-date cutoffs, full-outer-joined on the key and classified
+    // added / changed / unchanged (removed can't occur in an
+    // append-only fact table, and correctly never appears). Integer
+    // quantity sums (cast-then-sum, never float SUM), so the per-class
+    // row counts AND the total quantity delta are exact. Shape: two
+    // pushed-filter scans, two hash-aggs, one full-outer equi-join on
+    // the 8-byte key, one tiny class agg — the standard reconciliation
+    // pattern between table versions at any scale.
+    "cdc1_snapshot_diff" -> ((s, d) => {
+      def snap(cut: String) = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") <= lit(cut).cast("timestamp"))
+        .groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity").cast("long")).as("qty"))
+      val old = snap(CdcCutOld).withColumnRenamed("qty", "q_old")
+      val neu = snap(CdcCutNew).withColumnRenamed("qty", "q_new")
+      old.join(neu, Seq("l_orderkey"), "full_outer")
+        .select(
+          when(col("q_old").isNull, lit("added"))
+            .when(col("q_new").isNull, lit("removed"))
+            .when(col("q_old") =!= col("q_new"), lit("changed"))
+            .otherwise(lit("unchanged")).as("change_type"),
+          coalesce(col("q_new"), lit(0L))
+            .minus(coalesce(col("q_old"), lit(0L))).as("delta"))
+        .groupBy("change_type")
+        .agg(count(lit(1)).as("n_keys"), sum(col("delta")).as("delta_qty"))
     })
   )
 
@@ -574,6 +607,25 @@ object QueriesRelational {
       """SELECT nkey, count(*) AS n FROM (
         |  SELECT c_nationkey AS nkey FROM customer
         |  UNION ALL SELECT s_nationkey FROM supplier)
-        |GROUP BY nkey""".stripMargin
+        |GROUP BY nkey""".stripMargin,
+    "cdc1_snapshot_diff" ->
+      s"""WITH old AS (SELECT l_orderkey,
+         |       sum(CAST(l_quantity AS BIGINT)) AS q_old
+         |     FROM lineitem
+         |     WHERE l_shipdate <= TIMESTAMP '$CdcCutOld' GROUP BY 1),
+         |neu AS (SELECT l_orderkey,
+         |       sum(CAST(l_quantity AS BIGINT)) AS q_new
+         |     FROM lineitem
+         |     WHERE l_shipdate <= TIMESTAMP '$CdcCutNew' GROUP BY 1),
+         |d AS (SELECT
+         |       CASE WHEN q_old IS NULL THEN 'added'
+         |            WHEN q_new IS NULL THEN 'removed'
+         |            WHEN q_old <> q_new THEN 'changed'
+         |            ELSE 'unchanged' END AS change_type,
+         |       coalesce(q_new, 0) - coalesce(q_old, 0) AS delta
+         |     FROM old FULL OUTER JOIN neu USING (l_orderkey))
+         |SELECT change_type, count(*) AS n_keys,
+         |  CAST(sum(delta) AS BIGINT) AS delta_qty
+         |FROM d GROUP BY 1""".stripMargin
   )
 }
