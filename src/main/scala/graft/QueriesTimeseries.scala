@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.TimeseriesOps
+import graft.sources.Tables
+
+/** Time-series regularization queries over `events` (north-star
+  * extension): hourly gap-filled counts and linearly-interpolated
+  * hourly means per event type. The events span a fixed 30-day window
+  * at every SF (~720 hours × 5 types = 3600 spine rows), so the spine
+  * is scale-INDEPENDENT while the aggregated input grows with SF —
+  * gaps exist at sf0.001/0.01 and close at sf0.1, which is exactly the
+  * behavior a resampler must keep correct at every density.
+  */
+object QueriesTimeseries {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Hourly event counts per type with a COMPLETE hour spine: absent
+    // hours present with n = 0 (the downstream-correctness property —
+    // a model fed "no row" instead of "zero" silently skews).
+    "ts1_gapfill" -> ((s, d) => {
+      TimeseriesOps.gapFillHourly(
+          Tables.events(s, d), "event_type", "ts", "value")
+        .select(col("event_type"), col("hour"), col("n"))
+    }),
+
+    // Hourly mean value per type, gaps linearly interpolated between
+    // the nearest observed hours (edges carry the nearest value) — all
+    // in integer micro-units until one rounded output division.
+    "ts2_interpolate" -> ((s, d) => {
+      TimeseriesOps.interpolateLinear(
+        TimeseriesOps.gapFillHourly(
+          Tables.events(s, d), "event_type", "ts", "value"),
+        "event_type")
+    })
+  )
+
+  def oracle: Map[String, String] = Map(
+    "ts1_gapfill" ->
+      s"""WITH hourly AS (
+         |  SELECT event_type, date_trunc('hour', ts) AS hour,
+         |    count(*) AS n
+         |  FROM events GROUP BY 1, 2),
+         |b AS (SELECT date_trunc('hour', min(ts)) AS h0,
+         |        date_trunc('hour', max(ts)) AS h1 FROM events),
+         |spine AS (SELECT event_type,
+         |    unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+         |  FROM (SELECT DISTINCT event_type FROM events), b)
+         |SELECT s.event_type, s.hour, coalesce(h.n, 0) AS n
+         |FROM spine s LEFT JOIN hourly h
+         |  ON s.event_type = h.event_type AND s.hour = h.hour""".stripMargin,
+
+    "ts2_interpolate" ->
+      s"""WITH hourly AS (
+         |  SELECT event_type, date_trunc('hour', ts) AS hour,
+         |    count(*) AS n,
+         |    CAST(sum(CAST(floor(value * ${TimeseriesOps.Fx}) AS BIGINT))
+         |      AS BIGINT) AS v_fx
+         |  FROM events GROUP BY 1, 2),
+         |b AS (SELECT date_trunc('hour', min(ts)) AS h0,
+         |        date_trunc('hour', max(ts)) AS h1 FROM events),
+         |spine AS (SELECT event_type,
+         |    unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+         |  FROM (SELECT DISTINCT event_type FROM events), b),
+         |g AS (SELECT s.event_type, s.hour,
+         |        coalesce(h.n, 0) AS n, h.v_fx
+         |      FROM spine s LEFT JOIN hourly h
+         |        ON s.event_type = h.event_type AND s.hour = h.hour),
+         |a AS (SELECT event_type, hour,
+         |        date_diff('hour', TIMESTAMP '1970-01-01 00:00:00', hour)
+         |          AS he,
+         |        CASE WHEN n > 0 THEN v_fx // n END AS avg_fx
+         |      FROM g),
+         |w AS (SELECT event_type, hour, he, avg_fx,
+         |        last_value(CASE WHEN avg_fx IS NOT NULL THEN he END
+         |          IGNORE NULLS) OVER pw AS ph,
+         |        last_value(CASE WHEN avg_fx IS NOT NULL THEN avg_fx END
+         |          IGNORE NULLS) OVER pw AS pv,
+         |        first_value(CASE WHEN avg_fx IS NOT NULL THEN he END
+         |          IGNORE NULLS) OVER nw AS nh,
+         |        first_value(CASE WHEN avg_fx IS NOT NULL THEN avg_fx END
+         |          IGNORE NULLS) OVER nw AS nv
+         |      FROM a
+         |      WINDOW pw AS (PARTITION BY event_type ORDER BY hour
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         |        nw AS (PARTITION BY event_type ORDER BY hour
+         |          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+         |SELECT event_type, hour,
+         |  round(CAST(CASE WHEN avg_fx IS NOT NULL THEN avg_fx
+         |      WHEN ph IS NULL THEN nv
+         |      WHEN nh IS NULL THEN pv
+         |      ELSE (pv * (nh - he) + nv * (he - ph)) // (nh - ph)
+         |    END AS DOUBLE) / ${TimeseriesOps.Fx}.0, 6) AS val
+         |FROM w""".stripMargin
+  )
+}

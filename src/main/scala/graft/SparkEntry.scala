@@ -18,7 +18,7 @@ object SparkEntry {
       QueriesVector.queries ++ QueriesStreaming.queries ++
       QueriesFunctions.queries ++ QueriesSketch.queries ++
       QueriesCuration.queries ++ QueriesEvents.queries ++
-      QueriesGraph.queries
+      QueriesGraph.queries ++ QueriesTimeseries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -28,5 +28,5 @@ object SparkEntry {
       QueriesVector.oracle ++ QueriesStreaming.oracle ++
       QueriesFunctions.oracle ++ QueriesSketch.oracle ++
       QueriesCuration.oracle ++ QueriesEvents.oracle ++
-      QueriesGraph.oracle
+      QueriesGraph.oracle ++ QueriesTimeseries.oracle
 }

@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series regularization operators: hourly resampling with
+  * gap-filling, and linear interpolation over the filled gaps — the
+  * "make the series regular before modeling" step every metrics /
+  * sensor / training-telemetry pipeline runs.
+  *
+  * Determinism (the house toolkit): per-hour values are summed in
+  * integer micro-units (`floor(value·10^6)` cast to long — long sums
+  * are order-independent where double sums are not), per-hour averages
+  * and interpolation weights use integral `div` on positive operands
+  * (truncation == floor there, and both engines agree), and the single
+  * division back to a double happens once, on the OUTPUT column,
+  * rounded. The interpolation is exact integer arithmetic until that
+  * last step, so a SQL oracle hash-matches it.
+  *
+  * Scale: the aggregate is one hash-agg with map-side partials over the
+  * raw stream; everything after runs on the SPINE (groups × hours),
+  * whose size is set by the time window and group count, not the event
+  * count — at 100 TB the spine for a month of hours × 10^5 series is
+  * ~7×10^7 rows, orders of magnitude below the input. The per-group
+  * interpolation windows partition by series key, so state per task is
+  * one group's hours.
+  */
+object TimeseriesOps {
+
+  /** Micro-unit fixed-point scale for value sums. */
+  val Fx = 1000000L
+
+  /** Hourly resample of (group, ts, value) with a COMPLETE hour spine
+    * per group from the global min hour to the global max hour: absent
+    * hours appear with `n = 0` and a null `v_fx`. Returns
+    * (group, hour, n, v_fx) where `v_fx` is the micro-unit value sum.
+    */
+  def gapFillHourly(df: DataFrame, groupCol: String, tsCol: String,
+      valueCol: String): DataFrame = {
+    val hourly = df
+      .groupBy(col(groupCol), date_trunc("hour", col(tsCol)).as("hour"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col(valueCol) * lit(Fx)).cast("long")).as("v_fx"))
+    val bounds = df.agg(
+      date_trunc("hour", min(col(tsCol))).as("h0"),
+      date_trunc("hour", max(col(tsCol))).as("h1"))
+    val spine = df.select(col(groupCol)).distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col(groupCol),
+        explode(sequence(col("h0"), col("h1"),
+          expr("INTERVAL 1 HOUR"))).as("hour"))
+    spine.join(hourly, Seq(groupCol, "hour"), "left")
+      .select(col(groupCol), col("hour"),
+        coalesce(col("n"), lit(0L)).as("n"), col("v_fx"))
+  }
+
+  /** Linear interpolation over a gap-filled hourly frame (the
+    * [[gapFillHourly]] output contract): observed hours carry their
+    * per-hour fixed-point mean (`v_fx div n`), gap hours get the
+    * integer linear blend of the nearest observed neighbors
+    * (`(pv·(nh−he) + nv·(he−ph)) div (nh−ph)` — positive weights, so
+    * truncating div == floor div in both engines), and hours before the
+    * first / after the last observation carry the nearest value. Output
+    * (group, hour, val) with the single rounded double division.
+    */
+  def interpolateLinear(gapFilled: DataFrame, groupCol: String): DataFrame = {
+    val wPrev = Window.partitionBy(groupCol).orderBy(col("hour"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = Window.partitionBy(groupCol).orderBy(col("hour"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val withAvg = gapFilled
+      .withColumn("he",
+        expr("timestampdiff(HOUR, TIMESTAMP '1970-01-01 00:00:00', hour)"))
+      .withColumn("avg_fx", expr("CASE WHEN n > 0 THEN v_fx div n END"))
+    val flagged = withAvg
+      .withColumn("ph",
+        last(when(col("avg_fx").isNotNull, col("he")), ignoreNulls = true)
+          .over(wPrev))
+      .withColumn("pv",
+        last(when(col("avg_fx").isNotNull, col("avg_fx")), ignoreNulls = true)
+          .over(wPrev))
+      .withColumn("nh",
+        first(when(col("avg_fx").isNotNull, col("he")), ignoreNulls = true)
+          .over(wNext))
+      .withColumn("nv",
+        first(when(col("avg_fx").isNotNull, col("avg_fx")), ignoreNulls = true)
+          .over(wNext))
+    flagged.select(col(groupCol), col("hour"),
+      round(expr(
+        """CASE WHEN avg_fx IS NOT NULL THEN avg_fx
+          |     WHEN ph IS NULL THEN nv
+          |     WHEN nh IS NULL THEN pv
+          |     ELSE (pv * (nh - he) + nv * (he - ph)) div (nh - ph)
+          |END""".stripMargin).cast("double") / lit(Fx.toDouble), 6)
+        .as("val"))
+  }
+}

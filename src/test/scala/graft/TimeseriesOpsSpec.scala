@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.TimeseriesOps
+
+class TimeseriesOpsSpec extends SparkTestBase {
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("gapFillHourly completes the spine with n=0 rows per group") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", ts("2024-01-01 10:15:00"), 2.0),
+      ("a", ts("2024-01-01 10:45:00"), 4.0),
+      // hour 11 missing for a
+      ("a", ts("2024-01-01 12:05:00"), 6.0),
+      // b observed only at 11: spine still spans 10..12 (global bounds)
+      ("b", ts("2024-01-01 11:30:00"), 10.0)
+    ).toDF("g", "t", "v")
+    val out = TimeseriesOps.gapFillHourly(df, "g", "t", "v")
+      .collect().map(r => (r.getString(0), r.getTimestamp(1).toString,
+        r.getLong(2))).toSet
+    assert(out == Set(
+      ("a", "2024-01-01 10:00:00.0", 2L),
+      ("a", "2024-01-01 11:00:00.0", 0L),
+      ("a", "2024-01-01 12:00:00.0", 1L),
+      ("b", "2024-01-01 10:00:00.0", 0L),
+      ("b", "2024-01-01 11:00:00.0", 1L),
+      ("b", "2024-01-01 12:00:00.0", 0L)))
+  }
+
+  test("interpolateLinear blends gaps and carries edges") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", ts("2024-01-01 10:30:00"), 2.0),
+      ("a", ts("2024-01-01 10:40:00"), 4.0), // hour 10 mean = 3.0
+      // hours 11,12 missing
+      ("a", ts("2024-01-01 13:10:00"), 9.0), // hour 13 mean = 9.0
+      ("b", ts("2024-01-01 12:00:00"), 5.0)  // b observed only at 12
+    ).toDF("g", "t", "v")
+    val out = TimeseriesOps.interpolateLinear(
+        TimeseriesOps.gapFillHourly(df, "g", "t", "v"), "g")
+      .collect().map(r => (r.getString(0), r.getTimestamp(1).toString)
+        -> r.getDouble(2)).toMap
+    // a: 3.0 at h10, 9.0 at h13 -> 5.0 at h11, 7.0 at h12
+    assert(out(("a", "2024-01-01 10:00:00.0")) == 3.0)
+    assert(out(("a", "2024-01-01 11:00:00.0")) == 5.0)
+    assert(out(("a", "2024-01-01 12:00:00.0")) == 7.0)
+    assert(out(("a", "2024-01-01 13:00:00.0")) == 9.0)
+    // b: single observation carried to both edges
+    assert(out(("b", "2024-01-01 10:00:00.0")) == 5.0)
+    assert(out(("b", "2024-01-01 11:00:00.0")) == 5.0)
+    assert(out(("b", "2024-01-01 12:00:00.0")) == 5.0)
+    assert(out(("b", "2024-01-01 13:00:00.0")) == 5.0)
+  }
+
+  test("ts1/ts2 run on sf0.001 with the full scale-independent spine") {
+    val g = QueriesTimeseries.queries("ts1_gapfill")(spark, sf0001)
+    val n = g.count()
+    // 5 event types x full-month hour spine; and real gaps exist at
+    // this density for the interpolator to fill
+    assert(n > 3000 && n % 5 == 0, s"spine rows: $n")
+    assert(g.filter(col("n") === 0).count() > 0, "expected gaps at sf0.001")
+    val i = QueriesTimeseries.queries("ts2_interpolate")(spark, sf0001)
+    assert(i.count() == n)
+    assert(i.filter(col("val").isNull).count() == 0)
+  }
+}
