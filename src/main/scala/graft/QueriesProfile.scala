@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.ProfileOps
+import graft.operators.ProfileOps.ProfileCol
+import graft.sources.Tables
+
+/** Data-quality queries (north-star extension): single-pass column
+  * profiling and referential-integrity gates over the TPC-H-ish
+  * tables — the checks a pipeline runs before promoting a snapshot.
+  *
+  * Hash-input canonicalization (the cross-engine contract): integer
+  * keys hash as their decimal string; the double `o_totalprice` hashes
+  * as exact CENTS (floor(·100) cast to long) because double→string
+  * formatting is not stable across engines; plain strings hash as
+  * themselves. The oracle mirrors each canonicalization exactly.
+  */
+object QueriesProfile {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Per-column completeness / cardinality / range profile of orders:
+    // ONE scan, ONE aggregate, one native KMV buffer per column — no
+    // per-column jobs, no c-fold count-distinct Expand of the scan;
+    // enum-sized columns report EXACT distinct counts (KMV under k).
+    "dq1_profile" -> ((s, d) => {
+      ProfileOps.profile(Tables.orders(s, d), Seq(
+        ProfileCol("o_orderkey", col("o_orderkey").cast("string"),
+          Some(col("o_orderkey"))),
+        ProfileCol("o_custkey", col("o_custkey").cast("string"),
+          Some(col("o_custkey"))),
+        ProfileCol("o_totalprice",
+          floor(col("o_totalprice") * lit(100)).cast("long").cast("string"),
+          Some(col("o_totalprice"))),
+        ProfileCol("o_orderstatus", col("o_orderstatus"), None),
+        ProfileCol("o_orderpriority", col("o_orderpriority"), None)))
+    }),
+
+    // Referential integrity: orphaned foreign keys per fact→dim edge
+    // (anti-join counts next to fact row counts; a healthy snapshot
+    // reports zero orphans — and these tables do).
+    "dq2_ref_integrity" -> ((s, d) => {
+      ProfileOps.refIntegrity(Seq(
+        ("lineitem->orders", Tables.lineitem(s, d), col("l_orderkey"),
+          Tables.orders(s, d), col("o_orderkey")),
+        ("orders->customer", Tables.orders(s, d), col("o_custkey"),
+          Tables.customer(s, d), col("c_custkey"))))
+    })
+  )
+
+  /** Portable seeded 60-bit hash (mirrors TextOps.md5Prefix60). */
+  private def h60(arg: String): String =
+    s"CAST(concat('0x', substr(md5($arg), 1, 15)) AS BIGINT)"
+
+  /** The sk2 relational KMV estimator as a scalar subquery over one
+    * canonicalized column of `orders` — the oracle twin of the native
+    * `kmv_estimate` buffers inside the single-pass profile (exact
+    * under k distinct, kth-minimum estimator above).
+    */
+  private def kmvEst(input: String): String = {
+    val k = ProfileOps.ProfileK
+    s"""(WITH hh AS (SELECT DISTINCT ${h60(s"concat('kmv:', $input)")} AS h
+       |        FROM orders WHERE ($input) IS NOT NULL),
+       |  kk AS (SELECT h FROM hh ORDER BY h LIMIT $k)
+       |  SELECT round(CASE WHEN count(*) < $k
+       |      THEN CAST(count(*) AS DOUBLE)
+       |      ELSE ${k - 1}.0 * 1152921504606846976.0
+       |        / CAST(max(h) AS DOUBLE) END, 2) FROM kk)""".stripMargin
+  }
+
+  private def profileArm(name: String, hashInput: String,
+      range: Option[String]): String = {
+    val (mn, mx) = range match {
+      case Some(c) => (s"round(min(CAST($c AS DOUBLE)), 6)",
+        s"round(max(CAST($c AS DOUBLE)), 6)")
+      case None => ("CAST(NULL AS DOUBLE)", "CAST(NULL AS DOUBLE)")
+    }
+    s"""SELECT '$name' AS col_name, count(*) AS n,
+       |  CAST(sum(CASE WHEN ($hashInput) IS NULL THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_null,
+       |  ${kmvEst(hashInput)} AS distinct_est,
+       |  $mn AS min_v, $mx AS max_v
+       |FROM orders""".stripMargin
+  }
+
+  def oracle: Map[String, String] = Map(
+    "dq1_profile" -> Seq(
+      profileArm("o_orderkey", "CAST(o_orderkey AS VARCHAR)",
+        Some("o_orderkey")),
+      profileArm("o_custkey", "CAST(o_custkey AS VARCHAR)",
+        Some("o_custkey")),
+      profileArm("o_totalprice",
+        "CAST(CAST(floor(o_totalprice * 100) AS BIGINT) AS VARCHAR)",
+        Some("o_totalprice")),
+      profileArm("o_orderstatus", "o_orderstatus", None),
+      profileArm("o_orderpriority", "o_orderpriority", None)
+    ).mkString("\nUNION ALL\n"),
+
+    "dq2_ref_integrity" ->
+      """SELECT 'lineitem->orders' AS fk,
+        |  (SELECT count(*) FROM lineitem l
+        |   LEFT JOIN (SELECT DISTINCT o_orderkey AS k FROM orders) d
+        |     ON l.l_orderkey = d.k
+        |   WHERE d.k IS NULL) AS n_orphans,
+        |  (SELECT count(*) FROM lineitem) AS n_rows
+        |UNION ALL
+        |SELECT 'orders->customer',
+        |  (SELECT count(*) FROM orders o
+        |   LEFT JOIN (SELECT DISTINCT c_custkey AS k FROM customer) d
+        |     ON o.o_custkey = d.k
+        |   WHERE d.k IS NULL),
+        |  (SELECT count(*) FROM orders)""".stripMargin
+  )
+}

@@ -18,7 +18,8 @@ object SparkEntry {
       QueriesVector.queries ++ QueriesStreaming.queries ++
       QueriesFunctions.queries ++ QueriesSketch.queries ++
       QueriesCuration.queries ++ QueriesEvents.queries ++
-      QueriesGraph.queries ++ QueriesTimeseries.queries
+      QueriesGraph.queries ++ QueriesTimeseries.queries ++
+      QueriesProfile.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -28,5 +29,6 @@ object SparkEntry {
       QueriesVector.oracle ++ QueriesStreaming.oracle ++
       QueriesFunctions.oracle ++ QueriesSketch.oracle ++
       QueriesCuration.oracle ++ QueriesEvents.oracle ++
-      QueriesGraph.oracle ++ QueriesTimeseries.oracle
+      QueriesGraph.oracle ++ QueriesTimeseries.oracle ++
+      QueriesProfile.oracle
 }

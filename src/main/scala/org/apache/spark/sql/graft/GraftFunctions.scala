@@ -82,6 +82,14 @@ object GraftFunctions {
         require(es.length == 1, "hll_estimate(str) takes 1 argument")
         HllSketchAgg(es.head)
       }),
+    (FunctionIdentifier("kmv_estimate"),
+      info("kmv_estimate",
+        "_FUNC_(str, k) - KMV bottom-k distinct estimate (native " +
+          "aggregate; exact under k distinct)"),
+      (es: Seq[Expression]) => {
+        require(es.length == 2, "kmv_estimate(str, k) takes 2 arguments")
+        KmvSketchAgg(es.head, intLit(es(1), "kmv_estimate", "k"))
+      }),
     (FunctionIdentifier("json_get_long"),
       info("json_get_long",
         "_FUNC_(json, key) - top-level key as long, null if " +

@@ -35,6 +35,20 @@ object SketchAggregates {
     ExpressionUtils.column(
       HllSketchAgg(ExpressionUtils.expression(c))
         .toAggregateExpression())
+
+  /** Column API: KMV bottom-k distinct estimate of the (pre-seeded)
+    * string key — EXACT whenever the input has fewer than k distinct
+    * hashes (the bottom-k set then holds every one of them), ~1/√k
+    * relative error above. The profiling counterpart of
+    * [[hllEstimate]]: the log-free raw HLL estimator saturates at
+    * ≈2954 on tiny cardinalities (no linear-counting correction
+    * without libm), where KMV's exact-under-k regime is what a
+    * per-column profile actually wants.
+    */
+  def kmvEstimate(c: Column, k: Int): Column =
+    ExpressionUtils.column(
+      KmvSketchAgg(ExpressionUtils.expression(c), k)
+        .toAggregateExpression())
 }
 
 @ExpressionDescription(
@@ -122,4 +136,89 @@ object HllSketchAgg {
     */
   val Precision: Int = 12
   val Buckets: Int = 1 << Precision
+}
+
+/** KMV bottom-k sketch as a `TypedImperativeAggregate`: the buffer is
+  * the set of the k smallest distinct 60-bit md5 hashes seen so far
+  * (≤ 8k bytes serialized), partials merge by re-taking the bottom k
+  * of the union — the same merge law `SketchOpsSpec` pins for the
+  * relational sketch — and the estimator is `SketchOps.kmvSummary`'s:
+  * exact size under k distinct hashes, else (k−1)·2^60 / kth-minimum.
+  * Zero non-null rows yield 0.0 (zero distinct is exact, unlike HLL's
+  * meaningless empty-register estimate — hence no null case here).
+  */
+@ExpressionDescription(
+  usage = "_FUNC_(str, k) - KMV bottom-k distinct estimate, exact under k")
+case class KmvSketchAgg(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[java.util.TreeSet[java.lang.Long]]
+    with ExpectsInputTypes {
+
+  require(k > 0, s"kmv_estimate: k must be positive, got $k")
+
+  override def children: Seq[Expression] = Seq(child)
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = false
+
+  override def createAggregationBuffer(): java.util.TreeSet[java.lang.Long] =
+    new java.util.TreeSet[java.lang.Long]()
+
+  override def update(buf: java.util.TreeSet[java.lang.Long],
+      input: org.apache.spark.sql.catalyst.InternalRow)
+      : java.util.TreeSet[java.lang.Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val h = Md5Prefix60Expr.compute(v.asInstanceOf[UTF8String])
+      if (buf.size < k) buf.add(h)
+      else if (h < buf.last()) { // strict: equal-to-max is a known hash
+        buf.add(h)
+        if (buf.size > k) buf.pollLast()
+      }
+    }
+    buf
+  }
+
+  override def merge(a: java.util.TreeSet[java.lang.Long],
+      b: java.util.TreeSet[java.lang.Long])
+      : java.util.TreeSet[java.lang.Long] = {
+    a.addAll(b)
+    while (a.size > k) a.pollLast()
+    a
+  }
+
+  override def eval(buf: java.util.TreeSet[java.lang.Long]): Any =
+    if (buf.size < k) buf.size.toDouble
+    else (k - 1).toDouble * 1.152921504606846976e18 /
+      buf.last().toDouble
+
+  override def serialize(buf: java.util.TreeSet[java.lang.Long])
+      : Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(4 + 8 * buf.size)
+    bb.putInt(buf.size)
+    val it = buf.iterator()
+    while (it.hasNext) bb.putLong(it.next())
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte])
+      : java.util.TreeSet[java.lang.Long] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val s = new java.util.TreeSet[java.lang.Long]()
+    var i = 0
+    while (i < n) { s.add(bb.getLong); i += 1 }
+    s
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): KmvSketchAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): KmvSketchAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren.head)
 }

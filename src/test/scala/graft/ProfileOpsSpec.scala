@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.ProfileOps
+import graft.operators.ProfileOps.ProfileCol
+
+class ProfileOpsSpec extends SparkTestBase {
+
+  test("profile reports exact stats per column in one pass") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Some("a"), 1.5),
+      (2L, Some("a"), 2.5),
+      (3L, None, 3.5),
+      (3L, Some("b"), 100.25)
+    ).toDF("id", "tag", "v")
+    val out = ProfileOps.profile(df, Seq(
+        ProfileCol("id", col("id").cast("string"), Some(col("id"))),
+        ProfileCol("tag", col("tag"), None),
+        ProfileCol("v", floor(col("v") * 100).cast("long").cast("string"),
+          Some(col("v")))))
+      .collect().map(r => r.getString(0) -> r).toMap
+    // under-k regime: distinct_est is EXACT (nulls excluded)
+    val id = out("id")
+    assert(id.getLong(1) == 4L && id.getLong(2) == 0L)
+    assert(id.getDouble(3) == 3.0)
+    assert(id.getDouble(4) == 1.0 && id.getDouble(5) == 3.0)
+    val tag = out("tag")
+    assert(tag.getLong(2) == 1L, "one null tag")
+    assert(tag.getDouble(3) == 2.0, "distinct non-null tags")
+    assert(tag.isNullAt(4) && tag.isNullAt(5), "no range for strings")
+    val v = out("v")
+    assert(v.getDouble(3) == 4.0)
+    assert(v.getDouble(4) == 1.5 && v.getDouble(5) == 100.25)
+  }
+
+  test("refIntegrity counts planted orphans and clean edges as zero") {
+    import spark.implicits._
+    val fact = Seq((1L, 10L), (2L, 10L), (3L, 99L)).toDF("id", "fk")
+    val dim = Seq(10L, 20L).toDF("pk")
+    val out = ProfileOps.refIntegrity(Seq(
+        ("fact->dim", fact, col("fk"), dim, col("pk")),
+        ("fact->fact", fact, col("id"), fact, col("id"))))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(out("fact->dim") == (1L, 3L), "fk=99 is an orphan")
+    assert(out("fact->fact") == (0L, 3L), "self edge is clean")
+  }
+}

@@ -273,6 +273,34 @@ class SketchOpsSpec extends SparkTestBase {
     assert(math.abs(i - 1000) / 1000.0 < 0.25, s"inter_est=$i")
   }
 
+  test("native kmv aggregate == relational kmv estimate, any partitioning") {
+    import spark.implicits._
+    import org.apache.spark.sql.graft.SketchAggregates
+    for (parts <- Seq(1, 7)) {
+      val df = (1L to 3000L).toDF("k").repartition(parts)
+      val native = df.agg(round(SketchAggregates.kmvEstimate(
+          concat(lit("kmv:"), col("k").cast("string")), 64), 2).as("est"))
+        .as[Double].head()
+      val relational = SketchOps.kmvSummary(df, col("k"), 64)
+        .select("estimate").as[Double].head()
+      assert(native == relational,
+        s"parts=$parts: native $native != relational $relational")
+    }
+  }
+
+  test("native kmv aggregate is exact under k and 0.0 on empty input") {
+    import spark.implicits._
+    import org.apache.spark.sql.graft.SketchAggregates
+    def est(df: org.apache.spark.sql.DataFrame, k: Int): Double =
+      df.agg(SketchAggregates.kmvEstimate(
+        concat(lit("kmv:"), col("k").cast("string")), k).as("e"))
+        .as[Double].head()
+    // 40 distinct under k=64, duplicated rows -> exactly 40.0
+    assert(est((1L to 40L).flatMap(i => Seq(i, i)).toDF("k"), 64) == 40.0)
+    // all-null input -> zero distinct, exactly
+    assert(est(Seq[Option[Long]](None, None).toDF("k"), 64) == 0.0)
+  }
+
   test("kmv is duplicate-insensitive") {
     val once = SketchOps.kmvSummary((1L to 3000L).toDF("k"), col("k"), 64)
       .collect()(0)
