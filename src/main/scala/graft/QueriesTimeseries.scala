@@ -33,6 +33,16 @@ object QueriesTimeseries {
         TimeseriesOps.gapFillHourly(
           Tables.events(s, d), "event_type", "ts", "value"),
         "event_type")
+    }),
+
+    // MAD anomaly flags over the hourly counts — the robust |x−med| >
+    // 3·MAD outlier rule with every denominator cleared, so the whole
+    // detector is integer-exact (see TimeseriesOps.madAnomalies).
+    "ts3_anomalies" -> ((s, d) => {
+      TimeseriesOps.madAnomalies(
+        TimeseriesOps.gapFillHourly(
+          Tables.events(s, d), "event_type", "ts", "value"),
+        "event_type")
     })
   )
 
@@ -92,6 +102,44 @@ object QueriesTimeseries {
          |      WHEN nh IS NULL THEN pv
          |      ELSE (pv * (nh - he) + nv * (he - ph)) // (nh - ph)
          |    END AS DOUBLE) / ${TimeseriesOps.Fx}.0, 6) AS val
-         |FROM w""".stripMargin
+         |FROM w""".stripMargin,
+
+    "ts3_anomalies" ->
+      s"""WITH hourly AS (
+         |  SELECT event_type, date_trunc('hour', ts) AS hour,
+         |    count(*) AS n
+         |  FROM events GROUP BY 1, 2),
+         |b AS (SELECT date_trunc('hour', min(ts)) AS h0,
+         |        date_trunc('hour', max(ts)) AS h1 FROM events),
+         |spine AS (SELECT event_type,
+         |    unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+         |  FROM (SELECT DISTINCT event_type FROM events), b),
+         |g AS (SELECT s.event_type, s.hour, coalesce(h.n, 0) AS n
+         |      FROM spine s LEFT JOIN hourly h
+         |        ON s.event_type = h.event_type AND s.hour = h.hour),
+         |r AS (SELECT event_type, hour, n,
+         |    row_number() OVER (PARTITION BY event_type
+         |      ORDER BY n, hour) AS rn,
+         |    count(*) OVER (PARTITION BY event_type) AS cnt FROM g),
+         |m AS (SELECT event_type, hour, n, cnt,
+         |    sum(CASE WHEN rn = (cnt + 1) // 2 THEN n END)
+         |      OVER (PARTITION BY event_type)
+         |    + sum(CASE WHEN rn = (cnt + 2) // 2 THEN n END)
+         |      OVER (PARTITION BY event_type) AS med2 FROM r),
+         |d AS (SELECT event_type, hour, n, cnt,
+         |        abs(2 * n - med2) AS dev2 FROM m),
+         |r2 AS (SELECT event_type, hour, n, cnt, dev2,
+         |    row_number() OVER (PARTITION BY event_type
+         |      ORDER BY dev2, hour) AS rn2 FROM d),
+         |m2 AS (SELECT event_type, hour, n, dev2,
+         |    sum(CASE WHEN rn2 = (cnt + 1) // 2 THEN dev2 END)
+         |      OVER (PARTITION BY event_type)
+         |    + sum(CASE WHEN rn2 = (cnt + 2) // 2 THEN dev2 END)
+         |      OVER (PARTITION BY event_type) AS mad4 FROM r2)
+         |SELECT event_type, hour, n, CAST(dev2 AS BIGINT) AS dev2,
+         |  CAST(mad4 AS BIGINT) AS mad4,
+         |  CAST(CASE WHEN 2 * dev2 > 3 * mad4 THEN 1 ELSE 0
+         |    END AS BIGINT) AS is_anomaly
+         |FROM m2""".stripMargin
   )
 }

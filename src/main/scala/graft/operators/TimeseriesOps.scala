@@ -55,6 +55,51 @@ object TimeseriesOps {
         coalesce(col("n"), lit(0L)).as("n"), col("v_fx"))
   }
 
+  /** Median-absolute-deviation anomaly flags over a gap-filled hourly
+    * count series, ENTIRELY in integers: medians are carried in
+    * doubled units (`med2` = the sum of the two middle order
+    * statistics — equal to 2·median for odd counts, the two-middle sum
+    * for even), deviations in doubled units (`dev2 = |2n − med2|`),
+    * the MAD in quadrupled units (`mad4`), and the classic
+    * `dev > 3·MAD` robust threshold becomes `2·dev2 > 3·mad4` after
+    * clearing denominators — no division, no rounding, anywhere. That
+    * is what lets an outlier DETECTOR (usually a float-threshold
+    * affair) hash-match a cross-engine oracle exactly.
+    *
+    * Shape: one exchange by series key, then two in-partition
+    * sort+window passes over the SPINE (the gap-filled frame, sized by
+    * time window × groups, not event count). Every row comes back with
+    * its diagnostics and an integer flag — the caller filters or
+    * alerts downstream.
+    */
+  def madAnomalies(gapFilled: DataFrame, groupCol: String): DataFrame = {
+    val wRank = Window.partitionBy(groupCol)
+      .orderBy(col("n").asc, col("hour").asc)
+    val wAll = Window.partitionBy(groupCol)
+    val ranked = gapFilled.select(col(groupCol), col("hour"), col("n"))
+      .withColumn("rn", row_number().over(wRank))
+      .withColumn("cnt", count(lit(1)).over(wAll))
+    val med = ranked
+      .withColumn("med2",
+        sum(when(col("rn") === expr("(cnt + 1) div 2"), col("n")))
+          .over(wAll) +
+        sum(when(col("rn") === expr("(cnt + 2) div 2"), col("n")))
+          .over(wAll))
+      .withColumn("dev2", abs(lit(2) * col("n") - col("med2")))
+    val wRank2 = Window.partitionBy(groupCol)
+      .orderBy(col("dev2").asc, col("hour").asc)
+    med.withColumn("rn2", row_number().over(wRank2))
+      .withColumn("mad4",
+        sum(when(col("rn2") === expr("(cnt + 1) div 2"), col("dev2")))
+          .over(wAll) +
+        sum(when(col("rn2") === expr("(cnt + 2) div 2"), col("dev2")))
+          .over(wAll))
+      .select(col(groupCol), col("hour"), col("n"), col("dev2"),
+        col("mad4"),
+        when(lit(2) * col("dev2") > lit(3) * col("mad4"), 1L)
+          .otherwise(0L).as("is_anomaly"))
+  }
+
   /** Linear interpolation over a gap-filled hourly frame (the
     * [[gapFillHourly]] output contract): observed hours carry their
     * per-hour fixed-point mean (`v_fx div n`), gap hours get the

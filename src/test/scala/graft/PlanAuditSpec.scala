@@ -186,6 +186,37 @@ class PlanAuditSpec extends SparkTestBase {
       s"sk7 must shuffle exactly once (sketch buffers only):\n$pg")
   }
 
+  test("dq1 profiles every column in one scan, one exchange, no Expand") {
+    val p = plan("dq1_profile")
+    // all five columns' stats ride ONE ObjectHashAggregate pass: a
+    // second Scan means per-column jobs crept in; an Expand means an
+    // exact count-distinct multiplied the scanned rows column-fold; a
+    // second Exchange means the array-of-struct explode moved below
+    // the aggregate
+    assert("Scan parquet".r.findAllIn(p).size == 1,
+      s"dq1 must scan orders exactly once:\n$p")
+    assert("Exchange".r.findAllIn(p).size == 1,
+      s"dq1 must shuffle exactly once (sketch buffers + scalars):\n$p")
+    assert(!p.contains("Expand"),
+      s"dq1 must not plan a count-distinct Expand:\n$p")
+    assert(p.contains("partial_kmvsketchagg"),
+      s"dq1 must partial-aggregate the KMV buffers map-side:\n$p")
+  }
+
+  test("ts2 rides ts1's spine: one raw-stream aggregate, windows after") {
+    val p = plan("ts2_interpolate")
+    // the raw events aggregate once into hourly cells; both
+    // interpolation windows then run ON THE SPINE (time-window × groups
+    // rows), partitioned by the series key. A second events aggregate
+    // or a window BELOW the spine join means the regularization
+    // re-reads the stream.
+    assert("Scan parquet".r.findAllIn(p).size <= 3, // hourly + bounds + groups
+      s"ts2 must not re-scan events per stage:\n$p")
+    assert(p.contains("Window"), s"ts2 interpolates via windows:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"ts2's spine build must stay a broadcast cross of 1-row bounds:\n$p")
+  }
+
   test("kmeans broadcasts centroids and partial-aggregates the update") {
     val p = plan("v7_kmeans")
     assert(p.contains("BroadcastNestedLoopJoin") ||

@@ -54,6 +54,35 @@ class TimeseriesOpsSpec extends SparkTestBase {
     assert(out(("b", "2024-01-01 13:00:00.0")) == 5.0)
   }
 
+  test("madAnomalies flags a planted spike with exact integer math") {
+    import spark.implicits._
+    // 9 quiet hours of n=2 and one spike of n=50: median 2 (med2=4),
+    // devs are 0 except the spike's 96 -> MAD 0 (mad4=0), so exactly
+    // the spike satisfies 2*dev2 > 3*mad4... and a constant series
+    // (all dev 0) must flag NOTHING (0 > 0 is false) — the degenerate
+    // case float detectors get wrong with epsilon thresholds.
+    val rows = (0 until 10).map { i =>
+      ("a", ts(f"2024-01-01 ${10 + i}%02d:30:00"), 1.0)
+    }
+    val df = (rows ++ rows.init // double every hour but keep one spike source
+      ).toDF("g", "t", "v")
+    // build n=2 for hours 10..18, n=1 for hour 19; then plant the spike
+    val spiked = df.union(Seq.fill(49)(("a", ts("2024-01-01 19:30:00"), 1.0))
+      .toDF("g", "t", "v"))
+    val out = TimeseriesOps.madAnomalies(
+        TimeseriesOps.gapFillHourly(spiked, "g", "t", "v"), "g")
+      .collect().map(r => r.getTimestamp(1).toString ->
+        (r.getLong(2), r.getLong(5))).toMap
+    assert(out("2024-01-01 19:00:00.0") == (50L, 1L), "spike flagged")
+    assert(out.count(_._2._2 == 1L) == 1, "only the spike is anomalous")
+
+    val flat = TimeseriesOps.madAnomalies(
+        TimeseriesOps.gapFillHourly(
+          rows.toDF("g", "t", "v"), "g", "t", "v"), "g")
+      .agg(sum(col("is_anomaly"))).as[Long].head()
+    assert(flat == 0L, "constant series flags nothing")
+  }
+
   test("ts1/ts2 run on sf0.001 with the full scale-independent spine") {
     val g = QueriesTimeseries.queries("ts1_gapfill")(spark, sf0001)
     val n = g.count()
