@@ -397,6 +397,28 @@ object QueriesRelational {
         .groupBy("nkey").agg(count(lit(1)).as("n"))
     }),
 
+    // RANGE-interval window frame: per-user rolling 24-hour event count
+    // and value sum — the time-based frame ROWS frames can't express
+    // (a row's window is "everything in the last day", not "the last k
+    // rows"). Order key = epoch SECONDS (both engines truncate the
+    // same way), value sum in integer micro-units, peers-included
+    // RANGE semantics identical across engines, so no tiebreak is
+    // needed for determinism. One shuffle by user.
+    "w6_range_frame" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("sec"))
+        .rangeBetween(-86400L, 0L)
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"),
+          unix_timestamp(col("ts")).as("sec"),
+          floor(col("value") * lit(1000000)).cast("long").as("fx"))
+        .select(col("user_id"), col("event_id"),
+          count(lit(1)).over(w).as("n_24h"),
+          round(sum(col("fx")).over(w).cast("double") / lit(1000000.0), 6)
+            .as("val_24h"))
+    }),
+
     // CDC-style snapshot diff: per-order shipped-quantity state at two
     // ship-date cutoffs, full-outer-joined on the key and classified
     // added / changed / unchanged (removed can't occur in an
@@ -608,6 +630,15 @@ object QueriesRelational {
         |  SELECT c_nationkey AS nkey FROM customer
         |  UNION ALL SELECT s_nationkey FROM supplier)
         |GROUP BY nkey""".stripMargin,
+    "w6_range_frame" ->
+      """SELECT user_id, event_id,
+        |  count(*) OVER w AS n_24h,
+        |  round(CAST(sum(CAST(floor(value * 1000000) AS BIGINT))
+        |      OVER w AS DOUBLE) / 1000000.0, 6) AS val_24h
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id
+        |  ORDER BY date_diff('second', TIMESTAMP '1970-01-01 00:00:00', ts)
+        |  RANGE BETWEEN 86400 PRECEDING AND CURRENT ROW)""".stripMargin,
     "cdc1_snapshot_diff" ->
       s"""WITH old AS (SELECT l_orderkey,
          |       sum(CAST(l_quantity AS BIGINT)) AS q_old
