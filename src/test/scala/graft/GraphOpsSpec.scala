@@ -60,6 +60,26 @@ class GraphOpsSpec extends SparkTestBase {
     assert(GraphOps.triangleCounts(path).count() == 0L)
   }
 
+  test("triangleCounts is exact on a skewed hub (wheel graph)") {
+    import spark.implicits._
+    // Wheel W_60: hub 0 connected to every rim node 1..60, rim a cycle.
+    // Every rim edge closes exactly one triangle with the hub: 60
+    // triangles; hub sits in all 60, each rim node in its 2 adjacent.
+    // This is the shape the (degree, id) orientation exists for — all
+    // hub edges point hub→rim (hub has max degree), so the hub
+    // contributes NO 2-path fan-out despite touching every triangle.
+    val n = 60L
+    val spokes = (1L to n).map((0L, _))
+    val rim = (1L to n).map(i => (i, if (i == n) 1L else i + 1))
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+    val counts = GraphOps.triangleCounts((spokes ++ rim).toDF("a", "b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(counts(0L) == n, s"hub must be in all $n triangles")
+    assert((1L to n).forall(counts(_) == 2L),
+      "each rim node is in exactly its 2 adjacent triangles")
+    assert(counts.values.sum == 3 * n, "3 incidences per triangle")
+  }
+
   test("kCore peels cascades to the unique fixpoint") {
     import spark.implicits._
     // K4 on 1..4 plus a chain 4-5-6-7: peeling k=3 removes 5,6,7 in one
