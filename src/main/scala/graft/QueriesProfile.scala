@@ -18,22 +18,51 @@ import graft.sources.Tables
   */
 object QueriesProfile {
 
+  /** The shared orders column specs (dq1 profiles the whole table,
+    * dq3 profiles two snapshots of it). */
+  private def orderSpecs: Seq[ProfileCol] = Seq(
+    ProfileCol("o_orderkey", col("o_orderkey").cast("string"),
+      Some(col("o_orderkey"))),
+    ProfileCol("o_custkey", col("o_custkey").cast("string"),
+      Some(col("o_custkey"))),
+    ProfileCol("o_totalprice",
+      floor(col("o_totalprice") * lit(100)).cast("long").cast("string"),
+      Some(col("o_totalprice"))),
+    ProfileCol("o_orderstatus", col("o_orderstatus"), None),
+    ProfileCol("o_orderpriority", col("o_orderpriority"), None))
+
+  /** dq3 snapshot cutoff (mid-range of the 1995–2001 order dates):
+    * "old" = orders placed up to the cutoff, "new" = all orders. */
+  private[graft] val DriftCut = "1998-06-30 00:00:00"
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Per-column completeness / cardinality / range profile of orders:
     // ONE scan, ONE aggregate, one native KMV buffer per column — no
     // per-column jobs, no c-fold count-distinct Expand of the scan;
     // enum-sized columns report EXACT distinct counts (KMV under k).
     "dq1_profile" -> ((s, d) => {
-      ProfileOps.profile(Tables.orders(s, d), Seq(
-        ProfileCol("o_orderkey", col("o_orderkey").cast("string"),
-          Some(col("o_orderkey"))),
-        ProfileCol("o_custkey", col("o_custkey").cast("string"),
-          Some(col("o_custkey"))),
-        ProfileCol("o_totalprice",
-          floor(col("o_totalprice") * lit(100)).cast("long").cast("string"),
-          Some(col("o_totalprice"))),
-        ProfileCol("o_orderstatus", col("o_orderstatus"), None),
-        ProfileCol("o_orderpriority", col("o_orderpriority"), None)))
+      ProfileOps.profile(Tables.orders(s, d), orderSpecs)
+    }),
+
+    // Profile DRIFT between two snapshots: the per-column stats of the
+    // as-of-cutoff table joined to the current table's, with the
+    // cardinality ratio — the "did this batch change the shape of the
+    // data" gate an ML pipeline runs before retraining. Two single-pass
+    // profiles (one scan each), one 5-row join.
+    "dq3_profile_drift" -> ((s, d) => {
+      val orders = Tables.orders(s, d)
+      val old = ProfileOps.profile(
+          orders.filter(col("o_orderdate") <=
+            lit(DriftCut).cast("timestamp")), orderSpecs)
+        .select(col("col_name"), col("n").as("n_old"),
+          col("distinct_est").as("est_old"))
+      val neu = ProfileOps.profile(orders, orderSpecs)
+        .select(col("col_name"), col("n").as("n_new"),
+          col("distinct_est").as("est_new"))
+      old.join(neu, Seq("col_name"))
+        .select(col("col_name"), col("n_old"), col("n_new"),
+          col("est_old"), col("est_new"),
+          round(col("est_new") / col("est_old"), 6).as("est_ratio"))
     }),
 
     // Referential integrity: orphaned foreign keys per fact→dim edge
@@ -57,10 +86,10 @@ object QueriesProfile {
     * `kmv_estimate` buffers inside the single-pass profile (exact
     * under k distinct, kth-minimum estimator above).
     */
-  private def kmvEst(input: String): String = {
+  private def kmvEst(input: String, where: String): String = {
     val k = ProfileOps.ProfileK
     s"""(WITH hh AS (SELECT DISTINCT ${h60(s"concat('kmv:', $input)")} AS h
-       |        FROM orders WHERE ($input) IS NOT NULL),
+       |        FROM orders WHERE ($input) IS NOT NULL AND $where),
        |  kk AS (SELECT h FROM hh ORDER BY h LIMIT $k)
        |  SELECT round(CASE WHEN count(*) < $k
        |      THEN CAST(count(*) AS DOUBLE)
@@ -69,7 +98,7 @@ object QueriesProfile {
   }
 
   private def profileArm(name: String, hashInput: String,
-      range: Option[String]): String = {
+      range: Option[String], where: String = "TRUE"): String = {
     val (mn, mx) = range match {
       case Some(c) => (s"round(min(CAST($c AS DOUBLE)), 6)",
         s"round(max(CAST($c AS DOUBLE)), 6)")
@@ -78,23 +107,36 @@ object QueriesProfile {
     s"""SELECT '$name' AS col_name, count(*) AS n,
        |  CAST(sum(CASE WHEN ($hashInput) IS NULL THEN 1 ELSE 0 END)
        |    AS BIGINT) AS n_null,
-       |  ${kmvEst(hashInput)} AS distinct_est,
+       |  ${kmvEst(hashInput, where)} AS distinct_est,
        |  $mn AS min_v, $mx AS max_v
-       |FROM orders""".stripMargin
+       |FROM orders WHERE $where""".stripMargin
   }
 
+  /** The 5 dq1 arms with an optional snapshot filter. */
+  private def profileArms(where: String): String = Seq(
+    profileArm("o_orderkey", "CAST(o_orderkey AS VARCHAR)",
+      Some("o_orderkey"), where),
+    profileArm("o_custkey", "CAST(o_custkey AS VARCHAR)",
+      Some("o_custkey"), where),
+    profileArm("o_totalprice",
+      "CAST(CAST(floor(o_totalprice * 100) AS BIGINT) AS VARCHAR)",
+      Some("o_totalprice"), where),
+    profileArm("o_orderstatus", "o_orderstatus", None, where),
+    profileArm("o_orderpriority", "o_orderpriority", None, where)
+  ).mkString("\nUNION ALL\n")
+
   def oracle: Map[String, String] = Map(
-    "dq1_profile" -> Seq(
-      profileArm("o_orderkey", "CAST(o_orderkey AS VARCHAR)",
-        Some("o_orderkey")),
-      profileArm("o_custkey", "CAST(o_custkey AS VARCHAR)",
-        Some("o_custkey")),
-      profileArm("o_totalprice",
-        "CAST(CAST(floor(o_totalprice * 100) AS BIGINT) AS VARCHAR)",
-        Some("o_totalprice")),
-      profileArm("o_orderstatus", "o_orderstatus", None),
-      profileArm("o_orderpriority", "o_orderpriority", None)
-    ).mkString("\nUNION ALL\n"),
+    "dq1_profile" -> profileArms("TRUE"),
+
+    "dq3_profile_drift" -> {
+      val oldWhere = s"o_orderdate <= TIMESTAMP '$DriftCut'"
+      s"""WITH po AS (${profileArms(oldWhere)}),
+         |pn AS (${profileArms("TRUE")})
+         |SELECT po.col_name, po.n AS n_old, pn.n AS n_new,
+         |  po.distinct_est AS est_old, pn.distinct_est AS est_new,
+         |  round(pn.distinct_est / po.distinct_est, 6) AS est_ratio
+         |FROM po JOIN pn ON po.col_name = pn.col_name""".stripMargin
+    },
 
     "dq2_ref_integrity" ->
       """SELECT 'lineitem->orders' AS fk,
