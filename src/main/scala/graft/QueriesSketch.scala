@@ -112,6 +112,22 @@ object QueriesSketch {
             .as("estimate"))
     }),
 
+    // CMS self-join-size (F2) estimate: price the events-by-user
+    // self-join from the sketch alone — min-over-depths inner product
+    // of the counter table with itself, one-sided (est ≥ exact, the
+    // truth column verifies; exact at sf≤0.01 where 8192 buckets see
+    // no collisions, +18% at sf0.1). The wider-than-sk3 sketch is the
+    // point: width trades memory for inner-product error at εN² scale.
+    "sk9_f2_selfjoin" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("user_id"))
+      val sk = SketchOps.cmsSketch(ev, col("user_id"), CmsDepth, F2Width)
+      val est = SketchOps.cmsInnerProduct(sk, sk)
+        .select(col("est").as("est_f2"))
+      val exact = ev.groupBy("user_id").agg(count(lit(1)).as("f"))
+        .agg(sum(col("f") * col("f")).as("exact_f2"))
+      est.crossJoin(broadcast(exact))
+    }),
+
     // KMV set algebra: union / Jaccard / intersection estimates between
     // two order cohorts (orders containing a returned 'R' line vs an 'N'
     // line — ~0.58 true Jaccard at every SF), with the exact counts
@@ -138,6 +154,10 @@ object QueriesSketch {
 
   /** Bottom-k size for the sk8 set-operation sketches. */
   private val KmvSetK = 256
+
+  /** sk9 sketch width: inner-product error scales with N²/width, so
+    * the F2 sketch is wider than sk3's point-estimate sketch. */
+  private val F2Width = 8192
 
   private val CmsDepth = 4
   private val CmsWidth = 1024
@@ -269,6 +289,21 @@ object QueriesSketch {
          |    / CAST(fx_present + (4096 - v_present)
          |        * (CAST(1 AS BIGINT) << 50) AS DOUBLE), 2) AS estimate
          |FROM s""".stripMargin,
+
+    "sk9_f2_selfjoin" -> {
+      val bucket = h60("concat('cms', CAST(i AS VARCHAR), ':', " +
+        "CAST(user_id AS VARCHAR))") + s" % $F2Width"
+      s"""WITH ix AS (SELECT unnest([0, 1, 2, 3]) AS i),
+         |hx AS (SELECT user_id, i, $bucket AS bucket
+         |       FROM events CROSS JOIN ix),
+         |sk AS (SELECT i, bucket, count(*) AS cnt FROM hx GROUP BY 1, 2),
+         |ip AS (SELECT i, sum(cnt * cnt) AS ip FROM sk GROUP BY 1),
+         |ex AS (SELECT CAST(sum(f * f) AS BIGINT) AS exact_f2 FROM (
+         |       SELECT count(*) AS f FROM events GROUP BY user_id))
+         |SELECT CAST((SELECT min(ip) FROM ip) AS BIGINT) AS est_f2,
+         |  exact_f2
+         |FROM ex""".stripMargin
+    },
 
     "sk8_kmv_setops" -> {
       val h = h60("concat('kmv:', CAST(l_orderkey AS VARCHAR))")

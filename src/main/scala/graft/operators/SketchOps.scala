@@ -128,6 +128,24 @@ object SketchOps {
         .as(Seq("i", "bucket")))
       .groupBy("i", "bucket").agg(count(lit(1)).as("cnt"))
 
+  /** CMS inner-product estimate of Σ_k fA(k)·fB(k) — the JOIN SIZE of
+    * two relations on k (self-product = the second frequency moment
+    * F2, the self-join size): per depth row, the dot product of the
+    * two counter rows; the estimate is the MIN across depth rows, and
+    * it is one-sided (≥ the true inner product — colliding keys only
+    * ADD cross terms), exactly like the CMS point estimate. This is
+    * the optimizer statistic that prices a join WITHOUT running it:
+    * two sketch passes + an inner product over 2·depth·width counters,
+    * never a pairwise join. Buckets untouched in either sketch carry
+    * counter 0 and contribute nothing — the inner join on (i, bucket)
+    * is exact about that. Integer-exact end to end.
+    */
+  def cmsInnerProduct(a: DataFrame, b: DataFrame): DataFrame =
+    a.join(b.select(col("i"), col("bucket"), col("cnt").as("cnt_b")),
+        Seq("i", "bucket"))
+      .groupBy("i").agg(sum(col("cnt") * col("cnt_b")).as("ip"))
+      .agg(min(col("ip")).as("est"))
+
   /** Frequency estimates for `keys`: min over the sketch's depth rows.
     * The sketch is at most depth·width rows — broadcast it, so probing
     * any number of candidate keys is one broadcast join + one hash agg,

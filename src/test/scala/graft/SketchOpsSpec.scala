@@ -273,6 +273,25 @@ class SketchOpsSpec extends SparkTestBase {
     assert(math.abs(i - 1000) / 1000.0 < 0.25, s"inter_est=$i")
   }
 
+  test("cms inner product is one-sided and exact without collisions") {
+    import spark.implicits._
+    // f = {a:3, b:2, c:1} -> F2 = 9+4+1 = 14
+    val df = (Seq.fill(3)("a") ++ Seq.fill(2)("b") ++ Seq("c")).toDF("k")
+    def f2(width: Int): Long = {
+      val sk = SketchOps.cmsSketch(df, col("k"), 4, width)
+      SketchOps.cmsInnerProduct(sk, sk).as[Long].head()
+    }
+    // wide sketch: 3 keys in 1024 buckets never collide -> exact
+    assert(f2(1024) == 14L)
+    // width 1 forces every key into one bucket: (3+2+1)^2 = 36 >= 14,
+    // the one-sided bound at its worst
+    assert(f2(1) == 36L)
+    // cross product prices a join: f_b = {a:1, b:1} -> Σ fA·fB = 3+2 = 5
+    val skA = SketchOps.cmsSketch(df, col("k"), 4, 1024)
+    val skB = SketchOps.cmsSketch(Seq("a", "b").toDF("k"), col("k"), 4, 1024)
+    assert(SketchOps.cmsInnerProduct(skA, skB).as[Long].head() == 5L)
+  }
+
   test("native kmv aggregate == relational kmv estimate, any partitioning") {
     import spark.implicits._
     import org.apache.spark.sql.graft.SketchAggregates
