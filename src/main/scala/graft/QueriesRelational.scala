@@ -260,6 +260,25 @@ object QueriesRelational {
         .withColumnRenamed("asof_value", "last_purchase")
     }),
 
+    // Forward as-of: each click picks the user's NEXT purchase at or
+    // after it — j8's mirror ("time to next conversion" lookups). Same
+    // single window pass, frame reversed; oracle = DuckDB native ASOF
+    // with the inequality flipped.
+    "j11_asof_forward" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("user_id", "event_id", "ts")
+      val wDedup = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id", "ts").orderBy(col("event_id").desc)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .withColumn("rn", row_number().over(wDedup))
+        .filter(col("rn") === 1)
+        .select("user_id", "ts", "value")
+      RelationalOps.asofJoinForward(clicks, purchases, Seq("user_id"),
+        "ts", Seq("value"))
+        .withColumnRenamed("asof_next_value", "next_purchase")
+    }),
+
     // Range join (binned): clicks within one hour after an error by the
     // same user — intervals explode into covered hour-bins, candidates
     // from the (user, bin) equi-join, exact BETWEEN on candidates only.
@@ -548,6 +567,16 @@ object QueriesRelational {
         |SELECT l.user_id, l.event_id, l.ts, r.value AS last_purchase
         |FROM l ASOF LEFT JOIN r
         |  ON l.user_id = r.user_id AND r.ts <= l.ts""".stripMargin,
+    "j11_asof_forward" ->
+      """WITH l AS (SELECT user_id, event_id, ts FROM events
+        |  WHERE event_type = 'click'),
+        |r AS (SELECT user_id, ts, value FROM (
+        |  SELECT user_id, ts, value, row_number() OVER (
+        |    PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+        |  FROM events WHERE event_type = 'purchase') WHERE rn = 1)
+        |SELECT l.user_id, l.event_id, l.ts, r.value AS next_purchase
+        |FROM l ASOF LEFT JOIN r
+        |  ON l.user_id = r.user_id AND l.ts <= r.ts""".stripMargin,
     "w5_window_variants" ->
       """SELECT o_orderpriority, o_orderkey,
         |  lag(o_totalprice, 1) OVER w AS prev_price,

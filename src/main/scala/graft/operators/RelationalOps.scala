@@ -92,6 +92,47 @@ object RelationalOps {
       .drop("__side")
   }
 
+  /** Forward as-of join: each left row picks the EARLIEST right row
+    * at-or-after its timestamp (the "next quote / next event" lookup —
+    * [[asofJoin]] looks backward, this looks ahead). Same union +
+    * running-window shape with the frame reversed: rows ordered
+    * (ts asc, left-before-right on ties so an equal-timestamp right row
+    * is still ahead of the left row's frame start), and each value
+    * carried by `first(·, ignoreNulls)` over [current row, ∞). One
+    * shuffle by key, no row-by-row probe join — the property that makes
+    * it a single window pass at any scale.
+    *
+    * Output: all left columns plus `asof_next_<valueCol>` (null when no
+    * right row follows).
+    */
+  def asofJoinForward(left: DataFrame, right: DataFrame, keys: Seq[String],
+      tsCol: String, valueCols: Seq[String]): DataFrame = {
+    val extraLeft = left.columns.toSeq
+      .filterNot(c => keys.contains(c) || c == tsCol)
+    val lU = left.select(
+      keys.map(col) ++ Seq(col(tsCol), lit(0).as("__side")) ++
+        extraLeft.map(col) ++
+        valueCols.map(c => lit(null).cast(right.schema(c).dataType)
+          .as(s"__v_$c")): _*)
+    val rU = right.select(
+      keys.map(col) ++ Seq(col(tsCol), lit(1).as("__side")) ++
+        extraLeft.map(c => lit(null).cast(left.schema(c).dataType)
+          .as(c)) ++
+        valueCols.map(c => col(c).as(s"__v_$c")): _*)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(tsCol).asc, col("__side").asc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    lU.unionByName(rU)
+      .select(
+        keys.map(col) ++ Seq(col(tsCol), col("__side")) ++
+          extraLeft.map(col) ++
+          valueCols.map(c =>
+            first(col(s"__v_$c"), ignoreNulls = true).over(w)
+              .as(s"asof_next_$c")): _*)
+      .filter(col("__side") === 0)
+      .drop("__side")
+  }
+
   /** Range join (point-in-interval, with equi-keys): every left point
     * row matched to the interval rows of the same `keys` whose
     * `[iStart, iEnd]` (inclusive) contains the point's `pTs`.

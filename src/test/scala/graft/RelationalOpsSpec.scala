@@ -30,6 +30,31 @@ class RelationalOpsSpec extends SparkTestBase {
       4L -> Some(101.0), 5L -> Some(200.0)))
   }
 
+  test("asofJoinForward picks the earliest right row at-or-after") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val quotes = Seq(
+      ("A", ts("2024-01-01 10:00:00"), 100.0),
+      ("A", ts("2024-01-01 10:05:00"), 101.0),
+      ("B", ts("2024-01-01 10:02:00"), 200.0)
+    ).toDF("sym", "ts", "px")
+    val trades = Seq(
+      ("A", ts("2024-01-01 09:59:00"), 1L), // before any -> 100.0 (next)
+      ("A", ts("2024-01-01 10:00:00"), 2L), // exact tie -> 100.0
+      ("A", ts("2024-01-01 10:04:59"), 3L), // between -> 101.0
+      ("A", ts("2024-01-01 10:30:00"), 4L), // after last -> null
+      ("B", ts("2024-01-01 10:01:00"), 5L)  // other key -> 200.0
+    ).toDF("sym", "ts", "qty")
+    val out = RelationalOps
+      .asofJoinForward(trades, quotes, Seq("sym"), "ts", Seq("px"))
+      .select(col("qty"), col("asof_next_px"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(out == Map(1L -> Some(100.0), 2L -> Some(100.0),
+      3L -> Some(101.0), 4L -> None, 5L -> Some(200.0)))
+  }
+
   test("rangeJoinPoints matches inclusive bounds across bin boundaries") {
     import spark.implicits._
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
