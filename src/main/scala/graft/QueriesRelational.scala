@@ -464,6 +464,48 @@ object QueriesRelational {
             .minus(coalesce(col("q_old"), lit(0L))).as("delta"))
         .groupBy("change_type")
         .agg(count(lit(1)).as("n_keys"), sum(col("delta")).as("delta_qty"))
+    }),
+
+    // SCD Type-2 dimension build: each customer's order-priority
+    // timeline collapsed into validity intervals — one row per change,
+    // with valid_from/valid_to and a current flag. Runs of the same
+    // priority collapse to the run's first order; ordering is total via
+    // the unique o_orderkey tiebreak. Shape: ONE shuffle on o_custkey
+    // (change-detect lag + interval-close lead reuse the exchange).
+    "cdc2_scd2" -> ((s, d) => {
+      RelationalOps.scd2Intervals(
+        Tables.orders(s, d), "o_custkey", "o_orderpriority",
+        "o_orderdate", "o_orderkey")
+    }),
+
+    // Latest-wins upsert merge: events before the cut are the base
+    // snapshot, events at/after it the change batch; final per-(user,
+    // type) state = the row with max (ts, event_id), each key classified
+    // inserted / updated / unchanged. ONE hash aggregate with map-side
+    // partials — no base-vs-delta join, no window over the raw stream.
+    // final_value is a passthrough (the winning row's value, never
+    // recomputed), so it hash-matches the oracle bit-for-bit.
+    "cdc3_merge_upsert" -> ((s, d) => {
+      RelationalOps.latestWinsMerge(
+        Tables.events(s, d).select(
+          col("user_id"), col("event_type"), col("ts"),
+          col("event_id"), col("value")),
+        Seq("user_id", "event_type"), "ts", "event_id", "value", cutTs)
+    }),
+
+    // Per-group MODE with a deterministic tie-break (highest count,
+    // then lexicographically smallest value): each customer's most
+    // frequent order priority. Count agg then the rank-filter top-1
+    // pattern — eligible for Spark's WindowGroupLimit rewrite, so only
+    // O(groups) rows cross the window's shuffle.
+    "g7_mode" -> ((s, d) => {
+      val cnt = Tables.orders(s, d)
+        .groupBy(col("o_custkey"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+      RelationalOps.topKPerGroup(cnt, Seq("o_custkey"),
+          Seq(col("n").desc, col("o_orderpriority").asc), 1)
+        .select(col("o_custkey"),
+          col("o_orderpriority").as("mode_priority"), col("n"))
     })
   )
 
@@ -686,6 +728,53 @@ object QueriesRelational {
          |     FROM old FULL OUTER JOIN neu USING (l_orderkey))
          |SELECT change_type, count(*) AS n_keys,
          |  CAST(sum(delta) AS BIGINT) AS delta_qty
-         |FROM d GROUP BY 1""".stripMargin
+         |FROM d GROUP BY 1""".stripMargin,
+    "cdc2_scd2" ->
+      """WITH chg AS (
+        |  SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
+        |    lag(o_orderpriority) OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate, o_orderkey) AS prev
+        |  FROM orders),
+        |runs AS (
+        |  SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey
+        |  FROM chg
+        |  WHERE prev IS NULL OR prev <> o_orderpriority)
+        |SELECT o_custkey, o_orderpriority,
+        |  o_orderdate AS valid_from,
+        |  lead(o_orderdate) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey) AS valid_to,
+        |  CAST(CASE WHEN lead(o_orderdate) OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate, o_orderkey) IS NULL
+        |    THEN 1 ELSE 0 END AS BIGINT) AS is_current
+        |FROM runs""".stripMargin,
+    "cdc3_merge_upsert" ->
+      s"""WITH last AS (
+         |  SELECT user_id, event_type, value,
+         |    row_number() OVER (PARTITION BY user_id, event_type
+         |      ORDER BY ts DESC, event_id DESC) AS rn
+         |  FROM events),
+         |flags AS (
+         |  SELECT user_id, event_type,
+         |    max(CASE WHEN ts < TIMESTAMP '$cutTs' THEN 1 ELSE 0 END)
+         |      AS has_base,
+         |    max(CASE WHEN ts >= TIMESTAMP '$cutTs' THEN 1 ELSE 0 END)
+         |      AS has_delta
+         |  FROM events GROUP BY 1, 2)
+         |SELECT l.user_id, l.event_type,
+         |  CASE WHEN f.has_delta = 0 THEN 'unchanged'
+         |       WHEN f.has_base = 0 THEN 'inserted'
+         |       ELSE 'updated' END AS change_type,
+         |  l.value AS final_value
+         |FROM last l JOIN flags f
+         |  ON l.user_id = f.user_id AND l.event_type = f.event_type
+         |WHERE l.rn = 1""".stripMargin,
+    "g7_mode" ->
+      """SELECT o_custkey, mode_priority, n FROM (
+        |  SELECT o_custkey, o_orderpriority AS mode_priority, n,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY n DESC, o_orderpriority) AS rn
+        |  FROM (SELECT o_custkey, o_orderpriority, count(*) AS n
+        |        FROM orders GROUP BY 1, 2))
+        |WHERE rn = 1""".stripMargin
   )
 }

@@ -173,4 +173,60 @@ class RelationalOpsSpec extends SparkTestBase {
     assert(RelationalOps.runningAgg(empty, Seq("grp"), Seq(col("id")),
       sum(col("amount")), "run").count() == 0)
   }
+
+  test("scd2Intervals collapses runs and closes intervals at changes") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val hist = Seq( // key, attr, ts, tiebreak
+      (1L, "gold",   ts("2024-01-01 00:00:00"), 10L),
+      (1L, "gold",   ts("2024-01-02 00:00:00"), 11L), // same run: collapsed
+      (1L, "silver", ts("2024-01-03 00:00:00"), 12L), // change
+      (1L, "gold",   ts("2024-01-04 00:00:00"), 13L), // back again: NEW run
+      (2L, "bronze", ts("2024-01-01 00:00:00"), 20L)
+    ).toDF("k", "tier", "ts", "id")
+    val out = RelationalOps.scd2Intervals(hist, "k", "tier", "ts", "id")
+      .orderBy("k", "valid_from")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getTimestamp(2), Option(r.getTimestamp(3)), r.getLong(4)))
+    assert(out.toSeq == Seq(
+      (1L, "gold", ts("2024-01-01 00:00:00"),
+        Some(ts("2024-01-03 00:00:00")), 0L),
+      (1L, "silver", ts("2024-01-03 00:00:00"),
+        Some(ts("2024-01-04 00:00:00")), 0L),
+      (1L, "gold", ts("2024-01-04 00:00:00"), None, 1L),
+      (2L, "bronze", ts("2024-01-01 00:00:00"), None, 1L)))
+    // one exchange: both windows partition on the key
+    val exchanges = "Exchange hashpartitioning".r
+      .findAllIn(RelationalOps.scd2Intervals(hist, "k", "tier", "ts", "id")
+        .queryExecution.executedPlan.toString).size
+    assert(exchanges == 1, "scd2 must reuse one shuffle for both windows")
+  }
+
+  test("latestWinsMerge classifies keys and picks the max-(ts,id) row") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val cut = "2024-01-10 00:00:00"
+    val ev = Seq( // key1, key2, ts, id, value
+      (1L, "a", ts("2024-01-01 00:00:00"), 1L, 10.0), // base only
+      (1L, "a", ts("2024-01-02 00:00:00"), 2L, 11.0), //   -> unchanged, 11.0
+      (2L, "a", ts("2024-01-05 00:00:00"), 3L, 20.0), // base + delta
+      (2L, "a", ts("2024-01-12 00:00:00"), 4L, 21.0), //   -> updated, 21.0
+      (3L, "b", ts("2024-01-15 00:00:00"), 5L, 30.0), // delta only
+      (3L, "b", ts("2024-01-15 00:00:00"), 6L, 31.0)  //   tie ts -> id 6 wins
+    ).toDF("u", "t", "ts", "id", "v")
+    val out = RelationalOps
+      .latestWinsMerge(ev, Seq("u", "t"), "ts", "id", "v", cut)
+      .collect().map(r => ((r.getLong(0), r.getString(1)),
+        (r.getString(2), r.getDouble(3)))).toMap
+    assert(out == Map(
+      (1L, "a") -> ("unchanged", 11.0),
+      (2L, "a") -> ("updated", 21.0),
+      (3L, "b") -> ("inserted", 31.0)))
+    // single-aggregate shape: exactly one shuffle, no join, no window
+    val plan = RelationalOps
+      .latestWinsMerge(ev, Seq("u", "t"), "ts", "id", "v", cut)
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1)
+    assert(!plan.contains("Join") && !plan.contains("Window"))
+  }
 }
