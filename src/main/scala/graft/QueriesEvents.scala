@@ -86,6 +86,42 @@ object QueriesEvents {
         .select(col("prev_type"), col("next_type"), col("n"),
           round(col("n").cast("double") / col("tot").cast("double"), 6)
             .as("share"))
+    }),
+
+    // Last-touch attribution: each purchase is credited to the user's
+    // most recent PRIOR non-purchase event, but only if it happened
+    // within the 7-day lookback (older touches — and purchases with no
+    // prior touch at all — land in the "(none)" bucket). The carried
+    // touch is two last(...ignoreNulls) columns over the same strictly-
+    // preceding frame — both pick the SAME row (same predicate), so
+    // channel and touch-time stay consistent. Revenue sums in exact
+    // cents with one rounded output division. Shape: ONE window
+    // shuffle on user_id + a channel-sized hash agg — no purchase×
+    // touch self-join, which at 100 TB is the difference between a
+    // window pass and a blow-up.
+    "e4_attribution" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts").asc, col("event_id").asc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val isTouch = col("event_type") =!= "purchase"
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), col("ts"),
+          col("event_id"), col("value"))
+        .withColumn("touch_ts",
+          last(when(isTouch, col("ts")), ignoreNulls = true).over(w))
+        .withColumn("touch_ch",
+          last(when(isTouch, col("event_type")), ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .select(
+          when(col("touch_ts").isNotNull &&
+              col("touch_ts") >= col("ts") - expr("INTERVAL 7 DAY"),
+            col("touch_ch")).otherwise(lit("(none)")).as("channel"),
+          floor(col("value") * lit(100)).cast("long").as("cents"))
+        .groupBy("channel")
+        .agg(count(lit(1)).as("n_purchases"),
+          round(sum(col("cents")).cast("double") / lit(100.0), 2)
+            .as("revenue"))
     })
   )
 
@@ -129,6 +165,25 @@ object QueriesEvents {
         |tot AS (SELECT sum(n) AS tot FROM t)
         |SELECT prev_type, next_type, n,
         |  round(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS share
-        |FROM t, tot""".stripMargin
+        |FROM t, tot""".stripMargin,
+    "e4_attribution" ->
+      """WITH t AS (
+        |  SELECT user_id, event_type, ts, value,
+        |    last_value(CASE WHEN event_type <> 'purchase' THEN ts END
+        |      IGNORE NULLS) OVER w AS touch_ts,
+        |    last_value(CASE WHEN event_type <> 'purchase'
+        |      THEN event_type END IGNORE NULLS) OVER w AS touch_ch
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |p AS (
+        |  SELECT CASE WHEN touch_ts IS NOT NULL
+        |        AND touch_ts >= ts - INTERVAL 7 DAY
+        |      THEN touch_ch ELSE '(none)' END AS channel,
+        |    CAST(floor(value * 100) AS BIGINT) AS cents
+        |  FROM t WHERE event_type = 'purchase')
+        |SELECT channel, count(*) AS n_purchases,
+        |  round(CAST(sum(cents) AS DOUBLE) / 100.0, 2) AS revenue
+        |FROM p GROUP BY 1""".stripMargin
   )
 }

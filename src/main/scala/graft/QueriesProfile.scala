@@ -74,6 +74,16 @@ object QueriesProfile {
           Tables.orders(s, d), col("o_orderkey")),
         ("orders->customer", Tables.orders(s, d), col("o_custkey"),
           Tables.customer(s, d), col("c_custkey"))))
+    }),
+
+    // Equi-width 20-bucket histogram of order totals in EXACT cents:
+    // the value-distribution half of profiling (dq1 covers nulls /
+    // cardinality / range). Integer bucket math on fixed-point values
+    // — floor-div on non-negative operands — so bucket boundaries are
+    // bit-identical across engines; raw-double bucketing would not be.
+    "dq4_histogram" -> ((s, d) => {
+      ProfileOps.histogramFx(Tables.orders(s, d),
+        floor(col("o_totalprice") * lit(100)), 20)
     })
   )
 
@@ -127,6 +137,14 @@ object QueriesProfile {
 
   def oracle: Map[String, String] = Map(
     "dq1_profile" -> profileArms("TRUE"),
+
+    "dq4_histogram" ->
+      """WITH x AS (SELECT CAST(floor(o_totalprice * 100) AS BIGINT)
+        |             AS fx FROM orders),
+        |b AS (SELECT min(fx) AS mn, max(fx) AS mx FROM x)
+        |SELECT ((fx - mn) * 20) // (mx - mn + 1) AS bucket,
+        |  count(*) AS n, min(fx) AS min_fx, max(fx) AS max_fx
+        |FROM x, b GROUP BY 1""".stripMargin,
 
     "dq3_profile_drift" -> {
       val oldWhere = s"o_orderdate <= TIMESTAMP '$DriftCut'"

@@ -71,6 +71,33 @@ object QueriesSketch {
           (col("n_pass") - col("n_true")).as("n_false_pos"))
     }),
 
+    // The Bloom filter doing its actual job: a bloom-PRUNED semi-join
+    // whose result is the true join result (oracle = the plain join —
+    // correctness is independent of the false-positive rate because the
+    // real semi-join re-checks survivors; the bloom only shrinks what
+    // reaches it). At 100 TB this is sideways-information-passing by
+    // hand: the fact side drops definite non-members BEFORE the join
+    // shuffle via a broadcast bit-table probe, so shuffle volume scales
+    // with the filter's selectivity, not the fact table. sk4 measures
+    // the filter's FP accounting; sk10 proves the pruned plan's output
+    // is exactly the unpruned plan's.
+    "sk10_bloom_prune_join" -> ((s, d) => {
+      val seg = Tables.customer(s, d)
+        .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+      val bf = SketchOps.bloomBuild(seg, col("c_custkey"), BloomWords)
+      val pruned = SketchOps.bloomProbe(
+          Tables.orders(s, d).select(col("o_custkey"),
+            col("o_orderpriority"), col("o_totalprice")),
+          bf, col("o_custkey"), BloomWords)
+        .filter(col("might")).drop("might")
+      pruned
+        .join(seg, pruned("o_custkey") === seg("c_custkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(floor(col("o_totalprice") * lit(100)).cast("long"))
+            .cast("double") / lit(100.0), 2).as("revenue"))
+    }),
+
     // Portable quantile sketch: price quartiles + p95 estimated from a
     // bottom-256-by-hash uniform row sample — deterministic where
     // t-digest/KLL are engine-specific, so the estimates themselves
@@ -167,6 +194,14 @@ object QueriesSketch {
     s"CAST(concat('0x', substr(md5($arg), 1, 15)) AS BIGINT)"
 
   def oracle: Map[String, String] = Map(
+    "sk10_bloom_prune_join" ->
+      """SELECT o_orderpriority, count(*) AS n_orders,
+        |  round(CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+        |    AS DOUBLE) / 100.0, 2) AS revenue
+        |FROM orders
+        |WHERE o_custkey IN (SELECT c_custkey FROM customer
+        |                    WHERE c_mktsegment = 'BUILDING')
+        |GROUP BY 1""".stripMargin,
     "sk1_hll_distinct" ->
       s"""WITH h AS (SELECT ${h60(
            "concat('hll:', CAST(l_orderkey AS VARCHAR))")} AS h

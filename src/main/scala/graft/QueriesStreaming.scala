@@ -185,6 +185,33 @@ object QueriesStreaming {
         .select("user_id", "event_type", "window_start", "event_id", "ts")
     }),
 
+    // Out-of-orderness profile — the measurement that SIZES a
+    // watermark: per event type, how many events arrived (event_id =
+    // arrival order) with an event time EARLIER than the per-user
+    // high-water mark at that point, and the worst regression in exact
+    // microseconds. A horizon at max_late_us drops nothing; p99-style
+    // tightening reads straight off this profile. Per-user running max
+    // over the strictly-preceding arrival frame (ONE window shuffle on
+    // user_id, O(1) state per stream) + a type-sized hash agg — the
+    // global-watermark variant would order the whole stream on ONE
+    // partition, which this deliberately avoids.
+    "st8_disorder" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy(col("event_id").asc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          unix_micros(col("ts")).as("us"))
+        .withColumn("hwm", max(col("us")).over(w))
+        .select(col("event_type"),
+          when(col("hwm") > col("us"), col("hwm") - col("us"))
+            .otherwise(lit(0L)).as("late_by"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          sum((col("late_by") > 0).cast("long")).as("n_disordered"),
+          max(col("late_by")).as("max_late_us"))
+    }),
+
     // REAL header decode: synthesize spec-conformant PNG/BMP files with
     // md5-derived dims, then parse format + width/height back out of the
     // actual bytes. The oracle recomputes the dims from the text with the
@@ -198,6 +225,21 @@ object QueriesStreaming {
   )
 
   def oracle: Map[String, String] = Map(
+    "st8_disorder" ->
+      """WITH a AS (
+        |  SELECT event_type, epoch_us(ts) AS us,
+        |    max(epoch_us(ts)) OVER (PARTITION BY user_id
+        |      ORDER BY event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS hwm
+        |  FROM events),
+        |l AS (SELECT event_type,
+        |        CASE WHEN hwm > us THEN hwm - us ELSE 0 END AS late_by
+        |      FROM a)
+        |SELECT event_type, count(*) AS n_events,
+        |  CAST(sum(CASE WHEN late_by > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_disordered,
+        |  CAST(max(late_by) AS BIGINT) AS max_late_us
+        |FROM l GROUP BY 1""".stripMargin,
     "st6_stream_enrich" ->
       """SELECT event_type, coalesce(c_mktsegment, 'unknown') AS segment,
         |  count(*) AS n,

@@ -43,8 +43,30 @@ object QueriesTimeseries {
         TimeseriesOps.gapFillHourly(
           Tables.events(s, d), "event_type", "ts", "value"),
         "event_type")
+    }),
+
+    // Dyadic-weight EWMA over the hourly counts: alpha = 1/2 truncated
+    // at 8 lags, so every weight is a power of two and num/den are
+    // exact Longs — the integer-exact EWMA (a float EWMA's running
+    // product can never hash-match across engines). One window pass.
+    "ts4_ewma" -> ((s, d) => {
+      TimeseriesOps.ewmaDyadic(
+        TimeseriesOps.gapFillHourly(
+          Tables.events(s, d), "event_type", "ts", "value"),
+        "event_type")
     })
   )
+
+  /** The ts4 oracle's lag terms, generated so SQL and Spark stay in
+    * sync on the weight schedule (depth 8, weight of lag k = 2^(7-k)). */
+  private def ewmaTerms: (String, String) = {
+    val num = (0 until 8).map(k =>
+      s"coalesce(lag(n, $k) OVER w * ${1L << (7 - k)}, 0)").mkString(" + ")
+    val den = (0 until 8).map(k =>
+      s"CASE WHEN lag(n, $k) OVER w IS NOT NULL THEN ${1L << (7 - k)} " +
+        "ELSE 0 END").mkString(" + ")
+    (num, den)
+  }
 
   def oracle: Map[String, String] = Map(
     "ts1_gapfill" ->
@@ -140,6 +162,29 @@ object QueriesTimeseries {
          |  CAST(mad4 AS BIGINT) AS mad4,
          |  CAST(CASE WHEN 2 * dev2 > 3 * mad4 THEN 1 ELSE 0
          |    END AS BIGINT) AS is_anomaly
-         |FROM m2""".stripMargin
+         |FROM m2""".stripMargin,
+
+    "ts4_ewma" ->
+      s"""WITH hourly AS (
+         |  SELECT event_type, date_trunc('hour', ts) AS hour,
+         |    count(*) AS n
+         |  FROM events GROUP BY 1, 2),
+         |b AS (SELECT date_trunc('hour', min(ts)) AS h0,
+         |        date_trunc('hour', max(ts)) AS h1 FROM events),
+         |spine AS (SELECT event_type,
+         |    unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+         |  FROM (SELECT DISTINCT event_type FROM events), b),
+         |g AS (SELECT s.event_type, s.hour, coalesce(h.n, 0) AS n
+         |      FROM spine s LEFT JOIN hourly h
+         |        ON s.event_type = h.event_type AND s.hour = h.hour),
+         |e AS (SELECT event_type, hour, n,
+         |        ${ewmaTerms._1} AS num,
+         |        ${ewmaTerms._2} AS den
+         |      FROM g
+         |      WINDOW w AS (PARTITION BY event_type ORDER BY hour))
+         |SELECT event_type, hour, n, CAST(num AS BIGINT) AS num,
+         |  CAST(den AS BIGINT) AS den,
+         |  round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6) AS ewma
+         |FROM e""".stripMargin
   )
 }

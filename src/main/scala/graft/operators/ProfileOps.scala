@@ -76,4 +76,30 @@ object ProfileOps {
         .select(lit(label).as("fk"), col("n_orphans"), col("n_rows"))
     }.reduce(_ union _)
   }
+
+  /** Equi-width histogram over a fixed-point (Long) value — integer-
+    * exact end to end. Bucket of a value v is `((v−min)·buckets) div
+    * (max−min+1)`: all operands non-negative, so truncating div ==
+    * floor div in both engines, and the result lands in [0, buckets−1]
+    * with no clamp (`(v−min)·b < b·(max−min+1)` always). Callers
+    * quantize doubles to fixed point FIRST (e.g. `floor(price·100)`
+    * cents) — bucketing raw doubles would hash-split ties differently
+    * per engine. Each bucket reports its count and the exact min/max
+    * actually observed inside it.
+    *
+    * Shape: one 1-row min/max aggregate broadcast to a second scan +
+    * hash agg to `buckets` rows (map-side partials) — two scans, no
+    * driver-side min/max collect, the p8 broadcast-probe pattern.
+    */
+  def histogramFx(df: DataFrame, value: Column, buckets: Int): DataFrame = {
+    require(buckets >= 1, s"buckets must be >= 1: $buckets")
+    val v = df.select(value.cast("long").as("fx")).filter(col("fx").isNotNull)
+    val b = v.agg(min(col("fx")).as("mn"), max(col("fx")).as("mx"))
+    v.crossJoin(broadcast(b))
+      .select(expr(s"((fx - mn) * $buckets) div (mx - mn + 1)")
+        .as("bucket"), col("fx"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"),
+        min(col("fx")).as("min_fx"), max(col("fx")).as("max_fx"))
+  }
 }

@@ -140,4 +140,42 @@ object TimeseriesOps {
           |END""".stripMargin).cast("double") / lit(Fx.toDouble), 6)
         .as("val"))
   }
+
+  /** Exponentially-weighted moving average with DYADIC weights — the
+    * integer-exact EWMA. A float EWMA (`v_t = α·x_t + (1−α)·v_{t−1}`)
+    * can never hash-match across engines: its state is a running
+    * product of doubles whose rounding depends on evaluation order.
+    * Truncating α = 1/2 at `depth` lags makes every weight a power of
+    * two — weight of lag k is 2^(depth−1−k) — so numerator and
+    * denominator are exact Longs and the ONE output division is the
+    * only rounding anywhere. The truncation error vs the infinite tail
+    * is ≤ 2^−depth of the oldest mass (depth 8 ⇒ < 0.4%), and series
+    * heads shorter than `depth` renormalize over the weights actually
+    * present rather than silently averaging in zeros.
+    *
+    * Shape: `depth` lags over ONE window pass — a single shuffle on
+    * the group key, O(depth) state per stream, no self-join of the
+    * series with itself. Runs on the gap-filled spine (time window ×
+    * groups), not the raw event count, so cost is scale-independent
+    * once the first hash-agg is done.
+    */
+  def ewmaDyadic(gapFilled: DataFrame, groupCol: String,
+      valueCol: String = "n", depth: Int = 8): DataFrame = {
+    require(depth >= 1 && depth <= 62, s"depth must be in [1,62]: $depth")
+    val w = Window.partitionBy(groupCol).orderBy(col("hour"))
+    val terms = (0 until depth).map { k =>
+      (lag(col(valueCol), k).over(w), lit(1L << (depth - 1 - k)))
+    }
+    val num = terms.map { case (v, wt) => coalesce(v * wt, lit(0L)) }
+      .reduce(_ + _)
+    val den = terms.map { case (v, wt) =>
+      when(v.isNotNull, wt).otherwise(lit(0L)) }.reduce(_ + _)
+    gapFilled
+      .withColumn("num", num)
+      .withColumn("den", den)
+      .select(col(groupCol), col("hour"), col(valueCol),
+        col("num"), col("den"),
+        round(col("num").cast("double") / col("den").cast("double"), 6)
+          .as("ewma"))
+  }
 }

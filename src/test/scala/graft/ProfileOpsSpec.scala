@@ -34,6 +34,28 @@ class ProfileOpsSpec extends SparkTestBase {
     assert(v.getDouble(4) == 1.5 && v.getDouble(5) == 100.25)
   }
 
+  test("histogramFx buckets integers exactly, no clamp needed") {
+    import spark.implicits._
+    import graft.operators.ProfileOps
+    // 0..9 into 5 buckets of width (9-0+1)/5 = 2: bucket = v div 2
+    val out = ProfileOps.histogramFx(
+        (0L to 9L).toDF("v"), col("v"), 5)
+      .orderBy("bucket")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == (0L to 4L).map(b =>
+      (b, 2L, 2 * b, 2 * b + 1)))
+    // degenerate: all-equal input lands in bucket 0; max value in the
+    // top bucket (never buckets, the classic off-by-one)
+    val one = ProfileOps.histogramFx(
+      Seq(7L, 7L, 7L).toDF("v"), col("v"), 5).collect()
+    assert(one.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((0L, 3L)))
+    // empty input -> empty histogram, not a null-bucket row
+    assert(ProfileOps.histogramFx(
+      Seq.empty[Long].toDF("v"), col("v"), 5).count() == 0)
+  }
+
   test("refIntegrity counts planted orphans and clean edges as zero") {
     import spark.implicits._
     val fact = Seq((1L, 10L), (2L, 10L), (3L, 99L)).toDF("id", "fk")

@@ -83,6 +83,27 @@ class TimeseriesOpsSpec extends SparkTestBase {
     assert(flat == 0L, "constant series flags nothing")
   }
 
+  test("ewmaDyadic: exact dyadic weights, head renormalization") {
+    import spark.implicits._
+    val g = Seq( // pre-gap-filled frame: (group, hour, n)
+      ("a", ts("2024-01-01 10:00:00"), 1L),
+      ("a", ts("2024-01-01 11:00:00"), 2L),
+      ("a", ts("2024-01-01 12:00:00"), 3L),
+      ("a", ts("2024-01-01 13:00:00"), 4L)
+    ).toDF("g", "hour", "n")
+    val out = TimeseriesOps.ewmaDyadic(g, "g")
+      .orderBy("hour")
+      .collect().map(r => (r.getLong(4), r.getLong(3), r.getDouble(5)))
+    // weights 128,64,32,16,... for lags 0,1,2,3...; heads renormalize
+    // over the weights actually present (den < 255), never average in
+    // phantom zeros.
+    assert(out.toSeq == Seq(
+      (128L, 1L * 128, 1.0),
+      (192L, 2L * 128 + 1 * 64, 1.666667),
+      (224L, 3L * 128 + 2 * 64 + 1 * 32, 2.428571),
+      (240L, 4L * 128 + 3 * 64 + 2 * 32 + 1 * 16, 3.266667)))
+  }
+
   test("ts1/ts2 run on sf0.001 with the full scale-independent spine") {
     val g = QueriesTimeseries.queries("ts1_gapfill")(spark, sf0001)
     val n = g.count()
