@@ -84,6 +84,27 @@ object QueriesProfile {
     "dq4_histogram" -> ((s, d) => {
       ProfileOps.histogramFx(Tables.orders(s, d),
         floor(col("o_totalprice") * lit(100)), 20)
+    }),
+
+    // Hot-key diagnostics: the 20 heaviest event keys with their share
+    // of all rows and a skew factor (count ÷ mean-per-key) — the
+    // measurement that DECIDES whether a join needs j6-style salting
+    // (skew_factor ≈ the right salt multiplier) or can rely on AQE.
+    // One hash agg + TakeOrderedAndProject + a broadcast 1-row total;
+    // integer counts, two rounded output divisions.
+    "dq5_key_skew" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val cnt = ev.groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+      val tot = ev.agg(count(lit(1)).as("tot"),
+        countDistinct(col("user_id")).as("n_keys"))
+      graft.operators.RelationalOps.topKGlobal(cnt,
+          Seq(col("n").desc, col("user_id").asc), 20)
+        .crossJoin(broadcast(tot))
+        .select(col("user_id"), col("n"),
+          round(col("n").cast("double") / col("tot").cast("double"), 6)
+            .as("share"),
+          round((col("n") * col("n_keys")).cast("double") /
+            col("tot").cast("double"), 6).as("skew_factor"))
     })
   )
 
@@ -145,6 +166,17 @@ object QueriesProfile {
         |SELECT ((fx - mn) * 20) // (mx - mn + 1) AS bucket,
         |  count(*) AS n, min(fx) AS min_fx, max(fx) AS max_fx
         |FROM x, b GROUP BY 1""".stripMargin,
+
+    "dq5_key_skew" ->
+      """WITH c AS (SELECT user_id, count(*) AS n FROM events GROUP BY 1),
+        |t AS (SELECT count(*) AS tot, count(DISTINCT user_id) AS n_keys
+        |      FROM events),
+        |k AS (SELECT user_id, n FROM c ORDER BY n DESC, user_id LIMIT 20)
+        |SELECT user_id, n,
+        |  round(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS share,
+        |  round(CAST(n * n_keys AS DOUBLE) / CAST(tot AS DOUBLE), 6)
+        |    AS skew_factor
+        |FROM k, t""".stripMargin,
 
     "dq3_profile_drift" -> {
       val oldWhere = s"o_orderdate <= TIMESTAMP '$DriftCut'"

@@ -506,6 +506,49 @@ object QueriesRelational {
           Seq(col("n").desc, col("o_orderpriority").asc), 1)
         .select(col("o_custkey"),
           col("o_orderpriority").as("mode_priority"), col("n"))
+    }),
+
+    // Materialized-view maintenance: a per-priority revenue aggregate
+    // kept incrementally — the BASE aggregate (orders before the cut,
+    // already reduced to O(groups) rows) merged with the DELTA batch's
+    // aggregate by unioning partials and re-summing. The algebraic-
+    // aggregate law (counts and sums add across disjoint partitions)
+    // makes merged == full recompute, and the ORACLE IS the full
+    // recompute — so the incremental path is verified against the
+    // from-scratch path every round. At 100 TB the merge costs
+    // O(groups + delta), never a rescan of the base table.
+    "mv1_incremental_agg" -> ((s, d) => {
+      def part(f: DataFrame => DataFrame) =
+        f(Tables.orders(s, d))
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(floor(col("o_totalprice") * lit(100)).cast("long"))
+              .as("cents"))
+      val base = part(_.filter(col("o_orderdate") <
+        lit(CdcCutOld).cast("timestamp")))
+      val delta = part(_.filter(col("o_orderdate") >=
+        lit(CdcCutOld).cast("timestamp")))
+      base.unionAll(delta)
+        .groupBy(col("o_orderpriority"))
+        .agg(sum(col("n_orders")).as("n_orders"),
+          round(sum(col("cents")).cast("double") / lit(100.0), 2)
+            .as("revenue"))
+    }),
+
+    // Ratio-to-report: each order's share of its priority class's
+    // total revenue — the windowed percent-of-total. Integer cents on
+    // both numerator and denominator (the class total is a whole-
+    // partition window sum of Longs, order-independent), ONE rounded
+    // division on output. One shuffle on the class key.
+    "w7_ratio_to_report" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_orderpriority")
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          floor(col("o_totalprice") * lit(100)).cast("long").as("cents"))
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          round(col("cents").cast("double") /
+            sum(col("cents")).over(w).cast("double"), 6).as("share"))
     })
   )
 
@@ -775,6 +818,22 @@ object QueriesRelational {
         |      ORDER BY n DESC, o_orderpriority) AS rn
         |  FROM (SELECT o_custkey, o_orderpriority, count(*) AS n
         |        FROM orders GROUP BY 1, 2))
-        |WHERE rn = 1""".stripMargin
+        |WHERE rn = 1""".stripMargin,
+    // mv1's oracle is the FULL RECOMPUTE — the incremental merge must
+    // equal aggregating the whole table from scratch.
+    "mv1_incremental_agg" ->
+      """SELECT o_orderpriority, count(*) AS n_orders,
+        |  round(CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+        |    AS DOUBLE) / 100.0, 2) AS revenue
+        |FROM orders GROUP BY 1""".stripMargin,
+    "w7_ratio_to_report" ->
+      """WITH c AS (SELECT o_orderkey, o_orderpriority,
+        |    CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders)
+        |SELECT o_orderkey, o_orderpriority,
+        |  round(CAST(cents AS DOUBLE) /
+        |    CAST(sum(cents) OVER (PARTITION BY o_orderpriority)
+        |      AS DOUBLE), 6) AS share
+        |FROM c""".stripMargin
   )
 }

@@ -54,6 +54,31 @@ object QueriesTimeseries {
         TimeseriesOps.gapFillHourly(
           Tables.events(s, d), "event_type", "ts", "value"),
         "event_type")
+    }),
+
+    // EXACT 7-day rolling distinct users per day (the "WAU by day"
+    // metric). Sliding-window COUNT DISTINCT cannot ride a window
+    // frame (distinct state isn't mergeable across frame slides), so
+    // the scalable exact form is contribution expansion: each distinct
+    // (user, active-day) row fans out to the ≤7 window-end days it
+    // contributes to, then one distinct-count per day. Input to the
+    // fan-out is the DISTINCT (user, day) set — O(users × active
+    // days), already tiny vs the raw stream — never the events
+    // themselves; phantom windows past the data's edge are clipped by
+    // a broadcast 1-row max-day probe.
+    "ts5_rolling_distinct" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val ud = ev.select(col("user_id"), to_date(col("ts")).as("day"))
+        .distinct()
+      val bounds = ev.agg(to_date(max(col("ts"))).as("d1"))
+      ud.select(col("user_id"), col("day"),
+          explode(sequence(lit(0), lit(6))).as("k"))
+        .select(col("user_id"),
+          date_add(col("day"), col("k")).as("wday"))
+        .crossJoin(broadcast(bounds))
+        .filter(col("wday") <= col("d1"))
+        .groupBy(col("wday").as("day"))
+        .agg(countDistinct(col("user_id")).as("users_7d"))
     })
   )
 
@@ -185,6 +210,15 @@ object QueriesTimeseries {
          |SELECT event_type, hour, n, CAST(num AS BIGINT) AS num,
          |  CAST(den AS BIGINT) AS den,
          |  round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6) AS ewma
-         |FROM e""".stripMargin
+         |FROM e""".stripMargin,
+
+    "ts5_rolling_distinct" ->
+      """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+        |            FROM events),
+        |b AS (SELECT CAST(max(ts) AS DATE) AS d1 FROM events),
+        |e AS (SELECT user_id, day + CAST(k AS INTEGER) AS wday
+        |      FROM ud, (SELECT unnest(generate_series(0, 6)) AS k))
+        |SELECT wday AS day, count(DISTINCT user_id) AS users_7d
+        |FROM e, b WHERE wday <= d1 GROUP BY 1""".stripMargin
   )
 }
