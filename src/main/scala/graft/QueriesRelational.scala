@@ -549,6 +549,22 @@ object QueriesRelational {
         .select(col("o_orderkey"), col("o_orderpriority"),
           round(col("cents").cast("double") /
             sum(col("cents")).over(w).cast("double"), 6).as("share"))
+    }),
+
+    // Per-group top-k VALUES via the native bounded-heap aggregate
+    // (TopKAgg) — the aggregate-shaped alternative to w1's window
+    // top-k. The window form sorts every row of every group behind one
+    // shuffle; the heap keeps at most k doubles per (partition, group),
+    // so the exchange carries <= k values per partial and nothing is
+    // globally sorted — at 100 TB this is the difference between a
+    // full sort-shuffle of the fact table and a kilobyte merge.
+    // Output is the sorted multiset of values (ties keep duplicates),
+    // which is deterministic without a row tiebreak.
+    "w8_topk_native" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(org.apache.spark.sql.graft.AnalyticsAggregates
+          .topK(col("l_extendedprice"), 5).as("top5"))
     })
   )
 
@@ -834,6 +850,11 @@ object QueriesRelational {
         |  round(CAST(cents AS DOUBLE) /
         |    CAST(sum(cents) OVER (PARTITION BY o_orderpriority)
         |      AS DOUBLE), 6) AS share
-        |FROM c""".stripMargin
+        |FROM c""".stripMargin,
+    "w8_topk_native" ->
+      """SELECT l_returnflag,
+        |  (list(l_extendedprice ORDER BY l_extendedprice DESC))[1:5]
+        |    AS top5
+        |FROM lineitem GROUP BY 1""".stripMargin
   )
 }

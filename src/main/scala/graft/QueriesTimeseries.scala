@@ -79,6 +79,55 @@ object QueriesTimeseries {
         .filter(col("wday") <= col("d1"))
         .groupBy(col("wday").as("day"))
         .agg(countDistinct(col("user_id")).as("users_7d"))
+    }),
+
+    // Lagged autocorrelation (lags 1–3) of the per-type DAILY count
+    // series — the seasonality probe a forecasting pipeline runs before
+    // choosing model features. Pearson r over (c_t, c_{t+k}) pairs with
+    // every moment sum (Σx, Σy, Σxy, Σx², Σy²) an exact Long over a
+    // complete day spine (absent days count 0 — computing lags over
+    // present-days-only silently shifts the series), so both engines
+    // reach ONE identical float division + sqrt at output. Shape: the
+    // series is days×types (≈150 rows at every SF) after one hash-agg
+    // of the events — the windows and unpivot run on the tiny series,
+    // never the raw stream.
+    "ts6_autocorr" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, d)
+      val daily = ev.groupBy(col("event_type"),
+          to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("cnt"))
+      val bounds = ev.agg(to_date(min(col("ts"))).as("d0"),
+        to_date(max(col("ts"))).as("d1"))
+      val spine = ev.select(col("event_type")).distinct()
+        .crossJoin(broadcast(bounds))
+        .select(col("event_type"),
+          explode(sequence(col("d0"), col("d1"))).as("day"))
+      val g = spine.join(daily, Seq("event_type", "day"), "left")
+        .select(col("event_type"), col("day"),
+          coalesce(col("cnt"), lit(0L)).as("n"))
+      val w = Window.partitionBy("event_type").orderBy("day")
+      val p = g.select(col("event_type"), col("n"),
+          lead("n", 1).over(w).as("l1"),
+          lead("n", 2).over(w).as("l2"),
+          lead("n", 3).over(w).as("l3"))
+        .select(col("event_type"), col("n").as("x"),
+          explode(map(lit(1), col("l1"), lit(2), col("l2"),
+            lit(3), col("l3"))).as(Seq("lag", "y")))
+        .filter(col("y").isNotNull)
+      p.groupBy("event_type", "lag").agg(
+          count(lit(1)).as("n_pairs"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"))
+        .select(col("event_type"), col("lag"), col("n_pairs"),
+          col("sxy"),
+          round((col("n_pairs") * col("sxy") - col("sx") * col("sy"))
+              .cast("double") /
+            sqrt(((col("n_pairs") * col("sxx") - col("sx") * col("sx")) *
+              (col("n_pairs") * col("syy") - col("sy") * col("sy")))
+              .cast("double")), 6).as("r"))
     })
   )
 
@@ -219,6 +268,43 @@ object QueriesTimeseries {
         |e AS (SELECT user_id, day + CAST(k AS INTEGER) AS wday
         |      FROM ud, (SELECT unnest(generate_series(0, 6)) AS k))
         |SELECT wday AS day, count(DISTINCT user_id) AS users_7d
-        |FROM e, b WHERE wday <= d1 GROUP BY 1""".stripMargin
+        |FROM e, b WHERE wday <= d1 GROUP BY 1""".stripMargin,
+
+    // Mirrors ts6 exactly: same day spine, same Long moment sums, the
+    // single cast-to-double at the very end.
+    "ts6_autocorr" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    count(*) AS cnt FROM events GROUP BY 1, 2),
+        |b AS (SELECT CAST(min(ts) AS DATE) AS d0,
+        |        CAST(max(ts) AS DATE) AS d1 FROM events),
+        |spine AS (SELECT event_type,
+        |    CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+        |      CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day
+        |  FROM (SELECT DISTINCT event_type FROM events), b),
+        |g AS (SELECT s.event_type, s.day, coalesce(dl.cnt, 0) AS n
+        |      FROM spine s LEFT JOIN daily dl
+        |        ON s.event_type = dl.event_type AND s.day = dl.day),
+        |l AS (SELECT event_type, n,
+        |        lead(n, 1) OVER w AS l1, lead(n, 2) OVER w AS l2,
+        |        lead(n, 3) OVER w AS l3
+        |      FROM g WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+        |p AS (SELECT event_type, 1 AS lag, n AS x, l1 AS y FROM l
+        |        WHERE l1 IS NOT NULL
+        |      UNION ALL SELECT event_type, 2, n, l2 FROM l
+        |        WHERE l2 IS NOT NULL
+        |      UNION ALL SELECT event_type, 3, n, l3 FROM l
+        |        WHERE l3 IS NOT NULL),
+        |a AS (SELECT event_type, lag, count(*) AS n_pairs,
+        |        CAST(sum(x) AS BIGINT) AS sx,
+        |        CAST(sum(y) AS BIGINT) AS sy,
+        |        CAST(sum(x*y) AS BIGINT) AS sxy,
+        |        CAST(sum(x*x) AS BIGINT) AS sxx,
+        |        CAST(sum(y*y) AS BIGINT) AS syy
+        |      FROM p GROUP BY 1, 2)
+        |SELECT event_type, lag, n_pairs, sxy,
+        |  round(CAST(n_pairs*sxy - sx*sy AS DOUBLE) /
+        |    sqrt(CAST((n_pairs*sxx - sx*sx) * (n_pairs*syy - sy*sy)
+        |      AS DOUBLE)), 6) AS r
+        |FROM a""".stripMargin
   )
 }

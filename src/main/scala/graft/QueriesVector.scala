@@ -157,6 +157,32 @@ object QueriesVector {
           lit(0.0), (a, e) => a + e), 6).as("recon_err"))
     }),
 
+    // Single-pass fixed-point Gram matrix (upper triangle of X'X over
+    // the whole corpus) via the native GramMatrixAgg — the building
+    // block for covariance / PCA / whitening of an embedding corpus.
+    // The relational alternative explodes d^2 products per row into the
+    // shuffle; the aggregate folds each partition into ONE ~16 KB long
+    // array and merges partials by elementwise add, so the exchange
+    // moves kilobytes regardless of corpus size. Components are
+    // floor(x*1e6) longs, so every cell is an exact integer (loud
+    // overflow via multiplyExact/addExact — re-scale beyond ~1e6 rows
+    // per partition). The d x d eigensolve that would follow (PCA) is a
+    // driver-side tiny-matrix problem BY DESIGN — only this pass is
+    // data-sized.
+    "v10_gram" -> ((s, d) => {
+      val g = prep(s, d).groupBy().agg(
+        org.apache.spark.sql.graft.AnalyticsAggregates
+          .gramFx(col("v"), Dim, 1000000.0).as("g"))
+      g.select(col("g"), explode(expr(
+          s"flatten(transform(sequence(0, ${Dim - 1}), i -> " +
+            s"transform(sequence(i, ${Dim - 1}), " +
+            "j -> named_struct('i', i, 'j', j))))")).as("p"))
+        .select(col("p.i").cast("long").as("i"),
+          col("p.j").cast("long").as("j"),
+          expr(s"element_at(g, CAST(p.i*$Dim - (p.i*(p.i-1)) div 2 " +
+            "+ (p.j - p.i) + 1 AS INT))").as("g_fx"))
+    }),
+
     // Lloyd k-means, two full iterations (K=5, init = first 5 vectors):
     // assign → integer-exact centroid means → re-assign. Iterative ML on
     // the engine with a hash-matching oracle — possible only because
@@ -411,6 +437,20 @@ object QueriesVector {
          |FROM ex e LEFT JOIN ivf i
          |  ON e.id_q = i.id_q AND e.id_n = i.id_n
          |GROUP BY e.id_q""".stripMargin,
+    // Mirrors the aggregate exactly: same float->double widening, same
+    // floor(x*1e6) fixed-point longs, exact integer products/sums.
+    "v10_gram" ->
+      """WITH d AS (SELECT vec_id,
+        |      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |      FROM embeddings),
+        |u AS (SELECT vec_id, i,
+        |      CAST(floor(v[i+1]*1000000.0) AS BIGINT) AS fx
+        |      FROM d, unnest(range(64)) AS t(i))
+        |SELECT a.i AS i, b.i AS j,
+        |  CAST(sum(a.fx*b.fx) AS BIGINT) AS g_fx
+        |FROM u a JOIN u b ON a.vec_id = b.vec_id AND a.i <= b.i
+        |GROUP BY 1, 2""".stripMargin,
+
     "v5_neardup_lsh" -> {
       s"""WITH $preparedSql,
          |cb AS ($bandSelects),

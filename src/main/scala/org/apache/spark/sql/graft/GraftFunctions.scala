@@ -90,6 +90,23 @@ object GraftFunctions {
         require(es.length == 2, "kmv_estimate(str, k) takes 2 arguments")
         KmvSketchAgg(es.head, intLit(es(1), "kmv_estimate", "k"))
       }),
+    (FunctionIdentifier("gram_fx"),
+      info("gram_fx",
+        "_FUNC_(vec, dim, scale) - fixed-point upper-triangle Gram " +
+          "matrix (native aggregate; single-pass X'X)"),
+      (es: Seq[Expression]) => {
+        require(es.length == 3, "gram_fx(vec, dim, scale) takes 3 arguments")
+        GramMatrixAgg(es.head, intLit(es(1), "gram_fx", "dim"),
+          intLit(es(2), "gram_fx", "scale").toDouble)
+      }),
+    (FunctionIdentifier("top_k"),
+      info("top_k",
+        "_FUNC_(v, k) - the k largest values, sorted descending " +
+          "(native bounded-heap aggregate)"),
+      (es: Seq[Expression]) => {
+        require(es.length == 2, "top_k(v, k) takes 2 arguments")
+        TopKAgg(es.head, intLit(es(1), "top_k", "k"))
+      }),
     (FunctionIdentifier("json_get_long"),
       info("json_get_long",
         "_FUNC_(json, key) - top-level key as long, null if " +

@@ -186,6 +186,31 @@ class PlanAuditSpec extends SparkTestBase {
       s"sk7 must shuffle exactly once (sketch buffers only):\n$pg")
   }
 
+  test("gram matrix and heap top-k aggregate map-side, constant state") {
+    // v10: the whole X'X pass must be ONE object-buffer aggregation —
+    // the exchange moves one ~16 KB triangle per partition, never d^2
+    // exploded products per row
+    val pg = plan("v10_gram")
+    assert(pg.contains("ObjectHashAggregate"),
+      s"v10 must use the object-buffer aggregate path:\n$pg")
+    assert(pg.contains("partial_grammatrixagg"),
+      s"v10 must partial-aggregate the triangle map-side:\n$pg")
+    assert(!pg.contains("Generate explode") ||
+      pg.indexOf("Generate explode") < pg.indexOf("ObjectHashAggregate") ||
+      "Exchange".r.findAllIn(pg).size <= 1,
+      s"v10's explode must be the 2080-row output unpack, not a " +
+        s"pre-aggregation blowup:\n$pg")
+    // w8: per-group top-k with NO Sort and NO Window anywhere — the
+    // heap replaces the window's full sort-shuffle
+    val pw = plan("w8_topk_native")
+    assert(pw.contains("partial_topkagg"),
+      s"w8 must partial-aggregate the heap map-side:\n$pw")
+    assert(!pw.contains("Window") && !pw.contains("Sort"),
+      s"w8 must not sort or window — the heap IS the top-k:\n$pw")
+    assert("Exchange".r.findAllIn(pw).size == 1,
+      s"w8 must shuffle exactly once (k doubles per group-partial):\n$pw")
+  }
+
   test("dq1 profiles every column in one scan, one exchange, no Expand") {
     val p = plan("dq1_profile")
     // all five columns' stats ride ONE ObjectHashAggregate pass: a
