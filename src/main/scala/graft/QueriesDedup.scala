@@ -173,6 +173,32 @@ object QueriesDedup {
           VectorOps.dot(col("v_a"), col("v_b")), col("n2_a"), col("n2_b")))
         .filter(col("cos") >= 0.45)
         .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+    }),
+
+    // Per-document novelty: the fraction of a doc's distinct 3-shingles
+    // that occur in NO other document — the inverse of d2's overlap
+    // signal, and the metric a curation pipeline uses to up-weight
+    // genuinely new content (near-dups score ~0, unique docs ~1).
+    // Shape: one shingle-df hash-agg + one equi-join on the 8-byte
+    // shingle hash back to the per-doc explode (the d8 discipline —
+    // never a doc×doc comparison), both riding the shared shingle
+    // cache. Docs too short to shingle (< 3 tokens) report 0 shingles
+    // and a NULL ratio on both engines.
+    "d12_novelty" -> ((s, d) => {
+      val dsh = docsWithShingles(s, d)
+      val ex = dsh.select(col("doc_id"), explode(col("sh")).as("h"))
+      val rare = ex.groupBy("h").agg(count(lit(1)).as("df"))
+        .filter(col("df") === 1).select(col("h"))
+      val uniq = ex.join(rare, Seq("h"))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_unique"))
+      dsh.select(col("doc_id"),
+          size(col("sh")).cast("long").as("n_shingles"))
+        .join(uniq, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_shingles"),
+          coalesce(col("n_unique"), lit(0L)).as("n_unique"),
+          when(col("n_shingles") > 0,
+            round(coalesce(col("n_unique"), lit(0L)) /
+              col("n_shingles").cast("double"), 6)).as("novelty"))
     })
   )
 
@@ -337,6 +363,22 @@ object QueriesDedup {
          |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
          |  round($dotSql / sqrt(a.n2 * b.n2), 6) AS cos
          |FROM n a JOIN n b ON a.vec_id < b.vec_id
-         |WHERE $dotSql / sqrt(a.n2 * b.n2) >= 0.45""".stripMargin
+         |WHERE $dotSql / sqrt(a.n2 * b.n2) >= 0.45""".stripMargin,
+    // Mirrors d12: same shingle hashes as d2/d8, df built over per-doc
+    // DISTINCT shingles, the one ratio rounded identically.
+    "d12_novelty" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |s AS (SELECT doc_id, $sh3Sql AS sh FROM t),
+         |e AS (SELECT doc_id, ${h60("concat('sh:', sh_s)")} AS h
+         |      FROM (SELECT doc_id, unnest(sh) AS sh_s FROM s)),
+         |rare AS (SELECT h FROM e GROUP BY h HAVING count(*) = 1),
+         |u AS (SELECT doc_id, count(*) AS n_unique
+         |      FROM e JOIN rare USING (h) GROUP BY 1)
+         |SELECT s.doc_id, CAST(len(sh) AS BIGINT) AS n_shingles,
+         |  coalesce(u.n_unique, 0) AS n_unique,
+         |  CASE WHEN len(sh) > 0 THEN
+         |    round(coalesce(u.n_unique, 0) / CAST(len(sh) AS DOUBLE), 6)
+         |  END AS novelty
+         |FROM s LEFT JOIN u ON s.doc_id = u.doc_id""".stripMargin
   )
 }

@@ -291,8 +291,38 @@ object QueriesText {
         .select(col("split"), col("doc_id"), col("n_tokens"),
           ((col("cum_tokens") - col("n_tokens")) / 2048)
             .cast("long").as("bin"))
+    }),
+
+    // Inverted index build: token → document frequency + the first (by
+    // doc_id) MaxPostings postings — the retrieval structure a search /
+    // RAG pipeline materializes over the corpus. The posting list is
+    // BOUNDED STATE: the native TopKAgg heap keeps the k smallest
+    // doc_ids per (partition, token) — a collect_list-then-slice would
+    // buffer the FULL df(token) list for every stopword ("the" at
+    // 100 TB is billions of ids in one aggregation buffer) before
+    // throwing almost all of it away. doc_ids ride the heap negated
+    // (smallest-k = top-k of the negation; exact — ids < 2^53 are
+    // double-exact), df >= MinDf prunes the hapax tail that a real
+    // index drops into a separate spill tier.
+    "x19_inverted_index" -> ((s, d) => {
+      val ex = QueriesDedup.docsWithTokens(s, d)
+        .select(explode(array_distinct(col("toks"))).as("token"),
+          col("doc_id"))
+      ex.groupBy("token").agg(
+          count(lit(1)).as("df"),
+          org.apache.spark.sql.graft.AnalyticsAggregates
+            .topK(negate(col("doc_id").cast("double")), MaxPostings)
+            .as("neg"))
+        .filter(col("df") >= MinDf)
+        .select(col("token"), col("df"),
+          transform(col("neg"), x => negate(x).cast("long"))
+            .as("postings"))
     })
   )
+
+  /** x19's posting-list cap and df floor (mirrored in the oracle). */
+  val MaxPostings: Int = 20
+  val MinDf: Int = 5
 
   /** x17/x18's shared chunk frame: (doc_id, chunk_idx, start,
     * n_chunk_tokens, chunk_hash) — x17 returns it verbatim, x18
@@ -553,6 +583,14 @@ object QueriesText {
          |        ORDER BY tfidf DESC, term) AS rank
          |      FROM sc)
          |SELECT doc_id, term, tf, tfidf, rank FROM r WHERE rank <= 3"""
-        .stripMargin
+        .stripMargin,
+    "x19_inverted_index" ->
+      s"""WITH t AS (SELECT doc_id, list_distinct($toksSql) AS dt
+         |      FROM documents),
+         |e AS (SELECT doc_id, unnest(dt) AS token FROM t)
+         |SELECT token, count(*) AS df,
+         |  list_slice(list_sort(list(doc_id)), 1, $MaxPostings)
+         |    AS postings
+         |FROM e GROUP BY token HAVING count(*) >= $MinDf""".stripMargin
   )
 }

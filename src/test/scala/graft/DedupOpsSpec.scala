@@ -229,4 +229,27 @@ class DedupOpsSpec extends SparkTestBase {
     assert(DedupOps.jaccardPairs(withSh, "doc_id", "sh", 0.0,
       maxDocFreq = 1L).count() == 0)
   }
+
+  test("d12 novelty: exact duplicates score 0, invariants hold") {
+    val out = QueriesDedup.queries("d12_novelty")(spark, sf001).collect()
+    assert(out.length == 500)
+    out.foreach { r =>
+      val (n, u) = (r.getLong(1), r.getLong(2))
+      assert(u <= n, "unique shingles cannot exceed total shingles")
+      if (n == 0) assert(r.isNullAt(3), "shingle-less docs get NULL")
+      else {
+        val nov = r.getDouble(3)
+        assert(nov >= 0.0 && nov <= 1.0)
+      }
+    }
+    // the corpus has verbatim duplicate docs (d1 finds multi-copy
+    // groups); every shingle of such a doc also occurs in its twin, so
+    // novelty must be exactly 0 for some docs and high for others
+    assert(out.exists(r => r.getLong(1) > 0 && r.getDouble(3) == 0.0),
+      "duplicated docs must score novelty 0")
+    // the synthetic corpus shares a template vocabulary, so nothing
+    // reaches ~1.0 — but the signal must still separate the population
+    assert(out.exists(r => r.getLong(1) > 0 && r.getDouble(3) > 0.5),
+      "distinctive docs must score majority-novel")
+  }
 }

@@ -124,4 +124,32 @@ class TextOpsSpec extends SparkTestBase {
     assert(one[Long](TextOps.md5Prefix60(col("text")), "abc") ==
       648541476951500027L)
   }
+
+  test("x19 posting lists are the first-by-id postings, bounded") {
+    val idx = QueriesText.queries("x19_inverted_index")(spark, sf001)
+      .collect()
+    assert(idx.nonEmpty)
+    idx.foreach { r =>
+      val df = r.getLong(1)
+      val postings = r.getSeq[Long](2)
+      assert(df >= QueriesText.MinDf)
+      assert(postings.length == math.min(df, QueriesText.MaxPostings),
+        s"postings must hold min(df, cap) ids for ${r.getString(0)}")
+      assert(postings == postings.sorted,
+        "postings must be ascending doc_ids")
+      assert(postings.distinct == postings, "postings must be distinct")
+    }
+    // the heap-kept ids must be the SMALLEST df ids, not an arbitrary
+    // subset: cross-check one heavy token against collect_list
+    val heavy = idx.maxBy(_.getLong(1))
+    val token = heavy.getString(0)
+    val all = QueriesDedup.docsWithTokens(spark, sf001)
+      .select(explode(array_distinct(col("toks"))).as("t"), col("doc_id"))
+      .filter(col("t") === token)
+      .orderBy("doc_id")
+      .limit(QueriesText.MaxPostings)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(heavy.getSeq[Long](2) == all,
+      s"postings for '$token' must be the first ${QueriesText.MaxPostings}")
+  }
 }

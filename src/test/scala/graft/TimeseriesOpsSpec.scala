@@ -115,4 +115,21 @@ class TimeseriesOpsSpec extends SparkTestBase {
     assert(i.count() == n)
     assert(i.filter(col("val").isNull).count() == 0)
   }
+
+  test("ts6 autocorrelation is a valid Pearson r over the full spine") {
+    val rows = QueriesTimeseries.queries("ts6_autocorr")(spark, sf0001)
+      .collect()
+    // 5 types x 3 lags, every r a genuine correlation
+    assert(rows.length == 15, s"expected 15 (type, lag) rows")
+    assert(rows.forall(r => math.abs(r.getDouble(4)) <= 1.0),
+      "Pearson r must lie in [-1, 1]")
+    // n_pairs decreases by exactly one per extra lag (complete spine:
+    // a lag-k series over n days has n-k pairs)
+    val byType = rows.groupBy(_.getString(0))
+    byType.values.foreach { rs =>
+      val np = rs.sortBy(_.getInt(1)).map(_.getLong(2))
+      assert(np(0) == np(1) + 1 && np(1) == np(2) + 1,
+        s"pair counts must step down by 1 per lag: ${np.toSeq}")
+    }
+  }
 }
