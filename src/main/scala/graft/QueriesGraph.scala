@@ -65,17 +65,39 @@ object QueriesGraph {
     // degree. The d7/d9 loop shape — one hash-agg + one probe + two
     // anti-joins per round, lineage cut per round.
     "d11_kcore" -> ((s, d) => {
-      val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
-      val ord = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
-      val cp = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
-        .select(col("l_partkey"), col("o_custkey"))
-      val w = GraphOps.coOccurrenceWeights(
-        cp, "l_partkey", "o_custkey", MaxCustomersPerPart)
-      val edges = w.filter(col("w") >= MinSharedParts).select(col("a"), col("b"))
-      GraphOps.kCore(edges, KCoreK, PeelRounds)
+      GraphOps.kCore(coPurchaseEdges(s, d), KCoreK, PeelRounds)
         .select(col("id").cast("long").as("custkey"), col("core_deg"))
+    }),
+
+    // Community detection over the SAME co-purchase graph: two rounds
+    // of deterministic synchronous label propagation (most-frequent
+    // neighbor label, count-desc/label-asc tiebreak). Communities and
+    // cores answer different questions — d11 finds the dense nucleus,
+    // d13 assigns EVERY node a community — and sharing the substrate
+    // means the two queries differ only in the iteration, the shape a
+    // real graph platform has (one edge table, many algorithms).
+    "d13_labelprop" -> ((s, d) => {
+      GraphOps.labelPropagation(coPurchaseEdges(s, d), LpRounds)
+        .select(col("id").cast("long").as("custkey"),
+          col("lbl").cast("long").as("community"))
     })
   )
+
+  private[graft] val LpRounds = 2
+
+  /** d11/d13's shared substrate: the customer co-purchase edge list
+    * (customers sharing ≥ [[MinSharedParts]] parts, per-part member cap
+    * [[MaxCustomersPerPart]]).
+    */
+  private def coPurchaseEdges(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
+    val ord = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+    val cp = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .select(col("l_partkey"), col("o_custkey"))
+    GraphOps.coOccurrenceWeights(cp, "l_partkey", "o_custkey",
+        MaxCustomersPerPart)
+      .filter(col("w") >= MinSharedParts).select(col("a"), col("b"))
+  }
 
   /** The oracle CTEs are declared MATERIALIZED: DuckDB inlines each CTE
     * reference by default, and this pipeline references `cap` twice,
@@ -128,22 +150,53 @@ object QueriesGraph {
          |ORDER BY n_triangles DESC, id LIMIT 20""".stripMargin,
 
     "d11_kcore" ->
-      s"""WITH cp AS MATERIALIZED (
-         |     SELECT DISTINCT l_partkey AS p, o_custkey AS m
-         |     FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
-         |cap AS MATERIALIZED (SELECT p, m FROM (
-         |        SELECT p, m, row_number() OVER (PARTITION BY p
-         |          ORDER BY m) AS rn FROM cp) WHERE rn <= $MaxCustomersPerPart),
-         |pw AS MATERIALIZED (SELECT a.m AS a, b.m AS b, count(*) AS w
-         |       FROM cap a JOIN cap b ON a.p = b.p AND a.m < b.m
-         |       GROUP BY 1, 2),
-         |e0 AS MATERIALIZED (SELECT a, b FROM pw WHERE w >= $MinSharedParts),
+      s"""WITH $coPurchaseCtes,
          |d0 AS MATERIALIZED (SELECT id, count(*) AS dg FROM (
          |     SELECT a AS id FROM e0 UNION ALL SELECT b FROM e0) GROUP BY 1),
          |${unrolledPeel(PeelRounds, KCoreK)}
          |SELECT CAST(id AS BIGINT) AS custkey, dg AS core_deg
-         |FROM d$PeelRounds""".stripMargin
+         |FROM d$PeelRounds""".stripMargin,
+
+    // Mirrors d13: identical substrate CTEs, LP rounds unrolled with
+    // the same count-desc/label-asc argmax.
+    "d13_labelprop" ->
+      s"""WITH $coPurchaseCtes,
+         |sym AS MATERIALIZED (SELECT a AS u, b AS v FROM e0
+         |      UNION ALL SELECT b, a FROM e0),
+         |l0 AS MATERIALIZED (SELECT DISTINCT u AS id, u AS lbl FROM sym),
+         |${unrolledLp(LpRounds)}
+         |SELECT CAST(id AS BIGINT) AS custkey, CAST(lbl AS BIGINT)
+         |  AS community FROM l$LpRounds""".stripMargin
   )
+
+  /** The d11/d13 shared substrate CTEs (mirror [[coPurchaseEdges]]):
+    * distinct co-purchase pairs → per-part cap → pair weights → edges.
+    */
+  private def coPurchaseCtes: String =
+    s"""cp AS MATERIALIZED (
+       |     SELECT DISTINCT l_partkey AS p, o_custkey AS m
+       |     FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |cap AS MATERIALIZED (SELECT p, m FROM (
+       |        SELECT p, m, row_number() OVER (PARTITION BY p
+       |          ORDER BY m) AS rn FROM cp) WHERE rn <= $MaxCustomersPerPart),
+       |pw AS MATERIALIZED (SELECT a.m AS a, b.m AS b, count(*) AS w
+       |       FROM cap a JOIN cap b ON a.p = b.p AND a.m < b.m
+       |       GROUP BY 1, 2),
+       |e0 AS MATERIALIZED (SELECT a, b FROM pw WHERE w >= $MinSharedParts)"""
+      .stripMargin
+
+  /** One LP round i→i+1: count neighbor labels, argmax per node with
+    * the count-desc/label-asc tiebreak.
+    */
+  private def unrolledLp(rounds: Int): String =
+    (0 until rounds).map { i =>
+      s"""v${i + 1} AS MATERIALIZED (SELECT s.u, l.lbl, count(*) AS n
+         |     FROM sym s JOIN l$i l ON l.id = s.v GROUP BY 1, 2),
+         |l${i + 1} AS MATERIALIZED (SELECT u AS id, lbl FROM (
+         |     SELECT u, lbl, row_number() OVER (PARTITION BY u
+         |       ORDER BY n DESC, lbl) AS rn FROM v${i + 1})
+         |     WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
 
   /** One peel round i→i+1: keep edges whose both endpoints had degree
     * ≥ k in round i, then recount degrees. Rounds past convergence

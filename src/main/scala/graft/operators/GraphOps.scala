@@ -184,6 +184,46 @@ object GraphOps {
     degrees(e)
   }
 
+  /** Synchronous label propagation (deterministic LPA), `rounds` fixed
+    * iterations: labels start as node ids; each round every node adopts
+    * the most frequent label among its NEIGHBORS (count desc, label asc
+    * — the unique tiebreak that makes synchronous LPA reproducible; the
+    * classic randomized tie-break cannot hash-match anything). A fixed
+    * round count sidesteps LPA's known bipartite oscillation — the
+    * caller picks the horizon, and the oracle unrolls exactly the same
+    * rounds.
+    *
+    * Shape per round (the d7/d9/kCore iterative discipline): one
+    * equi-join of the symmetrized edges to the label frame + one
+    * hash-agg of votes + one per-node window argmax — everything moves
+    * O(edges), never corpus payloads, and each round's labels are
+    * lineage-cut so the plan stays constant-size at any round count.
+    */
+  def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
+    val sym = edges.select(explode(array(
+        struct(col("a").cast("long").as("u"), col("b").cast("long").as("v")),
+        struct(col("b").cast("long").as("u"), col("a").cast("long").as("v"))))
+        .as("p"))
+      .select(col("p.u").as("u"), col("p.v").as("v"))
+      .localCheckpoint(eager = false)
+    var labels = sym.select(col("u").as("id")).distinct()
+      .select(col("id"), col("id").as("lbl"))
+    var i = 0
+    while (i < rounds) {
+      val votes = sym
+        .join(labels.select(col("id").as("v"), col("lbl")), Seq("v"))
+        .groupBy("u", "lbl").agg(count(lit(1)).as("n"))
+      val win = Window.partitionBy("u")
+        .orderBy(col("n").desc, col("lbl").asc)
+      labels = votes.withColumn("rn", row_number().over(win))
+        .filter(col("rn") === 1)
+        .select(col("u").as("id"), col("lbl"))
+        .localCheckpoint(eager = false)
+      i += 1
+    }
+    labels
+  }
+
   /** Convenience composition: co-occurrence → top-k graph → per-node
     * triangle counts, returning the `topK` most triangle-dense nodes
     * (count desc, id asc). The full "similarity-graph analytics"

@@ -104,6 +104,23 @@ class GraphOpsSpec extends SparkTestBase {
     assert(ex.getMessage.contains("did not converge"))
   }
 
+  test("labelPropagation: two triangles with a bridge, hand-unrolled") {
+    import spark.implicits._
+    // {1,2,3} triangle, {4,5,6} triangle, bridge 3-4.
+    // Round 1 (every neighbor label counts once -> min neighbor id):
+    //   1->2, 2->1, 3->1, 4->3, 5->4, 6->4
+    // Round 2 (mode of round-1 neighbor labels, min tiebreak):
+    //   1: nbrs {2,3} labels {1,1} -> 1;  2: {1,3}->{2,1} tie -> 1
+    //   3: {1,2,4}->{2,1,3} tie -> 1;     4: {3,5,6}->{1,4,4} -> 4
+    //   5: {4,6}->{3,4} tie -> 3;         6: {4,5}->{3,4} tie -> 3
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L),
+      (5L, 6L), (3L, 4L)).toDF("a", "b")
+    val got = GraphOps.labelPropagation(edges, rounds = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      4L -> 4L, 5L -> 3L, 6L -> 3L))
+  }
+
   test("d10_triangles runs on sf0.001 with bounded shapes") {
     val out = QueriesGraph.queries("d10_triangles")(spark, sf0001)
     val rows = out.collect()
