@@ -122,6 +122,35 @@ object QueriesEvents {
         .agg(count(lit(1)).as("n_purchases"),
           round(sum(col("cents")).cast("double") / lit(100.0), 2)
             .as("revenue"))
+    }),
+
+    // Conversion-latency histogram: hours from first view to the
+    // (windowed) funnel purchase, for users who completed e1's full
+    // view→click→purchase funnel — the "how fast do converters
+    // convert" distribution that prices conversion windows. Latency is
+    // an exact integer: truncated-second difference floor-divided into
+    // hour buckets (identical truncation on both engines), bounded by
+    // construction at 48h (two 24h stage windows). Same per-user min
+    // aggregates + shrinking equi-joins as e1 — no event self-join.
+    "e5_conversion_lag" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(
+        col("user_id"), col("event_type"), col("ts"))
+      def stage(tpe: String, prev: DataFrame, prevTs: String,
+          outTs: String): DataFrame =
+        ev.filter(col("event_type") === tpe)
+          .join(prev, "user_id")
+          .filter(col("ts") > col(prevTs) &&
+            col("ts") <= col(prevTs) + expr("INTERVAL 24 HOUR"))
+          .groupBy("user_id").agg(min(col("ts")).as(outTs))
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min(col("ts")).as("v_ts"))
+      val p = stage("purchase", stage("click", v, "v_ts", "c_ts"),
+        "c_ts", "p_ts")
+      p.join(v, "user_id")
+        .select(floor((unix_timestamp(col("p_ts")) -
+          unix_timestamp(col("v_ts"))) / 3600L).cast("long")
+          .as("lag_hours"))
+        .groupBy("lag_hours").agg(count(lit(1)).as("n_users"))
     })
   )
 
@@ -184,6 +213,24 @@ object QueriesEvents {
         |  FROM t WHERE event_type = 'purchase')
         |SELECT channel, count(*) AS n_purchases,
         |  round(CAST(sum(cents) AS DOUBLE) / 100.0, 2) AS revenue
-        |FROM p GROUP BY 1""".stripMargin
+        |FROM p GROUP BY 1""".stripMargin,
+    // Mirrors e5: e1's exact stage CTEs, then date_diff('second')
+    // (truncated-second delta, = Spark's unix_timestamp difference)
+    // floor-divided into hour buckets.
+    "e5_conversion_lag" ->
+      """WITH v AS (SELECT user_id, min(ts) AS v_ts FROM events
+        |           WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, min(e.ts) AS c_ts
+        |      FROM events e JOIN v ON e.user_id = v.user_id
+        |      WHERE e.event_type = 'click' AND e.ts > v.v_ts
+        |        AND e.ts <= v.v_ts + INTERVAL 24 HOUR GROUP BY 1),
+        |p AS (SELECT e.user_id, min(e.ts) AS p_ts
+        |      FROM events e JOIN c ON e.user_id = c.user_id
+        |      WHERE e.event_type = 'purchase' AND e.ts > c.c_ts
+        |        AND e.ts <= c.c_ts + INTERVAL 24 HOUR GROUP BY 1)
+        |SELECT date_diff('second', v.v_ts, p.p_ts) // 3600 AS lag_hours,
+        |  count(*) AS n_users
+        |FROM p JOIN v ON p.user_id = v.user_id
+        |GROUP BY 1""".stripMargin
   )
 }

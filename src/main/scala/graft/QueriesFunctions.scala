@@ -96,6 +96,20 @@ object QueriesFunctions {
         regexp_extract(col("p_brand"), "([0-9]+)", 1).as("brand_num"),
         col("p_name").rlike("[aeiou]{2}").as("vowel_pair"),
         regexp_count(col("p_name"), lit("[aeiou]")).as("n_vowels"))
+    }),
+
+    // Bitwise battery: and/or/xor masks, shifts, popcount — the
+    // hash-bucketing / bitmap primitives (every LSH band, bloom word
+    // and hash split in this engine reduces to these).
+    "f7_bitwise_funcs" -> ((s, d) => {
+      Tables.lineitem(s, d).select(
+        col("l_orderkey"), col("l_linenumber"),
+        (col("l_orderkey").bitwiseAND(lit(255L))).as("band"),
+        (col("l_orderkey").bitwiseOR(lit(15L))).as("bor"),
+        (col("l_orderkey").bitwiseXOR(col("l_partkey"))).as("bxor"),
+        shiftleft(col("l_partkey"), 2).as("shl"),
+        shiftright(col("l_orderkey"), 3).as("shr"),
+        bit_count(col("l_orderkey")).as("nbits"))
     })
   )
 
@@ -162,6 +176,15 @@ object QueriesFunctions {
         |  regexp_matches(p_name, '[aeiou]{2}') AS vowel_pair,
         |  CAST(len(regexp_extract_all(p_name, '[aeiou]')) AS INTEGER)
         |    AS n_vowels
-        |FROM part""".stripMargin
+        |FROM part""".stripMargin,
+    "f7_bitwise_funcs" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  l_orderkey & 255 AS band,
+        |  l_orderkey | 15 AS bor,
+        |  xor(l_orderkey, l_partkey) AS bxor,
+        |  l_partkey << 2 AS shl,
+        |  l_orderkey >> 3 AS shr,
+        |  CAST(bit_count(l_orderkey) AS INTEGER) AS nbits
+        |FROM lineitem""".stripMargin
   )
 }

@@ -174,4 +174,42 @@ class VectorOpsSpec extends SparkTestBase {
         s"point $id must stay in planted cluster $truth, got ${got(id)}")
     }
   }
+
+  test("v10 gram matrix supports the driver-side PCA eigensolve") {
+    // the data-sized pass is v10 (one aggregation); everything below is
+    // the d x d driver-side step a PCA pipeline runs on its output —
+    // power iteration on the 64x64 matrix, asserting a genuine dominant
+    // eigenpair comes out (positive eigenvalue, small residual)
+    val dim = 64
+    val cells = QueriesVector.queries("v10_gram")(spark, sf0001)
+      .as[(Long, Long, Long)].collect()
+    assert(cells.length == dim * (dim + 1) / 2)
+    val g = Array.ofDim[Double](dim, dim)
+    cells.foreach { case (i, j, fx) =>
+      val x = fx.toDouble / 1e12 // undo scale^2
+      g(i.toInt)(j.toInt) = x
+      g(j.toInt)(i.toInt) = x
+    }
+    // diagonal = sum of squares: strictly positive on real data
+    (0 until dim).foreach(i => assert(g(i)(i) > 0.0))
+    var v = Array.fill(dim)(1.0 / math.sqrt(dim))
+    var lambda = 0.0
+    // synthetic embeddings have a small eigengap — a few hundred cheap
+    // 64x64 matvecs buy convergence regardless
+    for (_ <- 1 to 500) {
+      val gv = Array.tabulate(dim)(i =>
+        (0 until dim).map(j => g(i)(j) * v(j)).sum)
+      val norm = math.sqrt(gv.map(x => x * x).sum)
+      v = gv.map(_ / norm)
+      lambda = norm
+    }
+    assert(lambda > 0.0, "dominant eigenvalue of X'X must be positive")
+    val gv = Array.tabulate(dim)(i =>
+      (0 until dim).map(j => g(i)(j) * v(j)).sum)
+    val residual = math.sqrt(
+      gv.zip(v).map { case (a, b) => (a - lambda * b) * (a - lambda * b) }
+        .sum) / lambda
+    assert(residual < 1e-6,
+      s"power iteration must converge to an eigenpair (residual $residual)")
+  }
 }
