@@ -175,6 +175,17 @@ object QueriesDedup {
         .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
     }),
 
+    // Asymmetric containment pairs: |A∩B|/|A| (and /|B|) ≥ 0.9 in
+    // either direction over the same df-capped shingle index as d2 —
+    // the "short doc embedded in a long one" detector that symmetric
+    // Jaccard structurally misses (the union is dominated by the long
+    // doc). Shares the d2/d3 shingle cache and candidate shape; only
+    // the final predicate differs.
+    "d14_containment" -> ((s, d) => {
+      DedupOps.containmentPairs(docsWithShingles(s, d), "doc_id", "sh",
+        0.9, maxDocFreq = 1000L)
+    }),
+
     // Per-document novelty: the fraction of a doc's distinct 3-shingles
     // that occur in NO other document — the inverse of d2's overlap
     // signal, and the metric a curation pipeline uses to up-weight
@@ -364,6 +375,15 @@ object QueriesDedup {
          |  round($dotSql / sqrt(a.n2 * b.n2), 6) AS cos
          |FROM n a JOIN n b ON a.vec_id < b.vec_id
          |WHERE $dotSql / sqrt(a.n2 * b.n2) >= 0.45""".stripMargin,
+    // Mirrors d14: d2's candidate CTEs verbatim, containment predicate.
+    "d14_containment" ->
+      s"""WITH $d2Ctes
+         |SELECT id_a, id_b,
+         |  round(inter / CAST(n_a AS DOUBLE), 6) AS cont_ab,
+         |  round(inter / CAST(n_b AS DOUBLE), 6) AS cont_ba
+         |FROM p
+         |WHERE greatest(inter / CAST(n_a AS DOUBLE),
+         |  inter / CAST(n_b AS DOUBLE)) >= 0.9""".stripMargin,
     // Mirrors d12: same shingle hashes as d2/d8, df built over per-doc
     // DISTINCT shingles, the one ratio rounded identically.
     "d12_novelty" ->

@@ -508,6 +508,34 @@ object QueriesRelational {
           col("o_orderpriority").as("mode_priority"), col("n"))
     }),
 
+    // Weighted median: the quantity-weighted median extended price per
+    // return flag — the robust center a metrics pipeline prefers when
+    // rows carry unequal mass. Definition: smallest price whose running
+    // weight reaches half the total (2·cum ≥ tot — all-integer, no
+    // halving division). Weights and cumulative sums are exact Longs
+    // over a TOTAL order (price, orderkey, linenumber), so the crossing
+    // row is identical across engines. One window shuffle + one
+    // hash-agg; the scale-safe approximate alternative is the sk5
+    // quantile sketch with per-row weight replication.
+    "g8_weighted_median" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val li = Tables.lineitem(s, d).select(col("l_returnflag"),
+        col("l_extendedprice"),
+        floor(col("l_quantity")).cast("long").as("w"),
+        col("l_orderkey"), col("l_linenumber"))
+      val ord = Window.partitionBy("l_returnflag")
+        .orderBy(col("l_extendedprice"), col("l_orderkey"),
+          col("l_linenumber"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val all = Window.partitionBy("l_returnflag")
+      li.withColumn("cum", sum(col("w")).over(ord))
+        .withColumn("tot", sum(col("w")).over(all))
+        .filter(col("cum") * 2 >= col("tot"))
+        .groupBy("l_returnflag")
+        .agg(max(col("tot")).as("total_weight"),
+          min(col("l_extendedprice")).as("w_median"))
+    }),
+
     // Materialized-view maintenance: a per-priority revenue aggregate
     // kept incrementally — the BASE aggregate (orders before the cut,
     // already reduced to O(groups) rows) merged with the DELTA batch's
@@ -529,6 +557,36 @@ object QueriesRelational {
       val delta = part(_.filter(col("o_orderdate") >=
         lit(CdcCutOld).cast("timestamp")))
       base.unionAll(delta)
+        .groupBy(col("o_orderpriority"))
+        .agg(sum(col("n_orders")).as("n_orders"),
+          round(sum(col("cents")).cast("double") / lit(100.0), 2)
+            .as("revenue"))
+    }),
+
+    // MV maintenance WITH RETRACTIONS: the rolling-window version of
+    // mv1. The view covers orders from CdcCutOld onward; the previous
+    // materialization covered everything before CdcCutNew, so the
+    // maintenance delta both INSERTS the new tail (≥ CdcCutNew) and
+    // DELETES the expired head (< CdcCutOld) — deletes ride the same
+    // partial-merge path with sign −1 (counts and sums are abelian:
+    // retraction is addition of the negation). Oracle = direct
+    // recompute of the current window, so insert+retract must land
+    // exactly on from-scratch. Cost at 100 TB: O(groups + tail +
+    // head), never a window rescan.
+    "mv2_retract_agg" -> ((s, d) => {
+      def part(f: DataFrame => DataFrame, sign: Int) =
+        f(Tables.orders(s, d))
+          .groupBy(col("o_orderpriority"))
+          .agg((count(lit(1)) * sign).as("n_orders"),
+            (sum(floor(col("o_totalprice") * lit(100)).cast("long"))
+              * sign).as("cents"))
+      val base = part(_.filter(col("o_orderdate") <
+        lit(CdcCutNew).cast("timestamp")), 1)
+      val ins = part(_.filter(col("o_orderdate") >=
+        lit(CdcCutNew).cast("timestamp")), 1)
+      val del = part(_.filter(col("o_orderdate") <
+        lit(CdcCutOld).cast("timestamp")), -1)
+      base.unionAll(ins).unionAll(del)
         .groupBy(col("o_orderpriority"))
         .agg(sum(col("n_orders")).as("n_orders"),
           round(sum(col("cents")).cast("double") / lit(100.0), 2)
@@ -842,6 +900,28 @@ object QueriesRelational {
         |  round(CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
         |    AS DOUBLE) / 100.0, 2) AS revenue
         |FROM orders GROUP BY 1""".stripMargin,
+    // mv2's oracle is the direct recompute of the CURRENT window — the
+    // insert+retract merge must land exactly on from-scratch.
+    "mv2_retract_agg" ->
+      """SELECT o_orderpriority, count(*) AS n_orders,
+        |  round(CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+        |    AS DOUBLE) / 100.0, 2) AS revenue
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1998-06-30 00:00:00'
+        |GROUP BY 1""".stripMargin,
+    "g8_weighted_median" ->
+      """WITH w AS (SELECT l_returnflag, l_extendedprice,
+        |    CAST(floor(l_quantity) AS BIGINT) AS w,
+        |    sum(CAST(floor(l_quantity) AS BIGINT)) OVER (
+        |      PARTITION BY l_returnflag
+        |      ORDER BY l_extendedprice, l_orderkey, l_linenumber
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(CAST(floor(l_quantity) AS BIGINT)) OVER (
+        |      PARTITION BY l_returnflag) AS tot
+        |  FROM lineitem)
+        |SELECT l_returnflag, CAST(max(tot) AS BIGINT) AS total_weight,
+        |  min(l_extendedprice) AS w_median
+        |FROM w WHERE cum * 2 >= tot GROUP BY 1""".stripMargin,
     "w7_ratio_to_report" ->
       """WITH c AS (SELECT o_orderkey, o_orderpriority,
         |    CAST(floor(o_totalprice * 100) AS BIGINT) AS cents

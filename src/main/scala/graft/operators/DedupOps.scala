@@ -150,7 +150,37 @@ object DedupOps {
     * and a quadratic stage.
     */
   def jaccardPairs(docs: DataFrame, idCol: String, shCol: String,
-      threshold: Double, maxDocFreq: Long = 1000L): DataFrame = {
+      threshold: Double, maxDocFreq: Long = 1000L): DataFrame =
+    shingleIntersections(docs, idCol, shCol, maxDocFreq)
+      .withColumn("jaccard",
+        col("inter") / (col("n_a") + col("n_b") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+
+  /** ASYMMETRIC near-dup: containment |A∩B|/|A| (and /|B|) over the
+    * same df-capped shingle index as [[jaccardPairs]]. Containment is
+    * what catches a short document embedded verbatim inside a long one
+    * (quotes, wrapped articles, boilerplate-plus-payload) — Jaccard on
+    * such a pair is small (the union is dominated by the long doc), so
+    * symmetric dedup never sees it. A pair survives if EITHER direction
+    * clears the threshold; both directions are reported so the consumer
+    * knows which side is the contained one.
+    */
+  def containmentPairs(docs: DataFrame, idCol: String, shCol: String,
+      threshold: Double, maxDocFreq: Long = 1000L): DataFrame =
+    shingleIntersections(docs, idCol, shCol, maxDocFreq)
+      .filter(greatest(col("inter") / col("n_a"),
+        col("inter") / col("n_b")) >= threshold)
+      .select(col("id_a"), col("id_b"),
+        round(col("inter") / col("n_a"), 6).as("cont_ab"),
+        round(col("inter") / col("n_b"), 6).as("cont_ba"))
+
+  /** Shared candidate stage of [[jaccardPairs]]/[[containmentPairs]]:
+    * df-capped shingle postings → in-row a<b pair expansion → per-pair
+    * intersection counts with both set sizes carried.
+    */
+  private def shingleIntersections(docs: DataFrame, idCol: String,
+      shCol: String, maxDocFreq: Long): DataFrame = {
     val e = shingleIndex(docs, idCol, shCol)
     val postings = e.groupBy("s")
       .agg(collect_list(struct(col("id"), col("n"))).as("ds"))
@@ -168,10 +198,6 @@ object DedupOps {
         col("a.n").as("n_a"), col("b.n").as("n_b"))
     pairs.groupBy("id_a", "id_b", "n_a", "n_b")
       .agg(count(lit(1)).as("inter"))
-      .withColumn("jaccard",
-        col("inter") / (col("n_a") + col("n_b") - col("inter")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
   /** Connected components over an undirected pair list (the last step of

@@ -230,6 +230,24 @@ class DedupOpsSpec extends SparkTestBase {
       maxDocFreq = 1L).count() == 0)
   }
 
+  test("containmentPairs catches a short doc embedded in a long one") {
+    // doc 1 = 10-token prefix of doc 2's 50 tokens: every one of doc
+    // 1's 8 shingles is in doc 2 -> containment(1 in 2) = 1.0, but
+    // jaccard = 8/48 = 0.167 — symmetric dedup never sees this pair
+    val toks = (1 to 50).map(i => s"tok$i")
+    val embedded = Seq(
+      (1L, toks.take(10)), (2L, toks))
+      .toDF("doc_id", "toks")
+      .select(col("doc_id"), DedupOps.shingles(col("toks"), 3).as("sh"))
+    assert(DedupOps.jaccardPairs(embedded, "doc_id", "sh", 0.8)
+      .count() == 0, "jaccard must NOT flag the embedded pair")
+    val got = DedupOps.containmentPairs(embedded, "doc_id", "sh", 0.9)
+      .as[(Long, Long, Double, Double)].collect()
+    assert(got.toSeq == Seq((1L, 2L, 1.0, 0.166667)),
+      s"containment must flag it with the directions labeled: " +
+        s"${got.toSeq}")
+  }
+
   test("d12 novelty: exact duplicates score 0, invariants hold") {
     val out = QueriesDedup.queries("d12_novelty")(spark, sf001).collect()
     assert(out.length == 500)
