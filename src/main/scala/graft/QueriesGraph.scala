@@ -87,17 +87,32 @@ object QueriesGraph {
 
   /** d11/d13's shared substrate: the customer co-purchase edge list
     * (customers sharing ≥ [[MinSharedParts]] parts, per-part member cap
-    * [[MaxCustomersPerPart]]).
+    * [[MaxCustomersPerPart]]), PERSISTED — the docsWithTokens house
+    * pattern: building the graph (join + capped pair expansion +
+    * weight agg) dominates both consumers (~3 s of each query's ~3.2 s
+    * at sf0.1), and CacheManager plan equality lets whichever of
+    * d11/d13 runs second read the materialized edges instead of
+    * re-deriving them. At 100 TB this is "build the edge table once →
+    * checkpoint → run every graph algorithm against it".
     */
   private def coPurchaseEdges(s: SparkSession, d: String): DataFrame = {
     val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
     val ord = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
     val cp = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
       .select(col("l_partkey"), col("o_custkey"))
-    GraphOps.coOccurrenceWeights(cp, "l_partkey", "o_custkey",
+    val edges = GraphOps.coOccurrenceWeights(cp, "l_partkey", "o_custkey",
         MaxCustomersPerPart)
       .filter(col("w") >= MinSharedParts).select(col("a"), col("b"))
+    if (edges.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+      edges.persist()
+    else edges
   }
+
+  /** Release the shared edge cache (for long-lived sessions done with
+    * the graph query family).
+    */
+  def unpersistAll(s: SparkSession, d: String): Unit =
+    coPurchaseEdges(s, d).unpersist()
 
   /** The oracle CTEs are declared MATERIALIZED: DuckDB inlines each CTE
     * reference by default, and this pipeline references `cap` twice,
