@@ -64,6 +64,24 @@ object QueriesStreaming {
         .select("user_id", "error_id", "click_id")
     }),
 
+    // LEFT-OUTER interval join (batch form): every error keeps a row
+    // even with no click within the hour — the null-preserving
+    // streaming join whose unmatched rows emit exactly when the
+    // watermark proves no match can still arrive. Errors that never
+    // converted are usually the rows an incident pipeline most wants.
+    "st9_interval_outer" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("user_id"), col("event_id").as("error_id"),
+          col("ts").as("err_ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"),
+          col("ts").as("click_ts"))
+      StreamingOps.streamIntervalJoinOuter(errors, clicks, "user_id",
+        "err_ts", "click_ts", "2 hours", 3600L)
+        .select("user_id", "error_id", "click_id")
+    }),
+
     // Stream-static enrichment (batch form): events broadcast-joined to
     // the customer dim, aggregated per (event_type, segment). LEFT join
     // — dim misses survive as 'unknown' instead of silently dropping
@@ -253,6 +271,16 @@ object QueriesStreaming {
         |      WHERE event_type = 'click') c
         |JOIN (SELECT user_id, event_id, ts FROM events
         |      WHERE event_type = 'error') e
+        |  ON c.user_id = e.user_id AND c.ts >= e.ts
+        |    AND c.ts <= e.ts + INTERVAL 1 HOUR""".stripMargin,
+    // st9 mirrors st4 with the join sides swapped to LEFT-preserve
+    // the errors.
+    "st9_interval_outer" ->
+      """SELECT e.user_id, e.event_id AS error_id, c.event_id AS click_id
+        |FROM (SELECT user_id, event_id, ts FROM events
+        |      WHERE event_type = 'error') e
+        |LEFT JOIN (SELECT user_id, event_id, ts FROM events
+        |      WHERE event_type = 'click') c
         |  ON c.user_id = e.user_id AND c.ts >= e.ts
         |    AND c.ts <= e.ts + INTERVAL 1 HOUR""".stripMargin,
     "st1_tumbling_window" ->

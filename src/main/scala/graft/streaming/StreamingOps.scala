@@ -209,6 +209,29 @@ object StreamingOps {
       .drop(r(key))
   }
 
+  /** LEFT-OUTER interval join — the null-preserving variant of
+    * [[streamIntervalJoin]]: every left row survives, matched or not.
+    * In streaming execution this is the semantically distinct case:
+    * an unmatched left row can only be EMITTED (with nulls) once the
+    * right-side watermark has passed its interval end — before that, a
+    * match could still arrive — so the outer result is exactly "state
+    * expiry with a verdict". Both sides watermarked + a time-bound
+    * condition is precisely the requirement Structured Streaming
+    * places on stream-stream outer joins; the batch form here is the
+    * oracle-checkable semantics of that query.
+    */
+  def streamIntervalJoinOuter(left: DataFrame, right: DataFrame,
+      key: String, lTs: String, rTs: String, delay: String,
+      withinSeconds: Long): DataFrame = {
+    val l = left.withWatermark(lTs, delay).alias("l")
+    val r = right.withWatermark(rTs, delay).alias("r")
+    l.join(r, expr(
+      s"l.$key = r.$key AND r.$rTs >= l.$lTs AND " +
+        s"r.$rTs <= l.$lTs + interval $withinSeconds seconds"),
+      "left_outer")
+      .drop(r(key))
+  }
+
   /** Stream-static enrichment: join a (possibly unbounded) event stream
     * to a bounded dimension frame. The dim side is broadcast — the
     * stream never shuffles for the join, and Structured Streaming
