@@ -219,7 +219,11 @@ object QueriesStreaming {
         .rowsBetween(Window.unboundedPreceding, -1)
       Tables.events(s, d)
         .select(col("user_id"), col("event_type"), col("event_id"),
-          unix_micros(col("ts")).as("us"))
+          // explicit cast: the parquet column may arrive as
+          // TIMESTAMP_NTZ (writer-dependent), which unix_micros
+          // rejects; under the session's UTC timezone the cast is
+          // value-preserving either way
+          unix_micros(col("ts").cast("timestamp")).as("us"))
         .withColumn("hwm", max(col("us")).over(w))
         .select(col("event_type"),
           when(col("hwm") > col("us"), col("hwm") - col("us"))

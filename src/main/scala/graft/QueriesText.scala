@@ -314,9 +314,13 @@ object QueriesText {
             .topK(negate(col("doc_id").cast("double")), MaxPostings)
             .as("neg"))
         .filter(col("df") >= MinDf)
+        // exploded to scalar (token, df, doc_id) rows: doc_ids are
+        // distinct per token, so the exploded multiset is exactly the
+        // capped posting SET — deterministic, and row-hashable by the
+        // driver (array cells are not).
         .select(col("token"), col("df"),
-          transform(col("neg"), x => negate(x).cast("long"))
-            .as("postings"))
+          explode(transform(col("neg"), x => negate(x).cast("long")))
+            .as("doc_id"))
     })
   )
 
@@ -587,10 +591,12 @@ object QueriesText {
     "x19_inverted_index" ->
       s"""WITH t AS (SELECT doc_id, list_distinct($toksSql) AS dt
          |      FROM documents),
-         |e AS (SELECT doc_id, unnest(dt) AS token FROM t)
-         |SELECT token, count(*) AS df,
-         |  list_slice(list_sort(list(doc_id)), 1, $MaxPostings)
-         |    AS postings
-         |FROM e GROUP BY token HAVING count(*) >= $MinDf""".stripMargin
+         |e AS (SELECT doc_id, unnest(dt) AS token FROM t),
+         |g AS (SELECT token, count(*) AS df,
+         |    list_slice(list_sort(list(doc_id)), 1, $MaxPostings)
+         |      AS postings
+         |  FROM e GROUP BY token HAVING count(*) >= $MinDf)
+         |SELECT token, df, unnest(postings) AS doc_id FROM g"""
+        .stripMargin
   )
 }

@@ -223,13 +223,22 @@ object StreamingOps {
   def streamIntervalJoinOuter(left: DataFrame, right: DataFrame,
       key: String, lTs: String, rTs: String, delay: String,
       withinSeconds: Long): DataFrame = {
-    val l = left.withWatermark(lTs, delay).alias("l")
-    val r = right.withWatermark(rTs, delay).alias("r")
-    l.join(r, expr(
-      s"l.$key = r.$key AND r.$rTs >= l.$lTs AND " +
-        s"r.$rTs <= l.$lTs + interval $withinSeconds seconds"),
+    // The right key is RENAMED before the join rather than alias-dropped
+    // after it: when both sides derive from the same source (a
+    // self-join, as in st9's errors-vs-clicks), the pre-join key columns
+    // share one expression ID, and the analyzer's self-join
+    // de-duplication can re-point `drop(r(key))` at the LEFT-preserved
+    // attribute — silently nulling the key on every unmatched row. A
+    // distinct name on the right side makes the drop unambiguous under
+    // any lineage.
+    val rk = s"__r_$key"
+    val l = left.withWatermark(lTs, delay)
+    val r = right.withWatermark(rTs, delay).withColumnRenamed(key, rk)
+    l.join(r,
+      col(key) === col(rk) && col(rTs) >= col(lTs) &&
+        col(rTs) <= col(lTs) + expr(s"interval $withinSeconds seconds"),
       "left_outer")
-      .drop(r(key))
+      .drop(rk)
   }
 
   /** Stream-static enrichment: join a (possibly unbounded) event stream

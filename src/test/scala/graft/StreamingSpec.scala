@@ -172,6 +172,30 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed == Set((10L, 20L), (11L, 22L)))
   }
 
+  test("outer interval join over a SELF-derived source preserves the " +
+    "left key on unmatched rows") {
+    // both sides filter the SAME frame — the self-join lineage whose
+    // shared expression IDs made drop(r(key)) remove the LEFT-preserved
+    // key and emit NULL user_id on every unmatched row (the st9 bug)
+    val base = (Seq(
+      Ev(10, t("2024-01-01 10:00:00"), 1, 0.0), // err: matched by 20
+      Ev(11, t("2024-01-01 12:00:00"), 2, 0.0), // err: no click in 1h
+      Ev(12, t("2024-01-01 15:00:00"), 3, 0.0), // err: user has no clicks
+      Ev(20, t("2024-01-01 10:30:00"), 1, 1.0),
+      Ev(21, t("2024-01-01 13:30:00"), 2, 1.0)) // 90min late: out
+    ).toDF()
+    val errs = base.filter($"value" === 0.0)
+      .selectExpr("user_id", "event_id AS error_id", "ts AS err_ts")
+    val clicks = base.filter($"value" === 1.0)
+      .selectExpr("user_id", "event_id AS click_id", "ts AS click_ts")
+    val out = StreamingOps.streamIntervalJoinOuter(errs, clicks,
+      "user_id", "err_ts", "click_ts", "1 hour", 3600L)
+      .select("user_id", "error_id", "click_id")
+      .as[(java.lang.Long, Long, java.lang.Long)].collect().toSet
+    assert(out == Set[(java.lang.Long, Long, java.lang.Long)](
+      (1L, 10L, 20L), (2L, 11L, null), (3L, 12L, null)))
+  }
+
   // ---- file-source deploy path (beyond MemoryStream) -------------------
 
   /** Land a frame as ONE parquet file directly in `dir` (the layout a

@@ -126,30 +126,32 @@ class TextOpsSpec extends SparkTestBase {
   }
 
   test("x19 posting lists are the first-by-id postings, bounded") {
-    val idx = QueriesText.queries("x19_inverted_index")(spark, sf001)
+    // output is exploded scalar (token, df, doc_id) rows; regroup to
+    // recover each token's posting set
+    val rows = QueriesText.queries("x19_inverted_index")(spark, sf001)
       .collect()
-    assert(idx.nonEmpty)
-    idx.foreach { r =>
-      val df = r.getLong(1)
-      val postings = r.getSeq[Long](2)
+    assert(rows.nonEmpty)
+    val byToken = rows.groupBy(_.getString(0))
+    byToken.foreach { case (token, rs) =>
+      val df = rs.head.getLong(1)
+      assert(rs.forall(_.getLong(1) == df),
+        s"df must be constant within token '$token'")
+      val postings = rs.map(_.getLong(2)).toSeq.sorted
       assert(df >= QueriesText.MinDf)
       assert(postings.length == math.min(df, QueriesText.MaxPostings),
-        s"postings must hold min(df, cap) ids for ${r.getString(0)}")
-      assert(postings == postings.sorted,
-        "postings must be ascending doc_ids")
+        s"postings must hold min(df, cap) ids for '$token'")
       assert(postings.distinct == postings, "postings must be distinct")
     }
     // the heap-kept ids must be the SMALLEST df ids, not an arbitrary
-    // subset: cross-check one heavy token against collect_list
-    val heavy = idx.maxBy(_.getLong(1))
-    val token = heavy.getString(0)
+    // subset: cross-check one heavy token against the exact answer
+    val (token, heavyRows) = byToken.maxBy(_._2.head.getLong(1))
     val all = QueriesDedup.docsWithTokens(spark, sf001)
       .select(explode(array_distinct(col("toks"))).as("t"), col("doc_id"))
       .filter(col("t") === token)
       .orderBy("doc_id")
       .limit(QueriesText.MaxPostings)
       .select("doc_id").as[Long].collect().toSeq
-    assert(heavy.getSeq[Long](2) == all,
+    assert(heavyRows.map(_.getLong(2)).toSeq.sorted == all,
       s"postings for '$token' must be the first ${QueriesText.MaxPostings}")
   }
 }
