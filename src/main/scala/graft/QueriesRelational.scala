@@ -23,8 +23,16 @@ object QueriesRelational {
 
   /** cdc1 snapshot cutoffs — both mid-range of the 1995–2001 ship
     * dates, so both snapshots are non-trivial at every SF. */
-  private val CdcCutOld = "1998-06-30 00:00:00"
+  private[graft] val CdcCutOld = "1998-06-30 00:00:00"
   private val CdcCutNew = "1999-06-30 00:00:00"
+
+  /** mv3's lineitem-side delta cut — ~3 months AFTER CdcCutOld so ship
+    * lag populates every term of the delta-join decomposition (a
+    * same-date cut leaves ΔA⋈B0 structurally empty: nothing ships
+    * before it is ordered). Package-visible for the spec's
+    * term-nonemptiness check.
+    */
+  private[graft] val MvLiCut = "1998-09-30 00:00:00"
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Window/ranking: top-3 orders per priority class.
@@ -593,6 +601,46 @@ object QueriesRelational {
             .as("revenue"))
     }),
 
+    // MV maintenance for a JOIN view (delta join): the view is the
+    // per-priority item count + revenue over orders ⋈ lineitem. With
+    // each base split old ∪ delta (orders by o_orderdate at CdcCutOld,
+    // lineitem by l_shipdate at MvLiCut — a LATER cut, so every one of
+    // the four terms is exercised: ship lag makes order-delta ⋈
+    // lineitem-base real), the join distributes over union:
+    //   J = A0⋈B0 ∪ ΔA⋈B0 ∪ A0⋈ΔB ∪ ΔA⋈ΔB
+    // The first term is the already-materialized view (recomputed here
+    // so the ORACLE checks the algebra against a from-scratch join; a
+    // production refresh reads it back), and each delta term joins a
+    // DELTA against a base — O(|Δ|·fanout) work instead of re-joining
+    // two 100 TB tables. The aggregates then merge by mv1's
+    // partial-union law (counts/sums add across disjoint terms; the
+    // four terms ARE disjoint because the splits partition each side).
+    "mv3_delta_join" -> ((s, d) => {
+      val ordCut = lit(CdcCutOld).cast("timestamp")
+      val liCut = lit(MvLiCut).cast("timestamp")
+      val ord = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          col("o_orderdate"))
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_shipdate"),
+          floor(col("l_extendedprice") * lit(100)).cast("long")
+            .as("cents"))
+      val a0 = ord.filter(col("o_orderdate") < ordCut)
+      val da = ord.filter(col("o_orderdate") >= ordCut)
+      val b0 = li.filter(col("l_shipdate") < liCut)
+      val db = li.filter(col("l_shipdate") >= liCut)
+      def term(a: DataFrame, b: DataFrame) =
+        a.join(b, col("o_orderkey") === col("l_orderkey"))
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+      term(a0, b0).unionAll(term(da, b0)).unionAll(term(a0, db))
+        .unionAll(term(da, db))
+        .groupBy(col("o_orderpriority"))
+        .agg(sum(col("n")).as("n_items"),
+          round(sum(col("cents")).cast("double") / lit(100.0), 2)
+            .as("revenue"))
+    }),
+
     // Ratio-to-report: each order's share of its priority class's
     // total revenue — the windowed percent-of-total. Integer cents on
     // both numerator and denominator (the class total is a whole-
@@ -617,12 +665,18 @@ object QueriesRelational {
     // globally sorted — at 100 TB this is the difference between a
     // full sort-shuffle of the fact table and a kilobyte merge.
     // Output is the sorted multiset of values (ties keep duplicates),
-    // which is deterministic without a row tiebreak.
+    // which is deterministic without a row tiebreak. The heap's array
+    // is pos-exploded to scalar (group, rank, value) rows: equal values
+    // make any tiebreak emit the same triples, and scalar rows are what
+    // the driver's column-sorted row hash can compare.
     "w8_topk_native" -> ((s, d) => {
       Tables.lineitem(s, d)
         .groupBy(col("l_returnflag"))
         .agg(org.apache.spark.sql.graft.AnalyticsAggregates
           .topK(col("l_extendedprice"), 5).as("top5"))
+        .select(col("l_returnflag"), posexplode(col("top5")))
+        .select(col("l_returnflag"), (col("pos") + lit(1L)).as("rank"),
+          col("col").as("value"))
     })
   )
 
@@ -931,10 +985,21 @@ object QueriesRelational {
         |    CAST(sum(cents) OVER (PARTITION BY o_orderpriority)
         |      AS DOUBLE), 6) AS share
         |FROM c""".stripMargin,
+    // full recompute of the join view — the incremental path must land
+    // exactly on from-scratch
+    "mv3_delta_join" ->
+      """SELECT o_orderpriority, count(*) AS n_items,
+        |  round(CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT))
+        |    AS DOUBLE) / 100.0, 2) AS revenue
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY 1""".stripMargin,
+    // row_number ties between EQUAL prices are harmless: only the value
+    // appears in the output, so any tiebreak yields the same triples.
     "w8_topk_native" ->
-      """SELECT l_returnflag,
-        |  (list(l_extendedprice ORDER BY l_extendedprice DESC))[1:5]
-        |    AS top5
-        |FROM lineitem GROUP BY 1""".stripMargin
+      """SELECT l_returnflag, rn AS rank, l_extendedprice AS value
+        |FROM (SELECT l_returnflag, l_extendedprice,
+        |    row_number() OVER (PARTITION BY l_returnflag
+        |      ORDER BY l_extendedprice DESC) AS rn
+        |  FROM lineitem) WHERE rn <= 5""".stripMargin
   )
 }

@@ -199,6 +199,49 @@ object QueriesVector {
         VectorOps.centroidMeans(a0))
       a1.select(col("id").as("vec_id"), col("cid").as("cluster"),
         round(col("d2"), 6).as("d2"))
+    }),
+
+    // Quantized search: v9's int8 codes POWER the ranking — each pair
+    // scores by the integer code dot product (exact Long MACs; |q| <=
+    // 127 so a 64-dim product sum is far under 2^53) rescaled by the
+    // two inverse scales and normalized by the true norms: the
+    // "asymmetric quantized cosine". At 100 TB the corpus rides in
+    // int8 — 4x less IO and memory than f32 — and this is the scoring
+    // kernel a PQ/SQ index runs over its candidates; exactness is
+    // v1's job, and VectorOpsSpec floors this ranking's recall@10
+    // against v1 so a quantization change can't silently collapse
+    // search quality. All-pairs for the 5 probes (v1's broadcast
+    // shape) so the oracle isolates QUANTIZATION error; swap in v2/v4
+    // candidates for sub-linear generation.
+    "v11_quantized_topk" -> ((s, d) => {
+      val q = prep(s, d)
+        .withColumn("max_abs", array_max(transform(col("v"),
+          x => abs(x))))
+        .withColumn("scale",
+          when(col("max_abs") > 0, lit(127.0) / col("max_abs"))
+            .otherwise(lit(0.0)))
+        .withColumn("inv",
+          when(col("max_abs") > 0, col("max_abs") / lit(127.0))
+            .otherwise(lit(0.0)))
+        .withColumn("qs",
+          transform(col("v"), x => floor(x * col("scale") + lit(0.5))
+            .cast("long")))
+        .select(col("id"), col("n2"), col("inv"), col("qs"))
+      val pairs = q.toDF("id_n", "n2_n", "inv_n", "qs_n")
+        .crossJoin(broadcast(q.filter(col("id") < 5)
+          .toDF("id_q", "n2_q", "inv_q", "qs_q")))
+        .filter(col("id_q") =!= col("id_n"))
+        .withColumn("qdot",
+          aggregate(zip_with(col("qs_q"), col("qs_n"), (a, b) => a * b),
+            lit(0L), (acc, x) => acc + x))
+        .select(col("id_q"), col("id_n"),
+          round((col("inv_q") * col("inv_n")) *
+              col("qdot").cast("double") /
+              sqrt(col("n2_q") * col("n2_n")), 6)
+            .as("qcos"))
+      graft.operators.RelationalOps.topKPerGroup(pairs, Seq("id_q"),
+        Seq(col("qcos").desc, col("id_n").asc), 10, rankCol = "rank")
+        .withColumn("rank", col("rank").cast("long"))
     })
   )
 
@@ -354,6 +397,34 @@ object QueriesVector {
     // array_max — max is order-insensitive), one 127/maxAbs division,
     // floor-based round-half-up codes, the single-inverse dequant, and
     // the same index-ordered error fold.
+    // same quantization CTE chain as v9; dot/rescale/normalize mirrors
+    // the Spark fold and multiply order exactly (left-assoc:
+    // ((inv·inv)·qdot)/sqrt), so doubles are bit-identical
+    "v11_quantized_topk" ->
+      s"""WITH $preparedSql,
+         |m AS (SELECT vec_id, v, n2,
+         |      list_reduce(list_prepend(0.0,
+         |        list_transform(v, x -> abs(x))),
+         |        (a, b) -> greatest(a, b)) AS max_abs FROM n),
+         |q AS (SELECT vec_id, n2,
+         |      CASE WHEN max_abs > 0 THEN max_abs / 127.0
+         |           ELSE 0.0 END AS inv,
+         |      list_transform(v, x -> floor(x *
+         |        (CASE WHEN max_abs > 0 THEN 127.0 / max_abs
+         |              ELSE 0.0 END) + 0.5)) AS qs
+         |      FROM m),
+         |p AS (SELECT a.vec_id AS id_q, b.vec_id AS id_n,
+         |      round(((a.inv * b.inv) *
+         |        list_reduce(list_prepend(0.0,
+         |          list_transform(range(len(a.qs)),
+         |            i -> a.qs[i+1] * b.qs[i+1])), (x, y) -> x + y)) /
+         |        sqrt(a.n2 * b.n2), 6) AS qcos
+         |      FROM q a JOIN q b ON b.vec_id <> a.vec_id
+         |      WHERE a.vec_id < 5)
+         |SELECT id_q, id_n, qcos, rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY id_q
+         |    ORDER BY qcos DESC, id_n) AS rank FROM p)
+         |WHERE rank <= 10""".stripMargin,
     "v9_quantize_int8" ->
       s"""WITH d AS (SELECT vec_id,
          |      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

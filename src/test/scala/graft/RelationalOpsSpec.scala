@@ -229,4 +229,34 @@ class RelationalOpsSpec extends SparkTestBase {
     assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1)
     assert(!plan.contains("Join") && !plan.contains("Window"))
   }
+
+  test("mv3's delta-join split exercises every decomposition term") {
+    // the algebra J = A0⋈B0 ∪ ΔA⋈B0 ∪ A0⋈ΔB ∪ ΔA⋈ΔB is verified by
+    // the oracle (full recompute); this pins the FIXTURE — each term
+    // must be nonempty, otherwise the query silently degenerates into
+    // a plain join and stops testing incremental maintenance at all
+    // (a same-date cut on both tables zeroes ΔA⋈B0: nothing ships
+    // before it is ordered — hence the staggered MvLiCut)
+    import org.apache.spark.sql.functions.col
+    val ord = spark.read.parquet(s"$sf001/orders.parquet")
+      .select(col("o_orderkey"), col("o_orderdate"))
+    val li = spark.read.parquet(s"$sf001/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_shipdate"))
+    val ordCut = lit(java.sql.Timestamp
+      .valueOf(QueriesRelational.CdcCutOld))
+    val liCut = lit(java.sql.Timestamp
+      .valueOf(QueriesRelational.MvLiCut))
+    def n(aOld: Boolean, bOld: Boolean): Long = {
+      val a = ord.filter(if (aOld) col("o_orderdate") < ordCut
+        else col("o_orderdate") >= ordCut)
+      val b = li.filter(if (bOld) col("l_shipdate") < liCut
+        else col("l_shipdate") >= liCut)
+      a.join(b, col("o_orderkey") === col("l_orderkey")).count()
+    }
+    val counts = Map("A0.B0" -> n(true, true), "dA.B0" -> n(false, true),
+      "A0.dB" -> n(true, false), "dA.dB" -> n(false, false))
+    counts.foreach { case (term, c) =>
+      assert(c > 0, s"delta-join term $term is empty: $counts")
+    }
+  }
 }

@@ -153,6 +153,28 @@ class VectorOpsSpec extends SparkTestBase {
     assert(r("ivf") >= 4.0, s"IVF recall collapsed: avg ${r("ivf")}/5")
   }
 
+  test("quantized search recall@10 stays above the floor (v11 gate)") {
+    // v11 ranks by the int8-quantized cosine; this floors its overlap
+    // with the exact v1 top-10 per probe so a quantization change
+    // (codes, scales, rounding) that degrades the RANKING fails a spec
+    // instead of shipping — v11's own oracle replicates the quantized
+    // math and stays green under any quantization. int8 on 64 dims
+    // loses ~1e-2 relative dot-product error; measured overlap at
+    // sf0.001 is 10/10 on every probe.
+    val exact = SparkEntry.queries("v1_cosine_topk")(spark, sf0001)
+      .select("id_q", "id_n").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val quant = SparkEntry.queries("v11_quantized_topk")(spark, sf0001)
+      .select("id_q", "id_n").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(quant.keySet == exact.keySet)
+    exact.foreach { case (q, ids) =>
+      val hits = (ids intersect quant(q)).size
+      assert(hits >= 8,
+        s"probe $q: quantized top-10 hit only $hits/10 of the exact set")
+    }
+  }
+
   test("lloyd iteration recovers planted well-separated clusters") {
     // three tight clusters around (0,0), (10,10), (20,20); one seed
     // point per cluster as init — after update+re-assign every point
