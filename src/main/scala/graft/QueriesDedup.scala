@@ -186,6 +186,40 @@ object QueriesDedup {
         0.9, maxDocFreq = 1000L)
     }),
 
+    // Canonical-representative selection — the "which duplicate do we
+    // KEEP" decision that completes the dedup pipeline: d2 finds
+    // pairs, d7 groups them into clusters, d15 elects each cluster's
+    // best member (highest x3 quality score, smallest doc_id on ties)
+    // and maps EVERY document to its canonical — unclustered docs map
+    // to themselves, so the output is a total keep/drop verdict over
+    // the corpus. Shape: the shared verified-pairs cache → components
+    // → one per-cluster window argmax over O(cluster members) rows +
+    // one anti-join for the singletons; nothing rescans the corpus
+    // pairwise. At 100 TB this is the curation step that turns a
+    // near-dup graph into an actual training set.
+    "d15_canonical" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val clusters = DedupOps
+        .connectedComponents(verifiedPairs(s, d), "id_a", "id_b")
+        .select(col("id").as("doc_id"), col("cluster"))
+      val quality = Tables.documents(s, d).select(col("doc_id"),
+        round(TextOps.qualityScore(col("text")), 6).as("q"))
+      val members = clusters.join(quality, Seq("doc_id"))
+      val w = Window.partitionBy("cluster")
+        .orderBy(col("q").desc, col("doc_id").asc)
+      val canon = members.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("cluster"), col("doc_id").as("canonical_id"))
+      val clustered = members.join(canon, Seq("cluster"))
+        .select(col("doc_id"), col("canonical_id"))
+      val singles = quality.join(clusters, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("doc_id").as("canonical_id"))
+      clustered.unionAll(singles)
+        .select(col("doc_id"), col("canonical_id"),
+          (col("doc_id") === col("canonical_id")).cast("long")
+            .as("is_kept"))
+    }),
+
     // Per-document novelty: the fraction of a doc's distinct 3-shingles
     // that occur in NO other document — the inverse of d2's overlap
     // signal, and the metric a curation pipeline uses to up-weight
@@ -285,6 +319,42 @@ object QueriesDedup {
          |    JOIN edges e2 ON r.dst = e2.src)
          |SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
          |FROM reach GROUP BY src""".stripMargin,
+    // d7's recursive closure + x3's quality formula (copied verbatim —
+    // the rounded score must match x3's to the last bit) + a
+    // per-cluster argmax and a NOT IN for the self-canonical singletons
+    "d15_canonical" ->
+      s"""WITH RECURSIVE $d2Ctes,
+         |pairs AS ($d2Select),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |          UNION SELECT id_b, id_a FROM pairs),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e2.dst FROM reach r
+         |    JOIN edges e2 ON r.dst = e2.src),
+         |comp AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster
+         |         FROM reach GROUP BY src),
+         |tq AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
+         |q AS (SELECT doc_id,
+         |  round(least(1.0, len(toks) / 100.0) *
+         |    (1.0 - CASE WHEN length(text) = 0 THEN 0.0
+         |      ELSE length(regexp_replace(text, '[a-z0-9\\s]', '', 'g'))
+         |        / CAST(length(text) AS DOUBLE) END), 6) AS q
+         |  FROM tq),
+         |m AS (SELECT comp.doc_id, comp.cluster, q.q
+         |      FROM comp JOIN q USING (doc_id)),
+         |canon AS (SELECT cluster, doc_id AS canonical_id FROM (
+         |  SELECT cluster, doc_id, row_number() OVER (PARTITION BY
+         |    cluster ORDER BY q DESC, doc_id) AS rn FROM m)
+         |  WHERE rn = 1),
+         |u AS (SELECT m.doc_id, canon.canonical_id
+         |      FROM m JOIN canon USING (cluster)
+         |      UNION ALL
+         |      SELECT q.doc_id, q.doc_id FROM q
+         |      WHERE q.doc_id NOT IN (SELECT doc_id FROM comp))
+         |SELECT doc_id, canonical_id,
+         |  CAST(doc_id = canonical_id AS BIGINT) AS is_kept
+         |FROM u""".stripMargin,
     "d9_pagerank" ->
       s"""WITH $d2Ctes,
          |pairs AS ($d2Select),

@@ -270,4 +270,33 @@ class DedupOpsSpec extends SparkTestBase {
     assert(out.exists(r => r.getLong(1) > 0 && r.getDouble(3) > 0.5),
       "distinctive docs must score majority-novel")
   }
+
+  test("d15 canonical election: total, idempotent, quality-argmax") {
+    import org.apache.spark.sql.functions._
+    val out = QueriesDedup.queries("d15_canonical")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val nDocs = spark.read.parquet(s"$sf0001/documents.parquet").count()
+    // total verdict: every document exactly once
+    assert(out.map(_._1).distinct.length == out.length)
+    assert(out.length == nDocs)
+    // canonicals are fixpoints: each maps to itself and is marked kept
+    val canonOf = out.map(t => t._1 -> t._2).toMap
+    out.foreach { case (id, c, kept) =>
+      assert(canonOf(c) == c, s"canonical $c of $id must be a fixpoint")
+      assert((kept == 1L) == (id == c))
+    }
+    // the elected member maximizes x3 quality (tiebreak: smaller id)
+    val q = SparkEntry.queries("x3_quality_score")(spark, sf0001)
+      .select(col("doc_id"), col("quality"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    out.groupBy(_._2).foreach { case (c, members) =>
+      members.foreach { case (id, _, _) =>
+        assert(q(c) > q(id) || (q(c) == q(id) && c <= id),
+          s"canonical $c (q=${q(c)}) must dominate member $id (q=${q(id)})")
+      }
+    }
+    // the sf0.001 corpus has planted near-dups: at least one real
+    // cluster must exist (someone is dropped)
+    assert(out.exists(_._3 == 0L), "no document was ever dropped")
+  }
 }
