@@ -211,6 +211,28 @@ class PlanAuditSpec extends SparkTestBase {
       s"w8 must shuffle exactly once (k doubles per group-partial):\n$pw")
   }
 
+  test("v11 broadcasts the probes — the quantized corpus never shuffles") {
+    val p = plan("v11_quantized_topk")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"v11's all-pairs stage must be a broadcast of the 5 probes:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"v11 must never plan an unbroadcast cartesian:\n$p")
+  }
+
+  test("mv3's delta terms stay equi-joins; d15 is one window argmax") {
+    val pm = plan("mv3_delta_join")
+    assert(!pm.contains("CartesianProduct") &&
+      !pm.contains("BroadcastNestedLoopJoin"),
+      s"mv3's four decomposition terms must all be equi-joins:\n$pm")
+    val pd = plan("d15_canonical")
+    // exactly one Window EXEC node (`Window [`) — WindowGroupLimit
+    // pre-filter nodes are the rn=1 pushdown and are expected
+    assert("Window \\[".r.findAllIn(pd).size == 1,
+      s"d15 must elect canonicals with exactly ONE window argmax:\n$pd")
+    assert(!pd.contains("CartesianProduct"),
+      s"d15 must never compare documents pairwise:\n$pd")
+  }
+
   test("dq1 profiles every column in one scan, one exchange, no Expand") {
     val p = plan("dq1_profile")
     // all five columns' stats ride ONE ObjectHashAggregate pass: a
