@@ -287,6 +287,34 @@ object QueriesRelational {
         .withColumnRenamed("asof_next_value", "next_purchase")
     }),
 
+    // Interval-OVERLAP join (binned): which user sessions overlapped an
+    // error incident — both interval sets DERIVED (sessions = built-in
+    // session windows per user; incidents = 5-min-gap sessions over
+    // error events), then paired by l.start < r.end AND r.start <
+    // l.end via hour-bin candidates + exact re-check. The join class
+    // j9 can't express: point-in-interval is the zero-length special
+    // case. Exact overlap duration in integer microseconds.
+    "j12_overlap_join" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val sessions = graft.streaming.StreamingOps
+        .sessionAgg(ev, "ts", "30 minutes", Seq("user_id"))
+        .select(col("user_id"), col("session_start"),
+          col("session_end"))
+      val incidents = graft.streaming.StreamingOps
+        .sessionAgg(ev.filter(col("event_type") === "error"), "ts",
+          "5 minutes", Seq())
+        .select(col("session_start").as("inc_start"),
+          col("session_end").as("inc_end"))
+      RelationalOps.overlapJoinBinned(sessions, "session_start",
+          "session_end", incidents, "inc_start", "inc_end", 3600L)
+        .select(col("user_id"), col("session_start"),
+          col("session_end"), col("inc_start"), col("inc_end"),
+          (unix_micros(least(col("session_end"), col("inc_end"))
+              .cast("timestamp")) -
+            unix_micros(greatest(col("session_start"), col("inc_start"))
+              .cast("timestamp"))).as("overlap_us"))
+    }),
+
     // Range join (binned): clicks within one hour after an error by the
     // same user — intervals explode into covered hour-bins, candidates
     // from the (user, bin) equi-join, exact BETWEEN on candidates only.
@@ -762,6 +790,45 @@ object QueriesRelational {
         |  ON substr(p_name, 1, 2) = substr(probe_name, 1, 2)
         |  AND abs(length(p_name) - length(probe_name)) <= 2
         |WHERE levenshtein(p_name, probe_name) <= 1""".stripMargin,
+    // st3's session CTE chain (per-user 30-min sessions) + the same
+    // chain keyless over errors with a 5-min gap, overlap-joined
+    "j12_overlap_join" ->
+      """WITH o AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |      OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+        |      THEN 1 ELSE 0 END AS brk
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |g AS (SELECT user_id, ts,
+        |  sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+        |  FROM o),
+        |sess AS (SELECT user_id, min(ts) AS session_start,
+        |  max(ts) + INTERVAL 30 MINUTE AS session_end
+        |  FROM g GROUP BY user_id, sess),
+        |oe AS (
+        |  SELECT ts, event_id,
+        |    CASE WHEN lag(ts) OVER we IS NULL
+        |      OR ts - lag(ts) OVER we >= INTERVAL 5 MINUTE
+        |      THEN 1 ELSE 0 END AS brk
+        |  FROM events WHERE event_type = 'error'
+        |  WINDOW we AS (ORDER BY ts, event_id)),
+        |ge AS (SELECT ts,
+        |  sum(brk) OVER (ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+        |  FROM oe),
+        |inc AS (SELECT min(ts) AS inc_start,
+        |  max(ts) + INTERVAL 5 MINUTE AS inc_end
+        |  FROM ge GROUP BY sess)
+        |SELECT s.user_id, s.session_start, s.session_end,
+        |  i.inc_start, i.inc_end,
+        |  epoch_us(least(s.session_end, i.inc_end)) -
+        |    epoch_us(greatest(s.session_start, i.inc_start))
+        |    AS overlap_us
+        |FROM sess s JOIN inc i
+        |  ON s.session_start < i.inc_end
+        |    AND i.inc_start < s.session_end""".stripMargin,
     "j9_range_join" ->
       """SELECT c.user_id, e.event_id AS error_id, c.event_id AS click_id
         |FROM (SELECT user_id, event_id, ts FROM events

@@ -161,6 +161,39 @@ object RelationalOps {
       .drop("__bin")
   }
 
+  /** Interval-OVERLAP join (end-exclusive): pairs (l, r) with
+    * l.start < r.end AND r.start < l.end — the join class
+    * [[rangeJoinPoints]] cannot express (point-in-interval is its
+    * special case of zero-length left intervals). A naive formulation
+    * is a cross join with an inequality filter — O(n·m) and
+    * unshardable; binning gives it a SHUFFLE KEY: each interval
+    * explodes to the bins it covers, overlapping intervals must share
+    * at least one bin, the equi-join on the bin bounds the comparison
+    * set, and the exact predicate re-checks survivors. An interval
+    * spanning k bins is replicated k times, so pick `binSeconds` near
+    * the TYPICAL interval length (smaller bins = more replication,
+    * larger bins = more false candidates per bin); a pair sharing
+    * several bins would surface once per shared bin, hence the
+    * distinct — cheap, because candidates (not the inputs) are
+    * deduped. Both side's columns must be disjoint.
+    */
+  def overlapJoinBinned(left: DataFrame, lStart: String, lEnd: String,
+      right: DataFrame, rStart: String, rEnd: String,
+      binSeconds: Long): DataFrame = {
+    require(binSeconds >= 1, s"binSeconds must be >= 1, got $binSeconds")
+    // end-exclusive: the last covered bin is the one holding end - 1us
+    def bins(s: String, e: String) =
+      explode(sequence(
+        expr(s"unix_micros(CAST($s AS TIMESTAMP)) div ${binSeconds}000000"),
+        expr(s"(unix_micros(CAST($e AS TIMESTAMP)) - 1) div " +
+          s"${binSeconds}000000")))
+    val lb = left.withColumn("__bin", bins(lStart, lEnd))
+    val rb = right.withColumn("__bin", bins(rStart, rEnd))
+    lb.join(rb, Seq("__bin"))
+      .filter(col(lStart) < col(rEnd) && col(rStart) < col(lEnd))
+      .drop("__bin").distinct()
+  }
+
   /** Skew-mitigating equi-join: when one join key carries a hot value, a
     * plain shuffle join sends every row of that key to ONE reducer and
     * the stage runs at the speed of its hottest partition. Salting

@@ -230,6 +230,29 @@ class RelationalOpsSpec extends SparkTestBase {
     assert(!plan.contains("Join") && !plan.contains("Window"))
   }
 
+  test("overlapJoinBinned: end-exclusive semantics, deduped across bins") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val left = Seq(
+      (1L, ts("2024-01-01 10:00:00"), ts("2024-01-01 11:00:00")),
+      // spans three hour bins and crosses midnight
+      (2L, ts("2024-01-01 23:30:00"), ts("2024-01-02 01:30:00")),
+      (3L, ts("2024-01-01 12:00:00"), ts("2024-01-01 12:30:00"))
+    ).toDF("lid", "ls", "le")
+    val right = Seq(
+      // touches 1's END and 3's START exactly: end-exclusive -> neither
+      (10L, ts("2024-01-01 11:00:00"), ts("2024-01-01 12:00:00")),
+      (20L, ts("2024-01-02 00:00:00"), ts("2024-01-02 02:00:00")),
+      (30L, ts("2024-01-01 10:30:00"), ts("2024-01-01 10:45:00"))
+    ).toDF("rid", "rs", "re")
+    val out = RelationalOps.overlapJoinBinned(left, "ls", "le",
+      right, "rs", "re", 3600L)
+    assert(out.select("lid", "rid").as[(Long, Long)].collect().toSet ==
+      Set((1L, 30L), (2L, 20L)))
+    // (2, 20) shares TWO hour bins but must surface exactly once
+    assert(out.count() == 2)
+  }
+
   test("mv3's delta-join split exercises every decomposition term") {
     // the algebra J = A0⋈B0 ∪ ΔA⋈B0 ∪ A0⋈ΔB ∪ ΔA⋈ΔB is verified by
     // the oracle (full recompute); this pins the FIXTURE — each term
