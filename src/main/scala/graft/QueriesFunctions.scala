@@ -110,6 +110,24 @@ object QueriesFunctions {
         shiftleft(col("l_partkey"), 2).as("shl"),
         shiftright(col("l_orderkey"), 3).as("shr"),
         bit_count(col("l_orderkey")).as("nbits"))
+    }),
+
+    // Z-order (Morton) clustering key over (partkey, suppkey) — the
+    // multi-dimensional data-layout primitive: files written sorted by
+    // zval carry tight min/max on BOTH dims at once, so predicates on
+    // either prune most files (a single-column sort scatters the other
+    // dim across the full range in every file —
+    // RelationalOpsSpec measures the contrast). zbucket = the top 10
+    // bits, i.e. the 1024-file assignment a writer would use. Pure
+    // codegen'd bit arithmetic, no shuffle.
+    "f8_zorder" -> ((s, d) => {
+      val z = graft.operators.RelationalOps.zValue2(
+        col("l_partkey").bitwiseAND(lit(65535L)),
+        col("l_suppkey").bitwiseAND(lit(65535L)), 16)
+      Tables.lineitem(s, d).select(
+        col("l_orderkey"), col("l_linenumber"),
+        z.as("zval"),
+        shiftright(z, 22).as("zbucket"))
     })
   )
 
@@ -185,6 +203,23 @@ object QueriesFunctions {
         |  l_partkey << 2 AS shl,
         |  l_orderkey >> 3 AS shr,
         |  CAST(bit_count(l_orderkey) AS INTEGER) AS nbits
-        |FROM lineitem""".stripMargin
+        |FROM lineitem""".stripMargin,
+    // the same interleave, unrolled term-by-term from ONE generator so
+    // the two engines cannot drift
+    "f8_zorder" ->
+      s"""SELECT l_orderkey, l_linenumber, zval, zval >> 22 AS zbucket
+         |FROM (SELECT l_orderkey, l_linenumber,
+         |  ${zSql("(l_partkey & 65535)", "(l_suppkey & 65535)", 16)}
+         |    AS zval
+         |  FROM lineitem)""".stripMargin
   )
+
+  /** SQL form of [[graft.operators.RelationalOps.zValue2]]'s bit
+    * interleave, generated from the same index loop.
+    */
+  private def zSql(a: String, b: String, bits: Int): String =
+    (0 until bits).map { i =>
+      s"(($a >> $i) & 1) * ${1L << (2 * i)} + " +
+        s"(($b >> $i) & 1) * ${1L << (2 * i + 1)}"
+    }.mkString(" + ")
 }

@@ -189,6 +189,23 @@ object QueriesRelational {
         .na.fill(0) // absent combos: DuckDB's count FILTER yields 0
     }),
 
+    // UNPIVOT (melt) — the inverse of g4: wide per-row measures into
+    // long (key, measure, value) rows via the native unpivot, which
+    // plans ONE scan + an Expand (each input row fans to 3 in the
+    // operator) where the SQL formulation scans the table once per
+    // measure. At 100 TB that is 1 read vs 3 — melt is how a metric
+    // store normalizes wide fact tables, and it must not cost a
+    // rescan per column. Values are rounded cents-exact on both sides.
+    "g9_unpivot" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_extendedprice"), col("l_discount"), col("l_tax"))
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_extendedprice"), col("l_discount"), col("l_tax")),
+          "measure", "value")
+    }),
+
     // TPC-H Q5-shaped 6-way join: revenue by nation within a region and
     // date window. Dimension chain region->nation is broadcast; the two
     // fact-fact joins shuffle on their keys.
@@ -1052,6 +1069,17 @@ object QueriesRelational {
         |    CAST(sum(cents) OVER (PARTITION BY o_orderpriority)
         |      AS DOUBLE), 6) AS share
         |FROM c""".stripMargin,
+    // the 3-scan SQL form the single-scan Expand plan must reproduce
+    "g9_unpivot" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  'l_extendedprice' AS measure, l_extendedprice AS value
+        |FROM lineitem
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+        |FROM lineitem
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'l_tax', l_tax
+        |FROM lineitem""".stripMargin,
     // full recompute of the join view — the incremental path must land
     // exactly on from-scratch
     "mv3_delta_join" ->

@@ -161,6 +161,25 @@ object RelationalOps {
       .drop("__bin")
   }
 
+  /** Z-order (Morton) value of two dimension columns: the bits of
+    * `a` and `b` (low `bits` each) interleave — a at even positions, b
+    * at odd — so sorting by the result clusters rows that are close in
+    * BOTH dimensions. This is the data-LAYOUT lever for multi-column
+    * pruning at 100 TB: files written in z order carry tight min/max
+    * ranges on both dims simultaneously, so a scan with predicates on
+    * either (or both) prunes most files, where a single-column sort
+    * leaves the other dimension scattered across the full range in
+    * every file (spec measures exactly this). Pure bit arithmetic —
+    * `bits` codegen'd terms, no shuffle, exact integers.
+    */
+  def zValue2(a: Column, b: Column, bits: Int): Column = {
+    require(bits >= 1 && bits <= 31, s"bits must be in [1,31], got $bits")
+    (0 until bits).map { i =>
+      shiftright(a, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i)) +
+        shiftright(b, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1))
+    }.reduce(_ + _)
+  }
+
   /** Interval-OVERLAP join (end-exclusive): pairs (l, r) with
     * l.start < r.end AND r.start < l.end — the join class
     * [[rangeJoinPoints]] cannot express (point-in-interval is its

@@ -233,6 +233,17 @@ class PlanAuditSpec extends SparkTestBase {
       s"d15 must never compare documents pairwise:\n$pd")
   }
 
+  test("g9 melts in ONE scan via Expand; f8's z-map never shuffles") {
+    val pg = plan("g9_unpivot")
+    assert("Scan parquet".r.findAllIn(pg).size == 1,
+      s"unpivot must read the table once, not once per measure:\n$pg")
+    assert(pg.contains("Expand"),
+      s"unpivot must fan out rows in the operator:\n$pg")
+    val pf = plan("f8_zorder")
+    assert(!pf.contains("Exchange"),
+      s"the z-value projection must stay narrow:\n$pf")
+  }
+
   test("dq1 profiles every column in one scan, one exchange, no Expand") {
     val p = plan("dq1_profile")
     // all five columns' stats ride ONE ObjectHashAggregate pass: a

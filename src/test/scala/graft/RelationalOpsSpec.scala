@@ -253,6 +253,47 @@ class RelationalOpsSpec extends SparkTestBase {
     assert(out.count() == 2)
   }
 
+  test("zValue2 interleaves bits exactly; z-sort bounds BOTH dims") {
+    import spark.implicits._
+    // bit-parity against a reference interleave on hand values + edges
+    def zRef(a: Long, b: Long): Long = (0 until 16).map { i =>
+      (((a >> i) & 1L) << (2 * i)) | (((b >> i) & 1L) << (2 * i + 1))
+    }.sum
+    val cases = Seq((0L, 0L), (1L, 0L), (0L, 1L), (65535L, 0L),
+      (0L, 65535L), (65535L, 65535L), (43690L, 21845L), (12345L, 54321L))
+    val got = cases.toDF("a", "b")
+      .select(RelationalOps.zValue2(col("a"), col("b"), 16))
+      .as[Long].collect()
+    assert(got.toSeq == cases.map { case (a, b) => zRef(a, b) },
+      "Spark interleave must match the reference bit formula")
+    // layout claim: chunking a z-SORTED table into contiguous runs
+    // bounds the per-run spread of EACH dimension far better than a
+    // sort on the OTHER single key does — that spread IS the file-level
+    // min/max range multi-column pruning depends on
+    val rows = spark.read.parquet(s"$sf001/lineitem.parquet")
+      .select("l_partkey", "l_suppkey")
+      .as[(Long, Long)].collect().toSeq
+    // 256 runs ≈ 8 fixed top z-bits — enough granularity that BOTH
+    // dims' interleaved bits pin down (the dims' ranges are asymmetric:
+    // partkey ~11 bits vs suppkey ~7, so coarse runs fix mostly
+    // partkey bits and the suppkey bound only emerges as runs shrink —
+    // exactly the file-size/pruning trade a z-order writer tunes)
+    def meanSpread(sorted: Seq[(Long, Long)]): (Double, Double) = {
+      val gs = sorted.grouped(math.max(1, sorted.length / 256)).toSeq
+      (gs.map(g => (g.map(_._1).max - g.map(_._1).min).toDouble).sum
+         / gs.size,
+       gs.map(g => (g.map(_._2).max - g.map(_._2).min).toDouble).sum
+         / gs.size)
+    }
+    val (zp, zs) = meanSpread(rows.sortBy(t => zRef(t._1, t._2)))
+    val (_, ps) = meanSpread(rows.sortBy(_._1)) // partkey-sorted
+    val (sp, _) = meanSpread(rows.sortBy(_._2)) // suppkey-sorted
+    assert(zp < sp / 2,
+      s"z-sort must bound partkey better than a suppkey sort ($zp vs $sp)")
+    assert(zs < ps / 2,
+      s"z-sort must bound suppkey better than a partkey sort ($zs vs $ps)")
+  }
+
   test("mv3's delta-join split exercises every decomposition term") {
     // the algebra J = A0⋈B0 ∪ ΔA⋈B0 ∪ A0⋈ΔB ∪ ΔA⋈ΔB is verified by
     // the oracle (full recompute); this pins the FIXTURE — each term
