@@ -304,6 +304,29 @@ object QueriesText {
     // (smallest-k = top-k of the negation; exact — ids < 2^53 are
     // double-exact), df >= MinDf prunes the hapax tail that a real
     // index drops into a separate spill tier.
+    // Token-distribution Shannon entropy per document — the
+    // gibberish/repetition detector that complements x3's ratio-based
+    // quality score: near-zero entropy = one token stamped over and
+    // over (spam/boilerplate), high entropy = diverse vocabulary. A
+    // transcendental made oracle-safe by the f3 discipline: per-token
+    // counts fold in SORTED order (both engines add the same doubles
+    // in the same sequence), log2 differences live past 6dp, and the
+    // + 0.0 normalizes any -0.0 before the round. One explode + two
+    // hash-aggs, nothing quadratic.
+    "x20_entropy" -> ((s, d) => {
+      QueriesDedup.docsWithTokens(s, d)
+        .select(col("doc_id"), explode(col("toks")).as("t"))
+        .groupBy("doc_id", "t").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id").agg(
+          sort_array(collect_list(col("c"))).as("cs"),
+          sum(col("c")).as("n"))
+        .select(col("doc_id"), col("n"),
+          size(col("cs")).cast("long").as("n_distinct"),
+          round(aggregate(col("cs"), lit(0.0),
+            (acc, c) => acc - (c / col("n")) * log2(c / col("n")))
+            + lit(0.0), 6).as("token_entropy"))
+    }),
+
     "x19_inverted_index" -> ((s, d) => {
       val ex = QueriesDedup.docsWithTokens(s, d)
         .select(explode(array_distinct(col("toks"))).as("token"),
@@ -588,6 +611,21 @@ object QueriesText {
          |      FROM sc)
          |SELECT doc_id, term, tf, tfidf, rank FROM r WHERE rank <= 3"""
         .stripMargin,
+    // sorted-fold entropy: both engines sum identical doubles in
+    // identical order; + 0.0 normalizes -0.0 (single-distinct-token
+    // docs produce exactly 0)
+    "x20_entropy" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |e AS (SELECT doc_id, unnest(toks) AS tk FROM t),
+         |c AS (SELECT doc_id, tk, count(*) AS c FROM e GROUP BY 1, 2),
+         |g AS (SELECT doc_id, list_sort(list(CAST(c AS DOUBLE))) AS cs,
+         |      sum(c) AS n FROM c GROUP BY 1)
+         |SELECT doc_id, CAST(n AS BIGINT) AS n,
+         |  CAST(len(cs) AS BIGINT) AS n_distinct,
+         |  round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), cs),
+         |    (acc, x) -> acc - (x / n) * log2(x / n)) + 0.0, 6)
+         |    AS token_entropy
+         |FROM g""".stripMargin,
     "x19_inverted_index" ->
       s"""WITH t AS (SELECT doc_id, list_distinct($toksSql) AS dt
          |      FROM documents),

@@ -125,6 +125,21 @@ class TextOpsSpec extends SparkTestBase {
       648541476951500027L)
   }
 
+  test("x20 entropy: within [0, log2(k)], extremes hit exactly") {
+    val out = QueriesText.queries("x20_entropy")(spark, sf001).collect()
+    assert(out.nonEmpty)
+    def lg2(x: Double) = math.log(x) / math.log(2.0)
+    out.foreach { r =>
+      val (n, k, h) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      // h is rounded to 6dp, so allow a half-step above the exact bound
+      assert(h >= 0.0 && h <= lg2(k.toDouble) + 1e-6,
+        s"entropy $h outside [0, log2($k)]")
+      // constant doc -> exactly 0; all-distinct doc -> exactly log2(n)
+      if (k == 1) assert(h == 0.0)
+      if (k == n) assert(math.abs(h - lg2(n.toDouble)) < 1e-6)
+    }
+  }
+
   test("x19 posting lists are the first-by-id postings, bounded") {
     // output is exploded scalar (token, df, doc_id) rows; regroup to
     // recover each token's posting set
