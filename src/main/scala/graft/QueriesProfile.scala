@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.operators.ProfileOps
 import graft.operators.ProfileOps.ProfileCol
@@ -105,6 +105,50 @@ object QueriesProfile {
             .as("share"),
           round((col("n") * col("n_keys")).cast("double") /
             col("tot").cast("double"), 6).as("skew_factor"))
+    }),
+
+    // Pearson correlation matrix over lineitem's numeric columns from
+    // EXACT integer moments: quantize each column to integers
+    // (quantity units / whole dollars / discount percent), accumulate
+    // n, Σx, Σx², Σxy as Longs in ONE map-side-combined pass (never
+    // built-in corr(), whose double accumulation is partition-order-
+    // dependent), then ONE double combination per pair in an
+    // expression shape both engines evaluate identically. This is the
+    // profiling step that finds redundant/derived columns before a
+    // feature store ships them. Long bounds: Σ(dollars²) ≤ rows·10¹⁰ —
+    // exact through sf1; the doubles then combine (not accumulate), so
+    // partitioning cannot perturb a digit.
+    "dq6_correlation" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).select(
+        floor(col("l_quantity")).cast("long").as("x1"),
+        floor(col("l_extendedprice")).cast("long").as("x2"),
+        floor(col("l_discount") * 100).cast("long").as("x3"))
+      val m = li.agg(count(lit(1)).as("n"),
+        sum(col("x1")).as("s1"), sum(col("x2")).as("s2"),
+        sum(col("x3")).as("s3"),
+        sum(col("x1") * col("x1")).as("q1"),
+        sum(col("x2") * col("x2")).as("q2"),
+        sum(col("x3") * col("x3")).as("q3"),
+        sum(col("x1") * col("x2")).as("p12"),
+        sum(col("x1") * col("x3")).as("p13"),
+        sum(col("x2") * col("x3")).as("p23"))
+      def r(sx: Column, sy: Column, qx: Column, qy: Column,
+          pxy: Column) = {
+        val n = col("n").cast("double")
+        round((n * pxy.cast("double") -
+            sx.cast("double") * sy.cast("double")) /
+          sqrt((n * qx.cast("double") -
+              sx.cast("double") * sx.cast("double")) *
+            (n * qy.cast("double") -
+              sy.cast("double") * sy.cast("double"))), 6)
+      }
+      m.select(col("n"),
+        r(col("s1"), col("s2"), col("q1"), col("q2"), col("p12"))
+          .as("r_qty_price"),
+        r(col("s1"), col("s3"), col("q1"), col("q3"), col("p13"))
+          .as("r_qty_disc"),
+        r(col("s2"), col("s3"), col("q2"), col("q3"), col("p23"))
+          .as("r_price_disc"))
     })
   )
 
@@ -201,6 +245,36 @@ object QueriesProfile {
         |   LEFT JOIN (SELECT DISTINCT c_custkey AS k FROM customer) d
         |     ON o.o_custkey = d.k
         |   WHERE d.k IS NULL),
-        |  (SELECT count(*) FROM orders)""".stripMargin
+        |  (SELECT count(*) FROM orders)""".stripMargin,
+    // identical moment quantization and double-combination shape; every
+    // moment CAST from HUGEINT to DOUBLE before any arithmetic
+    "dq6_correlation" -> {
+      def r(sx: String, sy: String, qx: String, qy: String,
+          pxy: String) =
+        s"""round((CAST(n AS DOUBLE) * CAST($pxy AS DOUBLE) -
+           |    CAST($sx AS DOUBLE) * CAST($sy AS DOUBLE)) /
+           |  sqrt((CAST(n AS DOUBLE) * CAST($qx AS DOUBLE) -
+           |      CAST($sx AS DOUBLE) * CAST($sx AS DOUBLE)) *
+           |    (CAST(n AS DOUBLE) * CAST($qy AS DOUBLE) -
+           |      CAST($sy AS DOUBLE) * CAST($sy AS DOUBLE))), 6)"""
+          .stripMargin
+      s"""WITH x AS (SELECT
+         |    CAST(floor(l_quantity) AS BIGINT) AS x1,
+         |    CAST(floor(l_extendedprice) AS BIGINT) AS x2,
+         |    CAST(floor(l_discount * 100) AS BIGINT) AS x3
+         |  FROM lineitem),
+         |m AS (SELECT count(*) AS n,
+         |    sum(x1) AS s1, sum(x2) AS s2, sum(x3) AS s3,
+         |    sum(x1 * x1) AS q1, sum(x2 * x2) AS q2,
+         |    sum(x3 * x3) AS q3,
+         |    sum(x1 * x2) AS p12, sum(x1 * x3) AS p13,
+         |    sum(x2 * x3) AS p23
+         |  FROM x)
+         |SELECT CAST(n AS BIGINT) AS n,
+         |  ${r("s1", "s2", "q1", "q2", "p12")} AS r_qty_price,
+         |  ${r("s1", "s3", "q1", "q3", "p13")} AS r_qty_disc,
+         |  ${r("s2", "s3", "q2", "q3", "p23")} AS r_price_disc
+         |FROM m""".stripMargin
+    }
   )
 }

@@ -68,4 +68,21 @@ class ProfileOpsSpec extends SparkTestBase {
     assert(out("fact->dim") == (1L, 3L), "fk=99 is an orphan")
     assert(out("fact->fact") == (0L, 3L), "self edge is clean")
   }
+
+  test("dq6 correlations: one row, valid range, independent generator") {
+    val r = QueriesProfile.queries("dq6_correlation")(spark, sf001)
+      .collect()
+    assert(r.length == 1)
+    val n = r(0).getLong(0)
+    assert(n == spark.read.parquet(s"$sf001/lineitem.parquet").count())
+    val cors = (1 to 3).map(r(0).getDouble)
+    cors.foreach(c => assert(c >= -1.0 && c <= 1.0,
+      s"correlation $c outside [-1, 1]"))
+    // the synthetic generator draws quantity, price, and discount
+    // independently (unlike real TPC-H, where extendedprice is
+    // quantity-derived) — the profile must REPORT that independence,
+    // not manufacture structure
+    cors.foreach(c => assert(math.abs(c) < 0.2,
+      s"independent columns must correlate near zero, got $c"))
+  }
 }
