@@ -702,6 +702,39 @@ object QueriesRelational {
             sum(col("cents")).over(w).cast("double"), 6).as("share"))
     }),
 
+    // Exact multi-percentile per group in ONE sort-window pass: p25/
+    // p50/p75/p95 of extendedprice per return flag, each defined as
+    // the value at rank ceil(q·n) under a total order (type-1 /
+    // "discontinuous" quantile — an exact member of the data, no
+    // interpolation, so no float arithmetic beyond the rank math,
+    // which both engines do in IEEE doubles identically; 0.25/0.5/
+    // 0.75 are exact binary and 0.95 rounds DOWN, the safe direction
+    // for ceil). One shuffle, one sort, all four percentiles read
+    // from the same ranked frame — four separate percentile calls
+    // would be four window passes. g5 (median) is the single-q
+    // special case; the sk5 sketch is the documented scale path when
+    // an approximation is acceptable.
+    "w9_percentiles" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("l_returnflag")
+        .orderBy(col("l_extendedprice").asc, col("l_orderkey").asc,
+          col("l_linenumber").asc)
+      val whole = Window.partitionBy("l_returnflag")
+      val ranked = Tables.lineitem(s, d)
+        .select(col("l_returnflag"), col("l_extendedprice"),
+          col("l_orderkey"), col("l_linenumber"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("cnt", count(lit(1)).over(whole))
+      def pick(q: Double, name: String) =
+        max(when(col("rn") ===
+          ceil(col("cnt").cast("double") * lit(q)),
+          col("l_extendedprice"))).as(name)
+      ranked.groupBy("l_returnflag").agg(
+        pick(0.25, "p25"), pick(0.50, "p50"),
+        pick(0.75, "p75"), pick(0.95, "p95"),
+        max(col("cnt")).as("n_rows"))
+    }),
+
     // Per-group top-k VALUES via the native bounded-heap aggregate
     // (TopKAgg) — the aggregate-shaped alternative to w1's window
     // top-k. The window form sorts every row of every group behind one
@@ -1088,6 +1121,23 @@ object QueriesRelational {
         |    AS DOUBLE) / 100.0, 2) AS revenue
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         |GROUP BY 1""".stripMargin,
+    "w9_percentiles" ->
+      """WITH r AS (SELECT l_returnflag, l_extendedprice,
+        |  row_number() OVER (PARTITION BY l_returnflag
+        |    ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rn,
+        |  count(*) OVER (PARTITION BY l_returnflag) AS cnt
+        |  FROM lineitem)
+        |SELECT l_returnflag,
+        |  max(CASE WHEN rn = ceil(CAST(cnt AS DOUBLE) * 0.25)
+        |    THEN l_extendedprice END) AS p25,
+        |  max(CASE WHEN rn = ceil(CAST(cnt AS DOUBLE) * 0.50)
+        |    THEN l_extendedprice END) AS p50,
+        |  max(CASE WHEN rn = ceil(CAST(cnt AS DOUBLE) * 0.75)
+        |    THEN l_extendedprice END) AS p75,
+        |  max(CASE WHEN rn = ceil(CAST(cnt AS DOUBLE) * 0.95)
+        |    THEN l_extendedprice END) AS p95,
+        |  max(cnt) AS n_rows
+        |FROM r GROUP BY 1""".stripMargin,
     // row_number ties between EQUAL prices are harmless: only the value
     // appears in the output, so any tiebreak yields the same triples.
     "w8_topk_native" ->
