@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.operators.SketchOps
 import graft.sources.Tables
@@ -174,6 +174,31 @@ object QueriesSketch {
         .crossJoin(ra.join(rn, Seq("l_orderkey"), "left_semi")
           .agg(count(lit(1)).as("exact_inter")))
       est.crossJoin(exact)
+    }),
+
+    // Sketch accuracy gate — the v8 pattern applied to the cardinality
+    // sketches: exact distinct orderkeys beside the HLL and KMV
+    // estimates with basis-point relative errors. sk1/sk2's own
+    // oracles replicate the estimator math and stay green under ANY
+    // precision change; this query (with SketchOpsSpec's floor)
+    // catches an m/k retune that silently collapses accuracy. Three
+    // 1-row aggregates cross-joined — no data movement beyond the
+    // scans.
+    "sk11_sketch_error" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val exact = li.agg(countDistinct(col("l_orderkey")).as("exact"))
+      val hll = SketchOps.hllSummary(
+          SketchOps.hllRegisters(li, col("l_orderkey")))
+        .select(col("estimate").as("hll_est"))
+      val kmv = SketchOps.kmvSummary(li, col("l_orderkey"), 256)
+        .select(col("estimate").as("kmv_est"))
+      def bps(est: Column) =
+        floor(abs(est - col("exact").cast("double")) * lit(10000.0) /
+          col("exact").cast("double")).cast("long")
+      exact.crossJoin(hll).crossJoin(kmv)
+        .select(col("exact"), col("hll_est"), col("kmv_est"),
+          bps(col("hll_est")).as("hll_err_bps"),
+          bps(col("kmv_est")).as("kmv_err_bps"))
     })
   )
 
@@ -202,6 +227,42 @@ object QueriesSketch {
         |WHERE o_custkey IN (SELECT c_custkey FROM customer
         |                    WHERE c_mktsegment = 'BUILDING')
         |GROUP BY 1""".stripMargin,
+    // sk1's and sk2's estimator chains side by side with the exact
+    // count; error math mirrors the Spark left-assoc shape exactly
+    "sk11_sketch_error" ->
+      s"""WITH h AS (SELECT ${h60(
+           "concat('hll:', CAST(l_orderkey AS VARCHAR))")} AS h
+         |           FROM lineitem),
+         |b AS (SELECT h % 4096 AS bucket, h >> 12 AS w FROM h),
+         |r AS (SELECT bucket,
+         |        max(CASE WHEN w = 0 THEN 49
+         |            ELSE 49 - length(bin(w)) END) AS rho
+         |      FROM b GROUP BY bucket),
+         |s AS (SELECT count(*) AS v_present,
+         |        CAST(sum(CAST(1 AS BIGINT) << (50 - rho)) AS BIGINT)
+         |          AS fx_present
+         |      FROM r),
+         |he AS (SELECT round(0.7213 / (1.0 + 1.079 / 4096.0) * 4096.0
+         |    * 4096.0 * 1125899906842624.0
+         |    / CAST(fx_present + (4096 - v_present)
+         |        * (CAST(1 AS BIGINT) << 50) AS DOUBLE), 2) AS hll_est
+         |  FROM s),
+         |kh AS (SELECT DISTINCT ${h60(
+           "concat('kmv:', CAST(l_orderkey AS VARCHAR))")} AS h
+         |           FROM lineitem),
+         |kk AS (SELECT h FROM kh ORDER BY h LIMIT 256),
+         |ke AS (SELECT round(CASE
+         |    WHEN count(*) < 256 THEN CAST(count(*) AS DOUBLE)
+         |    ELSE 255.0 * 1152921504606846976.0
+         |      / CAST(max(h) AS DOUBLE) END, 2) AS kmv_est FROM kk),
+         |ex AS (SELECT count(DISTINCT l_orderkey) AS exact
+         |       FROM lineitem)
+         |SELECT exact, hll_est, kmv_est,
+         |  CAST(floor(abs(hll_est - CAST(exact AS DOUBLE)) * 10000.0
+         |    / CAST(exact AS DOUBLE)) AS BIGINT) AS hll_err_bps,
+         |  CAST(floor(abs(kmv_est - CAST(exact AS DOUBLE)) * 10000.0
+         |    / CAST(exact AS DOUBLE)) AS BIGINT) AS kmv_err_bps
+         |FROM ex, he, ke""".stripMargin,
     "sk1_hll_distinct" ->
       s"""WITH h AS (SELECT ${h60(
            "concat('hll:', CAST(l_orderkey AS VARCHAR))")} AS h

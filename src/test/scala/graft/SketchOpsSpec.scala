@@ -328,4 +328,16 @@ class SketchOpsSpec extends SparkTestBase {
       .collect()(0)
     assert(once == dup)
   }
+
+  test("sk11 accuracy gate: estimator errors stay inside their bounds") {
+    // HLL m=4096 has ~1.6% standard error, KMV k=256 ~6%; the floors
+    // (5% / 15%, ~3 sigma) exist so a precision retune that collapses
+    // accuracy fails here — the estimators' own oracles replicate the
+    // math and stay green under ANY m/k
+    val r = SparkEntry.queries("sk11_sketch_error")(spark, sf001)
+      .collect()(0)
+    val (hllBps, kmvBps) = (r.getLong(3), r.getLong(4))
+    assert(hllBps < 500, s"HLL error $hllBps bps exceeds 5%")
+    assert(kmvBps < 1500, s"KMV error $kmvBps bps exceeds 15%")
+  }
 }
