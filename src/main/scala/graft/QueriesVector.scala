@@ -201,6 +201,27 @@ object QueriesVector {
         round(col("d2"), 6).as("d2"))
     }),
 
+    // Exact MIPS: top-10 by RAW inner product — the retrieval
+    // objective when magnitudes matter (recommender/reranker scores).
+    // v1's broadcast shape; the exactness baseline v13 is gated
+    // against.
+    "v12_mips_topk" -> ((s, d) => {
+      val p = prep(s, d)
+      VectorOps.mipsTopK(p, p.filter(col("id") < 5), 10)
+    }),
+
+    // Approximate MIPS via norm augmentation: corpus vectors extend by
+    // sqrt(M^2 - |x|^2) (all reaching norm M), probes by 0 — cosine in
+    // the augmented space is monotone in the inner product, so the
+    // SAME hyperplane bands (one more dimension) bucket by dot
+    // product; candidates rerank by the exact dot of the original
+    // vectors. VectorOpsSpec floors this against v12.
+    "v13_mips_lsh" -> ((s, d) => {
+      val p = prep(s, d)
+      VectorOps.mipsLshTopK(p, p.filter(col("id") < 5), Bands,
+        RowsPerBand, Dim, 5)
+    }),
+
     // Quantized search: v9's int8 codes POWER the ranking — each pair
     // scores by the integer code dot product (exact Long MACs; |q| <=
     // 127 so a 64-dim product sum is far under 2^53) rescaled by the
@@ -293,6 +314,21 @@ object QueriesVector {
   private lazy val bandSelects: String = (0 until Bands).map(b =>
     s"SELECT vec_id, v, n2, $b AS band, ${bandBucketSql(b)} AS bucket " +
       "FROM n").mkString("\n|      UNION ALL\n|      ")
+
+  /** v13's banded AUGMENTED relation: same plane fragments (they
+    * iterate range(len(v)), so the 65-dim augmented lists band
+    * correctly), original vectors carried through as `vo` for the
+    * exact-dot rerank.
+    */
+  private def augBandSelects(from: String): String = (0 until Bands)
+    .map(b =>
+      s"SELECT vec_id, vo, $b AS band, ${bandBucketSql(b)} AS bucket " +
+        s"FROM $from").mkString("\n|      UNION ALL\n|      ")
+
+  /** Strict left-fold dot over the carried-through original vectors. */
+  private val dotVoSql =
+    """list_reduce(list_prepend(0.0, list_transform(range(len(p.vo)),
+      |      i -> p.vo[i+1] * c.vo[i+1])), (x, y) -> x + y)""".stripMargin
 
   def oracle: Map[String, String] = Map(
     "v1_cosine_topk" ->
@@ -397,6 +433,38 @@ object QueriesVector {
     // array_max — max is order-insensitive), one 127/maxAbs division,
     // floor-based round-half-up codes, the single-inverse dequant, and
     // the same index-ordered error fold.
+    "v12_mips_topk" ->
+      s"""WITH $preparedSql,
+         |p AS (SELECT a.vec_id AS id_q, b.vec_id AS id_n,
+         |      round($dotSql, 6) AS dot
+         |      FROM n a JOIN n b ON b.vec_id <> a.vec_id
+         |      WHERE a.vec_id < 5)
+         |SELECT id_q, id_n, dot, rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY id_q
+         |    ORDER BY dot DESC, id_n) AS rank FROM p)
+         |WHERE rank <= 10""".stripMargin,
+    // augmented-space banding: va aliases to v so the SHARED plane
+    // fragments (range(len(v)) is length-generic) band the 65-dim
+    // lists; the exact-dot rerank reads the original vectors vo
+    "v13_mips_lsh" ->
+      s"""WITH $preparedSql,
+         |mx AS (SELECT max(n2) AS m2 FROM n),
+         |ca AS (SELECT vec_id,
+         |      list_append(v, sqrt(greatest(m2 - n2, 0.0))) AS v,
+         |      v AS vo FROM n, mx),
+         |pa AS (SELECT vec_id,
+         |      list_append(v, CAST(0.0 AS DOUBLE)) AS v, v AS vo
+         |      FROM n WHERE vec_id < 5),
+         |cb AS (${augBandSelects("ca")}),
+         |pb AS (${augBandSelects("pa")}),
+         |cand AS (SELECT DISTINCT p.vec_id AS id_q, c.vec_id AS id_n,
+         |      round($dotVoSql, 6) AS dot
+         |      FROM pb p JOIN cb c ON p.band = c.band
+         |        AND p.bucket = c.bucket AND c.vec_id <> p.vec_id)
+         |SELECT id_q, id_n, dot, rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY id_q
+         |    ORDER BY dot DESC, id_n) AS rank FROM cand)
+         |WHERE rank <= 5""".stripMargin,
     // same quantization CTE chain as v9; dot/rescale/normalize mirrors
     // the Spark fold and multiply order exactly (left-assoc:
     // ((inv·inv)·qdot)/sqrt), so doubles are bit-identical

@@ -189,6 +189,68 @@ object VectorOps {
       .withColumn("rank", col("rank").cast("long"))
   }
 
+  /** Exact maximum-inner-product top-k (MIPS): rank by the RAW dot
+    * product, not cosine — the retrieval objective when magnitudes
+    * carry meaning (recommender scores, unnormalized rerankers).
+    * Same broadcast shape as [[bruteForceTopK]].
+    */
+  def mipsTopK(corpus: DataFrame, probes: DataFrame, k: Int): DataFrame = {
+    val joined = corpus.toDF("id_n", "v_n", "n2_n")
+      .crossJoin(broadcast(probes.toDF("id_q", "v_q", "n2_q")))
+      .filter(col("id_q") =!= col("id_n"))
+      .select(col("id_q"), col("id_n"),
+        round(dot(col("v_q"), col("v_n")), 6).as("dot"))
+    RelationalOps.topKPerGroup(joined, Seq("id_q"),
+      Seq(col("dot").desc, col("id_n").asc), k, rankCol = "rank")
+      .withColumn("rank", col("rank").cast("long"))
+  }
+
+  /** Approximate MIPS via the norm-augmentation reduction to cosine
+    * LSH (Shrivastava–Li style, simplified): append sqrt(M² − ‖x‖²)
+    * to every corpus vector (M² = the corpus max squared norm — a
+    * broadcast 1-row aggregate) and 0 to every probe. All augmented
+    * corpus vectors then share norm M, so cosine in the augmented
+    * space is q·x / (‖q‖·M) — MONOTONE in the inner product per
+    * probe — and the existing hyperplane bands bucket by it.
+    * Candidates come from the augmented-space band join; the final
+    * scores rerank candidates by the EXACT dot of the ORIGINAL
+    * vectors (asymmetric rerank — the standard shape). The corpus is
+    * banded once, never shuffled; probes broadcast.
+    */
+  def mipsLshTopK(corpus: DataFrame, probes: DataFrame, bands: Int,
+      rowsPerBand: Int, dim: Int, k: Int): DataFrame = {
+    val m2 = corpus.agg(max(col("n2")).as("m2"))
+    // greatest(·, 0): the max-norm row's residual is a float-negative
+    // zero away from exact 0, and sqrt must not see it
+    val caug = corpus.toDF("id_n", "v_n", "n2_n")
+      .crossJoin(broadcast(m2))
+      .select(col("id_n"), col("v_n"),
+        concat(col("v_n"),
+          array(sqrt(greatest(col("m2") - col("n2_n"), lit(0.0)))))
+          .as("va"))
+    val paug = probes.toDF("id_q", "v_q", "n2_q")
+      .select(col("id_q"), col("v_q"),
+        concat(col("v_q"), array(lit(0.0))).as("va"))
+    def banded(df: DataFrame, idc: String, vc: String) = {
+      val bandStructs = array((0 until bands).map(b =>
+        struct(lit(b).as("band"),
+          bandedBucket(col("va"), b, rowsPerBand, dim + 1)
+            .as("bucket"))): _*)
+      df.select(col(idc), col(vc), explode(bandStructs).as("bb"))
+        .select(col(idc), col(vc),
+          col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    }
+    val joined = banded(caug, "id_n", "v_n")
+      .join(broadcast(banded(paug, "id_q", "v_q")), Seq("band", "bucket"))
+      .filter(col("id_q") =!= col("id_n"))
+      .select(col("id_q"), col("id_n"),
+        round(dot(col("v_q"), col("v_n")), 6).as("dot"))
+      .distinct()
+    RelationalOps.topKPerGroup(joined, Seq("id_q"),
+      Seq(col("dot").desc, col("id_n").asc), k, rankCol = "rank")
+      .withColumn("rank", col("rank").cast("long"))
+  }
+
   /** Route each vector to its `nProbe` nearest centroids by cosine
     * (centroids broadcast; one narrow pass + a window). `nProbe = 1` is
     * cell assignment; `nProbe > 1` is the probe-side fan-out that buys

@@ -175,6 +175,25 @@ class VectorOpsSpec extends SparkTestBase {
     }
   }
 
+  test("MIPS-LSH recall stays above the floor (v13 gate)") {
+    // v13's augmented-space candidates, reranked by exact dot, must
+    // keep hitting the exact v12 top-10 — the same gate discipline as
+    // v8: the approximate query's own oracle replicates the
+    // augmentation and stays green under ANY banding. Measured 5/5 on
+    // every probe at sf0.001 and sf0.01.
+    val exact = SparkEntry.queries("v12_mips_topk")(spark, sf0001)
+      .select("id_q", "id_n").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val approx = SparkEntry.queries("v13_mips_lsh")(spark, sf0001)
+      .select("id_q", "id_n").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (q, ids) =>
+      val hits = (approx(q) intersect ids).size
+      assert(hits >= 4, s"probe $q: MIPS-LSH hit only $hits/5")
+    }
+  }
+
   test("lloyd iteration recovers planted well-separated clusters") {
     // three tight clusters around (0,0), (10,10), (20,20); one seed
     // point per cluster as init — after update+re-assign every point
