@@ -217,6 +217,13 @@ class PlanAuditSpec extends SparkTestBase {
       s"v11's all-pairs stage must be a broadcast of the 5 probes:\n$p")
     assert(!p.contains("CartesianProduct"),
       s"v11 must never plan an unbroadcast cartesian:\n$p")
+    // v13: the augmented band join must be a broadcast HASH join on
+    // (band, bucket) — the corpus is banded once and never shuffles
+    val p13 = plan("v13_mips_lsh")
+    assert(p13.contains("BroadcastHashJoin"),
+      s"v13's band join must broadcast the probes:\n$p13")
+    assert(!p13.contains("Exchange hashpartitioning(id_n"),
+      s"v13 must not shuffle the banded corpus:\n$p13")
   }
 
   test("mv3's delta terms stay equi-joins; d15 is one window argmax") {
