@@ -546,6 +546,36 @@ object QueriesRelational {
         Seq("user_id", "event_type"), "ts", "event_id", "value", cutTs)
     }),
 
+    // CDC with TOMBSTONES: the change stream carries deletes (error
+    // events stand in for account-deletion markers), and the merged
+    // state must DROP a key whose latest change is a tombstone — the
+    // GDPR-shaped semantics cdc3's pure upserts can't express. Every
+    // key still gets a verdict row (live with its final value, or
+    // deleted with a NULL) so downstream auditing sees what vanished
+    // and why. ONE window shuffle: the row_number pick and both
+    // per-key counters share the same partitioning.
+    "cdc4_tombstones" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, d).select(
+        col("user_id"), col("ts"), col("event_id"), col("value"),
+        when(col("event_type") === "error", lit("d"))
+          .otherwise(lit("u")).as("op"))
+      val pick = Window.partitionBy("user_id")
+        .orderBy(col("ts").desc, col("event_id").desc)
+      val whole = Window.partitionBy("user_id")
+      ev.withColumn("rn", row_number().over(pick))
+        .withColumn("n_changes", count(lit(1)).over(whole))
+        .withColumn("n_deletes",
+          sum((col("op") === "d").cast("long")).over(whole))
+        .filter(col("rn") === 1)
+        .select(col("user_id"),
+          when(col("op") === "d", lit("deleted")).otherwise(lit("live"))
+            .as("state"),
+          when(col("op") === "d", lit(null).cast("double"))
+            .otherwise(round(col("value"), 6)).as("final_value"),
+          col("n_changes"), col("n_deletes"))
+    }),
+
     // Per-group MODE with a deterministic tie-break (highest count,
     // then lexicographically smallest value): each customer's most
     // frequent order priority. Count agg then the rank-filter top-1
@@ -1035,6 +1065,23 @@ object QueriesRelational {
         |      ORDER BY o_orderdate, o_orderkey) IS NULL
         |    THEN 1 ELSE 0 END AS BIGINT) AS is_current
         |FROM runs""".stripMargin,
+    "cdc4_tombstones" ->
+      """WITH e AS (SELECT user_id, ts, event_id, value,
+        |    CASE WHEN event_type = 'error' THEN 'd' ELSE 'u' END AS op
+        |  FROM events),
+        |r AS (SELECT user_id, op, value,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rn,
+        |    count(*) OVER (PARTITION BY user_id) AS n_changes,
+        |    sum(CASE WHEN op = 'd' THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id) AS n_deletes
+        |  FROM e)
+        |SELECT user_id,
+        |  CASE WHEN op = 'd' THEN 'deleted' ELSE 'live' END AS state,
+        |  CASE WHEN op = 'd' THEN NULL
+        |       ELSE round(value, 6) END AS final_value,
+        |  n_changes, CAST(n_deletes AS BIGINT) AS n_deletes
+        |FROM r WHERE rn = 1""".stripMargin,
     "cdc3_merge_upsert" ->
       s"""WITH last AS (
          |  SELECT user_id, event_type, value,

@@ -253,6 +253,35 @@ class RelationalOpsSpec extends SparkTestBase {
     assert(out.count() == 2)
   }
 
+  test("cdc4 tombstones: delete wins only when LATEST; resurrection") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // user 1: update then delete  -> deleted
+    // user 2: updates only        -> live, latest value
+    // user 3: delete then update  -> RESURRECTED (live) — order, not
+    //                                presence, of the tombstone decides
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, 5.0, "click"),
+      (1L, ts("2024-01-01 11:00:00"), 2L, 0.0, "error"),
+      (2L, ts("2024-01-01 10:00:00"), 3L, 7.0, "click"),
+      (2L, ts("2024-01-01 12:00:00"), 4L, 9.0, "view"),
+      (3L, ts("2024-01-01 10:00:00"), 5L, 0.0, "error"),
+      (3L, ts("2024-01-01 11:00:00"), 6L, 4.0, "click")
+    ).toDF("user_id", "ts", "event_id", "value", "event_type")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_cdc4").toFile
+    ev.write.mode("overwrite")
+      .parquet(new java.io.File(dir, "events.parquet").toString)
+    val out = QueriesRelational.queries("cdc4_tombstones")(
+      spark, dir.toString).collect()
+      .map(r => r.getLong(0) -> (r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+        r.getLong(3), r.getLong(4))).toMap
+    assert(out(1L) == (("deleted", None, 2L, 1L)))
+    assert(out(2L) == (("live", Some(9.0), 2L, 0L)))
+    assert(out(3L) == (("live", Some(4.0), 2L, 1L)))
+  }
+
   test("zValue2 interleaves bits exactly; z-sort bounds BOTH dims") {
     import spark.implicits._
     // bit-parity against a reference interleave on hand values + edges
