@@ -84,6 +84,30 @@ object QueriesVector {
         rowsPerBand = RowsPerBand, dim = Dim, threshold = 0.45)
     }),
 
+    // SEMANTIC dedup clusters — the embedding-space mirror of the
+    // lexical d7→d15 chain, because a real training-data pipeline
+    // runs BOTH (shingles catch copies, embeddings catch paraphrases
+    // lexical dedup is structurally blind to): v5's verified near-dup
+    // pairs → connected components → every vector mapped to its
+    // cluster's canonical (= the component's smallest id, which IS
+    // the min-label the components carry — no extra election pass),
+    // singletons to themselves. Total keep/drop verdict, O(edges)
+    // clustering, corpus never compared pairwise.
+    "d16_semantic_clusters" -> ((s, d) => {
+      val pairs = VectorOps.lshNearDupPairs(prep(s, d), Bands,
+        RowsPerBand, Dim, 0.45)
+      val clusters = graft.operators.DedupOps
+        .connectedComponents(pairs, "id_a", "id_b")
+        .select(col("id").as("vec_id"), col("cluster").as("canonical_id"))
+      val singles = prep(s, d).select(col("id").as("vec_id"))
+        .join(clusters, Seq("vec_id"), "left_anti")
+        .select(col("vec_id"), col("vec_id").as("canonical_id"))
+      clusters.unionAll(singles)
+        .select(col("vec_id"), col("canonical_id"),
+          (col("vec_id") === col("canonical_id")).cast("long")
+            .as("is_kept"))
+    }),
+
     // Hybrid (filtered) retrieval: top-10 neighbors among ENGLISH
     // documents only (embeddings joined to documents on vec_id =
     // doc_id). The metadata predicate prunes the corpus BEFORE the
@@ -590,6 +614,38 @@ object QueriesVector {
         |FROM u a JOIN u b ON a.vec_id = b.vec_id AND a.i <= b.i
         |GROUP BY 1, 2""".stripMargin,
 
+    // v5's pair chain wrapped in d7's recursive closure; canonical =
+    // component min, singletons self-canonical
+    "d16_semantic_clusters" ->
+      s"""WITH RECURSIVE $preparedSql,
+         |cb AS ($bandSelects),
+         |rare AS (SELECT band, bucket FROM cb GROUP BY band, bucket
+         |      HAVING count(*) <= 10000),
+         |cf AS (SELECT cb.* FROM cb JOIN rare USING (band, bucket)),
+         |cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         |      FROM cf a JOIN cf b ON a.band = b.band
+         |        AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+         |pairs AS (SELECT id_a, id_b FROM cand
+         |      JOIN n a ON a.vec_id = cand.id_a
+         |      JOIN n b ON b.vec_id = cand.id_b
+         |      WHERE $dotSql / sqrt(a.n2 * b.n2) >= 0.45),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |          UNION SELECT id_b, id_a FROM pairs),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e2.dst FROM reach r
+         |    JOIN edges e2 ON r.dst = e2.src),
+         |comp AS (SELECT src AS vec_id,
+         |      least(src, min(dst)) AS canonical_id
+         |      FROM reach GROUP BY src),
+         |u AS (SELECT vec_id, canonical_id FROM comp
+         |      UNION ALL
+         |      SELECT vec_id, vec_id FROM n
+         |      WHERE vec_id NOT IN (SELECT vec_id FROM comp))
+         |SELECT vec_id, canonical_id,
+         |  CAST(vec_id = canonical_id AS BIGINT) AS is_kept
+         |FROM u""".stripMargin,
     "v5_neardup_lsh" -> {
       s"""WITH $preparedSql,
          |cb AS ($bandSelects),

@@ -194,6 +194,22 @@ class VectorOpsSpec extends SparkTestBase {
     }
   }
 
+  test("d16 semantic clusters: total, fixpoint canonicals, min-id rule") {
+    val out = SparkEntry.queries("d16_semantic_clusters")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val n = spark.read.parquet(s"$sf0001/embeddings.parquet").count()
+    assert(out.length == n, "every vector needs a verdict row")
+    assert(out.map(_._1).distinct.length == out.length)
+    val canonOf = out.map(t => t._1 -> t._2).toMap
+    out.foreach { case (id, c, kept) =>
+      assert(c <= id, s"canonical $c of $id must be the component min")
+      assert(canonOf(c) == c, s"canonical $c must be a fixpoint")
+      assert((kept == 1L) == (id == c))
+    }
+    assert(out.exists(_._3 == 0L),
+      "the planted embedding near-dups must form at least one cluster")
+  }
+
   test("lloyd iteration recovers planted well-separated clusters") {
     // three tight clusters around (0,0), (10,10), (20,20); one seed
     // point per cluster as init — after update+re-assign every point
