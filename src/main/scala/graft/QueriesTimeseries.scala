@@ -128,6 +128,33 @@ object QueriesTimeseries {
             sqrt(((col("n_pairs") * col("sxx") - col("sx") * col("sx")) *
               (col("n_pairs") * col("syy") - col("sy") * col("sy")))
               .cast("double")), 6).as("r"))
+    }),
+
+    // Day-of-week seasonal index — the decomposition step ts6's
+    // autocorrelation PROBE motivates: per (event_type, dow), the
+    // mean daily count relative to the type's overall mean
+    // (index > 1 = the day runs hot). All moments are exact integer
+    // counts; the only float math is the final nested division, the
+    // same expression shape on both engines. At 100 TB this is two
+    // hash-aggs over an already-tiny daily frame — the heavy input
+    // reduction (events → daily counts) happens once, partial-
+    // aggregated map-side.
+    "ts7_seasonality" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("cnt"))
+      val byDow = daily.groupBy(col("event_type"),
+          dayofweek(col("day")).cast("long").as("dow"))
+        .agg(count(lit(1)).as("n_days"), sum(col("cnt")).as("total"))
+      val overall = daily.groupBy(col("event_type"))
+        .agg(sum(col("cnt")).as("g_total"), count(lit(1)).as("g_days"))
+      byDow.join(overall, Seq("event_type"))
+        .select(col("event_type"), col("dow"), col("n_days"),
+          col("total"),
+          round((col("total").cast("double") /
+              col("n_days").cast("double")) /
+            (col("g_total").cast("double") /
+              col("g_days").cast("double")), 6).as("seasonal_index"))
     })
   )
 
@@ -272,6 +299,23 @@ object QueriesTimeseries {
 
     // Mirrors ts6 exactly: same day spine, same Long moment sums, the
     // single cast-to-double at the very end.
+    // DuckDB dayofweek is 0-based Sunday-start vs Spark's 1-based —
+    // the +1 maps explicitly (the f2 convention)
+    "ts7_seasonality" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    count(*) AS cnt FROM events GROUP BY 1, 2),
+        |bd AS (SELECT event_type,
+        |    CAST(dayofweek(day) AS BIGINT) + 1 AS dow,
+        |    count(*) AS n_days, sum(cnt) AS total
+        |  FROM daily GROUP BY 1, 2),
+        |ov AS (SELECT event_type, sum(cnt) AS g_total,
+        |    count(*) AS g_days FROM daily GROUP BY 1)
+        |SELECT bd.event_type, dow, n_days,
+        |  CAST(total AS BIGINT) AS total,
+        |  round((CAST(total AS DOUBLE) / CAST(n_days AS DOUBLE)) /
+        |    (CAST(g_total AS DOUBLE) / CAST(g_days AS DOUBLE)), 6)
+        |    AS seasonal_index
+        |FROM bd JOIN ov ON bd.event_type = ov.event_type""".stripMargin,
     "ts6_autocorr" ->
       """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
         |    count(*) AS cnt FROM events GROUP BY 1, 2),

@@ -132,4 +132,22 @@ class TimeseriesOpsSpec extends SparkTestBase {
         s"pair counts must step down by 1 per lag: ${np.toSeq}")
     }
   }
+
+  test("ts7 seasonal indices: 7 dows per type, day-weighted mean = 1") {
+    val rows = SparkEntry.queries("ts7_seasonality")(spark, sf001)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+    rows.groupBy(_._1).foreach { case (tpe, rs) =>
+      assert(rs.map(_._2).toSet == (1L to 7L).toSet,
+        s"$tpe must cover all 7 days-of-week")
+      // identity: the n_days-weighted mean index is exactly 1 — the
+      // per-dow means recombine to the overall mean by construction
+      val gDays = rs.map(_._3).sum
+      val wMean = rs.map(r => r._5 * r._3).sum / gDays
+      assert(math.abs(wMean - 1.0) < 1e-4,
+        s"$tpe: weighted mean index $wMean drifted from 1")
+      rs.foreach(r => assert(r._5 > 0.0, s"$tpe dow ${r._2} index <= 0"))
+    }
+  }
 }
