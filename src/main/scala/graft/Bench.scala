@@ -158,28 +158,68 @@ object Bench {
     }
     val ok = results.collect { case (n, Some(s)) => n -> s }
     val failed = results.collect { case (n, None) => n }
+    // ---- artifact emission -------------------------------------------
     // The driver captures only the TAIL of this process's output (2000
-    // chars observed), so the JSON line must stay well under that or
-    // its head is cut off and the artifact is unparseable (this bit
-    // round 8: 73 full names × full-precision doubles ≈ 2.3 kB). Keys
-    // are therefore the query's family code — the segment before the
-    // first '_' ("d2_jaccard_pairs" → "d2"), which is unique across the
-    // registry (asserted; a collision falls back to the full name) and
-    // is how every artifact (VERDICT, README) already refers to
-    // queries. Values are rounded to ms.
+    // chars observed), so the printed JSON line must stay WELL under
+    // that or its head is cut off and the artifact is unparseable —
+    // this bit round 8 AND round 10 (152 short-keyed queries ≈ 1.84 kB
+    // → `parsed: null`). The full per-query map therefore goes to a
+    // FILE in the repo (BENCH_DETAIL.json, full precision, judge-
+    // readable), and the printed line carries only the aggregate
+    // signal: total, query count, failures, the regression list vs the
+    // committed baseline, and the 10 slowest queries. Bounded size:
+    // ~600 chars regardless of registry growth.
     def shortKey(n: String): String = n.split('_').head
     val collisions = names.groupBy(shortKey).filter(_._2.size > 1)
       .values.flatten.toSet
     def key(n: String): String = if (collisions(n)) n else shortKey(n)
     def fmt(v: Double): String = BigDecimal(v)
       .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-    val qs = ok.map { case (k, v) => "\"" + key(k) + "\":" + fmt(v) }
-      .mkString("{", ",", "}")
     val total = ok.map(_._2).sum
+    val repoDir = sys.env.getOrElse("SPARK_GRAFT_REPO", "/root/repo")
+    // Regression gate (VERDICT r10 #2): compare per-query times against
+    // the committed BENCH_BASELINE.json (the previous round's solo
+    // sf0.1 run). A query regresses when it is BOTH >1.5x slower AND
+    // >0.3s absolute slower — the absolute floor keeps sub-100ms
+    // queries' scheduler jitter out of the list; the driver's ambient
+    // load inflated r10's unchanged queries 1.6-7x, so entries here
+    // need the BASELINE.md solo-vs-driver context before being read as
+    // code regressions. The baseline file is our own detail format, so
+    // a regex parse of `"name":secs` pairs is exact.
+    val baselinePath = new java.io.File(repoDir, "BENCH_BASELINE.json")
+    val baseline: Map[String, Double] =
+      if (baselinePath.isFile) {
+        val txt = scala.io.Source.fromFile(baselinePath, "UTF-8").mkString
+        "\"([A-Za-z0-9_]+)\":([0-9]+\\.[0-9]+)".r.findAllMatchIn(txt)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      } else Map.empty
+    val regressed = ok.collect {
+      case (n, s) if baseline.get(key(n)).exists(b => s > b * 1.5 && s - b > 0.3)
+        => n
+    }.sorted
+    val qsFull = ok.sortBy(_._1)
+      .map { case (k, v) => "\"" + key(k) + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // printed list capped so a pathological round can't blow the line
+    val regressedJson = (regressed.take(15).map("\"" + _ + "\"") ++
+      (if (regressed.size > 15) Seq("\"+" + (regressed.size - 15) + " more\"")
+       else Nil)).mkString("[", ",", "]")
+    val slowest = ok.sortBy(-_._2).take(10)
+      .map { case (k, v) => "\"" + key(k) + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    val detail =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","cpus":$cpus,"n_queries":${ok.size},"queries":$qsFull,"failed":$failedJson,"regressed":$regressedJson,"baseline_file":"${if (baseline.nonEmpty) "BENCH_BASELINE.json" else ""}"}"""
+    val detailFile = new java.io.File(repoDir, "BENCH_DETAIL.json")
+    try {
+      val w = new java.io.PrintWriter(detailFile, "UTF-8")
+      try w.println(detail) finally w.close()
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] WARNING: could not write $detailFile: $e")
+    }
     val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
-    if (line.length > 1800)
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","n_queries":${ok.size},"queries":$slowest,"failed":$failedJson,"regressed":$regressedJson,"detail":"BENCH_DETAIL.json"}"""
+    if (line.length > 1500)
       System.err.println(s"[bench] WARNING: JSON line ${line.length} chars " +
         "— approaching the driver's 2000-char tail capture")
     println(line)

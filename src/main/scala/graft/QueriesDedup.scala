@@ -161,11 +161,26 @@ object QueriesDedup {
         .select(col("id").as("doc_id"), col("pagerank_micro"))
     }),
 
-    // Embedding-cosine near-dup pairs (brute pair scan at test scale; the
-    // LSH-bucketed scale path is v2_ann_lsh).
+    // Embedding-cosine near-dup pairs — the TEST-SCALE-ONLY exactness
+    // witness for the LSH path. This is a deliberate all-pairs
+    // theta-join (O(n²) by construction) kept so v5_neardup_lsh /
+    // v2_ann_lsh have an exact ground truth to be recall-checked
+    // against; those two are the production path at scale. The guard
+    // below mirrors kCore's loud-failure discipline: above the row
+    // bound the query REFUSES to run rather than silently launching a
+    // quadratic job — at 100 TB an unguarded all-pairs join is the
+    // canonical cluster-killer, and a loud error is the only safe
+    // behavior. (Excluded from the bench headline for the same reason;
+    // see Bench.headline.)
     "d6_embedding_neardup" -> ((s, d) => {
       val p = VectorOps.prepared(Tables.embeddings(s, d), "vec_id",
         "embedding")
+      val n = p.count()
+      require(n <= 100000L,
+        s"d6_embedding_neardup is the test-scale exactness witness for " +
+          s"the LSH near-dup path (all-pairs O(n²) theta-join); corpus " +
+          s"has $n rows > 100000 bound — use v5_neardup_lsh or " +
+          s"v2_ann_lsh, the banded-LSH production path, at this scale")
       val a = p.toDF("id_a", "v_a", "n2_a")
       val b = p.toDF("id_b", "v_b", "n2_b")
       a.join(b, col("id_a") < col("id_b"))

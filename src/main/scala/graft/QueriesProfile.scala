@@ -115,13 +115,18 @@ object QueriesProfile {
     // dependent), then ONE double combination per pair in an
     // expression shape both engines evaluate identically. This is the
     // profiling step that finds redundant/derived columns before a
-    // feature store ships them. Long bounds: Σ(dollars²) ≤ rows·10¹⁰ —
-    // exact through sf1; the doubles then combine (not accumulate), so
-    // partitioning cannot perturb a digit.
+    // feature store ships them. Long bounds (ADVICE r10): price is
+    // quantized to TENS of dollars, so Σx2² ≤ rows·(1.1e4)² ≈
+    // rows·1.2e8 — at sf100 (~6e8 rows) that is ~7e16 of the 9.2e18
+    // Int64 range, exact with ~100× headroom where whole-dollar
+    // quantization would have been one order from silent wraparound.
+    // Correlation is scale-invariant up to the quantization grain, so
+    // the coarser unit costs ~3 decimal digits of r, identically on
+    // both engines (the oracle quantizes the same way).
     "dq6_correlation" -> ((s, d) => {
       val li = Tables.lineitem(s, d).select(
         floor(col("l_quantity")).cast("long").as("x1"),
-        floor(col("l_extendedprice")).cast("long").as("x2"),
+        floor(col("l_extendedprice") / 10).cast("long").as("x2"),
         floor(col("l_discount") * 100).cast("long").as("x3"))
       val m = li.agg(count(lit(1)).as("n"),
         sum(col("x1")).as("s1"), sum(col("x2")).as("s2"),
@@ -260,7 +265,7 @@ object QueriesProfile {
           .stripMargin
       s"""WITH x AS (SELECT
          |    CAST(floor(l_quantity) AS BIGINT) AS x1,
-         |    CAST(floor(l_extendedprice) AS BIGINT) AS x2,
+         |    CAST(floor(l_extendedprice / 10) AS BIGINT) AS x2,
          |    CAST(floor(l_discount * 100) AS BIGINT) AS x3
          |  FROM lineitem),
          |m AS (SELECT count(*) AS n,

@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.operators.RelationalOps
 import graft.sources.Tables
@@ -195,7 +195,9 @@ object QueriesRelational {
     // operator) where the SQL formulation scans the table once per
     // measure. At 100 TB that is 1 read vs 3 — melt is how a metric
     // store normalizes wide fact tables, and it must not cost a
-    // rescan per column. Values are rounded cents-exact on both sides.
+    // rescan per column. The measure values pass through UNCHANGED —
+    // both engines read the identical parquet doubles, so no rounding
+    // is needed (or applied) on either side.
     "g9_unpivot" -> ((s, d) => {
       Tables.lineitem(s, d)
         .select(col("l_orderkey"), col("l_linenumber"),
@@ -389,6 +391,67 @@ object QueriesRelational {
         .filter(col("dist") <= 1)
         .select(col("probe_key"), col("p_partkey").as("cand_key"),
           col("dist"))
+    }),
+
+    // AQE skew-join (VERDICT r10 #7 — closes the loop dq5 opens and j6
+    // salts by hand): the SAME hot-key problem handed to the runtime
+    // instead of the query author. A derived key funnels every third
+    // lineitem row onto ONE value (~33% of the fact table on a single
+    // key — the monster-key shape dq5's skew_factor detects), the right
+    // side is pre-aggregated to one row per key (so the hot key's match
+    // set is small and the blowup is purely partition-sided), and the
+    // join is forced sort-merge. AQE's OptimizeSkewedJoin then splits
+    // the hot shuffle partition into advisory-sized chunks at RUNTIME,
+    // duplicating the matching (tiny) right partition per chunk — no
+    // salt columns, no replicated dim, no author-chosen factor. The
+    // skew confs live on a FORKED session (newSession: shared context +
+    // cache, isolated SQLConf) so the aggressive test-scale thresholds
+    // (128 KB where prod default is 256 MB) cannot leak into any other
+    // query in a shared session. Semantics are AQE-independent — the
+    // oracle is the plain join — and PlanAuditSpec asserts the executed
+    // plan actually carries skew=true splits, so the demonstration
+    // cannot silently degrade into an ordinary merge join. At 100 TB
+    // this is the default answer to post-shuffle skew; explicit salting
+    // (j6) remains the static tool for skew AQE can't split.
+    "j13_skew_aqe" -> ((s0, d) => {
+      val s = s0.newSession()
+      s.conf.set("spark.sql.adaptive.enabled", "true")
+      s.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      // the join output is re-shuffled by the downstream agg anyway;
+      // force tells AQE the extra-shuffle cost check doesn't apply
+      s.conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+      s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0")
+      s.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "32k")
+      s.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16k")
+      s.conf.set("spark.sql.shuffle.partitions", "32")
+      // Left side: every third lineitem row funnels onto order key 1
+      // (which exists in orders, so the hot key joins). Right side is
+      // the RAW orders table — no aggregation between its shuffle and
+      // the join, because OptimizeSkewedJoin only pattern-matches a
+      // merge join whose children are sort-over-shuffle DIRECTLY; a
+      // pre-aggregated side puts a HashAggregate in between and the
+      // rule silently never fires (found the hard way).
+      // Skew splitting works at MAP-OUTPUT granularity: AQE can only
+      // split a hot reduce partition along the map tasks that produced
+      // it, so a single-split scan (the whole test parquet file is one
+      // row group = ONE map task) makes every partition unsplittable no
+      // matter how skewed. The explicit 64-way repartition is the
+      // test-scale stand-in for the thousands of scan tasks a 100 TB
+      // fact table feeds the join shuffle with naturally.
+      val li = Tables.lineitem(s, d).select(
+        when(col("l_orderkey") % 3 === 0, lit(1L))
+          .otherwise(col("l_orderkey")).as("skew_key"),
+        col("l_extendedprice"))
+        .repartition(64, col("l_extendedprice"))
+      val ord = Tables.orders(s, d)
+        .select(col("o_orderkey").as("skew_key"), col("o_orderpriority"))
+      li.hint("MERGE").join(ord, Seq("skew_key"))
+        .groupBy((col("skew_key") % 8).as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("l_extendedprice") * 100, 0).cast("long"))
+            .as("rev_cents"),
+          max(col("o_orderpriority")).as("max_prio"))
     }),
 
     // Salted skew join: same semantics as the plain orders-lineitem join
@@ -845,6 +908,16 @@ object QueriesRelational {
       """SELECT p_partkey, p_name FROM part
         |WHERE EXISTS (SELECT 1 FROM lineitem
         |  WHERE l_partkey = p_partkey AND l_quantity > 45)""".stripMargin,
+    "j13_skew_aqe" ->
+      """WITH li AS (SELECT CASE WHEN l_orderkey % 3 = 0 THEN 1
+        |    ELSE l_orderkey END AS skew_key, l_extendedprice
+        |  FROM lineitem)
+        |SELECT li.skew_key % 8 AS bucket, count(*) AS n,
+        |  CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+        |    AS BIGINT) AS rev_cents,
+        |  max(o_orderpriority) AS max_prio
+        |FROM li JOIN orders ON li.skew_key = o_orderkey
+        |GROUP BY 1""".stripMargin,
     "j6_salted_join" ->
       """SELECT o_orderpriority,
         |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,

@@ -19,7 +19,7 @@ object SparkEntry {
       QueriesFunctions.queries ++ QueriesSketch.queries ++
       QueriesCuration.queries ++ QueriesEvents.queries ++
       QueriesGraph.queries ++ QueriesTimeseries.queries ++
-      QueriesProfile.queries
+      QueriesProfile.queries ++ QueriesSql.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -30,5 +30,5 @@ object SparkEntry {
       QueriesFunctions.oracle ++ QueriesSketch.oracle ++
       QueriesCuration.oracle ++ QueriesEvents.oracle ++
       QueriesGraph.oracle ++ QueriesTimeseries.oracle ++
-      QueriesProfile.oracle
+      QueriesProfile.oracle ++ QueriesSql.oracle
 }

@@ -200,12 +200,21 @@ object RelationalOps {
       right: DataFrame, rStart: String, rEnd: String,
       binSeconds: Long): DataFrame = {
     require(binSeconds >= 1, s"binSeconds must be >= 1, got $binSeconds")
-    // end-exclusive: the last covered bin is the one holding end - 1us
+    // end-exclusive: the last covered bin is the one holding end - 1us.
+    // FLOOR division, not SQL `div` (which truncates toward zero):
+    // with pre-1970 timestamps truncation would make bin 0 span TWO bin
+    // widths — still correct (bin mapping stays monotone, the exact
+    // predicate re-checks) but the binSeconds sizing/replication
+    // contract would silently degrade around epoch 0. pmod is always
+    // non-negative, so (x - pmod(x, b)) is the exact floor multiple.
+    def fdiv(x: String): String = {
+      val b = s"${binSeconds}000000"
+      s"(($x) - pmod(($x), $b)) div $b"
+    }
     def bins(s: String, e: String) =
       explode(sequence(
-        expr(s"unix_micros(CAST($s AS TIMESTAMP)) div ${binSeconds}000000"),
-        expr(s"(unix_micros(CAST($e AS TIMESTAMP)) - 1) div " +
-          s"${binSeconds}000000")))
+        expr(fdiv(s"unix_micros(CAST($s AS TIMESTAMP))")),
+        expr(fdiv(s"unix_micros(CAST($e AS TIMESTAMP)) - 1"))))
     val lb = left.withColumn("__bin", bins(lStart, lEnd))
     val rb = right.withColumn("__bin", bins(rStart, rEnd))
     lb.join(rb, Seq("__bin"))

@@ -232,6 +232,17 @@ object StreamingOps {
     // distinct name on the right side makes the drop unambiguous under
     // any lineage.
     val rk = s"__r_$key"
+    // Guard rails for the rename strategy (ADVICE r10): the unqualified
+    // join condition below needs the two timestamp names distinct (the
+    // alias-qualified form used to permit lTs == rTs; this one cannot),
+    // and the reserved right-key name must not already exist on the
+    // left or the equi-condition becomes ambiguous at analysis.
+    require(lTs != rTs,
+      s"streamIntervalJoinOuter: left and right timestamp columns must " +
+        s"have distinct names (both are '$lTs'); rename one side first")
+    require(!left.columns.contains(rk),
+      s"streamIntervalJoinOuter: left frame already has a column named " +
+        s"'$rk', which this join reserves for the renamed right key")
     val l = left.withWatermark(lTs, delay)
     val r = right.withWatermark(rTs, delay).withColumnRenamed(key, rk)
     l.join(r,

@@ -315,4 +315,70 @@ class StreamingSpec extends SparkTestBase {
       .as[Long].collect().toSeq.sorted
     assert(out == Seq(1L, 2L, 3L))
   }
+
+  test("custom state survives a checkpoint restart, output exactly-once") {
+    // VERDICT r10 #8: the st-family proves the LOGIC over MemoryStreams;
+    // this proves the RECOVERY contract that makes custom state usable
+    // in production — kill the query mid-stream with an OPEN session in
+    // the state store, restart from the checkpoint, and the recovered
+    // state must (a) merge with post-restart events and (b) emit each
+    // closed session exactly once. If recovery lost the state, the
+    // post-restart event would open a FRESH session (n_events=1) and
+    // the pre-restart session would never emit — both asserted against.
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_ckpt_").toString
+    // file sink, not memory sink: the memory sink rejects checkpoint
+    // recovery outright ("query does not support recovering from
+    // checkpoint location"), while the file sink's _spark_metadata
+    // commit log is the real exactly-once mechanism — a replayed batch
+    // is recorded once, so duplicate rows in the output directory would
+    // be a genuine exactly-once violation, which is what this asserts.
+    val outDir = java.nio.file.Files
+      .createTempDirectory("graft_ckpt_out_").toString
+    val ms = MemoryStream[Ev]
+    def start() = StreamingOps.sessionizeWithState(
+        ms.toDF().withWatermark("ts", "10 minutes"),
+        "user_id", "ts", gapSeconds = 1800L, emitOpen = false)
+      .writeStream.format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+
+    // phase 1: two under-gap events open ONE session for user 1; the
+    // watermark (10:20 - 10min) is far from its timeout, so NOTHING is
+    // emitted and the open session exists only in the state store when
+    // the query is stopped.
+    val q1 = start()
+    try {
+      ms.addData(
+        Ev(1, t("2024-01-01 10:05:00"), 1, 10.0),
+        Ev(2, t("2024-01-01 10:20:00"), 1, 20.0))
+      q1.processAllAvailable()
+    } finally q1.stop()
+
+    // phase 2: restart from the checkpoint. A 35min-later event (>= the
+    // 30min gap) must CLOSE the recovered session — with n_events=2,
+    // provable only if both pre-restart events survived in state — and
+    // open a new one, which the watermark-advancing sentinel then
+    // times out.
+    val q2 = start()
+    try {
+      ms.addData(Ev(3, t("2024-01-01 10:55:00"), 1, 30.0))
+      q2.processAllAvailable()
+      ms.addData(Ev(99, t("2024-01-02 12:00:00"), 9, 0.0))
+      q2.processAllAvailable()
+    } finally q2.stop()
+
+    // Seq, not Set: a replayed batch double-emitting the closed session
+    // must fail the exactly-once claim, and a Set would mask it.
+    val out = spark.read.parquet(outDir)
+      .filter("user_id != 9") // the sentinel's own session stays open
+      .as[(Long, Timestamp, Timestamp, Long)].collect().toSeq
+      .sortBy(_._2.getTime)
+    assert(out == Seq(
+      (1L, t("2024-01-01 10:05:00"), t("2024-01-01 10:50:00"), 2L),
+      (1L, t("2024-01-01 10:55:00"), t("2024-01-01 11:25:00"), 1L)),
+      s"recovered-state sessions wrong: $out")
+  }
 }
