@@ -151,6 +151,37 @@ object QueriesEvents {
           unix_timestamp(col("v_ts"))) / 3600L).cast("long")
           .as("lag_hours"))
         .groupBy("lag_hours").agg(count(lit(1)).as("n_users"))
+    }),
+
+    // Batch sessionization: split each user's timeline into sessions at
+    // >30-minute silence gaps (the st3 session-window semantics, batch
+    // form) — session id is the running count of gap-boundaries, so it
+    // is stable under re-partitioning and appends-in-order. Shape: ONE
+    // window shuffle on user_id carries both the lag and the running
+    // sum (same partitioning, no second exchange), then a hash agg on
+    // (user, session) — the linear per-user-stream movement; never an
+    // event×event self-join. Ties in ts broken by event_id (unique) so
+    // the lag is deterministic. Duration is an exact truncated-second
+    // integer on both engines.
+    "e6_sessionize" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val prevTs = lag(col("ts"), 1).over(w)
+      val gapS = unix_timestamp(col("ts")) - unix_timestamp(prevTs)
+      Tables.events(s, d).select(col("user_id"), col("ts"), col("event_id"))
+        .withColumn("is_new",
+          when(prevTs.isNull || gapS > 1800L, lit(1L)).otherwise(lit(0L)))
+        .withColumn("session_idx", sum(col("is_new")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("session_idx"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("ts")).as("session_start"),
+          max(col("ts")).as("session_end"))
+        .select(col("user_id"), col("session_idx"), col("n_events"),
+          col("session_start"), col("session_end"),
+          (unix_timestamp(col("session_end")) -
+            unix_timestamp(col("session_start"))).as("duration_s"))
     })
   )
 
@@ -231,6 +262,26 @@ object QueriesEvents {
         |SELECT date_diff('second', v.v_ts, p.p_ts) // 3600 AS lag_hours,
         |  count(*) AS n_users
         |FROM p JOIN v ON p.user_id = v.user_id
-        |GROUP BY 1""".stripMargin
+        |GROUP BY 1""".stripMargin,
+    // Mirrors e6: lag + running-sum boundary count in one window chain,
+    // date_diff('second') = Spark's truncated-second unix_timestamp
+    // difference.
+    "e6_sessionize" ->
+      """WITH g AS (SELECT user_id, ts, event_id,
+        |  date_diff('second',
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+        |    ts) AS gap_s
+        |  FROM events),
+        |s AS (SELECT user_id, ts,
+        |  sum(CASE WHEN gap_s IS NULL OR gap_s > 1800 THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS session_idx
+        |  FROM g)
+        |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+        |  count(*) AS n_events,
+        |  min(ts) AS session_start, max(ts) AS session_end,
+        |  date_diff('second', min(ts), max(ts)) AS duration_s
+        |FROM s GROUP BY user_id, session_idx""".stripMargin
   )
 }

@@ -128,6 +128,30 @@ object QueriesFunctions {
         col("l_orderkey"), col("l_linenumber"),
         z.as("zval"),
         shiftright(z, 22).as("zbucket"))
+    }),
+
+    // Higher-order array-function battery over the embedding vectors:
+    // transform / filter / exists / forall / reverse / aggregate — the
+    // lambda toolkit that keeps per-row array logic INSIDE codegen
+    // instead of leaking into UDFs (the whole f-family's reason to
+    // exist). All folds are strict left-to-right over float→double
+    // widened elements (the v-family discipline), so both engines
+    // produce bit-identical sums before the 6dp output rounding; the
+    // reversed-self dot product exercises index-aligned two-array
+    // folding (zip_with shape) the same way the ANN kernels do. Pure
+    // narrow projection — zero shuffle at any scale.
+    "f9_higher_order" -> ((s, d) => {
+      val v = transform(col("embedding"), x => x.cast("double"))
+      val rv = reverse(v)
+      Tables.embeddings(s, d).select(
+        col("vec_id"),
+        size(filter(v, x => x > 0)).cast("long").as("n_pos"),
+        exists(v, x => x > lit(2.0)).as("has_big"),
+        forall(v, x => abs(x) < lit(10.0)).as("bounded"),
+        round(aggregate(v, lit(0.0), (a, x) => a + x * x), 6)
+          .as("sum_sq"),
+        round(aggregate(zip_with(v, rv, (a, b) => a * b), lit(0.0),
+          (a, x) => a + x), 6).as("dot_rev"))
     })
   )
 
@@ -211,7 +235,26 @@ object QueriesFunctions {
          |FROM (SELECT l_orderkey, l_linenumber,
          |  ${zSql("(l_partkey & 65535)", "(l_suppkey & 65535)", 16)}
          |    AS zval
-         |  FROM lineitem)""".stripMargin
+         |  FROM lineitem)""".stripMargin,
+    // f9: identical strict left folds over the double-widened list
+    // (the v-family list_reduce idiom); the reversed dot uses indexed
+    // access into list_reverse rather than a struct zip.
+    "f9_higher_order" ->
+      """WITH d AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |r AS (SELECT vec_id, v, list_reverse(v) AS rv FROM d)
+        |SELECT vec_id,
+        |  CAST(len(list_filter(v, x -> x > 0)) AS BIGINT) AS n_pos,
+        |  len(list_filter(v, x -> x > 2.0)) > 0 AS has_big,
+        |  len(list_filter(v, x -> abs(x) >= 10.0)) = 0 AS bounded,
+        |  round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |    list_transform(v, x -> x * x)), (a, x) -> a + x), 6)
+        |    AS sum_sq,
+        |  round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |    list_transform(range(len(v)), i -> v[i+1] * rv[i+1])),
+        |    (a, x) -> a + x), 6) AS dot_rev
+        |FROM r""".stripMargin
   )
 
   /** SQL form of [[graft.operators.RelationalOps.zValue2]]'s bit

@@ -154,6 +154,32 @@ object QueriesProfile {
           .as("r_qty_disc"),
         r(col("s2"), col("s3"), col("q2"), col("q3"), col("p23"))
           .as("r_price_disc"))
+    }),
+
+    // Benford first-digit audit: the leading-digit distribution of
+    // order totals vs Benford's law — the classic synthetic-data /
+    // fraud / unit-mixup detector a profiling pass runs on every
+    // monetary column. The digit is extracted from the STRING form of
+    // the exact integer cents (substr of a cast — no log10/pow round
+    // trip whose libm edge cases at exact powers of ten could disagree
+    // across engines); the expectation log10(1+1/d) is evaluated as
+    // ln-ratio identically on both sides. Shape: one 9-group hash agg
+    // with map-side partials + a broadcast 1-row total — nothing here
+    // changes at 100 TB. (This data is uniform-priced, so the deltas
+    // are LARGE — which is the point: the audit flags it.)
+    "dq7_benford" -> ((s, d) => {
+      val cents = floor(col("o_totalprice") * 100).cast("long")
+      val dig = Tables.orders(s, d)
+        .filter(col("o_totalprice") > 0)
+        .select(substring(cents.cast("string"), 1, 1).cast("long")
+          .as("digit"))
+        .groupBy("digit").agg(count(lit(1)).as("n"))
+      dig.crossJoin(broadcast(dig.agg(sum(col("n")).as("tot"))))
+        .select(col("digit"), col("n"),
+          round(col("n").cast("double") / col("tot").cast("double"), 6)
+            .as("share"),
+          round(log(lit(1.0) + lit(1.0) / col("digit").cast("double")) /
+            log(lit(10.0)), 6).as("benford"))
     })
   )
 
@@ -280,6 +306,19 @@ object QueriesProfile {
          |  ${r("s1", "s3", "q1", "q3", "p13")} AS r_qty_disc,
          |  ${r("s2", "s3", "q2", "q3", "p23")} AS r_price_disc
          |FROM m""".stripMargin
-    }
+    },
+    // dq7: digit from the string form of exact integer cents; the
+    // Benford expectation as the same ln-ratio expression
+    "dq7_benford" ->
+      """WITH g AS (SELECT CAST(substr(CAST(CAST(floor(o_totalprice
+        |      * 100) AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+        |    count(*) AS n
+        |  FROM orders WHERE o_totalprice > 0 GROUP BY 1),
+        |t AS (SELECT sum(n) AS tot FROM g)
+        |SELECT digit, n,
+        |  round(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS share,
+        |  round(ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0), 6)
+        |    AS benford
+        |FROM g, t""".stripMargin
   )
 }

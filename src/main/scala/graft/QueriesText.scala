@@ -193,6 +193,37 @@ object QueriesText {
         Seq(col("tfidf").desc, col("term").asc), 3, rankCol = "rank")
         .select(col("doc_id"), col("term"), col("tf"), col("tfidf"),
           col("rank").cast("long").as("rank"))
+    }),
+
+    // Unigram language-model scoring: per-document mean negative
+    // log-likelihood in nats under the corpus's own unigram
+    // distribution — the classic cheap "perplexity" quality signal
+    // (gibberish and boilerplate score high-NLL / low-NLL outliers
+    // respectively; cf. x20's intra-document entropy, which this
+    // complements with a CORPUS-relative measure). Rides the shared
+    // persisted tf frame (tokenize+count runs once for x8/x21), so the
+    // marginal cost is one vocab-sized aggregate + one term join. At
+    // 100 TB the corpus-frequency side is vocab-sized (Heaps' law:
+    // orders of magnitude smaller than the corpus) — broadcast-able at
+    // moderate vocab, AQE-skew-handled at web vocab; the tf side
+    // shuffles once on term. The per-doc Σ tf·ln(p) uses the x20
+    // sorted-fold discipline (sort the identical doubles, fold left)
+    // so summation order — and therefore the 6dp-rounded hash — is
+    // engine-independent, not just probably-equal.
+    "x21_unigram_lm" -> ((s, d) => {
+      val tf = tfFrame(s, d)
+      val cf = tf.groupBy("term").agg(sum(col("tf")).as("cf"))
+      val tot = cf.agg(sum(col("cf")).as("tot"))
+      val contrib = col("tf").cast("double") *
+        log(col("cf").cast("double") / col("tot").cast("double"))
+      tf.join(cf, Seq("term"))
+        .crossJoin(broadcast(tot))
+        .groupBy("doc_id")
+        .agg(sum(col("tf")).as("n_tokens"),
+          array_sort(collect_list(contrib)).as("cs"))
+        .select(col("doc_id"), col("n_tokens"),
+          round(-aggregate(col("cs"), lit(0.0), (a, x) => a + x) /
+            col("n_tokens").cast("double"), 6).as("avg_nll"))
     })
   ) ++ samplingQueries
 
@@ -230,6 +261,31 @@ object QueriesText {
         Seq(col("h").asc, col("doc_id").asc), 3, rankCol = "rank")
         .select(col("pred_lang"), col("doc_id"), col("h"),
           col("rank").cast("long").as("rank"))
+    }),
+
+    // Weighted sampling without replacement (Efraimidis–Spirakis A-ES):
+    // each doc draws a seeded-hash uniform u ∈ (0,1) and competes on
+    // key = ln(u)/w (monotone in u^(1/w)) with w = n_chars — longer
+    // documents proportionally likelier, yet the draw is a single
+    // GLOBAL top-k with no per-stratum bookkeeping. This is the
+    // standard one-pass distributed weighted sampler (corpus mixing by
+    // size/quality weights): per-partition bounded heaps via
+    // TakeOrderedAndProject, O(k) state, no sort of the corpus, fully
+    // deterministic across engines/reshuffles (the x9 seeded-hash
+    // discipline — never rand()). Selection ranks on the UNROUNDED key
+    // (ties impossible: 60-bit distinct hashes), output rounds to 6dp.
+    "x22_weighted_sample" -> ((s, d) => {
+      val u = (TextOps.md5Prefix60(
+        concat(lit("wsamp:"), col("doc_id").cast("string")))
+        .cast("double") + lit(0.5)) / lit(1.152921504606846976e18)
+      val key = log(u) / col("n_chars").cast("double")
+      val scored = Tables.documents(s, d)
+        .filter(col("n_chars") > 0)
+        .select(col("doc_id"), col("n_chars"), key.as("wkey"))
+      graft.operators.RelationalOps.topKGlobal(scored,
+          Seq(col("wkey").desc, col("doc_id").asc), 200)
+        .select(col("doc_id"), col("n_chars"), round(col("wkey"), 6)
+          .as("wkey"))
     }),
 
     // RAG-style document chunking: 64-token sliding windows at stride
@@ -635,6 +691,38 @@ object QueriesText {
          |      AS postings
          |  FROM e GROUP BY token HAVING count(*) >= $MinDf)
          |SELECT token, df, unnest(postings) AS doc_id FROM g"""
+        .stripMargin,
+    // x21: the x20 sorted-fold discipline on the per-doc log sum —
+    // both engines sort the identical contribution doubles and fold
+    // left, so the rounded mean NLL is order-independent.
+    "x21_unigram_lm" ->
+      s"""WITH t AS (SELECT doc_id, unnest($toksSql) AS term
+         |      FROM documents),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+         |cf AS (SELECT term, sum(tf) AS cf FROM tf GROUP BY 1),
+         |tot AS (SELECT sum(cf) AS tot FROM cf),
+         |g AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+         |      list_sort(list(CAST(tf AS DOUBLE) *
+         |        ln(CAST(cf AS DOUBLE) / CAST(tot AS DOUBLE)))) AS cs
+         |      FROM tf JOIN cf USING (term) CROSS JOIN tot
+         |      GROUP BY doc_id)
+         |SELECT doc_id, n_tokens,
+         |  round(-list_reduce(list_prepend(CAST(0.0 AS DOUBLE), cs),
+         |    (acc, x) -> acc + x) / CAST(n_tokens AS DOUBLE), 6)
+         |    AS avg_nll
+         |FROM g""".stripMargin,
+    // x22: selection ranks on the unrounded A-ES key (60-bit distinct
+    // hashes make ties impossible), output rounds to 6dp.
+    "x22_weighted_sample" ->
+      """WITH h AS (SELECT doc_id, n_chars,
+        |  ln((CAST(CAST(concat('0x', substr(md5(concat('wsamp:',
+        |      CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) AS DOUBLE)
+        |    + 0.5) / 1152921504606846976.0)
+        |    / CAST(n_chars AS DOUBLE) AS wkey
+        |  FROM documents WHERE n_chars > 0),
+        |k AS (SELECT doc_id, n_chars, wkey FROM h
+        |      ORDER BY wkey DESC, doc_id LIMIT 200)
+        |SELECT doc_id, n_chars, round(wkey, 6) AS wkey FROM k"""
         .stripMargin
   )
 }

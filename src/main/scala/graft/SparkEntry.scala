@@ -19,7 +19,8 @@ object SparkEntry {
       QueriesFunctions.queries ++ QueriesSketch.queries ++
       QueriesCuration.queries ++ QueriesEvents.queries ++
       QueriesGraph.queries ++ QueriesTimeseries.queries ++
-      QueriesProfile.queries ++ QueriesSql.queries
+      QueriesProfile.queries ++ QueriesSql.queries ++
+      QueriesStorage.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -30,5 +31,6 @@ object SparkEntry {
       QueriesFunctions.oracle ++ QueriesSketch.oracle ++
       QueriesCuration.oracle ++ QueriesEvents.oracle ++
       QueriesGraph.oracle ++ QueriesTimeseries.oracle ++
-      QueriesProfile.oracle ++ QueriesSql.oracle
+      QueriesProfile.oracle ++ QueriesSql.oracle ++
+      QueriesStorage.oracle
 }

@@ -325,6 +325,35 @@ class PlanAuditSpec extends SparkTestBase {
       s"x8 must read the tf cache on both join branches (got $scans):\n$p")
   }
 
+  test("stor1's bucketed join is exchange-free below the join") {
+    // The property the query exists for: both fact sides read CO-LOCATED
+    // buckets (written bucketBy the join key), so the sort-merge join has
+    // NO exchange under it — the only shuffle in the whole plan is the
+    // final 5-group aggregate. A second Exchange here means the bucketed
+    // layout stopped being recognized (bucketing disabled, bucket spec
+    // mismatch, or the merge hint lost) and the join silently re-pays
+    // the full fact-fact shuffle at every run — the exact cost the
+    // write-time bucketing paid once to remove.
+    val p = plan("stor1_bucketed_join")
+    assert(p.contains("SortMergeJoin"),
+      s"stor1 must sort-merge join the bucketed tables:\n$p")
+    assert("Exchange".r.findAllIn(p).size == 1,
+      s"stor1 must shuffle exactly once (the final agg):\n$p")
+    assert(p.contains("Bucketed: true"),
+      s"stor1's scans must report the bucketed layout:\n$p")
+  }
+
+  test("e6 sessionizes in ONE shuffle: both windows and the agg share it") {
+    // lag + running-sum ride one user_id exchange, and the (user_id,
+    // session_idx) aggregate is satisfied by the same partitioning
+    // (subset rule) — a second exchange means the window chain or the
+    // aggregate stopped sharing the partitioning and the linear
+    // per-user-stream shape broke.
+    val p = plan("e6_sessionize")
+    assert("Exchange".r.findAllIn(p).size == 1,
+      s"e6 must shuffle exactly once:\n$p")
+  }
+
   test("j13's hot key is actually split by AQE's skew-join at runtime") {
     // The demonstration the query exists for (VERDICT r10 #7): after
     // execution, the FINAL adaptive plan must carry a skew-split merge
