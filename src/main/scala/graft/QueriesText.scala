@@ -224,6 +224,34 @@ object QueriesText {
         .select(col("doc_id"), col("n_tokens"),
           round(-aggregate(col("cs"), lit(0.0), (a, x) => a + x) /
             col("n_tokens").cast("double"), 6).as("avg_nll"))
+    }),
+
+    // Bigram conditional LM: per-document mean −ln P(cur|prev) with
+    // P(cur|prev) = c(prev,cur)/c(prev·) from the corpus's own bigram
+    // counts — one order up from x21's unigram surprisal, the cheapest
+    // score that catches WORD-SALAD documents (every unigram common,
+    // every transition rare). Bigrams expand IN-ROW (zip of the token
+    // array with its own tail — no token self-join, no window over an
+    // exploded stream), aggregate once into a persisted per-doc bigram
+    // tf frame, and the two model tables (bigram and prefix counts)
+    // are vocab²-bounded aggregates over it. Same sorted-fold hash
+    // discipline as x20/x21.
+    "x23_bigram_lm" -> ((s, d) => {
+      val tf2 = bg2Frame(s, d)
+      val c2 = tf2.groupBy("bg").agg(sum(col("tf2")).as("c2"))
+      val c1 = c2.withColumn("prev", substring_index(col("bg"), " ", 1))
+        .groupBy("prev").agg(sum(col("c2")).as("c1"))
+      val contrib = col("tf2").cast("double") *
+        log(col("c2").cast("double") / col("c1").cast("double"))
+      tf2.join(c2, Seq("bg"))
+        .withColumn("prev", substring_index(col("bg"), " ", 1))
+        .join(c1, Seq("prev"))
+        .groupBy("doc_id")
+        .agg(sum(col("tf2")).as("n_bigrams"),
+          array_sort(collect_list(contrib)).as("cs"))
+        .select(col("doc_id"), col("n_bigrams"),
+          round(-aggregate(col("cs"), lit(0.0), (a, x) => a + x) /
+            col("n_bigrams").cast("double"), 6).as("avg_nll2"))
     })
   ) ++ samplingQueries
 
@@ -441,6 +469,25 @@ object QueriesText {
     val df = QueriesDedup.docsWithTokens(s, d)
       .select(col("doc_id"), explode(col("toks")).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+      df.persist()
+    else df
+  }
+
+  /** Per-document bigram frequencies, PERSISTED (the tfFrame pattern at
+    * bigram granularity): the in-row zip of the token array with its
+    * own tail expands bigrams without any self-join, and x23's model
+    * tables (c2/c1) plus its per-doc join all read this one
+    * materialization.
+    */
+  private def bg2Frame(s: SparkSession, d: String): DataFrame = {
+    val df = QueriesDedup.docsWithTokens(s, d)
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(zip_with(
+        slice(col("toks"), lit(1), size(col("toks")) - 1),
+        slice(col("toks"), lit(2), size(col("toks")) - 1),
+        (a, b) => concat(a, lit(" "), b))).as("bg"))
+      .groupBy("doc_id", "bg").agg(count(lit(1)).as("tf2"))
     if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
       df.persist()
     else df
@@ -710,6 +757,31 @@ object QueriesText {
          |  round(-list_reduce(list_prepend(CAST(0.0 AS DOUBLE), cs),
          |    (acc, x) -> acc + x) / CAST(n_tokens AS DOUBLE), 6)
          |    AS avg_nll
+         |FROM g""".stripMargin,
+    // x23: the x21 oracle shape at bigram granularity; bigrams from an
+    // indexed zip of the token list with its own tail, prefix counts by
+    // split_part (tokens cannot contain spaces — the tokenizer splits
+    // on them), sorted-fold per-doc log sums.
+    "x23_bigram_lm" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |b AS (SELECT doc_id, unnest(list_transform(range(len(toks)-1),
+         |        i -> toks[i+1] || ' ' || toks[i+2])) AS bg
+         |      FROM t WHERE len(toks) >= 2),
+         |tf2 AS (SELECT doc_id, bg, count(*) AS tf2 FROM b
+         |        GROUP BY 1, 2),
+         |c2 AS (SELECT bg, sum(tf2) AS c2 FROM tf2 GROUP BY 1),
+         |c1 AS (SELECT split_part(bg, ' ', 1) AS prev, sum(c2) AS c1
+         |       FROM c2 GROUP BY 1),
+         |g AS (SELECT doc_id, CAST(sum(tf2) AS BIGINT) AS n_bigrams,
+         |      list_sort(list(CAST(tf2 AS DOUBLE) *
+         |        ln(CAST(c2 AS DOUBLE) / CAST(c1 AS DOUBLE)))) AS cs
+         |      FROM tf2 JOIN c2 USING (bg)
+         |      JOIN c1 ON split_part(bg, ' ', 1) = c1.prev
+         |      GROUP BY doc_id)
+         |SELECT doc_id, n_bigrams,
+         |  round(-list_reduce(list_prepend(CAST(0.0 AS DOUBLE), cs),
+         |    (acc, x) -> acc + x) / CAST(n_bigrams AS DOUBLE), 6)
+         |    AS avg_nll2
          |FROM g""".stripMargin,
     // x22: selection ranks on the unrounded A-ES key (60-bit distinct
     // hashes make ties impossible), output rounds to 6dp.

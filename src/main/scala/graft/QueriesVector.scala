@@ -51,6 +51,21 @@ object QueriesVector {
       VectorOps.bruteForceTopK(p, p.filter(col("id") < 5), 10)
     }),
 
+    // Product-quantization ADC search — the third leg of the
+    // compression story (int8 = v9/v11 keeps 64 bytes/vector; PQ keeps
+    // EIGHT): the corpus is encoded once into 8 one-byte code words
+    // (argmin per 8-dim subspace over a 16-entry seeded codebook), each
+    // probe precomputes its 8×16 distance table and broadcasts it, and
+    // scoring a corpus row is 8 table LOOKUPS — no float kernel on the
+    // scan side, which is what makes ADC the format a 100 TB ANN scan
+    // actually reads. Codebook is md5-seeded (deterministic,
+    // oracle-reproducible); production would train it with v7's
+    // per-subspace k-means on the identical encode/ADC shape.
+    "v14_pq_adc" -> ((s, d) => {
+      val p = prep(s, d)
+      VectorOps.pqTopK(p, p.filter(col("id") < 5), 8, 16, Dim, 5)
+    }),
+
     // ANN: probes meet corpus vectors sharing ANY of 6 band buckets
     // (2 sign bits each, OR-amplified — the same banding as v5), exact
     // top-5 over the deduped candidates. v8 measures this operating
@@ -365,6 +380,49 @@ object QueriesVector {
          |  SELECT *, row_number() OVER (PARTITION BY id_q
          |    ORDER BY cos DESC, id_n) AS rank FROM p)
          |WHERE rank <= 10""".stripMargin,
+    // v14: codebook rebuilt from the md5 formula as a 128-entry flat
+    // list (index sv*16+cv+1); `dls` is the shared encode/ADC distance
+    // kernel — identical left folds to the Spark side, so code words
+    // and ADC sums are bit-equal before the 6dp rounding
+    "v14_pq_adc" ->
+      """WITH d AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |grid AS (SELECT s.sv AS sv, c.cv AS cv, j.jv AS jv,
+        |    CAST(CAST(concat('0x', substr(md5(concat('pq',
+        |      CAST(s.sv AS VARCHAR), ':', CAST(c.cv AS VARCHAR), ':',
+        |      CAST(j.jv AS VARCHAR))), 1, 15)) AS BIGINT) AS DOUBLE)
+        |      / 576460752303423488.0 - 1.0 AS comp
+        |  FROM range(8) s(sv), range(16) c(cv), range(8) j(jv)),
+        |cbv AS (SELECT sv, cv, list(comp ORDER BY jv) AS cvec
+        |  FROM grid GROUP BY sv, cv),
+        |cb AS (SELECT list(cvec ORDER BY sv, cv) AS flat FROM cbv),
+        |dls AS (SELECT vec_id,
+        |    list_transform(range(8), s ->
+        |      list_transform(range(16), c ->
+        |        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |          list_transform(range(8), j ->
+        |            (v[s*8+j+1] - flat[s*16+c+1][j+1])
+        |            * (v[s*8+j+1] - flat[s*16+c+1][j+1]))),
+        |          (a, x) -> a + x))) AS dl
+        |  FROM d CROSS JOIN cb),
+        |enc AS (SELECT vec_id,
+        |    list_transform(dl, l -> list_position(l, list_min(l)) - 1)
+        |      AS codes
+        |  FROM dls),
+        |pt AS (SELECT vec_id AS id_q, dl AS dtab FROM dls
+        |  WHERE vec_id < 5),
+        |p AS (SELECT pt.id_q, e.vec_id AS id_n,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list_transform(range(8), s -> dtab[s+1][codes[s+1]+1])),
+        |      (a, x) -> a + x) AS ad2
+        |  FROM enc e, pt WHERE e.vec_id <> pt.id_q),
+        |r AS (SELECT id_q, id_n, ad2,
+        |    row_number() OVER (PARTITION BY id_q ORDER BY ad2, id_n)
+        |      AS rank
+        |  FROM p)
+        |SELECT id_q, id_n, round(ad2, 6) AS ad2, rank FROM r
+        |WHERE rank <= 5""".stripMargin,
     "v6_hybrid_topk" ->
       s"""WITH $preparedSql,
          |e AS (SELECT n.* FROM n JOIN documents

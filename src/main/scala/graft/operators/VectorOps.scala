@@ -333,6 +333,77 @@ object VectorOps {
         round(-col("best.negcos"), 6).as("cos"))
   }
 
+  // ---- Product quantization (ADC search over compressed codes) -------
+
+  /** Deterministic PQ codebook component in [-1, 1): md5-derived like
+    * [[planeComponent]], keyed "pq<sub>:<code>:<dim>" — a constant per
+    * cell, computed driver-side from a formula the oracle reproduces in
+    * SQL. (A production codebook comes from per-subspace k-means — v7
+    * has the trainer; a fixed seeded codebook keeps the query
+    * hash-checkable while exercising the identical encode/ADC shape.)
+    */
+  def pqComponent(sub: Int, code: Int, dim: Int): Double = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"pq$sub:$code:$dim".getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString.substring(0, 15)
+    java.lang.Long.parseLong(hex, 16).toDouble / (1L << 59).toDouble - 1.0
+  }
+
+  /** Per-subspace squared distances to every codebook entry:
+    * dists[s][c] = ||v_sub(s) − cb(s)(c)||², the shared kernel of both
+    * PQ encode (argmin per row over the corpus) and the per-probe ADC
+    * table (the same array, looked up instead of minimized). One narrow
+    * projection over codebook LITERALS — subs·codes·subDim fused
+    * multiply-adds per row inside codegen, zero shuffle.
+    */
+  def pqDistances(v: Column, subs: Int, codes: Int, dim: Int): Column = {
+    val subDim = dim / subs
+    array((0 until subs).map { s =>
+      array((0 until codes).map { c =>
+        val cb = array((0 until subDim)
+          .map(j => lit(pqComponent(s, c, j))): _*)
+        euclid2(slice(v, s * subDim + 1, subDim), cb)
+      }: _*)
+    }: _*)
+  }
+
+  /** PQ code word per subspace: index of the exact minimum distance
+    * (array_position of array_min — first match, so ties break to the
+    * LOWEST code on both engines). 0-based, `codes ≤ 256` → one byte
+    * per subspace: the corpus representation ADC scans is subs bytes
+    * per vector (32× smaller than the float32 rows here).
+    */
+  def pqEncode(dists: Column): Column =
+    transform(dists, dl =>
+      (array_position(dl, array_min(dl)) - 1).cast("int"))
+
+  /** Asymmetric-distance (ADC) top-k over PQ codes: the corpus is
+    * encoded ONCE to subs-byte code rows; each probe precomputes its
+    * subs×codes distance table and is broadcast; scoring a corpus row
+    * is subs table LOOKUPS folded left in subspace order (no float
+    * kernel on the scan side — the property that makes ADC the 100 TB
+    * scan format). Approximate distance ties (identical code rows)
+    * break by id_n; the fold order is fixed so both engines produce
+    * bit-identical sums.
+    */
+  def pqTopK(corpus: DataFrame, probes: DataFrame, subs: Int,
+      codes: Int, dim: Int, k: Int): DataFrame = {
+    val enc = corpus.select(col("id").as("id_n"),
+      pqEncode(pqDistances(col("v"), subs, codes, dim)).as("codes"))
+    val ptab = probes.select(col("id").as("id_q"),
+      pqDistances(col("v"), subs, codes, dim).as("dtab"))
+    val ad2 = aggregate(sequence(lit(0), lit(subs - 1)), lit(0.0),
+      (a, s) => a + element_at(element_at(col("dtab"), s + 1),
+        element_at(col("codes"), s + 1) + 1))
+    val joined = enc.crossJoin(broadcast(ptab))
+      .filter(col("id_q") =!= col("id_n"))
+      .select(col("id_q"), col("id_n"), ad2.as("ad2"))
+    RelationalOps.topKPerGroup(joined, Seq("id_q"),
+        Seq(col("ad2").asc, col("id_n").asc), k, rankCol = "rank")
+      .select(col("id_q"), col("id_n"), round(col("ad2"), 6).as("ad2"),
+        col("rank").cast("long").as("rank"))
+  }
+
   // ---- Lloyd k-means (iterative clustering, bit-reproducible) ---------
 
   /** Squared Euclidean distance via the same index-ordered left fold as

@@ -381,4 +381,54 @@ class StreamingSpec extends SparkTestBase {
       (1L, t("2024-01-01 10:55:00"), t("2024-01-01 11:25:00"), 1L)),
       s"recovered-state sessions wrong: $out")
   }
+
+  test("foreachBatch merge-upsert is idempotent under batch replay") {
+    // The production sink pattern a CDC stream feeds: each micro-batch
+    // MERGES into a keyed latest-value table (last writer by (ts,
+    // event_id) wins). foreachBatch delivers AT-LEAST-ONCE — after a
+    // crash between sink commit and checkpoint commit, the same batch
+    // is re-applied — so the merge must be idempotent: re-applying a
+    // batch already in the table must leave it unchanged. That is the
+    // property asserted here, by literally re-running the final batch.
+    // The merge materializes via localCheckpoint BEFORE overwriting the
+    // table dir (an overwrite that lazily re-reads its own input reads
+    // zero files), and keeps latest-per-key with one argmax window —
+    // the cdc3 shape driven from a stream.
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_upsert_").toString + "/tbl"
+    def readTable(): org.apache.spark.sql.DataFrame =
+      if (new java.io.File(dir).exists()) spark.read.parquet(dir)
+      else Seq.empty[Ev].toDF()
+    def merge(batch: org.apache.spark.sql.DataFrame, id: Long): Unit = {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts").desc, col("event_id").desc)
+      val merged = readTable().unionByName(batch)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).drop("rn")
+        .localCheckpoint(true)
+      merged.write.mode("overwrite").parquet(dir)
+    }
+    val ms = MemoryStream[Ev]
+    val q = ms.toDF().writeStream.foreachBatch(merge _)
+      .outputMode("update").start()
+    try {
+      ms.addData(Ev(1, t("2024-01-01 10:00:00"), 1, 10.0),
+        Ev(2, t("2024-01-01 10:00:00"), 2, 5.0))
+      q.processAllAvailable()
+      ms.addData(Ev(3, t("2024-01-01 11:00:00"), 1, 20.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    def snapshot(): Set[(Long, Double)] = readTable()
+      .select(col("user_id"), col("value"))
+      .as[(Long, Double)].collect().toSet
+    val afterStream = snapshot()
+    assert(afterStream == Set((1L, 20.0), (2L, 5.0)),
+      s"latest-per-key merge wrong: $afterStream")
+    // replay the last batch against the committed table: idempotent
+    merge(Seq(Ev(3, t("2024-01-01 11:00:00"), 1, 20.0)).toDF(), 99L)
+    assert(snapshot() == afterStream,
+      "re-applying a delivered batch must not change the table")
+  }
 }

@@ -269,4 +269,35 @@ class VectorOpsSpec extends SparkTestBase {
     assert(residual < 1e-6,
       s"power iteration must converge to an eigenpair (residual $residual)")
   }
+
+  test("PQ: clone shares codes; ADC to a clone is the quantization floor") {
+    // the two plumbing invariants ADC correctness rests on: (1) encode
+    // is a pure function of the vector (a bit-identical clone gets the
+    // identical code row), (2) the ADC lookup-sum against a clone's
+    // codes reproduces exactly Σ_s min_c d2 — the probe's own
+    // quantization error, the floor of the approximate metric. A
+    // broken table index or fold order breaks (2) loudly.
+    val emb = spark.read.parquet(s"$sf001/embeddings.parquet").limit(50)
+    val p = VectorOps.prepared(emb, "vec_id", "embedding")
+    val probe = p.filter(col("id") === 0)
+    val clone = probe.withColumn("id", lit(10000L))
+    def codesOf(df: org.apache.spark.sql.DataFrame): Seq[Int] =
+      df.select(VectorOps.pqEncode(
+          VectorOps.pqDistances(col("v"), 8, 16, 64)).as("codes"))
+        .as[Seq[Int]].collect()(0)
+    val c0 = codesOf(probe)
+    assert(c0 == codesOf(clone))
+    assert(c0.length == 8 && c0.forall(c => c >= 0 && c < 16))
+    val ad2 = VectorOps.pqTopK(clone, probe, 8, 16, 64, 1)
+      .select("ad2").as[Double].collect()(0)
+    val qfloor = probe
+      .select(aggregate(transform(
+          VectorOps.pqDistances(col("v"), 8, 16, 64),
+          dl => array_min(dl)), lit(0.0), (a, x) => a + x).as("f"))
+      .as[Double].collect()(0)
+    val rounded = BigDecimal(qfloor)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(ad2 == rounded,
+      s"ADC(q, clone)=$ad2 must equal the rounded quantization floor $rounded")
+  }
 }
