@@ -164,16 +164,7 @@ object QueriesEvents {
     // the lag is deterministic. Duration is an exact truncated-second
     // integer on both engines.
     "e6_sessionize" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy("user_id")
-        .orderBy(col("ts").asc, col("event_id").asc)
-      val prevTs = lag(col("ts"), 1).over(w)
-      val gapS = unix_timestamp(col("ts")) - unix_timestamp(prevTs)
-      Tables.events(s, d).select(col("user_id"), col("ts"), col("event_id"))
-        .withColumn("is_new",
-          when(prevTs.isNull || gapS > 1800L, lit(1L)).otherwise(lit(0L)))
-        .withColumn("session_idx", sum(col("is_new")).over(
-          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      sessionized(s, d)
         .groupBy(col("user_id"), col("session_idx"))
         .agg(count(lit(1)).as("n_events"),
           min(col("ts")).as("session_start"),
@@ -182,8 +173,47 @@ object QueriesEvents {
           col("session_start"), col("session_end"),
           (unix_timestamp(col("session_end")) -
             unix_timestamp(col("session_start"))).as("duration_s"))
+    }),
+
+    // Session path mining: the ordered event-type sequence of every e6
+    // session, counted corpus-wide — the "what do journeys look like"
+    // complement to e1's fixed funnel (e1 asks about ONE path; e7
+    // surfaces which paths exist and how often). The path assembles
+    // IN-ROW from a sorted struct collect (hour/event_id unique →
+    // deterministic order, the centroidMeans discipline), so the whole
+    // query is e6's single user_id shuffle + one path-sized hash agg +
+    // a bounded top-20 — no sequence self-join at any scale.
+    "e7_session_paths" -> ((s, d) => {
+      val paths = sessionized(s, d)
+        .groupBy(col("user_id"), col("session_idx"))
+        .agg(concat_ws(">", transform(
+          array_sort(collect_list(
+            struct(col("ts"), col("event_id"), col("event_type")))),
+          x => x.getField("event_type"))).as("path"))
+        .groupBy("path").agg(count(lit(1)).as("n_sessions"))
+      graft.operators.RelationalOps.topKGlobal(paths,
+        Seq(col("n_sessions").desc, col("path").asc), 20)
     })
   )
+
+  /** The e6/e7 shared sessionization frame: gap>30min boundaries via
+    * lag + running boundary count, both windows on ONE user_id
+    * exchange (plan-guarded in PlanAuditSpec through e6).
+    */
+  private def sessionized(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val prevTs = lag(col("ts"), 1).over(w)
+    val gapS = unix_timestamp(col("ts")) - unix_timestamp(prevTs)
+    Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"))
+      .withColumn("is_new",
+        when(prevTs.isNull || gapS > 1800L, lit(1L)).otherwise(lit(0L)))
+      .withColumn("session_idx", sum(col("is_new")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
 
   def oracle: Map[String, String] = Map(
     "e1_funnel" ->
@@ -282,6 +312,27 @@ object QueriesEvents {
         |  count(*) AS n_events,
         |  min(ts) AS session_start, max(ts) AS session_end,
         |  date_diff('second', min(ts), max(ts)) AS duration_s
-        |FROM s GROUP BY user_id, session_idx""".stripMargin
+        |FROM s GROUP BY user_id, session_idx""".stripMargin,
+    // e7: e6's session CTEs carrying event_type, path via ordered list
+    // aggregate, unique path string as the top-20 tiebreak
+    "e7_session_paths" ->
+      """WITH g AS (SELECT user_id, ts, event_id, event_type,
+        |  date_diff('second',
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+        |    ts) AS gap_s
+        |  FROM events),
+        |s AS (SELECT user_id, ts, event_id, event_type,
+        |  sum(CASE WHEN gap_s IS NULL OR gap_s > 1800 THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS session_idx
+        |  FROM g),
+        |p AS (SELECT user_id, session_idx,
+        |    array_to_string(list(event_type ORDER BY ts, event_id), '>')
+        |      AS path
+        |  FROM s GROUP BY 1, 2),
+        |c AS (SELECT path, count(*) AS n_sessions FROM p GROUP BY 1)
+        |SELECT path, n_sessions FROM c
+        |ORDER BY n_sessions DESC, path LIMIT 20""".stripMargin
   )
 }

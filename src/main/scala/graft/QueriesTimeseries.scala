@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.operators.TimeseriesOps
 import graft.sources.Tables
@@ -155,6 +155,46 @@ object QueriesTimeseries {
               col("n_days").cast("double")) /
             (col("g_total").cast("double") /
               col("g_days").cast("double")), 6).as("seasonal_index"))
+    }),
+
+    // Holt double-exponential smoothing (level + trend, α=0.5 β=0.3)
+    // with a 3-step forecast — the trend-aware step up from ts4's
+    // flat EWMA. The recursion is inherently sequential per series, so
+    // the scale-honest shape is: gap-fill (ts1's spine), collect each
+    // series' ordered cells into ONE row (series state must fit a row
+    // — the standard constraint of per-series smoothing; series count
+    // ×, not row count), and run the recursion as a strict left fold
+    // over a struct {level, trend} accumulator. Both engines execute
+    // the identical fold on identically-sorted doubles → bit-equal
+    // states before the 6dp rounding; sorting is by the unique hour,
+    // so collect_list's nondeterministic order is irrelevant (the
+    // centroidMeans discipline).
+    "ts8_holt" -> ((s, d) => {
+      val g = TimeseriesOps.gapFillHourly(
+        Tables.events(s, d), "event_type", "ts", "value")
+      val serie = g.groupBy("event_type")
+        .agg(transform(
+          array_sort(collect_list(struct(col("hour"), col("n")))),
+          x => x.getField("n").cast("double")).as("ys"))
+      def lNext(acc: Column, x: Column): Column =
+        lit(0.5) * x + lit(0.5) *
+          (acc.getField("l") + acc.getField("b"))
+      val zero = struct(element_at(col("ys"), 1).as("l"),
+        lit(0.0).as("b"))
+      val st = aggregate(
+        slice(col("ys"), lit(2), size(col("ys")) - 1), zero,
+        (acc, x) => struct(lNext(acc, x).as("l"),
+          (lit(0.3) * (lNext(acc, x) - acc.getField("l")) +
+            lit(0.7) * acc.getField("b")).as("b")))
+      serie.select(col("event_type"),
+        size(col("ys")).cast("long").as("n_cells"),
+        round(st.getField("l"), 6).as("level"),
+        round(st.getField("b"), 6).as("trend"),
+        round(st.getField("l") + st.getField("b"), 6).as("f1"),
+        round(st.getField("l") + lit(2.0) * st.getField("b"), 6)
+          .as("f2"),
+        round(st.getField("l") + lit(3.0) * st.getField("b"), 6)
+          .as("f3"))
     })
   )
 
@@ -349,6 +389,47 @@ object QueriesTimeseries {
         |  round(CAST(n_pairs*sxy - sx*sy AS DOUBLE) /
         |    sqrt(CAST((n_pairs*sxx - sx*sx) * (n_pairs*syy - sy*sy)
         |      AS DOUBLE)), 6) AS r
-        |FROM a""".stripMargin
+        |FROM a""".stripMargin,
+
+    // ts8: ts4's exact gap-fill CTEs, then the identical left fold
+    // with the (level, trend) state packed as a 2-element LIST —
+    // elements wrapped [x, 0] because DuckDB's list_reduce requires
+    // accumulator and element types to match (the prepended seed IS
+    // the accumulator). NOT a struct state: DuckDB 1.0's list_reduce
+    // mis-evaluates multi-field STRUCT accumulators from the second
+    // step on (second field drifts; reproduced standalone), while the
+    // list encoding folds correctly — verified element-by-element
+    // against an independent Python trace of the recursion.
+    "ts8_holt" ->
+      """WITH hourly AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS hour,
+        |    count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |b AS (SELECT date_trunc('hour', min(ts)) AS h0,
+        |        date_trunc('hour', max(ts)) AS h1 FROM events),
+        |spine AS (SELECT event_type,
+        |    unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+        |  FROM (SELECT DISTINCT event_type FROM events), b),
+        |g AS (SELECT s.event_type, s.hour, coalesce(h.n, 0) AS n
+        |      FROM spine s LEFT JOIN hourly h
+        |        ON s.event_type = h.event_type AND s.hour = h.hour),
+        |s2 AS (SELECT event_type,
+        |    list(CAST(n AS DOUBLE) ORDER BY hour) AS ys
+        |  FROM g GROUP BY 1),
+        |f AS (SELECT event_type, ys,
+        |    list_reduce(
+        |      list_prepend([ys[1], CAST(0.0 AS DOUBLE)],
+        |        list_transform(ys[2:],
+        |          x -> [x, CAST(0.0 AS DOUBLE)])),
+        |      (acc, e) -> [0.5 * e[1] + 0.5 * (acc[1] + acc[2]),
+        |        0.3 * (0.5 * e[1] + 0.5 * (acc[1] + acc[2]) - acc[1])
+        |          + 0.7 * acc[2]]) AS st
+        |  FROM s2)
+        |SELECT event_type, CAST(len(ys) AS BIGINT) AS n_cells,
+        |  round(st[1], 6) AS level, round(st[2], 6) AS trend,
+        |  round(st[1] + st[2], 6) AS f1,
+        |  round(st[1] + 2.0 * st[2], 6) AS f2,
+        |  round(st[1] + 3.0 * st[2], 6) AS f3
+        |FROM f""".stripMargin
   )
 }
