@@ -199,8 +199,58 @@ object QueriesSketch {
         .select(col("exact"), col("hll_est"), col("kmv_est"),
           bps(col("hll_est")).as("hll_err_bps"),
           bps(col("kmv_est")).as("kmv_err_bps"))
+    }),
+
+    // Sketch-state materialized view: the MV maintained per group is
+    // the HLL REGISTER TABLE itself (event_type × ≤4096 (bucket, rho)
+    // rows), and a delta refresh is union + max(rho) — never a rescan
+    // of history. This is the crown property of mergeable sketch state
+    // at 100 TB: distinct-count MVs are otherwise UNMAINTAINABLE
+    // incrementally (you cannot subtract or add a distinct count), but
+    // register max is associative/idempotent, so merged(base, delta)
+    // is EXACTLY the sketch of the full stream. The oracle proves that
+    // losslessness: it computes the estimate from ONE pass over the
+    // full data (no cutoff anywhere in its SQL) and the hash must
+    // match the merged two-part build. MV state is O(groups · m);
+    // refresh cost is O(delta) + a groups·m-sized merge.
+    "mv4_sketch_mv" -> ((s, d) => {
+      import graft.operators.TextOps
+      def registers(f: DataFrame => DataFrame): DataFrame = {
+        val h = TextOps.md5Prefix60(
+          concat(lit("hll:"), col("user_id").cast("string")))
+        val w = shiftright(h, SketchOps.HllPrecision)
+        val rho = when(w === 0, lit(49))
+          .otherwise(lit(49) - length(bin(w)).cast("int"))
+        f(Tables.events(s, d))
+          .select(col("event_type"),
+            (h % SketchOps.HllBuckets).as("bucket"), rho.as("rho"))
+          .groupBy("event_type", "bucket").agg(max(col("rho")).as("rho"))
+      }
+      val cut = lit(MvSketchCut).cast("timestamp")
+      val base = registers(_.filter(col("ts") < cut))
+      val delta = registers(_.filter(col("ts") >= cut))
+      val merged = base.unionByName(delta)
+        .groupBy("event_type", "bucket").agg(max(col("rho")).as("rho"))
+      val m = SketchOps.HllBuckets.toDouble
+      val alphaM = 0.7213 / (1.0 + 1.079 / m)
+      val fxScale = (1L << 50).toDouble
+      merged.groupBy("event_type")
+        .agg(count(lit(1)).as("v_present"),
+          sum(expr("shiftleft(CAST(1 AS BIGINT), 50 - rho)"))
+            .as("fx_present"))
+        .select(col("event_type"), col("v_present"),
+          round(lit(alphaM) * lit(m) * lit(m) * lit(fxScale) /
+            (col("fx_present") +
+              (lit(SketchOps.HllBuckets.toLong) - col("v_present")) *
+                lit(1L << 50)).cast("double"), 2).as("estimate"))
     })
   )
+
+  /** mv4's refresh cutoff — mid-window of the 30-day event stream, so
+    * base and delta both carry every group. The ORACLE never sees it:
+    * full-data equality is the lossless-merge proof.
+    */
+  private val MvSketchCut = "2024-01-15 00:00:00"
 
   private val BloomWords = 256
 
@@ -361,6 +411,28 @@ object QueriesSketch {
          |          AS fx_present
          |      FROM r)
          |SELECT round(0.7213 / (1.0 + 1.079 / 4096.0) * 4096.0 * 4096.0
+         |    * 1125899906842624.0
+         |    / CAST(fx_present + (4096 - v_present)
+         |        * (CAST(1 AS BIGINT) << 50) AS DOUBLE), 2) AS estimate
+         |FROM s""".stripMargin,
+    // mv4: ONE full-data pass, no cutoff anywhere — matching the
+    // merged base+delta build proves register-max merge is lossless
+    "mv4_sketch_mv" ->
+      s"""WITH h AS (SELECT event_type, ${h60(
+           "concat('hll:', CAST(user_id AS VARCHAR))")} AS h
+         |           FROM events),
+         |b AS (SELECT event_type, h % 4096 AS bucket, h >> 12 AS w
+         |      FROM h),
+         |r AS (SELECT event_type, bucket,
+         |        max(CASE WHEN w = 0 THEN 49
+         |            ELSE 49 - length(bin(w)) END) AS rho
+         |      FROM b GROUP BY 1, 2),
+         |s AS (SELECT event_type, count(*) AS v_present,
+         |        CAST(sum(CAST(1 AS BIGINT) << (50 - rho)) AS BIGINT)
+         |          AS fx_present
+         |      FROM r GROUP BY 1)
+         |SELECT event_type, v_present,
+         |  round(0.7213 / (1.0 + 1.079 / 4096.0) * 4096.0 * 4096.0
          |    * 1125899906842624.0
          |    / CAST(fx_present + (4096 - v_present)
          |        * (CAST(1 AS BIGINT) << 50) AS DOUBLE), 2) AS estimate
