@@ -325,6 +325,31 @@ class PlanAuditSpec extends SparkTestBase {
       s"x8 must read the tf cache on both join branches (got $scans):\n$p")
   }
 
+  test("v14's ADC scan broadcasts the probe tables — codes never shuffle") {
+    // the PQ promise: the encoded corpus is scanned in place (the
+    // whole point of the 8-byte representation); probes ride in as a
+    // broadcast of 8×16 distance tables. A CartesianProduct or an
+    // exchange of the corpus side means the scan format degraded to a
+    // shuffle of the thing PQ exists to avoid moving.
+    val p = plan("v14_pq_adc")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"v14 must broadcast the probe distance tables:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"v14 must never plan an unbroadcast cartesian:\n$p")
+  }
+
+  test("x21 reads the persisted tf frame on both term-join branches") {
+    // same structural-reuse property as x8: the tf rows AND the cf
+    // aggregate over them must both come from the cache — otherwise
+    // tokenize+explode+count runs once per branch.
+    val df = physical("x21_unigram_lm")
+    df.write.format("noop").mode("overwrite").save()
+    val p = df.queryExecution.executedPlan.toString
+    val scans = "InMemoryTableScan".r.findAllIn(p).size
+    assert(scans >= 2,
+      s"x21 must read the tf cache on both join branches (got $scans):\n$p")
+  }
+
   test("stor1's bucketed join is exchange-free below the join") {
     // The property the query exists for: both fact sides read CO-LOCATED
     // buckets (written bucketBy the join key), so the sort-merge join has
