@@ -156,6 +156,46 @@ object QueriesSql {
           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
           |    AS running
           |FROM orders WHERE o_custkey % 100 = 0""".stripMargin)
+    }),
+
+    // GROUPING SETS as SQL TEXT — g6 drives the same Expand through the
+    // DataFrame API; this is the parser surface (GROUPING SETS clause),
+    // oracle reused verbatim. One shuffle, map-side expand.
+    "sql9_grouping_sets" -> ((s, d) => {
+      sqlSession(s, d, "lineitem").sql(
+        """SELECT l_returnflag, l_linestatus,
+          |  round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+          |FROM lineitem
+          |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+          |  (l_returnflag), ())""".stripMargin)
+    }),
+
+    // Generator + lambda in SQL text: explode over a filtered split —
+    // x5's tokenize-and-count through the SQL front door (oracle
+    // reused). The explode plans the same Generate x5's DataFrame form
+    // gets; the lambda filter stays codegen'd.
+    "sql10_explode_tokens" -> ((s, d) => {
+      sqlSession(s, d, "documents").sql(
+        """SELECT token, count(*) AS cnt
+          |FROM (SELECT explode(filter(split(text, '\\s+'),
+          |    t -> t != '')) AS token FROM documents)
+          |GROUP BY token ORDER BY cnt DESC, token LIMIT 50""".stripMargin)
+    }),
+
+    // Time-based RANGE frame as SQL TEXT (w6's rolling 24 h window,
+    // oracle reused): RANGE BETWEEN 86400 PRECEDING over epoch-second
+    // order keys — the frame clause ROWS cannot express.
+    "sql12_range_frame" -> ((s, d) => {
+      sqlSession(s, d, "events").sql(
+        """SELECT user_id, event_id,
+          |  count(*) OVER w AS n_24h,
+          |  round(CAST(sum(fx) OVER w AS DOUBLE) / 1000000.0, 6)
+          |    AS val_24h
+          |FROM (SELECT user_id, event_id, unix_timestamp(ts) AS sec,
+          |    CAST(floor(value * 1000000) AS BIGINT) AS fx
+          |  FROM events)
+          |WINDOW w AS (PARTITION BY user_id ORDER BY sec
+          |  RANGE BETWEEN 86400 PRECEDING AND CURRENT ROW)""".stripMargin)
     })
   )
 
@@ -198,6 +238,9 @@ object QueriesSql {
         |    ORDER BY o_orderkey
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
         |    AS running
-        |FROM orders WHERE o_custkey % 100 = 0""".stripMargin
+        |FROM orders WHERE o_custkey % 100 = 0""".stripMargin,
+    "sql9_grouping_sets" -> QueriesRelational.oracle("g6_grouping_sets"),
+    "sql10_explode_tokens" -> QueriesText.oracle("x5_vocab_topk"),
+    "sql12_range_frame" -> QueriesRelational.oracle("w6_range_frame")
   )
 }
