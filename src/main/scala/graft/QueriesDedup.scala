@@ -101,6 +101,19 @@ object QueriesDedup {
     // inverted index (df-capped) -> candidate pairs -> exact Jaccard >= 0.8.
     "d2_jaccard_pairs" -> ((s, d) => verifiedPairs(s, d)),
 
+    // Prefix-filter set-similarity join (PPJoin discipline) at J >= 0.7:
+    // the LOSSLESS candidate generator — documents bucket-join only on
+    // the rarest n-ceil(0.7n)+1 of their globally-rarity-ordered
+    // shingles, and the prefix-filter theorem guarantees every true
+    // pair still collides (where d2's df-cap trades stopword-only
+    // pairs away and d3's banding trades recall probabilistically).
+    // All gates in exact integer arithmetic; rides the shared shingle
+    // cache.
+    "d17_prefix_filter" -> ((s, d) => {
+      DedupOps.prefixFilterPairs(docsWithShingles(s, d), "doc_id", "sh",
+        7, 10, maxBucket = 1000L)
+    }),
+
     // MinHash(16) + LSH(4 bands x 4 rows): candidate pairs via equi-join
     // on band signatures. Signatures are computed in one narrow projection
     // (no explode until the 4 band rows).
@@ -309,6 +322,39 @@ object QueriesDedup {
          |FROM (SELECT doc_id, $toksSql AS toks FROM documents)
          |GROUP BY 1""".stripMargin,
     "d2_jaccard_pairs" -> s"WITH $d2Ctes\n$d2Select",
+    // d17: d2's tokenize/shingle/index CTEs (t, s, e0, e), then the
+    // prefix chain — rarity order via list(s ORDER BY df, s), integer
+    // ceil prefix length, bucket cap, length filter, exact verify.
+    "d17_prefix_filter" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |s AS (SELECT doc_id, $sh3Sql AS sh FROM t),
+         |e0 AS (SELECT doc_id AS id, CAST(len(sh) AS BIGINT) AS n,
+         |      unnest(sh) AS sh_s FROM s),
+         |e AS (SELECT id, n, ${h60("concat('sh:', sh_s)")} AS s
+         |      FROM e0),
+         |dfg AS (SELECT s, count(*) AS df FROM e GROUP BY s),
+         |r AS (SELECT id, n, list(e.s ORDER BY df, e.s) AS sorted
+         |      FROM e JOIN dfg USING (s) WHERE n > 0 GROUP BY id, n),
+         |pre AS (SELECT id, n,
+         |      unnest(list_slice(sorted, 1,
+         |        CAST(n - (n * 7 + 9) // 10 + 1 AS INTEGER))) AS s
+         |      FROM r),
+         |ok AS (SELECT s FROM pre GROUP BY s HAVING count(*) <= 1000),
+         |pc AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+         |      a.n AS n_a, b.n AS n_b
+         |      FROM pre a JOIN pre b ON a.s = b.s AND a.id < b.id
+         |      JOIN ok ON a.s = ok.s
+         |      WHERE a.n * 10 >= b.n * 7 AND b.n * 10 >= a.n * 7),
+         |p AS (SELECT pc.id_a, pc.id_b, pc.n_a, pc.n_b,
+         |      count(*) AS inter
+         |      FROM pc
+         |      JOIN e ea ON ea.id = pc.id_a
+         |      JOIN e eb ON eb.id = pc.id_b AND eb.s = ea.s
+         |      GROUP BY 1, 2, 3, 4)
+         |SELECT id_a, id_b, inter,
+         |  round(inter / CAST(n_a + n_b - inter AS DOUBLE), 6)
+         |    AS jaccard
+         |FROM p WHERE inter * 17 >= (n_a + n_b) * 7""".stripMargin,
     "d8_decontaminate" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
          |s AS (SELECT doc_id, $sh3Sql AS sh FROM t),

@@ -200,6 +200,72 @@ object DedupOps {
       .agg(count(lit(1)).as("inter"))
   }
 
+  /** Prefix-filter set-similarity self-join — the PPJoin candidate
+    * discipline, the third candidate generator beside the df-capped
+    * full index ([[jaccardPairs]]) and MinHash banding: order every
+    * document's distinct shingles by ONE global rarity order (df asc,
+    * hash asc), keep only the first `n − ceil(t·n) + 1` of them, and
+    * bucket-join on those prefixes. The prefix-filter theorem makes
+    * this LOSSLESS: two sets with Jaccard ≥ t must share at least one
+    * element inside both prefixes — so unlike the df-cap (which drops
+    * stopword shingles and with them any pair relying solely on them),
+    * pruning here costs no recall, while candidate volume shrinks to
+    * the rare-element collisions (prefixes are rarest-first BY
+    * CONSTRUCTION, so buckets are small where it matters). The length
+    * pre-filter (t·max ≤ min, exact integers) kills cross-size pairs
+    * before the verify join.
+    *
+    * Threshold is the exact fraction `tNum/tDen`; every gate — prefix
+    * length (integer ceil via div), length filter, and the final
+    * Jaccard test `inter·(tDen+tNum) ≥ tNum·(n_a+n_b)` — is integer
+    * arithmetic, so both engines cut identically. `maxBucket` caps the
+    * in-row pair fan-out (the house df-cap discipline; mirrored by the
+    * oracle).
+    *
+    * Shape: shingle-df hash-agg → per-doc sort+slice (in-row) →
+    * bucket hash-agg with in-row a<b expansion → distinct candidates →
+    * two equi-joins against the shingle index to count exact
+    * intersections. No doc×doc stage anywhere.
+    */
+  def prefixFilterPairs(docs: DataFrame, idCol: String, shCol: String,
+      tNum: Int, tDen: Int, maxBucket: Long = 1000L): DataFrame = {
+    require(tNum > 0 && tDen > tNum, s"threshold must be in (0,1): $tNum/$tDen")
+    val e = shingleIndex(docs, idCol, shCol).filter(col("n") > 0)
+    val dfG = e.groupBy("s").agg(count(lit(1)).as("df"))
+    val ranked = e.join(dfG, Seq("s"))
+      .groupBy("id", "n")
+      .agg(transform(array_sort(collect_list(struct(col("df"), col("s")))),
+        x => x.getField("s")).as("sorted"))
+    val prefLen = (col("n") -
+      expr(s"(n * $tNum + $tDen - 1) div $tDen") + 1).cast("int")
+    val pre = ranked.select(col("id"), col("n"),
+      explode(slice(col("sorted"), lit(1), prefLen)).as("s"))
+    val buckets = pre.groupBy("s")
+      .agg(collect_list(struct(col("id"), col("n"))).as("ds"))
+      .filter(size(col("ds")) <= maxBucket)
+      .select(array_sort(col("ds")).as("ds"))
+    val cand = buckets
+      .select(col("ds"), explode(col("ds")).as("a"))
+      .select(col("a"), explode(col("ds")).as("b"))
+      .filter(col("a.id") < col("b.id"))
+      // t·max ≤ min, both directions in exact integers
+      .filter(col("a.n") * lit(tDen) >= col("b.n") * lit(tNum) &&
+        col("b.n") * lit(tDen) >= col("a.n") * lit(tNum))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    val ea = e.select(col("id").as("id_a"), col("n").as("n_a"), col("s"))
+    val eb = e.select(col("id").as("id_b"), col("n").as("n_b"), col("s"))
+    cand.join(ea, Seq("id_a")).join(eb, Seq("id_b", "s"))
+      .groupBy("id_a", "id_b", "n_a", "n_b")
+      .agg(count(lit(1)).as("inter"))
+      .filter(col("inter") * lit(tDen + tNum) >=
+        (col("n_a") + col("n_b")) * lit(tNum))
+      .select(col("id_a"), col("id_b"), col("inter"),
+        round(col("inter") /
+          (col("n_a") + col("n_b") - col("inter")).cast("double"), 6)
+          .as("jaccard"))
+  }
+
   /** Connected components over an undirected pair list (the last step of
     * every near-dup pipeline: verified pairs → dedup clusters → keep one
     * canonical doc per cluster). Min-label propagation: every node starts

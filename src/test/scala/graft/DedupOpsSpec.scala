@@ -299,4 +299,29 @@ class DedupOpsSpec extends SparkTestBase {
     // cluster must exist (someone is dropped)
     assert(out.exists(_._3 == 0L), "no document was ever dropped")
   }
+
+  test("prefixFilterPairs is lossless: equals the brute-force pair set") {
+    // the prefix-filter theorem's claim, checked against an
+    // independent driver-side brute force over every doc pair of a
+    // real 150-doc corpus: at J >= 0.7 the bucket-pruned join must
+    // find EXACTLY the true pair set (no cap in play at this size) —
+    // the property that separates it from the df-cap (drops
+    // stopword-only pairs) and LSH banding (probabilistic recall).
+    val real = spark.read.parquet(s"$sf001/documents.parquet").limit(150)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        DedupOps.shingleHashes(col("toks"), 3).as("sh"))
+    val got = DedupOps.prefixFilterPairs(real, "doc_id", "sh", 7, 10)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val sets = real.as[(Long, Seq[Long])].collect()
+      .map { case (id, sh) => id -> sh.toSet }.filter(_._2.nonEmpty)
+    val expected = (for {
+      (a, sa) <- sets; (b, sb) <- sets if a < b
+      inter = (sa & sb).size
+      if inter * 17 >= (sa.size + sb.size) * 7
+    } yield (a, b)).toSet
+    assert(expected.nonEmpty, "fixture corpus must contain near-dups")
+    assert(got == expected,
+      s"prefix filter missed ${expected -- got} / extra ${got -- expected}")
+  }
 }
