@@ -175,6 +175,32 @@ object QueriesEvents {
             unix_timestamp(col("session_start"))).as("duration_s"))
     }),
 
+    // Full cohort retention matrix — e2's single day-7 probe widened to
+    // every (cohort_day, age) cell: users grouped by first-activity
+    // day, counted on each later active day at age = day − cohort_day.
+    // The (user, day) frame is already distinct, and age is a function
+    // of (user, day), so the cell count is exactly "distinct users from
+    // cohort c active at age a" with a plain count(*) — no
+    // count-distinct Expand. Shape: one per-user min agg + one
+    // equi-join on user_id + one (cohort, age)-sized hash agg; rates
+    // are exact-rational divisions rounded at output.
+    "e8_cohort_matrix" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      val first = ev.groupBy("user_id").agg(min(col("day")).as("cohort_day"))
+      val size = first.groupBy("cohort_day")
+        .agg(count(lit(1)).as("cohort_size"))
+      first.join(ev, "user_id")
+        .select(col("cohort_day"),
+          datediff(col("day"), col("cohort_day")).cast("long").as("age"))
+        .groupBy("cohort_day", "age").agg(count(lit(1)).as("n_active"))
+        .join(size, Seq("cohort_day"))
+        .select(col("cohort_day"), col("age"), col("n_active"),
+          col("cohort_size"),
+          round(col("n_active").cast("double") /
+            col("cohort_size").cast("double"), 6).as("rate"))
+    }),
+
     // Session path mining: the ordered event-type sequence of every e6
     // session, counted corpus-wide — the "what do journeys look like"
     // complement to e1's fixed funnel (e1 asks about ONE path; e7
@@ -313,6 +339,21 @@ object QueriesEvents {
         |  min(ts) AS session_start, max(ts) AS session_end,
         |  date_diff('second', min(ts), max(ts)) AS duration_s
         |FROM s GROUP BY user_id, session_idx""".stripMargin,
+    "e8_cohort_matrix" ->
+      """WITH ev AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+        |            FROM events),
+        |f AS (SELECT user_id, min(day) AS cohort_day FROM ev GROUP BY 1),
+        |sz AS (SELECT cohort_day, count(*) AS cohort_size FROM f
+        |       GROUP BY 1),
+        |m AS (SELECT f.cohort_day,
+        |      CAST(ev.day - f.cohort_day AS BIGINT) AS age,
+        |      count(*) AS n_active
+        |      FROM f JOIN ev ON f.user_id = ev.user_id
+        |      GROUP BY 1, 2)
+        |SELECT m.cohort_day, m.age, m.n_active, sz.cohort_size,
+        |  round(CAST(m.n_active AS DOUBLE)
+        |    / CAST(sz.cohort_size AS DOUBLE), 6) AS rate
+        |FROM m JOIN sz ON m.cohort_day = sz.cohort_day""".stripMargin,
     // e7: e6's session CTEs carrying event_type, path via ordered list
     // aggregate, unique path string as the top-20 tiebreak
     "e7_session_paths" ->

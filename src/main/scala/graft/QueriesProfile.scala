@@ -156,6 +156,42 @@ object QueriesProfile {
           .as("r_price_disc"))
     }),
 
+    // Population Stability Index — the distribution-drift monitor that
+    // completes dq3 (which tracks cardinality drift): order totals
+    // bucketed into 10 fixed-width bins, the old/new period shares
+    // compared via PSI's per-bucket term (p_new − p_old)·ln(p_new/p_old)
+    // with Laplace +1 smoothing so empty buckets stay finite and the
+    // ratios stay exact rationals. The industry decision thresholds
+    // (<0.1 stable, >0.25 shifted) apply to the SUM of these rows.
+    // Both periods count in ONE scan (conditional sums, map-side
+    // partials), the 0–9 spine guarantees every bucket a row, and the
+    // 10-row math is driver-trivial at any data scale — the whole cost
+    // is the single pass over orders.
+    "dq8_psi" -> ((s, d) => {
+      val cut = lit(QueriesRelational.CdcCutOld).cast("timestamp")
+      val b = least(lit(9L),
+        floor(col("o_totalprice") / 60000.0).cast("long"))
+      val counts = Tables.orders(s, d)
+        .select(b.as("bucket"), (col("o_orderdate") < cut).as("is_old"))
+        .groupBy("bucket")
+        .agg(sum(when(col("is_old"), 1L).otherwise(0L)).as("n_old"),
+          sum(when(!col("is_old"), 1L).otherwise(0L)).as("n_new"))
+      val spine = s.range(10).select(col("id").as("bucket"))
+      val g = spine.join(counts, Seq("bucket"), "left")
+        .select(col("bucket"),
+          coalesce(col("n_old"), lit(0L)).as("n_old"),
+          coalesce(col("n_new"), lit(0L)).as("n_new"))
+      val tot = g.agg(sum(col("n_old")).as("t_old"),
+        sum(col("n_new")).as("t_new"))
+      val po = (col("n_old") + 1).cast("double") /
+        (col("t_old") + 10).cast("double")
+      val pn = (col("n_new") + 1).cast("double") /
+        (col("t_new") + 10).cast("double")
+      g.crossJoin(broadcast(tot))
+        .select(col("bucket"), col("n_old"), col("n_new"),
+          round((pn - po) * log(pn / po), 6).as("psi_term"))
+    }),
+
     // Benford first-digit audit: the leading-digit distribution of
     // order totals vs Benford's law — the classic synthetic-data /
     // fraud / unit-mixup detector a profiling pass runs on every
@@ -306,6 +342,31 @@ object QueriesProfile {
          |  ${r("s1", "s3", "q1", "q3", "p13")} AS r_qty_disc,
          |  ${r("s2", "s3", "q2", "q3", "p23")} AS r_price_disc
          |FROM m""".stripMargin
+    },
+    // dq8: same one-scan conditional counts, 0-9 spine via range(10),
+    // Laplace-smoothed shares, identical ln-ratio term
+    "dq8_psi" -> {
+      val cut = s"TIMESTAMP '${QueriesRelational.CdcCutOld}'"
+      s"""WITH c AS (SELECT least(9, CAST(floor(o_totalprice / 60000.0)
+         |      AS BIGINT)) AS bucket,
+         |    o_orderdate < $cut AS is_old
+         |  FROM orders),
+         |k AS (SELECT bucket,
+         |    sum(CASE WHEN is_old THEN 1 ELSE 0 END) AS n_old,
+         |    sum(CASE WHEN is_old THEN 0 ELSE 1 END) AS n_new
+         |  FROM c GROUP BY 1),
+         |g AS (SELECT sp.bucket, coalesce(k.n_old, 0) AS n_old,
+         |    coalesce(k.n_new, 0) AS n_new
+         |  FROM range(10) sp(bucket) LEFT JOIN k USING (bucket)),
+         |t AS (SELECT sum(n_old) AS t_old, sum(n_new) AS t_new FROM g)
+         |SELECT bucket, CAST(n_old AS BIGINT) AS n_old,
+         |  CAST(n_new AS BIGINT) AS n_new,
+         |  round((CAST(n_new + 1 AS DOUBLE) / CAST(t_new + 10 AS DOUBLE)
+         |    - CAST(n_old + 1 AS DOUBLE) / CAST(t_old + 10 AS DOUBLE))
+         |    * ln((CAST(n_new + 1 AS DOUBLE) / CAST(t_new + 10 AS DOUBLE))
+         |      / (CAST(n_old + 1 AS DOUBLE)
+         |        / CAST(t_old + 10 AS DOUBLE))), 6) AS psi_term
+         |FROM g, t""".stripMargin
     },
     // dq7: digit from the string form of exact integer cents; the
     // Benford expectation as the same ln-ratio expression
