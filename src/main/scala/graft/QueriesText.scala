@@ -252,8 +252,56 @@ object QueriesText {
         .select(col("doc_id"), col("n_bigrams"),
           round(-aggregate(col("cs"), lit(0.0), (a, x) => a + x) /
             col("n_bigrams").cast("double"), 6).as("avg_nll2"))
+    }),
+
+    // BM25 ranking (k1=1.2, b=0.75): the standard lexical-retrieval
+    // scorer over the corpus for a fixed 4-term query — the scoring
+    // half of the x19 inverted index. Per-term tf is an IN-ROW count
+    // over the cached token array (the query is a literal list, so no
+    // doc×term explode and no posting join at all); the corpus-level
+    // model (N, Σdl, per-term df) is ONE aggregate row broadcast to
+    // every document. At 100 TB this is a single narrow pass over the
+    // tokenization cache plus a 1-row broadcast — embarrassingly
+    // parallel, zero data shuffles before the final bounded top-k
+    // heap. FP parity discipline: the 4 term scores sum in fixed
+    // left-to-right expression order (never a groupBy over doubles),
+    // every arithmetic step is written in the identical operand order
+    // as the oracle SQL, and ln-parity is already pinned by x21/x23.
+    "x24_bm25" -> ((s, d) => {
+      val terms = BmQueryTerms
+      val docs = QueriesDedup.docsWithTokens(s, d)
+      val dfCols = terms.zipWithIndex.map { case (t, i) =>
+        sum(when(array_contains(col("toks"), t), 1L).otherwise(0L))
+          .as(s"df_$i")
+      }
+      val statCols = Seq(
+        sum(size(col("toks")).cast("long")).as("sum_dl"),
+        count(lit(1)).as("n_docs")) ++ dfCols
+      val stats = docs.agg(statCols.head, statCols.tail: _*)
+      val dl = size(col("toks")).cast("double")
+      val avgdl = col("sum_dl").cast("double") / col("n_docs").cast("double")
+      def termScore(t: String, i: Int) = {
+        val tf = size(filter(col("toks"), x => x === lit(t))).cast("double")
+        val df = col(s"df_$i").cast("double")
+        val idf = log(lit(1.0) +
+          (col("n_docs").cast("double") - df + lit(0.5)) / (df + lit(0.5)))
+        idf * (tf * lit(2.2)) /
+          (tf + lit(1.2) * (lit(0.25) + lit(0.75) * dl / avgdl))
+      }
+      val score = terms.zipWithIndex.map { case (t, i) => termScore(t, i) }
+        .reduce(_ + _)
+      graft.operators.RelationalOps.topKGlobal(
+        docs.crossJoin(broadcast(stats))
+          .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
+            round(score, 6).as("bm25")),
+        Seq(col("bm25").desc, col("doc_id").asc), 20)
     })
   ) ++ samplingQueries
+
+  /** x24's fixed query terms (chosen from the corpus vocabulary so tf
+    * and df both vary; mirrored literally in the oracle SQL).
+    */
+  private val BmQueryTerms = Seq("vector", "merge", "window", "scan")
 
   /** Deterministic-sampling and sequence-packing queries (training-data
     * curation, SURVEY.md §2.10) live in the x-family too: see
@@ -783,6 +831,36 @@ object QueriesText {
          |    (acc, x) -> acc + x) / CAST(n_bigrams AS DOUBLE), 6)
          |    AS avg_nll2
          |FROM g""".stripMargin,
+    // x24: BM25 with every arithmetic step in the identical operand
+    // order as the Spark expression tree (fixed left-to-right 4-term
+    // sum; ln-parity pinned by x21/x23), so the doubles are bit-equal
+    // before the 6dp rounding and the rank cannot flip.
+    "x24_bm25" -> {
+      val dfSel = BmQueryTerms.zipWithIndex.map { case (t, i) =>
+        s"""CAST(sum(CASE WHEN list_contains(toks, '$t')
+           |    THEN 1 ELSE 0 END) AS BIGINT) AS df_$i""".stripMargin
+      }.mkString(",\n")
+      val termSql = BmQueryTerms.zipWithIndex.map { case (t, i) =>
+        s"""(ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df_$i AS DOUBLE)
+           |      + 0.5) / (CAST(df_$i AS DOUBLE) + 0.5))
+           |  * (CAST(len(list_filter(toks, x -> x = '$t')) AS DOUBLE)
+           |      * 2.2)
+           |  / (CAST(len(list_filter(toks, x -> x = '$t')) AS DOUBLE)
+           |      + 1.2 * (0.25 + 0.75 * CAST(len(toks) AS DOUBLE)
+           |        / (CAST(sum_dl AS DOUBLE)
+           |          / CAST(n_docs AS DOUBLE)))))""".stripMargin
+      }.mkString(" + ")
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |st AS (SELECT CAST(sum(len(toks)) AS BIGINT) AS sum_dl,
+         |  count(*) AS n_docs,
+         |$dfSel
+         |  FROM t),
+         |sc AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+         |  round($termSql, 6) AS bm25
+         |  FROM t, st)
+         |SELECT doc_id, dl, bm25 FROM sc
+         |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin
+    },
     // x22: selection ranks on the unrounded A-ES key (60-bit distinct
     // hashes make ties impossible), output rounds to 6dp.
     "x22_weighted_sample" ->

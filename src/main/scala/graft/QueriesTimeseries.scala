@@ -195,6 +195,44 @@ object QueriesTimeseries {
           .as("f2"),
         round(st.getField("l") + lit(3.0) * st.getField("b"), 6)
           .as("f3"))
+    }),
+
+    // CUSUM changepoint detection over the daily count series per
+    // event type: cumulative sum of deviations from the series mean,
+    // peaking at the most likely level-shift point (Page's classic
+    // offline CUSUM statistic). Everything is INTEGER-exact — the
+    // mean is never materialized as a double; the statistic is scaled
+    // by n_days (cusum_sc = n·P_t − t·S, i.e. n·Σ_{i≤t}(x_i − S/n)),
+    // so both engines compare bit-identical BIGINTs and the argmax
+    // flag cannot flip on FP noise. Shape: the event scan collapses to
+    // an O(types×days) spine-sized frame FIRST (one hash agg), then
+    // two window passes partitioned by the series key and a broadcast
+    // of the 5-row per-series totals — at 100 TB the windows never see
+    // event-sized data and every series smooths independently.
+    "ts9_cusum" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("cnt"))
+      val tot = daily.groupBy("event_type")
+        .agg(sum(col("cnt")).as("s_total"), count(lit(1)).as("n_days"))
+      val wc = Window.partitionBy("event_type").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cs = daily
+        .withColumn("p", sum(col("cnt")).over(wc))
+        .withColumn("t",
+          row_number().over(Window.partitionBy("event_type").orderBy("day"))
+            .cast("long"))
+        .join(broadcast(tot), Seq("event_type"))
+        .withColumn("cusum_sc",
+          col("n_days") * col("p") - col("t") * col("s_total"))
+      val wp = Window.partitionBy("event_type")
+      cs.withColumn("peak", max(abs(col("cusum_sc"))).over(wp))
+        .withColumn("peak_day",
+          min(when(abs(col("cusum_sc")) === col("peak"), col("day")))
+            .over(wp))
+        .select(col("event_type"), col("day"), col("cnt"), col("cusum_sc"),
+          (col("day") === col("peak_day")).as("is_changepoint"))
     })
   )
 
@@ -430,6 +468,30 @@ object QueriesTimeseries {
         |  round(st[1] + st[2], 6) AS f1,
         |  round(st[1] + 2.0 * st[2], 6) AS f2,
         |  round(st[1] + 3.0 * st[2], 6) AS f3
-        |FROM f""".stripMargin
+        |FROM f""".stripMargin,
+    // ts9: identical integer-scaled CUSUM; every windowed sum is CAST
+    // back to BIGINT (DuckDB widens sum(BIGINT) to HUGEINT).
+    "ts9_cusum" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    count(*) AS cnt FROM events GROUP BY 1, 2),
+        |tot AS (SELECT event_type, CAST(sum(cnt) AS BIGINT) AS s_total,
+        |    count(*) AS n_days FROM daily GROUP BY 1),
+        |cu AS (SELECT d.event_type, d.day, d.cnt,
+        |    CAST(sum(d.cnt) OVER (PARTITION BY d.event_type ORDER BY d.day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS p,
+        |    CAST(row_number() OVER (PARTITION BY d.event_type
+        |      ORDER BY d.day) AS BIGINT) AS t,
+        |    t0.s_total, t0.n_days
+        |  FROM daily d JOIN tot t0 USING (event_type)),
+        |cs AS (SELECT event_type, day, cnt,
+        |    n_days * p - t * s_total AS cusum_sc FROM cu),
+        |p1 AS (SELECT *, CAST(max(abs(cusum_sc))
+        |    OVER (PARTITION BY event_type) AS BIGINT) AS peak FROM cs),
+        |p2 AS (SELECT *, min(CASE WHEN abs(cusum_sc) = peak THEN day END)
+        |    OVER (PARTITION BY event_type) AS peak_day FROM p1)
+        |SELECT event_type, day, cnt, cusum_sc,
+        |  day = peak_day AS is_changepoint
+        |FROM p2""".stripMargin
   )
 }
