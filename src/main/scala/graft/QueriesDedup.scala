@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.operators.{DedupOps, TextOps, VectorOps}
 import graft.sources.Tables
@@ -114,6 +114,49 @@ object QueriesDedup {
         7, 10, maxBucket = 1000L)
     }),
 
+    // Sorted-neighborhood blocking (the third candidate-generation
+    // discipline next to d2's df-capped index and d3's LSH banding):
+    // sort the corpus ONCE on a cheap blocking key (first-3-token
+    // prefix), and only rows within a fixed window w=4 of each other
+    // in that order become candidates — exactly w·n pairs at ANY
+    // corpus size, by construction, with zero frequency caps or
+    // probability knobs. The window expands IN-ROW (lead(1..w) packed
+    // into an array, then exploded), so no rank self-join ever
+    // materializes; candidates then exact-verify with d2's Jaccard
+    // formula over the shared shingle cache via per-pair in-row
+    // intersection. The global row_number is the one sequential
+    // structure — at 100 TB it becomes a range-partitioned sort with
+    // per-partition offsets (rank = partition offset + local rank),
+    // which Spark's sort machinery already provides; everything after
+    // the rank is narrow or equi-join.
+    "d18_sorted_neighborhood" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val W = 4
+      val keyed = docsWithTokens(s, d).select(col("doc_id"),
+        concat_ws(" ", slice(col("toks"), 1, 3)).as("bkey"))
+      val w = Window.orderBy(col("bkey"), col("doc_id"))
+      val cand = keyed
+        .select(col("doc_id"),
+          array((1 to W).map(i => lead(col("doc_id"), i).over(w)): _*)
+            .as("nbrs"))
+        .select(col("doc_id").as("ia"), explode(col("nbrs")).as("ib"))
+        .filter(col("ib").isNotNull)
+        .select(least(col("ia"), col("ib")).as("id_a"),
+          greatest(col("ia"), col("ib")).as("id_b"))
+      val sh = docsWithShingles(s, d)
+      val a = sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+      val b = sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+      val jac = col("inter") / (col("n_a") + col("n_b") - col("inter"))
+      cand.join(a, Seq("id_a")).join(b, Seq("id_b"))
+        .select(col("id_a"), col("id_b"),
+          size(array_intersect(col("sh_a"), col("sh_b"))).cast("long")
+            .as("inter"),
+          size(col("sh_a")).cast("long").as("n_a"),
+          size(col("sh_b")).cast("long").as("n_b"))
+        .filter(jac >= 0.8)
+        .select(col("id_a"), col("id_b"), round(jac, 6).as("jaccard"))
+    }),
+
     // MinHash(16) + LSH(4 bands x 4 rows): candidate pairs via equi-join
     // on band signatures. Signatures are computed in one narrow projection
     // (no explode until the 4 band rows).
@@ -121,6 +164,39 @@ object QueriesDedup {
       val sigs = DedupOps.minhashSigs(docsWithShingles(s, d),
         "doc_id", "sh", 16)
       DedupOps.lshCandidates(DedupOps.lshBands(sigs, "id", "sig", 4, 4))
+    }),
+
+    // Incremental LSH-dedup maintenance — the MV discipline (mv1–mv4)
+    // applied to d3's near-dup index: when a 10% delta batch lands
+    // (x6's seeded hash split marks membership), only the DELTA's band
+    // rows probe the corpus band index; pairs strictly inside the old
+    // base never recompute because both their endpoints were probed
+    // when THEY arrived. Cost is O(|delta| · bucket occupancy) per
+    // batch instead of O(corpus²) — the shape that lets a 100 TB
+    // corpus absorb streaming ingest with per-batch work proportional
+    // to the batch. Signatures ride the shared shingle cache; the
+    // probe side is a filter on the same band frame (rarest-key
+    // discipline: the corpus side is the big side, the delta probe is
+    // the small side of the equi-join). Output marks pairs where BOTH
+    // endpoints are new (delta-delta) vs delta-base.
+    "mv5_lsh_delta" -> ((s, d) => {
+      def isDelta(id: Column): Column =
+        TextOps.md5Prefix60(concat(lit("split:"), id.cast("string")))
+          .%(100) >= 90
+      val sigs = DedupOps.minhashSigs(docsWithShingles(s, d),
+        "doc_id", "sh", 16)
+      val bands = DedupOps.lshBands(sigs, "id", "sig", 4, 4)
+      val probe = bands.filter(isDelta(col("id")))
+        .select(col("id").as("id_p"), col("band"), col("sig"))
+      val corpus = bands.select(col("id").as("id_c"), col("band"),
+        col("sig"))
+      probe.join(corpus, Seq("band", "sig"))
+        .filter(col("id_p") =!= col("id_c"))
+        .select(least(col("id_p"), col("id_c")).as("id_a"),
+          greatest(col("id_p"), col("id_c")).as("id_b"))
+        .distinct()
+        .select(col("id_a"), col("id_b"),
+          (isDelta(col("id_a")) && isDelta(col("id_b"))).as("both_new"))
     }),
 
     // 60-bit SimHash fingerprint per document.
@@ -292,6 +368,28 @@ object QueriesDedup {
     """list_reduce(list_prepend(0.0, list_transform(range(len(a.v)),
       |      i -> a.v[i+1] * b.v[i+1])), (x, y) -> x + y)""".stripMargin
 
+  /** d3's MinHash(16)/LSH(4×4) signature CTE chain (t → s → e → seeds
+    * → mh → sig), shared with mv5's delta-probe restriction.
+    */
+  private def d3Ctes =
+    s"""t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |s AS (SELECT doc_id, $sh3Sql AS sh FROM t),
+       |e AS (SELECT doc_id, ${h60("concat('sh:', s)")} % 1073741824
+       |        AS h30
+       |      FROM (SELECT doc_id, unnest(sh) AS s FROM s)),
+       |seeds AS (SELECT i,
+       |      (${h60("concat('mh-a:', CAST(i AS VARCHAR))")}
+       |        % 2147483646) + 1 AS a,
+       |      ${h60("concat('mh-b:', CAST(i AS VARCHAR))")}
+       |        % 2147483647 AS b
+       |      FROM (SELECT unnest(range(16)) AS i) r(i)),
+       |mh AS (SELECT doc_id, i,
+       |      min((a * h30 + b) % 2147483647) AS h
+       |      FROM e CROSS JOIN seeds GROUP BY doc_id, i),
+       |sig AS (SELECT doc_id, i // 4 AS band,
+       |      array_to_string(list(h ORDER BY i), ',') AS sg
+       |      FROM mh GROUP BY doc_id, i // 4)""".stripMargin
+
   /** d2's CTE chain + final select, shared with d7 (which wraps the pair
     * list in a recursive reachability closure).
     */
@@ -322,6 +420,35 @@ object QueriesDedup {
          |FROM (SELECT doc_id, $toksSql AS toks FROM documents)
          |GROUP BY 1""".stripMargin,
     "d2_jaccard_pairs" -> s"WITH $d2Ctes\n$d2Select",
+    // d18: rank self-join expresses the same w-window neighborhood the
+    // Spark side expands in-row with lead(); the verify recomputes
+    // d2's Jaccard from in-row hashed-shingle intersections.
+    "d18_sorted_neighborhood" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |s AS (SELECT doc_id, $sh3Sql AS sh FROM t),
+         |hs AS (SELECT doc_id,
+         |      list_transform(sh, x -> ${h60("concat('sh:', x)")})
+         |        AS hsh FROM s),
+         |k AS (SELECT doc_id,
+         |      array_to_string(list_slice(toks, 1, 3), ' ') AS bkey
+         |      FROM t),
+         |r AS (SELECT doc_id,
+         |      row_number() OVER (ORDER BY bkey, doc_id) AS rk FROM k),
+         |c AS (SELECT least(a.doc_id, b.doc_id) AS id_a,
+         |      greatest(a.doc_id, b.doc_id) AS id_b
+         |      FROM r a JOIN r b ON b.rk BETWEEN a.rk + 1 AND a.rk + 4),
+         |v AS (SELECT id_a, id_b,
+         |      CAST(len(list_intersect(ha.hsh, hb.hsh)) AS BIGINT)
+         |        AS inter,
+         |      CAST(len(ha.hsh) AS BIGINT) AS n_a,
+         |      CAST(len(hb.hsh) AS BIGINT) AS n_b
+         |      FROM c JOIN hs ha ON c.id_a = ha.doc_id
+         |        JOIN hs hb ON c.id_b = hb.doc_id)
+         |SELECT id_a, id_b,
+         |  round(inter / CAST(n_a + n_b - inter AS DOUBLE), 6) AS jaccard
+         |FROM v
+         |WHERE inter / CAST(n_a + n_b - inter AS DOUBLE) >= 0.8"""
+        .stripMargin,
     // d17: d2's tokenize/shingle/index CTEs (t, s, e0, e), then the
     // prefix chain — rarity order via list(s ORDER BY df, s), integer
     // ceil prefix length, bucket cap, length filter, exact verify.
@@ -436,27 +563,27 @@ object QueriesDedup {
          |       FROM r1 LEFT JOIN c2 ON r1.id = c2.dst)
          |SELECT id AS doc_id, r AS pagerank_micro FROM r2""".stripMargin,
     "d3_minhash_lsh" ->
-      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
-         |s AS (SELECT doc_id, $sh3Sql AS sh FROM t),
-         |e AS (SELECT doc_id, ${h60("concat('sh:', s)")} % 1073741824
-         |        AS h30
-         |      FROM (SELECT doc_id, unnest(sh) AS s FROM s)),
-         |seeds AS (SELECT i,
-         |      (${h60("concat('mh-a:', CAST(i AS VARCHAR))")}
-         |        % 2147483646) + 1 AS a,
-         |      ${h60("concat('mh-b:', CAST(i AS VARCHAR))")}
-         |        % 2147483647 AS b
-         |      FROM (SELECT unnest(range(16)) AS i) r(i)),
-         |mh AS (SELECT doc_id, i,
-         |      min((a * h30 + b) % 2147483647) AS h
-         |      FROM e CROSS JOIN seeds GROUP BY doc_id, i),
-         |sig AS (SELECT doc_id, i // 4 AS band,
-         |      array_to_string(list(h ORDER BY i), ',') AS sg
-         |      FROM mh GROUP BY doc_id, i // 4)
+      s"""WITH $d3Ctes
          |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
          |FROM sig a JOIN sig b
          |  ON a.band = b.band AND a.sg = b.sg AND a.doc_id < b.doc_id"""
         .stripMargin,
+    // mv5: d3's signature CTEs + delta-probe restriction (x6's seeded
+    // split marks the delta); the both_new flag recomputes membership
+    // from the ids so it needs no extra join.
+    "mv5_lsh_delta" -> {
+      def del(idExpr: String) =
+        s"${h60(s"concat('split:', CAST($idExpr AS VARCHAR))")} % 100 >= 90"
+      s"""WITH $d3Ctes
+         |SELECT id_a, id_b,
+         |  (${del("id_a")}) AND (${del("id_b")}) AS both_new
+         |FROM (SELECT DISTINCT least(a.doc_id, b.doc_id) AS id_a,
+         |    greatest(a.doc_id, b.doc_id) AS id_b
+         |  FROM sig a JOIN sig b
+         |    ON a.band = b.band AND a.sg = b.sg
+         |      AND a.doc_id <> b.doc_id
+         |  WHERE ${del("a.doc_id")})""".stripMargin
+    },
     "d4_simhash" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
          |tok AS (SELECT doc_id, unnest(list_distinct(toks)) AS tk FROM t),
