@@ -80,10 +80,31 @@ object QueriesGraph {
       GraphOps.labelPropagation(coPurchaseEdges(s, d), LpRounds)
         .select(col("id").cast("long").as("custkey"),
           col("lbl").cast("long").as("community"))
+    }),
+
+    // Structural node similarity over the SAME co-purchase substrate
+    // (third consumer of the shared edge cache): the top-20 customer
+    // pairs by common-neighbor count, each with its neighbor-set
+    // Jaccard — the link-prediction / entity-matching primitive
+    // ("customers whose purchase neighborhoods overlap" ≈ "accounts
+    // that behave like one account"). 2-path fan-out is hub-capped at
+    // [[MaxAdjPerHub]] incident arcs (C(cap,2) candidates per hub at
+    // any degree); TRUE degrees feed the Jaccard denominator — see
+    // GraphOps.commonNeighborPairs.
+    "d19_common_neighbors" -> ((s, d) => {
+      graft.operators.RelationalOps.topKGlobal(
+        GraphOps.commonNeighborPairs(coPurchaseEdges(s, d), MaxAdjPerHub),
+        Seq(col("common").desc, col("x").asc, col("y").asc), 20)
+        .select(col("x").cast("long").as("cust_a"),
+          col("y").cast("long").as("cust_b"),
+          col("common"), col("nbr_jaccard"))
     })
   )
 
   private[graft] val LpRounds = 2
+
+  /** d19's per-hub incident-arc cap for 2-path generation. */
+  private[graft] val MaxAdjPerHub = 16
 
   /** d11/d13's shared substrate: the customer co-purchase edge list
     * (customers sharing ≥ [[MinSharedParts]] parts, per-part member cap
@@ -171,6 +192,29 @@ object QueriesGraph {
          |${unrolledPeel(PeelRounds, KCoreK)}
          |SELECT CAST(id AS BIGINT) AS custkey, dg AS core_deg
          |FROM d$PeelRounds""".stripMargin,
+
+    // d19: identical substrate CTEs; the hub cap is the id-ordered
+    // row_number ≤ MaxAdjPerHub, mirroring the Spark window exactly.
+    "d19_common_neighbors" ->
+      s"""WITH $coPurchaseCtes,
+         |adj AS MATERIALIZED (SELECT a AS u, b AS v FROM e0
+         |      UNION ALL SELECT b, a FROM e0),
+         |dg AS MATERIALIZED (SELECT u AS id, count(*) AS deg
+         |      FROM adj GROUP BY 1),
+         |capadj AS MATERIALIZED (SELECT v, u FROM (
+         |      SELECT v, u, row_number() OVER (PARTITION BY v
+         |        ORDER BY u) AS rn FROM adj) WHERE rn <= $MaxAdjPerHub),
+         |cn AS MATERIALIZED (SELECT s1.u AS x, s2.u AS y,
+         |      count(*) AS common
+         |      FROM capadj s1 JOIN capadj s2
+         |        ON s1.v = s2.v AND s1.u < s2.u
+         |      GROUP BY 1, 2)
+         |SELECT CAST(x AS BIGINT) AS cust_a, CAST(y AS BIGINT) AS cust_b,
+         |  common,
+         |  round(common / CAST(dx.deg + dy.deg - common AS DOUBLE), 6)
+         |    AS nbr_jaccard
+         |FROM cn JOIN dg dx ON dx.id = x JOIN dg dy ON dy.id = y
+         |ORDER BY common DESC, x, y LIMIT 20""".stripMargin,
 
     // Mirrors d13: identical substrate CTEs, LP rounds unrolled with
     // the same count-desc/label-asc argmax.

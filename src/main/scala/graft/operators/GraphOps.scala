@@ -139,6 +139,50 @@ object GraphOps {
       .groupBy("id").agg(count(lit(1)).as("n_triangles"))
   }
 
+  /** Node-pair similarity over an undirected edge list (`a` < `b` per
+    * row, no duplicates — [[topKNeighborGraph]]'s contract):
+    * common-neighbor count and neighbor-set Jaccard for every pair of
+    * nodes sharing at least one neighbor. The 2-path expansion is the
+    * classic hub hazard — a degree-D shared neighbor pairs C(D,2)
+    * candidates — so each HUB contributes at most `maxAdj` of its
+    * (id-ordered, deterministic) incident arcs to path generation:
+    * worst-case fan-out is C(maxAdj,2) per node at ANY degree
+    * distribution, the same cap discipline as every candidate
+    * generator here. True (uncapped) degrees feed the Jaccard
+    * denominator, so the cap bounds candidate RECALL through
+    * super-hubs, never the similarity value itself. Shape: one
+    * symmetrize explode, one degree agg, one per-hub window, one
+    * equi-join on the hub key, two degree joins — all shuffles on
+    * 8-byte keys with map-side partials.
+    */
+  def commonNeighborPairs(edges: DataFrame, maxAdj: Int): DataFrame = {
+    val e = edges.select(col("a").cast("long").as("a"),
+      col("b").cast("long").as("b"))
+      .localCheckpoint(eager = false)
+    val sym = e.select(explode(array(
+        struct(col("a").as("u"), col("b").as("v")),
+        struct(col("b").as("u"), col("a").as("v")))).as("x"))
+      .select(col("x.u").as("u"), col("x.v").as("v"))
+      .localCheckpoint(eager = false)
+    val deg = sym.groupBy(col("u").as("id")).agg(count(lit(1)).as("deg"))
+    val hubWin = Window.partitionBy("v").orderBy(col("u").asc)
+    val capped = sym.withColumn("rn", row_number().over(hubWin))
+      .filter(col("rn") <= maxAdj)
+      .localCheckpoint(eager = false)
+    val s1 = capped.select(col("v"), col("u").as("x"))
+    val s2 = capped.select(col("v"), col("u").as("y"))
+    val cn = s1.join(s2, Seq("v")).filter(col("x") < col("y"))
+      .groupBy("x", "y").agg(count(lit(1)).as("common"))
+    cn.join(deg.select(col("id").as("x"), col("deg").as("deg_x")),
+        Seq("x"))
+      .join(deg.select(col("id").as("y"), col("deg").as("deg_y")),
+        Seq("y"))
+      .select(col("x"), col("y"), col("common"),
+        round(col("common") /
+          (col("deg_x") + col("deg_y") - col("common")), 6)
+          .as("nbr_jaccard"))
+  }
+
   /** k-core decomposition by iterative peeling: repeatedly delete every
     * node whose current degree is < k until none remains, then report
     * each surviving node's within-core degree. The k-core is the UNIQUE
