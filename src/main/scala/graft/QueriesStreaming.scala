@@ -46,6 +46,18 @@ object QueriesStreaming {
         "ts", gapSeconds = 1800L, emitOpen = true)
     }),
 
+    // Per-key admission quota (first 5 events per user, event-time
+    // order) via the minimal flatMapGroupsWithState machine — one long
+    // of state per key. Batch form here equals "row_number ≤ 5"
+    // (the SQL oracle); StreamingSpec drives the same operator over a
+    // MemoryStream across micro-batches and asserts the count
+    // PERSISTS (3 admitted in batch 1 leaves only 2 admissions ever
+    // after).
+    "st10_quota" -> ((s, d) => {
+      StreamingOps.rateLimitWithState(Tables.events(s, d), "user_id",
+        "ts", "event_id", quota = 5)
+    }),
+
     // Stream-stream interval join (clicks within 1 h after an error, per
     // user) run over the batch frame — `withWatermark` is a no-op in
     // batch, so this is the exact operator StreamingSpec drives over two
@@ -332,6 +344,13 @@ object QueriesStreaming {
         |  max(ts) + INTERVAL 30 MINUTE AS session_end,
         |  count(*) AS n_events
         |FROM g GROUP BY user_id, sess""".stripMargin,
+    "st10_quota" ->
+      """WITH r AS (SELECT user_id, event_id, ts,
+        |  row_number() OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id) AS rn
+        |  FROM events)
+        |SELECT user_id, event_id, ts, CAST(rn AS BIGINT) AS admit_rank
+        |FROM r WHERE rn <= 5""".stripMargin,
     "m2_decode_features" ->
       """WITH p AS (SELECT doc_id,
         |  (CAST(concat('0x', substr(md5(concat('pw:', text)), 1, 15))

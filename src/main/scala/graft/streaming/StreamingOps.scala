@@ -16,6 +16,12 @@ final case class OpenSession(startMicros: Long, lastMicros: Long, n: Long)
 final case class ClosedSession(key: Long, startMicros: Long,
     endMicros: Long, n_events: Long)
 
+/** Admitted event emitted by [[StreamingOps.rateLimitWithState]] with
+  * its per-key admission rank (1-based).
+  */
+final case class Admitted(key: Long, eventId: Long, tsMicros: Long,
+    rank: Long)
+
 /** Event-time windowing + streaming pipeline (SURVEY.md §2.10 / O1).
   *
   * The reference emulates streaming with an hourly Airflow schedule plus a
@@ -156,6 +162,58 @@ object StreamingOps {
       timestamp_micros(col("startMicros")).as("session_start"),
       timestamp_micros(col("endMicros")).as("session_end"),
       col("n_events"))
+  }
+
+  /** Per-key admission quota via `flatMapGroupsWithState`: the first
+    * `quota` events of each key (event-time order, id tiebreak) pass
+    * with their admission rank; everything after is dropped. The
+    * per-key ingestion cap every training pipeline runs at the front
+    * door ("at most N documents per crawl host per day"), as a per-key
+    * state machine whose entire state is ONE long (the admitted count)
+    * — the minimal arbitrary-state template next to
+    * [[sessionizeWithState]]'s struct state.
+    *
+    * Batch mode: each group sees all its rows once, sorted in-group →
+    * exactly "first quota by (ts, id)", which is the SQL-expressible
+    * oracle (row_number ≤ quota). Streaming: the count persists in the
+    * state store across micro-batches, so a key that sent 3 events in
+    * batch 1 gets only quota−3 more admitted ever after; admission
+    * order across batches is arrival order (a late event that would
+    * have ranked earlier is the eager-emission tradeoff, same as
+    * sessionizeWithState's documented one). No timeout: quota state is
+    * deliberately permanent for the run (8 bytes per key; a production
+    * daily cap would reset via an event-time timeout at day rollover).
+    *
+    * Scale: one shuffle on the key; per-group work is a sort of that
+    * group's batch slice; emitted rows ≤ quota per key, ever.
+    */
+  def rateLimitWithState(df: DataFrame, keyCol: String, tsCol: String,
+      idCol: String, quota: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val out = df
+      .select(col(keyCol).cast("long"), col(tsCol),
+        col(idCol).cast("long"))
+      .as[(Long, java.sql.Timestamp, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Long, Admitted](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key, rows, state) =>
+          def micros(t: java.sql.Timestamp): Long =
+            t.getTime / 1000 * 1000000L + t.getNanos / 1000
+          val sorted = rows.toArray.sortBy(r => (micros(r._2), r._3))
+          var n = state.getOption.getOrElse(0L)
+          val admitted = Seq.newBuilder[Admitted]
+          for (r <- sorted if n < quota) {
+            n += 1
+            admitted += Admitted(key, r._3, micros(r._2), n)
+          }
+          state.update(n)
+          admitted.result().iterator
+      }
+    out.select(col("key").as(keyCol), col("eventId").as(idCol),
+      timestamp_micros(col("tsMicros")).as(tsCol),
+      col("rank").as("admit_rank"))
   }
 
   /** Bounded-horizon dedup, batch form of

@@ -126,6 +126,36 @@ class StreamingSpec extends SparkTestBase {
       "streamed sessions (closes + timeouts) must equal the batch result")
   }
 
+  test("rateLimitWithState quota persists across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    val q = StreamingOps.rateLimitWithState(ms.toDF(), "user_id", "ts",
+      "event_id", quota = 5)
+      .writeStream.format("memory").queryName("quota_t")
+      .outputMode("append").start()
+    try {
+      // batch 1: user 1 sends 3 events — all admitted (ranks 1-3)
+      ms.addData(
+        Ev(1, t("2024-01-01 10:00:00"), 1, 0.0),
+        Ev(2, t("2024-01-01 10:01:00"), 1, 0.0),
+        Ev(3, t("2024-01-01 10:02:00"), 1, 0.0))
+      q.processAllAvailable()
+      // batch 2: user 1 sends 4 more — only 2 admitted (ranks 4-5)
+      ms.addData(
+        Ev(4, t("2024-01-01 10:03:00"), 1, 0.0),
+        Ev(5, t("2024-01-01 10:04:00"), 1, 0.0),
+        Ev(6, t("2024-01-01 10:05:00"), 1, 0.0),
+        Ev(7, t("2024-01-01 10:06:00"), 1, 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val admitted = spark.table("quota_t")
+      .select("event_id", "admit_rank")
+      .as[(Long, Long)].collect().toSet
+    assert(admitted == Set((1L, 1L), (2L, 2L), (3L, 3L), (4L, 4L),
+      (5L, 5L)),
+      "quota state must persist across micro-batches: 3 + 2 admitted")
+  }
+
   test("hourlyIncremental writer runs end-to-end and dedups the batch") {
     implicit val sqlCtx = spark.sqlContext
     val ms = MemoryStream[Ev]
