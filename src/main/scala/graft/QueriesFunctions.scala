@@ -152,6 +152,36 @@ object QueriesFunctions {
           .as("sum_sq"),
         round(aggregate(zip_with(v, rv, (a, b) => a * b), lit(0.0),
           (a, x) => a + x), 6).as("dot_rev"))
+    }),
+
+    // MAP-type function battery (the container type f5/f9 don't touch):
+    // build a linenumber→quantity map per order (map_from_entries over
+    // the sorted entry structs — line numbers are unique per order, the
+    // operator's precondition), transform_values to double it,
+    // map_filter to keep heavy lines, cardinality for the pre-filter
+    // size, then explode the surviving map back to scalar rows (the
+    // driver's hash cannot compare MAP columns — and exploded rows are
+    // what the relational oracle can state). The map layer is
+    // Spark-side structure; the RESULT is layout-independent, which is
+    // exactly what the oracle pins.
+    "f10_map_funcs" -> ((s, d) => {
+      // this synthetic lineitem can repeat a linenumber within an order,
+      // so entries pre-aggregate per (order, line) — map keys MUST be
+      // unique (map_from_entries fails loudly on duplicates, the right
+      // behavior)
+      val m = Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey"), col("l_linenumber"))
+        .agg(sum(col("l_quantity")).as("qty"))
+        .groupBy(col("l_orderkey"))
+        .agg(map_from_entries(array_sort(collect_list(
+          struct(col("l_linenumber"), col("qty"))))).as("qty_map"))
+      val doubled = transform_values(col("qty_map"),
+        (_, v) => v * lit(2.0))
+      m.select(col("l_orderkey"),
+          size(col("qty_map")).cast("long").as("n_lines"),
+          map_filter(doubled, (_, v) => v >= lit(50.0)).as("heavy"))
+        .select(col("l_orderkey"), col("n_lines"),
+          explode(col("heavy")).as(Seq("linenumber", "dqty")))
     })
   )
 
@@ -254,7 +284,17 @@ object QueriesFunctions {
         |  round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
         |    list_transform(range(len(v)), i -> v[i+1] * rv[i+1])),
         |    (a, x) -> a + x), 6) AS dot_rev
-        |FROM r""".stripMargin
+        |FROM r""".stripMargin,
+    // f10: the exploded map rows are plain relational rows — count per
+    // order joined back, doubled quantity filtered at 50.
+    "f10_map_funcs" ->
+      """WITH q AS (SELECT l_orderkey, l_linenumber, sum(l_quantity) AS qty
+        |  FROM lineitem GROUP BY 1, 2),
+        |n AS (SELECT l_orderkey, count(*) AS n_lines FROM q GROUP BY 1)
+        |SELECT q.l_orderkey, n.n_lines, q.l_linenumber AS linenumber,
+        |  q.qty * 2.0 AS dqty
+        |FROM q JOIN n USING (l_orderkey)
+        |WHERE q.qty * 2.0 >= 50.0""".stripMargin
   )
 
   /** SQL form of [[graft.operators.RelationalOps.zValue2]]'s bit

@@ -454,6 +454,44 @@ object QueriesRelational {
           max(col("o_orderpriority")).as("max_prio"))
     }),
 
+    // Temporal allocation (proration): each line item's revenue spreads
+    // across the calendar months its order-to-ship interval touches,
+    // weighted by the exact day count falling in each month — the
+    // accrual/attribution operator behind revenue recognition, budget
+    // proration and time-weighted cost splits, which plain GROUP BY
+    // month (all-or-nothing on one date) cannot express. Months expand
+    // IN-ROW from a bounded date sequence (intervals capped at 90 days
+    // → ≤ 4 month rows per line, mirrored in the oracle), so the
+    // expansion is O(rows·4) at any scale with no join against a
+    // calendar table; the only shuffles are the o_orderkey equi-join
+    // and the final month-sized hash agg. Day arithmetic is
+    // integer-exact; only the weighted revenue is FP, rounded at 2dp
+    // after the sum (the q1 discipline).
+    "j14_temporal_allocate" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).select(col("l_orderkey"),
+        col("l_shipdate").cast("date").as("d2"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+      val ord = Tables.orders(s, d).select(col("o_orderkey"),
+        col("o_orderdate").cast("date").as("d1"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .filter(col("d2") >= col("d1") &&
+          datediff(col("d2"), col("d1")) <= 90)
+        .withColumn("total", (datediff(col("d2"), col("d1")) + 1)
+          .cast("long"))
+        .select(col("d1"), col("d2"), col("rev"), col("total"),
+          explode(sequence(trunc(col("d1"), "MM").cast("date"),
+            trunc(col("d2"), "MM").cast("date"),
+            expr("interval 1 month"))).as("m"))
+        .withColumn("days",
+          (datediff(least(col("d2"), last_day(col("m"))),
+            greatest(col("d1"), col("m"))) + 1).cast("long"))
+        .groupBy(col("m").as("month"))
+        .agg(sum(col("days")).as("alloc_days"),
+          round(sum(col("rev") *
+            (col("days") / col("total").cast("double"))), 2)
+            .as("alloc_revenue"))
+    }),
+
     // Salted skew join: same semantics as the plain orders-lineitem join
     // (the oracle IS the plain join), but each order key is split over
     // deterministic salts so a hot key spreads across that many
@@ -918,6 +956,29 @@ object QueriesRelational {
         |  max(o_orderpriority) AS max_prio
         |FROM li JOIN orders ON li.skew_key = o_orderkey
         |GROUP BY 1""".stripMargin,
+    // j14: generate_series steps month starts; day counts are integer,
+    // the per-row weight multiplies in the identical operand order.
+    "j14_temporal_allocate" ->
+      """WITH j AS (SELECT o_orderdate::DATE AS d1, l_shipdate::DATE AS d2,
+        |    l_extendedprice * (1 - l_discount) AS rev
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE l_shipdate::DATE >= o_orderdate::DATE
+        |    AND date_diff('day', o_orderdate::DATE, l_shipdate::DATE)
+        |      <= 90),
+        |t AS (SELECT d1, d2, rev,
+        |    CAST(date_diff('day', d1, d2) + 1 AS BIGINT) AS total FROM j),
+        |e AS (SELECT d1, d2, rev, total,
+        |    unnest(generate_series(date_trunc('month', d1),
+        |      date_trunc('month', d2), INTERVAL 1 MONTH))::DATE AS m
+        |  FROM t),
+        |o AS (SELECT m, rev, total,
+        |    CAST(date_diff('day', greatest(d1, m),
+        |      least(d2, last_day(m))) + 1 AS BIGINT) AS days
+        |  FROM e)
+        |SELECT m AS month, CAST(sum(days) AS BIGINT) AS alloc_days,
+        |  round(sum(rev * (days / CAST(total AS DOUBLE))), 2)
+        |    AS alloc_revenue
+        |FROM o GROUP BY 1""".stripMargin,
     "j6_salted_join" ->
       """SELECT o_orderpriority,
         |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
