@@ -121,6 +121,28 @@ class GraphOpsSpec extends SparkTestBase {
       4L -> 4L, 5L -> 3L, 6L -> 3L))
   }
 
+  test("commonNeighborPairs: exact similarity + hub cap bounds fan-out") {
+    import spark.implicits._
+    // path a-c, b-c, a-d, b-d: a,b share neighbors {c,d}; deg(a)=deg(b)=2
+    // -> common=2, jaccard = 2/(2+2-2) = 1.0; c,d share {a,b} likewise
+    val e = Seq((1L, 3L), (2L, 3L), (1L, 4L), (2L, 4L)).toDF("a", "b")
+    val out = GraphOps.commonNeighborPairs(e, maxAdj = 16)
+      .select("x", "y", "common", "nbr_jaccard")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(out == Set((1L, 2L, 2L, 1.0), (3L, 4L, 2L, 1.0)))
+
+    // star: hub 100 with 40 leaves — the cap must bound 2-path fan-out
+    // to C(16,2) pairs over the 16 SMALLEST leaf ids (id-ordered cap),
+    // no matter the hub's true degree
+    val star = (1L to 40L).map(l => (l, 100L)).toDF("a", "b")
+    val pairs = GraphOps.commonNeighborPairs(star, maxAdj = 16)
+      .select("x", "y").as[(Long, Long)].collect()
+    assert(pairs.length == 16 * 15 / 2,
+      s"hub fan-out must cap at C(16,2), got ${pairs.length}")
+    assert(pairs.forall { case (x, y) => x <= 16 && y <= 16 },
+      "the cap must keep the id-ordered first 16 incident arcs")
+  }
+
   test("d10_triangles runs on sf0.001 with bounded shapes") {
     val out = QueriesGraph.queries("d10_triangles")(spark, sf0001)
     val rows = out.collect()

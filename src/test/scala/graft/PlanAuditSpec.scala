@@ -91,6 +91,45 @@ class PlanAuditSpec extends SparkTestBase {
     // on coOccurrenceWeights' optimized plan in GraphOpsSpec instead.
   }
 
+  test("mv5 delta-probes the band index: filter below an equi-join") {
+    val p = plan("mv5_lsh_delta")
+    // the delta restriction must sit on the probe side BEFORE the band
+    // equi-join — losing it re-runs d3's full candidate join per batch
+    // (O(corpus) probe instead of O(delta))
+    assert(p.contains("% 100) >= 90"),
+      s"mv5 must keep the seeded delta filter in the plan:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"mv5's band join must stay an equi-join:\n$p")
+  }
+
+  test("d18 pairs only through the rank window, never a cross join") {
+    val p = plan("d18_sorted_neighborhood")
+    assert(p.contains("Window"),
+      s"d18 must rank through a window:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"d18's candidates must come from lead(), not a theta join:\n$p")
+  }
+
+  test("x24 broadcasts the 1-row corpus stats, never shuffles docs") {
+    val p = plan("x24_bm25")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"x24's corpus stats must broadcast to the doc scan:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"x24's top-20 must be a bounded take:\n$p")
+  }
+
+  test("j14 expands months in-row and prunes both scans") {
+    val p = plan("j14_temporal_allocate")
+    assert(p.contains("Generate"),
+      s"j14 must explode the month sequence in-row:\n$p")
+    val reads = "ReadSchema: [^\\n]+".r.findAllIn(p).toList
+    assert(reads.nonEmpty && reads.forall(r =>
+      !r.contains("l_returnflag") && !r.contains("o_orderpriority")),
+      s"j14 must prune unreferenced columns from both scans:\n$p")
+  }
+
   test("j10 blocks on a composite equi-key, not the bare prefix") {
     val p = plan("j10_fuzzy_join")
     assert(p.contains("BroadcastHashJoin"),
@@ -118,7 +157,7 @@ class PlanAuditSpec extends SparkTestBase {
       // cores) have no codegen stages by design
       val objectSerde = Set("m2_decode_features", "m3_header_decode",
         "m4_thumbnail", "m5_wav_decode", "m6_video_decode",
-        "st5_custom_state")
+        "st5_custom_state", "st10_quota")
       // j13 runs on its own FORKED session with AQE force-enabled (the
       // whole point of the query is runtime skew-splitting), so its
       // initial plan is an unexecuted AdaptiveSparkPlan with no codegen
