@@ -219,6 +219,63 @@ object QueriesEvents {
         .groupBy("path").agg(count(lit(1)).as("n_sessions"))
       graft.operators.RelationalOps.topKGlobal(paths,
         Seq(col("n_sessions").desc, col("path").asc), 20)
+    }),
+
+    // Kaplan–Meier survival over time-to-first-purchase WITH right
+    // censoring — the concept e5's lag histogram cannot express: a
+    // user who never purchased is not a missing row, they are evidence
+    // that survival past their observation span is possible, and
+    // dropping them biases conversion estimates downward. Each user
+    // contributes T = days(first activity → first purchase) as an
+    // event, or C = days(first activity → corpus end) as a censoring;
+    // S(t) = Π_{i≤t}(1 − d_i/n_i) over the day spine. Shape: two
+    // per-user hash aggs + a broadcast 1-row corpus-end probe reduce
+    // events to ONE ROW PER USER, then the KM table lives on a ≤31-row
+    // day spine — collected into a single row for the running product
+    // (the ts8 discipline: a strict ordered fold both engines execute
+    // identically on identically-sorted doubles, bit-equal before the
+    // 6dp rounding; day-frame size is the fixed observation window,
+    // never the corpus).
+    "e9_survival" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), to_date(col("ts"))
+          .as("day"))
+      val entry = ev.groupBy("user_id").agg(min(col("day")).as("d0"))
+      val purch = ev.filter(col("event_type") === "purchase")
+        .groupBy("user_id").agg(min(col("day")).as("dp"))
+      val end = ev.agg(max(col("day")).as("d_end"))
+      val users = entry
+        .join(purch, Seq("user_id"), "left")
+        .crossJoin(broadcast(end))
+        .select(
+          when(col("dp").isNotNull,
+            datediff(col("dp"), col("d0")).cast("long"))
+            .otherwise(datediff(col("d_end"), col("d0")).cast("long"))
+            .as("t"),
+          col("dp").isNotNull.as("is_event"))
+      val total = users.agg(count(lit(1)).as("n_total"))
+      val daily = users.groupBy("t")
+        .agg(sum(when(col("is_event"), 1L).otherwise(0L)).as("d_t"),
+          sum(when(col("is_event"), 0L).otherwise(1L)).as("c_t"))
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val atRisk = daily.crossJoin(broadcast(total))
+        .withColumn("n_t",
+          col("n_total") - (sum(col("d_t") + col("c_t")).over(w) -
+            (col("d_t") + col("c_t"))))
+      // one row holds the sorted day cells; s_t = ordered prefix fold
+      val packed = atRisk.agg(array_sort(collect_list(struct(
+        col("t"), col("d_t"), col("c_t"), col("n_t")))).as("cells"))
+      packed
+        .select(posexplode(col("cells")).as(Seq("pos", "cell")),
+          col("cells"))
+        .select(col("cell.t").as("t"), col("cell.d_t").as("d_t"),
+          col("cell.c_t").as("c_t"), col("cell.n_t").as("n_t"),
+          round(aggregate(slice(col("cells"), lit(1), col("pos") + 1),
+            lit(1.0), (acc, x) => acc * (lit(1.0) -
+              x.getField("d_t").cast("double") /
+                x.getField("n_t").cast("double"))), 6).as("s_t"))
     })
   )
 
@@ -374,6 +431,44 @@ object QueriesEvents {
         |  FROM s GROUP BY 1, 2),
         |c AS (SELECT path, count(*) AS n_sessions FROM p GROUP BY 1)
         |SELECT path, n_sessions FROM c
-        |ORDER BY n_sessions DESC, path LIMIT 20""".stripMargin
+        |ORDER BY n_sessions DESC, path LIMIT 20""".stripMargin,
+    // e9: identical KM construction; the survival product is the same
+    // ordered left fold over day-ascending factors (ts8 discipline).
+    "e9_survival" ->
+      """WITH ev AS (SELECT user_id, event_type, CAST(ts AS DATE) AS day
+        |            FROM events),
+        |en AS (SELECT user_id, min(day) AS d0 FROM ev GROUP BY 1),
+        |pu AS (SELECT user_id, min(day) AS dp FROM ev
+        |       WHERE event_type = 'purchase' GROUP BY 1),
+        |ee AS (SELECT max(day) AS d_end FROM ev),
+        |us AS (SELECT CASE WHEN pu.dp IS NOT NULL
+        |      THEN CAST(date_diff('day', en.d0, pu.dp) AS BIGINT)
+        |      ELSE CAST(date_diff('day', en.d0, ee.d_end) AS BIGINT)
+        |      END AS t,
+        |    pu.dp IS NOT NULL AS is_event
+        |  FROM en LEFT JOIN pu USING (user_id), ee),
+        |tt AS (SELECT count(*) AS n_total FROM us),
+        |dl AS (SELECT t,
+        |    CAST(sum(CASE WHEN is_event THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS d_t,
+        |    CAST(sum(CASE WHEN is_event THEN 0 ELSE 1 END) AS BIGINT)
+        |      AS c_t
+        |  FROM us GROUP BY 1),
+        |ar AS (SELECT t, d_t, c_t,
+        |    n_total - CAST(sum(d_t + c_t) OVER (ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) + (d_t + c_t) AS n_t
+        |  FROM dl, tt),
+        |pk AS (SELECT list(t ORDER BY t) AS ts,
+        |    list(d_t ORDER BY t) AS ds, list(c_t ORDER BY t) AS cs,
+        |    list(n_t ORDER BY t) AS ns FROM ar),
+        |r AS (SELECT unnest(range(len(ts))) AS i, ts, ds, cs, ns FROM pk)
+        |SELECT ts[i+1] AS t, ds[i+1] AS d_t, cs[i+1] AS c_t,
+        |  ns[i+1] AS n_t,
+        |  round(list_reduce(list_prepend(CAST(1.0 AS DOUBLE),
+        |    list_transform(range(i+1), j -> 1.0 -
+        |      CAST(ds[j+1] AS DOUBLE) / CAST(ns[j+1] AS DOUBLE))),
+        |    (a, x) -> a * x), 6) AS s_t
+        |FROM r""".stripMargin
   )
 }

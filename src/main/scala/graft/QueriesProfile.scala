@@ -167,6 +167,49 @@ object QueriesProfile {
     // partials), the 0–9 spine guarantees every bucket a row, and the
     // 10-row math is driver-trivial at any data scale — the whole cost
     // is the single pass over orders.
+    // Expectation-suite validation (the declarative data-contract
+    // gate): each rule is a row predicate checked in a SINGLE
+    // conditional-aggregate scan of its table — five rules cost two
+    // table scans plus one key join (the cross-table rule), not five
+    // passes — and the report is one row per rule with checked/violated
+    // counts and the rate. NULL counts as a violation (a NULL passing a
+    // range check silently is the classic contract hole): the
+    // when(cond, 0).otherwise(1) form routes NULL-valued predicates to
+    // the violation branch on both engines. At 100 TB the violation
+    // report stays O(rules) rows off O(1) extra memory per scan.
+    "dq9_expectations" -> ((s, d) => {
+      def viol(cond: Column): Column =
+        sum(when(cond, 0L).otherwise(1L))
+      val li = Tables.lineitem(s, d)
+      val liAgg = li.agg(
+        count(lit(1)).as("n_li"),
+        viol(col("l_quantity") >= 1 && col("l_quantity") <= 50)
+          .as("v_qty"),
+        viol(col("l_discount") >= 0 && col("l_discount") <= 0.5)
+          .as("v_disc"),
+        viol(col("l_extendedprice") > 0).as("v_price"))
+      val ordAgg = Tables.orders(s, d).agg(
+        count(lit(1)).as("n_ord"),
+        viol(col("o_totalprice") > 0).as("v_total"))
+      val jAgg = li.select(col("l_orderkey"),
+          col("l_shipdate").cast("date").as("ship"))
+        .join(Tables.orders(s, d).select(col("o_orderkey"),
+          col("o_orderdate").cast("date").as("odate")),
+          col("l_orderkey") === col("o_orderkey"))
+        .agg(count(lit(1)).as("n_j"),
+          viol(col("ship") >= col("odate")).as("v_dates"))
+      def rule(src: DataFrame, name: String, n: String, v: String) =
+        src.select(lit(name).as("rule"), col(n).as("n_checked"),
+          col(v).as("n_violations"),
+          round(col(v).cast("double") / col(n).cast("double"), 6)
+            .as("violation_rate"))
+      rule(liAgg, "li_quantity_in_1_50", "n_li", "v_qty")
+        .union(rule(liAgg, "li_discount_in_0_05", "n_li", "v_disc"))
+        .union(rule(liAgg, "li_price_positive", "n_li", "v_price"))
+        .union(rule(ordAgg, "o_totalprice_positive", "n_ord", "v_total"))
+        .union(rule(jAgg, "ship_after_order", "n_j", "v_dates"))
+    }),
+
     "dq8_psi" -> ((s, d) => {
       val cut = lit(QueriesRelational.CdcCutOld).cast("timestamp")
       val b = least(lit(9L),
@@ -345,6 +388,38 @@ object QueriesProfile {
     },
     // dq8: same one-scan conditional counts, 0-9 spine via range(10),
     // Laplace-smoothed shares, identical ln-ratio term
+    // dq9: same null-to-violation CASE routing; each arm reads its
+    // 1-row aggregate CTE.
+    "dq9_expectations" ->
+      """WITH la AS (SELECT count(*) AS n,
+        |    CAST(sum(CASE WHEN l_quantity >= 1 AND l_quantity <= 50
+        |      THEN 0 ELSE 1 END) AS BIGINT) AS v_qty,
+        |    CAST(sum(CASE WHEN l_discount >= 0 AND l_discount <= 0.5
+        |      THEN 0 ELSE 1 END) AS BIGINT) AS v_disc,
+        |    CAST(sum(CASE WHEN l_extendedprice > 0
+        |      THEN 0 ELSE 1 END) AS BIGINT) AS v_price
+        |  FROM lineitem),
+        |oa AS (SELECT count(*) AS n,
+        |    CAST(sum(CASE WHEN o_totalprice > 0
+        |      THEN 0 ELSE 1 END) AS BIGINT) AS v_total
+        |  FROM orders),
+        |ja AS (SELECT count(*) AS n,
+        |    CAST(sum(CASE WHEN l_shipdate::DATE >= o_orderdate::DATE
+        |      THEN 0 ELSE 1 END) AS BIGINT) AS v_dates
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+        |SELECT 'li_quantity_in_1_50' AS rule, n AS n_checked,
+        |  v_qty AS n_violations,
+        |  round(CAST(v_qty AS DOUBLE) / CAST(n AS DOUBLE), 6)
+        |    AS violation_rate FROM la
+        |UNION ALL SELECT 'li_discount_in_0_05', n, v_disc,
+        |  round(CAST(v_disc AS DOUBLE) / CAST(n AS DOUBLE), 6) FROM la
+        |UNION ALL SELECT 'li_price_positive', n, v_price,
+        |  round(CAST(v_price AS DOUBLE) / CAST(n AS DOUBLE), 6) FROM la
+        |UNION ALL SELECT 'o_totalprice_positive', n, v_total,
+        |  round(CAST(v_total AS DOUBLE) / CAST(n AS DOUBLE), 6) FROM oa
+        |UNION ALL SELECT 'ship_after_order', n, v_dates,
+        |  round(CAST(v_dates AS DOUBLE) / CAST(n AS DOUBLE), 6) FROM ja"""
+        .stripMargin,
     "dq8_psi" -> {
       val cut = s"TIMESTAMP '${QueriesRelational.CdcCutOld}'"
       s"""WITH c AS (SELECT least(9, CAST(floor(o_totalprice / 60000.0)
