@@ -221,6 +221,65 @@ object QueriesEvents {
         Seq(col("n_sessions").desc, col("path").asc), 20)
     }),
 
+    // A/B experiment readout with CUPED variance reduction — the
+    // experimentation-platform operator: users split into arms by a
+    // seeded hash (x9's reproducible-assignment discipline, never
+    // rand()), the post-period metric is adjusted by the pre-period
+    // covariate (adj_i = post_i − θ·(pre_i − pre̅)), and θ =
+    // cov(pre,post)/var(pre) comes from dq6's exact-moment discipline:
+    // every sum (n, Σx, Σy, Σx², Σxy) is an exact BIGINT over
+    // cents-quantized values, so both engines derive θ and the
+    // adjusted means from IDENTICAL integers through an identical
+    // fixed-order double expression — bit-equal before the rounding.
+    // The arm-level adjusted mean needs NO per-user second pass:
+    // mean_adj = Σpost/n − θ·(Σpre/n − Σpre_all/n_all), all from the
+    // same aggregate rows. Shape: one per-user hash agg, then a 1-row
+    // pooled-moment agg and a 2-row arm agg broadcast together —
+    // nothing after the first shuffle is bigger than the arm count.
+    // Long bound: Σxy ≈ users·(per-user cents)² — exact through sf1
+    // at this event density; a 100 TB deployment quantizes to coarser
+    // units exactly as dq6 documents.
+    "e10_ab_cuped" -> ((s, d) => {
+      val cut = lit("2024-01-16").cast("date")
+      val ev = Tables.events(s, d).select(col("user_id"),
+        to_date(col("ts")).as("day"),
+        floor(col("value") * 100).cast("long").as("cents"))
+      val users = ev.groupBy("user_id").agg(
+        sum(when(col("day") < cut, col("cents")).otherwise(0L))
+          .as("pre"),
+        sum(when(col("day") >= cut, col("cents")).otherwise(0L))
+          .as("post"))
+        .withColumn("arm",
+          when(graft.operators.TextOps.md5Prefix60(
+            concat(lit("arm:"), col("user_id").cast("string"))) % 2
+            === 0, lit("A")).otherwise(lit("B")))
+      val pooled = users.agg(
+        count(lit(1)).as("n_all"),
+        sum(col("pre")).as("sx"), sum(col("post")).as("sy"),
+        sum(col("pre") * col("pre")).as("sxx"),
+        sum(col("pre") * col("post")).as("sxy"))
+      val arms = users.groupBy("arm").agg(
+        count(lit(1)).as("n_arm"),
+        sum(col("pre")).as("sx_arm"), sum(col("post")).as("sy_arm"))
+      val nD = col("n_all").cast("double")
+      val theta =
+        (nD * col("sxy").cast("double") -
+          col("sx").cast("double") * col("sy").cast("double")) /
+        (nD * col("sxx").cast("double") -
+          col("sx").cast("double") * col("sx").cast("double"))
+      val meanPreAll = col("sx").cast("double") / nD
+      val meanPost = col("sy_arm").cast("double") / col("n_arm")
+        .cast("double")
+      val meanPreArm = col("sx_arm").cast("double") / col("n_arm")
+        .cast("double")
+      arms.crossJoin(broadcast(pooled))
+        .select(col("arm"), col("n_arm"),
+          round(meanPost / 100.0, 6).as("mean_post"),
+          round((meanPost - theta * (meanPreArm - meanPreAll)) / 100.0, 6)
+            .as("mean_adj"),
+          round(theta, 6).as("theta"))
+    }),
+
     // Kaplan–Meier survival over time-to-first-purchase WITH right
     // censoring — the concept e5's lag histogram cannot express: a
     // user who never purchased is not a missing row, they are evidence
@@ -432,6 +491,45 @@ object QueriesEvents {
         |c AS (SELECT path, count(*) AS n_sessions FROM p GROUP BY 1)
         |SELECT path, n_sessions FROM c
         |ORDER BY n_sessions DESC, path LIMIT 20""".stripMargin,
+    // e10: identical exact-moment CUPED; every arithmetic step in the
+    // same operand order over the same exact BIGINTs.
+    "e10_ab_cuped" ->
+      """WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day,
+        |    CAST(floor(value * 100) AS BIGINT) AS cents FROM events),
+        |u AS (SELECT user_id,
+        |    CAST(sum(CASE WHEN day < DATE '2024-01-16'
+        |      THEN cents ELSE 0 END) AS BIGINT) AS pre,
+        |    CAST(sum(CASE WHEN day >= DATE '2024-01-16'
+        |      THEN cents ELSE 0 END) AS BIGINT) AS post
+        |  FROM ev GROUP BY 1),
+        |ua AS (SELECT *, CASE WHEN CAST(concat('0x',
+        |      substr(md5(concat('arm:', CAST(user_id AS VARCHAR))),
+        |      1, 15)) AS BIGINT) % 2 = 0
+        |    THEN 'A' ELSE 'B' END AS arm FROM u),
+        |p AS (SELECT count(*) AS n_all,
+        |    CAST(sum(pre) AS BIGINT) AS sx,
+        |    CAST(sum(post) AS BIGINT) AS sy,
+        |    CAST(sum(pre * pre) AS BIGINT) AS sxx,
+        |    CAST(sum(pre * post) AS BIGINT) AS sxy FROM ua),
+        |a AS (SELECT arm, count(*) AS n_arm,
+        |    CAST(sum(pre) AS BIGINT) AS sx_arm,
+        |    CAST(sum(post) AS BIGINT) AS sy_arm FROM ua GROUP BY 1)
+        |SELECT arm, n_arm,
+        |  round((CAST(sy_arm AS DOUBLE) / CAST(n_arm AS DOUBLE))
+        |    / 100.0, 6) AS mean_post,
+        |  round((CAST(sy_arm AS DOUBLE) / CAST(n_arm AS DOUBLE)
+        |    - ((CAST(n_all AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |      / (CAST(n_all AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+        |      * (CAST(sx_arm AS DOUBLE) / CAST(n_arm AS DOUBLE)
+        |        - CAST(sx AS DOUBLE) / CAST(n_all AS DOUBLE)))
+        |    / 100.0, 6) AS mean_adj,
+        |  round((CAST(n_all AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |    / (CAST(n_all AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS theta
+        |FROM a, p""".stripMargin,
     // e9: identical KM construction; the survival product is the same
     // ordered left fold over day-ascending factors (ts8 discipline).
     "e9_survival" ->
