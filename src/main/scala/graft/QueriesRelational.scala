@@ -74,6 +74,27 @@ object QueriesRelational {
         round(percent_rank().over(wd), 6).as("date_pct"))
     }),
 
+    // Frame-navigation battery completing the window surface next to
+    // w5's rank family: cume_dist, and first/last/nth value over the
+    // FULL-partition frame (the explicit UNBOUNDED FOLLOWING frame is
+    // the part people get wrong — last_value over the default frame is
+    // just the current row). Values pass through unrounded: they are
+    // raw column doubles, identical bytes on both engines.
+    "w10_frame_navigation" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("o_orderpriority")
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      val wf = w.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+      Tables.orders(s, d).select(
+        col("o_orderpriority"), col("o_orderkey"),
+        round(cume_dist().over(w), 6).as("cdist"),
+        first(col("o_totalprice")).over(wf).as("first_price"),
+        last(col("o_totalprice")).over(wf).as("last_price"),
+        nth_value(col("o_totalprice"), 3).over(wf).as("third_price"))
+    }),
+
     // lag(): per-user delta between consecutive event values.
     "w3_lag_delta" -> ((s, d) => {
       val w = org.apache.spark.sql.expressions.Window
@@ -1082,6 +1103,19 @@ object QueriesRelational {
         |WINDOW w AS (PARTITION BY o_orderpriority
         |    ORDER BY o_orderdate, o_orderkey),
         |  wd AS (PARTITION BY o_orderpriority ORDER BY o_orderdate)"""
+        .stripMargin,
+    "w10_frame_navigation" ->
+      """SELECT o_orderpriority, o_orderkey,
+        |  round(cume_dist() OVER w, 6) AS cdist,
+        |  first_value(o_totalprice) OVER wf AS first_price,
+        |  last_value(o_totalprice) OVER wf AS last_price,
+        |  nth_value(o_totalprice, 3) OVER wf AS third_price
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority
+        |    ORDER BY o_orderdate, o_orderkey),
+        |  wf AS (PARTITION BY o_orderpriority
+        |    ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)"""
         .stripMargin,
     "g5_median_quantity" ->
       """WITH r AS (SELECT l_returnflag, l_quantity,
