@@ -150,6 +150,48 @@ object QueriesVector {
     // the approximate sets are ≤ 5·k rows — the left joins against the
     // 50-row exact list broadcast trivially; the expensive part is the
     // three searches themselves, each keeping its own scale shape.
+    // Graded ranking quality — nDCG@10 over v1's exact top-k with the
+    // embeddings' label column as binary relevance (same-cluster
+    // neighbor = relevant): the retrieval-EVALUATION metric v8's
+    // set-recall cannot express, because it scores WHERE the relevant
+    // neighbors rank, not just whether they appear. DCG folds
+    // rank-ascending in-row (the ts8 ordered-fold discipline — never a
+    // groupBy sum over doubles) with log2 as the ln-ratio both engines
+    // evaluate identically; IDCG folds over the first n_rel ideal
+    // slots; a probe with no relevant neighbor scores 0 (guarded 0/0).
+    // Shape: v1's search + two broadcast label joins + one per-probe
+    // agg over ≤ k rows.
+    "v15_ndcg" -> ((s, d) => {
+      val topk = queries("v1_cosine_topk")(s, d)
+        .select("id_q", "id_n", "rank")
+      val lab = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label"))
+      val rel = topk
+        .join(broadcast(lab.select(col("vec_id").as("id_q"),
+          col("label").as("label_q"))), Seq("id_q"))
+        .join(broadcast(lab.select(col("vec_id").as("id_n"),
+          col("label").as("label_n"))), Seq("id_n"))
+        .select(col("id_q"), col("rank"),
+          when(col("label_q") === col("label_n"), 1L).otherwise(0L)
+            .as("rel"))
+      val g = rel.groupBy("id_q").agg(
+        sum(col("rel")).as("n_rel"),
+        array_sort(collect_list(struct(col("rank"), col("rel"))))
+          .as("cells"))
+      val ln2 = log(lit(2.0))
+      val dcg = aggregate(col("cells"), lit(0.0), (a, x) =>
+        a + x.getField("rel").cast("double") /
+          (log(x.getField("rank").cast("double") + lit(1.0)) / ln2))
+      val idcg = when(col("n_rel") > 0,
+        aggregate(sequence(lit(1L), col("n_rel")), lit(0.0), (a, i) =>
+          a + lit(1.0) / (log(i.cast("double") + lit(1.0)) / ln2)))
+        .otherwise(lit(0.0))
+      g.select(col("id_q"), col("n_rel"),
+        round(dcg, 6).as("dcg"), round(idcg, 6).as("idcg"),
+        round(when(idcg > 0, dcg / idcg).otherwise(lit(0.0)), 6)
+          .as("ndcg"))
+    }),
+
     "v8_ann_recall" -> ((s, d) => {
       val exact = queries("v1_cosine_topk")(s, d).select("id_q", "id_n")
       def recallOf(cand: DataFrame, method: String): DataFrame =
@@ -380,6 +422,42 @@ object QueriesVector {
          |  SELECT *, row_number() OVER (PARTITION BY id_q
          |    ORDER BY cos DESC, id_n) AS rank FROM p)
          |WHERE rank <= 10""".stripMargin,
+    // v15: v1's chain + label joins; DCG/IDCG as the identical
+    // rank-ascending folds with log2 = ln-ratio.
+    "v15_ndcg" ->
+      s"""WITH $preparedSql,
+         |p AS (SELECT a.vec_id AS id_q, b.vec_id AS id_n,
+         |      round($dotSql / sqrt(a.n2 * b.n2), 6) AS cos
+         |      FROM n a JOIN n b ON b.vec_id <> a.vec_id
+         |      WHERE a.vec_id < 5),
+         |tk AS (SELECT id_q, id_n, rank FROM (
+         |      SELECT *, row_number() OVER (PARTITION BY id_q
+         |        ORDER BY cos DESC, id_n) AS rank FROM p)
+         |      WHERE rank <= 10),
+         |rl AS (SELECT tk.id_q, tk.rank,
+         |      CASE WHEN lq.label = ln_.label THEN 1 ELSE 0 END AS rel
+         |      FROM tk JOIN embeddings lq ON tk.id_q = lq.vec_id
+         |        JOIN embeddings ln_ ON tk.id_n = ln_.vec_id),
+         |g AS (SELECT id_q, CAST(sum(rel) AS BIGINT) AS n_rel,
+         |      list(CAST(rel AS DOUBLE)
+         |          / (ln(CAST(rank AS DOUBLE) + 1.0) / ln(2.0))
+         |        ORDER BY rank) AS terms
+         |      FROM rl GROUP BY id_q),
+         |f AS (SELECT id_q, n_rel,
+         |      list_reduce(list_prepend(CAST(0.0 AS DOUBLE), terms),
+         |        (a, x) -> a + x) AS dcg,
+         |      CASE WHEN n_rel > 0 THEN
+         |        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |          list_transform(range(n_rel), i -> 1.0
+         |            / (ln(CAST(i + 1 AS DOUBLE) + 1.0) / ln(2.0)))),
+         |          (a, x) -> a + x)
+         |      ELSE 0.0 END AS idcg
+         |      FROM g)
+         |SELECT id_q, n_rel, round(dcg, 6) AS dcg,
+         |  round(idcg, 6) AS idcg,
+         |  round(CASE WHEN idcg > 0 THEN dcg / idcg ELSE 0.0 END, 6)
+         |    AS ndcg
+         |FROM f""".stripMargin,
     // v14: codebook rebuilt from the md5 formula as a 128-entry flat
     // list (index sv*16+cv+1); `dls` is the shared encode/ADC distance
     // kernel — identical left folds to the Spark side, so code words
