@@ -233,6 +233,62 @@ object QueriesTimeseries {
             .over(wp))
         .select(col("event_type"), col("day"), col("cnt"), col("cusum_sc"),
           (col("day") === col("peak_day")).as("is_changepoint"))
+    }),
+
+    // LTTB downsampling (largest-triangle-three-buckets, the standard
+    // visual decimation for dashboards) per event-type daily series:
+    // first and last points always survive; each middle bucket of 5
+    // keeps the point spanning the LARGEST triangle against its
+    // neighbor buckets' centroids (the centroid-anchored LTTB variant
+    // — anchoring on centroids instead of the previously-selected
+    // point removes the sequential dependency, so every bucket selects
+    // independently and the operator parallelizes per bucket). The
+    // triangle area comparison is INTEGER-exact: the rational centroid
+    // denominators are cleared by scaling the doubled area by n₁²·n₃
+    // (A = |(Sx₁n₃−Sx₃n₁)(y₂n₁−Sy₁) − (Sx₁−x₂n₁)(Syₙ n₁−Sy₁n₃)|), so
+    // the argmax cannot flip on FP noise on either engine. Shape: one
+    // event-sized hash agg down to the day spine, then windows and
+    // equi-joins over O(types·days) rows only.
+    "ts10_lttb" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("cnt"))
+      val wr = Window.partitionBy("event_type").orderBy("day")
+      val idx = daily.withColumn("x",
+        (row_number().over(wr) - 1).cast("long"))
+      val mx = idx.groupBy("event_type").agg(max(col("x")).as("x_max"))
+      val b = idx.join(broadcast(mx), Seq("event_type"))
+        .withColumn("bucket", (col("x") / lit(5)).cast("long"))
+        .withColumn("last_bucket", (col("x_max") / lit(5)).cast("long"))
+      val cent = b.groupBy("event_type", "bucket")
+        .agg(sum(col("x")).as("sx"), sum(col("cnt")).as("sy"),
+          count(lit(1)).as("nb"))
+      val mid = b.filter(col("bucket") > 0 &&
+          col("bucket") < col("last_bucket"))
+        .join(cent.select(col("event_type"),
+          (col("bucket") + 1).as("bucket"), col("sx").as("sx1"),
+          col("sy").as("sy1"), col("nb").as("n1")),
+          Seq("event_type", "bucket"))
+        .join(cent.select(col("event_type"),
+          (col("bucket") - 1).as("bucket"), col("sx").as("sx3"),
+          col("sy").as("sy3"), col("nb").as("n3")),
+          Seq("event_type", "bucket"))
+        .withColumn("area2",
+          abs((col("sx1") * col("n3") - col("sx3") * col("n1")) *
+            (col("cnt") * col("n1") - col("sy1")) -
+            (col("sx1") - col("x") * col("n1")) *
+            (col("sy3") * col("n1") - col("sy1") * col("n3"))))
+      val wa = Window.partitionBy("event_type", "bucket")
+        .orderBy(col("area2").desc, col("x").asc)
+      val winners = mid.withColumn("rn", row_number().over(wa))
+        .filter(col("rn") === 1)
+        .select(col("event_type"), col("bucket"), col("x"), col("day"),
+          col("cnt"))
+      val endpoints = b.filter(col("x") === 0 || col("x") === col("x_max"))
+        .select(col("event_type"), col("bucket"), col("x"), col("day"),
+          col("cnt"))
+      winners.union(endpoints)
     })
   )
 
@@ -492,6 +548,40 @@ object QueriesTimeseries {
         |    OVER (PARTITION BY event_type) AS peak_day FROM p1)
         |SELECT event_type, day, cnt, cusum_sc,
         |  day = peak_day AS is_changepoint
-        |FROM p2""".stripMargin
+        |FROM p2""".stripMargin,
+    // ts10: identical integer-scaled area argmax; c1 = previous-bucket
+    // centroid, c3 = next-bucket centroid.
+    "ts10_lttb" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    count(*) AS cnt FROM events GROUP BY 1, 2),
+        |idx AS (SELECT event_type, day, cnt,
+        |    CAST(row_number() OVER (PARTITION BY event_type
+        |      ORDER BY day) - 1 AS BIGINT) AS x FROM daily),
+        |mx AS (SELECT event_type, max(x) AS x_max FROM idx GROUP BY 1),
+        |b AS (SELECT i.*, m.x_max,
+        |    CAST(floor(i.x / 5.0) AS BIGINT) AS bucket,
+        |    CAST(floor(m.x_max / 5.0) AS BIGINT) AS last_bucket
+        |  FROM idx i JOIN mx m USING (event_type)),
+        |cent AS (SELECT event_type, bucket,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(cnt) AS BIGINT) AS sy,
+        |    count(*) AS nb
+        |  FROM b GROUP BY 1, 2),
+        |mid AS (SELECT b.event_type, b.bucket, b.x, b.day, b.cnt,
+        |    abs((c1.sx * c3.nb - c3.sx * c1.nb)
+        |        * (b.cnt * c1.nb - c1.sy)
+        |      - (c1.sx - b.x * c1.nb)
+        |        * (c3.sy * c1.nb - c1.sy * c3.nb)) AS area2
+        |  FROM b JOIN cent c1 ON b.event_type = c1.event_type
+        |      AND c1.bucket = b.bucket - 1
+        |    JOIN cent c3 ON b.event_type = c3.event_type
+        |      AND c3.bucket = b.bucket + 1
+        |  WHERE b.bucket > 0 AND b.bucket < b.last_bucket),
+        |w AS (SELECT event_type, bucket, x, day, cnt,
+        |    row_number() OVER (PARTITION BY event_type, bucket
+        |      ORDER BY area2 DESC, x) AS rn FROM mid)
+        |SELECT event_type, bucket, x, day, cnt FROM w WHERE rn = 1
+        |UNION ALL
+        |SELECT event_type, bucket, x, day, cnt FROM b
+        |WHERE x = 0 OR x = x_max""".stripMargin
   )
 }
