@@ -93,6 +93,31 @@ object QueriesCuration {
         .filter(col("cum") - col("n_tokens") < 1000)
         .select(col("source"), col("doc_id"), col("n_tokens"),
           (col("cum") - col("n_tokens")).as("cum_before"))
+    }),
+
+    // Differentially-private aggregate release (Laplace mechanism,
+    // ε=1, sensitivity 1) over the (lang, source) count table — the
+    // privacy gate a curation pipeline applies before publishing
+    // corpus statistics. The mechanism shape is real (inverse-CDF
+    // Laplace draw: noise = −b·sign(u−½)·ln(1−2|u−½|)); the uniform u
+    // is a SEEDED per-group hash here (the x9/x22 determinism
+    // discipline — reproducible across engines/runs, which a secure
+    // release would replace with a CSPRNG draw, trading the oracle for
+    // privacy). True counts are emitted alongside as the test witness;
+    // a production release drops them. One group-sized hash agg + a
+    // narrow projection — nothing changes at 100 TB.
+    "x25_dp_release" -> ((s, d) => {
+      val g = Tables.documents(s, d)
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_true"))
+      val u = (TextOps.md5Prefix60(concat(lit("dp:"), col("lang"),
+        lit("|"), col("source"))).cast("double") + lit(0.5)) /
+        lit(1.152921504606846976e18)
+      val c = u - lit(0.5)
+      g.select(col("lang"), col("source"), col("n_true"),
+        round(col("n_true").cast("double") -
+          signum(c) * log(lit(1.0) - lit(2.0) * abs(c)), 6)
+          .as("n_released"))
     })
   )
 
@@ -160,6 +185,22 @@ object QueriesCuration {
          |    AS cum
          |  FROM t)
          |SELECT source, doc_id, n_tokens, cum - n_tokens AS cum_before
-         |FROM c WHERE cum - n_tokens < 1000""".stripMargin
+         |FROM c WHERE cum - n_tokens < 1000""".stripMargin,
+    // x25: identical inverse-CDF Laplace draw from the same seeded
+    // per-group hash; u can never be exactly 0.5 ((h+0.5)/2^60 with
+    // integer h), so sign(u−½) is never 0.
+    "x25_dp_release" ->
+      """WITH g AS (SELECT lang, source, count(*) AS n_true
+        |  FROM documents GROUP BY 1, 2),
+        |h AS (SELECT lang, source, n_true,
+        |  (CAST(CAST(concat('0x', substr(md5(concat('dp:', lang, '|',
+        |      source)), 1, 15)) AS BIGINT) AS DOUBLE) + 0.5)
+        |    / 1152921504606846976.0 AS u
+        |  FROM g)
+        |SELECT lang, source, n_true,
+        |  round(CAST(n_true AS DOUBLE)
+        |    - sign(u - 0.5) * ln(1.0 - 2.0 * abs(u - 0.5)), 6)
+        |    AS n_released
+        |FROM h""".stripMargin
   )
 }
