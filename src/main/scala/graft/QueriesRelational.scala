@@ -95,6 +95,34 @@ object QueriesRelational {
         nth_value(col("o_totalprice"), 3).over(wf).as("third_price"))
     }),
 
+    // Skyline / Pareto frontier (non-dominated set) — the multi-
+    // criteria "best tradeoffs" operator SQL has no keyword for:
+    // orders minimizing price while maximizing recency; an order
+    // survives iff nothing is both cheaper-or-equal AND
+    // newer-or-equal (strict somewhere). Classic sort-scan shape:
+    // collapse to the per-price best (min negated day — anything
+    // worse at the same price is dominated), then one ordered pass
+    // keeps rows strictly better than every preceding (cheaper) row's
+    // best. All integer (cents, day offsets) — no FP tie ambiguity.
+    // The global ordered window is the one sequential structure; at
+    // 100 TB it range-partitions by price with per-partition skylines
+    // + a merge of O(partitions) frontier fragments (skylines compose
+    // by union + re-filter), same as d18's rank note.
+    "g11_pareto" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val pts = Tables.orders(s, d).select(
+        floor(col("o_totalprice") * 100).cast("long").as("price_c"),
+        (-datediff(col("o_orderdate").cast("date"),
+          lit("1992-01-01").cast("date"))).cast("long").as("negday"))
+      val perX = pts.groupBy("price_c")
+        .agg(min(col("negday")).as("negday"))
+      val w = Window.orderBy("price_c")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      perX.withColumn("m", min(col("negday")).over(w))
+        .filter(col("m").isNull || col("negday") < col("m"))
+        .select(col("price_c"), (-col("negday")).as("day_off"))
+    }),
+
     // lag(): per-user delta between consecutive event values.
     "w3_lag_delta" -> ((s, d) => {
       val w = org.apache.spark.sql.expressions.Window
@@ -1104,6 +1132,21 @@ object QueriesRelational {
         |    ORDER BY o_orderdate, o_orderkey),
         |  wd AS (PARTITION BY o_orderpriority ORDER BY o_orderdate)"""
         .stripMargin,
+    // g11: same collapse + ordered strict-improvement scan.
+    "g11_pareto" ->
+      """WITH pts AS (SELECT CAST(floor(o_totalprice * 100) AS BIGINT)
+        |    AS price_c,
+        |    -CAST(date_diff('day', DATE '1992-01-01',
+        |      o_orderdate::DATE) AS BIGINT) AS negday
+        |  FROM orders),
+        |px AS (SELECT price_c, min(negday) AS negday FROM pts
+        |  GROUP BY 1),
+        |sc AS (SELECT price_c, negday,
+        |    min(negday) OVER (ORDER BY price_c
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS m
+        |  FROM px)
+        |SELECT price_c, -negday AS day_off FROM sc
+        |WHERE m IS NULL OR negday < m""".stripMargin,
     "w10_frame_navigation" ->
       """SELECT o_orderpriority, o_orderkey,
         |  round(cume_dist() OVER w, 6) AS cdist,

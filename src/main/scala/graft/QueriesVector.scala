@@ -192,6 +192,42 @@ object QueriesVector {
           .as("ndcg"))
     }),
 
+    // Per-dimension feature standardization (z-scoring) — the ML
+    // preprocessing step every embedding/tabular pipeline runs before
+    // training: each dimension centered and scaled by its corpus
+    // mean/std. Determinism via the dq6 exact-moment discipline:
+    // values quantize to milli-units, per-dim (n, Σx, Σx²) are exact
+    // BIGINTs (bounded through ~sf10 at this range; coarser grain
+    // beyond, as dq6 documents), and z = (n·x − Σx)/√(n·Σx² − (Σx)²)
+    // clears every rational denominator so both engines divide the
+    // SAME exact integers (z is scale-invariant, so the quantization
+    // grain cancels). Zero-variance dims z-score to 0 (guarded).
+    // Output is the per-vector Σz² through a pos-sorted fold — the
+    // whole normalize path checked in one scalar per vector. Shape:
+    // one posexplode + one 32-row stats agg broadcast back + one
+    // per-vector agg.
+    "v16_standardize" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), posexplode(col("embedding")))
+        .select(col("vec_id"), col("pos"),
+          floor(col("col").cast("double") * 1000).cast("long").as("xq"))
+      val stats = e.groupBy("pos").agg(count(lit(1)).as("n"),
+          sum(col("xq")).as("sq"),
+          sum(col("xq") * col("xq")).as("sqq"))
+        .withColumn("den", col("n") * col("sqq") - col("sq") * col("sq"))
+      val z = when(col("den") > 0,
+        (col("n") * col("xq") - col("sq")).cast("double") /
+          sqrt(col("den").cast("double"))).otherwise(lit(0.0))
+      e.join(broadcast(stats), Seq("pos"))
+        .select(col("vec_id"), col("pos"), z.as("z"))
+        .groupBy("vec_id")
+        .agg(array_sort(collect_list(struct(col("pos"), col("z"))))
+          .as("cells"))
+        .select(col("vec_id"),
+          round(aggregate(col("cells"), lit(0.0), (a, c) =>
+            a + c.getField("z") * c.getField("z")), 6).as("ssq_z"))
+    }),
+
     "v8_ann_recall" -> ((s, d) => {
       val exact = queries("v1_cosine_topk")(s, d).select("id_q", "id_n")
       def recallOf(cand: DataFrame, method: String): DataFrame =
@@ -422,6 +458,31 @@ object QueriesVector {
          |  SELECT *, row_number() OVER (PARTITION BY id_q
          |    ORDER BY cos DESC, id_n) AS rank FROM p)
          |WHERE rank <= 10""".stripMargin,
+    // v16: same quantized moments, same cleared-denominator z, same
+    // pos-ordered fold of z².
+    "v16_standardize" ->
+      """WITH b AS (SELECT vec_id,
+        |    unnest(range(len(embedding))) AS pos, embedding
+        |  FROM embeddings),
+        |e AS (SELECT vec_id, pos,
+        |    CAST(floor(CAST(embedding[pos + 1] AS DOUBLE) * 1000)
+        |      AS BIGINT) AS xq
+        |  FROM b),
+        |st AS (SELECT pos, count(*) AS n,
+        |    CAST(sum(xq) AS BIGINT) AS sq,
+        |    CAST(sum(xq * xq) AS BIGINT) AS sqq
+        |  FROM e GROUP BY 1),
+        |sd AS (SELECT pos, n, sq, n * sqq - sq * sq AS den FROM st),
+        |z AS (SELECT vec_id, pos,
+        |    CASE WHEN den > 0 THEN CAST(n * xq - sq AS DOUBLE)
+        |      / sqrt(CAST(den AS DOUBLE)) ELSE 0.0 END AS z
+        |  FROM e JOIN sd USING (pos)),
+        |g AS (SELECT vec_id, list(z * z ORDER BY pos) AS zs
+        |  FROM z GROUP BY 1)
+        |SELECT vec_id,
+        |  round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), zs),
+        |    (a, x) -> a + x), 6) AS ssq_z
+        |FROM g""".stripMargin,
     // v15: v1's chain + label joins; DCG/IDCG as the identical
     // rank-ascending folds with log2 = ln-ratio.
     "v15_ndcg" ->
