@@ -503,6 +503,50 @@ object QueriesRelational {
           max(col("o_orderpriority")).as("max_prio"))
     }),
 
+    // Nearest as-of: the third member of the as-of family — each click
+    // takes whichever purchase is closer in time, past (j8's backward
+    // window) or future (j11's forward window), ties to the past.
+    // Composed from BOTH one-shuffle as-of passes (each carries the
+    // matched row's timestamp as an extra value column) + one equi-join
+    // on the left key — still no range join, no candidate blow-up;
+    // distances compare as exact epoch-micro integers.
+    "j15_asof_nearest" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("user_id", "event_id", "ts")
+      val wDedup = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id", "ts").orderBy(col("event_id").desc)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .withColumn("rn", row_number().over(wDedup))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("ts"), col("value"),
+          col("ts").as("p_ts"))
+      val back = RelationalOps.asofJoin(clicks, purchases,
+        Seq("user_id"), "ts", Seq("value", "p_ts"))
+        .select(col("user_id"), col("event_id"), col("ts"),
+          col("asof_value").as("b_val"), col("asof_p_ts").as("b_ts"))
+      val fwd = RelationalOps.asofJoinForward(clicks, purchases,
+        Seq("user_id"), "ts", Seq("value", "p_ts"))
+        .select(col("user_id"), col("event_id"),
+          col("asof_next_value").as("f_val"),
+          col("asof_next_p_ts").as("f_ts"))
+      val us = (c: Column) => unix_micros(c.cast("timestamp"))
+      val dB = us(col("ts")) - us(col("b_ts"))
+      val dF = us(col("f_ts")) - us(col("ts"))
+      back.join(fwd, Seq("user_id", "event_id"))
+        .select(col("user_id"), col("event_id"), col("ts"),
+          when(col("b_ts").isNull && col("f_ts").isNull, lit(null))
+            .when(col("f_ts").isNull, col("b_val"))
+            .when(col("b_ts").isNull, col("f_val"))
+            .when(dB <= dF, col("b_val")).otherwise(col("f_val"))
+            .as("nearest_purchase"),
+          when(col("b_ts").isNull && col("f_ts").isNull, lit("none"))
+            .when(col("f_ts").isNull, lit("past"))
+            .when(col("b_ts").isNull, lit("future"))
+            .when(dB <= dF, lit("past")).otherwise(lit("future"))
+            .as("direction"))
+    }),
+
     // Temporal allocation (proration): each line item's revenue spreads
     // across the calendar months its order-to-ship interval touches,
     // weighted by the exact day count falling in each month — the
@@ -1120,6 +1164,38 @@ object QueriesRelational {
         |SELECT l.user_id, l.event_id, l.ts, r.value AS next_purchase
         |FROM l ASOF LEFT JOIN r
         |  ON l.user_id = r.user_id AND l.ts <= r.ts""".stripMargin,
+    // j15: two native ASOF joins carrying the matched ts, micro-exact
+    // distance compare, ties to the past.
+    "j15_asof_nearest" ->
+      """WITH l AS (SELECT user_id, event_id, ts FROM events
+        |  WHERE event_type = 'click'),
+        |r AS (SELECT user_id, ts, value FROM (
+        |  SELECT user_id, ts, value, row_number() OVER (
+        |    PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+        |  FROM events WHERE event_type = 'purchase') WHERE rn = 1),
+        |b AS (SELECT l.user_id, l.event_id, l.ts,
+        |    r.value AS b_val, r.ts AS b_ts
+        |  FROM l ASOF LEFT JOIN r
+        |    ON l.user_id = r.user_id AND l.ts >= r.ts),
+        |f AS (SELECT l.user_id, l.event_id,
+        |    r.value AS f_val, r.ts AS f_ts
+        |  FROM l ASOF LEFT JOIN r
+        |    ON l.user_id = r.user_id AND l.ts <= r.ts)
+        |SELECT b.user_id, b.event_id, b.ts,
+        |  CASE WHEN b_ts IS NULL AND f_ts IS NULL THEN NULL
+        |    WHEN f_ts IS NULL THEN b_val
+        |    WHEN b_ts IS NULL THEN f_val
+        |    WHEN epoch_us(b.ts) - epoch_us(b_ts)
+        |      <= epoch_us(f_ts) - epoch_us(b.ts) THEN b_val
+        |    ELSE f_val END AS nearest_purchase,
+        |  CASE WHEN b_ts IS NULL AND f_ts IS NULL THEN 'none'
+        |    WHEN f_ts IS NULL THEN 'past'
+        |    WHEN b_ts IS NULL THEN 'future'
+        |    WHEN epoch_us(b.ts) - epoch_us(b_ts)
+        |      <= epoch_us(f_ts) - epoch_us(b.ts) THEN 'past'
+        |    ELSE 'future' END AS direction
+        |FROM b JOIN f ON b.user_id = f.user_id
+        |  AND b.event_id = f.event_id""".stripMargin,
     "w5_window_variants" ->
       """SELECT o_orderpriority, o_orderkey,
         |  lag(o_totalprice, 1) OVER w AS prev_price,

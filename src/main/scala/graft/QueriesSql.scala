@@ -196,6 +196,26 @@ object QueriesSql {
           |  FROM events)
           |WINDOW w AS (PARTITION BY user_id ORDER BY sec
           |  RANGE BETWEEN 86400 PRECEDING AND CURRENT ROW)""".stripMargin)
+    }),
+
+    // Skyline as SQL TEXT (g11's Pareto frontier, oracle reused): the
+    // collapse + strict-improvement ordered scan expressed entirely in
+    // the SQL window dialect (ROWS ... 1 PRECEDING exclusive frame).
+    "sql13_pareto" -> ((s, d) => {
+      sqlSession(s, d, "orders").sql(
+        """WITH pts AS (SELECT CAST(floor(o_totalprice * 100) AS BIGINT)
+          |    AS price_c,
+          |    -CAST(datediff(CAST(o_orderdate AS DATE),
+          |      DATE '1992-01-01') AS BIGINT) AS negday
+          |  FROM orders),
+          |px AS (SELECT price_c, min(negday) AS negday FROM pts
+          |  GROUP BY 1),
+          |sc AS (SELECT price_c, negday,
+          |    min(negday) OVER (ORDER BY price_c
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS m
+          |  FROM px)
+          |SELECT price_c, -negday AS day_off FROM sc
+          |WHERE m IS NULL OR negday < m""".stripMargin)
     })
   )
 
@@ -241,6 +261,7 @@ object QueriesSql {
         |FROM orders WHERE o_custkey % 100 = 0""".stripMargin,
     "sql9_grouping_sets" -> QueriesRelational.oracle("g6_grouping_sets"),
     "sql10_explode_tokens" -> QueriesText.oracle("x5_vocab_topk"),
-    "sql12_range_frame" -> QueriesRelational.oracle("w6_range_frame")
+    "sql12_range_frame" -> QueriesRelational.oracle("w6_range_frame"),
+    "sql13_pareto" -> QueriesRelational.oracle("g11_pareto")
   )
 }
