@@ -106,6 +106,56 @@ object QueriesCuration {
     // privacy). True counts are emitted alongside as the test witness;
     // a production release drops them. One group-sized hash agg + a
     // narrow projection — nothing changes at 100 TB.
+    // Max-min fair budget allocation (water-filling) across sources —
+    // the corpus-mixing operator behind "give every source its fair
+    // share of the token budget": sources whose demand fits under the
+    // water level keep it all; the rest split what remains equally
+    // (largest-remainder tie-break by sort order). ENTIRELY integer:
+    // sort demands ascending, one cumulative window finds the FIRST
+    // source whose equal-split would exceed its demand's level
+    // (d_i·k_i > remaining_i — the cut), fully-funded sources take
+    // d_i, capped sources take ⌊remaining/k⌋ (+1 for the first
+    // remainder positions), so Σalloc == min(B, Σd) exactly and both
+    // engines agree bit-for-bit. Shape: one doc-level agg down to
+    // O(sources) rows; the windows and the 1-row cut broadcast never
+    // see document-sized data.
+    "x26_fair_share" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val B = 20000L
+      val dem = Tables.documents(s, d)
+        .groupBy(col("source"))
+        .agg(sum(TextOps.tokenCount(col("text"))).as("demand"))
+      val w = Window.orderBy(col("demand").asc, col("source").asc)
+      val r = dem
+        .withColumn("idx", row_number().over(w).cast("long"))
+        .withColumn("prefix", sum(col("demand")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val n1 = r.agg(count(lit(1)).as("n"))
+      val r2 = r.crossJoin(broadcast(n1))
+        .withColumn("k", col("n") - col("idx") + 1)
+        .withColumn("remaining",
+          lit(B) - (col("prefix") - col("demand")))
+        .withColumn("cut_here",
+          col("demand") * col("k") > col("remaining"))
+      val cut = r2.filter(col("cut_here")).agg(min(col("idx"))
+        .as("cut_idx"))
+      val cutRow = r2.join(broadcast(cut),
+          col("idx") === col("cut_idx"))
+        .select(lit(1).as("dummy"), col("cut_idx"),
+          col("remaining").as("rem_cut"), col("k").as("k_cut"))
+      r2.withColumn("dummy", lit(1))
+        .join(broadcast(cutRow), Seq("dummy"), "left")
+        .select(col("source"), col("demand"),
+          when(col("cut_idx").isNull || col("idx") < col("cut_idx"),
+            col("demand"))
+            .otherwise(expr("rem_cut div k_cut") +
+              when(col("idx") - col("cut_idx") + 1 <=
+                col("rem_cut") % col("k_cut"), 1L).otherwise(0L))
+            .as("alloc"),
+          (col("cut_idx").isNotNull && col("idx") >= col("cut_idx"))
+            .as("is_capped"))
+    }),
+
     "x25_dp_release" -> ((s, d) => {
       val g = Tables.documents(s, d)
         .groupBy(col("lang"), col("source"))
@@ -186,6 +236,39 @@ object QueriesCuration {
          |  FROM t)
          |SELECT source, doc_id, n_tokens, cum - n_tokens AS cum_before
          |FROM c WHERE cum - n_tokens < 1000""".stripMargin,
+    // x26: same integer water-filling; DuckDB's // is the same floor
+    // division on the same non-negative integers.
+    "x26_fair_share" ->
+      s"""WITH dem AS (SELECT source,
+         |    CAST(sum(len($toksSql)) AS BIGINT) AS demand
+         |  FROM documents GROUP BY 1),
+         |r AS (SELECT source, demand,
+         |    CAST(row_number() OVER (ORDER BY demand, source)
+         |      AS BIGINT) AS idx,
+         |    CAST(sum(demand) OVER (ORDER BY demand, source
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS BIGINT) AS prefix
+         |  FROM dem),
+         |n1 AS (SELECT count(*) AS n FROM r),
+         |r2 AS (SELECT r.*, n1.n, n1.n - idx + 1 AS k,
+         |    20000 - (prefix - demand) AS remaining,
+         |    demand * (n1.n - idx + 1) > 20000 - (prefix - demand)
+         |      AS cut_here
+         |  FROM r, n1),
+         |cut AS (SELECT min(idx) AS cut_idx FROM r2 WHERE cut_here),
+         |cr AS (SELECT cut.cut_idx, r2.remaining AS rem_cut,
+         |    r2.k AS k_cut
+         |  FROM r2 JOIN cut ON r2.idx = cut.cut_idx)
+         |SELECT r2.source, r2.demand,
+         |  CASE WHEN cr.cut_idx IS NULL OR r2.idx < cr.cut_idx
+         |    THEN r2.demand
+         |    ELSE cr.rem_cut // cr.k_cut
+         |      + (CASE WHEN r2.idx - cr.cut_idx + 1
+         |          <= cr.rem_cut % cr.k_cut THEN 1 ELSE 0 END)
+         |    END AS alloc,
+         |  cr.cut_idx IS NOT NULL AND r2.idx >= cr.cut_idx
+         |    AS is_capped
+         |FROM r2 LEFT JOIN cr ON TRUE""".stripMargin,
     // x25: identical inverse-CDF Laplace draw from the same seeded
     // per-group hash; u can never be exactly 0.5 ((h+0.5)/2^60 with
     // integer h), so sign(u−½) is never 0.
