@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
 
@@ -219,6 +219,31 @@ object QueriesEvents {
         .groupBy("path").agg(count(lit(1)).as("n_sessions"))
       graft.operators.RelationalOps.topKGlobal(paths,
         Seq(col("n_sessions").desc, col("path").asc), 20)
+    }),
+
+    // RFM segmentation — the classic customer-value grid: each user
+    // scored 1–5 on Recency (latest activity), Frequency (event
+    // count) and Monetary (total cents), via ntile(5) over a TOTAL
+    // order (metric desc, user_id tiebreak — ntile on a partial order
+    // is nondeterministic across engines; both engines hand earlier
+    // buckets the extra rows, so identical total orders give identical
+    // buckets). Output is the 125-cell segment census. Shape: one
+    // per-user hash agg, three O(users) window passes, one cell-sized
+    // agg.
+    "e11_rfm" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val users = Tables.events(s, d)
+        .groupBy("user_id")
+        .agg(max(to_date(col("ts"))).as("last_day"),
+          count(lit(1)).as("freq"),
+          sum(floor(col("value") * 100).cast("long")).as("cents"))
+      def q(m: Column) = ntile(5)
+        .over(Window.orderBy(m.desc, col("user_id").asc)).cast("long")
+      users
+        .select(col("user_id"), q(col("last_day")).as("r_q"),
+          q(col("freq")).as("f_q"), q(col("cents")).as("m_q"))
+        .groupBy("r_q", "f_q", "m_q")
+        .agg(count(lit(1)).as("n_users"))
     }),
 
     // A/B experiment readout with CUPED variance reduction — the
@@ -491,6 +516,23 @@ object QueriesEvents {
         |c AS (SELECT path, count(*) AS n_sessions FROM p GROUP BY 1)
         |SELECT path, n_sessions FROM c
         |ORDER BY n_sessions DESC, path LIMIT 20""".stripMargin,
+    // e11: identical total orders feed ntile on both engines.
+    "e11_rfm" ->
+      """WITH u AS (SELECT user_id, max(CAST(ts AS DATE)) AS last_day,
+        |    count(*) AS freq,
+        |    CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+        |      AS cents
+        |  FROM events GROUP BY 1),
+        |s AS (SELECT user_id,
+        |    CAST(ntile(5) OVER (ORDER BY last_day DESC, user_id)
+        |      AS BIGINT) AS r_q,
+        |    CAST(ntile(5) OVER (ORDER BY freq DESC, user_id)
+        |      AS BIGINT) AS f_q,
+        |    CAST(ntile(5) OVER (ORDER BY cents DESC, user_id)
+        |      AS BIGINT) AS m_q
+        |  FROM u)
+        |SELECT r_q, f_q, m_q, count(*) AS n_users
+        |FROM s GROUP BY 1, 2, 3""".stripMargin,
     // e10: identical exact-moment CUPED; every arithmetic step in the
     // same operand order over the same exact BIGINTs.
     "e10_ab_cuped" ->

@@ -164,6 +164,28 @@ object QueriesFunctions {
     // what the relational oracle can state). The map layer is
     // Spark-side structure; the RESULT is layout-independent, which is
     // exactly what the oracle pins.
+    // try_* safe-math battery — ANSI-mode error handling as VALUES,
+    // not exceptions: division by zero, malformed casts, out-of-bounds
+    // element access and Long-overflow addition all yield NULL instead
+    // of killing the job — the semantics a 100 TB pipeline needs when
+    // one poisoned row must not fail a stage. DuckDB has TRY_CAST and
+    // native NULL-on-OOB list access; division-by-zero and overflow
+    // are mirrored with nullif/CASE encodings of the same results
+    // (documented — the oracle pins the VALUES, Spark's try_* pins the
+    // mechanism).
+    "f11_safe_math" -> ((s, d) => {
+      Tables.region(s, d).select(
+        col("r_regionkey"),
+        round(try_divide(lit(10.0), col("r_regionkey").cast("double")),
+          6).as("div_k"),
+        expr("try_cast(r_name AS INT)").as("bad_int"),
+        expr("try_cast(cast(r_regionkey AS STRING) AS INT)")
+          .as("good_int"),
+        try_element_at(array(lit(1), lit(2)), lit(5)).as("oob_elem"),
+        expr("try_to_timestamp(r_name)").as("bad_ts"),
+        expr("try_add(9223372036854775807L, r_regionkey)").as("ovf_add"))
+    }),
+
     "f10_map_funcs" -> ((s, d) => {
       // this synthetic lineitem can repeat a linenumber within an order,
       // so entries pre-aggregate per (order, line) — map keys MUST be
@@ -285,6 +307,20 @@ object QueriesFunctions {
         |    list_transform(range(len(v)), i -> v[i+1] * rv[i+1])),
         |    (a, x) -> a + x), 6) AS dot_rev
         |FROM r""".stripMargin,
+    // f11: TRY_CAST is native; div-by-zero and Long overflow mirror as
+    // nullif/CASE encodings of the identical NULL-or-value results.
+    "f11_safe_math" ->
+      """SELECT r_regionkey,
+        |  round(10.0 / nullif(CAST(r_regionkey AS DOUBLE), 0), 6)
+        |    AS div_k,
+        |  TRY_CAST(r_name AS INTEGER) AS bad_int,
+        |  TRY_CAST(CAST(r_regionkey AS VARCHAR) AS INTEGER)
+        |    AS good_int,
+        |  ([1, 2])[5] AS oob_elem,
+        |  TRY_CAST(r_name AS TIMESTAMP) AS bad_ts,
+        |  CASE WHEN r_regionkey = 0 THEN 9223372036854775807
+        |    ELSE NULL END AS ovf_add
+        |FROM region""".stripMargin,
     // f10: the exploded map rows are plain relational rows — count per
     // order joined back, doubled quantity filtered at 50.
     "f10_map_funcs" ->
