@@ -109,6 +109,31 @@ object QueriesSketch {
         col("l_extendedprice"), 256, Seq(0.25, 0.5, 0.75, 0.95))
     }),
 
+    // Quantile-sketch accuracy gate — sk11's discipline applied to the
+    // FOURTH sketch family (HLL/KMV gated by sk11, CMS by sk3's truth
+    // witness, Bloom by sk4's accounting; the quantile sketch was the
+    // one estimator with no measured error): each sk5 estimate's TRUE
+    // rank among all prices is counted exactly, and the deviation from
+    // its target quantile is reported in integer basis points
+    // (|cnt·10⁴ − q·10⁴·n| div n — exact, no FP rank arithmetic). The
+    // 4-row estimate frame broadcasts to one fact pass with map-side
+    // partials; at 100 TB the gate costs one scan. (A 256-row uniform
+    // sample's p50 lands within ~±300 bps w.h.p. — what this measures.)
+    "sk12_quantile_error" -> ((s, d) => {
+      val est = queries("sk5_quantile_sketch")(s, d)
+      val li = Tables.lineitem(s, d).select(col("l_extendedprice")
+        .as("v"))
+      val n1 = li.agg(count(lit(1)).as("n"))
+      li.crossJoin(broadcast(est))
+        .groupBy("q", "est")
+        .agg(sum(when(col("v") <= col("est"), 1L).otherwise(0L))
+          .as("cnt"))
+        .crossJoin(broadcast(n1))
+        .withColumn("qb", round(col("q") * 10000, 0).cast("long"))
+        .select(col("q"), col("est"), col("cnt"),
+          expr("abs(cnt * 10000 - qb * n) div n").as("rank_err_bps"))
+    }),
+
     // The same HLL sketch as sk1 as a native TypedImperativeAggregate:
     // one 4 KB buffer per partition partial, merged by register max —
     // no register-table shuffle at all. The oracle is the RELATIONAL
@@ -268,6 +293,17 @@ object QueriesSketch {
   private def h60(arg: String): String =
     s"CAST(concat('0x', substr(md5($arg), 1, 15)) AS BIGINT)"
 
+  /** sk5's oracle statement, shared verbatim with sk12's gate. */
+  private def sk5Sql: String =
+    s"""WITH s AS (SELECT ${h60("concat('qs:', CAST(l_orderkey AS " +
+         "VARCHAR), '-', CAST(l_linenumber AS VARCHAR))")} AS h,
+       |        l_extendedprice AS v
+       |      FROM lineitem ORDER BY h LIMIT 256),
+       |r AS (SELECT v, row_number() OVER (ORDER BY v, h) AS r FROM s)
+       |SELECT CAST(CASE r WHEN 64 THEN 0.25 WHEN 128 THEN 0.5
+       |  WHEN 192 THEN 0.75 ELSE 0.95 END AS DOUBLE) AS q, v AS est
+       |FROM r WHERE r IN (64, 128, 192, 244)""".stripMargin
+
   def oracle: Map[String, String] = Map(
     "sk10_bloom_prune_join" ->
       """SELECT o_orderpriority, count(*) AS n_orders,
@@ -388,15 +424,22 @@ object QueriesSketch {
          |SELECT n_orders, n_pass, n_true, n_pass - n_true AS n_false_pos
          |FROM agg CROSS JOIN t""".stripMargin
     },
-    "sk5_quantile_sketch" ->
-      s"""WITH s AS (SELECT ${h60("concat('qs:', CAST(l_orderkey AS " +
-           "VARCHAR), '-', CAST(l_linenumber AS VARCHAR))")} AS h,
-         |        l_extendedprice AS v
-         |      FROM lineitem ORDER BY h LIMIT 256),
-         |r AS (SELECT v, row_number() OVER (ORDER BY v, h) AS r FROM s)
-         |SELECT CAST(CASE r WHEN 64 THEN 0.25 WHEN 128 THEN 0.5
-         |  WHEN 192 THEN 0.75 ELSE 0.95 END AS DOUBLE) AS q, v AS est
-         |FROM r WHERE r IN (64, 128, 192, 244)""".stripMargin,
+    "sk5_quantile_sketch" -> sk5Sql,
+    // sk12: sk5's statement nested verbatim as a subquery (one source
+    // of truth), then the exact-rank count and integer-bps deviation.
+    "sk12_quantile_error" ->
+      s"""WITH s AS (SELECT * FROM (
+         |$sk5Sql
+         |) t),
+         |n1 AS (SELECT count(*) AS n FROM lineitem),
+         |r AS (SELECT s.q, s.est,
+         |    CAST(sum(CASE WHEN l_extendedprice <= s.est
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS cnt
+         |  FROM lineitem, s GROUP BY 1, 2)
+         |SELECT q, est, cnt,
+         |  abs(cnt * 10000 - CAST(round(q * 10000, 0) AS BIGINT) * n)
+         |    // n AS rank_err_bps
+         |FROM r, n1""".stripMargin,
     "sk6_hll_native_agg" ->
       s"""WITH h AS (SELECT ${h60(
            "concat('hll:', CAST(l_orderkey AS VARCHAR))")} AS h
