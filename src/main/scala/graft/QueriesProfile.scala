@@ -167,6 +167,57 @@ object QueriesProfile {
     // partials), the 0–9 spine guarantees every bucket a row, and the
     // 10-row math is driver-trivial at any data scale — the whole cost
     // is the single pass over orders.
+    // Functional-dependency audit — the "is this column determined by
+    // that key" profiling question behind normalization checks and
+    // key discovery: for each candidate FD, the distinct (key, rhs)
+    // pair table collapses to per-key rhs counts, and keys with more
+    // than one rhs are violations. Three FDs (one that HOLDS —
+    // nation→region — and two that don't) in three distinct-pair aggs
+    // + O(keys) summaries. At 100 TB each FD costs one distinct
+    // shuffle of the PAIR table (already deduped map-side), never a
+    // self-join.
+    "dq10_fd_check" -> ((s, d) => {
+      def fd(df: DataFrame, name: String, k: String, v: String) =
+        df.select(col(k).as("k"), col(v).as("v")).distinct()
+          .groupBy("k").agg(count(lit(1)).as("nv"))
+          .agg(count(lit(1)).as("n_keys"),
+            sum(when(col("nv") > 1, 1L).otherwise(0L))
+              .as("n_violating"),
+            max(col("nv")).as("max_rhs"))
+          .select(lit(name).as("fd"), col("n_keys"),
+            col("n_violating"), col("max_rhs"))
+      fd(Tables.nation(s, d), "nation_to_region",
+          "n_nationkey", "n_regionkey")
+        .union(fd(Tables.events(s, d), "user_to_event_type",
+          "user_id", "event_type"))
+        .union(fd(Tables.lineitem(s, d), "order_to_supplier",
+          "l_orderkey", "l_suppkey"))
+    }),
+
+    // Sequence-gap detection — the offset/audit-log integrity check
+    // ("which ids went missing"): the event_id stream is
+    // deterministically thinned ~1% (seeded hash, so the gaps exist
+    // and are identical on both engines), then one lag pass over the
+    // ordered distinct ids emits each missing RANGE as (start, end,
+    // n_missing) — O(gaps) output rows, never an anti-join against a
+    // generated full sequence (which would materialize max(id) rows).
+    // The global ordered window range-partitions at scale (the d18
+    // rank note).
+    "dq11_sequence_gaps" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val ids = Tables.events(s, d).select(col("event_id")).distinct()
+        .filter(graft.operators.TextOps.md5Prefix60(
+          concat(lit("gap:"), col("event_id").cast("string"))) % 97
+          =!= 0)
+      val w = Window.orderBy("event_id")
+      ids.withColumn("prev", lag(col("event_id"), 1).over(w))
+        .filter(col("prev").isNotNull &&
+          col("event_id") - col("prev") > 1)
+        .select((col("prev") + 1).as("gap_start"),
+          (col("event_id") - 1).as("gap_end"),
+          (col("event_id") - col("prev") - 1).as("n_missing"))
+    }),
+
     // Expectation-suite validation (the declarative data-contract
     // gate): each rule is a row predicate checked in a SINGLE
     // conditional-aggregate scan of its table — five rules cost two
@@ -388,6 +439,46 @@ object QueriesProfile {
     },
     // dq8: same one-scan conditional counts, 0-9 spine via range(10),
     // Laplace-smoothed shares, identical ln-ratio term
+    // dq10: same distinct-pair collapse per FD arm.
+    "dq10_fd_check" ->
+      """WITH f1 AS (SELECT count(*) AS n_keys,
+        |    CAST(sum(CASE WHEN nv > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_violating,
+        |    CAST(max(nv) AS BIGINT) AS max_rhs
+        |  FROM (SELECT k, count(*) AS nv FROM (
+        |    SELECT DISTINCT n_nationkey AS k, n_regionkey AS v
+        |    FROM nation) GROUP BY 1)),
+        |f2 AS (SELECT count(*) AS n_keys,
+        |    CAST(sum(CASE WHEN nv > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_violating,
+        |    CAST(max(nv) AS BIGINT) AS max_rhs
+        |  FROM (SELECT k, count(*) AS nv FROM (
+        |    SELECT DISTINCT user_id AS k, event_type AS v
+        |    FROM events) GROUP BY 1)),
+        |f3 AS (SELECT count(*) AS n_keys,
+        |    CAST(sum(CASE WHEN nv > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_violating,
+        |    CAST(max(nv) AS BIGINT) AS max_rhs
+        |  FROM (SELECT k, count(*) AS nv FROM (
+        |    SELECT DISTINCT l_orderkey AS k, l_suppkey AS v
+        |    FROM lineitem) GROUP BY 1))
+        |SELECT 'nation_to_region' AS fd, n_keys, n_violating, max_rhs
+        |  FROM f1
+        |UNION ALL SELECT 'user_to_event_type', n_keys, n_violating,
+        |  max_rhs FROM f2
+        |UNION ALL SELECT 'order_to_supplier', n_keys, n_violating,
+        |  max_rhs FROM f3""".stripMargin,
+    // dq11: same seeded thinning + lag ranges.
+    "dq11_sequence_gaps" ->
+      """WITH ids AS (SELECT DISTINCT event_id FROM events
+        |  WHERE CAST(concat('0x', substr(md5(concat('gap:',
+        |    CAST(event_id AS VARCHAR))), 1, 15)) AS BIGINT) % 97 <> 0),
+        |l AS (SELECT event_id,
+        |    lag(event_id) OVER (ORDER BY event_id) AS prev FROM ids)
+        |SELECT prev + 1 AS gap_start, event_id - 1 AS gap_end,
+        |  event_id - prev - 1 AS n_missing
+        |FROM l WHERE prev IS NOT NULL AND event_id - prev > 1"""
+        .stripMargin,
     // dq9: same null-to-violation CASE routing; each arm reads its
     // 1-row aggregate CTE.
     "dq9_expectations" ->

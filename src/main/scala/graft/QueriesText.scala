@@ -254,6 +254,35 @@ object QueriesText {
             col("n_bigrams").cast("double"), 6).as("avg_nll2"))
     }),
 
+    // End-to-end curation pipeline — the COMPOSITION witness: language
+    // gate (x2's argmax lang-ID), quality gate (x3's composite score,
+    // compared on the ROUNDED value so the threshold cannot flip on an
+    // ulp), exact-dedup keeper election (d1's 5-token-prefix key, min
+    // doc_id wins), and a seeded 70% sample (x9's discipline), all
+    // fused into one per-document verdict with per-stage flags — the
+    // "why was this document dropped" lineage a production corpus
+    // build must emit. One pass over the corpus + one dedup-key window;
+    // every stage is a column, so Catalyst pipelines the whole thing
+    // into a single stage before the window shuffle.
+    "x27_curation_pipeline" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val toks = TextOps.tokens(col("text"))
+      val base = Tables.documents(s, d).select(col("doc_id"), col("text"))
+        .withColumn("pred_lang", TextOps.langId(toks))
+        .withColumn("quality", round(TextOps.qualityScore(col("text")), 6))
+        .withColumn("dkey", md5(concat_ws(" ", slice(toks, 1, 5))))
+        .withColumn("in_sample",
+          TextOps.md5Prefix60(concat(lit("samp27:"),
+            col("doc_id").cast("string"))) % 100 < 70)
+      base
+        .withColumn("keeper", col("doc_id") ===
+          min(col("doc_id")).over(Window.partitionBy("dkey")))
+        .select(col("doc_id"), col("pred_lang"), col("quality"),
+          col("keeper"), col("in_sample"),
+          (col("pred_lang") === "en" && col("quality") >= 0.5 &&
+            col("keeper") && col("in_sample")).as("keep"))
+    }),
+
     // BM25 ranking (k1=1.2, b=0.75): the standard lexical-retrieval
     // scorer over the corpus for a fixed 4-term query — the scoring
     // half of the x19 inverted index. Per-term tf is an IN-ROW count
@@ -831,6 +860,60 @@ object QueriesText {
          |    (acc, x) -> acc + x) / CAST(n_bigrams AS DOUBLE), 6)
          |    AS avg_nll2
          |FROM g""".stripMargin,
+    // x27: the x2/x3/d1/x9 formulas fused, each stage a CTE; keep
+    // compares the ROUNDED quality exactly as the Spark side does.
+    "x27_curation_pipeline" ->
+      s"""WITH t AS (SELECT doc_id, text, $toksSql AS toks
+         |           FROM documents),
+         |sc AS (SELECT doc_id,
+         |  CAST(len(list_intersect(list_distinct(toks), $enList))
+         |    AS BIGINT) AS s_en,
+         |  CAST(len(list_intersect(list_distinct(toks), $deList))
+         |    AS BIGINT) AS s_de,
+         |  CAST(len(list_intersect(list_distinct(toks), $esList))
+         |    AS BIGINT) AS s_es,
+         |  CAST(len(list_intersect(list_distinct(toks), $frList))
+         |    AS BIGINT) AS s_fr,
+         |  CAST(len(list_intersect(list_distinct(toks), $zhList))
+         |    AS BIGINT) AS s_zh
+         |  FROM t),
+         |pl AS (SELECT doc_id, CASE
+         |    WHEN s_en > 0 AND s_en = greatest(s_en,s_de,s_es,s_fr,s_zh)
+         |      THEN 'en'
+         |    WHEN s_de > 0 AND s_de = greatest(s_en,s_de,s_es,s_fr,s_zh)
+         |      THEN 'de'
+         |    WHEN s_es > 0 AND s_es = greatest(s_en,s_de,s_es,s_fr,s_zh)
+         |      THEN 'es'
+         |    WHEN s_fr > 0 AND s_fr = greatest(s_en,s_de,s_es,s_fr,s_zh)
+         |      THEN 'fr'
+         |    WHEN s_zh > 0 AND s_zh = greatest(s_en,s_de,s_es,s_fr,s_zh)
+         |      THEN 'zh'
+         |    ELSE 'und' END AS pred_lang
+         |  FROM sc),
+         |q AS (SELECT doc_id,
+         |    round(least(1.0, len(toks) / 100.0) *
+         |      (1.0 - CASE WHEN length(text) = 0 THEN 0.0
+         |        ELSE length(regexp_replace(text, '[a-z0-9\\s]', '',
+         |          'g')) / CAST(length(text) AS DOUBLE) END), 6)
+         |      AS quality
+         |  FROM t),
+         |kp AS (SELECT doc_id,
+         |    doc_id = min(doc_id) OVER (PARTITION BY
+         |      md5(array_to_string(list_slice(toks, 1, 5), ' ')))
+         |      AS keeper
+         |  FROM t),
+         |sm AS (SELECT doc_id,
+         |    CAST(concat('0x', substr(md5(concat('samp27:',
+         |      CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) % 100 < 70
+         |      AS in_sample
+         |  FROM documents)
+         |SELECT pl.doc_id, pl.pred_lang, q.quality, kp.keeper,
+         |  sm.in_sample,
+         |  pl.pred_lang = 'en' AND q.quality >= 0.5 AND kp.keeper
+         |    AND sm.in_sample AS keep
+         |FROM pl JOIN q ON pl.doc_id = q.doc_id
+         |  JOIN kp ON pl.doc_id = kp.doc_id
+         |  JOIN sm ON pl.doc_id = sm.doc_id""".stripMargin,
     // x24: BM25 with every arithmetic step in the identical operand
     // order as the Spark expression tree (fixed left-to-right 4-term
     // sum; ln-parity pinned by x21/x23), so the doubles are bit-equal
