@@ -192,6 +192,70 @@ object QueriesVector {
           .as("ndcg"))
     }),
 
+    // MMR diversified re-ranking (λ=0.7) — the diversity-aware
+    // selection step between retrieval and consumption (dedup-aware
+    // few-shot sampling, result diversification): from v1's exact
+    // top-10 per probe, select 5 greedily by score = 0.7·relevance −
+    // 0.3·max-sim-to-already-selected. The greedy recursion is
+    // UNROLLED into 5 deterministic argmax stages (the kCore
+    // fixed-depth discipline, applied on both engines this time):
+    // every stage is an anti-join (candidates minus selected), a
+    // bounded sims join (pairwise candidate cosines, ≤ k² rows per
+    // probe, computed once and lineage-cut), and one windowed argmax
+    // with the id tiebreak. All scores derive from 6dp-rounded
+    // cosines through the literal 0.7/0.3 weights in identical
+    // operand order — bit-equal, so the greedy path cannot diverge.
+    // The expensive part is v1 itself; selection runs on O(probes·k²).
+    "v17_mmr_diversity" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val p = prep(s, d)
+      val c = VectorOps.bruteForceTopK(p, p.filter(col("id") < 5), 10)
+        .select(col("id_q"), col("id_n"), col("cos"))
+        .localCheckpoint(eager = false)
+      val va = p.select(col("id").as("id_a"), col("v").as("v_a"),
+        col("n2").as("n2_a"))
+      val vb = p.select(col("id").as("id_b"), col("v").as("v_b"),
+        col("n2").as("n2_b"))
+      val sims = c.select(col("id_q"), col("id_n").as("id_a"))
+        .join(c.select(col("id_q"), col("id_n").as("id_b")),
+          Seq("id_q"))
+        .filter(col("id_a") =!= col("id_b"))
+        .join(va, Seq("id_a")).join(vb, Seq("id_b"))
+        .select(col("id_q"), col("id_a"), col("id_b"),
+          round(VectorOps.cosineFromParts(
+            VectorOps.dot(col("v_a"), col("v_b")),
+            col("n2_a"), col("n2_b")), 6).as("sim"))
+        .localCheckpoint(eager = false)
+      val w = Window.partitionBy("id_q")
+        .orderBy(col("score").desc, col("id_n").asc)
+      var selected = c.withColumn("score", col("cos"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("id_q"), col("id_n"), lit(1L).as("sel_rank"),
+          col("score"))
+        .localCheckpoint(eager = false)
+      for (k <- 2 to 5) {
+        val selIds = selected.select(col("id_q"), col("id_n"))
+        val rem = c.join(selIds, Seq("id_q", "id_n"), "left_anti")
+        val ms = rem
+          .join(sims.withColumnRenamed("id_a", "id_n"),
+            Seq("id_q", "id_n"))
+          .join(selIds.select(col("id_q"), col("id_n").as("id_b")),
+            Seq("id_q", "id_b"))
+          .groupBy("id_q", "id_n", "cos")
+          .agg(max(col("sim")).as("maxsim"))
+        val next = ms
+          .withColumn("score",
+            lit(0.7) * col("cos") - lit(0.3) * col("maxsim"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("id_q"), col("id_n"), lit(k.toLong).as("sel_rank"),
+            col("score"))
+        selected = selected.union(next).localCheckpoint(eager = false)
+      }
+      selected.select(col("id_q"), col("id_n"), col("sel_rank"),
+        round(col("score"), 6).as("score"))
+    }),
+
     // Per-dimension feature standardization (z-scoring) — the ML
     // preprocessing step every embedding/tabular pipeline runs before
     // training: each dimension centered and scaled by its corpus
@@ -458,6 +522,52 @@ object QueriesVector {
          |  SELECT *, row_number() OVER (PARTITION BY id_q
          |    ORDER BY cos DESC, id_n) AS rank FROM p)
          |WHERE rank <= 10""".stripMargin,
+    // v17: the 5 greedy stages unrolled by the same Scala loop shape
+    // as the Spark side; p0/sims MATERIALIZED (referenced per stage).
+    "v17_mmr_diversity" -> {
+      val steps = (2 to 5).map { k =>
+        s"""rem$k AS (SELECT p0.* FROM p0 LEFT JOIN sel${k - 1} s
+           |    ON p0.id_q = s.id_q AND p0.id_n = s.id_n
+           |  WHERE s.id_n IS NULL),
+           |ms$k AS (SELECT r.id_q, r.id_n, r.cos, max(si.sim) AS maxsim
+           |  FROM rem$k r JOIN sims si
+           |    ON si.id_q = r.id_q AND si.id_a = r.id_n
+           |  JOIN sel${k - 1} s
+           |    ON s.id_q = si.id_q AND s.id_n = si.id_b
+           |  GROUP BY 1, 2, 3),
+           |s$k AS (SELECT id_q, id_n, $k AS sel_rank, score FROM (
+           |  SELECT id_q, id_n, 0.7 * cos - 0.3 * maxsim AS score,
+           |    row_number() OVER (PARTITION BY id_q
+           |      ORDER BY 0.7 * cos - 0.3 * maxsim DESC, id_n) AS rn
+           |  FROM ms$k) WHERE rn = 1),
+           |sel$k AS MATERIALIZED (SELECT * FROM sel${k - 1}
+           |  UNION ALL SELECT * FROM s$k)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $preparedSql,
+         |pr AS (SELECT a.vec_id AS id_q, b.vec_id AS id_n,
+         |      round($dotSql / sqrt(a.n2 * b.n2), 6) AS cos
+         |      FROM n a JOIN n b ON b.vec_id <> a.vec_id
+         |      WHERE a.vec_id < 5),
+         |p0 AS MATERIALIZED (SELECT id_q, id_n, cos FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY id_q
+         |    ORDER BY cos DESC, id_n) AS rank FROM pr)
+         |  WHERE rank <= 10),
+         |sims AS MATERIALIZED (SELECT ca.id_q, ca.id_n AS id_a,
+         |      cb.id_n AS id_b,
+         |      round($dotSql / sqrt(a.n2 * b.n2), 6) AS sim
+         |  FROM p0 ca JOIN p0 cb
+         |    ON ca.id_q = cb.id_q AND ca.id_n <> cb.id_n
+         |  JOIN n a ON a.vec_id = ca.id_n
+         |  JOIN n b ON b.vec_id = cb.id_n),
+         |sel1 AS MATERIALIZED (SELECT id_q, id_n, 1 AS sel_rank,
+         |    cos AS score
+         |  FROM (SELECT p0.*, row_number() OVER (PARTITION BY id_q
+         |    ORDER BY cos DESC, id_n) AS rn FROM p0) WHERE rn = 1),
+         |$steps
+         |SELECT id_q, id_n, CAST(sel_rank AS BIGINT) AS sel_rank,
+         |  round(score, 6) AS score
+         |FROM sel5""".stripMargin
+    },
     // v16: same quantized moments, same cleared-denominator z, same
     // pos-ordered fold of z².
     "v16_standardize" ->
