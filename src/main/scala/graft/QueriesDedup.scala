@@ -229,6 +229,41 @@ object QueriesDedup {
             col("n_cand").cast("double"), 6).as("precision"))
     }),
 
+    // MinHash ESTIMATOR error — d20 gates the banding's recall; this
+    // gates the estimator itself: for every exact-verified near-dup
+    // pair, the signature-agreement estimate Ĵ = matches/16 is laid
+    // beside the true Jaccard (both as exact integer counts plus one
+    // rounded ratio each), so a seed/permutation-count change that
+    // degrades the estimator shows up as drifted n_match columns, not
+    // a silent quality loss downstream. Rides the shared shingle and
+    // pair caches; the per-pair work is two in-row array ops.
+    "d21_minhash_error" -> ((s, d) => {
+      val pairs = verifiedPairs(s, d).select("id_a", "id_b")
+      val sh = docsWithShingles(s, d)
+      val sigs = DedupOps.minhashSigs(sh, "doc_id", "sh", 16)
+      val joined = pairs
+        .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")),
+          Seq("id_a"))
+        .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")),
+          Seq("id_b"))
+        .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")),
+          Seq("id_a"))
+        .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")),
+          Seq("id_b"))
+        .select(col("id_a"), col("id_b"),
+          size(array_intersect(col("sh_a"), col("sh_b"))).cast("long")
+            .as("inter"),
+          (size(col("sh_a")) + size(col("sh_b"))).cast("long")
+            .as("n_sum"),
+          size(filter(zip_with(col("sig_a"), col("sig_b"),
+            (x, y) => x === y), b => b)).cast("long").as("n_match"))
+      joined.select(col("id_a"), col("id_b"), col("inter"),
+        (col("n_sum") - col("inter")).as("uni"), col("n_match"),
+        round(col("n_match").cast("double") / lit(16.0), 6).as("est_j"),
+        round(col("inter") / (col("n_sum") - col("inter")), 6)
+          .as("jaccard"))
+    }),
+
     // 60-bit SimHash fingerprint per document.
     "d4_simhash" -> ((s, d) => {
       DedupOps.simhash(docsWithTokens(s, d), "doc_id", col("toks"))
@@ -598,6 +633,35 @@ object QueriesDedup {
          |FROM sig a JOIN sig b
          |  ON a.band = b.band AND a.sg = b.sg AND a.doc_id < b.doc_id"""
         .stripMargin,
+    // d21: d2's chain gives pairs + per-pair intersections; minhash
+    // values per (doc, i) from d20's derived-h30 chain, matches
+    // counted per pair.
+    "d21_minhash_error" ->
+      s"""WITH $d2Ctes,
+         |e3 AS (SELECT id AS doc_id, s % 1073741824 AS h30 FROM e),
+         |seeds AS (SELECT i,
+         |      (${h60("concat('mh-a:', CAST(i AS VARCHAR))")}
+         |        % 2147483646) + 1 AS a,
+         |      ${h60("concat('mh-b:', CAST(i AS VARCHAR))")}
+         |        % 2147483647 AS b
+         |      FROM (SELECT unnest(range(16)) AS i) r(i)),
+         |mh3 AS (SELECT doc_id, i,
+         |      min((a * h30 + b) % 2147483647) AS h
+         |      FROM e3 CROSS JOIN seeds GROUP BY doc_id, i),
+         |m AS (SELECT ma.doc_id AS id_a, mb.doc_id AS id_b,
+         |      CAST(sum(CASE WHEN ma.h = mb.h THEN 1 ELSE 0 END)
+         |        AS BIGINT) AS n_match
+         |      FROM mh3 ma JOIN mh3 mb
+         |        ON ma.i = mb.i AND ma.doc_id < mb.doc_id
+         |      GROUP BY 1, 2)
+         |SELECT p.id_a, p.id_b, p.inter,
+         |  p.n_a + p.n_b - p.inter AS uni, m.n_match,
+         |  round(CAST(m.n_match AS DOUBLE) / 16.0, 6) AS est_j,
+         |  round(p.inter / CAST(p.n_a + p.n_b - p.inter AS DOUBLE), 6)
+         |    AS jaccard
+         |FROM (SELECT id_a, id_b, n_a, n_b, inter FROM p
+         |  WHERE inter / CAST(n_a + n_b - inter AS DOUBLE) >= 0.8) p
+         |JOIN m ON p.id_a = m.id_a AND p.id_b = m.id_b""".stripMargin,
     // d20: d2's chain gives truth AND the hashed shingle index; the
     // minhash signatures derive from e's 60-bit hashes (h30 = s mod
     // 2^30, exactly d3's), so the whole gate shares one CTE spine.

@@ -254,6 +254,25 @@ object QueriesText {
             col("n_bigrams").cast("double"), 6).as("avg_nll2"))
     }),
 
+    // Tokenizer fertility per language — subwords-per-word, the
+    // cost metric that decides tokenizer/vocab fit per language (a
+    // high-fertility language pays more sequence length per word):
+    // corpus-level Σsubtokens/Σtokens by lang tag, exact integer sums
+    // with one rounded division. One narrow pass + a 5-row agg.
+    "x28_fertility" -> ((s, d) => {
+      val toks = TextOps.tokens(col("text"))
+      val subs = TextOps.subTokens(col("text"))
+      Tables.documents(s, d)
+        .select(col("lang"), size(toks).cast("long").as("nt"),
+          size(subs).cast("long").as("ns"))
+        .groupBy("lang")
+        .agg(sum(col("nt")).as("n_tokens"),
+          sum(col("ns")).as("n_subtokens"))
+        .select(col("lang"), col("n_tokens"), col("n_subtokens"),
+          round(col("n_subtokens").cast("double") /
+            col("n_tokens").cast("double"), 6).as("fertility"))
+    }),
+
     // End-to-end curation pipeline — the COMPOSITION witness: language
     // gate (x2's argmax lang-ID), quality gate (x3's composite score,
     // compared on the ROUNDED value so the threshold cannot flip on an
@@ -860,6 +879,18 @@ object QueriesText {
          |    (acc, x) -> acc + x) / CAST(n_bigrams AS DOUBLE), 6)
          |    AS avg_nll2
          |FROM g""".stripMargin,
+    // x28: same integer sums, one rounded division.
+    "x28_fertility" ->
+      s"""WITH t AS (SELECT lang,
+         |    CAST(len($toksSql) AS BIGINT) AS nt,
+         |    CAST(len(regexp_extract_all(text,
+         |      '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS ns
+         |  FROM documents)
+         |SELECT lang, CAST(sum(nt) AS BIGINT) AS n_tokens,
+         |  CAST(sum(ns) AS BIGINT) AS n_subtokens,
+         |  round(CAST(sum(ns) AS DOUBLE) / CAST(sum(nt) AS DOUBLE), 6)
+         |    AS fertility
+         |FROM t GROUP BY 1""".stripMargin,
     // x27: the x2/x3/d1/x9 formulas fused, each stage a CTE; keep
     // compares the ROUNDED quality exactly as the Spark side does.
     "x27_curation_pipeline" ->
