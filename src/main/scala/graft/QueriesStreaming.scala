@@ -113,6 +113,28 @@ object QueriesStreaming {
             .as("total_value"))
     }),
 
+    // Windowed trending top-k — "top 3 event types per 6-hour window",
+    // the dashboard query every event stream serves. The windowed
+    // count is fully streaming-capable (epoch-aligned tumbling agg;
+    // StreamingSpec drives it over a MemoryStream in complete mode);
+    // the rank is applied per emitted window — rank is not an
+    // incremental operator, so production serves it per-batch/
+    // per-sink-refresh, which is exactly what the batch form states.
+    // WindowGroupLimit bounds the rank shuffle to O(windows·k).
+    "st11_windowed_topk" -> ((s, d) => {
+      val counts = Tables.events(s, d)
+        .groupBy(window(col("ts").cast("timestamp"), "6 hours"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start").as("win_start"), col("event_type"),
+          col("n"))
+      graft.operators.RelationalOps.topKPerGroup(counts,
+        Seq("win_start"), Seq(col("n").desc, col("event_type").asc), 3,
+        rankCol = "rank")
+        .select(col("win_start"), col("event_type"), col("n"),
+          col("rank").cast("long").as("rank"))
+    }),
+
     // Multimodal metadata: byte length + content hash + fake-decoded dims
     // (SQL-expressible slice of the decode, so it gets a real oracle).
     "m1_multimodal_meta" -> ((s, d) => {
@@ -344,6 +366,16 @@ object QueriesStreaming {
         |  max(ts) + INTERVAL 30 MINUTE AS session_end,
         |  count(*) AS n_events
         |FROM g GROUP BY user_id, sess""".stripMargin,
+    // st11: identical epoch alignment via integer micro division.
+    "st11_windowed_topk" ->
+      """WITH c AS (SELECT make_timestamp((epoch_us(ts) // 21600000000)
+        |      * 21600000000) AS win_start, event_type,
+        |    count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY win_start
+        |    ORDER BY n DESC, event_type) AS rank FROM c)
+        |SELECT win_start, event_type, n, CAST(rank AS BIGINT) AS rank
+        |FROM r WHERE rank <= 3""".stripMargin,
     "st10_quota" ->
       """WITH r AS (SELECT user_id, event_id, ts,
         |  row_number() OVER (PARTITION BY user_id

@@ -126,6 +126,36 @@ class StreamingSpec extends SparkTestBase {
       "streamed sessions (closes + timeouts) must equal the batch result")
   }
 
+  test("windowed counts stream in complete mode and match the batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    val q = ms.toDF()
+      .groupBy(window(col("ts"), "1 hour"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("win_start"), col("user_id"),
+        col("n"))
+      .writeStream.format("memory").queryName("win_topk_t")
+      .outputMode("complete").start()
+    try {
+      ms.addData(evs: _*)
+      q.processAllAvailable()
+      // a late second batch updates the same windows (complete mode
+      // re-emits the full result)
+      ms.addData(Ev(10, t("2024-01-01 10:59:00"), 1, 1.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("win_topk_t")
+      .as[(Timestamp, Long, Long)].collect().toSet
+    val batch = (evs :+ Ev(10, t("2024-01-01 10:59:00"), 1, 1.0))
+      .toDF()
+      .groupBy(window(col("ts"), "1 hour"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start"), col("user_id"), col("n"))
+      .as[(Timestamp, Long, Long)].collect().toSet
+    assert(streamed == batch,
+      "complete-mode windowed counts must equal the batch aggregate")
+  }
+
   test("rateLimitWithState quota persists across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val ms = MemoryStream[Ev]
