@@ -221,6 +221,30 @@ object QueriesEvents {
         Seq(col("n_sessions").desc, col("path").asc), 20)
     }),
 
+    // Growth accounting — per-day user lifecycle states: every active
+    // (user, day) classified as NEW (first ever), RETAINED (also
+    // active the previous day), RETURNING (gap 2–7 days) or
+    // RESURRECTED (gap > 7) — the decomposition behind every "is
+    // growth new users or reactivation" chart. One distinct
+    // (user, day) reduction, one lag window per user, one
+    // (day, state)-sized agg; all integer day arithmetic.
+    "e13_lifecycle" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val act = Tables.events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      val w = Window.partitionBy("user_id").orderBy("day")
+      act.withColumn("prev", lag(col("day"), 1).over(w))
+        .withColumn("state",
+          when(col("prev").isNull, lit("new"))
+            .when(datediff(col("day"), col("prev")) === 1,
+              lit("retained"))
+            .when(datediff(col("day"), col("prev")) <= 7,
+              lit("returning"))
+            .otherwise(lit("resurrected")))
+        .groupBy("day", "state")
+        .agg(count(lit(1)).as("n_users"))
+    }),
+
     // RFM segmentation — the classic customer-value grid: each user
     // scored 1–5 on Recency (latest activity), Frequency (event
     // count) and Monetary (total cents), via ntile(5) over a TOTAL
@@ -516,6 +540,21 @@ object QueriesEvents {
         |c AS (SELECT path, count(*) AS n_sessions FROM p GROUP BY 1)
         |SELECT path, n_sessions FROM c
         |ORDER BY n_sessions DESC, path LIMIT 20""".stripMargin,
+    // e13: same lag classification over the distinct activity grid.
+    "e13_lifecycle" ->
+      """WITH act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+        |  FROM events),
+        |l AS (SELECT user_id, day,
+        |    lag(day) OVER (PARTITION BY user_id ORDER BY day) AS prev
+        |  FROM act),
+        |st AS (SELECT day,
+        |    CASE WHEN prev IS NULL THEN 'new'
+        |      WHEN day - prev = 1 THEN 'retained'
+        |      WHEN day - prev <= 7 THEN 'returning'
+        |      ELSE 'resurrected' END AS state
+        |  FROM l)
+        |SELECT day, state, count(*) AS n_users
+        |FROM st GROUP BY 1, 2""".stripMargin,
     // e11: identical total orders feed ntile on both engines.
     "e11_rfm" ->
       """WITH u AS (SELECT user_id, max(CAST(ts AS DATE)) AS last_day,

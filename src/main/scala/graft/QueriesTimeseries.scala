@@ -235,6 +235,36 @@ object QueriesTimeseries {
           (col("day") === col("peak_day")).as("is_changepoint"))
     }),
 
+    // Time-weighted average (TWAP / sensor-mean): the irregular-
+    // sampling mean that counting rows gets WRONG — each observation
+    // holds until the next one (LOCF), so its weight is its holding
+    // interval, not 1. Per user: Σ valueᵢ·(tᵢ₊₁ − tᵢ) / (t_last −
+    // t_first), all in exact integer cents×seconds (one lead window,
+    // map-side integer products, ONE rounded division at output);
+    // single-observation users have no holding interval and are
+    // excluded by the span > 0 gate on both engines.
+    "ts11_twa" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("sec").asc, col("event_id").asc)
+      val obs = Tables.events(s, d).select(col("user_id"),
+        col("event_id"),
+        unix_timestamp(col("ts").cast("timestamp")).as("sec"),
+        floor(col("value") * 100).cast("long").as("cents"))
+      obs
+        .withColumn("next_s", lead(col("sec"), 1).over(w))
+        .withColumn("contrib", when(col("next_s").isNotNull,
+          col("cents") * (col("next_s") - col("sec"))).otherwise(0L))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_obs"),
+          (max(col("sec")) - min(col("sec"))).as("span_s"),
+          sum(col("contrib")).as("area"))
+        .filter(col("span_s") > 0)
+        .select(col("user_id"), col("n_obs"), col("span_s"),
+          round(col("area").cast("double") /
+            col("span_s").cast("double") / 100.0, 6).as("twa"))
+    }),
+
     // LTTB downsampling (largest-triangle-three-buckets, the standard
     // visual decimation for dashboards) per event-type daily series:
     // first and last points always survive; each middle bucket of 5
@@ -549,6 +579,27 @@ object QueriesTimeseries {
         |SELECT event_type, day, cnt, cusum_sc,
         |  day = peak_day AS is_changepoint
         |FROM p2""".stripMargin,
+    // ts11: same integer cents×seconds areas; epoch seconds via
+    // epoch_us // 1000000 (micros floor to match unix_timestamp).
+    "ts11_twa" ->
+      """WITH obs AS (SELECT user_id, event_id,
+        |    epoch_us(ts) // 1000000 AS sec,
+        |    CAST(floor(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |l AS (SELECT user_id, sec, cents,
+        |    lead(sec) OVER (PARTITION BY user_id
+        |      ORDER BY sec, event_id) AS next_s
+        |  FROM obs),
+        |g AS (SELECT user_id, count(*) AS n_obs,
+        |    CAST(max(sec) - min(sec) AS BIGINT) AS span_s,
+        |    CAST(sum(CASE WHEN next_s IS NOT NULL
+        |      THEN cents * (next_s - sec) ELSE 0 END) AS BIGINT)
+        |      AS area
+        |  FROM l GROUP BY 1)
+        |SELECT user_id, n_obs, span_s,
+        |  round(CAST(area AS DOUBLE) / CAST(span_s AS DOUBLE)
+        |    / 100.0, 6) AS twa
+        |FROM g WHERE span_s > 0""".stripMargin,
     // ts10: identical integer-scaled area argmax; c1 = previous-bucket
     // centroid, c3 = next-bucket centroid.
     "ts10_lttb" ->
