@@ -74,6 +74,40 @@ object QueriesRelational {
         round(percent_rank().over(wd), 6).as("date_pct"))
     }),
 
+    // Interpolated percentiles (PERCENTILE_CONT semantics) — w9/g5
+    // give exact order statistics at data points; this completes the
+    // percentile surface with the BETWEEN-points case: pos = (n−1)·p,
+    // value = v_lo + (pos − lo)·(v_hi − v_lo), computed explicitly
+    // from ranked rows on BOTH engines (never each engine's own
+    // quantile_cont, whose interpolation conventions differ) in
+    // identical operand order. One rank window + a 12-row probe frame
+    // + two positional equi-joins.
+    "w11_percentile_cont" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("l_returnflag")
+        .orderBy(col("l_quantity").asc, col("l_orderkey").asc,
+          col("l_linenumber").asc)
+      val ranked = Tables.lineitem(s, d)
+        .select(col("l_returnflag"), col("l_quantity"),
+          col("l_orderkey"), col("l_linenumber"))
+        .withColumn("rn", (row_number().over(w) - 1).cast("long"))
+      val n = ranked.groupBy("l_returnflag").agg(count(lit(1)).as("n"))
+      val probes = n
+        .select(col("l_returnflag"), col("n"),
+          explode(array(lit(0.25), lit(0.5), lit(0.75))).as("p"))
+        .withColumn("pos", (col("n") - 1).cast("double") * col("p"))
+        .withColumn("lo", floor(col("pos")).cast("long"))
+        .withColumn("hi", ceil(col("pos")).cast("long"))
+      probes
+        .join(ranked.select(col("l_returnflag"), col("rn").as("lo"),
+          col("l_quantity").as("v_lo")), Seq("l_returnflag", "lo"))
+        .join(ranked.select(col("l_returnflag"), col("rn").as("hi"),
+          col("l_quantity").as("v_hi")), Seq("l_returnflag", "hi"))
+        .select(col("l_returnflag"), col("p"),
+          round(col("v_lo") + (col("pos") - col("lo").cast("double")) *
+            (col("v_hi") - col("v_lo")), 6).as("pct_cont"))
+    }),
+
     // Frame-navigation battery completing the window surface next to
     // w5's rank family: cume_dist, and first/last/nth value over the
     // FULL-partition frame (the explicit UNBOUNDED FOLLOWING frame is
@@ -501,6 +535,48 @@ object QueriesRelational {
           sum(round(col("l_extendedprice") * 100, 0).cast("long"))
             .as("rev_cents"),
           max(col("o_orderpriority")).as("max_prio"))
+    }),
+
+    // Grid-binned SPATIAL join — point-in-rectangle containment, the
+    // 2-D generalization of j9's interval binning: seeded-hash points
+    // (from events) and bounded rectangles (from nation) land in a
+    // 100-unit grid; a rectangle covers ≤ 2×2 cells by its size bound,
+    // a point exactly one, so candidates meet on a plain cell
+    // equi-join (≤ 4 replicas per rectangle, never an all-pairs theta
+    // join) and the exact containment predicate re-checks each
+    // candidate — the standard partitioned spatial-join shape that
+    // scales to any point count. The oracle brute-forces the same
+    // containment over the small rectangle set, proving the binning
+    // lossless. All coordinates integer.
+    "j16_spatial_join" -> ((s, d) => {
+      def h(tag: String, k: Column) = graft.operators.TextOps
+        .md5Prefix60(concat(lit(tag), k.cast("string")))
+      val pts = Tables.events(s, d)
+        .filter(col("event_id") % 20 === 0)
+        .select(col("event_id"),
+          (h("px:", col("event_id")) % 1000).as("px"),
+          (h("py:", col("event_id")) % 1000).as("py"))
+      val rects = Tables.nation(s, d).select(col("n_nationkey"),
+          (h("rx:", col("n_nationkey")) % 900).as("x0"),
+          (h("ry:", col("n_nationkey")) % 900).as("y0"),
+          (h("rw:", col("n_nationkey")) % 80 + 20).as("w"),
+          (h("rh:", col("n_nationkey")) % 80 + 20).as("ht"))
+        .select(col("n_nationkey"), col("x0"), col("y0"),
+          (col("x0") + col("w")).as("x1"), (col("y0") + col("ht"))
+            .as("y1"))
+      val rCells = rects.select(col("n_nationkey"), col("x0"),
+          col("y0"), col("x1"), col("y1"),
+          explode(expr("sequence(x0 div 100, x1 div 100)")).as("cx"))
+        .select(col("*"),
+          explode(expr("sequence(y0 div 100, y1 div 100)")).as("cy"))
+      val pCells = pts.select(col("event_id"), col("px"), col("py"),
+        expr("px div 100").as("cx"), expr("py div 100").as("cy"))
+      pCells.join(rCells, Seq("cx", "cy"))
+        .filter(col("px") >= col("x0") && col("px") <= col("x1") &&
+          col("py") >= col("y0") && col("py") <= col("y1"))
+        .groupBy("n_nationkey")
+        .agg(count(lit(1)).as("n_points"),
+          min(col("event_id")).as("first_event"))
     }),
 
     // Nearest as-of: the third member of the as-of family — each click
@@ -1164,6 +1240,37 @@ object QueriesRelational {
         |SELECT l.user_id, l.event_id, l.ts, r.value AS next_purchase
         |FROM l ASOF LEFT JOIN r
         |  ON l.user_id = r.user_id AND l.ts <= r.ts""".stripMargin,
+    // j16: the oracle brute-forces containment over the 25 rectangles
+    // (proving the Spark side's grid binning lossless).
+    "j16_spatial_join" ->
+      """WITH pts AS (SELECT event_id,
+        |    CAST(concat('0x', substr(md5(concat('px:',
+        |      CAST(event_id AS VARCHAR))), 1, 15)) AS BIGINT) % 1000
+        |      AS px,
+        |    CAST(concat('0x', substr(md5(concat('py:',
+        |      CAST(event_id AS VARCHAR))), 1, 15)) AS BIGINT) % 1000
+        |      AS py
+        |  FROM events WHERE event_id % 20 = 0),
+        |rects AS (SELECT n_nationkey,
+        |    CAST(concat('0x', substr(md5(concat('rx:',
+        |      CAST(n_nationkey AS VARCHAR))), 1, 15)) AS BIGINT) % 900
+        |      AS x0,
+        |    CAST(concat('0x', substr(md5(concat('ry:',
+        |      CAST(n_nationkey AS VARCHAR))), 1, 15)) AS BIGINT) % 900
+        |      AS y0,
+        |    CAST(concat('0x', substr(md5(concat('rw:',
+        |      CAST(n_nationkey AS VARCHAR))), 1, 15)) AS BIGINT) % 80
+        |      + 20 AS w,
+        |    CAST(concat('0x', substr(md5(concat('rh:',
+        |      CAST(n_nationkey AS VARCHAR))), 1, 15)) AS BIGINT) % 80
+        |      + 20 AS ht
+        |  FROM nation)
+        |SELECT r.n_nationkey, count(*) AS n_points,
+        |  CAST(min(p.event_id) AS BIGINT) AS first_event
+        |FROM pts p JOIN rects r
+        |  ON p.px >= r.x0 AND p.px <= r.x0 + r.w
+        |  AND p.py >= r.y0 AND p.py <= r.y0 + r.ht
+        |GROUP BY 1""".stripMargin,
     // j15: two native ASOF joins carrying the matched ts, micro-exact
     // distance compare, ties to the past.
     "j15_asof_nearest" ->
@@ -1223,6 +1330,30 @@ object QueriesRelational {
         |  FROM px)
         |SELECT price_c, -negday AS day_off FROM sc
         |WHERE m IS NULL OR negday < m""".stripMargin,
+    // w11: same explicit interpolation from ranked rows; the probe
+    // list CASTs to DOUBLE (a bare decimal literal list would
+    // DECIMAL-quantize pos).
+    "w11_percentile_cont" ->
+      """WITH r AS (SELECT l_returnflag, l_quantity,
+        |    CAST(row_number() OVER (PARTITION BY l_returnflag
+        |      ORDER BY l_quantity, l_orderkey, l_linenumber) - 1
+        |      AS BIGINT) AS rn
+        |  FROM lineitem),
+        |nn AS (SELECT l_returnflag, count(*) AS n FROM r GROUP BY 1),
+        |pr AS (SELECT l_returnflag, n, p,
+        |    CAST(n - 1 AS DOUBLE) * p AS pos,
+        |    CAST(floor(CAST(n - 1 AS DOUBLE) * p) AS BIGINT) AS lo,
+        |    CAST(ceil(CAST(n - 1 AS DOUBLE) * p) AS BIGINT) AS hi
+        |  FROM nn, (SELECT CAST(unnest([0.25, 0.5, 0.75]) AS DOUBLE)
+        |    AS p) ps)
+        |SELECT pr.l_returnflag, pr.p,
+        |  round(vlo.l_quantity + (pr.pos - CAST(pr.lo AS DOUBLE))
+        |    * (vhi.l_quantity - vlo.l_quantity), 6) AS pct_cont
+        |FROM pr
+        |JOIN r vlo ON pr.l_returnflag = vlo.l_returnflag
+        |  AND vlo.rn = pr.lo
+        |JOIN r vhi ON pr.l_returnflag = vhi.l_returnflag
+        |  AND vhi.rn = pr.hi""".stripMargin,
     "w10_frame_navigation" ->
       """SELECT o_orderpriority, o_orderkey,
         |  round(cume_dist() OVER w, 6) AS cdist,

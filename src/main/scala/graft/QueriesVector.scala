@@ -192,6 +192,32 @@ object QueriesVector {
           .as("ndcg"))
     }),
 
+    // Hard-negative mining — the contrastive-training data op: for
+    // every probe, the best-ranked SAME-label neighbor (the positive)
+    // and the best-ranked DIFFERENT-label neighbor (the hard negative
+    // — close in embedding space yet semantically wrong, exactly the
+    // pair a contrastive loss learns most from). One pass over v1's
+    // top-10 with two broadcast label joins; argmins via min(struct)
+    // on the unique rank so selection is deterministic; struct fields
+    // projected to scalars (the driver's hash compares scalars only).
+    "v18_hard_negatives" -> ((s, d) => {
+      val lab = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label"))
+      val r = queries("v1_cosine_topk")(s, d)
+        .select("id_q", "id_n", "rank")
+        .join(broadcast(lab.select(col("vec_id").as("id_q"),
+          col("label").as("label_q"))), Seq("id_q"))
+        .join(broadcast(lab.select(col("vec_id").as("id_n"),
+          col("label").as("label_n"))), Seq("id_n"))
+      val same = col("label_q") === col("label_n")
+      r.groupBy("id_q").agg(
+          min(when(same, struct(col("rank"), col("id_n")))).as("p"),
+          min(when(!same, struct(col("rank"), col("id_n")))).as("n"))
+        .select(col("id_q"),
+          col("p.id_n").as("pos_id"), col("p.rank").as("pos_rank"),
+          col("n.id_n").as("neg_id"), col("n.rank").as("neg_rank"))
+    }),
+
     // MMR diversified re-ranking (λ=0.7) — the diversity-aware
     // selection step between retrieval and consumption (dedup-aware
     // few-shot sampling, result diversification): from v1's exact
@@ -522,6 +548,27 @@ object QueriesVector {
          |  SELECT *, row_number() OVER (PARTITION BY id_q
          |    ORDER BY cos DESC, id_n) AS rank FROM p)
          |WHERE rank <= 10""".stripMargin,
+    // v18: v1's chain + label joins; arg_min on the unique rank.
+    "v18_hard_negatives" ->
+      s"""WITH $preparedSql,
+         |p AS (SELECT a.vec_id AS id_q, b.vec_id AS id_n,
+         |      round($dotSql / sqrt(a.n2 * b.n2), 6) AS cos
+         |      FROM n a JOIN n b ON b.vec_id <> a.vec_id
+         |      WHERE a.vec_id < 5),
+         |tk AS (SELECT id_q, id_n, rank FROM (
+         |      SELECT *, row_number() OVER (PARTITION BY id_q
+         |        ORDER BY cos DESC, id_n) AS rank FROM p)
+         |      WHERE rank <= 10),
+         |rl AS (SELECT tk.id_q, tk.id_n, tk.rank,
+         |      lq.label = ln_.label AS same
+         |      FROM tk JOIN embeddings lq ON tk.id_q = lq.vec_id
+         |        JOIN embeddings ln_ ON tk.id_n = ln_.vec_id)
+         |SELECT id_q,
+         |  arg_min(id_n, rank) FILTER (WHERE same) AS pos_id,
+         |  min(rank) FILTER (WHERE same) AS pos_rank,
+         |  arg_min(id_n, rank) FILTER (WHERE NOT same) AS neg_id,
+         |  min(rank) FILTER (WHERE NOT same) AS neg_rank
+         |FROM rl GROUP BY 1""".stripMargin,
     // v17: the 5 greedy stages unrolled by the same Scala loop shape
     // as the Spark side; p0/sims MATERIALIZED (referenced per stage).
     "v17_mmr_diversity" -> {
