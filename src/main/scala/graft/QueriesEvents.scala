@@ -221,6 +221,33 @@ object QueriesEvents {
         Seq(col("n_sessions").desc, col("path").asc), 20)
     }),
 
+    // Concentration (80/20) analysis — "how few users produce 80% of
+    // events": users ranked by activity desc, one cumulative window,
+    // and the smallest rank whose cumulative share clears 80% — with
+    // the threshold tested as cum·100 ≥ total·80 in exact integers so
+    // the cut cannot ulp-flip. O(users) after one agg; 1-row output.
+    "e14_pareto80" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val ua = Tables.events(s, d).groupBy("user_id")
+        .agg(count(lit(1)).as("n"))
+      val w = Window.orderBy(col("n").desc, col("user_id").asc)
+      val tot = ua.agg(sum(col("n")).as("total"),
+        count(lit(1)).as("n_users"))
+      val reach = ua
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .withColumn("cum", sum(col("n")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .crossJoin(broadcast(tot))
+        .filter(col("cum") * 100 >= col("total") * 80)
+        .agg(min(col("rk")).as("k80"))
+      tot.crossJoin(broadcast(reach))
+        .select(col("n_users"), col("total").as("total_events"),
+          col("k80"),
+          round(col("k80").cast("double") /
+            col("n_users").cast("double") * 100.0, 6)
+            .as("pct_users_for_80pct"))
+    }),
+
     // Growth accounting — per-day user lifecycle states: every active
     // (user, day) classified as NEW (first ever), RETAINED (also
     // active the previous day), RETURNING (gap 2–7 days) or
@@ -540,6 +567,25 @@ object QueriesEvents {
         |c AS (SELECT path, count(*) AS n_sessions FROM p GROUP BY 1)
         |SELECT path, n_sessions FROM c
         |ORDER BY n_sessions DESC, path LIMIT 20""".stripMargin,
+    // e14: same integer-threshold cut.
+    "e14_pareto80" ->
+      """WITH ua AS (SELECT user_id, count(*) AS n FROM events
+        |  GROUP BY 1),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS total,
+        |    count(*) AS n_users FROM ua),
+        |r AS (SELECT user_id, n,
+        |    CAST(row_number() OVER (ORDER BY n DESC, user_id)
+        |      AS BIGINT) AS rk,
+        |    CAST(sum(n) OVER (ORDER BY n DESC, user_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cum
+        |  FROM ua),
+        |k AS (SELECT min(rk) AS k80 FROM r, t
+        |  WHERE cum * 100 >= total * 80)
+        |SELECT t.n_users, t.total AS total_events, k.k80,
+        |  round(CAST(k.k80 AS DOUBLE) / CAST(t.n_users AS DOUBLE)
+        |    * 100.0, 6) AS pct_users_for_80pct
+        |FROM t, k""".stripMargin,
     // e13: same lag classification over the distinct activity grid.
     "e13_lifecycle" ->
       """WITH act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day

@@ -801,6 +801,37 @@ object QueriesRelational {
         "o_orderdate", "o_orderkey")
     }),
 
+    // SCD Type-3 — the third slowly-changing-dimension discipline
+    // (Type-1 latest-wins = cdc3, Type-2 full history = cdc2): keep
+    // ONLY current + previous attribute per key, with the change
+    // date — the bounded-width compromise for dimensions where one
+    // step of history answers the business question. Per key: the
+    // last two distinct-run values via the same change-detect lag as
+    // cdc2, then the top-2 run starts; one shuffle on the key.
+    "cdc5_scd3" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      val runs = Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderpriority"),
+          col("o_orderdate"), col("o_orderkey"))
+        .withColumn("prev_attr", lag(col("o_orderpriority"), 1).over(w))
+        .filter(col("prev_attr").isNull ||
+          col("prev_attr") =!= col("o_orderpriority"))
+      val w2 = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+      runs.withColumn("rk", row_number().over(w2))
+        .filter(col("rk") <= 2)
+        .groupBy("o_custkey")
+        .agg(
+          max(when(col("rk") === 1, col("o_orderpriority")))
+            .as("current_prio"),
+          max(when(col("rk") === 1, col("o_orderdate")))
+            .as("changed_at"),
+          max(when(col("rk") === 2, col("o_orderpriority")))
+            .as("previous_prio"))
+    }),
+
     // Latest-wins upsert merge: events before the cut are the base
     // snapshot, events at/after it the change batch; final per-(user,
     // type) state = the row with max (ts, event_id), each key classified
@@ -1483,6 +1514,28 @@ object QueriesRelational {
         |      ORDER BY o_orderdate, o_orderkey) IS NULL
         |    THEN 1 ELSE 0 END AS BIGINT) AS is_current
         |FROM runs""".stripMargin,
+    // cdc5: cdc2's change-detect runs, top-2 by recency, pivoted to
+    // current/previous columns.
+    "cdc5_scd3" ->
+      """WITH chg AS (
+        |  SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
+        |    lag(o_orderpriority) OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate, o_orderkey) AS prev
+        |  FROM orders),
+        |runs AS (
+        |  SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey
+        |  FROM chg
+        |  WHERE prev IS NULL OR prev <> o_orderpriority),
+        |rk AS (SELECT *, row_number() OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate DESC, o_orderkey DESC) AS rk
+        |  FROM runs)
+        |SELECT o_custkey,
+        |  max(CASE WHEN rk = 1 THEN o_orderpriority END)
+        |    AS current_prio,
+        |  max(CASE WHEN rk = 1 THEN o_orderdate END) AS changed_at,
+        |  max(CASE WHEN rk = 2 THEN o_orderpriority END)
+        |    AS previous_prio
+        |FROM rk WHERE rk <= 2 GROUP BY 1""".stripMargin,
     "cdc4_tombstones" ->
       """WITH e AS (SELECT user_id, ts, event_id, value,
         |    CASE WHEN event_type = 'error' THEN 'd' ELSE 'u' END AS op

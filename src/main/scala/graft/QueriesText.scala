@@ -254,6 +254,35 @@ object QueriesText {
             col("n_bigrams").cast("double"), 6).as("avg_nll2"))
     }),
 
+    // Dedup-savings report — the business case for the whole d-family
+    // in one table: per source, how many docs survive d1's keeper
+    // election and what fraction of the TOKEN budget dedup returns
+    // (token-weighted, because a 10k-token duplicate costs 100× a
+    // 100-token one). Keeper election is global (the dedup-key window
+    // spans sources); the report groups by source after. Exact integer
+    // sums, one rounded percentage.
+    "x29_dedup_savings" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val toks = TextOps.tokens(col("text"))
+      val docs = Tables.documents(s, d).select(col("doc_id"),
+        col("source"), TextOps.tokenCount(col("text")).as("nt"),
+        md5(concat_ws(" ", slice(toks, 1, 5))).as("dkey"))
+      val withK = docs.withColumn("keeper",
+        col("doc_id") === min(col("doc_id"))
+          .over(Window.partitionBy("dkey")))
+      withK.groupBy("source").agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("keeper"), 1L).otherwise(0L)).as("n_keepers"),
+          sum(col("nt")).as("tokens_total"),
+          sum(when(col("keeper"), col("nt")).otherwise(0L))
+            .as("tokens_kept"))
+        .select(col("source"), col("n_docs"), col("n_keepers"),
+          col("tokens_total"), col("tokens_kept"),
+          round((col("tokens_total") - col("tokens_kept"))
+            .cast("double") / col("tokens_total").cast("double")
+            * 100.0, 6).as("savings_pct"))
+    }),
+
     // Tokenizer fertility per language — subwords-per-word, the
     // cost metric that decides tokenizer/vocab fit per language (a
     // high-fertility language pays more sequence length per word):
@@ -879,6 +908,26 @@ object QueriesText {
          |    (acc, x) -> acc + x) / CAST(n_bigrams AS DOUBLE), 6)
          |    AS avg_nll2
          |FROM g""".stripMargin,
+    // x29: same global keeper window, per-source rollup.
+    "x29_dedup_savings" ->
+      s"""WITH t AS (SELECT doc_id, source,
+         |    CAST(len($toksSql) AS BIGINT) AS nt,
+         |    md5(array_to_string(list_slice($toksSql, 1, 5), ' '))
+         |      AS dkey
+         |  FROM documents),
+         |k AS (SELECT doc_id, source, nt,
+         |    doc_id = min(doc_id) OVER (PARTITION BY dkey) AS keeper
+         |  FROM t)
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN keeper THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_keepers,
+         |  CAST(sum(nt) AS BIGINT) AS tokens_total,
+         |  CAST(sum(CASE WHEN keeper THEN nt ELSE 0 END) AS BIGINT)
+         |    AS tokens_kept,
+         |  round(CAST(sum(nt) - sum(CASE WHEN keeper THEN nt
+         |      ELSE 0 END) AS DOUBLE)
+         |    / CAST(sum(nt) AS DOUBLE) * 100.0, 6) AS savings_pct
+         |FROM k GROUP BY 1""".stripMargin,
     // x28: same integer sums, one rounded division.
     "x28_fertility" ->
       s"""WITH t AS (SELECT lang,
