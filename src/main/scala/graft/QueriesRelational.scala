@@ -129,6 +129,27 @@ object QueriesRelational {
         nth_value(col("o_totalprice"), 3).over(wf).as("third_price"))
     }),
 
+    // Ordered-analytic aggregates (max_by / min_by ↔ arg_max /
+    // arg_min): "the order that had the highest price" without a
+    // rank-window round trip — one hash aggregate with map-side
+    // partials. Both engines pick an ARBITRARY row among ties, so the
+    // ordering keys are made collision-free by packing exact cents
+    // with the unique key into one long (cents·10⁸ + key, exact in
+    // int64 range) — determinism by construction, not by engine
+    // agreement.
+    "g12_argmax_agg" -> ((s, d) => {
+      val priceKey = floor(col("l_extendedprice") * 100).cast("long") *
+        100000000L + col("l_orderkey")
+      val shipKey = unix_timestamp(col("l_shipdate").cast("timestamp"))
+        .cast("long") * 10000000L + col("l_orderkey")
+      Tables.lineitem(s, d).groupBy("l_returnflag").agg(
+        max_by(col("l_orderkey"), priceKey).as("top_price_order"),
+        min_by(col("l_orderkey"), shipKey).as("earliest_ship_order"),
+        max(floor(col("l_extendedprice") * 100).cast("long"))
+          .as("max_price_cents"),
+        min(col("l_shipdate").cast("date")).as("min_shipdate"))
+    }),
+
     // Skyline / Pareto frontier (non-dominated set) — the multi-
     // criteria "best tradeoffs" operator SQL has no keyword for:
     // orders minimizing price while maximizing recency; an order
@@ -1346,6 +1367,17 @@ object QueriesRelational {
         |    ORDER BY o_orderdate, o_orderkey),
         |  wd AS (PARTITION BY o_orderpriority ORDER BY o_orderdate)"""
         .stripMargin,
+    // g12: arg_max/arg_min on the identical collision-free long keys.
+    "g12_argmax_agg" ->
+      """SELECT l_returnflag,
+        |  arg_max(l_orderkey, CAST(floor(l_extendedprice * 100)
+        |    AS BIGINT) * 100000000 + l_orderkey) AS top_price_order,
+        |  arg_min(l_orderkey, (epoch_us(l_shipdate) // 1000000)
+        |    * 10000000 + l_orderkey) AS earliest_ship_order,
+        |  CAST(max(CAST(floor(l_extendedprice * 100) AS BIGINT))
+        |    AS BIGINT) AS max_price_cents,
+        |  min(l_shipdate::DATE) AS min_shipdate
+        |FROM lineitem GROUP BY 1""".stripMargin,
     // g11: same collapse + ordered strict-improvement scan.
     "g11_pareto" ->
       """WITH pts AS (SELECT CAST(floor(o_totalprice * 100) AS BIGINT)
