@@ -98,13 +98,24 @@ object QueriesRelational {
         .withColumn("pos", (col("n") - 1).cast("double") * col("p"))
         .withColumn("lo", floor(col("pos")).cast("long"))
         .withColumn("hi", ceil(col("pos")).cast("long"))
-      probes
-        .join(ranked.select(col("l_returnflag"), col("rn").as("lo"),
-          col("l_quantity").as("v_lo")), Seq("l_returnflag", "lo"))
-        .join(ranked.select(col("l_returnflag"), col("rn").as("hi"),
-          col("l_quantity").as("v_hi")), Seq("l_returnflag", "hi"))
+      // the needed POSITIONS broadcast to the ranked fact (24 target
+      // rows, one broadcast hash join, zero fact re-shuffle) — never
+      // the fact joined positionally twice, which costs two extra
+      // fact-size shuffles at scale
+      val targets = probes.select(col("l_returnflag"), col("p"),
+          col("pos"), explode(array(
+            struct(lit("lo").as("which"), col("lo").as("rn")),
+            struct(lit("hi").as("which"), col("hi").as("rn")))).as("t"))
+        .select(col("l_returnflag"), col("p"), col("pos"),
+          col("t.which").as("which"), col("t.rn").as("rn"))
+      ranked.join(broadcast(targets), Seq("l_returnflag", "rn"))
+        .groupBy("l_returnflag", "p", "pos")
+        .agg(max(when(col("which") === "lo", col("l_quantity")))
+            .as("v_lo"),
+          max(when(col("which") === "hi", col("l_quantity")))
+            .as("v_hi"))
         .select(col("l_returnflag"), col("p"),
-          round(col("v_lo") + (col("pos") - col("lo").cast("double")) *
+          round(col("v_lo") + (col("pos") - floor(col("pos"))) *
             (col("v_hi") - col("v_lo")), 6).as("pct_cont"))
     }),
 
