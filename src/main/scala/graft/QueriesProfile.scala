@@ -167,6 +167,64 @@ object QueriesProfile {
     // partials), the 0–9 spine guarantees every bucket a row, and the
     // 10-row math is driver-trivial at any data scale — the whole cost
     // is the single pass over orders.
+    // IQR outlier screen — Tukey's 1.5·IQR fence per group, the
+    // robust outlier count a profiling pass reports beside dq1's
+    // min/max (which a single wild value saturates): interpolated
+    // quartiles via w11's broadcast-target machinery (UNROUNDED —
+    // both engines derive bit-equal fence doubles through the
+    // identical operand order, so the count compare cannot flip),
+    // then ONE conditional-aggregate pass against the broadcast
+    // fences. Two fact passes total (rank + count), O(groups) state.
+    "dq12_outlier_iqr" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("l_returnflag")
+        .orderBy(col("l_quantity").asc, col("l_orderkey").asc,
+          col("l_linenumber").asc)
+      val ranked = Tables.lineitem(s, d)
+        .select(col("l_returnflag"), col("l_quantity"),
+          col("l_orderkey"), col("l_linenumber"))
+        .withColumn("rn", (row_number().over(w) - 1).cast("long"))
+      val n = ranked.groupBy("l_returnflag").agg(count(lit(1)).as("n"))
+      val probes = n
+        .select(col("l_returnflag"), col("n"),
+          explode(array(lit(0.25), lit(0.75))).as("p"))
+        .withColumn("pos", (col("n") - 1).cast("double") * col("p"))
+        .withColumn("lo", floor(col("pos")).cast("long"))
+        .withColumn("hi", ceil(col("pos")).cast("long"))
+      val targets = probes.select(col("l_returnflag"), col("p"),
+          col("pos"), explode(array(
+            struct(lit("lo").as("which"), col("lo").as("rn")),
+            struct(lit("hi").as("which"), col("hi").as("rn")))).as("t"))
+        .select(col("l_returnflag"), col("p"), col("pos"),
+          col("t.which").as("which"), col("t.rn").as("rn"))
+      val q = ranked.join(broadcast(targets), Seq("l_returnflag", "rn"))
+        .groupBy("l_returnflag", "p", "pos")
+        .agg(max(when(col("which") === "lo", col("l_quantity")))
+            .as("v_lo"),
+          max(when(col("which") === "hi", col("l_quantity")))
+            .as("v_hi"))
+        .select(col("l_returnflag"), col("p"),
+          (col("v_lo") + (col("pos") - floor(col("pos"))) *
+            (col("v_hi") - col("v_lo"))).as("q"))
+      val quart = q.groupBy("l_returnflag")
+        .agg(max(when(col("p") === 0.25, col("q"))).as("q1"),
+          max(when(col("p") === 0.75, col("q"))).as("q3"))
+      val fences = quart.select(col("l_returnflag"), col("q1"),
+        col("q3"),
+        (col("q1") - lit(1.5) * (col("q3") - col("q1"))).as("lo_b"),
+        (col("q3") + lit(1.5) * (col("q3") - col("q1"))).as("hi_b"))
+      Tables.lineitem(s, d).select(col("l_returnflag"),
+          col("l_quantity"))
+        .join(broadcast(fences), Seq("l_returnflag"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("l_quantity") < col("lo_b") ||
+            col("l_quantity") > col("hi_b"), 1L).otherwise(0L))
+            .as("n_outliers"),
+          round(max(col("q1")), 6).as("q1"),
+          round(max(col("q3")), 6).as("q3"))
+    }),
+
     // Functional-dependency audit — the "is this column determined by
     // that key" profiling question behind normalization checks and
     // key discovery: for each candidate FD, the distinct (key, rhs)
@@ -439,6 +497,43 @@ object QueriesProfile {
     },
     // dq8: same one-scan conditional counts, 0-9 spine via range(10),
     // Laplace-smoothed shares, identical ln-ratio term
+    // dq12: same unrounded interpolated quartiles and fences.
+    "dq12_outlier_iqr" ->
+      """WITH r AS (SELECT l_returnflag, l_quantity,
+        |    CAST(row_number() OVER (PARTITION BY l_returnflag
+        |      ORDER BY l_quantity, l_orderkey, l_linenumber) - 1
+        |      AS BIGINT) AS rn
+        |  FROM lineitem),
+        |nn AS (SELECT l_returnflag, count(*) AS n FROM r GROUP BY 1),
+        |pr AS (SELECT l_returnflag, p,
+        |    CAST(n - 1 AS DOUBLE) * p AS pos,
+        |    CAST(floor(CAST(n - 1 AS DOUBLE) * p) AS BIGINT) AS lo,
+        |    CAST(ceil(CAST(n - 1 AS DOUBLE) * p) AS BIGINT) AS hi
+        |  FROM nn, (SELECT CAST(unnest([0.25, 0.75]) AS DOUBLE)
+        |    AS p) ps),
+        |q AS (SELECT pr.l_returnflag, pr.p,
+        |    vlo.l_quantity + (pr.pos - CAST(pr.lo AS DOUBLE))
+        |      * (vhi.l_quantity - vlo.l_quantity) AS q
+        |  FROM pr
+        |  JOIN r vlo ON pr.l_returnflag = vlo.l_returnflag
+        |    AND vlo.rn = pr.lo
+        |  JOIN r vhi ON pr.l_returnflag = vhi.l_returnflag
+        |    AND vhi.rn = pr.hi),
+        |qq AS (SELECT l_returnflag,
+        |    max(CASE WHEN p = 0.25 THEN q END) AS q1,
+        |    max(CASE WHEN p = 0.75 THEN q END) AS q3
+        |  FROM q GROUP BY 1),
+        |f AS (SELECT l_returnflag, q1, q3,
+        |    q1 - 1.5 * (q3 - q1) AS lo_b,
+        |    q3 + 1.5 * (q3 - q1) AS hi_b
+        |  FROM qq)
+        |SELECT l.l_returnflag, count(*) AS n_rows,
+        |  CAST(sum(CASE WHEN l.l_quantity < f.lo_b
+        |    OR l.l_quantity > f.hi_b THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_outliers,
+        |  round(max(f.q1), 6) AS q1, round(max(f.q3), 6) AS q3
+        |FROM lineitem l JOIN f ON l.l_returnflag = f.l_returnflag
+        |GROUP BY 1""".stripMargin,
     // dq10: same distinct-pair collapse per FD arm.
     "dq10_fd_check" ->
       """WITH f1 AS (SELECT count(*) AS n_keys,

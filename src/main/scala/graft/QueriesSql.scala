@@ -198,6 +198,18 @@ object QueriesSql {
           |  RANGE BETWEEN 86400 PRECEDING AND CURRENT ROW)""".stripMargin)
     }),
 
+    // The native HLL AGGREGATE under a SQL GROUP BY — sql3 pins the
+    // global form; this pins the custom TypedImperativeAggregate
+    // composing with SQL grouping (per-group 4 KB buffers through the
+    // SQL front door). Same semantics as sk7; its oracle is reused.
+    "sql14_hll_grouped" -> ((s, d) => {
+      sqlSession(s, d, "events").sql(
+        """SELECT event_type,
+          |  round(hll_estimate(concat('hll:',
+          |    CAST(user_id AS STRING))), 2) AS estimate
+          |FROM events GROUP BY event_type""".stripMargin)
+    }),
+
     // Skyline as SQL TEXT (g11's Pareto frontier, oracle reused): the
     // collapse + strict-improvement ordered scan expressed entirely in
     // the SQL window dialect (ROWS ... 1 PRECEDING exclusive frame).
@@ -262,6 +274,7 @@ object QueriesSql {
     "sql9_grouping_sets" -> QueriesRelational.oracle("g6_grouping_sets"),
     "sql10_explode_tokens" -> QueriesText.oracle("x5_vocab_topk"),
     "sql12_range_frame" -> QueriesRelational.oracle("w6_range_frame"),
-    "sql13_pareto" -> QueriesRelational.oracle("g11_pareto")
+    "sql13_pareto" -> QueriesRelational.oracle("g11_pareto"),
+    "sql14_hll_grouped" -> QueriesSketch.oracle("sk7_hll_grouped")
   )
 }
