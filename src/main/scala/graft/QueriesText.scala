@@ -254,6 +254,40 @@ object QueriesText {
             col("n_bigrams").cast("double"), 6).as("avg_nll2"))
     }),
 
+    // Cross-source vocabulary overlap — the "are these two datasets
+    // the same distribution" screen corpus curation runs before
+    // mixing: distinct-vocabulary Jaccard for every source pair,
+    // top-20. The pair expansion runs over the (token → sources)
+    // inverted index, so a token contributes at most C(sources, 2)
+    // pairs — bounded by the SOURCE count, which is catalog-sized at
+    // any corpus scale (the d2 discipline with a structurally tiny
+    // key space). Exact integer intersections, one rounded ratio.
+    "x30_source_overlap" -> ((s, d) => {
+      val st = Tables.documents(s, d)
+        .select(col("source"),
+          explode(array_distinct(TextOps.tokens(col("text"))))
+            .as("token"))
+        .distinct()
+      val sizes = st.groupBy("source").agg(count(lit(1)).as("nv"))
+      val a = st.select(col("token"), col("source").as("src_a"))
+      val b = st.select(col("token"), col("source").as("src_b"))
+      val inter = a.join(b, Seq("token"))
+        .filter(col("src_a") < col("src_b"))
+        .groupBy("src_a", "src_b").agg(count(lit(1)).as("inter"))
+      val jac = col("inter") /
+        (col("nv_a") + col("nv_b") - col("inter"))
+      graft.operators.RelationalOps.topKGlobal(
+        inter
+          .join(broadcast(sizes.select(col("source").as("src_a"),
+            col("nv").as("nv_a"))), Seq("src_a"))
+          .join(broadcast(sizes.select(col("source").as("src_b"),
+            col("nv").as("nv_b"))), Seq("src_b"))
+          .select(col("src_a"), col("src_b"), col("inter"),
+            round(jac, 6).as("vocab_jaccard")),
+        Seq(col("vocab_jaccard").desc, col("src_a").asc,
+          col("src_b").asc), 20)
+    }),
+
     // Dedup-savings report — the business case for the whole d-family
     // in one table: per source, how many docs survive d1's keeper
     // election and what fraction of the TOKEN budget dedup returns
@@ -908,6 +942,24 @@ object QueriesText {
          |    (acc, x) -> acc + x) / CAST(n_bigrams AS DOUBLE), 6)
          |    AS avg_nll2
          |FROM g""".stripMargin,
+    // x30: same inverted-index pair expansion, same exact ratio.
+    "x30_source_overlap" ->
+      s"""WITH st AS (SELECT DISTINCT source, t AS token
+         |  FROM (SELECT source,
+         |    unnest(list_distinct($toksSql)) AS t FROM documents)),
+         |sz AS (SELECT source, count(*) AS nv FROM st GROUP BY 1),
+         |i AS (SELECT a.source AS src_a, b.source AS src_b,
+         |    count(*) AS inter
+         |  FROM st a JOIN st b
+         |    ON a.token = b.token AND a.source < b.source
+         |  GROUP BY 1, 2)
+         |SELECT i.src_a, i.src_b, CAST(i.inter AS BIGINT) AS inter,
+         |  round(i.inter / CAST(sa.nv + sb.nv - i.inter AS DOUBLE), 6)
+         |    AS vocab_jaccard
+         |FROM i JOIN sz sa ON sa.source = i.src_a
+         |  JOIN sz sb ON sb.source = i.src_b
+         |ORDER BY vocab_jaccard DESC, src_a, src_b LIMIT 20"""
+        .stripMargin,
     // x29: same global keeper window, per-source rollup.
     "x29_dedup_savings" ->
       s"""WITH t AS (SELECT doc_id, source,

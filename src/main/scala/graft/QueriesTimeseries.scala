@@ -235,6 +235,43 @@ object QueriesTimeseries {
           (col("day") === col("peak_day")).as("is_changepoint"))
     }),
 
+    // Additive seasonal decomposition (STL-lite): daily series split
+    // into trend (centered 7-observation moving average), day-of-week
+    // seasonal (mean detrended value per dow) and remainder — the
+    // decomposition behind "is this spike seasonal or real". FP
+    // discipline: the detrended value is kept SCALED BY 7
+    // (detr7 = 7·cnt − Σ₇cnt — exact BIGINT), so the per-dow seasonal
+    // mean sums exact integers (never a groupBy over doubles, whose
+    // partial-sum order is nondeterministic) and every double derives
+    // from exact ints through identical operand order. Edge rows
+    // without a full 7-observation window are excluded by the same
+    // window-count predicate on both engines. Spine-sized after one
+    // hash agg.
+    "ts12_seasonal_decompose" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("cnt"))
+      val w7 = Window.partitionBy("event_type").orderBy("day")
+        .rowsBetween(-3, 3)
+      val t = daily
+        .withColumn("sum7", sum(col("cnt")).over(w7))
+        .withColumn("n7", count(lit(1)).over(w7))
+        .filter(col("n7") === 7)
+        .withColumn("detr7", lit(7) * col("cnt") - col("sum7"))
+        .withColumn("dow", dayofweek(col("day")).cast("long"))
+      val seas = t.groupBy("event_type", "dow")
+        .agg(sum(col("detr7")).as("sd7"), count(lit(1)).as("nd"))
+      t.join(seas, Seq("event_type", "dow"))
+        .select(col("event_type"), col("day"), col("cnt"),
+          round(col("sum7").cast("double") / 7.0, 6).as("trend"),
+          round(col("sd7").cast("double") / col("nd").cast("double")
+            / 7.0, 6).as("seasonal"),
+          round((col("detr7").cast("double") -
+            col("sd7").cast("double") / col("nd").cast("double"))
+            / 7.0, 6).as("remainder"))
+    }),
+
     // Time-weighted average (TWAP / sensor-mean): the irregular-
     // sampling mean that counting rows gets WRONG — each observation
     // holds until the next one (LOCF), so its weight is its holding
@@ -579,6 +616,35 @@ object QueriesTimeseries {
         |SELECT event_type, day, cnt, cusum_sc,
         |  day = peak_day AS is_changepoint
         |FROM p2""".stripMargin,
+    // ts12: same integer-scaled decomposition; DuckDB dayofweek is
+    // 0-based (ts7's +1 convention), the ROWS window is the identical
+    // 7-observation frame, and every double comes from the same exact
+    // BIGINTs.
+    "ts12_seasonal_decompose" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    count(*) AS cnt FROM events GROUP BY 1, 2),
+        |t AS (SELECT event_type, day, cnt,
+        |    CAST(sum(cnt) OVER w AS BIGINT) AS sum7,
+        |    count(*) OVER w AS n7,
+        |    CAST(dayofweek(day) AS BIGINT) + 1 AS dow
+        |  FROM daily
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |f AS (SELECT event_type, day, cnt, sum7, dow,
+        |    7 * cnt - sum7 AS detr7
+        |  FROM t WHERE n7 = 7),
+        |s AS (SELECT event_type, dow,
+        |    CAST(sum(detr7) AS BIGINT) AS sd7, count(*) AS nd
+        |  FROM f GROUP BY 1, 2)
+        |SELECT f.event_type, f.day, f.cnt,
+        |  round(CAST(f.sum7 AS DOUBLE) / 7.0, 6) AS trend,
+        |  round(CAST(s.sd7 AS DOUBLE) / CAST(s.nd AS DOUBLE) / 7.0, 6)
+        |    AS seasonal,
+        |  round((CAST(f.detr7 AS DOUBLE)
+        |    - CAST(s.sd7 AS DOUBLE) / CAST(s.nd AS DOUBLE)) / 7.0, 6)
+        |    AS remainder
+        |FROM f JOIN s ON f.event_type = s.event_type
+        |  AND f.dow = s.dow""".stripMargin,
     // ts11: same integer cents×seconds areas; epoch seconds via
     // epoch_us // 1000000 (micros floor to match unix_timestamp).
     "ts11_twa" ->
