@@ -109,6 +109,36 @@ object QueriesSketch {
         col("l_extendedprice"), 256, Seq(0.25, 0.5, 0.75, 0.95))
     }),
 
+    // HLL set algebra — sk8's KMV union/intersection discipline on the
+    // HLL side: cohort register tables merge by elementwise max (the
+    // mv4 losslessness law) for the union estimate, and the
+    // intersection follows by inclusion–exclusion (est_A + est_B −
+    // est_U) — the standard HLL workaround for its lack of a native
+    // intersection, with the exact intersection alongside as the
+    // truth witness. After the two register aggregations everything
+    // runs on O(m)-row register tables and 1-row broadcasts.
+    "sk13_hll_setops" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      def keys(flag: String) = li.filter(col("l_returnflag") === flag)
+        .select(col("l_orderkey"))
+      val rA = SketchOps.hllRegisters(keys("R"), col("l_orderkey"))
+      val rB = SketchOps.hllRegisters(keys("N"), col("l_orderkey"))
+      val rU = rA.union(rB).groupBy("bucket")
+        .agg(max(col("rho")).as("rho"))
+      def est(r: DataFrame, nm: String) =
+        SketchOps.hllSummary(r).select(col("estimate").as(nm))
+      val exact = keys("R").distinct()
+        .join(keys("N").distinct(), Seq("l_orderkey"), "left_semi")
+        .agg(count(lit(1)).as("exact_inter"))
+      est(rA, "est_a").crossJoin(broadcast(est(rB, "est_b")))
+        .crossJoin(broadcast(est(rU, "est_union")))
+        .crossJoin(broadcast(exact))
+        .select(col("est_a"), col("est_b"), col("est_union"),
+          round(col("est_a") + col("est_b") - col("est_union"), 2)
+            .as("est_inter"),
+          col("exact_inter"))
+    }),
+
     // Quantile-sketch accuracy gate — sk11's discipline applied to the
     // FOURTH sketch family (HLL/KMV gated by sk11, CMS by sk3's truth
     // witness, Bloom by sk4's accounting; the quantile sketch was the
@@ -293,6 +323,28 @@ object QueriesSketch {
   private def h60(arg: String): String =
     s"CAST(concat('0x', substr(md5($arg), 1, 15)) AS BIGINT)"
 
+  /** One cohort's HLL register CTE pair for sk13 (hash → bucket/rho
+    * registers), mirroring sk1's chain per source filter.
+    */
+  private def hllRegSql(nm: String, filter: String): String =
+    s"""h$nm AS (SELECT ${h60(
+         "concat('hll:', CAST(l_orderkey AS VARCHAR))")} AS h
+       |      FROM lineitem WHERE $filter),
+       |r$nm AS (SELECT h % 4096 AS bucket,
+       |      max(CASE WHEN (h >> 12) = 0 THEN 49
+       |          ELSE 49 - length(bin(h >> 12)) END) AS rho
+       |      FROM h$nm GROUP BY 1)""".stripMargin
+
+  /** sk1's estimator over a register CTE, as a 1-row estimate CTE. */
+  private def hllEstSql(nm: String, reg: String): String =
+    s"""e$nm AS (SELECT round(0.7213 / (1.0 + 1.079 / 4096.0) * 4096.0
+       |    * 4096.0 * 1125899906842624.0
+       |    / CAST(fx_present + (4096 - v_present)
+       |        * (CAST(1 AS BIGINT) << 50) AS DOUBLE), 2) AS est
+       |  FROM (SELECT count(*) AS v_present,
+       |    CAST(sum(CAST(1 AS BIGINT) << (50 - rho)) AS BIGINT)
+       |      AS fx_present FROM $reg))""".stripMargin
+
   /** sk5's oracle statement, shared verbatim with sk12's gate. */
   private def sk5Sql: String =
     s"""WITH s AS (SELECT ${h60("concat('qs:', CAST(l_orderkey AS " +
@@ -425,6 +477,26 @@ object QueriesSketch {
          |FROM agg CROSS JOIN t""".stripMargin
     },
     "sk5_quantile_sketch" -> sk5Sql,
+    // sk13: per-cohort register chains + max-merged union registers +
+    // the identical literal estimator; inclusion–exclusion at 2dp.
+    "sk13_hll_setops" ->
+      s"""WITH ${hllRegSql("A", "l_returnflag = 'R'")},
+         |${hllRegSql("B", "l_returnflag = 'N'")},
+         |rU AS (SELECT bucket, max(rho) AS rho FROM (
+         |    SELECT * FROM rA UNION ALL SELECT * FROM rB)
+         |  GROUP BY 1),
+         |${hllEstSql("A", "rA")},
+         |${hllEstSql("B", "rB")},
+         |${hllEstSql("U", "rU")},
+         |ex AS (SELECT count(*) AS exact_inter FROM
+         |  (SELECT DISTINCT l_orderkey FROM lineitem
+         |    WHERE l_returnflag = 'R') a
+         |  JOIN (SELECT DISTINCT l_orderkey FROM lineitem
+         |    WHERE l_returnflag = 'N') b USING (l_orderkey))
+         |SELECT eA.est AS est_a, eB.est AS est_b, eU.est AS est_union,
+         |  round(eA.est + eB.est - eU.est, 2) AS est_inter,
+         |  ex.exact_inter
+         |FROM eA, eB, eU, ex""".stripMargin,
     // sk12: sk5's statement nested verbatim as a subquery (one source
     // of truth), then the exact-rank count and integer-bps deviation.
     "sk12_quantile_error" ->
