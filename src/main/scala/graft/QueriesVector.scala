@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.operators.VectorOps
 import graft.sources.Tables
@@ -97,6 +97,34 @@ object QueriesVector {
     "v5_neardup_lsh" -> ((s, d) => {
       VectorOps.lshNearDupPairs(prep(s, d), bands = Bands,
         rowsPerBand = RowsPerBand, dim = Dim, threshold = 0.45)
+    }),
+
+    // SEMANTIC decontamination — d8's held-out-leakage gate in
+    // embedding space: lexical decontamination (shingle overlap)
+    // catches copies, but a PARAPHRASED test item shares no shingles
+    // with its training twin — only its neighborhood. The held-out
+    // split (seeded hash, d8's convention) meets the training split
+    // through v5's banded-LSH candidates (never an all-pairs join);
+    // each test vector reports how many training vectors sit above
+    // the similarity threshold and the worst (closest) one. Membership
+    // derives from the ids by formula — no extra join.
+    "d22_semantic_decontam" -> ((s, d) => {
+      def bucket(id: Column) = graft.operators.TextOps.md5Prefix60(
+        concat(lit("vsplit:"), id.cast("string"))) % 100
+      val pairs = VectorOps.lshNearDupPairs(prep(s, d), bands = Bands,
+        rowsPerBand = RowsPerBand, dim = Dim, threshold = 0.35)
+      pairs
+        .select(col("id_a"), col("id_b"), col("cos"),
+          bucket(col("id_a")).as("ba"), bucket(col("id_b")).as("bb"))
+        .filter((col("ba") >= 90 && col("bb") < 80) ||
+          (col("bb") >= 90 && col("ba") < 80))
+        .select(
+          when(col("ba") >= 90, col("id_a")).otherwise(col("id_b"))
+            .as("test_id"),
+          col("cos"))
+        .groupBy("test_id")
+        .agg(count(lit(1)).as("n_train_neighbors"),
+          max(col("cos")).as("max_cos"))
     }),
 
     // SEMANTIC dedup clusters — the embedding-space mirror of the
@@ -1000,6 +1028,35 @@ object QueriesVector {
          |SELECT vec_id, canonical_id,
          |  CAST(vec_id = canonical_id AS BIGINT) AS is_kept
          |FROM u""".stripMargin,
+    // d22: v5's candidate chain + the seeded split filter; membership
+    // from the same id formula.
+    "d22_semantic_decontam" -> {
+      def b(idExpr: String) =
+        s"""CAST(concat('0x', substr(md5(concat('vsplit:',
+           |      CAST($idExpr AS VARCHAR))), 1, 15)) AS BIGINT)
+           |      % 100""".stripMargin
+      s"""WITH $preparedSql,
+         |cb AS ($bandSelects),
+         |rare AS (SELECT band, bucket FROM cb GROUP BY band, bucket
+         |      HAVING count(*) <= 10000),
+         |cf AS (SELECT cb.* FROM cb JOIN rare USING (band, bucket)),
+         |cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         |      FROM cf a JOIN cf b ON a.band = b.band
+         |        AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+         |pr AS (SELECT id_a, id_b,
+         |      round($dotSql / sqrt(a.n2 * b.n2), 6) AS cos,
+         |      ${b("id_a")} AS ba,
+         |      ${b("id_b")} AS bb
+         |  FROM cand
+         |  JOIN n a ON a.vec_id = cand.id_a
+         |  JOIN n b ON b.vec_id = cand.id_b
+         |  WHERE $dotSql / sqrt(a.n2 * b.n2) >= 0.35)
+         |SELECT CASE WHEN ba >= 90 THEN id_a ELSE id_b END AS test_id,
+         |  count(*) AS n_train_neighbors, max(cos) AS max_cos
+         |FROM pr
+         |WHERE (ba >= 90 AND bb < 80) OR (bb >= 90 AND ba < 80)
+         |GROUP BY 1""".stripMargin
+    },
     "v5_neardup_lsh" -> {
       s"""WITH $preparedSql,
          |cb AS ($bandSelects),
