@@ -124,23 +124,59 @@ object QueriesDedup {
     // into an array, then exploded), so no rank self-join ever
     // materializes; candidates then exact-verify with d2's Jaccard
     // formula over the shared shingle cache via per-pair in-row
-    // intersection. The global row_number is the one sequential
-    // structure — at 100 TB it becomes a range-partitioned sort with
-    // per-partition offsets (rank = partition offset + local rank),
-    // which Spark's sort machinery already provides; everything after
-    // the rank is narrow or equi-join.
+    // intersection.
+    //
+    // SCALE (the r11 "rank note", now implemented): NO global window.
+    // The corpus range-partitions on the total order (bkey, doc_id)
+    // into P = spark.sql.shuffle.partitions ranges; lead(1..W) runs
+    // per-range-partition. Cross-boundary neighbor pairs come from a
+    // SEAM pass: each range partition contributes only its first and
+    // last W rows (<= 2W·P rows total — O(cluster), not O(data)),
+    // that tiny frame is sorted once, lead(1..W) runs over it, and
+    // only pairs whose endpoints sit in DIFFERENT range partitions
+    // are kept (same-partition pairs already came from pass 1).
+    // Exactness is boundary-independent: a row more than W from its
+    // partition's edge has all W successors in-partition; an edge
+    // row's next W rows in the full order are exactly the remaining
+    // tail rows plus the following partitions' head rows, all present
+    // in the seam frame; and any seam-frame lead that skips interior
+    // rows lands in the SAME partition and is filtered. So the pair
+    // set equals the single-sort formulation's, which is what the
+    // oracle computes.
     "d18_sorted_neighborhood" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val W = 4
       val keyed = docsWithTokens(s, d).select(col("doc_id"),
         concat_ws(" ", slice(col("toks"), 1, 3)).as("bkey"))
-      val w = Window.orderBy(col("bkey"), col("doc_id"))
-      val cand = keyed
-        .select(col("doc_id"),
-          array((1 to W).map(i => lead(col("doc_id"), i).over(w)): _*)
-            .as("nbrs"))
+        .repartitionByRange(col("bkey"), col("doc_id"))
+        .withColumn("part", spark_partition_id())
+      val wUp = Window.partitionBy("part")
+        .orderBy(col("bkey"), col("doc_id"))
+      val wDn = Window.partitionBy("part")
+        .orderBy(col("bkey").desc, col("doc_id").desc)
+      val ranked = keyed
+        .withColumn("nbrs",
+          array((1 to W).map(i => lead(col("doc_id"), i).over(wUp)): _*))
+        .withColumn("rn_up", row_number().over(wUp))
+        .withColumn("rn_dn", row_number().over(wDn))
+      val inner = ranked
         .select(col("doc_id").as("ia"), explode(col("nbrs")).as("ib"))
         .filter(col("ib").isNotNull)
+      // seam frame: first/last W rows of every range partition —
+      // <= 2W·P rows, so the one global sort here is over a frame
+      // sized by the cluster, not the data
+      val wSeam = Window.orderBy(col("bkey"), col("doc_id"))
+      val seam = ranked
+        .filter(col("rn_up") <= W || col("rn_dn") <= W)
+        .select(col("doc_id"), col("bkey"), col("part"))
+        .withColumn("nbrs", array((1 to W).map(i =>
+          struct(lead(col("doc_id"), i).over(wSeam).as("id"),
+            lead(col("part"), i).over(wSeam).as("p"))): _*))
+        .select(col("doc_id").as("ia"), col("part"),
+          explode(col("nbrs")).as("nb"))
+        .filter(col("nb.id").isNotNull && col("nb.p") =!= col("part"))
+        .select(col("ia"), col("nb.id").as("ib"))
+      val cand = inner.unionByName(seam)
         .select(least(col("ia"), col("ib")).as("id_a"),
           greatest(col("ia"), col("ib")).as("id_b"))
       val sh = docsWithShingles(s, d)

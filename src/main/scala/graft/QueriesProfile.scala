@@ -255,25 +255,46 @@ object QueriesProfile {
     // Sequence-gap detection — the offset/audit-log integrity check
     // ("which ids went missing"): the event_id stream is
     // deterministically thinned ~1% (seeded hash, so the gaps exist
-    // and are identical on both engines), then one lag pass over the
-    // ordered distinct ids emits each missing RANGE as (start, end,
+    // and are identical on both engines), then lag passes over the
+    // ordered distinct ids emit each missing RANGE as (start, end,
     // n_missing) — O(gaps) output rows, never an anti-join against a
     // generated full sequence (which would materialize max(id) rows).
-    // The global ordered window range-partitions at scale (the d18
-    // rank note).
+    //
+    // SCALE: no global window. Ids are range-bucketed by
+    // `event_id div B` (B = 2^16), lag runs per-bucket
+    // (Window.partitionBy(bucket)) so each sort is a bounded <=B-row
+    // partition, and the cross-bucket seams are bridged by a second
+    // lag over the per-bucket (min,max) summary — O(n/B) rows, a few
+    // MB even at 10^12 ids. Every globally-adjacent id pair is either
+    // same-bucket (first pass) or last-of-bucket/first-of-next-
+    // non-empty-bucket (seam pass); empty buckets collapse naturally
+    // because summaries exist only for non-empty buckets.
+    // PlanAuditSpec pins the events-scan window as partitioned.
     "dq11_sequence_gaps" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
+      val B = 65536L
       val ids = Tables.events(s, d).select(col("event_id")).distinct()
         .filter(graft.operators.TextOps.md5Prefix60(
           concat(lit("gap:"), col("event_id").cast("string"))) % 97
           =!= 0)
-      val w = Window.orderBy("event_id")
-      ids.withColumn("prev", lag(col("event_id"), 1).over(w))
+        .withColumn("bucket", floor(col("event_id") / B))
+      val wIn = Window.partitionBy("bucket").orderBy("event_id")
+      val inner = ids
+        .withColumn("prev", lag(col("event_id"), 1).over(wIn))
         .filter(col("prev").isNotNull &&
           col("event_id") - col("prev") > 1)
         .select((col("prev") + 1).as("gap_start"),
-          (col("event_id") - 1).as("gap_end"),
-          (col("event_id") - col("prev") - 1).as("n_missing"))
+          (col("event_id") - 1).as("gap_end"))
+      val wSeam = Window.orderBy("bucket") // O(n/B) summary rows only
+      val seams = ids.groupBy("bucket")
+        .agg(min(col("event_id")).as("lo"), max(col("event_id")).as("hi"))
+        .withColumn("prev_hi", lag(col("hi"), 1).over(wSeam))
+        .filter(col("prev_hi").isNotNull && col("lo") - col("prev_hi") > 1)
+        .select((col("prev_hi") + 1).as("gap_start"),
+          (col("lo") - 1).as("gap_end"))
+      inner.unionByName(seams)
+        .select(col("gap_start"), col("gap_end"),
+          (col("gap_end") - col("gap_start") + 1).as("n_missing"))
     }),
 
     // Expectation-suite validation (the declarative data-contract
@@ -313,7 +334,7 @@ object QueriesProfile {
           round(col(v).cast("double") / col(n).cast("double"), 6)
             .as("violation_rate"))
       rule(liAgg, "li_quantity_in_1_50", "n_li", "v_qty")
-        .union(rule(liAgg, "li_discount_in_0_05", "n_li", "v_disc"))
+        .union(rule(liAgg, "li_discount_in_0_50pct", "n_li", "v_disc"))
         .union(rule(liAgg, "li_price_positive", "n_li", "v_price"))
         .union(rule(ordAgg, "o_totalprice_positive", "n_ord", "v_total"))
         .union(rule(jAgg, "ship_after_order", "n_j", "v_dates"))
@@ -597,7 +618,7 @@ object QueriesProfile {
         |  v_qty AS n_violations,
         |  round(CAST(v_qty AS DOUBLE) / CAST(n AS DOUBLE), 6)
         |    AS violation_rate FROM la
-        |UNION ALL SELECT 'li_discount_in_0_05', n, v_disc,
+        |UNION ALL SELECT 'li_discount_in_0_50pct', n, v_disc,
         |  round(CAST(v_disc AS DOUBLE) / CAST(n AS DOUBLE), 6) FROM la
         |UNION ALL SELECT 'li_price_positive', n, v_price,
         |  round(CAST(v_price AS DOUBLE) / CAST(n AS DOUBLE), 6) FROM la

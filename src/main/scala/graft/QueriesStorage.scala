@@ -160,7 +160,7 @@ object QueriesStorage {
         |  FROM f)
         |SELECT CAST(floor((end_off - est_bytes) / 4194304.0) AS BIGINT)
         |    AS bin,
-        |  count(*) AS n_files, sum(est_bytes) AS bytes,
+        |  count(*) AS n_files, CAST(sum(est_bytes) AS BIGINT) AS bytes,
         |  min(file_month) AS from_month, max(file_month) AS to_month
         |FROM o GROUP BY 1""".stripMargin
   )

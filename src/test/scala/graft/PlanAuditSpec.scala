@@ -112,6 +112,39 @@ class PlanAuditSpec extends SparkTestBase {
       s"d18's candidates must come from lead(), not a theta join:\n$p")
   }
 
+  test("dq11/d18 range-partition their ranks: no global window over data") {
+    // The r11 verdict's scale-killer list: a Window.orderBy with no
+    // partitionBy over an O(data) frame moves ALL rows to one task.
+    // dq11 and d18 now bucket/range-partition the lag and bridge the
+    // seams off a bounded summary frame; this guard pins that an
+    // UNPARTITIONED logical Window only ever sits above (a) an
+    // Aggregate (dq11's O(n/B) bucket summary) or (b) a Filter over an
+    // already-partitioned Window (d18's first/last-W seam rows,
+    // <= 2W·P rows) — never directly over the raw scan.
+    import org.apache.spark.sql.catalyst.plans.logical.{
+      Aggregate, Filter, Window => LWindow}
+    for (q <- Seq("dq11_sequence_gaps", "d18_sorted_neighborhood")) {
+      val lp = SparkEntry.queries(q)(spark, sf001)
+        .queryExecution.optimizedPlan
+      val wins = lp.collect { case w: LWindow => w }
+      assert(wins.exists(_.partitionSpec.nonEmpty),
+        s"$q must run its data-frame lag per range bucket:\n$lp")
+      val globals = wins.filter(_.partitionSpec.isEmpty)
+      assert(globals.nonEmpty,
+        s"$q should retain the bounded seam window:\n$lp")
+      for (g <- globals) {
+        val bounded = g.child.collectFirst {
+          case a: Aggregate => a
+          case f: Filter if f.collectFirst {
+            case w: LWindow if w.partitionSpec.nonEmpty => w
+          }.isDefined => f
+        }.isDefined
+        assert(bounded,
+          s"$q has a global window directly over O(data) rows:\n$lp")
+      }
+    }
+  }
+
   test("x24 broadcasts the 1-row corpus stats, never shuffles docs") {
     val p = plan("x24_bm25")
     assert(p.contains("BroadcastNestedLoopJoin"),

@@ -78,6 +78,19 @@ def compare(spark, oracle):
     o = oracle[cols].copy()
     for c in cols:
         if str(s[c].dtype) != str(o[c].dtype):
+            # integer-vs-float is a HARD FAIL: the driver hashes raw values,
+            # so int64 3840000 vs float64 3840000.0 hash-mismatch even though
+            # a float coercion would compare equal. This is exactly the
+            # DuckDB sum(BIGINT)→HUGEINT→float64 trap that sank stor3 in
+            # round 11 (and cdc1 before it): the oracle SQL needs a final
+            # CAST(... AS BIGINT). Decimal-vs-float stays a soft note (the
+            # driver compares those numerically green).
+            sk, ok_ = s[c].dtype.kind, o[c].dtype.kind
+            if {sk, ok_} == {"f"} | {"i"} or {sk, ok_} == {"f"} | {"u"}:
+                return False, (f"int/float dtype mismatch on '{c}': "
+                               f"spark={s[c].dtype} oracle={o[c].dtype} — "
+                               f"driver will hash-fail; CAST the oracle "
+                               f"aggregate to BIGINT (HUGEINT trap)")
             notes.append(f"dtype {c}: spark={s[c].dtype} oracle={o[c].dtype}")
     if len(s) != len(o):
         return False, f"row count: spark={len(s)} oracle={len(o)}"
@@ -159,7 +172,15 @@ def selftest():
         pd.DataFrame({"g": ["a"], "v": [np.array([1.0, 2.0])]}),
         pd.DataFrame({"g": ["a"], "v": [[1.0, 2.5]]}))
     assert not ok, "differing array cells must FAIL"
-    print("selftest: 7/7 ok")
+    # the round-11 stor3 trap: spark int64 vs oracle float64 (HUGEINT via
+    # pandas) with numerically-equal values must FAIL — the driver hashes
+    # raw values and 3840000 != 3840000.0
+    ok, msg = compare(
+        pd.DataFrame({"g": ["a"], "s": np.array([3840000], dtype="int64")}),
+        pd.DataFrame({"g": ["a"], "s": [3840000.0]}))
+    assert not ok and "int/float" in msg, \
+        "int64-vs-float64 dtype mismatch must HARD FAIL (HUGEINT trap)"
+    print("selftest: 8/8 ok")
 
 if __name__ == "__main__":
     if len(sys.argv) == 2 and sys.argv[1] == "--selftest":
