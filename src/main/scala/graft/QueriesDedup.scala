@@ -365,15 +365,25 @@ object QueriesDedup {
     "d6_embedding_neardup" -> ((s, d) => {
       val p = VectorOps.prepared(Tables.embeddings(s, d), "vec_id",
         "embedding")
-      val n = p.count()
-      require(n <= 100000L,
-        s"d6_embedding_neardup is the test-scale exactness witness for " +
-          s"the LSH near-dup path (all-pairs O(n²) theta-join); corpus " +
-          s"has $n rows > 100000 bound — use v5_neardup_lsh or " +
-          s"v2_ann_lsh, the banded-LSH production path, at this scale")
+      // the bound check is IN the plan (assert_true over a broadcast
+      // 1-row count), not an eager count() at construction — registry
+      // enumeration and plan audits must never launch a job (r11
+      // verdict item 8); the refusal fires at execution, before the
+      // quadratic join's output is consumed
+      val bound = p.agg(count(lit(1)).as("n_corpus"))
+        .select(col("n_corpus"), assert_true(col("n_corpus") <= 100000L,
+          concat(lit("d6_embedding_neardup is the test-scale " +
+            "exactness witness for the LSH near-dup path (all-pairs " +
+            "O(n²) theta-join); corpus has "), col("n_corpus"),
+            lit(" rows > 100000 bound — use v5_neardup_lsh or " +
+              "v2_ann_lsh, the banded-LSH production path, at this " +
+              "scale"))).as("__bound_ok"))
       val a = p.toDF("id_a", "v_a", "n2_a")
       val b = p.toDF("id_b", "v_b", "n2_b")
       a.join(b, col("id_a") < col("id_b"))
+        .crossJoin(broadcast(bound))
+        .filter(col("__bound_ok").isNull)
+        .drop("n_corpus", "__bound_ok")
         .withColumn("cos", VectorOps.cosineFromParts(
           VectorOps.dot(col("v_a"), col("v_b")), col("n2_a"), col("n2_b")))
         .filter(col("cos") >= 0.45)

@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.operators.RelationalOps
 import graft.sources.Tables
 
 /** Event-sequence analytics over `events` (north-star extension,
@@ -227,16 +228,17 @@ object QueriesEvents {
     // the threshold tested as cum·100 ≥ total·80 in exact integers so
     // the cut cannot ulp-flip. O(users) after one agg; 1-row output.
     "e14_pareto80" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
       val ua = Tables.events(s, d).groupBy("user_id")
         .agg(count(lit(1)).as("n"))
-      val w = Window.orderBy(col("n").desc, col("user_id").asc)
+      val order = Seq(col("n").desc, col("user_id").asc)
       val tot = ua.agg(sum(col("n")).as("total"),
         count(lit(1)).as("n_users"))
-      val reach = ua
-        .withColumn("rk", row_number().over(w).cast("long"))
-        .withColumn("cum", sum(col("n")).over(
-          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      // rank + running sum via the range-partitioned prefix pattern
+      // (RelationalOps.rangePrefixAgg) — no single-partition global
+      // window over O(users) rows (the r11 scale-killer list)
+      val reach = RelationalOps.globalRunningSum(
+          RelationalOps.globalRowNumber(ua, order, "rk"),
+          order, col("n"), "cum")
         .crossJoin(broadcast(tot))
         .filter(col("cum") * 100 >= col("total") * 80)
         .agg(min(col("rk")).as("k80"))
@@ -274,26 +276,33 @@ object QueriesEvents {
 
     // RFM segmentation — the classic customer-value grid: each user
     // scored 1–5 on Recency (latest activity), Frequency (event
-    // count) and Monetary (total cents), via ntile(5) over a TOTAL
+    // count) and Monetary (total cents), quintiles over a TOTAL
     // order (metric desc, user_id tiebreak — ntile on a partial order
     // is nondeterministic across engines; both engines hand earlier
     // buckets the extra rows, so identical total orders give identical
-    // buckets). Output is the 125-cell segment census. Shape: one
-    // per-user hash agg, three O(users) window passes, one cell-sized
-    // agg.
+    // buckets). Output is the 125-cell segment census. Each quintile
+    // label is ntile's allocation formula applied to a DISTRIBUTED
+    // rank (RelationalOps.globalRowNumber: range-partitioned
+    // row_number + per-partition offsets) — three range-bucketed
+    // passes over O(users), never a single-partition ntile window
+    // (the r11 scale-killer list).
     "e11_rfm" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
       val users = Tables.events(s, d)
         .groupBy("user_id")
         .agg(max(to_date(col("ts"))).as("last_day"),
           count(lit(1)).as("freq"),
           sum(floor(col("value") * 100).cast("long")).as("cents"))
-      def q(m: Column) = ntile(5)
-        .over(Window.orderBy(m.desc, col("user_id").asc)).cast("long")
-      users
-        .select(col("user_id"), q(col("last_day")).as("r_q"),
-          q(col("freq")).as("f_q"), q(col("cents")).as("m_q"))
-        .groupBy("r_q", "f_q", "m_q")
+      val n1 = users.agg(count(lit(1)).as("n_total"))
+      def q(df: DataFrame, m: Column, out: String) =
+        RelationalOps.globalRowNumber(df,
+          Seq(m.desc, col("user_id").asc), "__rk")
+          .withColumn(out, RelationalOps.ntileFromRank(
+            col("__rk"), col("n_total"), 5))
+          .drop("__rk")
+      val scored = q(q(q(users.crossJoin(broadcast(n1)),
+        col("last_day"), "r_q"), col("freq"), "f_q"),
+        col("cents"), "m_q")
+      scored.groupBy("r_q", "f_q", "m_q")
         .agg(count(lit(1)).as("n_users"))
     }),
 

@@ -170,39 +170,27 @@ object QueriesProfile {
     // IQR outlier screen — Tukey's 1.5·IQR fence per group, the
     // robust outlier count a profiling pass reports beside dq1's
     // min/max (which a single wild value saturates): interpolated
-    // quartiles via w11's broadcast-target machinery (UNROUNDED —
+    // quartiles via w11's value-histogram machinery (UNROUNDED —
     // both engines derive bit-equal fence doubles through the
     // identical operand order, so the count compare cannot flip),
     // then ONE conditional-aggregate pass against the broadcast
-    // fences. Two fact passes total (rank + count), O(groups) state.
+    // fences. Two fact passes total (histogram agg + count), no
+    // fact-table rank window, O(groups + |domain|) state.
     "dq12_outlier_iqr" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy("l_returnflag")
-        .orderBy(col("l_quantity").asc, col("l_orderkey").asc,
-          col("l_linenumber").asc)
-      val ranked = Tables.lineitem(s, d)
-        .select(col("l_returnflag"), col("l_quantity"),
-          col("l_orderkey"), col("l_linenumber"))
-        .withColumn("rn", (row_number().over(w) - 1).cast("long"))
-      val n = ranked.groupBy("l_returnflag").agg(count(lit(1)).as("n"))
-      val probes = n
-        .select(col("l_returnflag"), col("n"),
-          explode(array(lit(0.25), lit(0.75))).as("p"))
-        .withColumn("pos", (col("n") - 1).cast("double") * col("p"))
+      val h = graft.operators.RelationalOps.valueHistogram(
+        Tables.lineitem(s, d).select(col("l_returnflag"),
+          col("l_quantity")),
+        "l_returnflag", col("l_quantity"))
+      val q = h
+        .withColumn("p", explode(array(lit(0.25), lit(0.75))))
+        .withColumn("pos", (col("total") - 1).cast("double") * col("p"))
         .withColumn("lo", floor(col("pos")).cast("long"))
         .withColumn("hi", ceil(col("pos")).cast("long"))
-      val targets = probes.select(col("l_returnflag"), col("p"),
-          col("pos"), explode(array(
-            struct(lit("lo").as("which"), col("lo").as("rn")),
-            struct(lit("hi").as("which"), col("hi").as("rn")))).as("t"))
-        .select(col("l_returnflag"), col("p"), col("pos"),
-          col("t.which").as("which"), col("t.rn").as("rn"))
-      val q = ranked.join(broadcast(targets), Seq("l_returnflag", "rn"))
         .groupBy("l_returnflag", "p", "pos")
-        .agg(max(when(col("which") === "lo", col("l_quantity")))
-            .as("v_lo"),
-          max(when(col("which") === "hi", col("l_quantity")))
-            .as("v_hi"))
+        .agg(max(when(col("cum_before") <= col("lo") &&
+            col("lo") < col("cum"), col("v"))).as("v_lo"),
+          max(when(col("cum_before") <= col("hi") &&
+            col("hi") < col("cum"), col("v"))).as("v_hi"))
         .select(col("l_returnflag"), col("p"),
           (col("v_lo") + (col("pos") - floor(col("pos"))) *
             (col("v_hi") - col("v_lo"))).as("q"))

@@ -77,43 +77,30 @@ object QueriesRelational {
     // Interpolated percentiles (PERCENTILE_CONT semantics) — w9/g5
     // give exact order statistics at data points; this completes the
     // percentile surface with the BETWEEN-points case: pos = (n−1)·p,
-    // value = v_lo + (pos − lo)·(v_hi − v_lo), computed explicitly
-    // from ranked rows on BOTH engines (never each engine's own
-    // quantile_cont, whose interpolation conventions differ) in
-    // identical operand order. One rank window + a 12-row probe frame
-    // + two positional equi-joins.
+    // value = v_lo + (pos − lo)·(v_hi − v_lo), computed explicitly in
+    // identical operand order on BOTH engines (never each engine's own
+    // quantile_cont, whose interpolation conventions differ). The
+    // bracketing values at 0-indexed ranks lo/hi are read off the
+    // value histogram (RelationalOps.valueHistogram — value at
+    // 0-indexed rank r is the v with cum_before <= r < cum): one
+    // skew-free hash agg over the fact, then a 3-probe explode over
+    // the O(|domain|) histogram — no fact rank window, no positional
+    // joins.
     "w11_percentile_cont" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy("l_returnflag")
-        .orderBy(col("l_quantity").asc, col("l_orderkey").asc,
-          col("l_linenumber").asc)
-      val ranked = Tables.lineitem(s, d)
-        .select(col("l_returnflag"), col("l_quantity"),
-          col("l_orderkey"), col("l_linenumber"))
-        .withColumn("rn", (row_number().over(w) - 1).cast("long"))
-      val n = ranked.groupBy("l_returnflag").agg(count(lit(1)).as("n"))
-      val probes = n
-        .select(col("l_returnflag"), col("n"),
-          explode(array(lit(0.25), lit(0.5), lit(0.75))).as("p"))
-        .withColumn("pos", (col("n") - 1).cast("double") * col("p"))
+      val h = RelationalOps.valueHistogram(
+        Tables.lineitem(s, d).select(col("l_returnflag"),
+          col("l_quantity")),
+        "l_returnflag", col("l_quantity"))
+      val probed = h
+        .withColumn("p", explode(array(lit(0.25), lit(0.5), lit(0.75))))
+        .withColumn("pos", (col("total") - 1).cast("double") * col("p"))
         .withColumn("lo", floor(col("pos")).cast("long"))
         .withColumn("hi", ceil(col("pos")).cast("long"))
-      // the needed POSITIONS broadcast to the ranked fact (24 target
-      // rows, one broadcast hash join, zero fact re-shuffle) — never
-      // the fact joined positionally twice, which costs two extra
-      // fact-size shuffles at scale
-      val targets = probes.select(col("l_returnflag"), col("p"),
-          col("pos"), explode(array(
-            struct(lit("lo").as("which"), col("lo").as("rn")),
-            struct(lit("hi").as("which"), col("hi").as("rn")))).as("t"))
-        .select(col("l_returnflag"), col("p"), col("pos"),
-          col("t.which").as("which"), col("t.rn").as("rn"))
-      ranked.join(broadcast(targets), Seq("l_returnflag", "rn"))
-        .groupBy("l_returnflag", "p", "pos")
-        .agg(max(when(col("which") === "lo", col("l_quantity")))
-            .as("v_lo"),
-          max(when(col("which") === "hi", col("l_quantity")))
-            .as("v_hi"))
+      probed.groupBy("l_returnflag", "p", "pos")
+        .agg(max(when(col("cum_before") <= col("lo") &&
+            col("lo") < col("cum"), col("v"))).as("v_lo"),
+          max(when(col("cum_before") <= col("hi") &&
+            col("hi") < col("cum"), col("v"))).as("v_hi"))
         .select(col("l_returnflag"), col("p"),
           round(col("v_lo") + (col("pos") - floor(col("pos"))) *
             (col("v_hi") - col("v_lo")), 6).as("pct_cont"))
@@ -170,21 +157,21 @@ object QueriesRelational {
     // worse at the same price is dominated), then one ordered pass
     // keeps rows strictly better than every preceding (cheaper) row's
     // best. All integer (cents, day offsets) — no FP tie ambiguity.
-    // The global ordered window is the one sequential structure; at
-    // 100 TB it range-partitions by price with per-partition skylines
-    // + a merge of O(partitions) frontier fragments (skylines compose
-    // by union + re-filter), same as d18's rank note.
+    // The prefix-min scan is DISTRIBUTED (the r11 demand, now built):
+    // RelationalOps.globalPrefixMin range-partitions by price, takes
+    // per-partition prefix-mins, and lifts them global with the O(P)
+    // per-partition-min offsets — per-range skylines + a frontier
+    // merge off a cluster-sized summary, never a single-partition
+    // ordered window over O(distinct prices).
     "g11_pareto" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
       val pts = Tables.orders(s, d).select(
         floor(col("o_totalprice") * 100).cast("long").as("price_c"),
         (-datediff(col("o_orderdate").cast("date"),
           lit("1992-01-01").cast("date"))).cast("long").as("negday"))
       val perX = pts.groupBy("price_c")
         .agg(min(col("negday")).as("negday"))
-      val w = Window.orderBy("price_c")
-        .rowsBetween(Window.unboundedPreceding, -1)
-      perX.withColumn("m", min(col("negday")).over(w))
+      RelationalOps.globalPrefixMin(perX, Seq(col("price_c").asc),
+          col("negday"), "m")
         .filter(col("m").isNull || col("negday") < col("m"))
         .select(col("price_c"), (-col("negday")).as("day_off"))
     }),
@@ -366,22 +353,23 @@ object QueriesRelational {
     }),
 
     // Exact per-group median without an engine median() (accumulation
-    // semantics differ across engines): sort-position pick via window —
-    // the middle one/two values averaged. Deterministic on both sides.
+    // semantics differ across engines): the middle one/two VALUES
+    // averaged, read off the per-group value histogram
+    // (RelationalOps.valueHistogram — the de-skewed selection pattern:
+    // one map-side-combined hash agg over the fact, a window only over
+    // the O(|domain|) histogram; the oracle's rank formulation picks
+    // the same values because value-at-rank is histogram-determined).
     "g5_median_quantity" -> ((s, d) => {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("l_returnflag")
-        .orderBy(col("l_quantity").asc, col("l_orderkey").asc,
-          col("l_linenumber").asc)
-      val cw = org.apache.spark.sql.expressions.Window
-        .partitionBy("l_returnflag")
-      Tables.lineitem(s, d)
-        .select(col("l_returnflag"), col("l_quantity"),
-          row_number().over(w).as("rn"), count(lit(1)).over(cw).as("cnt"))
-        .filter(col("rn") === expr("(cnt + 1) div 2") ||
-          col("rn") === expr("(cnt + 2) div 2"))
-        .groupBy("l_returnflag")
-        .agg(round(avg(col("l_quantity")), 2).as("median_qty"))
+      val h = RelationalOps.valueHistogram(
+        Tables.lineitem(s, d).select(col("l_returnflag"),
+          col("l_quantity")),
+        "l_returnflag", col("l_quantity"))
+      h.groupBy("l_returnflag")
+        .agg(RelationalOps.valueAtRank(expr("(total + 1) div 2"))
+            .as("v1"),
+          RelationalOps.valueAtRank(expr("(total + 2) div 2")).as("v2"))
+        .select(col("l_returnflag"),
+          round((col("v1") + col("v2")) / 2, 2).as("median_qty"))
     }),
 
     // As-of join: every click annotated with the user's most recent
@@ -928,28 +916,24 @@ object QueriesRelational {
     // return flag — the robust center a metrics pipeline prefers when
     // rows carry unequal mass. Definition: smallest price whose running
     // weight reaches half the total (2·cum ≥ tot — all-integer, no
-    // halving division). Weights and cumulative sums are exact Longs
-    // over a TOTAL order (price, orderkey, linenumber), so the crossing
-    // row is identical across engines. One window shuffle + one
-    // hash-agg; the scale-safe approximate alternative is the sk5
-    // quantile sketch with per-row weight replication.
+    // halving division). Weights and cumulative sums are exact Longs,
+    // and the crossing point is value-determined (the first ROW
+    // crossing half-weight carries the first VALUE whose inclusive
+    // cumulative weight crosses it), so the whole selection reads off
+    // the weighted value histogram (RelationalOps.valueHistogram with
+    // weight = quantity): one skew-free hash agg over the fact, the
+    // cum window only over the O(|domain|) histogram. The sk5 sketch
+    // is the approximate alternative.
     "g8_weighted_median" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val li = Tables.lineitem(s, d).select(col("l_returnflag"),
-        col("l_extendedprice"),
-        floor(col("l_quantity")).cast("long").as("w"),
-        col("l_orderkey"), col("l_linenumber"))
-      val ord = Window.partitionBy("l_returnflag")
-        .orderBy(col("l_extendedprice"), col("l_orderkey"),
-          col("l_linenumber"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val all = Window.partitionBy("l_returnflag")
-      li.withColumn("cum", sum(col("w")).over(ord))
-        .withColumn("tot", sum(col("w")).over(all))
-        .filter(col("cum") * 2 >= col("tot"))
+      val h = RelationalOps.valueHistogram(
+        Tables.lineitem(s, d).select(col("l_returnflag"),
+          col("l_extendedprice"), col("l_quantity")),
+        "l_returnflag", col("l_extendedprice"),
+        floor(col("l_quantity")).cast("long"))
+      h.filter(col("cum") * 2 >= col("total"))
         .groupBy("l_returnflag")
-        .agg(max(col("tot")).as("total_weight"),
-          min(col("l_extendedprice")).as("w_median"))
+        .agg(max(col("total")).as("total_weight"),
+          min(col("v")).as("w_median"))
     }),
 
     // Materialized-view maintenance: a per-priority revenue aggregate
@@ -1065,37 +1049,30 @@ object QueriesRelational {
             sum(col("cents")).over(w).cast("double"), 6).as("share"))
     }),
 
-    // Exact multi-percentile per group in ONE sort-window pass: p25/
-    // p50/p75/p95 of extendedprice per return flag, each defined as
-    // the value at rank ceil(q·n) under a total order (type-1 /
-    // "discontinuous" quantile — an exact member of the data, no
-    // interpolation, so no float arithmetic beyond the rank math,
-    // which both engines do in IEEE doubles identically; 0.25/0.5/
-    // 0.75 are exact binary and 0.95 rounds DOWN, the safe direction
-    // for ceil). One shuffle, one sort, all four percentiles read
-    // from the same ranked frame — four separate percentile calls
-    // would be four window passes. g5 (median) is the single-q
-    // special case; the sk5 sketch is the documented scale path when
-    // an approximation is acceptable.
+    // Exact multi-percentile per group: p25/p50/p75/p95 of
+    // extendedprice per return flag, each defined as the value at rank
+    // ceil(q·n) (type-1 / "discontinuous" quantile — an exact member
+    // of the data, no interpolation; 0.25/0.5/0.75 are exact binary
+    // and 0.95 rounds DOWN, the safe direction for ceil). All four
+    // read off ONE value histogram (RelationalOps.valueHistogram):
+    // the fact table is hash-aggregated once (skew-free key), the
+    // window runs over the O(|domain|) histogram — never a ~n/3-row
+    // per-task sort behind the cardinality-3 partitionBy (the r11
+    // scale-killer). g5 (median) is the single-q special case; the
+    // sk5 sketch is the documented path when approximation is
+    // acceptable.
     "w9_percentiles" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy("l_returnflag")
-        .orderBy(col("l_extendedprice").asc, col("l_orderkey").asc,
-          col("l_linenumber").asc)
-      val whole = Window.partitionBy("l_returnflag")
-      val ranked = Tables.lineitem(s, d)
-        .select(col("l_returnflag"), col("l_extendedprice"),
-          col("l_orderkey"), col("l_linenumber"))
-        .withColumn("rn", row_number().over(w))
-        .withColumn("cnt", count(lit(1)).over(whole))
+      val h = RelationalOps.valueHistogram(
+        Tables.lineitem(s, d).select(col("l_returnflag"),
+          col("l_extendedprice")),
+        "l_returnflag", col("l_extendedprice"))
       def pick(q: Double, name: String) =
-        max(when(col("rn") ===
-          ceil(col("cnt").cast("double") * lit(q)),
-          col("l_extendedprice"))).as(name)
-      ranked.groupBy("l_returnflag").agg(
+        RelationalOps.valueAtRank(
+          ceil(col("total").cast("double") * lit(q))).as(name)
+      h.groupBy("l_returnflag").agg(
         pick(0.25, "p25"), pick(0.50, "p50"),
         pick(0.75, "p75"), pick(0.95, "p95"),
-        max(col("cnt")).as("n_rows"))
+        max(col("total")).as("n_rows"))
     }),
 
     // Per-group top-k VALUES via the native bounded-heap aggregate

@@ -182,6 +182,29 @@ object QueriesSql {
           |GROUP BY token ORDER BY cnt DESC, token LIMIT 50""".stripMargin)
     }),
 
+    // The SQL PIVOT clause (g4's wide census through the parser
+    // surface, oracle reused): explicit IN-list so the plan is a
+    // single-pass pivot aggregate with no value-discovery job, and a
+    // coalesce wrapper because SQL PIVOT leaves absent combos NULL
+    // where the oracle's count FILTER yields 0. Registered as sql11
+    // to close the r11 numbering gap (sql10 → sql12 read as a missing
+    // query to auditors).
+    "sql11_pivot" -> ((s, d) => {
+      sqlSession(s, d, "orders").sql(
+        """SELECT o_orderstatus,
+          |  coalesce(`1-URGENT`, 0) AS `1-URGENT`,
+          |  coalesce(`2-HIGH`, 0) AS `2-HIGH`,
+          |  coalesce(`3-MEDIUM`, 0) AS `3-MEDIUM`,
+          |  coalesce(`4-NOT SPECIFIED`, 0) AS `4-NOT SPECIFIED`,
+          |  coalesce(`5-LOW`, 0) AS `5-LOW`
+          |FROM (SELECT o_orderstatus, o_orderpriority FROM orders)
+          |PIVOT (count(*) FOR o_orderpriority IN (
+          |  '1-URGENT' AS `1-URGENT`, '2-HIGH' AS `2-HIGH`,
+          |  '3-MEDIUM' AS `3-MEDIUM`,
+          |  '4-NOT SPECIFIED' AS `4-NOT SPECIFIED`,
+          |  '5-LOW' AS `5-LOW`))""".stripMargin)
+    }),
+
     // Time-based RANGE frame as SQL TEXT (w6's rolling 24 h window,
     // oracle reused): RANGE BETWEEN 86400 PRECEDING over epoch-second
     // order keys — the frame clause ROWS cannot express.
@@ -212,7 +235,13 @@ object QueriesSql {
 
     // Skyline as SQL TEXT (g11's Pareto frontier, oracle reused): the
     // collapse + strict-improvement ordered scan expressed entirely in
-    // the SQL window dialect (ROWS ... 1 PRECEDING exclusive frame).
+    // the SQL window dialect — in its DISTRIBUTED form: prices bucket
+    // by a fixed 2^20-cent width, the exclusive prefix-min runs per
+    // bucket (PARTITION BY b), and cross-bucket prefixes come from an
+    // exclusive prefix-min over the per-bucket-min summary (O(domain/
+    // 2^20) rows), joined back. Same rows as a single global ordered
+    // window, with no single-partition sort — the pure-SQL twin of
+    // RelationalOps.globalPrefixMin's range-partition + offset shape.
     "sql13_pareto" -> ((s, d) => {
       sqlSession(s, d, "orders").sql(
         """WITH pts AS (SELECT CAST(floor(o_totalprice * 100) AS BIGINT)
@@ -222,10 +251,19 @@ object QueriesSql {
           |  FROM orders),
           |px AS (SELECT price_c, min(negday) AS negday FROM pts
           |  GROUP BY 1),
-          |sc AS (SELECT price_c, negday,
-          |    min(negday) OVER (ORDER BY price_c
-          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS m
-          |  FROM px)
+          |pb AS (SELECT price_c, negday, price_c DIV 1048576 AS b
+          |  FROM px),
+          |loc AS (SELECT price_c, negday, b,
+          |    min(negday) OVER (PARTITION BY b ORDER BY price_c
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lm
+          |  FROM pb),
+          |bs AS (SELECT b, min(negday) AS bm FROM pb GROUP BY 1),
+          |off AS (SELECT b, min(bm) OVER (ORDER BY b
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS om
+          |  FROM bs),
+          |sc AS (SELECT l.price_c, l.negday,
+          |    least(coalesce(l.lm, o.om), coalesce(o.om, l.lm)) AS m
+          |  FROM loc l JOIN off o ON l.b = o.b)
           |SELECT price_c, -negday AS day_off FROM sc
           |WHERE m IS NULL OR negday < m""".stripMargin)
     })
@@ -273,6 +311,7 @@ object QueriesSql {
         |FROM orders WHERE o_custkey % 100 = 0""".stripMargin,
     "sql9_grouping_sets" -> QueriesRelational.oracle("g6_grouping_sets"),
     "sql10_explode_tokens" -> QueriesText.oracle("x5_vocab_topk"),
+    "sql11_pivot" -> QueriesRelational.oracle("g4_pivot"),
     "sql12_range_frame" -> QueriesRelational.oracle("w6_range_frame"),
     "sql13_pareto" -> QueriesRelational.oracle("g11_pareto"),
     "sql14_hll_grouped" -> QueriesSketch.oracle("sk7_hll_grouped")

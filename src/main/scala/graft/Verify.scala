@@ -13,7 +13,7 @@ object Verify {
     require(only.forall(SparkEntry.queries.contains),
       s"unknown query names: ${only -- SparkEntry.queries.keySet}")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    val spark = SparkConfDefaults.withDefaults(SparkSession.builder())
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")

@@ -19,6 +19,134 @@ import org.apache.spark.sql.functions._
   */
 object RelationalOps {
 
+  /** Per-group VALUE HISTOGRAM with cumulative counts — the house
+    * pattern for EXACT distributed selection (median, percentiles,
+    * weighted median, IQR) without ranking the fact table.
+    *
+    * The naive form ranks every row behind
+    * `Window.partitionBy(group).orderBy(value)`: with a low-cardinality
+    * group (l_returnflag has 3 values) each task sorts ~n/3 rows — the
+    * r11 verdict's scale-killer list. But a SELECTION only needs the
+    * value at a rank, and that is fully determined by the (group,
+    * value) → count histogram: the value at rank k is the v with
+    * cum_before < k <= cum. So the fact table is reduced by ONE
+    * map-side-combined hash aggregate (skew-free: the grouping key is
+    * (group, value), not group), and the only window runs over the
+    * histogram — O(|value domain|) rows per group, bounded by the
+    * DOMAIN (fixed-point cents in a bounded price range, 1..50
+    * quantities), not by the row count. 100× the data grows the
+    * histogram counts, not the histogram. For genuinely unbounded
+    * continuous domains the same two-pass shape coarsens the first
+    * pass to fixed-width bins and re-scans the one target bin.
+    *
+    * Weighted selection (g8) passes the weight column; unweighted
+    * callers leave the default 1.
+    *
+    * Returns one row per (group, v) with: cnt (Σ weight), cum
+    * (inclusive running Σ in value order), cum_before (= cum − cnt),
+    * total (group Σ). */
+  def valueHistogram(df: DataFrame, group: String, value: Column,
+      weight: Column = lit(1L)): DataFrame = {
+    val wCum = Window.partitionBy(group).orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(group)
+    df.groupBy(col(group), value.as("v"))
+      .agg(sum(weight).as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(wCum))
+      .withColumn("total", sum(col("cnt")).over(wAll))
+      .withColumn("cum_before", col("cum") - col("cnt"))
+  }
+
+  /** Value at 1-indexed rank `k` read off a valueHistogram frame:
+    * aggregate per group with `max(when(...))`. `k` may reference
+    * `total` (e.g. `(total + 1) div 2`). */
+  def valueAtRank(k: Column): Column =
+    max(when(col("cum_before") < k && k <= col("cum"), col("v")))
+
+  /** Distributed PREFIX AGGREGATE over a global total order — the
+    * house pattern for global row_number / running sum / prefix-min
+    * without `Window.orderBy(...)`'s single-partition sort (the r11
+    * scale-killer list: e11/e14/g11).
+    *
+    * Shape: range-partition on the order (P =
+    * spark.sql.shuffle.partitions ranges of the total order), run the
+    * prefix window per partition, and lift local prefixes to global
+    * ones with per-partition OFFSETS — each partition's one-row
+    * aggregate, prefix-combined across partitions by a window over
+    * the O(P) summary frame (bounded by the cluster, not the data),
+    * broadcast back. Global prefix = combine(local prefix, offset of
+    * all earlier partitions). Exact for any associative agg; the
+    * result is partition-boundary-independent, so oracle SQL written
+    * against the single-sort formulation still matches.
+    *
+    * `aggFn` is the associative aggregate (sum, min, ...); `combine`
+    * merges the in-partition prefix with the prior-partition offset
+    * and must handle NULL on either side (first partition has no
+    * offset; an EXCLUSIVE first-in-partition row has no local
+    * prefix). `inclusive` selects ROWS UNBOUNDED PRECEDING..CURRENT
+    * vs ..-1. */
+  def rangePrefixAgg(df: DataFrame, order: Seq[Column], value: Column,
+      aggFn: Column => Column, combine: (Column, Column) => Column,
+      out: String, inclusive: Boolean): DataFrame = {
+    val parted = df.repartitionByRange(order: _*)
+      .withColumn("__part", spark_partition_id())
+      .withColumn("__v", value)
+    val wLoc0 = Window.partitionBy("__part").orderBy(order: _*)
+    val wLoc =
+      if (inclusive) wLoc0.rowsBetween(Window.unboundedPreceding, 0)
+      else wLoc0.rowsBetween(Window.unboundedPreceding, -1)
+    val wOff = Window.orderBy("__part")
+      .rowsBetween(Window.unboundedPreceding, -1) // O(P) summary rows
+    val offs = parted.groupBy("__part").agg(aggFn(col("__v")).as("__pa"))
+      .withColumn("__off", aggFn(col("__pa")).over(wOff))
+      .select("__part", "__off")
+    parted.withColumn("__loc", aggFn(col("__v")).over(wLoc))
+      .join(broadcast(offs), Seq("__part"))
+      .withColumn(out, combine(col("__loc"), col("__off")))
+      .drop("__part", "__v", "__loc", "__off")
+  }
+
+  /** NULL-tolerant combiners for rangePrefixAgg: result is NULL only
+    * when BOTH sides are (an exclusive prefix with no predecessors). */
+  private def nullSafe(f: (Column, Column) => Column)
+      (l: Column, o: Column): Column =
+    when(l.isNull, o).when(o.isNull, l).otherwise(f(l, o))
+
+  /** Global 1-indexed row_number over `order` without a global sort. */
+  def globalRowNumber(df: DataFrame, order: Seq[Column],
+      out: String): DataFrame =
+    rangePrefixAgg(df, order, lit(1L), sum, nullSafe(_ + _),
+      out, inclusive = true)
+
+  /** Global inclusive running sum of `value` over `order`. */
+  def globalRunningSum(df: DataFrame, order: Seq[Column], value: Column,
+      out: String): DataFrame =
+    rangePrefixAgg(df, order, value, sum, nullSafe(_ + _),
+      out, inclusive = true)
+
+  /** Global EXCLUSIVE prefix-min of `value` over `order` (NULL for
+    * the first row — no predecessors), the skyline scan's shape. */
+  def globalPrefixMin(df: DataFrame, order: Seq[Column], value: Column,
+      out: String): DataFrame =
+    rangePrefixAgg(df, order, value, min, nullSafe(least(_, _)),
+      out, inclusive = false)
+
+  /** ntile(k) bucket (1-based) from a global 1-indexed rank and the
+    * row count, by the standard allocation (first n mod k buckets get
+    * one extra row) — lets RFM-style quantile labels ride
+    * globalRowNumber instead of a single-partition ntile window. */
+  def ntileFromRank(rank: Column, n: Column, k: Int): Column = {
+    // exact long division: (a - a mod b) is divisible by b, so the
+    // double quotient is an integer <= 2^53 and rounds to itself
+    def intDiv(a: Column, b: Column): Column =
+      ((a - pmod(a, b)) / b).cast("long")
+    val q = intDiv(n, lit(k.toLong))
+    val r = n % k
+    val cut = r * (q + 1)
+    when(rank <= cut, intDiv(rank - 1, q + 1) + 1)
+      .otherwise(r + intDiv(rank - cut - 1, q) + 1)
+  }
+
   /** Top-k rows per group, deterministically tie-broken by `tiebreak`. */
   def topKPerGroup(df: DataFrame, partitionCols: Seq[String],
       orderBy: Seq[Column], k: Int, rankCol: String = "rn"): DataFrame = {

@@ -301,7 +301,7 @@ object SketchOps {
     val both = su.join(sa, Seq("h"), "left_semi")
       .join(sb, Seq("h"), "left_semi")
     val stats = su.agg(count(lit(1)).as("k_used"), max(col("h")).as("kth_min"))
-      .crossJoin(both.agg(count(lit(1)).as("matches")))
+      .crossJoin(broadcast(both.agg(count(lit(1)).as("matches"))))
     // raw (un-rounded) estimators, composed then rounded ONCE per
     // output — the SQL oracle mirrors the exact expression shapes
     val unionRaw = when(col("k_used") < k, col("k_used").cast("double"))

@@ -123,7 +123,8 @@ class PlanAuditSpec extends SparkTestBase {
     // <= 2W·P rows) — never directly over the raw scan.
     import org.apache.spark.sql.catalyst.plans.logical.{
       Aggregate, Filter, Window => LWindow}
-    for (q <- Seq("dq11_sequence_gaps", "d18_sorted_neighborhood")) {
+    for (q <- Seq("dq11_sequence_gaps", "d18_sorted_neighborhood",
+        "e11_rfm", "e14_pareto80", "g11_pareto", "sql13_pareto")) {
       val lp = SparkEntry.queries(q)(spark, sf001)
         .queryExecution.optimizedPlan
       val wins = lp.collect { case w: LWindow => w }

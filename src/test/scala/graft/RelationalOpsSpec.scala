@@ -166,6 +166,51 @@ class RelationalOpsSpec extends SparkTestBase {
     assert(out.select("id").as[Long].collect().toSeq == Seq(2L, 4L, 3L))
   }
 
+  test("globalRowNumber/RunningSum/PrefixMin equal the single-sort forms") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // 500 rows over a 7-partition range shuffle → many boundary seams
+    val df = spark.range(500).select(
+      (pmod(col("id") * 37, lit(250))).as("k"), col("id").as("tb"),
+      (pmod(col("id") * 13, lit(50))).as("v"))
+      .repartition(7)
+    val order = Seq(col("k").asc, col("tb").asc)
+    val w = Window.orderBy(order: _*)
+    val expect = df
+      .withColumn("rn_e", row_number().over(w).cast("long"))
+      .withColumn("cum_e", sum(col("v")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("pm_e", min(col("v")).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)))
+    val got = RelationalOps.globalPrefixMin(
+      RelationalOps.globalRunningSum(
+        RelationalOps.globalRowNumber(df, order, "rn"),
+        order, col("v"), "cum"),
+      order, col("v"), "pm")
+    val joined = expect.join(got, Seq("k", "tb", "v"))
+    assert(joined.count() == 500)
+    assert(joined.filter(col("rn_e") =!= col("rn") ||
+      col("cum_e") =!= col("cum") ||
+      (col("pm_e").isNotNull && col("pm_e") =!= col("pm")) ||
+      (col("pm_e").isNull && col("pm").isNotNull)).count() == 0,
+      "distributed prefix forms must match the single-sort window")
+  }
+
+  test("ntileFromRank matches Spark's ntile allocation") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    for (n <- Seq(3, 5, 23, 100)) { // n<k, n=k, ragged, exact
+      val df = spark.range(1, n + 1).select(col("id").as("rk"))
+      val w = Window.orderBy("rk")
+      val cmp = df
+        .withColumn("nt", ntile(5).over(w).cast("long"))
+        .withColumn("got", RelationalOps.ntileFromRank(
+          col("rk"), lit(n.toLong), 5))
+      assert(cmp.filter(col("nt") =!= col("got")).count() == 0,
+        s"allocation diverged at n=$n")
+    }
+  }
+
   test("empty input yields empty output everywhere") {
     val empty = sales.filter(col("id") < 0)
     assert(RelationalOps.topKPerGroup(empty, Seq("grp"),
