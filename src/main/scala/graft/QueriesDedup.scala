@@ -152,13 +152,16 @@ object QueriesDedup {
         .withColumn("part", spark_partition_id())
       val wUp = Window.partitionBy("part")
         .orderBy(col("bkey"), col("doc_id"))
-      val wDn = Window.partitionBy("part")
-        .orderBy(col("bkey").desc, col("doc_id").desc)
       val ranked = keyed
         .withColumn("nbrs",
           array((1 to W).map(i => lead(col("doc_id"), i).over(wUp)): _*))
         .withColumn("rn_up", row_number().over(wUp))
-        .withColumn("rn_dn", row_number().over(wDn))
+        // partition row count via an UNORDERED window — its required
+        // ordering (part only) is already satisfied by wUp's sort, so
+        // no second (descending) per-partition sort is planned;
+        // tail-of-partition = rn_up > cnt - W
+        .withColumn("cnt",
+          count(lit(1)).over(Window.partitionBy("part")))
       val inner = ranked
         .select(col("doc_id").as("ia"), explode(col("nbrs")).as("ib"))
         .filter(col("ib").isNotNull)
@@ -167,7 +170,7 @@ object QueriesDedup {
       // sized by the cluster, not the data
       val wSeam = Window.orderBy(col("bkey"), col("doc_id"))
       val seam = ranked
-        .filter(col("rn_up") <= W || col("rn_dn") <= W)
+        .filter(col("rn_up") <= W || col("rn_up") > col("cnt") - W)
         .select(col("doc_id"), col("bkey"), col("part"))
         .withColumn("nbrs", array((1 to W).map(i =>
           struct(lead(col("doc_id"), i).over(wSeam).as("id"),
