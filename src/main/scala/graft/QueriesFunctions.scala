@@ -334,9 +334,10 @@ object QueriesFunctions {
   )
 
   /** SQL form of [[graft.operators.RelationalOps.zValue2]]'s bit
-    * interleave, generated from the same index loop.
+    * interleave, generated from the same index loop (shared with
+    * stor4's z-order-layout oracle).
     */
-  private def zSql(a: String, b: String, bits: Int): String =
+  private[graft] def zSql(a: String, b: String, bits: Int): String =
     (0 until bits).map { i =>
       s"(($a >> $i) & 1) * ${1L << (2 * i)} + " +
         s"(($b >> $i) & 1) * ${1L << (2 * i + 1)}"

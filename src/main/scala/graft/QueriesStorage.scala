@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
 
@@ -130,6 +130,60 @@ object QueriesStorage {
     // cluster-wide rewrite. Bin id = start-offset div target, the
     // x15 running-sum admission shape: consecutive months pack until
     // the target fills, never splitting a file.
+    // Z-ORDER vs LINEAR clustering, measured (completes the layout
+    // family: stor1 buys the join, stor2 shows 1-D skipping, this
+    // query QUANTIFIES why multi-dimensional predicates need a
+    // multi-dimensional layout): the same lineitem rows are assigned
+    // to 64 equal-row model "files" under two sort keys — linear
+    // (day-major, partkey-minor lexicographic) and the bit-interleaved
+    // z-value (f8's curve) — via the DISTRIBUTED rank
+    // (RelationalOps.globalRowNumber, no global sort), per-file
+    // min/max zone maps are built over BOTH dimensions, and a 2-D box
+    // predicate (ship year 1997 AND a narrow partkey band) is tested
+    // against each file's zone map. The linear layout prunes only on
+    // its major dimension (every file spans the full partkey domain);
+    // the z-order layout prunes on both — the n_skipped/rows_scanned
+    // contrast IS the case for z-ordering 100 TB fact tables. All
+    // integer (masked day/partkey, exact rank, integer-div file ids);
+    // tied sort keys determine both zone-map dims, so rank ties
+    // cannot flip a zone map across engines.
+    "stor4_zorder_skip" -> ((s, d) => {
+      import graft.operators.RelationalOps
+      val base = Tables.lineitem(s, d).select(
+        datediff(col("l_shipdate").cast("date"),
+          lit("1992-01-01").cast("date")).cast("long")
+          .bitwiseAND(lit(4095L)).as("dm"),
+        col("l_partkey").bitwiseAND(lit(4095L)).as("pk"),
+        col("l_orderkey"), col("l_linenumber"))
+      val n1 = base.agg(count(lit(1)).as("n_rows"))
+      def zoneMaps(key: Column, layout: String): DataFrame =
+        RelationalOps.globalRowNumber(base.withColumn("k", key),
+            Seq(col("k").asc, col("l_orderkey").asc,
+              col("l_linenumber").asc), "rk")
+          .crossJoin(broadcast(n1))
+          .withColumn("file_id",
+            expr("(rk - 1) div ((n_rows + 63) div 64)"))
+          .groupBy("file_id")
+          .agg(count(lit(1)).as("n_rows"),
+            min(col("dm")).as("min_d"), max(col("dm")).as("max_d"),
+            min(col("pk")).as("min_p"), max(col("pk")).as("max_p"))
+          .select(lit(layout).as("layout"), col("file_id"),
+            col("n_rows"), col("min_d"), col("max_d"), col("min_p"),
+            col("max_p"))
+      val lin = zoneMaps(col("dm") * 4096 + col("pk"), "linear")
+      val zo = zoneMaps(
+        RelationalOps.zValue2(col("dm"), col("pk"), 12), "zorder")
+      // 2-D box: ship day in 1997 (1827..2191) AND partkey 100..300
+      val skipped = col("max_d") < 1827 || col("min_d") > 2191 ||
+        col("max_p") < 100 || col("min_p") > 300
+      lin.unionByName(zo)
+        .groupBy("layout")
+        .agg(count(lit(1)).as("n_files"),
+          sum(when(skipped, 1L).otherwise(0L)).as("n_skipped"),
+          sum(when(!skipped, col("n_rows")).otherwise(0L))
+            .as("rows_scanned"))
+    }),
+
     "stor3_compaction_plan" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val BytesPerRow = 64L
@@ -173,6 +227,44 @@ object QueriesStorage {
         |    AS date_skipped,
         |  (max_key < 1000 OR min_key >= 2000) AS key_skippable
         |FROM zm""".stripMargin,
+    // stor4: same masked dims, same two sort keys (zSql = the exact
+    // interleave the Spark side computes), same rank → integer-div
+    // file assignment, same zone maps and 2-D box. Rank ties are
+    // identical in (dm, pk), so tie order cannot change a zone map.
+    "stor4_zorder_skip" ->
+      s"""WITH base AS (SELECT
+         |    CAST(date_diff('day', DATE '1992-01-01',
+         |      l_shipdate::DATE) AS BIGINT) & 4095 AS dm,
+         |    CAST(l_partkey AS BIGINT) & 4095 AS pk,
+         |    l_orderkey, l_linenumber
+         |  FROM lineitem),
+         |n AS (SELECT count(*) AS nt FROM base),
+         |lin AS (SELECT dm, pk, row_number() OVER (ORDER BY
+         |    dm * 4096 + pk, l_orderkey, l_linenumber) AS rk
+         |  FROM base),
+         |zo AS (SELECT dm, pk, row_number() OVER (ORDER BY
+         |    ${QueriesFunctions.zSql("dm", "pk", 12)},
+         |    l_orderkey, l_linenumber) AS rk
+         |  FROM base),
+         |lf AS (SELECT 'linear' AS layout,
+         |    (rk - 1) // ((nt + 63) // 64) AS file_id, dm, pk
+         |  FROM lin, n),
+         |zf AS (SELECT 'zorder' AS layout,
+         |    (rk - 1) // ((nt + 63) // 64) AS file_id, dm, pk
+         |  FROM zo, n),
+         |zm AS (SELECT layout, file_id, count(*) AS nr,
+         |    min(dm) AS min_d, max(dm) AS max_d,
+         |    min(pk) AS min_p, max(pk) AS max_p
+         |  FROM (SELECT * FROM lf UNION ALL SELECT * FROM zf)
+         |  GROUP BY 1, 2)
+         |SELECT layout, count(*) AS n_files,
+         |  CAST(sum(CASE WHEN max_d < 1827 OR min_d > 2191
+         |    OR max_p < 100 OR min_p > 300 THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_skipped,
+         |  CAST(sum(CASE WHEN max_d < 1827 OR min_d > 2191
+         |    OR max_p < 100 OR min_p > 300 THEN 0 ELSE nr END)
+         |    AS BIGINT) AS rows_scanned
+         |FROM zm GROUP BY 1""".stripMargin,
     "stor3_compaction_plan" ->
       """WITH f AS (SELECT date_trunc('month', l_shipdate)::DATE
         |    AS file_month, count(*) * 64 AS est_bytes
