@@ -119,6 +119,45 @@ object QueriesCuration {
     // engines agree bit-for-bit. Shape: one doc-level agg down to
     // O(sources) rows; the windows and the 1-row cut broadcast never
     // see document-sized data.
+    // Temperature-scaled source mixing (the LLaMA/GPT-style data-mix
+    // allocator, completing x26's water-filling): sampling weights
+    // w_i = n_i^α with α = 0.5 flatten the source distribution —
+    // big sources are down-weighted, small sources up-weighted — and
+    // a 100k-token budget is split ∝ w_i with exact largest-remainder
+    // rounding so Σalloc == B on the nose. ENTIRELY integer once
+    // w_i = floor(sqrt(n_i)) is taken (IEEE sqrt is correctly rounded
+    // on both engines, so the floor agrees bit-for-bit): base shares
+    // and remainders are (B·w) div/mod ΣW in exact Longs, the top-up
+    // ranks by (remainder desc, source) — no FP sum whose partial
+    // order could drift cross-engine. `epochs` (alloc/n_i, how many
+    // times the mix re-reads each source) is one rounded division.
+    // O(sources) rows after one doc-level agg; the ranking window
+    // sees only the source catalog, never documents.
+    "x31_temperature_mix" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val B = 100000L
+      val dem = Tables.documents(s, d)
+        .groupBy(col("source"))
+        .agg(sum(TextOps.tokenCount(col("text"))).as("n_tokens"))
+        .withColumn("weight",
+          floor(sqrt(col("n_tokens").cast("double"))).cast("long"))
+      val tot = dem.agg(sum(col("weight")).as("wsum"))
+      val a = dem.crossJoin(broadcast(tot))
+        .withColumn("base", expr(s"($B * weight) div wsum"))
+        .withColumn("rem", expr(s"($B * weight) % wsum"))
+      val sumBase = a.agg(sum(col("base")).as("allocated"))
+      val wr = Window.orderBy(col("rem").desc, col("source").asc)
+      a.crossJoin(broadcast(sumBase))
+        .withColumn("rk", row_number().over(wr).cast("long"))
+        .withColumn("alloc", col("base") +
+          when(col("rk") <= lit(B) - col("allocated"), 1L)
+            .otherwise(0L))
+        .select(col("source"), col("n_tokens"), col("weight"),
+          col("alloc"),
+          round(col("alloc").cast("double") /
+            col("n_tokens").cast("double"), 6).as("epochs"))
+    }),
+
     "x26_fair_share" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val B = 20000L
@@ -236,6 +275,32 @@ object QueriesCuration {
          |  FROM t)
          |SELECT source, doc_id, n_tokens, cum - n_tokens AS cum_before
          |FROM c WHERE cum - n_tokens < 1000""".stripMargin,
+    // x31: same integer temperature allocation; floor(sqrt()) agrees
+    // because IEEE-754 sqrt is correctly rounded on both engines, and
+    // everything after it is exact Long div/mod.
+    "x31_temperature_mix" ->
+      s"""WITH dem AS (SELECT source,
+         |    CAST(sum(len($toksSql)) AS BIGINT) AS n_tokens
+         |  FROM documents GROUP BY 1),
+         |w AS (SELECT source, n_tokens,
+         |    CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT)
+         |      AS weight
+         |  FROM dem),
+         |t AS (SELECT CAST(sum(weight) AS BIGINT) AS wsum FROM w),
+         |a AS (SELECT source, n_tokens, weight,
+         |    (100000 * weight) // wsum AS base,
+         |    (100000 * weight) % wsum AS rem
+         |  FROM w, t),
+         |sb AS (SELECT CAST(sum(base) AS BIGINT) AS allocated FROM a),
+         |r AS (SELECT a.*, CAST(row_number() OVER (ORDER BY rem DESC,
+         |    source) AS BIGINT) AS rk FROM a)
+         |SELECT source, n_tokens, weight,
+         |  base + (CASE WHEN rk <= 100000 - allocated
+         |    THEN 1 ELSE 0 END) AS alloc,
+         |  round(CAST(base + (CASE WHEN rk <= 100000 - allocated
+         |      THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / CAST(n_tokens AS DOUBLE), 6) AS epochs
+         |FROM r, sb""".stripMargin,
     // x26: same integer water-filling; DuckDB's // is the same floor
     // division on the same non-negative integers.
     "x26_fair_share" ->
