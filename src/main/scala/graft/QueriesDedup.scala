@@ -260,12 +260,17 @@ object QueriesDedup {
         .agg(count(lit(1)).as("n_hit"))
       val tN = truth.agg(count(lit(1)).as("n_truth"))
       val cN = cand.agg(count(lit(1)).as("n_cand"))
+      // ratio zero-guards (ADVICE r11): an empty candidate or truth
+      // set — the exact regression this gate exists to catch — must
+      // report 0.0 identically on both engines, not a NULL-vs-NaN
+      // engine mismatch that fails the gate itself
+      def safeRatio(num: Column, den: Column): Column =
+        round(when(den > 0,
+          num.cast("double") / den.cast("double")).otherwise(0.0), 6)
       tN.crossJoin(broadcast(cN)).crossJoin(broadcast(hit))
         .select(col("n_truth"), col("n_cand"), col("n_hit"),
-          round(col("n_hit").cast("double") /
-            col("n_truth").cast("double"), 6).as("recall"),
-          round(col("n_hit").cast("double") /
-            col("n_cand").cast("double"), 6).as("precision"))
+          safeRatio(col("n_hit"), col("n_truth")).as("recall"),
+          safeRatio(col("n_hit"), col("n_cand")).as("precision"))
     }),
 
     // MinHash ESTIMATOR error — d20 gates the banding's recall; this
@@ -274,33 +279,35 @@ object QueriesDedup {
     // beside the true Jaccard (both as exact integer counts plus one
     // rounded ratio each), so a seed/permutation-count change that
     // degrades the estimator shows up as drifted n_match columns, not
-    // a silent quality loss downstream. Rides the shared shingle and
-    // pair caches; the per-pair work is two in-row array ops.
+    // a silent quality loss downstream. The intersection counts come
+    // from the SAME df-capped shingle index as d2's selection (ADVICE
+    // r11: a previous form recomputed them uncapped over the full
+    // arrays, which agreed with the capped oracle only by data
+    // accident — now both engines share one convention BY
+    // CONSTRUCTION, and the reported jaccard is exactly the capped
+    // jaccard the pair was selected on).
     "d21_minhash_error" -> ((s, d) => {
-      val pairs = verifiedPairs(s, d).select("id_a", "id_b")
       val sh = docsWithShingles(s, d)
+      val pi = DedupOps.shingleIntersections(sh, "doc_id", "sh", 1000L)
+        .withColumn("jacc_raw",
+          col("inter") / (col("n_a") + col("n_b") - col("inter")))
+        .filter(col("jacc_raw") >= 0.8)
       val sigs = DedupOps.minhashSigs(sh, "doc_id", "sh", 16)
-      val joined = pairs
-        .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")),
-          Seq("id_a"))
-        .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")),
-          Seq("id_b"))
+      pi
         .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")),
           Seq("id_a"))
         .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")),
           Seq("id_b"))
-        .select(col("id_a"), col("id_b"),
-          size(array_intersect(col("sh_a"), col("sh_b"))).cast("long")
-            .as("inter"),
-          (size(col("sh_a")) + size(col("sh_b"))).cast("long")
-            .as("n_sum"),
+        .select(col("id_a"), col("id_b"), col("inter"),
+          (col("n_a") + col("n_b") - col("inter")).as("uni"),
           size(filter(zip_with(col("sig_a"), col("sig_b"),
-            (x, y) => x === y), b => b)).cast("long").as("n_match"))
-      joined.select(col("id_a"), col("id_b"), col("inter"),
-        (col("n_sum") - col("inter")).as("uni"), col("n_match"),
-        round(col("n_match").cast("double") / lit(16.0), 6).as("est_j"),
-        round(col("inter") / (col("n_sum") - col("inter")), 6)
-          .as("jaccard"))
+            (x, y) => x === y), b => b)).cast("long").as("n_match"),
+          round(col("jacc_raw"), 6).as("jaccard"))
+        .select(col("id_a"), col("id_b"), col("inter"), col("uni"),
+          col("n_match"),
+          round(col("n_match").cast("double") / lit(16.0), 6)
+            .as("est_j"),
+          col("jaccard"))
     }),
 
     // 60-bit SimHash fingerprint per document.
@@ -739,10 +746,12 @@ object QueriesDedup {
          |h AS (SELECT count(*) AS n_hit
          |      FROM pairs JOIN cand USING (id_a, id_b))
          |SELECT n_truth, n_cand, n_hit,
-         |  round(CAST(n_hit AS DOUBLE) / CAST(n_truth AS DOUBLE), 6)
-         |    AS recall,
-         |  round(CAST(n_hit AS DOUBLE) / CAST(n_cand AS DOUBLE), 6)
-         |    AS precision
+         |  round(CASE WHEN n_truth > 0
+         |    THEN CAST(n_hit AS DOUBLE) / CAST(n_truth AS DOUBLE)
+         |    ELSE 0.0 END, 6) AS recall,
+         |  round(CASE WHEN n_cand > 0
+         |    THEN CAST(n_hit AS DOUBLE) / CAST(n_cand AS DOUBLE)
+         |    ELSE 0.0 END, 6) AS precision
          |FROM tn, cn, h""".stripMargin,
     // mv5: d3's signature CTEs + delta-probe restriction (x6's seeded
     // split marks the delta); the both_new flag recomputes membership

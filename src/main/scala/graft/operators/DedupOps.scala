@@ -179,7 +179,7 @@ object DedupOps {
     * df-capped shingle postings → in-row a<b pair expansion → per-pair
     * intersection counts with both set sizes carried.
     */
-  private def shingleIntersections(docs: DataFrame, idCol: String,
+  private[graft] def shingleIntersections(docs: DataFrame, idCol: String,
       shCol: String, maxDocFreq: Long): DataFrame = {
     val e = shingleIndex(docs, idCol, shCol)
     val postings = e.groupBy("s")
