@@ -176,6 +176,56 @@ object QueriesProfile {
     // then ONE conditional-aggregate pass against the broadcast
     // fences. Two fact passes total (histogram agg + count), no
     // fact-table rank window, O(groups + |domain|) state.
+    // Replica reconciliation — the migration/replication validation
+    // recipe every platform team runs before cutting over a 100 TB
+    // table: a modeled replica of orders (seeded-hash ~0.5% rows
+    // dropped, ~0.3% values drifted — the faults exist identically on
+    // both engines) is reconciled against the source with (1) cheap
+    // per-partition fingerprints first — row counts + an
+    // ORDER-INDEPENDENT bit_xor of a 60-bit row hash, one scan each
+    // side, O(partitions) output, no join — and (2) the row-level
+    // drill-down (key anti-join for drops, key join + value compare
+    // for drift) that at scale runs ONLY on partitions whose
+    // fingerprints disagree. bit_xor is the right checksum shape:
+    // commutative/associative (shuffle-order-free), overflow-free
+    // where a sum of 2^60-scale hashes would wrap, and any single
+    // changed row flips it.
+    "dq13_replica_reconcile" -> ((s, d) => {
+      val src = Tables.orders(s, d).select(
+        col("o_orderkey").as("k"),
+        col("o_orderpriority").as("part"),
+        floor(col("o_totalprice") * 100).cast("long").as("cents"))
+      val rep = src
+        .filter(graft.operators.TextOps.md5Prefix60(
+          concat(lit("rk:"), col("k").cast("string"))) % 200 =!= 0)
+        .withColumn("cents", col("cents") +
+          when(graft.operators.TextOps.md5Prefix60(
+            concat(lit("rv:"), col("k").cast("string"))) % 300 === 0,
+            1L).otherwise(0L))
+      def fp(df: DataFrame, pfx: String) = df
+        .withColumn("rh", graft.operators.TextOps.md5Prefix60(
+          concat(col("k").cast("string"), lit(":"),
+            col("cents").cast("string"))))
+        .groupBy("part")
+        .agg(count(lit(1)).as(s"n_$pfx"),
+          expr("bit_xor(rh)").as(s"x_$pfx"))
+      val dropped = src.join(rep.select("k"), Seq("k"), "left_anti")
+        .groupBy("part").agg(count(lit(1)).as("n_dropped"))
+      val drifted = src.select(col("k"), col("part"),
+          col("cents").as("c_src"))
+        .join(rep.select(col("k"), col("cents").as("c_rep")), Seq("k"))
+        .filter(col("c_src") =!= col("c_rep"))
+        .groupBy("part").agg(count(lit(1)).as("n_drifted"))
+      fp(src, "src").join(fp(rep, "rep"), Seq("part"), "left")
+        .join(dropped, Seq("part"), "left")
+        .join(drifted, Seq("part"), "left")
+        .select(col("part"), col("n_src"),
+          coalesce(col("n_rep"), lit(0L)).as("n_rep"),
+          (col("x_src") <=> col("x_rep")).as("checksum_match"),
+          coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
+          coalesce(col("n_drifted"), lit(0L)).as("n_drifted"))
+    }),
+
     "dq12_outlier_iqr" -> ((s, d) => {
       val h = graft.operators.RelationalOps.valueHistogram(
         Tables.lineitem(s, d).select(col("l_returnflag"),
@@ -507,6 +557,47 @@ object QueriesProfile {
     // dq8: same one-scan conditional counts, 0-9 spine via range(10),
     // Laplace-smoothed shares, identical ln-ratio term
     // dq12: same unrounded interpolated quartiles and fences.
+    // dq13: identical seeded faults, identical 60-bit row hash, and
+    // bit_xor is the same order-free fold on both engines.
+    "dq13_replica_reconcile" -> {
+      val hK = h60("concat('rk:', CAST(o_orderkey AS VARCHAR))")
+      val hV = h60("concat('rv:', CAST(o_orderkey AS VARCHAR))")
+      s"""WITH src AS (SELECT o_orderkey AS k,
+         |    o_orderpriority AS part,
+         |    CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+         |  FROM orders),
+         |rep AS (SELECT k, part,
+         |    cents + (CASE WHEN $hV % 300 = 0 THEN 1 ELSE 0 END)
+         |      AS cents
+         |  FROM (SELECT o_orderkey AS k, o_orderpriority AS part,
+         |      CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+         |      o_orderkey
+         |    FROM orders)
+         |  WHERE $hK % 200 != 0),
+         |fs AS (SELECT part, count(*) AS n_src,
+         |    bit_xor(${h60(
+              "concat(CAST(k AS VARCHAR), ':', CAST(cents AS VARCHAR))")})
+         |      AS x_src
+         |  FROM src GROUP BY 1),
+         |fr AS (SELECT part, count(*) AS n_rep,
+         |    bit_xor(${h60(
+              "concat(CAST(k AS VARCHAR), ':', CAST(cents AS VARCHAR))")})
+         |      AS x_rep
+         |  FROM rep GROUP BY 1),
+         |dr AS (SELECT part, count(*) AS n_dropped FROM src
+         |  WHERE k NOT IN (SELECT k FROM rep) GROUP BY 1),
+         |df AS (SELECT s.part, count(*) AS n_drifted
+         |  FROM src s JOIN rep r ON s.k = r.k
+         |  WHERE s.cents != r.cents GROUP BY 1)
+         |SELECT fs.part, fs.n_src,
+         |  coalesce(fr.n_rep, 0) AS n_rep,
+         |  coalesce(fs.x_src = fr.x_rep, FALSE) AS checksum_match,
+         |  coalesce(dr.n_dropped, 0) AS n_dropped,
+         |  coalesce(df.n_drifted, 0) AS n_drifted
+         |FROM fs LEFT JOIN fr ON fs.part = fr.part
+         |LEFT JOIN dr ON fs.part = dr.part
+         |LEFT JOIN df ON fs.part = df.part""".stripMargin
+    },
     "dq12_outlier_iqr" ->
       """WITH r AS (SELECT l_returnflag, l_quantity,
         |    CAST(row_number() OVER (PARTITION BY l_returnflag
