@@ -222,6 +222,42 @@ object QueriesEvents {
         Seq(col("n_sessions").desc, col("path").asc), 20)
     }),
 
+    // Last-touch attribution — the marketing-analytics op that assigns
+    // every conversion to the campaign touch that "gets credit": each
+    // purchase attributes to the user's LATEST click at-or-before it
+    // (the j8 as-of machinery: one user_id shuffle, no range join),
+    // valid only within a 7-day lookback tested in EXACT timestamp
+    // arithmetic (ts <= c_ts + INTERVAL — never epoch() truncation,
+    // whose second-boundary rounding differs across engines);
+    // out-of-window or never-clicked purchases land in an explicit
+    // 'unattributed' bucket so revenue always reconciles to the total.
+    // Output: per click-day (or unattributed) conversion counts and
+    // exact cents.
+    "e15_last_touch_attribution" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"),
+          floor(col("value") * 100).cast("long").as("cents"))
+      val wDedup = Window.partitionBy("user_id", "ts")
+        .orderBy(col("event_id").desc)
+      val clicks = ev.filter(col("event_type") === "click")
+        .withColumn("rn", row_number().over(wDedup))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("ts"), col("ts").as("c_ts"))
+      RelationalOps.asofJoin(purchases, clicks, Seq("user_id"), "ts",
+          Seq("c_ts"))
+        .withColumn("attributed", col("asof_c_ts").isNotNull &&
+          col("ts").cast("timestamp") <=
+            col("asof_c_ts").cast("timestamp") + expr("INTERVAL 7 DAY"))
+        .withColumn("bucket", when(col("attributed"),
+          date_format(col("asof_c_ts").cast("timestamp"), "yyyy-MM-dd"))
+          .otherwise(lit("unattributed")))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_purchases"),
+          sum(col("cents")).as("cents"))
+    }),
+
     // Concentration (80/20) analysis — "how few users produce 80% of
     // events": users ranked by activity desc, one cumulative window,
     // and the smallest rank whose cumulative share clears 80% — with
@@ -443,6 +479,28 @@ object QueriesEvents {
   }
 
   def oracle: Map[String, String] = Map(
+    // e15: native ASOF (j8's proven twin of the union+window form) +
+    // the identical exact-interval validity test and bucketing.
+    "e15_last_touch_attribution" ->
+      """WITH p AS (SELECT user_id, ts,
+        |    CAST(floor(value * 100) AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, ts, ts AS c_ts FROM (
+        |  SELECT user_id, ts, row_number() OVER (
+        |    PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+        |  FROM events WHERE event_type = 'click') WHERE rn = 1),
+        |j AS (SELECT p.user_id, p.ts, p.cents, c.c_ts
+        |  FROM p ASOF LEFT JOIN c
+        |    ON p.user_id = c.user_id AND c.ts <= p.ts),
+        |b AS (SELECT cents,
+        |    CASE WHEN c_ts IS NOT NULL
+        |        AND ts <= c_ts + INTERVAL 7 DAY
+        |      THEN strftime(c_ts, '%Y-%m-%d')
+        |      ELSE 'unattributed' END AS bucket
+        |  FROM j)
+        |SELECT bucket, count(*) AS n_purchases,
+        |  CAST(sum(cents) AS BIGINT) AS cents
+        |FROM b GROUP BY 1""".stripMargin,
     "e1_funnel" ->
       """WITH v AS (SELECT user_id, min(ts) AS v_ts FROM events
         |           WHERE event_type = 'view' GROUP BY 1),
