@@ -222,6 +222,34 @@ object QueriesStreaming {
             .as("f_sum"))
     }),
 
+    // Perceptual-hash image dedup — the multimodal→dedup bridge: the
+    // subject-keyed 8×8 BMPs (near-dup documents share a text prefix,
+    // so their images differ only by clamped ±3 noise) are REALLY
+    // decoded back to 64 exact integer grays (MultimodalOps
+    // .decodeGrayGrid — byte-level BMP parse, unsigned reads), the
+    // average-hash fingerprint derives in the query layer with pure
+    // integer arithmetic (bit p = gray_p·64 > Σgray — no division, no
+    // mean rounding to disagree on), and pairs come from d5's
+    // chunk-banded SimHash machinery (pigeonhole-complete for
+    // hamming ≤ 3, df-capped postings — never all-pairs). This is how
+    // an image corpus dedups at 100 TB: decode once, 8-byte
+    // fingerprints, banded candidate generation.
+    "m7_phash_neardup" -> ((s, d) => {
+      val grids = MultimodalOps.decodeGrayGrid(
+        MultimodalOps.synthesizeSubjectBmps(Tables.documents(s, d)))
+        .toDF()
+      val sigs = grids
+        .withColumn("gsum",
+          aggregate(col("grays"), lit(0L), (acc, x) => acc + x))
+        .withColumn("simhash", expr(
+          "aggregate(transform(slice(grays, 1, 60), (g, i) -> " +
+            "IF(g * 64 > gsum, shiftleft(CAST(1 AS BIGINT), i), " +
+            "CAST(0 AS BIGINT))), CAST(0 AS BIGINT), " +
+            "(acc, x) -> acc + x)"))
+        .select(col("doc_id").as("id"), col("simhash"))
+      DedupOps.simhashPairs(sigs, maxHamming = 3)
+    }),
+
     // Watermark dedup in batch form: dropDuplicatesWithinWatermark's
     // batch-checkable shape — keep the FIRST event per dedup key within
     // each bounded event-time horizon (1 h tumbling window +
@@ -476,6 +504,53 @@ object QueriesStreaming {
         |        % 256)),
         |    (x, y) -> x + y) AS f_sum
         |FROM f""".stripMargin,
+    // m7: the oracle regenerates the subject-keyed pixels analytically
+    // (same md5 seeds, same clamp), derives the identical integer
+    // aHash, and mirrors d5's chunk-banded candidate generation
+    // including the df cap — formula-vs-decoded-bytes, so any decode
+    // misread flips a gray and fails the hash.
+    "m7_phash_neardup" ->
+      """WITH p AS (SELECT doc_id,
+        |  CAST(concat('0x', substr(md5(concat('sa:',
+        |    substr(lower(text), 1, 12))), 1, 15)) AS BIGINT) % 256
+        |    AS a,
+        |  CAST(concat('0x', substr(md5(concat('sb:',
+        |    substr(lower(text), 1, 12))), 1, 15)) AS BIGINT) % 256
+        |    AS b,
+        |  CAST(concat('0x', substr(md5(concat('sn:',
+        |    CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) % 97 AS c
+        |  FROM documents),
+        |px AS (SELECT doc_id,
+        |  list_transform(range(192), i -> least(255, greatest(0,
+        |    (a * i + b) % 256 + ((c * (i + 1)) % 7 - 3)))) AS v
+        |  FROM p),
+        |gr AS (SELECT doc_id,
+        |  list_transform(range(64), q ->
+        |    (v[3*q + 1] + v[3*q + 2] + v[3*q + 3]) // 3) AS g
+        |  FROM px),
+        |gs AS (SELECT doc_id, g,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT), g),
+        |    (x, y) -> x + y) AS gsum FROM gr),
+        |sh AS (SELECT doc_id,
+        |  CAST(sum(CASE WHEN g[q + 1] * 64 > gsum
+        |    THEN CAST(1 AS BIGINT) << q ELSE 0 END) AS BIGINT)
+        |    AS simhash
+        |  FROM gs CROSS JOIN (SELECT unnest(range(60)) AS q) r(q)
+        |  GROUP BY doc_id),
+        |c AS (SELECT doc_id, simhash, j, (simhash >> (15 * j)) & 32767
+        |    AS chunk
+        |  FROM sh CROSS JOIN (SELECT unnest(range(4)) AS j) r(j)),
+        |rare AS (SELECT j, chunk FROM c GROUP BY j, chunk
+        |  HAVING count(*) <= 10000),
+        |cf AS (SELECT c.* FROM c JOIN rare USING (j, chunk)),
+        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    a.simhash AS sim_a, b.simhash AS sim_b
+        |  FROM cf a JOIN cf b ON a.j = b.j AND a.chunk = b.chunk
+        |    AND a.doc_id < b.doc_id)
+        |SELECT id_a, id_b,
+        |  CAST(bit_count(xor(sim_a, sim_b)) AS BIGINT) AS hamming
+        |FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= 3"""
+        .stripMargin,
     "st7_watermark_dedup" ->
       """WITH r AS (SELECT user_id, event_type,
         |  date_trunc('hour', ts) AS window_start, event_id, ts,

@@ -27,6 +27,14 @@ final case class PixelStats(doc_id: Long, width: Long, height: Long,
 final case class MediaHeader(doc_id: Long, format: String, width: Long,
     height: Long)
 
+/** Grayscale-grid decode output (the perceptual-hash front end): the
+  * 64 integer gray values of an 8×8 image, exact ((r+g+b) div 3 per
+  * pixel) so the query layer can derive the average-hash bits with
+  * engine-parity integer arithmetic (bit = gray·64 > Σgray — no
+  * division at all).
+  */
+final case class GrayGrid(doc_id: Long, grays: Array[Long])
+
 /** Audio-decode output: header metadata + RAW integer sample statistics
   * (peak amplitude and sum of squared samples). Exact integers for the
   * same reason as [[PixelStats]] — the query layer derives RMS with
@@ -274,6 +282,72 @@ object MultimodalOps {
         MediaBlob(id, "image/bmp",
           ImageHeaders.encodeBmp24(w.toInt, h.toInt, px))
       })
+  }
+
+  /** Synthesize 8×8 BMPs whose pixel content is keyed to the document's
+    * SUBJECT (a 12-char lowercase text prefix) plus small per-doc
+    * noise — the fixture that makes perceptual-hash dedup (`m7`)
+    * meaningful: near-duplicate documents share a prefix, so their
+    * images are near-identical up to the clamped ±3 noise, while
+    * unrelated documents get unrelated base gradients. Same real
+    * header+pixel bytes as [[synthesizePixelBmps]] (the m7 oracle
+    * regenerates the pixels analytically; the Spark side must recover
+    * them from the actual payload).
+    */
+  def synthesizeSubjectBmps(docs: DataFrame): Dataset[MediaBlob] = {
+    import docs.sparkSession.implicits._
+    val subject = substring(lower(col("text")), 1, 12)
+    DedupOps.spread(docs.select(col("doc_id"),
+      (DedupOps.hash60(lit("sa"), subject) % 256).as("a"),
+      (DedupOps.hash60(lit("sb"), subject) % 256).as("b"),
+      (DedupOps.hash60(lit("sn"), col("doc_id").cast("string")) % 97)
+        .as("c")))
+      .as[(Long, Long, Long, Long)]
+      .mapPartitions(_.map { case (id, a, b, c) =>
+        val px = new Array[Byte](192) // 8*8*3
+        var i = 0
+        while (i < 192) {
+          val base = (a * i + b) % 256
+          val noise = (c * (i + 1)) % 7 - 3
+          px(i) = math.max(0L, math.min(255L, base + noise)).toByte
+          i += 1
+        }
+        MediaBlob(id, "image/bmp", ImageHeaders.encodeBmp24(8, 8, px))
+      })
+  }
+
+  /** REAL grayscale decode for the perceptual hash: parse the 8×8
+    * 24bpp BMP payload and emit the 64 exact integer grays
+    * ((r+g+b) div 3 per pixel, bytes read unsigned). Non-8×8 or
+    * undecodable payloads are dropped. The aHash bits themselves are
+    * query-layer arithmetic (see [[GrayGrid]]).
+    */
+  def decodeGrayGrid(blobs: Dataset[MediaBlob]): Dataset[GrayGrid] = {
+    import blobs.sparkSession.implicits._
+    import java.nio.{ByteBuffer, ByteOrder}
+    blobs.mapPartitions { it =>
+      it.flatMap { b =>
+        val bytes = b.payload
+        ImageHeaders.decode(bytes) match {
+          case Some(("bmp", 8, 8)) =>
+            val off = ByteBuffer.wrap(bytes, 10, 4)
+              .order(ByteOrder.LITTLE_ENDIAN).getInt
+            if (off < 54 || off + 192 > bytes.length) None
+            else {
+              val grays = new Array[Long](64)
+              var p = 0
+              while (p < 64) {
+                val i = off + p * 3
+                grays(p) = ((bytes(i) & 0xff) + (bytes(i + 1) & 0xff) +
+                  (bytes(i + 2) & 0xff)) / 3
+                p += 1
+              }
+              Some(GrayGrid(b.doc_id, grays))
+            }
+          case _ => None
+        }
+      }
+    }
   }
 
   /** REAL pixel decode: parse the 24bpp BMP pixel array out of the
