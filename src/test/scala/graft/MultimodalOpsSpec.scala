@@ -222,4 +222,36 @@ class MultimodalOpsSpec extends SparkTestBase {
       assert(frames(id) == (n + 4) / 5) // ceil(n_frames / 5)
     }
   }
+
+  test("synthesizeSubjectBmps → decodeGrayGrid: subject-keyed near-dups") {
+    // same 12-char prefix → near-identical pixels (±3 noise) → tiny
+    // aHash hamming; different prefix → unrelated gradients
+    val trio = Seq(
+      (10L, "the quick brown fox jumps"),
+      (11L, "the quick brown dog sleeps"), // same 12-char prefix
+      (12L, "zzz completely different body")
+    ).toDF("doc_id", "text")
+    val grids = MultimodalOps.decodeGrayGrid(
+      MultimodalOps.synthesizeSubjectBmps(trio))
+      .collect().map(g => g.doc_id -> g.grays).toMap
+    assert(grids.keySet == Set(10L, 11L, 12L))
+    assert(grids(10L).length == 64)
+    // grays are exact (r+g+b) div 3 of the clamped synthetic bytes
+    grids.values.foreach(_.foreach(g => assert(g >= 0 && g <= 255)))
+    def ahash(gs: Array[Long]): Long = {
+      val s = gs.sum
+      (0 until 60).map(p => if (gs(p) * 64 > s) 1L << p else 0L).sum
+    }
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val (hNear, hFar) = (
+      hamming(ahash(grids(10L)), ahash(grids(11L))),
+      hamming(ahash(grids(10L)), ahash(grids(12L))))
+    assert(hNear <= 3, s"shared-subject pair must be a near-dup: $hNear")
+    assert(hFar > 3, s"unrelated pair must not collide: $hFar")
+    // determinism: a second synthesis decodes to identical grays
+    val again = MultimodalOps.decodeGrayGrid(
+      MultimodalOps.synthesizeSubjectBmps(trio))
+      .collect().map(g => g.doc_id -> g.grays).toMap
+    assert(again(10L).toSeq == grids(10L).toSeq)
+  }
 }
