@@ -247,6 +247,43 @@ object QueriesTimeseries {
     // without a full 7-observation window are excluded by the same
     // window-count predicate on both engines. Spine-sized after one
     // hash agg.
+    // Forecast backtest (MASE) — the quality gate a forecasting
+    // pipeline runs before trusting a model: the weekly seasonal-naive
+    // forecast (value 7 days ago) scored against the walk-forward
+    // naive baseline (value 1 day ago) per series. MASE < 1 means the
+    // seasonal forecast beats the naive one. Absolute errors
+    // accumulate as exact integer counts; the scaled ratio is computed
+    // from INTEGER cross-products (s7·n1 / n7·s1 — one double
+    // division at the end, no mean-of-means rounding drift), with a
+    // constant-series zero guard emitting NULL identically on both
+    // engines. One lag window per series + one hash agg.
+    "ts13_mase_backtest" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy("event_type").orderBy("day")
+      daily
+        .withColumn("l1", lag(col("cnt"), 1).over(w))
+        .withColumn("l7", lag(col("cnt"), 7).over(w))
+        .groupBy("event_type")
+        .agg(sum(when(col("l7").isNotNull, 1L).otherwise(0L)).as("n7"),
+          sum(when(col("l7").isNotNull, abs(col("cnt") - col("l7")))
+            .otherwise(0L)).as("s7"),
+          sum(when(col("l1").isNotNull, 1L).otherwise(0L)).as("n1"),
+          sum(when(col("l1").isNotNull, abs(col("cnt") - col("l1")))
+            .otherwise(0L)).as("s1"))
+        .select(col("event_type"), col("n7").as("n_eval"),
+          round(col("s7").cast("double") / col("n7").cast("double"), 6)
+            .as("mae_snaive"),
+          round(col("s1").cast("double") / col("n1").cast("double"), 6)
+            .as("mae_naive"),
+          when(col("s1") > 0, round(
+            (col("s7") * col("n1")).cast("double") /
+              (col("n7") * col("s1")).cast("double"), 6))
+            .as("mase"))
+    }),
+
     "ts12_seasonal_decompose" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val daily = Tables.events(s, d)
@@ -618,6 +655,36 @@ object QueriesTimeseries {
         |FROM p2""".stripMargin,
     // ts12: same integer-scaled decomposition; DuckDB dayofweek is
     // 0-based (ts7's +1 convention), the ROWS window is the identical
+    // ts13: identical lag windows over the observed-day series and the
+    // same integer cross-product ratio with the zero guard.
+    "ts13_mase_backtest" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    count(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |l AS (SELECT event_type, cnt,
+        |    lag(cnt, 1) OVER (PARTITION BY event_type ORDER BY day)
+        |      AS l1,
+        |    lag(cnt, 7) OVER (PARTITION BY event_type ORDER BY day)
+        |      AS l7
+        |  FROM daily),
+        |a AS (SELECT event_type,
+        |    CAST(sum(CASE WHEN l7 IS NOT NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n7,
+        |    CAST(sum(CASE WHEN l7 IS NOT NULL THEN abs(cnt - l7)
+        |      ELSE 0 END) AS BIGINT) AS s7,
+        |    CAST(sum(CASE WHEN l1 IS NOT NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n1,
+        |    CAST(sum(CASE WHEN l1 IS NOT NULL THEN abs(cnt - l1)
+        |      ELSE 0 END) AS BIGINT) AS s1
+        |  FROM l GROUP BY 1)
+        |SELECT event_type, n7 AS n_eval,
+        |  round(CAST(s7 AS DOUBLE) / CAST(n7 AS DOUBLE), 6)
+        |    AS mae_snaive,
+        |  round(CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE), 6)
+        |    AS mae_naive,
+        |  CASE WHEN s1 > 0 THEN round(CAST(s7 * n1 AS DOUBLE)
+        |    / CAST(n7 * s1 AS DOUBLE), 6) END AS mase
+        |FROM a""".stripMargin,
     // 7-observation frame, and every double comes from the same exact
     // BIGINTs.
     "ts12_seasonal_decompose" ->
