@@ -346,6 +346,48 @@ object QueriesVector {
             a + c.getField("z") * c.getField("z")), 6).as("ssq_z"))
     }),
 
+    // IVF OPERATING CURVE — v8 gates one configuration; this measures
+    // the knob: recall vs scan cost at nProbe = 1/2/3, the table an
+    // ANN deployment reads to pick its operating point (each arm's
+    // n_scanned is the exact number of probe×corpus comparisons the
+    // routed cells admit, self-pairs excluded — the cost that scales
+    // as nProbe×cellSize at 100 TB while exact search scales as n).
+    // Probe routing ranks by UNROUNDED cosine with centroid-id
+    // tiebreak (v4's convention), so every arm is deterministic on
+    // both engines.
+    "v19_ivf_tradeoff" -> ((s, d) => {
+      val p = prep(s, d)
+      val probes = p.filter(col("id") < 5)
+      val cents = p.filter(col("id") < 10)
+      val exact = VectorOps.bruteForceTopK(p, probes, 5)
+        .select(col("id_q"), col("id_n"))
+      val corpusCells = VectorOps.routeToCentroids(p, cents, 1)
+        .toDF("id_n", "centroid_id")
+      val cellSizes = corpusCells.groupBy("centroid_id")
+        .agg(count(lit(1)).as("cell_n"))
+      val selfCell = corpusCells.filter(col("id_n") < 5)
+        .select(col("id_n").as("id_q"),
+          col("centroid_id").as("self_cell"))
+      def arm(np: Int): DataFrame = {
+        val cand = VectorOps.ivfTopK(p, probes, cents, np, 5)
+          .select(col("id_q"), col("id_n"), lit(1L).as("hit"))
+        val hits = exact.join(cand, Seq("id_q", "id_n"), "left")
+          .agg(count(lit(1)).as("n_truth"),
+            count(col("hit")).as("n_hits"))
+        val scanned = VectorOps.routeToCentroids(probes, cents, np)
+          .toDF("id_q", "centroid_id")
+          .join(broadcast(cellSizes), Seq("centroid_id"))
+          .join(broadcast(selfCell), Seq("id_q"))
+          .agg(sum(col("cell_n") -
+            when(col("centroid_id") === col("self_cell"), 1L)
+              .otherwise(0L)).as("n_scanned"))
+        hits.crossJoin(broadcast(scanned))
+          .select(lit(np.toLong).as("nprobe"), col("n_truth"),
+            col("n_hits"), col("n_scanned"))
+      }
+      arm(1).unionAll(arm(2)).unionAll(arm(3))
+    }),
+
     "v8_ann_recall" -> ((s, d) => {
       val exact = queries("v1_cosine_topk")(s, d).select("id_q", "id_n")
       def recallOf(cand: DataFrame, method: String): DataFrame =
@@ -805,6 +847,71 @@ object QueriesVector {
          |  SELECT *, row_number() OVER (PARTITION BY vec_id
          |    ORDER BY cos DESC, centroid_id) AS rk FROM p)
          |WHERE rk = 1""".stripMargin,
+    // v19: v4's IVF machinery shared across three nProbe arms (each
+    // corpus vector lives in exactly one cell, so a pair carries the
+    // rk of the probe-route to its cell and arms just filter rk);
+    // exact top-5 truth, left-join hit counts, and the routed-cell
+    // scan cost with self-pair exclusion.
+    "v19_ivf_tradeoff" -> {
+      def armSql(np: Int): String =
+        s"""SELECT CAST($np AS BIGINT) AS nprobe,
+           |  (SELECT count(*) FROM ex) AS n_truth,
+           |  (SELECT count(c.id_q) FROM ex LEFT JOIN
+           |    (SELECT id_q, id_n FROM (SELECT id_q, id_n,
+           |      row_number() OVER (PARTITION BY id_q
+           |        ORDER BY cos DESC, id_n) AS rank
+           |      FROM pairs WHERE rk <= $np) WHERE rank <= 5) c
+           |    ON ex.id_q = c.id_q AND ex.id_n = c.id_n) AS n_hits,
+           |  (SELECT CAST(sum(cz.cell_n - CASE
+           |      WHEN pr.centroid_id = sc.self_cell THEN 1 ELSE 0 END)
+           |    AS BIGINT)
+           |   FROM pr JOIN cz ON cz.centroid_id = pr.centroid_id
+           |   JOIN sc ON sc.id_q = pr.id_q
+           |   WHERE pr.rk <= $np) AS n_scanned""".stripMargin
+      s"""WITH $preparedSql,
+         |cent AS (SELECT vec_id AS centroid_id, v, n2 FROM n
+         |      WHERE vec_id < 10),
+         |ca AS (SELECT id_n, centroid_id FROM (
+         |      SELECT a.vec_id AS id_n, b.centroid_id,
+         |        row_number() OVER (PARTITION BY a.vec_id
+         |          ORDER BY $dotSql / sqrt(a.n2 * b.n2) DESC,
+         |            b.centroid_id) AS rk
+         |      FROM n a JOIN cent b ON true)
+         |      WHERE rk = 1),
+         |cz AS (SELECT centroid_id, count(*) AS cell_n FROM ca
+         |      GROUP BY 1),
+         |sc AS (SELECT id_n AS id_q, centroid_id AS self_cell FROM ca
+         |      WHERE id_n < 5),
+         |pr AS (SELECT id_q, centroid_id, rk FROM (
+         |      SELECT a.vec_id AS id_q, b.centroid_id,
+         |        row_number() OVER (PARTITION BY a.vec_id
+         |          ORDER BY $dotSql / sqrt(a.n2 * b.n2) DESC,
+         |            b.centroid_id) AS rk
+         |      FROM n a JOIN cent b ON true
+         |      WHERE a.vec_id < 5)
+         |      WHERE rk <= 3),
+         |pairs AS (SELECT pr.id_q, ca.id_n, pr.rk,
+         |      round($dotSql / sqrt(a.n2 * b.n2), 6) AS cos
+         |      FROM pr
+         |      JOIN ca ON true
+         |        AND ca.centroid_id = pr.centroid_id
+         |      JOIN n a ON a.vec_id = pr.id_q
+         |      JOIN n b ON b.vec_id = ca.id_n
+         |      WHERE ca.id_n <> pr.id_q),
+         |ex AS (SELECT id_q, id_n FROM (
+         |  SELECT a.vec_id AS id_q, b.vec_id AS id_n,
+         |    row_number() OVER (PARTITION BY a.vec_id
+         |      ORDER BY round($dotSql / sqrt(a.n2 * b.n2), 6) DESC,
+         |        b.vec_id) AS rank
+         |  FROM n a JOIN n b ON b.vec_id <> a.vec_id
+         |  WHERE a.vec_id < 5)
+         |  WHERE rank <= 5)
+         |${armSql(1)}
+         |UNION ALL
+         |${armSql(2)}
+         |UNION ALL
+         |${armSql(3)}""".stripMargin
+    },
     "v4_ivf_topk" ->
       s"""WITH $preparedSql,
          |cent AS (SELECT vec_id AS centroid_id, v, n2 FROM n
