@@ -378,6 +378,82 @@ object QueriesText {
     // left-to-right expression order (never a groupBy over doubles),
     // every arithmetic step is written in the identical operand order
     // as the oracle SQL, and ln-parity is already pinned by x21/x23.
+    // Heaps-law vocabulary growth — the corpus diagnostic that answers
+    // "is this crawl still adding NEW language or just more of the
+    // same": documents are split into 10 equal doc-id deciles and each
+    // decile reports the CUMULATIVE token count beside the cumulative
+    // distinct vocabulary. The trick that makes it one pass instead of
+    // 10 distinct-counts: a token's contribution to cumulative vocab
+    // is fully determined by its FIRST-occurrence doc (min doc_id per
+    // term off the shared tf cache), so vocab-per-decile is a
+    // histogram of first-occurrence deciles, cumulated over a 10-row
+    // spine (tiny frame — the window sees deciles, never tokens). All
+    // integer decile math (exact div), spine-guaranteed 10 rows.
+    "x32_heaps_vocab" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val tf = tfFrame(s, d)
+      val bounds = Tables.documents(s, d)
+        .agg(min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi"))
+      val vocab = tf.groupBy("term").agg(min(col("doc_id")).as("fd"))
+        .crossJoin(broadcast(bounds))
+        .withColumn("decile",
+          expr("((fd - lo) * 10) div (hi - lo + 1)"))
+        .groupBy("decile").agg(count(lit(1)).as("v"))
+      val toks = tf.groupBy("doc_id").agg(sum(col("tf")).as("nt"))
+        .crossJoin(broadcast(bounds))
+        .withColumn("decile",
+          expr("((doc_id - lo) * 10) div (hi - lo + 1)"))
+        .groupBy("decile").agg(sum(col("nt")).as("t"))
+      val spine = Tables.documents(s, d).sparkSession.range(10)
+        .select(col("id").as("decile"))
+      val w = Window.orderBy("decile") // 10-row spine, never data
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      spine.join(vocab, Seq("decile"), "left")
+        .join(toks, Seq("decile"), "left")
+        .select(col("decile"),
+          sum(coalesce(col("t"), lit(0L))).over(w).as("n_tokens_cum"),
+          sum(coalesce(col("v"), lit(0L))).over(w).as("vocab_cum"))
+    }),
+
+    // Zipf-slope fit — the second corpus law: ln-rank vs ln-frequency
+    // least squares over the top-100 terms. A healthy natural-language
+    // corpus fits slope ≈ −1; boilerplate-heavy or synthetic text
+    // bends it. Cross-engine discipline: each ln rounds to 9dp first
+    // (libm vs JVM log may differ in the last ulp), the 100 (x, y)
+    // pairs collect into ONE sorted array and fold in fixed order
+    // (the ts8 discipline — no FP-sum partial-order drift), and the
+    // closed-form slope/intercept derive from the four fold sums with
+    // one rounded division each.
+    "x33_zipf_slope" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val freq = tfFrame(s, d).groupBy("term")
+        .agg(sum(col("tf")).as("f"))
+      val top = graft.operators.RelationalOps.topKGlobal(freq,
+        Seq(col("f").desc, col("term").asc), 100)
+      val w = Window.orderBy(col("f").desc, col("term").asc) // 100 rows
+      val ranked = top
+        .withColumn("r", row_number().over(w).cast("long"))
+        .select(round(log(col("r").cast("double")), 9).as("x"),
+          round(log(col("f").cast("double")), 9).as("y"))
+      ranked.agg(array_sort(collect_list(struct(col("x"), col("y"))))
+          .as("ps"))
+        .select(size(col("ps")).cast("long").as("n_terms"),
+          expr("aggregate(transform(ps, p -> array(p.x, p.y, " +
+            "p.x * p.x, p.x * p.y)), " +
+            "array(0.0d, 0.0d, 0.0d, 0.0d), " +
+            "(a, b) -> array(a[0] + b[0], a[1] + b[1], a[2] + b[2], " +
+            "a[3] + b[3]))").as("s"),
+          size(col("ps")).cast("double").as("n"))
+        .select(col("n_terms"),
+          round((col("n") * col("s")(3) - col("s")(0) * col("s")(1)) /
+            (col("n") * col("s")(2) - col("s")(0) * col("s")(0)), 6)
+            .as("slope"),
+          round((col("s")(1) - ((col("n") * col("s")(3) -
+            col("s")(0) * col("s")(1)) /
+            (col("n") * col("s")(2) - col("s")(0) * col("s")(0))) *
+            col("s")(0)) / col("n"), 6).as("intercept"))
+    }),
+
     "x24_bm25" -> ((s, d) => {
       val terms = BmQueryTerms
       val docs = QueriesDedup.docsWithTokens(s, d)
@@ -876,6 +952,67 @@ object QueriesText {
     // sorted-fold entropy: both engines sum identical doubles in
     // identical order; + 0.0 normalizes -0.0 (single-distinct-token
     // docs produce exactly 0)
+    // x32: same first-occurrence histogram + 10-row cumulative spine;
+    // integer // decile math.
+    "x32_heaps_vocab" ->
+      s"""WITH t AS (SELECT doc_id, unnest($toksSql) AS term
+         |      FROM documents),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM t
+         |      GROUP BY 1, 2),
+         |b AS (SELECT min(doc_id) AS lo, max(doc_id) AS hi
+         |      FROM documents),
+         |v AS (SELECT ((fd - lo) * 10) // (hi - lo + 1) AS decile,
+         |      count(*) AS vv
+         |      FROM (SELECT term, min(doc_id) AS fd FROM tf GROUP BY 1),
+         |        b
+         |      GROUP BY 1),
+         |tk AS (SELECT ((doc_id - lo) * 10) // (hi - lo + 1) AS decile,
+         |      CAST(sum(nt) AS BIGINT) AS tt
+         |      FROM (SELECT doc_id, sum(tf) AS nt FROM tf GROUP BY 1),
+         |        b
+         |      GROUP BY 1),
+         |sp AS (SELECT unnest(range(10)) AS decile)
+         |SELECT CAST(sp.decile AS BIGINT) AS decile,
+         |  CAST(sum(coalesce(tk.tt, 0)) OVER (ORDER BY sp.decile
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |    AS BIGINT) AS n_tokens_cum,
+         |  CAST(sum(coalesce(v.vv, 0)) OVER (ORDER BY sp.decile
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |    AS BIGINT) AS vocab_cum
+         |FROM sp LEFT JOIN v ON sp.decile = v.decile
+         |LEFT JOIN tk ON sp.decile = tk.decile""".stripMargin,
+    // x33: identical 9dp-rounded lns, identical sorted-array fold
+    // (LIST accumulator — the ts8 list_reduce discipline), same
+    // closed-form slope/intercept.
+    "x33_zipf_slope" ->
+      s"""WITH t AS (SELECT doc_id, unnest($toksSql) AS term
+         |      FROM documents),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM t
+         |      GROUP BY 1, 2),
+         |fr AS (SELECT term, CAST(sum(tf) AS BIGINT) AS f FROM tf
+         |      GROUP BY 1),
+         |top AS (SELECT f, row_number() OVER (ORDER BY f DESC, term)
+         |        AS r
+         |      FROM fr ORDER BY f DESC, term LIMIT 100),
+         |xy AS (SELECT round(ln(CAST(r AS DOUBLE)), 9) AS x,
+         |      round(ln(CAST(f AS DOUBLE)), 9) AS y FROM top),
+         |ps AS (SELECT list_sort(list(struct_pack(x := x, y := y)))
+         |        AS ps
+         |      FROM xy),
+         |agg AS (SELECT CAST(len(ps) AS BIGINT) AS n_terms,
+         |      CAST(len(ps) AS DOUBLE) AS n,
+         |      list_reduce(list_prepend([0.0, 0.0, 0.0, 0.0],
+         |        list_transform(ps, p -> [p.x, p.y, p.x * p.x,
+         |          p.x * p.y])),
+         |        (a, b) -> [a[1] + b[1], a[2] + b[2], a[3] + b[3],
+         |          a[4] + b[4]]) AS s
+         |      FROM ps)
+         |SELECT n_terms,
+         |  round((n * s[4] - s[1] * s[2])
+         |    / (n * s[3] - s[1] * s[1]), 6) AS slope,
+         |  round((s[2] - ((n * s[4] - s[1] * s[2])
+         |    / (n * s[3] - s[1] * s[1])) * s[1]) / n, 6) AS intercept
+         |FROM agg""".stripMargin,
     "x20_entropy" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
          |e AS (SELECT doc_id, unnest(toks) AS tk FROM t),
