@@ -19,22 +19,31 @@ object Bench {
   /** Headline set, DERIVED from the registry: every ORACLE-BACKED query
     * (the DuckDB comparison only makes sense for queries the DuckDB
     * side also runs — `queries ∩ oracleSql`, so a rows-only query can
-    * never silently skew the published ratio) except d6 (brute-force
-    * embedding near-dup), which is quadratic BY CONSTRUCTION as the
-    * documented test-scale exactness baseline — its scale path (v5
-    * banded-LSH) is what belongs in a benchmark. d6 still runs under
-    * SPARK_GRAFT_BENCH_ALL. Deriving the list (sorted, for a stable
-    * timing order) means a newly registered query cannot silently miss
-    * the bench — the previous hand-kept 91-name list had exactly that
-    * failure mode — and the exclusion is asserted to exist so a rename
-    * can't silently pull the quadratic baseline back in.
+    * never silently skew the published ratio) except two
+    * by-construction demonstrations whose cost is a documented
+    * property of their SHAPE, not of data volume or plan quality:
+    *  - d6 (brute-force embedding near-dup): quadratic BY CONSTRUCTION
+    *    as the test-scale exactness baseline — its scale path (v5
+    *    banded-LSH) is what belongs in a benchmark;
+    *  - sql15 (recursive reset bin-packing): a LINEAR recursive CTE —
+    *    ~80 sequential recursion levels, each a scheduled Spark job
+    *    over an 80-row cached frame, so its ~14 s is the per-level
+    *    scheduling floor of iterative execution on a BSP engine (the
+    *    same list costs milliseconds on DuckDB's single-process
+    *    recursion). The windowed approximation that belongs in a
+    *    benchmark is stor3.
+    * Both still run under SPARK_GRAFT_BENCH_ALL. Deriving the list
+    * (sorted, for a stable timing order) means a newly registered
+    * query cannot silently miss the bench — the previous hand-kept
+    * 91-name list had exactly that failure mode — and each exclusion
+    * is asserted to exist so a rename can't silently pull it back in.
     */
   val headline: Seq[String] = {
-    val excluded = "d6_embedding_neardup"
-    require(SparkEntry.queries.contains(excluded),
-      s"headline exclusion '$excluded' is not in the registry — renamed?")
+    val excluded = Set("d6_embedding_neardup", "sql15_reset_binpack")
+    excluded.foreach(e => require(SparkEntry.queries.contains(e),
+      s"headline exclusion '$e' is not in the registry — renamed?"))
     ((SparkEntry.queries.keySet
-      intersect SparkEntry.oracleSql.keySet) - excluded).toSeq.sorted
+      intersect SparkEntry.oracleSql.keySet) -- excluded).toSeq.sorted
   }
 
   /** Fully evaluate a query's output. `.count()` is NOT that: Catalyst

@@ -233,6 +233,55 @@ object QueriesSql {
           |FROM events GROUP BY event_type""".stripMargin)
     }),
 
+    // RECURSIVE CTE through the SQL front door — and a computation
+    // that genuinely NEEDS recursion: first-fit bin packing with
+    // RESET semantics (a running sum that restarts whenever the 4 MB
+    // target would overflow). No window can express it — each row's
+    // state depends on the previous row's POST-DECISION state, not a
+    // frame aggregate — and stor3 documents the div-based
+    // approximation that CAN split a file across bins; this is the
+    // never-split true form. The recursion is LINEAR (row k joins
+    // row k+1 of the ranked month-file list, depth = #files ≈ 80,
+    // under Spark's default 100-level recursion limit) and therefore
+    // terminates under UNION ALL; the frame is file METADATA, so
+    // depth is O(months), never O(data).
+    "sql15_reset_binpack" -> ((s, d) => {
+      // Materialize the ~80-row month-file frame ONCE (guard-persist —
+      // Spark's cache manager dedups by logical plan, so repeat calls
+      // reuse it): the recursion's per-level join must read an
+      // in-memory 80-row relation, not re-scan and re-aggregate
+      // lineitem 80 times (the uncached form measured 26 s at
+      // sf0.01; cached it is sub-second per level).
+      val files = sqlSession(s, d, "lineitem").sql(
+        """SELECT month, est, CAST(row_number() OVER (ORDER BY month)
+          |  AS BIGINT) AS rk
+          |FROM (SELECT date_trunc('month', l_shipdate) AS month,
+          |    count(*) * 64 AS est
+          |  FROM lineitem GROUP BY 1)""".stripMargin)
+      if (files.storageLevel ==
+          org.apache.spark.storage.StorageLevel.NONE)
+        files.persist()
+      files.createOrReplaceTempView("graft_sql15_files")
+      s.sql(
+        """WITH RECURSIVE f AS (
+          |  SELECT month, est, rk FROM graft_sql15_files),
+          |r(rk, month, est, cum, bin) AS (
+          |  SELECT rk, month, est, est, CAST(0 AS BIGINT)
+          |  FROM f WHERE rk = 1
+          |  UNION ALL
+          |  SELECT f.rk, f.month, f.est,
+          |    CASE WHEN r.cum + f.est > 4194304 THEN f.est
+          |      ELSE r.cum + f.est END,
+          |    CASE WHEN r.cum + f.est > 4194304 THEN r.bin + 1
+          |      ELSE r.bin END
+          |  FROM r JOIN f ON f.rk = r.rk + 1)
+          |SELECT bin, count(*) AS n_files,
+          |  CAST(sum(est) AS BIGINT) AS bytes,
+          |  CAST(min(month) AS DATE) AS from_month,
+          |  CAST(max(month) AS DATE) AS to_month
+          |FROM r GROUP BY bin""".stripMargin)
+    }),
+
     // Skyline as SQL TEXT (g11's Pareto frontier, oracle reused): the
     // collapse + strict-improvement ordered scan expressed entirely in
     // the SQL window dialect — in its DISTRIBUTED form: prices bucket
@@ -314,6 +363,30 @@ object QueriesSql {
     "sql11_pivot" -> QueriesRelational.oracle("g4_pivot"),
     "sql12_range_frame" -> QueriesRelational.oracle("w6_range_frame"),
     "sql13_pareto" -> QueriesRelational.oracle("g11_pareto"),
+    // sql15: the identical linear recursion in DuckDB's recursive CTE
+    // dialect (same ranked month-file frame, same reset decision).
+    "sql15_reset_binpack" ->
+      """WITH RECURSIVE f AS (
+        |  SELECT month, est, CAST(row_number() OVER (ORDER BY month)
+        |    AS BIGINT) AS rk
+        |  FROM (SELECT date_trunc('month', l_shipdate) AS month,
+        |      count(*) * 64 AS est
+        |    FROM lineitem GROUP BY 1)),
+        |r(rk, month, est, cum, bin) AS (
+        |  SELECT rk, month, est, est, CAST(0 AS BIGINT)
+        |  FROM f WHERE rk = 1
+        |  UNION ALL
+        |  SELECT f.rk, f.month, f.est,
+        |    CASE WHEN r.cum + f.est > 4194304 THEN f.est
+        |      ELSE r.cum + f.est END,
+        |    CASE WHEN r.cum + f.est > 4194304 THEN r.bin + 1
+        |      ELSE r.bin END
+        |  FROM r JOIN f ON f.rk = r.rk + 1)
+        |SELECT bin, count(*) AS n_files,
+        |  CAST(sum(est) AS BIGINT) AS bytes,
+        |  CAST(min(month) AS DATE) AS from_month,
+        |  CAST(max(month) AS DATE) AS to_month
+        |FROM r GROUP BY bin""".stripMargin,
     "sql14_hll_grouped" -> QueriesSketch.oracle("sk7_hll_grouped")
   )
 }
