@@ -226,6 +226,47 @@ object QueriesProfile {
           coalesce(col("n_drifted"), lit(0L)).as("n_drifted"))
     }),
 
+    // Robust z-score outliers (MAD / modified z, Iglewicz–Hoaglin
+    // |0.6745·(x−med)/MAD| > 3.5) — the robust screen that, unlike
+    // dq12's IQR fences, stays calibrated when the tail is heavy on
+    // one side. ENTIRELY integer end to end: med and MAD are medians
+    // of integer quantities, so with s = v1+v2 (twice the median) and
+    // t = |2q − s| (twice the deviation, an integer), MAD's median
+    // pair (w1, w2) makes the outlier test
+    // 13490·t > 35000·(w1+w2) — exact Longs, no FP threshold to
+    // ulp-flip. Three skew-free passes, each a hash agg off
+    // RelationalOps.valueHistogram (the g5 house pattern applied
+    // twice), medians broadcast back.
+    "dq14_mad_outliers" -> ((s, d) => {
+      import graft.operators.RelationalOps
+      val li = Tables.lineitem(s, d).select(col("l_returnflag"),
+        col("l_quantity").cast("long").as("q"))
+      val med = RelationalOps.valueHistogram(li, "l_returnflag",
+          col("q"))
+        .groupBy("l_returnflag")
+        .agg(RelationalOps.valueAtRank(expr("(total + 1) div 2"))
+            .as("v1"),
+          RelationalOps.valueAtRank(expr("(total + 2) div 2")).as("v2"))
+        .select(col("l_returnflag"), (col("v1") + col("v2")).as("s"))
+      val withT = li.join(broadcast(med), Seq("l_returnflag"))
+        .withColumn("t", abs(col("q") * 2 - col("s")))
+      val mad = RelationalOps.valueHistogram(
+          withT.select(col("l_returnflag"), col("t")),
+          "l_returnflag", col("t"))
+        .groupBy("l_returnflag")
+        .agg(RelationalOps.valueAtRank(expr("(total + 1) div 2"))
+            .as("w1"),
+          RelationalOps.valueAtRank(expr("(total + 2) div 2")).as("w2"))
+        .select(col("l_returnflag"), (col("w1") + col("w2")).as("w"))
+      withT.join(broadcast(mad), Seq("l_returnflag"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_rows"),
+          round(max(col("s")).cast("double") / 2, 1).as("median_q"),
+          round(max(col("w")).cast("double") / 4, 2).as("mad"),
+          sum(when(col("t") * 13490 > col("w") * 35000, 1L)
+            .otherwise(0L)).as("n_outliers"))
+    }),
+
     "dq12_outlier_iqr" -> ((s, d) => {
       val h = graft.operators.RelationalOps.valueHistogram(
         Tables.lineitem(s, d).select(col("l_returnflag"),
@@ -557,6 +598,38 @@ object QueriesProfile {
     // dq8: same one-scan conditional counts, 0-9 spine via range(10),
     // Laplace-smoothed shares, identical ln-ratio term
     // dq12: same unrounded interpolated quartiles and fences.
+    // dq14: medians are value-determined, so the oracle's rank
+    // formulation (with per-rank multiplicity, k1 == k2 on odd counts
+    // must contribute the value twice) picks the same s/w integers;
+    // the outlier test is the identical exact-Long comparison.
+    "dq14_mad_outliers" ->
+      """WITH li AS (SELECT l_returnflag AS g,
+        |    CAST(l_quantity AS BIGINT) AS q FROM lineitem),
+        |r1 AS (SELECT g, q,
+        |    row_number() OVER (PARTITION BY g ORDER BY q) AS rn,
+        |    count(*) OVER (PARTITION BY g) AS cnt FROM li),
+        |med AS (SELECT g,
+        |    CAST(sum(CASE WHEN rn = (cnt + 1) // 2 THEN q ELSE 0 END)
+        |      + sum(CASE WHEN rn = (cnt + 2) // 2 THEN q ELSE 0 END)
+        |      AS BIGINT) AS s
+        |  FROM r1 GROUP BY g),
+        |tt AS (SELECT li.g, li.q, abs(li.q * 2 - med.s) AS t, med.s
+        |  FROM li JOIN med ON li.g = med.g),
+        |r2 AS (SELECT g, t,
+        |    row_number() OVER (PARTITION BY g ORDER BY t) AS rn,
+        |    count(*) OVER (PARTITION BY g) AS cnt FROM tt),
+        |mad AS (SELECT g,
+        |    CAST(sum(CASE WHEN rn = (cnt + 1) // 2 THEN t ELSE 0 END)
+        |      + sum(CASE WHEN rn = (cnt + 2) // 2 THEN t ELSE 0 END)
+        |      AS BIGINT) AS w
+        |  FROM r2 GROUP BY g)
+        |SELECT tt.g AS l_returnflag, count(*) AS n_rows,
+        |  round(CAST(max(tt.s) AS DOUBLE) / 2, 1) AS median_q,
+        |  round(CAST(max(mad.w) AS DOUBLE) / 4, 2) AS mad,
+        |  CAST(sum(CASE WHEN tt.t * 13490 > mad.w * 35000
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM tt JOIN mad ON tt.g = mad.g
+        |GROUP BY 1""".stripMargin,
     // dq13: identical seeded faults, identical 60-bit row hash, and
     // bit_xor is the same order-free fold on both engines.
     "dq13_replica_reconcile" -> {

@@ -247,6 +247,48 @@ object QueriesTimeseries {
     // without a full 7-observation window are excluded by the same
     // window-count predicate on both engines. Spine-sized after one
     // hash agg.
+    // Single changepoint detection (binary segmentation, first split):
+    // for each series, the day boundary that maximizes the
+    // between-segment sum of squares — score(k) = (S_k·n − S·k)² /
+    // (k·(n−k)) over the day-indexed prefix sums, the exact
+    // first-iteration objective of binary segmentation / CUSUM's
+    // offline twin (ts9 is the online form). Prefix sums are exact
+    // integers off a per-series day frame (~30 rows — the windows
+    // never see events); the score is ONE double division in
+    // identical operand order, so the argmax (score desc, k asc) is
+    // deterministic on both engines. Long bound: |S_k·n − S·k| ≤ S·n
+    // ≈ 2e8 at sf1 → squares ≈ 4e16, inside Int64 with ~200×
+    // headroom.
+    "ts14_changepoint" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy("event_type").orderBy("day")
+      val wAll = Window.partitionBy("event_type")
+      val pre = daily
+        .withColumn("k", row_number().over(w).cast("long"))
+        .withColumn("sk", sum(col("cnt")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("n", count(lit(1)).over(wAll))
+        .withColumn("stot", sum(col("cnt")).over(wAll))
+        .filter(col("k") < col("n")) // split AFTER day k needs a right side
+        .withColumn("a", col("sk") * col("n") - col("stot") * col("k"))
+        .withColumn("score", (col("a") * col("a")).cast("double") /
+          (col("k") * (col("n") - col("k"))).cast("double"))
+      val wBest = Window.partitionBy("event_type")
+        .orderBy(col("score").desc, col("k").asc)
+      pre.withColumn("rk", row_number().over(wBest))
+        .filter(col("rk") === 1)
+        .select(col("event_type"), col("day").as("split_after"),
+          col("k").as("n_left"), (col("n") - col("k")).as("n_right"),
+          round(col("sk").cast("double") / col("k").cast("double"), 6)
+            .as("mean_left"),
+          round((col("stot") - col("sk")).cast("double") /
+            (col("n") - col("k")).cast("double"), 6).as("mean_right"),
+          round(col("score"), 6).as("score"))
+    }),
+
     // Forecast backtest (MASE) — the quality gate a forecasting
     // pipeline runs before trusting a model: the weekly seasonal-naive
     // forecast (value 7 days ago) scored against the walk-forward
@@ -655,6 +697,36 @@ object QueriesTimeseries {
         |FROM p2""".stripMargin,
     // ts12: same integer-scaled decomposition; DuckDB dayofweek is
     // 0-based (ts7's +1 convention), the ROWS window is the identical
+    // ts14: identical integer prefix sums and the same one-division
+    // score; day rank needs no tiebreak (day is unique per series).
+    "ts14_changepoint" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    count(*) AS cnt FROM events GROUP BY 1, 2),
+        |p AS (SELECT event_type, day, cnt,
+        |    CAST(row_number() OVER (PARTITION BY event_type
+        |      ORDER BY day) AS BIGINT) AS k,
+        |    CAST(sum(cnt) OVER (PARTITION BY event_type ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS sk,
+        |    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT)
+        |      AS n,
+        |    CAST(sum(cnt) OVER (PARTITION BY event_type) AS BIGINT)
+        |      AS stot
+        |  FROM daily),
+        |sc AS (SELECT *,
+        |    CAST((sk * n - stot * k) * (sk * n - stot * k) AS DOUBLE)
+        |      / CAST(k * (n - k) AS DOUBLE) AS score
+        |  FROM p WHERE k < n),
+        |b AS (SELECT *, row_number() OVER (PARTITION BY event_type
+        |    ORDER BY score DESC, k) AS rk FROM sc)
+        |SELECT event_type, day AS split_after, k AS n_left,
+        |  n - k AS n_right,
+        |  round(CAST(sk AS DOUBLE) / CAST(k AS DOUBLE), 6)
+        |    AS mean_left,
+        |  round(CAST(stot - sk AS DOUBLE) / CAST(n - k AS DOUBLE), 6)
+        |    AS mean_right,
+        |  round(score, 6) AS score
+        |FROM b WHERE rk = 1""".stripMargin,
     // ts13: identical lag windows over the observed-day series and the
     // same integer cross-product ratio with the zero guard.
     "ts13_mase_backtest" ->
