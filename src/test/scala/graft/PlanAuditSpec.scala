@@ -146,6 +146,30 @@ class PlanAuditSpec extends SparkTestBase {
     }
   }
 
+  test("histogram selections never window the raw fact scan") {
+    // The de-skewed percentile family (g5/w9/w11/g8/dq12/dq14) reads
+    // exact selections off a per-group VALUE HISTOGRAM: the only
+    // windows in these plans must sit above an Aggregate (the
+    // histogram or a derived summary), never directly over the
+    // lineitem scan — a window whose subtree reaches the scan without
+    // passing an Aggregate re-introduces the ~n/3-rows-per-task sort
+    // the rewrite removed.
+    import org.apache.spark.sql.catalyst.plans.logical.{
+      Aggregate, Window => LWindow}
+    for (q <- Seq("g5_median_quantity", "w9_percentiles",
+        "w11_percentile_cont", "g8_weighted_median", "dq12_outlier_iqr",
+        "dq14_mad_outliers")) {
+      val lp = SparkEntry.queries(q)(spark, sf001)
+        .queryExecution.optimizedPlan
+      val wins = lp.collect { case w: LWindow => w }
+      assert(wins.nonEmpty, s"$q lost its histogram window:\n$lp")
+      for (w <- wins) {
+        assert(w.child.collectFirst { case a: Aggregate => a }.isDefined,
+          s"$q has a window directly over the fact scan:\n$lp")
+      }
+    }
+  }
+
   test("x24 broadcasts the 1-row corpus stats, never shuffles docs") {
     val p = plan("x24_bm25")
     assert(p.contains("BroadcastNestedLoopJoin"),

@@ -196,6 +196,33 @@ class RelationalOpsSpec extends SparkTestBase {
       "distributed prefix forms must match the single-sort window")
   }
 
+  test("valueHistogram selections equal sorted-array order statistics") {
+    import spark.implicits._
+    // deterministic pseudo-random values incl. heavy ties; three
+    // groups of different sizes (odd, even, single-row)
+    val rows = (1 to 301).map { i =>
+      val g = if (i <= 151) "a" else if (i <= 300) "b" else "c"
+      (g, (i * 7919 % 23).toLong)
+    }
+    val df = rows.toDF("g", "v").repartition(5)
+    val h = RelationalOps.valueHistogram(df, "g", col("v"))
+    val got = h.groupBy("g")
+      .agg(RelationalOps.valueAtRank(expr("(total + 1) div 2")).as("v1"),
+        RelationalOps.valueAtRank(expr("(total + 2) div 2")).as("v2"),
+        RelationalOps.valueAtRank(lit(1L)).as("vmin"),
+        RelationalOps.valueAtRank(col("total")).as("vmax"))
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    for (g <- Seq("a", "b", "c")) {
+      val vs = rows.filter(_._1 == g).map(_._2).sorted
+      val n = vs.length
+      assert(got(g)._2 == vs((n + 1) / 2 - 1), s"$g lower-median")
+      assert(got(g)._3 == vs((n + 2) / 2 - 1), s"$g upper-median")
+      assert(got(g)._4 == vs.head && got(g)._5 == vs.last,
+        s"$g min/max ranks")
+    }
+  }
+
   test("ntileFromRank matches Spark's ntile allocation") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
