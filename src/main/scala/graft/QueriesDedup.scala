@@ -72,9 +72,27 @@ object QueriesDedup {
     * caches, and exactly what a production dedup pipeline does with its
     * verified-pairs table.
     */
+  /** The df-capped per-pair intersection counts (id_a, id_b, n_a, n_b,
+    * inter), SHARED between the verified-pairs selection and d21's
+    * estimator gate so both read one convention AND one
+    * materialization (the r12 d21 rewrite initially recomputed this
+    * frame per call and tripled d21's bench time).
+    */
+  private def pairIntersections(s: SparkSession, d: String): DataFrame = {
+    val df = DedupOps.shingleIntersections(docsWithShingles(s, d),
+      "doc_id", "sh", maxDocFreq = 1000L)
+    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+      df.persist()
+    else df
+  }
+
   private def verifiedPairs(s: SparkSession, d: String): DataFrame = {
-    val df = DedupOps.jaccardPairs(docsWithShingles(s, d), "doc_id", "sh",
-      0.8, maxDocFreq = 1000L)
+    val df = pairIntersections(s, d)
+      .withColumn("jaccard",
+        col("inter") / (col("n_a") + col("n_b") - col("inter")))
+      .filter(col("jaccard") >= 0.8)
+      .select(col("id_a"), col("id_b"),
+        round(col("jaccard"), 6).as("jaccard"))
     if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
       df.persist()
     else df
@@ -85,6 +103,7 @@ object QueriesDedup {
     */
   def unpersistAll(s: SparkSession, d: String): Unit = {
     verifiedPairs(s, d).unpersist()
+    pairIntersections(s, d).unpersist()
     docsWithShingles(s, d).unpersist()
     docsWithTokens(s, d).unpersist()
   }
@@ -288,7 +307,7 @@ object QueriesDedup {
     // jaccard the pair was selected on).
     "d21_minhash_error" -> ((s, d) => {
       val sh = docsWithShingles(s, d)
-      val pi = DedupOps.shingleIntersections(sh, "doc_id", "sh", 1000L)
+      val pi = pairIntersections(s, d)
         .withColumn("jacc_raw",
           col("inter") / (col("n_a") + col("n_b") - col("inter")))
         .filter(col("jacc_raw") >= 0.8)

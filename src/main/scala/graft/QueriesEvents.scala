@@ -222,6 +222,46 @@ object QueriesEvents {
         Seq(col("n_sessions").desc, col("path").asc), 20)
     }),
 
+    // Cohort LTV curves — e2's retention grid extended to REVENUE:
+    // users cohorted by first-activity day, each purchase assigned an
+    // AGE (days since cohort entry), and every (cohort, age) cell
+    // reports the cohort's cumulative cents and per-user LTV so far.
+    // The cumulative window runs over the (cohort × age) cell grid
+    // (≤ ~900 rows at any data scale — ages and cohorts are bounded
+    // by the calendar, not by events), after one exact-cents hash agg
+    // and a broadcast cohort-size join. The spine explodes each
+    // cohort's own max age so every prefix day gets a row even with
+    // zero purchases (the LTV curve must be dense to chart).
+    "e17_cohort_ltv" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, d)
+      val cohort = ev.groupBy("user_id")
+        .agg(min(to_date(col("ts"))).as("c_day"))
+      val sizes = cohort.groupBy("c_day")
+        .agg(count(lit(1)).as("n_users"))
+      val cells = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), to_date(col("ts")).as("day"),
+          floor(col("value") * 100).cast("long").as("cents"))
+        .join(cohort, Seq("user_id"))
+        .groupBy(col("c_day"),
+          datediff(col("day"), col("c_day")).cast("long").as("age"))
+        .agg(sum(col("cents")).as("c"))
+      val spine = cells.groupBy("c_day")
+        .agg(max(col("age")).as("max_age"))
+        .select(col("c_day"),
+          explode(sequence(lit(0L), col("max_age"))).as("age"))
+      val w = Window.partitionBy("c_day").orderBy("age")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      spine.join(cells, Seq("c_day", "age"), "left")
+        .withColumn("cum_cents",
+          sum(coalesce(col("c"), lit(0L))).over(w))
+        .join(broadcast(sizes), Seq("c_day"))
+        .select(col("c_day").as("cohort_day"), col("age"),
+          col("n_users"), col("cum_cents"),
+          round(col("cum_cents").cast("double") /
+            col("n_users").cast("double"), 6).as("ltv_per_user"))
+    }),
+
     // Last-touch attribution — the marketing-analytics op that assigns
     // every conversion to the campaign touch that "gets credit": each
     // purchase attributes to the user's LATEST click at-or-before it
@@ -479,6 +519,36 @@ object QueriesEvents {
   }
 
   def oracle: Map[String, String] = Map(
+    // e17: same cohort assignment, cell grid, dense age spine
+    // (generate_series per cohort) and cumulative window.
+    "e17_cohort_ltv" ->
+      """WITH co AS (SELECT user_id, CAST(min(ts) AS DATE) AS c_day
+        |  FROM events GROUP BY 1),
+        |sz AS (SELECT c_day, count(*) AS n_users FROM co GROUP BY 1),
+        |cells AS (SELECT co.c_day,
+        |    CAST(date_diff('day', co.c_day, CAST(e.ts AS DATE))
+        |      AS BIGINT) AS age,
+        |    CAST(sum(CAST(floor(e.value * 100) AS BIGINT)) AS BIGINT)
+        |      AS c
+        |  FROM events e JOIN co ON e.user_id = co.user_id
+        |  WHERE e.event_type = 'purchase'
+        |  GROUP BY 1, 2),
+        |sp AS (SELECT c_day,
+        |    unnest(range(0, max_age + 1)) AS age
+        |  FROM (SELECT c_day, max(age) AS max_age FROM cells
+        |    GROUP BY 1)),
+        |cum AS (SELECT sp.c_day, CAST(sp.age AS BIGINT) AS age,
+        |    CAST(sum(coalesce(cells.c, 0)) OVER (PARTITION BY sp.c_day
+        |      ORDER BY sp.age
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cum_cents
+        |  FROM sp LEFT JOIN cells
+        |    ON sp.c_day = cells.c_day AND sp.age = cells.age)
+        |SELECT cum.c_day AS cohort_day, cum.age, sz.n_users,
+        |  cum.cum_cents,
+        |  round(CAST(cum.cum_cents AS DOUBLE)
+        |    / CAST(sz.n_users AS DOUBLE), 6) AS ltv_per_user
+        |FROM cum JOIN sz ON cum.c_day = sz.c_day""".stripMargin,
     // e15: native ASOF (j8's proven twin of the union+window form) +
     // the identical exact-interval validity test and bucketing.
     "e15_last_touch_attribution" ->
