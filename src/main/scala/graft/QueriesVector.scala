@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.VectorOps
+import graft.operators.{RelationalOps, VectorOps}
 import graft.sources.Tables
 
 /** Similarity-search queries over `embeddings` (north-star extension):
@@ -361,26 +361,44 @@ object QueriesVector {
       val cents = p.filter(col("id") < 10)
       val exact = VectorOps.bruteForceTopK(p, probes, 5)
         .select(col("id_q"), col("id_n"))
-      val corpusCells = VectorOps.routeToCentroids(p, cents, 1)
-        .toDF("id_n", "centroid_id")
+      val corpusCells = VectorOps.routeToCentroids(p, cents, 1,
+          keepPayload = true)
+        .toDF("id_n", "centroid_id", "v_n", "n2_n")
       val cellSizes = corpusCells.groupBy("centroid_id")
         .agg(count(lit(1)).as("cell_n"))
       val selfCell = corpusCells.filter(col("id_n") < 5)
         .select(col("id_n").as("id_q"),
           col("centroid_id").as("self_cell"))
+      // route ONCE at the largest nProbe with ranks; every arm is a
+      // rk <= np filter over the SAME routed frame and the SAME pair
+      // join (each corpus vector lives in one cell, so a pair carries
+      // the rank of the probe-route to its cell) — 3 arms, 1 routing,
+      // 1 cosine join, exactly the oracle's CTE shape
+      val routed = VectorOps.routeToCentroidsRanked(probes, cents, 3)
+        .toDF("id_q", "centroid_id", "rk", "v_q", "n2_q")
+      val pairs = corpusCells.join(broadcast(routed), Seq("centroid_id"))
+        .filter(col("id_q") =!= col("id_n"))
+        .withColumn("cos", round(VectorOps.cosineFromParts(
+          VectorOps.dot(col("v_q"), col("v_n")),
+          col("n2_q"), col("n2_n")), 6))
+        .select(col("id_q"), col("id_n"), col("rk"), col("cos"))
+        .persist()
+      val scanCost = routed
+        .join(broadcast(cellSizes), Seq("centroid_id"))
+        .join(broadcast(selfCell), Seq("id_q"))
+        .select(col("rk"), (col("cell_n") -
+          when(col("centroid_id") === col("self_cell"), 1L)
+            .otherwise(0L)).as("c"))
       def arm(np: Int): DataFrame = {
-        val cand = VectorOps.ivfTopK(p, probes, cents, np, 5)
+        val cand = RelationalOps.topKPerGroup(
+            pairs.filter(col("rk") <= np), Seq("id_q"),
+            Seq(col("cos").desc, col("id_n").asc), 5)
           .select(col("id_q"), col("id_n"), lit(1L).as("hit"))
         val hits = exact.join(cand, Seq("id_q", "id_n"), "left")
           .agg(count(lit(1)).as("n_truth"),
             count(col("hit")).as("n_hits"))
-        val scanned = VectorOps.routeToCentroids(probes, cents, np)
-          .toDF("id_q", "centroid_id")
-          .join(broadcast(cellSizes), Seq("centroid_id"))
-          .join(broadcast(selfCell), Seq("id_q"))
-          .agg(sum(col("cell_n") -
-            when(col("centroid_id") === col("self_cell"), 1L)
-              .otherwise(0L)).as("n_scanned"))
+        val scanned = scanCost.filter(col("rk") <= np)
+          .agg(sum(col("c")).as("n_scanned"))
         hits.crossJoin(broadcast(scanned))
           .select(lit(np.toLong).as("nprobe"), col("n_truth"),
             col("n_hits"), col("n_scanned"))

@@ -283,6 +283,29 @@ object VectorOps {
     else routed.select(col("id"), col("r.centroid_id").as("centroid_id"))
   }
 
+  /** [[routeToCentroids]] with the route RANK attached (1 = nearest
+    * cell): lets a multi-nProbe consumer (v19's operating curve) route
+    * ONCE at the largest nProbe and treat each smaller arm as a
+    * `rk <= np` filter over the same frame, instead of re-routing and
+    * re-joining per arm. Same broadcast-centroid narrow shape.
+    */
+  def routeToCentroidsRanked(vectors: DataFrame, centroids: DataFrame,
+      nProbe: Int): DataFrame = {
+    val centsRow = centroids.toDF("centroid_id", "v_c", "n2_c")
+      .agg(array_sort(collect_list(
+        struct(col("centroid_id"), col("v_c"), col("n2_c")))).as("cents"))
+    val top = slice(array_sort(transform(col("cents"), s =>
+      struct((-cosineFromParts(dot(col("v"), s.getField("v_c")),
+        col("n2"), s.getField("n2_c"))).as("negcos"),
+        s.getField("centroid_id").as("centroid_id")))), 1, nProbe)
+    vectors.toDF("id", "v", "n2")
+      .crossJoin(broadcast(centsRow))
+      .select(col("id"), col("v"), col("n2"),
+        posexplode(top).as(Seq("pos", "r")))
+      .select(col("id"), col("r.centroid_id").as("centroid_id"),
+        (col("pos") + 1).cast("long").as("rk"), col("v"), col("n2"))
+  }
+
   /** Full IVF ANN search: assign the corpus to cells (top-1 centroid),
     * route each probe to its `nProbe` nearest cells, then compare probes
     * only against the corpus vectors of their routed cells (equi-join on
