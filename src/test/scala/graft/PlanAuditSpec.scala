@@ -124,7 +124,8 @@ class PlanAuditSpec extends SparkTestBase {
     import org.apache.spark.sql.catalyst.plans.logical.{
       Aggregate, Filter, Window => LWindow}
     for (q <- Seq("dq11_sequence_gaps", "d18_sorted_neighborhood",
-        "e11_rfm", "e14_pareto80", "g11_pareto", "sql13_pareto")) {
+        "e11_rfm", "e14_pareto80", "g11_pareto", "sql13_pareto",
+        "stor4_zorder_skip")) {
       val lp = SparkEntry.queries(q)(spark, sf001)
         .queryExecution.optimizedPlan
       val wins = lp.collect { case w: LWindow => w }
