@@ -56,6 +56,33 @@ object QueriesText {
         TextOps.vocabHits(toks, TextOps.langVocab.head._2).as("en_hits"))
     }),
 
+    // Language-ID CONFUSION MATRIX — the d20/v8 measured-quality gate
+    // applied to x2: predictions scored against the corpus's `lang`
+    // column, one (truth, predicted) cell per combination with
+    // per-truth recall. This is what catches a silent stopword-list
+    // edit degrading one language while aggregate accuracy barely
+    // moves. On THIS corpus the matrix exposes a real property of the
+    // test data: every lang label maps ~90% to 'en' — the synthetic
+    // text is English-vocab regardless of its label, i.e. the labels
+    // are metadata, not text-derived (the kind of label/content
+    // mismatch this gate exists to surface before training on it).
+    // One doc-level join + a cell-sized agg; the recall window sees
+    // the ≤ |langs|² cell grid.
+    "x34_langid_confusion" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val pred = queries("x2_lang_id")(s, d)
+        .select(col("doc_id"), col("pred_lang"))
+      val cells = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang").as("truth_lang"))
+        .join(pred, Seq("doc_id"))
+        .groupBy("truth_lang", "pred_lang")
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("truth_lang")
+      cells.select(col("truth_lang"), col("pred_lang"), col("n"),
+        round(col("n").cast("double") /
+          sum(col("n")).over(w).cast("double"), 6).as("recall"))
+    }),
+
     // Quality scoring: punctuation noise, stopword density, composite score.
     "x3_quality_score" -> ((s, d) => {
       val toks = TextOps.tokens(col("text"))
@@ -734,6 +761,37 @@ object QueriesText {
   private val frList = "['le','les','et','est','une','dans']"
   private val zhList = "['的','是','了','在']"
 
+  /** The x2 oracle as a standalone SELECT — shared verbatim between
+    * the x2 entry and x34's confusion matrix (one source of truth for
+    * the predictor on the oracle side, mirroring the Spark side's
+    * queries("x2_lang_id") reuse). Lazy: references the vocab vals.
+    */
+  private lazy val x2OracleSql: String =
+    s"""WITH t AS (SELECT doc_id, list_distinct($toksSql) AS dt
+       |           FROM documents),
+       |sc AS (SELECT doc_id,
+       |  CAST(len(list_intersect(dt, $enList)) AS BIGINT) AS s_en,
+       |  CAST(len(list_intersect(dt, $deList)) AS BIGINT) AS s_de,
+       |  CAST(len(list_intersect(dt, $esList)) AS BIGINT) AS s_es,
+       |  CAST(len(list_intersect(dt, $frList)) AS BIGINT) AS s_fr,
+       |  CAST(len(list_intersect(dt, $zhList)) AS BIGINT) AS s_zh
+       |  FROM t)
+       |SELECT doc_id,
+       |  CASE
+       |    WHEN s_en > 0 AND s_en = greatest(s_en,s_de,s_es,s_fr,s_zh)
+       |      THEN 'en'
+       |    WHEN s_de > 0 AND s_de = greatest(s_en,s_de,s_es,s_fr,s_zh)
+       |      THEN 'de'
+       |    WHEN s_es > 0 AND s_es = greatest(s_en,s_de,s_es,s_fr,s_zh)
+       |      THEN 'es'
+       |    WHEN s_fr > 0 AND s_fr = greatest(s_en,s_de,s_es,s_fr,s_zh)
+       |      THEN 'fr'
+       |    WHEN s_zh > 0 AND s_zh = greatest(s_en,s_de,s_es,s_fr,s_zh)
+       |      THEN 'zh'
+       |    ELSE 'und' END AS pred_lang,
+       |  s_en AS en_hits
+       |FROM sc""".stripMargin
+
   private val toksSql =
     """list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '')"""
 
@@ -768,31 +826,19 @@ object QueriesText {
          |      (a, b) -> a + b) / CAST(len(toks) AS DOUBLE), 6)
          |    AS avg_token_len
          |FROM t""".stripMargin,
-    "x2_lang_id" ->
-      s"""WITH t AS (SELECT doc_id, list_distinct($toksSql) AS dt
-         |           FROM documents),
-         |sc AS (SELECT doc_id,
-         |  CAST(len(list_intersect(dt, $enList)) AS BIGINT) AS s_en,
-         |  CAST(len(list_intersect(dt, $deList)) AS BIGINT) AS s_de,
-         |  CAST(len(list_intersect(dt, $esList)) AS BIGINT) AS s_es,
-         |  CAST(len(list_intersect(dt, $frList)) AS BIGINT) AS s_fr,
-         |  CAST(len(list_intersect(dt, $zhList)) AS BIGINT) AS s_zh
-         |  FROM t)
-         |SELECT doc_id,
-         |  CASE
-         |    WHEN s_en > 0 AND s_en = greatest(s_en,s_de,s_es,s_fr,s_zh)
-         |      THEN 'en'
-         |    WHEN s_de > 0 AND s_de = greatest(s_en,s_de,s_es,s_fr,s_zh)
-         |      THEN 'de'
-         |    WHEN s_es > 0 AND s_es = greatest(s_en,s_de,s_es,s_fr,s_zh)
-         |      THEN 'es'
-         |    WHEN s_fr > 0 AND s_fr = greatest(s_en,s_de,s_es,s_fr,s_zh)
-         |      THEN 'fr'
-         |    WHEN s_zh > 0 AND s_zh = greatest(s_en,s_de,s_es,s_fr,s_zh)
-         |      THEN 'zh'
-         |    ELSE 'und' END AS pred_lang,
-         |  s_en AS en_hits
-         |FROM sc""".stripMargin,
+    "x2_lang_id" -> x2OracleSql,
+    // x34: x2's oracle embedded as a derived table (one source of
+    // truth for the predictor), same cell agg + per-truth recall.
+    "x34_langid_confusion" -> {
+      s"""SELECT truth_lang, pred_lang, n,
+         |  round(CAST(n AS DOUBLE) / CAST(sum(n)
+         |    OVER (PARTITION BY truth_lang) AS DOUBLE), 6) AS recall
+         |FROM (SELECT d.lang AS truth_lang, p.pred_lang,
+         |    count(*) AS n
+         |  FROM documents d
+         |  JOIN ($x2OracleSql) p ON d.doc_id = p.doc_id
+         |  GROUP BY 1, 2)""".stripMargin
+    },
     "x3_quality_score" ->
       s"""WITH t AS (SELECT doc_id, text, $toksSql AS toks FROM documents)
          |SELECT doc_id,
