@@ -165,10 +165,16 @@ object QueriesDedup {
     "d18_sorted_neighborhood" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val W = 4
-      val keyed = docsWithTokens(s, d).select(col("doc_id"),
-        concat_ws(" ", slice(col("toks"), 1, 3)).as("bkey"))
-        .repartitionByRange(col("bkey"), col("doc_id"))
-        .withColumn("part", spark_partition_id())
+      // DETERMINISTIC range buckets from seeded-sampled boundaries
+      // (RelationalOps.withRangeBuckets): spark_partition_id after a
+      // range exchange is NOT stable across the two consumers of this
+      // frame (AQE plans the reads independently and the exchange
+      // reseeds per execution) — a pure column function of bkey is.
+      val keyed = graft.operators.RelationalOps.withRangeBuckets(
+          docsWithTokens(s, d).select(col("doc_id"),
+            concat_ws(" ", slice(col("toks"), 1, 3)).as("bkey")),
+          col("bkey"))
+        .withColumnRenamed("__part", "part")
       val wUp = Window.partitionBy("part")
         .orderBy(col("bkey"), col("doc_id"))
       val ranked = keyed

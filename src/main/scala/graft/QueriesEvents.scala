@@ -313,8 +313,8 @@ object QueriesEvents {
       // (RelationalOps.rangePrefixAgg) — no single-partition global
       // window over O(users) rows (the r11 scale-killer list)
       val reach = RelationalOps.globalRunningSum(
-          RelationalOps.globalRowNumber(ua, order, "rk"),
-          order, col("n"), "cum")
+          RelationalOps.globalRowNumber(ua, order, -col("n"), "rk"),
+          order, -col("n"), col("n"), "cum")
         .crossJoin(broadcast(tot))
         .filter(col("cum") * 100 >= col("total") * 80)
         .agg(min(col("rk")).as("k80"))
@@ -324,6 +324,60 @@ object QueriesEvents {
           round(col("k80").cast("double") /
             col("n_users").cast("double") * 100.0, 6)
             .as("pct_users_for_80pct"))
+    }),
+
+    // DAU/WAU stickiness (closing e12): per day, the exact distinct
+    // actives that day (DAU) and over the trailing 7 days (WAU), and
+    // the DAU/WAU stickiness ratio. Rolling DISTINCT does not compose
+    // from daily distincts (a user active twice in the window must
+    // count once), so each (user, day) activity SUPPORTS the 7
+    // forward days it is visible to — an in-row explode of a 7-day
+    // spine — and WAU is a plain distinct count per supported day.
+    // Fan-out is exactly 7× the (user, day) DISTINCT frame (already
+    // tiny relative to events), never 7× the event table; supported
+    // days past the corpus edge are dropped on both engines.
+    "e12_stickiness" -> ((s, d) => {
+      val act = Tables.events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      val maxDay = act.agg(max(col("day")).as("d_max"))
+      val dau = act.groupBy("day").agg(countDistinct("user_id").as("dau"))
+      val wau = act
+        .select(col("user_id"), explode(sequence(col("day"),
+          date_add(col("day"), 6))).as("day"))
+        .crossJoin(broadcast(maxDay))
+        .filter(col("day") <= col("d_max"))
+        .groupBy("day").agg(countDistinct("user_id").as("wau"))
+      dau.join(wau, Seq("day"))
+        .select(col("day"), col("dau"), col("wau"),
+          round(col("dau").cast("double") / col("wau").cast("double"), 6)
+            .as("stickiness"))
+    }),
+
+    // Inter-purchase interval distribution (closing e16): the gap in
+    // days between each user's consecutive purchases, reported as a
+    // day-gap histogram with the cumulative share — the
+    // repeat-purchase cadence behind retention economics (e17 prices
+    // the cohorts; this measures the rhythm). One per-user lag window
+    // over purchase days + a gap-sized agg; the cumulative window
+    // sees the ≤ ~30-row gap histogram.
+    "e16_interpurchase" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val p = Tables.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      val w = Window.partitionBy("user_id").orderBy("day")
+      val gaps = p.withColumn("prev", lag(col("day"), 1).over(w))
+        .filter(col("prev").isNotNull)
+        .select(datediff(col("day"), col("prev")).cast("long")
+          .as("gap_days"))
+        .groupBy("gap_days").agg(count(lit(1)).as("n"))
+      val tot = gaps.agg(sum(col("n")).as("total"))
+      val wc = Window.orderBy("gap_days") // gap histogram, ~30 rows
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      gaps.crossJoin(broadcast(tot))
+        .select(col("gap_days"), col("n"),
+          round(sum(col("n")).over(wc).cast("double") /
+            col("total").cast("double"), 6).as("cum_share"))
     }),
 
     // Growth accounting — per-day user lifecycle states: every active
@@ -369,15 +423,20 @@ object QueriesEvents {
           count(lit(1)).as("freq"),
           sum(floor(col("value") * 100).cast("long")).as("cents"))
       val n1 = users.agg(count(lit(1)).as("n_total"))
-      def q(df: DataFrame, m: Column, out: String) =
+      // primary = the metric's ascending-monotone numeric proxy
+      // (negated, dates as negated day offsets) so the deterministic
+      // range buckets align with the desc rank order
+      def q(df: DataFrame, m: Column, primaryAsc: Column, out: String) =
         RelationalOps.globalRowNumber(df,
-          Seq(m.desc, col("user_id").asc), "__rk")
+          Seq(m.desc, col("user_id").asc), primaryAsc, "__rk")
           .withColumn(out, RelationalOps.ntileFromRank(
             col("__rk"), col("n_total"), 5))
           .drop("__rk")
       val scored = q(q(q(users.crossJoin(broadcast(n1)),
-        col("last_day"), "r_q"), col("freq"), "f_q"),
-        col("cents"), "m_q")
+        col("last_day"),
+        -datediff(col("last_day"), lit("1992-01-01").cast("date")),
+        "r_q"), col("freq"), -col("freq"), "f_q"),
+        col("cents"), -col("cents"), "m_q")
       scored.groupBy("r_q", "f_q", "m_q")
         .agg(count(lit(1)).as("n_users"))
     }),
@@ -519,6 +578,40 @@ object QueriesEvents {
   }
 
   def oracle: Map[String, String] = Map(
+    // e12: same support-day explode (generate_series inclusive), same
+    // corpus-edge cut, same distinct counts.
+    "e12_stickiness" ->
+      """WITH act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+        |  FROM events),
+        |mx AS (SELECT max(day) AS d_max FROM act),
+        |dau AS (SELECT day, count(DISTINCT user_id) AS dau FROM act
+        |  GROUP BY 1),
+        |sup AS (SELECT user_id, CAST(unnest(generate_series(day,
+        |    day + 6, INTERVAL 1 DAY)) AS DATE) AS day
+        |  FROM act),
+        |wau AS (SELECT s.day, count(DISTINCT s.user_id) AS wau
+        |  FROM sup s, mx WHERE s.day <= mx.d_max GROUP BY 1)
+        |SELECT dau.day, dau.dau, wau.wau,
+        |  round(CAST(dau.dau AS DOUBLE) / CAST(wau.wau AS DOUBLE), 6)
+        |    AS stickiness
+        |FROM dau JOIN wau ON dau.day = wau.day""".stripMargin,
+    // e16: same per-user lag over distinct purchase days, same gap
+    // histogram and cumulative share.
+    "e16_interpurchase" ->
+      """WITH p AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+        |  FROM events WHERE event_type = 'purchase'),
+        |g AS (SELECT CAST(date_diff('day', prev, day) AS BIGINT)
+        |    AS gap_days
+        |  FROM (SELECT day, lag(day) OVER (PARTITION BY user_id
+        |      ORDER BY day) AS prev FROM p)
+        |  WHERE prev IS NOT NULL),
+        |h AS (SELECT gap_days, count(*) AS n FROM g GROUP BY 1),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM h)
+        |SELECT gap_days, n,
+        |  round(CAST(sum(n) OVER (ORDER BY gap_days
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS DOUBLE) / CAST(t.total AS DOUBLE), 6) AS cum_share
+        |FROM h, t""".stripMargin,
     // e17: same cohort assignment, cell grid, dense age spine
     // (generate_series per cohort) and cumulative window.
     "e17_cohort_ltv" ->

@@ -155,6 +155,29 @@ object QueriesRelational {
     // newer-or-equal (strict somewhere). Classic sort-scan shape:
     // collapse to the per-price best (min negated day — anything
     // worse at the same price is dominated), then one ordered pass
+    // Ordered LISTAGG / string_agg (closing the g-family numbering at
+    // g10): per order-status, the top spenders' keys concatenated in a
+    // DETERMINISTIC order — aggregate-concat is the classic
+    // order-sensitive trap (engines disagree on unordered string_agg),
+    // so the row set is bounded first (top-5 per group by cents desc,
+    // key asc — WindowGroupLimit-eligible) and the concat reads an
+    // array_sort'ed struct list, the ts8 fold discipline applied to
+    // strings. O(groups · 5) rows into the agg; nothing unbounded is
+    // ever concatenated.
+    "g10_listagg" -> ((s, d) => {
+      val cents = Tables.orders(s, d).select(col("o_orderstatus"),
+        col("o_custkey"),
+        floor(col("o_totalprice") * 100).cast("long").as("cents"))
+      val top = RelationalOps.topKPerGroup(cents, Seq("o_orderstatus"),
+        Seq(col("cents").desc, col("o_custkey").asc), 5)
+      top.groupBy("o_orderstatus")
+        .agg(concat_ws(",", transform(
+          array_sort(collect_list(struct((-col("cents")).as("nc"),
+            col("o_custkey").as("k")))),
+          x => x.getField("k").cast("string"))).as("top_custkeys"),
+          sum(col("cents")).as("top5_cents"))
+    }),
+
     // keeps rows strictly better than every preceding (cheaper) row's
     // best. All integer (cents, day offsets) — no FP tie ambiguity.
     // The prefix-min scan is DISTRIBUTED (the r11 demand, now built):
@@ -171,7 +194,7 @@ object QueriesRelational {
       val perX = pts.groupBy("price_c")
         .agg(min(col("negday")).as("negday"))
       RelationalOps.globalPrefixMin(perX, Seq(col("price_c").asc),
-          col("negday"), "m")
+          col("price_c"), col("negday"), "m")
         .filter(col("m").isNull || col("negday") < col("m"))
         .select(col("price_c"), (-col("negday")).as("day_off"))
     }),
@@ -1367,6 +1390,20 @@ object QueriesRelational {
         |  min(l_shipdate::DATE) AS min_shipdate
         |FROM lineitem GROUP BY 1""".stripMargin,
     // g11: same collapse + ordered strict-improvement scan.
+    // g10: same bounded top-5 + an ORDER BY'd string_agg matching the
+    // Spark side's sorted-struct fold (cents desc via negation, key
+    // asc).
+    "g10_listagg" ->
+      """WITH c AS (SELECT o_orderstatus, o_custkey,
+        |    CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY o_orderstatus
+        |    ORDER BY cents DESC, o_custkey) AS rn FROM c)
+        |SELECT o_orderstatus,
+        |  string_agg(CAST(o_custkey AS VARCHAR), ','
+        |    ORDER BY -cents, o_custkey) AS top_custkeys,
+        |  CAST(sum(cents) AS BIGINT) AS top5_cents
+        |FROM r WHERE rn <= 5 GROUP BY 1""".stripMargin,
     "g11_pareto" ->
       """WITH pts AS (SELECT CAST(floor(o_totalprice * 100) AS BIGINT)
         |    AS price_c,

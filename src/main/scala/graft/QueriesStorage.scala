@@ -159,7 +159,7 @@ object QueriesStorage {
       def zoneMaps(key: Column, layout: String): DataFrame =
         RelationalOps.globalRowNumber(base.withColumn("k", key),
             Seq(col("k").asc, col("l_orderkey").asc,
-              col("l_linenumber").asc), "rk")
+              col("l_linenumber").asc), col("k"), "rk")
           .crossJoin(broadcast(n1))
           .withColumn("file_id",
             expr("(rk - 1) div ((n_rows + 63) div 64)"))

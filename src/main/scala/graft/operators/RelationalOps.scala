@@ -63,40 +63,78 @@ object RelationalOps {
   def valueAtRank(k: Column): Column =
     max(when(col("cum_before") < k && k <= col("cum"), col("v")))
 
+  /** Attach a DETERMINISTIC range-bucket id `__part` derived from
+    * `primary` (a column that must be ascending-monotone w.r.t. the
+    * intended total order — negate numeric keys for desc orders).
+    *
+    * Boundaries are a seeded-hash equidepth sample computed IN-PLAN:
+    * bottom-2048 distinct keys by md5 (a uniform deterministic
+    * sample), sorted, thinned to ≤ 255 values, collapsed to ONE
+    * broadcast row; a row's bucket is the count of boundaries ≤ its
+    * key (a ≤255-step codegen'd fold). This is RangePartitioner's
+    * shape with the sampling made PURE — Spark's own range exchange
+    * reseeds per execution, so two consumers of one lineage can see
+    * DIFFERENT partition ids when AQE plans their reads independently
+    * (stor4's rank silently corrupted at sf0.1 under
+    * spark_partition_id; flaky across runs). A pure column function
+    * of the data cannot disagree with itself, at any plan shape.
+    * Bucket count is capped at 256 (a cluster-scale knob, not a
+    * data-scale one); bucket SIZES stay balanced by the uniform
+    * sample. */
+  def withRangeBuckets(df: DataFrame, primary: Column): DataFrame = {
+    val keyed = df.withColumn("__pk", primary)
+    val sampled = topKGlobal(
+      keyed.select(col("__pk")).distinct()
+        .withColumn("__h", graft.operators.TextOps.md5Prefix60(
+          concat(lit("rpb:"), col("__pk").cast("string")))),
+      Seq(col("__h").asc, col("__pk").asc), 2048)
+    val bounds = sampled
+      .agg(array_sort(collect_list(col("__pk"))).as("__s"))
+      .select(expr(
+        "filter(transform(__s, (x, i) -> " +
+          "IF((i + 1) % greatest(1, (size(__s) + 254) div 255) = 0, " +
+          "x, NULL)), x -> x IS NOT NULL)").as("__bs"))
+    keyed.crossJoin(broadcast(bounds))
+      .withColumn("__part", coalesce(
+        aggregate(col("__bs"), lit(0L),
+          (acc, b) => acc + when(col("__pk") >= b, 1L).otherwise(0L)),
+        lit(0L)))
+      .drop("__pk", "__bs")
+  }
+
   /** Distributed PREFIX AGGREGATE over a global total order — the
     * house pattern for global row_number / running sum / prefix-min
     * without `Window.orderBy(...)`'s single-partition sort (the r11
     * scale-killer list: e11/e14/g11).
     *
-    * Shape: range-partition on the order (P =
-    * spark.sql.shuffle.partitions ranges of the total order), run the
-    * prefix window per partition, and lift local prefixes to global
-    * ones with per-partition OFFSETS — each partition's one-row
-    * aggregate, prefix-combined across partitions by a window over
-    * the O(P) summary frame (bounded by the cluster, not the data),
-    * broadcast back. Global prefix = combine(local prefix, offset of
-    * all earlier partitions). Exact for any associative agg; the
-    * result is partition-boundary-independent, so oracle SQL written
-    * against the single-sort formulation still matches.
+    * Shape: deterministic range buckets over the order's primary key
+    * ([[withRangeBuckets]]), the prefix window per bucket, and local
+    * prefixes lifted global with per-bucket OFFSETS — each bucket's
+    * one-row aggregate, prefix-combined across buckets by a window
+    * over the ≤256-row summary frame, broadcast back. Global prefix =
+    * combine(local prefix, offset of all earlier buckets). Exact for
+    * any associative agg; the result is bucket-boundary-independent,
+    * so oracle SQL written against the single-sort formulation still
+    * matches.
     *
-    * `aggFn` is the associative aggregate (sum, min, ...); `combine`
-    * merges the in-partition prefix with the prior-partition offset
-    * and must handle NULL on either side (first partition has no
-    * offset; an EXCLUSIVE first-in-partition row has no local
-    * prefix). `inclusive` selects ROWS UNBOUNDED PRECEDING..CURRENT
-    * vs ..-1. */
-  def rangePrefixAgg(df: DataFrame, order: Seq[Column], value: Column,
-      aggFn: Column => Column, combine: (Column, Column) => Column,
+    * `primary` must be ascending-monotone w.r.t. `order` (its leading
+    * expression, negated for desc). `aggFn` is the associative
+    * aggregate (sum, min, ...); `combine` merges the in-bucket prefix
+    * with the prior-bucket offset and must handle NULL on either side
+    * (first bucket has no offset; an EXCLUSIVE first-in-bucket row
+    * has no local prefix). `inclusive` selects ROWS UNBOUNDED
+    * PRECEDING..CURRENT vs ..-1. */
+  def rangePrefixAgg(df: DataFrame, order: Seq[Column], primary: Column,
+      value: Column, aggFn: Column => Column,
+      combine: (Column, Column) => Column,
       out: String, inclusive: Boolean): DataFrame = {
-    val parted = df.repartitionByRange(order: _*)
-      .withColumn("__part", spark_partition_id())
-      .withColumn("__v", value)
+    val parted = withRangeBuckets(df, primary).withColumn("__v", value)
     val wLoc0 = Window.partitionBy("__part").orderBy(order: _*)
     val wLoc =
       if (inclusive) wLoc0.rowsBetween(Window.unboundedPreceding, 0)
       else wLoc0.rowsBetween(Window.unboundedPreceding, -1)
     val wOff = Window.orderBy("__part")
-      .rowsBetween(Window.unboundedPreceding, -1) // O(P) summary rows
+      .rowsBetween(Window.unboundedPreceding, -1) // <=256 summary rows
     val offs = parted.groupBy("__part").agg(aggFn(col("__v")).as("__pa"))
       .withColumn("__off", aggFn(col("__pa")).over(wOff))
       .select("__part", "__off")
@@ -112,23 +150,24 @@ object RelationalOps {
       (l: Column, o: Column): Column =
     when(l.isNull, o).when(o.isNull, l).otherwise(f(l, o))
 
-  /** Global 1-indexed row_number over `order` without a global sort. */
-  def globalRowNumber(df: DataFrame, order: Seq[Column],
+  /** Global 1-indexed row_number over `order` without a global sort.
+    * `primary` = the order's leading expression, ascending-monotone. */
+  def globalRowNumber(df: DataFrame, order: Seq[Column], primary: Column,
       out: String): DataFrame =
-    rangePrefixAgg(df, order, lit(1L), sum, nullSafe(_ + _),
+    rangePrefixAgg(df, order, primary, lit(1L), sum, nullSafe(_ + _),
       out, inclusive = true)
 
   /** Global inclusive running sum of `value` over `order`. */
-  def globalRunningSum(df: DataFrame, order: Seq[Column], value: Column,
-      out: String): DataFrame =
-    rangePrefixAgg(df, order, value, sum, nullSafe(_ + _),
+  def globalRunningSum(df: DataFrame, order: Seq[Column],
+      primary: Column, value: Column, out: String): DataFrame =
+    rangePrefixAgg(df, order, primary, value, sum, nullSafe(_ + _),
       out, inclusive = true)
 
   /** Global EXCLUSIVE prefix-min of `value` over `order` (NULL for
     * the first row — no predecessors), the skyline scan's shape. */
-  def globalPrefixMin(df: DataFrame, order: Seq[Column], value: Column,
-      out: String): DataFrame =
-    rangePrefixAgg(df, order, value, min, nullSafe(least(_, _)),
+  def globalPrefixMin(df: DataFrame, order: Seq[Column], primary: Column,
+      value: Column, out: String): DataFrame =
+    rangePrefixAgg(df, order, primary, value, min, nullSafe(least(_, _)),
       out, inclusive = false)
 
   /** ntile(k) bucket (1-based) from a global 1-indexed rank and the

