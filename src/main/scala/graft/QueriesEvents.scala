@@ -304,17 +304,23 @@ object QueriesEvents {
     // the threshold tested as cum·100 ≥ total·80 in exact integers so
     // the cut cannot ulp-flip. O(users) after one agg; 1-row output.
     "e14_pareto80" -> ((s, d) => {
-      val ua = Tables.events(s, d).groupBy("user_id")
-        .agg(count(lit(1)).as("n"))
+      val ua = rfmUsers(s, d).select(col("user_id"), col("freq").as("n"))
       val order = Seq(col("n").desc, col("user_id").asc)
       val tot = ua.agg(sum(col("n")).as("total"),
         count(lit(1)).as("n_users"))
-      // rank + running sum via the range-partitioned prefix pattern
-      // (RelationalOps.rangePrefixAgg) — no single-partition global
-      // window over O(users) rows (the r11 scale-killer list)
-      val reach = RelationalOps.globalRunningSum(
-          RelationalOps.globalRowNumber(ua, order, -col("n"), "rk"),
-          order, -col("n"), col("n"), "cum")
+      // rank + running sum in ONE range-partitioned prefix pass
+      // (RelationalOps.rangePrefixAggs) — no single-partition global
+      // window over O(users) rows (the r11 scale-killer list), and no
+      // nested-call lineage multiplication (two nested calls would
+      // re-run the user aggregate 9×; the multi-spec pass does it 3×,
+      // all against the persisted rfmUsers frame)
+      val nullAdd = (l: Column, o: Column) =>
+        when(l.isNull, o).when(o.isNull, l).otherwise(l + o)
+      val reach = RelationalOps.rangePrefixAggs(ua, order, -col("n"),
+          Seq(RelationalOps.PrefixSpec(lit(1L), sum, nullAdd, "rk",
+              inclusive = true),
+            RelationalOps.PrefixSpec(col("n"), sum, nullAdd, "cum",
+              inclusive = true)))
         .crossJoin(broadcast(tot))
         .filter(col("cum") * 100 >= col("total") * 80)
         .agg(min(col("rk")).as("k80"))
@@ -417,26 +423,28 @@ object QueriesEvents {
     // passes over O(users), never a single-partition ntile window
     // (the r11 scale-killer list).
     "e11_rfm" -> ((s, d) => {
-      val users = Tables.events(s, d)
-        .groupBy("user_id")
-        .agg(max(to_date(col("ts"))).as("last_day"),
-          count(lit(1)).as("freq"),
-          sum(floor(col("value") * 100).cast("long")).as("cents"))
+      val users = rfmUsers(s, d)
       val n1 = users.agg(count(lit(1)).as("n_total"))
       // primary = the metric's ascending-monotone numeric proxy
       // (negated, dates as negated day offsets) so the deterministic
-      // range buckets align with the desc rank order
-      def q(df: DataFrame, m: Column, primaryAsc: Column, out: String) =
-        RelationalOps.globalRowNumber(df,
-          Seq(m.desc, col("user_id").asc), primaryAsc, "__rk")
-          .withColumn(out, RelationalOps.ntileFromRank(
-            col("__rk"), col("n_total"), 5))
-          .drop("__rk")
-      val scored = q(q(q(users.crossJoin(broadcast(n1)),
-        col("last_day"),
-        -datediff(col("last_day"), lit("1992-01-01").cast("date")),
-        "r_q"), col("freq"), -col("freq"), "f_q"),
-        col("cents"), -col("cents"), "m_q")
+      // range buckets align with the desc rank order. The three ranks
+      // are computed INDEPENDENTLY off the persisted frame and joined
+      // back by user_id — nesting them would multiply lineage (each
+      // outer rank's sample/offsets/main branches re-run the whole
+      // inner rank pipeline: 3³ executions for three nested calls).
+      def q(m: Column, primaryAsc: Column => Column,
+          out: String): DataFrame =
+        RelationalOps.globalRowNumber(
+            users.crossJoin(broadcast(n1))
+              .select(col("user_id"), m.as("__m"), col("n_total")),
+            Seq(col("__m").desc, col("user_id").asc),
+            primaryAsc(col("__m")), "__rk")
+          .select(col("user_id"), RelationalOps.ntileFromRank(
+            col("__rk"), col("n_total"), 5).as(out))
+      val scored = q(col("last_day"),
+          c => -datediff(c, lit("1992-01-01").cast("date")), "r_q")
+        .join(q(col("freq"), c => -c, "f_q"), Seq("user_id"))
+        .join(q(col("cents"), c => -c, "m_q"), Seq("user_id"))
       scored.groupBy("r_q", "f_q", "m_q")
         .agg(count(lit(1)).as("n_users"))
     }),
@@ -557,6 +565,27 @@ object QueriesEvents {
                 x.getField("n_t").cast("double"))), 6).as("s_t"))
     })
   )
+
+  /** The e11/e14 shared per-user activity frame (recency, frequency,
+    * monetary), PERSISTED with the house idempotent-cache discipline
+    * (CacheManager plan equality dedups re-invocations). Both queries
+    * feed it through the range-partitioned rank machinery, whose
+    * sample/offsets/main branches each re-execute their input lineage
+    * — against the cache those branches read a materialized 1-row-per-
+    * user frame instead of re-running the events aggregate. */
+  private[graft] def rfmUsers(s: SparkSession, d: String): DataFrame = {
+    val df = Tables.events(s, d)
+      .groupBy("user_id")
+      .agg(max(to_date(col("ts"))).as("last_day"),
+        count(lit(1)).as("freq"),
+        sum(floor(col("value") * 100).cast("long")).as("cents"))
+    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+      df.persist()
+    else df
+  }
+
+  def unpersistAll(s: SparkSession, d: String): Unit =
+    rfmUsers(s, d).unpersist()
 
   /** The e6/e7 shared sessionization frame: gap>30min boundaries via
     * lag + running boundary count, both windows on ONE user_id

@@ -156,10 +156,16 @@ object QueriesStorage {
         col("l_partkey").bitwiseAND(lit(4095L)).as("pk"),
         col("l_orderkey"), col("l_linenumber"))
       val n1 = base.agg(count(lit(1)).as("n_rows"))
+      // Both sort keys are bounded 24-bit integers (dm,pk ≤ 4095 →
+      // linear = dm·4096+pk < 2^24; the 12-bit interleave < 2^24), so
+      // the rank's range buckets come straight off the key (k >> 16:
+      // ≤256 ids, monotone, tie-safe) — no sampling job, no per-row
+      // boundary fold, the whole bucket assignment is one shift.
       def zoneMaps(key: Column, layout: String): DataFrame =
         RelationalOps.globalRowNumber(base.withColumn("k", key),
             Seq(col("k").asc, col("l_orderkey").asc,
-              col("l_linenumber").asc), col("k"), "rk")
+              col("l_linenumber").asc), col("k"), "rk",
+            bucket = Some(shiftright(col("k"), 16)))
           .crossJoin(broadcast(n1))
           .withColumn("file_id",
             expr("(rk - 1) div ((n_rows + 63) div 64)"))

@@ -94,10 +94,14 @@ object RelationalOps {
         "filter(transform(__s, (x, i) -> " +
           "IF((i + 1) % greatest(1, (size(__s) + 254) div 255) = 0, " +
           "x, NULL)), x -> x IS NOT NULL)").as("__bs"))
+    // bucket id = binary search against the sorted boundary array via
+    // the native codegen'd expression — the HOF fold it replaces
+    // (ArrayAggregate) is a CodegenFallback whose interpreted 255-step
+    // scan dominated g11/e11/d18 (measured: ~2 s of g11's 2.6 s)
     keyed.crossJoin(broadcast(bounds))
       .withColumn("__part", coalesce(
-        aggregate(col("__bs"), lit(0L),
-          (acc, b) => acc + when(col("__pk") >= b, 1L).otherwise(0L)),
+        org.apache.spark.sql.graft.SearchExpressions
+          .sortedLowerBoundCount(col("__bs"), col("__pk")),
         lit(0L)))
       .drop("__pk", "__bs")
   }
@@ -127,21 +131,75 @@ object RelationalOps {
   def rangePrefixAgg(df: DataFrame, order: Seq[Column], primary: Column,
       value: Column, aggFn: Column => Column,
       combine: (Column, Column) => Column,
-      out: String, inclusive: Boolean): DataFrame = {
-    val parted = withRangeBuckets(df, primary).withColumn("__v", value)
+      out: String, inclusive: Boolean,
+      bucket: Option[Column] = None): DataFrame =
+    rangePrefixAggs(df, order, primary,
+      Seq(PrefixSpec(value, aggFn, combine, out, inclusive)), bucket)
+
+  /** One prefix aggregate to compute in a [[rangePrefixAggs]] pass:
+    * running `aggFn(value)` over the shared order, written to `out`,
+    * with the window frame inclusive of the current row or not. */
+  case class PrefixSpec(value: Column, aggFn: Column => Column,
+      combine: (Column, Column) => Column, out: String, inclusive: Boolean)
+
+  /** N prefix aggregates over ONE shared global order in ONE pass —
+    * one bucket assignment, one per-bucket sort, one ≤256-row summary
+    * exchange, however many running aggregates ride on it. The
+    * multi-spec form exists because NESTING two rangePrefixAgg calls
+    * (e14's rank-then-cumsum) multiplies lineage: the outer call's
+    * three consumers (sample, offsets, main) each re-execute the inner
+    * call's whole pipeline — 9 executions of the source aggregate for
+    * two nested calls. One pass makes it 3.
+    *
+    * `bucket`, when given, must be ascending-MONOTONE in `primary`
+    * (equal keys → equal bucket, so ties can never split) with a
+    * bounded (≤ a few hundred) id range. Callers whose primary is a
+    * bounded integer should pass one (e.g. `key >> 16` for a 24-bit
+    * key): it removes the sampling job AND the per-row boundary
+    * search. The sampled default stays for unbounded/unknown key
+    * domains. */
+  def rangePrefixAggs(df: DataFrame, order: Seq[Column], primary: Column,
+      specs: Seq[PrefixSpec], bucket: Option[Column] = None): DataFrame = {
+    require(specs.nonEmpty, "rangePrefixAggs needs at least one spec")
+    val parted0 = bucket match {
+      case Some(b) => df.withColumn("__part", b)
+      case None => withRangeBuckets(df, primary)
+    }
+    val parted = specs.zipWithIndex.foldLeft(parted0) {
+      case (acc, (sp, i)) => acc.withColumn(s"__v$i", sp.value)
+    }
     val wLoc0 = Window.partitionBy("__part").orderBy(order: _*)
-    val wLoc =
+    def wLoc(inclusive: Boolean) =
       if (inclusive) wLoc0.rowsBetween(Window.unboundedPreceding, 0)
       else wLoc0.rowsBetween(Window.unboundedPreceding, -1)
     val wOff = Window.orderBy("__part")
       .rowsBetween(Window.unboundedPreceding, -1) // <=256 summary rows
-    val offs = parted.groupBy("__part").agg(aggFn(col("__v")).as("__pa"))
-      .withColumn("__off", aggFn(col("__pa")).over(wOff))
-      .select("__part", "__off")
-    parted.withColumn("__loc", aggFn(col("__v")).over(wLoc))
-      .join(broadcast(offs), Seq("__part"))
-      .withColumn(out, combine(col("__loc"), col("__off")))
-      .drop("__part", "__v", "__loc", "__off")
+    // The offsets branch re-executes the input lineage, but aggregates
+    // it map-side down to ≤256 partial rows BEFORE any exchange — for
+    // a groupBy-shaped input that beats sharing the windowed exchange
+    // (which would sort the full frame twice); measured, not guessed.
+    val offs = parted.groupBy("__part")
+      .agg(specs.indices.map(i => specs(i).aggFn(col(s"__v$i"))
+        .as(s"__pa$i")).head,
+        specs.indices.tail.map(i => specs(i).aggFn(col(s"__v$i"))
+          .as(s"__pa$i")): _*)
+    val offs2 = specs.zipWithIndex.foldLeft(offs) {
+      case (acc, (sp, i)) =>
+        acc.withColumn(s"__off$i", sp.aggFn(col(s"__pa$i")).over(wOff))
+    }.select(col("__part") +:
+      specs.indices.map(i => col(s"__off$i")): _*)
+    val localized = specs.zipWithIndex.foldLeft(parted) {
+      case (acc, (sp, i)) =>
+        acc.withColumn(s"__loc$i",
+          sp.aggFn(col(s"__v$i")).over(wLoc(sp.inclusive)))
+    }
+    val combined = specs.zipWithIndex.foldLeft(
+      localized.join(broadcast(offs2), Seq("__part"))) {
+      case (acc, (sp, i)) =>
+        acc.withColumn(sp.out, sp.combine(col(s"__loc$i"), col(s"__off$i")))
+    }
+    combined.drop("__part" +: specs.indices.flatMap(i =>
+      Seq(s"__v$i", s"__loc$i", s"__off$i")): _*)
   }
 
   /** NULL-tolerant combiners for rangePrefixAgg: result is NULL only
@@ -153,9 +211,9 @@ object RelationalOps {
   /** Global 1-indexed row_number over `order` without a global sort.
     * `primary` = the order's leading expression, ascending-monotone. */
   def globalRowNumber(df: DataFrame, order: Seq[Column], primary: Column,
-      out: String): DataFrame =
+      out: String, bucket: Option[Column] = None): DataFrame =
     rangePrefixAgg(df, order, primary, lit(1L), sum, nullSafe(_ + _),
-      out, inclusive = true)
+      out, inclusive = true, bucket)
 
   /** Global inclusive running sum of `value` over `order`. */
   def globalRunningSum(df: DataFrame, order: Seq[Column],
