@@ -76,6 +76,17 @@ object Bench {
         (sys.env.getOrElse("SPARK_GRAFT_AQE", "1") != "0").toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Every remaining unpartitioned window in the registry runs over a
+    // BOUNDED summary frame (≤256 bucket offsets, day/decile spines,
+    // source catalogs — each site carries an inline size note, and
+    // PlanAuditSpec's range-partition guard structurally rejects an
+    // unpartitioned Window over raw data), so WindowExec's
+    // single-partition warning is pure noise here: ~300 identical
+    // lines per suite run that bury real warnings. Silence that one
+    // logger; the guard, not the log level, enforces the property.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window",
+      org.apache.logging.log4j.Level.ERROR)
 
     val names = sys.env.get("SPARK_GRAFT_BENCH_ONLY") match {
       case Some(only) =>

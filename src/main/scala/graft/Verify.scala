@@ -20,6 +20,14 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Same deliberate silence as Bench: all remaining unpartitioned
+    // windows run over bounded summary frames (inline size notes at
+    // each site; PlanAuditSpec structurally rejects an unpartitioned
+    // Window over raw data), so the per-site WindowExec warning is
+    // noise that buries real warnings in the verify log.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window",
+      org.apache.logging.log4j.Level.ERROR)
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
