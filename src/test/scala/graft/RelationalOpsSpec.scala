@@ -196,6 +196,61 @@ class RelationalOpsSpec extends SparkTestBase {
       "distributed prefix forms must match the single-sort window")
   }
 
+  test("rangePrefixAggs: N specs in one pass equal the nested single calls") {
+    import org.apache.spark.sql.expressions.Window
+    val df = spark.range(300).select(
+      (pmod(col("id") * 31, lit(120))).as("k"), col("id").as("tb"),
+      (pmod(col("id") * 17, lit(40))).as("v"))
+      .repartition(5)
+    val order = Seq(col("k").asc, col("tb").asc)
+    val w = Window.orderBy(order: _*)
+    val expect = df
+      .withColumn("rn_e", row_number().over(w).cast("long"))
+      .withColumn("cum_e", sum(col("v")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("pm_e", min(col("v")).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)))
+    val nullAdd = (l: org.apache.spark.sql.Column,
+        o: org.apache.spark.sql.Column) =>
+      when(l.isNull, o).when(o.isNull, l).otherwise(l + o)
+    val nullMin = (l: org.apache.spark.sql.Column,
+        o: org.apache.spark.sql.Column) =>
+      when(l.isNull, o).when(o.isNull, l).otherwise(least(l, o))
+    // inclusive rank + inclusive running sum + EXCLUSIVE prefix-min,
+    // mixed frames in one shared-order pass
+    val got = RelationalOps.rangePrefixAggs(df, order, col("k"), Seq(
+      RelationalOps.PrefixSpec(lit(1L), sum, nullAdd, "rn",
+        inclusive = true),
+      RelationalOps.PrefixSpec(col("v"), sum, nullAdd, "cum",
+        inclusive = true),
+      RelationalOps.PrefixSpec(col("v"), min, nullMin, "pm",
+        inclusive = false)))
+    val joined = expect.join(got, Seq("k", "tb", "v"))
+    assert(joined.count() == 300)
+    assert(joined.filter(col("rn_e") =!= col("rn") ||
+      col("cum_e") =!= col("cum") ||
+      (col("pm_e").isNotNull && col("pm_e") =!= col("pm")) ||
+      (col("pm_e").isNull && col("pm").isNotNull)).count() == 0,
+      "multi-spec pass must match the single-sort window forms")
+  }
+
+  test("explicit-bucket rank equals the sampled-boundary rank") {
+    // stor4's fast path: a monotone tie-safe bucket (k >> 3 here)
+    // must yield the identical global rank as the sampled default
+    val df = spark.range(256).select(
+      (pmod(col("id") * 29, lit(64))).as("k"), col("id").as("tb"))
+      .repartition(4)
+    val order = Seq(col("k").asc, col("tb").asc)
+    val a = RelationalOps.globalRowNumber(df, order, col("k"), "rk")
+    val b = RelationalOps.globalRowNumber(df, order, col("k"), "rk",
+      bucket = Some(shiftright(col("k"), 3)))
+    val joined = a.withColumnRenamed("rk", "rk_a")
+      .join(b, Seq("k", "tb"))
+    assert(joined.count() == 256)
+    assert(joined.filter(col("rk_a") =!= col("rk")).count() == 0,
+      "explicit monotone buckets must not change the rank")
+  }
+
   test("valueHistogram selections equal sorted-array order statistics") {
     import spark.implicits._
     // deterministic pseudo-random values incl. heavy ties; three
