@@ -103,6 +103,29 @@ class PlanAuditSpec extends SparkTestBase {
       s"mv5's band join must stay an equi-join:\n$p")
   }
 
+  test("the rank machinery buckets via the native search, never the HOF fold") {
+    // The sampled range-bucket id must be the codegen'd binary search
+    // (SortedLowerBoundCount), not an ArrayAggregate fold — the fold
+    // is a CodegenFallback whose interpreted per-row scan cost ~2 s
+    // on g11 at sf0.1 and broke the whole-stage span around it.
+    for (q <- Seq("g11_pareto", "e11_rfm", "e14_pareto80",
+        "d18_sorted_neighborhood")) {
+      val p = plan(q)
+      assert(p.toLowerCase.contains("sortedlowerboundcount"),
+        s"$q must assign range buckets through the native search:\n$p")
+      assert(!p.contains("aggregate(lambda"),
+        s"$q must not fall back to the interpreted HOF fold:\n$p")
+    }
+    // stor4 (bounded 24-bit keys → `k >> 16`) and dq11 (dense ids →
+    // `event_id div B`) bucket by explicit arithmetic: NO search and
+    // NO sampling subtree at all
+    for (q <- Seq("stor4_zorder_skip", "dq11_sequence_gaps")) {
+      val p = plan(q)
+      assert(!p.toLowerCase.contains("sortedlowerboundcount"),
+        s"$q should bucket by explicit arithmetic:\n$p")
+    }
+  }
+
   test("d18 pairs only through the rank window, never a cross join") {
     val p = plan("d18_sorted_neighborhood")
     assert(p.contains("Window"),
