@@ -37,11 +37,36 @@ object QueriesVector {
     else df
   }
 
+  /** d23's cell-assigned corpus (id, cid, v, n2), PERSISTED with the
+    * prep discipline: the deterministic k-means routing chain (two
+    * assignment passes + one fixed-point Lloyd step) is consumed by
+    * BOTH sides of the pair join and by the per-cell count — uncached,
+    * the whole chain would re-execute once per consumer. At 100 TB
+    * this is "route once → checkpoint → fan out", the same law as
+    * prep/docsWithTokens.
+    */
+  private def semdedupCells(s: SparkSession, d: String): DataFrame = {
+    val K = 16
+    val pts = prep(s, d).select(col("id"), col("v"))
+    val cent0 = pts.filter(col("id") < K)
+      .select(col("id").as("cid"), col("v").as("c"))
+    val a1 = VectorOps.assignNearestEuclid(pts,
+      VectorOps.centroidMeans(
+        VectorOps.assignNearestEuclid(pts, cent0)))
+    val df = a1.select(col("id"), col("cid"), col("v"),
+      VectorOps.norm2(col("v")).as("n2"))
+    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+      df.persist()
+    else df
+  }
+
   /** Release the shared prep cache (for long-lived sessions done with
     * the similarity-search family).
     */
-  def unpersistAll(s: SparkSession, d: String): Unit =
+  def unpersistAll(s: SparkSession, d: String): Unit = {
     prep(s, d).unpersist()
+    semdedupCells(s, d).unpersist()
+  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact top-10 neighbors for the first 5 vectors: corpus scanned once,
@@ -496,6 +521,46 @@ object QueriesVector {
         round(col("d2"), 6).as("d2"))
     }),
 
+    // SemDeDup — semantic dedup via CLUSTER-LOCALITY (Abbas et al.
+    // 2023, arXiv:2303.09540): the second semantic candidate-
+    // generation discipline next to v5's hyperplane banding. Every
+    // vector routes to a coarse k-means cell (v7's seeded codebook +
+    // one Lloyd refinement — the IVF coarse quantizer, deterministic
+    // by the same argmin/fixed-point laws), and near-duplicates are
+    // sought ONLY within a cell: the pair join is an EQUI-join on the
+    // cell id, never all-pairs, and candidates are bounded by the
+    // cell size (K grows with the corpus so cells stay ~constant —
+    // SemDeDup's scaling argument, and exactly v3/v4's routing
+    // economics; a pathologically hot cell falls back to v5's banded
+    // path, same as d3's df cap). Keeper rule: a vector is DROPPED
+    // when its cell holds a SMALLER-id vector above the cosine
+    // threshold (the d15 canonical-keeper convention, deterministic).
+    // Output: the per-cell dedup ledger (n_vecs, duplicate pairs,
+    // dropped count) a corpus-curation pass publishes. Cosine needs
+    // no rounding — only threshold compares, and both engines fold
+    // the identical (smaller-id first) dot products.
+    "d23_semdedup" -> ((s, d) => {
+      val cells = semdedupCells(s, d)
+      val pairs = cells
+        .select(col("cid"), col("id").as("ia"), col("v").as("va"),
+          col("n2").as("n2a"))
+        .join(cells.select(col("cid"), col("id").as("ib"),
+          col("v").as("vb"), col("n2").as("n2b")), Seq("cid"))
+        .filter(col("ia") < col("ib"))
+        .withColumn("cos", VectorOps.cosineFromParts(
+          VectorOps.dot(col("va"), col("vb")), col("n2a"), col("n2b")))
+        .filter(col("cos") >= 0.45)
+      val np = pairs.groupBy("cid").agg(count(lit(1)).as("n_dup_pairs"))
+      val dr = pairs.select(col("cid"), col("ib")).distinct()
+        .groupBy("cid").agg(count(lit(1)).as("n_dropped"))
+      cells.groupBy("cid").agg(count(lit(1)).as("n_vecs"))
+        .join(np, Seq("cid"), "left")
+        .join(dr, Seq("cid"), "left")
+        .na.fill(0L, Seq("n_dup_pairs", "n_dropped"))
+        .select(col("cid").as("cell"), col("n_vecs"),
+          col("n_dup_pairs"), col("n_dropped"))
+    }),
+
     // Exact MIPS: top-10 by RAW inner product — the retrieval
     // objective when magnitudes matter (recommender/reranker scores).
     // v1's broadcast shape; the exactness baseline v13 is gated
@@ -844,6 +909,50 @@ object QueriesVector {
          |  FROM d a CROSS JOIN c1 c) WHERE rk = 1)
          |SELECT vec_id, cid AS cluster, round(d2, 6) AS d2 FROM a1"""
         .stripMargin,
+    // d23: v7's deterministic k-means chain at K=16 (same seeded
+    // codebook, same fixed-point Lloyd step, same argmin tiebreak),
+    // then the cell-local pair join with the smaller-id-first dot
+    // orientation so the threshold compares identical doubles.
+    "d23_semdedup" ->
+      s"""WITH $preparedSql,
+         |c0 AS (SELECT vec_id AS cid, v AS c FROM d WHERE vec_id < 16),
+         |a0 AS (SELECT vec_id, v, cid FROM (
+         |  SELECT a.vec_id, a.v, c.cid,
+         |    row_number() OVER (PARTITION BY a.vec_id
+         |      ORDER BY $euclid2Sql, c.cid) AS rk
+         |  FROM d a CROSS JOIN c0 c) WHERE rk = 1),
+         |e AS (SELECT cid, unnest(list_transform(range(len(v)),
+         |    i -> struct_pack(pos := i,
+         |      fx := CAST(floor(v[i+1] * 1000000.0) AS BIGINT)))) AS u
+         |  FROM a0),
+         |g AS (SELECT cid, u.pos AS pos, sum(u.fx) AS sfx, count(*) AS n
+         |  FROM e GROUP BY 1, 2),
+         |c1 AS (SELECT cid, list_transform(list_sort(list(
+         |    struct_pack(pos := pos, ci := CAST(sfx AS DOUBLE)
+         |      / CAST(n * 1000000 AS DOUBLE)))), s -> s.ci) AS c
+         |  FROM g GROUP BY cid),
+         |a1 AS (SELECT vec_id, cid FROM (
+         |  SELECT a.vec_id, c.cid,
+         |    row_number() OVER (PARTITION BY a.vec_id
+         |      ORDER BY $euclid2Sql, c.cid) AS rk
+         |  FROM d a CROSS JOIN c1 c) WHERE rk = 1),
+         |cells AS (SELECT a1.vec_id, a1.cid, n.v, n.n2
+         |  FROM a1 JOIN n ON n.vec_id = a1.vec_id),
+         |p AS (SELECT * FROM (
+         |  SELECT a.cid, a.vec_id AS ia, b.vec_id AS ib,
+         |    $dotSql / sqrt(a.n2 * b.n2) AS cos
+         |  FROM cells a JOIN cells b
+         |    ON a.cid = b.cid AND a.vec_id < b.vec_id)
+         |  WHERE cos >= 0.45),
+         |nv AS (SELECT cid, count(*) AS n_vecs FROM a1 GROUP BY 1),
+         |np AS (SELECT cid, count(*) AS n_dup_pairs FROM p GROUP BY 1),
+         |dr AS (SELECT cid, count(*) AS n_dropped
+         |  FROM (SELECT DISTINCT cid, ib FROM p) GROUP BY 1)
+         |SELECT nv.cid AS cell, CAST(nv.n_vecs AS BIGINT) AS n_vecs,
+         |  CAST(COALESCE(np.n_dup_pairs, 0) AS BIGINT) AS n_dup_pairs,
+         |  CAST(COALESCE(dr.n_dropped, 0) AS BIGINT) AS n_dropped
+         |FROM nv LEFT JOIN np ON np.cid = nv.cid
+         |LEFT JOIN dr ON dr.cid = nv.cid""".stripMargin,
     "v2_ann_lsh" ->
       s"""WITH $preparedSql,
          |cb AS ($bandSelects),

@@ -300,4 +300,46 @@ class VectorOpsSpec extends SparkTestBase {
     assert(ad2 == rounded,
       s"ADC(q, clone)=$ad2 must equal the rounded quantization floor $rounded")
   }
+
+  test("d23 semdedup: ledger reconciles and a planted clone is dropped") {
+    // A bit-identical clone (cos = 1.0) must land in its original's
+    // cell (identical distances, same argmin tiebreak) and be dropped
+    // by the smaller-id keeper rule; the ledger must reconcile:
+    // Σ n_vecs = corpus size (+1 clone), dropped ≤ pairs per cell.
+    val emb = spark.read.parquet(s"$sf001/embeddings.parquet")
+    val clone = emb.filter(col("vec_id") === 20L)
+      .withColumn("vec_id", lit(999999L))
+    emb.unionByName(clone)
+      .createOrReplaceTempView("embeddings_d23_test")
+    val n = emb.count() + 1
+    // run the same pipeline shape directly over the augmented corpus
+    val prep2 = VectorOps.prepared(
+      spark.table("embeddings_d23_test"), "vec_id", "embedding")
+    val pts = prep2.select(col("id"), col("v"))
+    val cent0 = pts.filter(col("id") < 16)
+      .select(col("id").as("cid"), col("v").as("c"))
+    val a1 = VectorOps.assignNearestEuclid(pts,
+      VectorOps.centroidMeans(VectorOps.assignNearestEuclid(pts, cent0)))
+    val cells = a1.select(col("id"), col("cid"), col("v"),
+      VectorOps.norm2(col("v")).as("n2"))
+    val cellOf = cells.filter(col("id") === 20L || col("id") === 999999L)
+      .select("cid").distinct().collect()
+    assert(cellOf.length == 1, "clone must route to its original's cell")
+    val pairs = cells
+      .select(col("cid"), col("id").as("ia"), col("v").as("va"),
+        col("n2").as("n2a"))
+      .join(cells.select(col("cid"), col("id").as("ib"),
+        col("v").as("vb"), col("n2").as("n2b")), Seq("cid"))
+      .filter(col("ia") < col("ib"))
+      .withColumn("cos", VectorOps.cosineFromParts(
+        VectorOps.dot(col("va"), col("vb")), col("n2a"), col("n2b")))
+      .filter(col("cos") >= 0.45)
+    assert(pairs.filter(col("ia") === 20L && col("ib") === 999999L)
+      .count() == 1, "the planted clone pair must be flagged")
+    assert(cells.count() == n, "every vector must be assigned a cell")
+    val dropped = pairs.select("ib").distinct()
+    assert(dropped.filter(col("ib") === 999999L).count() == 1 &&
+      dropped.filter(col("ib") === 20L).count() == 0,
+      "keeper rule: the larger-id clone drops, the original stays")
+  }
 }
