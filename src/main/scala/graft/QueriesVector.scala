@@ -60,6 +60,23 @@ object QueriesVector {
     else df
   }
 
+  /** d23/d24's cell-local near-dup pairs: in-cell equi-join over the
+    * persisted cell assignment, smaller-id-first dot orientation so
+    * both engines fold identical doubles into the threshold compare.
+    */
+  private def semdedupPairs(s: SparkSession, d: String): DataFrame = {
+    val cells = semdedupCells(s, d)
+    cells
+      .select(col("cid"), col("id").as("ia"), col("v").as("va"),
+        col("n2").as("n2a"))
+      .join(cells.select(col("cid"), col("id").as("ib"),
+        col("v").as("vb"), col("n2").as("n2b")), Seq("cid"))
+      .filter(col("ia") < col("ib"))
+      .withColumn("cos", VectorOps.cosineFromParts(
+        VectorOps.dot(col("va"), col("vb")), col("n2a"), col("n2b")))
+      .filter(col("cos") >= 0.45)
+  }
+
   /** Release the shared prep cache (for long-lived sessions done with
     * the similarity-search family).
     */
@@ -540,16 +557,8 @@ object QueriesVector {
     // no rounding — only threshold compares, and both engines fold
     // the identical (smaller-id first) dot products.
     "d23_semdedup" -> ((s, d) => {
+      val pairs = semdedupPairs(s, d)
       val cells = semdedupCells(s, d)
-      val pairs = cells
-        .select(col("cid"), col("id").as("ia"), col("v").as("va"),
-          col("n2").as("n2a"))
-        .join(cells.select(col("cid"), col("id").as("ib"),
-          col("v").as("vb"), col("n2").as("n2b")), Seq("cid"))
-        .filter(col("ia") < col("ib"))
-        .withColumn("cos", VectorOps.cosineFromParts(
-          VectorOps.dot(col("va"), col("vb")), col("n2a"), col("n2b")))
-        .filter(col("cos") >= 0.45)
       val np = pairs.groupBy("cid").agg(count(lit(1)).as("n_dup_pairs"))
       val dr = pairs.select(col("cid"), col("ib")).distinct()
         .groupBy("cid").agg(count(lit(1)).as("n_dropped"))
@@ -559,6 +568,50 @@ object QueriesVector {
         .na.fill(0L, Seq("n_dup_pairs", "n_dropped"))
         .select(col("cid").as("cell"), col("n_vecs"),
           col("n_dup_pairs"), col("n_dropped"))
+    }),
+
+    // SemDeDup recall gate — the d20/v8 measured-quality discipline
+    // applied to d23: cluster-locality MISSES duplicate pairs that
+    // straddle a cell boundary (the known SemDeDup trade), so the
+    // routing's pair recall is MEASURED against exact truth on a
+    // bounded audit sample (ids < 1000 — fixed-size at any corpus
+    // scale, so the quadratic witness stays cluster-independent and
+    // cheap: ≤C(1000,2) fold evaluations, one broadcast). In-cell
+    // pairs are a SUBSET of truth by construction (same threshold,
+    // same fold), so recall = n_hit / n_truth with the d20 zero-guard
+    // (a degenerate sample reports 0 identically on both engines,
+    // never a NULL-vs-NaN engine mismatch).
+    //
+    // What the number MEANS here: this corpus's strongest pair sits
+    // at cos 0.513 (measured — no tight twins), so the 0.45 gate
+    // operates in the LOOSE-similarity regime where ~2/3 of true
+    // pairs straddle cells (recall ≈ 0.33-0.36 at both sf): exactly
+    // the regime where v5's OR-amplified banding is the right
+    // candidate generator. SemDeDup's own regime is TIGHT thresholds
+    // (≈0.9+), where duplicates are ε-close and co-route — the
+    // spec's bit-identical clone pins that case. The gate exists so
+    // this boundary is a measured fact, not a belief.
+    "d24_semdedup_recall" -> ((s, d) => {
+      val S = 1000L
+      val sub = prep(s, d).filter(col("id") < S)
+      val truth = sub
+        .select(col("id").as("ia"), col("v").as("va"),
+          col("n2").as("n2a"))
+        .crossJoin(broadcast(sub.select(col("id").as("ib"),
+          col("v").as("vb"), col("n2").as("n2b"))))
+        .filter(col("ia") < col("ib"))
+        .filter(VectorOps.cosineFromParts(
+          VectorOps.dot(col("va"), col("vb")),
+          col("n2a"), col("n2b")) >= 0.45)
+        .agg(count(lit(1)).as("n_truth"))
+      val hit = semdedupPairs(s, d)
+        .filter(col("ia") < S && col("ib") < S)
+        .agg(count(lit(1)).as("n_hit"))
+      truth.crossJoin(broadcast(hit))
+        .select(col("n_truth"), col("n_hit"),
+          round(when(col("n_truth") > 0,
+            col("n_hit").cast("double") / col("n_truth").cast("double"))
+            .otherwise(lit(0.0)), 6).as("recall"))
     }),
 
     // Exact MIPS: top-10 by RAW inner product — the retrieval
@@ -638,6 +691,40 @@ object QueriesVector {
     """list_reduce(list_prepend(0.0, list_transform(range(len(a.v)),
       |      i -> (a.v[i+1] - c.c[i+1]) * (a.v[i+1] - c.c[i+1]))),
       |      (x, y) -> x + y)""".stripMargin
+
+  /** d23/d24's shared oracle chain: the K=16 deterministic k-means
+    * routing (v7's CTE shapes) ending in `cells` (vec_id, cid, v, n2)
+    * and `p` — the in-cell thresholded near-dup pairs. */
+  private val semdedupSql =
+    s"""c0 AS (SELECT vec_id AS cid, v AS c FROM d WHERE vec_id < 16),
+       |a0 AS (SELECT vec_id, v, cid FROM (
+       |  SELECT a.vec_id, a.v, c.cid,
+       |    row_number() OVER (PARTITION BY a.vec_id
+       |      ORDER BY $euclid2Sql, c.cid) AS rk
+       |  FROM d a CROSS JOIN c0 c) WHERE rk = 1),
+       |e AS (SELECT cid, unnest(list_transform(range(len(v)),
+       |    i -> struct_pack(pos := i,
+       |      fx := CAST(floor(v[i+1] * 1000000.0) AS BIGINT)))) AS u
+       |  FROM a0),
+       |g AS (SELECT cid, u.pos AS pos, sum(u.fx) AS sfx, count(*) AS n
+       |  FROM e GROUP BY 1, 2),
+       |c1 AS (SELECT cid, list_transform(list_sort(list(
+       |    struct_pack(pos := pos, ci := CAST(sfx AS DOUBLE)
+       |      / CAST(n * 1000000 AS DOUBLE)))), s -> s.ci) AS c
+       |  FROM g GROUP BY cid),
+       |a1 AS (SELECT vec_id, cid FROM (
+       |  SELECT a.vec_id, c.cid,
+       |    row_number() OVER (PARTITION BY a.vec_id
+       |      ORDER BY $euclid2Sql, c.cid) AS rk
+       |  FROM d a CROSS JOIN c1 c) WHERE rk = 1),
+       |cells AS (SELECT a1.vec_id, a1.cid, n.v, n.n2
+       |  FROM a1 JOIN n ON n.vec_id = a1.vec_id),
+       |p AS (SELECT * FROM (
+       |  SELECT a.cid, a.vec_id AS ia, b.vec_id AS ib,
+       |    $dotSql / sqrt(a.n2 * b.n2) AS cos
+       |  FROM cells a JOIN cells b
+       |    ON a.cid = b.cid AND a.vec_id < b.vec_id)
+       |  WHERE cos >= 0.45)""".stripMargin
 
   private val preparedSql =
     """d AS (SELECT vec_id,
@@ -915,35 +1002,7 @@ object QueriesVector {
     // orientation so the threshold compares identical doubles.
     "d23_semdedup" ->
       s"""WITH $preparedSql,
-         |c0 AS (SELECT vec_id AS cid, v AS c FROM d WHERE vec_id < 16),
-         |a0 AS (SELECT vec_id, v, cid FROM (
-         |  SELECT a.vec_id, a.v, c.cid,
-         |    row_number() OVER (PARTITION BY a.vec_id
-         |      ORDER BY $euclid2Sql, c.cid) AS rk
-         |  FROM d a CROSS JOIN c0 c) WHERE rk = 1),
-         |e AS (SELECT cid, unnest(list_transform(range(len(v)),
-         |    i -> struct_pack(pos := i,
-         |      fx := CAST(floor(v[i+1] * 1000000.0) AS BIGINT)))) AS u
-         |  FROM a0),
-         |g AS (SELECT cid, u.pos AS pos, sum(u.fx) AS sfx, count(*) AS n
-         |  FROM e GROUP BY 1, 2),
-         |c1 AS (SELECT cid, list_transform(list_sort(list(
-         |    struct_pack(pos := pos, ci := CAST(sfx AS DOUBLE)
-         |      / CAST(n * 1000000 AS DOUBLE)))), s -> s.ci) AS c
-         |  FROM g GROUP BY cid),
-         |a1 AS (SELECT vec_id, cid FROM (
-         |  SELECT a.vec_id, c.cid,
-         |    row_number() OVER (PARTITION BY a.vec_id
-         |      ORDER BY $euclid2Sql, c.cid) AS rk
-         |  FROM d a CROSS JOIN c1 c) WHERE rk = 1),
-         |cells AS (SELECT a1.vec_id, a1.cid, n.v, n.n2
-         |  FROM a1 JOIN n ON n.vec_id = a1.vec_id),
-         |p AS (SELECT * FROM (
-         |  SELECT a.cid, a.vec_id AS ia, b.vec_id AS ib,
-         |    $dotSql / sqrt(a.n2 * b.n2) AS cos
-         |  FROM cells a JOIN cells b
-         |    ON a.cid = b.cid AND a.vec_id < b.vec_id)
-         |  WHERE cos >= 0.45),
+         |$semdedupSql,
          |nv AS (SELECT cid, count(*) AS n_vecs FROM a1 GROUP BY 1),
          |np AS (SELECT cid, count(*) AS n_dup_pairs FROM p GROUP BY 1),
          |dr AS (SELECT cid, count(*) AS n_dropped
@@ -953,6 +1012,24 @@ object QueriesVector {
          |  CAST(COALESCE(dr.n_dropped, 0) AS BIGINT) AS n_dropped
          |FROM nv LEFT JOIN np ON np.cid = nv.cid
          |LEFT JOIN dr ON dr.cid = nv.cid""".stripMargin,
+    // d24: exact truth on the bounded audit sample (ids < 1000), the
+    // in-cell pairs restricted to the same sample, zero-guarded ratio.
+    "d24_semdedup_recall" ->
+      s"""WITH $preparedSql,
+         |$semdedupSql,
+         |t AS (SELECT count(*) AS n_truth FROM (
+         |  SELECT a.vec_id, b.vec_id,
+         |    $dotSql / sqrt(a.n2 * b.n2) AS cos
+         |  FROM n a JOIN n b ON a.vec_id < b.vec_id
+         |  WHERE a.vec_id < 1000 AND b.vec_id < 1000)
+         |  WHERE cos >= 0.45),
+         |h AS (SELECT count(*) AS n_hit FROM p
+         |  WHERE ia < 1000 AND ib < 1000)
+         |SELECT t.n_truth, h.n_hit,
+         |  round(CASE WHEN t.n_truth > 0
+         |    THEN CAST(h.n_hit AS DOUBLE) / CAST(t.n_truth AS DOUBLE)
+         |    ELSE 0.0 END, 6) AS recall
+         |FROM t, h""".stripMargin,
     "v2_ann_lsh" ->
       s"""WITH $preparedSql,
          |cb AS ($bandSelects),
