@@ -45,27 +45,36 @@ object QueriesVector {
     * this is "route once → checkpoint → fan out", the same law as
     * prep/docsWithTokens.
     */
+  /** The frame carries the RANKED top-2 routing (id, cid, rk, v, n2):
+    * d23 dedups within rk=1 cells; d24's multi-probe arm admits both
+    * ranks — one cached routing serves the whole curve (v19's
+    * route-once discipline). */
   private def semdedupCells(s: SparkSession, d: String): DataFrame = {
     val K = 16
     val pts = prep(s, d).select(col("id"), col("v"))
     val cent0 = pts.filter(col("id") < K)
       .select(col("id").as("cid"), col("v").as("c"))
-    val a1 = VectorOps.assignNearestEuclid(pts,
+    val routed = VectorOps.assignTopKEuclid(pts,
       VectorOps.centroidMeans(
-        VectorOps.assignNearestEuclid(pts, cent0)))
-    val df = a1.select(col("id"), col("cid"), col("v"),
+        VectorOps.assignNearestEuclid(pts, cent0)), 2)
+    val df = routed.select(col("id"), col("cid"), col("rk"), col("v"),
       VectorOps.norm2(col("v")).as("n2"))
     if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
       df.persist()
     else df
   }
 
-  /** d23/d24's cell-local near-dup pairs: in-cell equi-join over the
-    * persisted cell assignment, smaller-id-first dot orientation so
-    * both engines fold identical doubles into the threshold compare.
+  /** d23/d24's cell-local near-dup pairs at probe depth `np` (shared
+    * cell among each side's top-np routed cells), as (cid, ia, ib)
+    * with the smaller-id-first dot orientation so both engines fold
+    * identical doubles into the threshold compare. At np = 1 each
+    * vector lives in one cell so pairs are unique; at np > 1 a pair
+    * can surface once per shared cell — consumers that count pairs
+    * must DISTINCT on (ia, ib).
     */
-  private def semdedupPairs(s: SparkSession, d: String): DataFrame = {
-    val cells = semdedupCells(s, d)
+  private def semdedupPairs(s: SparkSession, d: String,
+      np: Int = 1): DataFrame = {
+    val cells = semdedupCells(s, d).filter(col("rk") <= np)
     cells
       .select(col("cid"), col("id").as("ia"), col("v").as("va"),
         col("n2").as("n2a"))
@@ -75,6 +84,7 @@ object QueriesVector {
       .withColumn("cos", VectorOps.cosineFromParts(
         VectorOps.dot(col("va"), col("vb")), col("n2a"), col("n2b")))
       .filter(col("cos") >= 0.45)
+      .select("cid", "ia", "ib")
   }
 
   /** Release the shared prep cache (for long-lived sessions done with
@@ -558,7 +568,7 @@ object QueriesVector {
     // the identical (smaller-id first) dot products.
     "d23_semdedup" -> ((s, d) => {
       val pairs = semdedupPairs(s, d)
-      val cells = semdedupCells(s, d)
+      val cells = semdedupCells(s, d).filter(col("rk") === 1L)
       val np = pairs.groupBy("cid").agg(count(lit(1)).as("n_dup_pairs"))
       val dr = pairs.select(col("cid"), col("ib")).distinct()
         .groupBy("cid").agg(count(lit(1)).as("n_dropped"))
@@ -590,7 +600,11 @@ object QueriesVector {
     // candidate generator. SemDeDup's own regime is TIGHT thresholds
     // (≈0.9+), where duplicates are ε-close and co-route — the
     // spec's bit-identical clone pins that case. The gate exists so
-    // this boundary is a measured fact, not a belief.
+    // this boundary is a measured fact, not a belief — and it also
+    // measures the canonical mitigation as a second arm: SOFT
+    // assignment (each vector in its top-2 cells, v19's route-once
+    // discipline over one cached ranked routing) trades 2× routing
+    // fan-out for the boundary pairs single assignment loses.
     "d24_semdedup_recall" -> ((s, d) => {
       val S = 1000L
       val sub = prep(s, d).filter(col("id") < S)
@@ -604,14 +618,19 @@ object QueriesVector {
           VectorOps.dot(col("va"), col("vb")),
           col("n2a"), col("n2b")) >= 0.45)
         .agg(count(lit(1)).as("n_truth"))
-      val hit = semdedupPairs(s, d)
-        .filter(col("ia") < S && col("ib") < S)
-        .agg(count(lit(1)).as("n_hit"))
-      truth.crossJoin(broadcast(hit))
-        .select(col("n_truth"), col("n_hit"),
-          round(when(col("n_truth") > 0,
-            col("n_hit").cast("double") / col("n_truth").cast("double"))
-            .otherwise(lit(0.0)), 6).as("recall"))
+      def arm(np: Int): DataFrame = {
+        val hit = semdedupPairs(s, d, np)
+          .filter(col("ia") < S && col("ib") < S)
+          .select("ia", "ib").distinct()
+          .agg(count(lit(1)).as("n_hit"))
+        truth.crossJoin(broadcast(hit))
+          .select(lit(np.toLong).as("nprobe"), col("n_truth"),
+            col("n_hit"),
+            round(when(col("n_truth") > 0, col("n_hit").cast("double") /
+              col("n_truth").cast("double"))
+              .otherwise(lit(0.0)), 6).as("recall"))
+      }
+      arm(1).unionAll(arm(2))
     }),
 
     // Exact MIPS: top-10 by RAW inner product — the retrieval
@@ -712,12 +731,14 @@ object QueriesVector {
        |    struct_pack(pos := pos, ci := CAST(sfx AS DOUBLE)
        |      / CAST(n * 1000000 AS DOUBLE)))), s -> s.ci) AS c
        |  FROM g GROUP BY cid),
-       |a1 AS (SELECT vec_id, cid FROM (
+       |a1 AS (SELECT vec_id, cid, rk FROM (
        |  SELECT a.vec_id, c.cid,
        |    row_number() OVER (PARTITION BY a.vec_id
        |      ORDER BY $euclid2Sql, c.cid) AS rk
-       |  FROM d a CROSS JOIN c1 c) WHERE rk = 1),
+       |  FROM d a CROSS JOIN c1 c) WHERE rk <= 2),
        |cells AS (SELECT a1.vec_id, a1.cid, n.v, n.n2
+       |  FROM a1 JOIN n ON n.vec_id = a1.vec_id WHERE a1.rk = 1),
+       |cells2 AS (SELECT a1.vec_id, a1.cid, n.v, n.n2
        |  FROM a1 JOIN n ON n.vec_id = a1.vec_id),
        |p AS (SELECT * FROM (
        |  SELECT a.cid, a.vec_id AS ia, b.vec_id AS ib,
@@ -1003,7 +1024,8 @@ object QueriesVector {
     "d23_semdedup" ->
       s"""WITH $preparedSql,
          |$semdedupSql,
-         |nv AS (SELECT cid, count(*) AS n_vecs FROM a1 GROUP BY 1),
+         |nv AS (SELECT cid, count(*) AS n_vecs FROM a1
+         |  WHERE rk = 1 GROUP BY 1),
          |np AS (SELECT cid, count(*) AS n_dup_pairs FROM p GROUP BY 1),
          |dr AS (SELECT cid, count(*) AS n_dropped
          |  FROM (SELECT DISTINCT cid, ib FROM p) GROUP BY 1)
@@ -1013,7 +1035,9 @@ object QueriesVector {
          |FROM nv LEFT JOIN np ON np.cid = nv.cid
          |LEFT JOIN dr ON dr.cid = nv.cid""".stripMargin,
     // d24: exact truth on the bounded audit sample (ids < 1000), the
-    // in-cell pairs restricted to the same sample, zero-guarded ratio.
+    // in-cell pairs at each probe depth restricted to the same
+    // sample (DISTINCT — a 2-probe pair can co-occur in two shared
+    // cells), zero-guarded ratios as a 2-row nprobe curve.
     "d24_semdedup_recall" ->
       s"""WITH $preparedSql,
          |$semdedupSql,
@@ -1023,13 +1047,28 @@ object QueriesVector {
          |  FROM n a JOIN n b ON a.vec_id < b.vec_id
          |  WHERE a.vec_id < 1000 AND b.vec_id < 1000)
          |  WHERE cos >= 0.45),
-         |h AS (SELECT count(*) AS n_hit FROM p
+         |p2 AS (SELECT DISTINCT ia, ib FROM (
+         |  SELECT a.vec_id AS ia, b.vec_id AS ib,
+         |    $dotSql / sqrt(a.n2 * b.n2) AS cos
+         |  FROM cells2 a JOIN cells2 b
+         |    ON a.cid = b.cid AND a.vec_id < b.vec_id)
+         |  WHERE cos >= 0.45),
+         |h1 AS (SELECT count(*) AS n_hit FROM
+         |  (SELECT DISTINCT ia, ib FROM p)
+         |  WHERE ia < 1000 AND ib < 1000),
+         |h2 AS (SELECT count(*) AS n_hit FROM p2
          |  WHERE ia < 1000 AND ib < 1000)
-         |SELECT t.n_truth, h.n_hit,
+         |SELECT CAST(1 AS BIGINT) AS nprobe, t.n_truth, h1.n_hit,
          |  round(CASE WHEN t.n_truth > 0
-         |    THEN CAST(h.n_hit AS DOUBLE) / CAST(t.n_truth AS DOUBLE)
+         |    THEN CAST(h1.n_hit AS DOUBLE) / CAST(t.n_truth AS DOUBLE)
          |    ELSE 0.0 END, 6) AS recall
-         |FROM t, h""".stripMargin,
+         |FROM t, h1
+         |UNION ALL
+         |SELECT CAST(2 AS BIGINT), t.n_truth, h2.n_hit,
+         |  round(CASE WHEN t.n_truth > 0
+         |    THEN CAST(h2.n_hit AS DOUBLE) / CAST(t.n_truth AS DOUBLE)
+         |    ELSE 0.0 END, 6) AS recall
+         |FROM t, h2""".stripMargin,
     "v2_ann_lsh" ->
       s"""WITH $preparedSql,
          |cb AS ($bandSelects),

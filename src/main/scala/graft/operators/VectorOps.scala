@@ -465,6 +465,26 @@ object VectorOps {
         col("best.d2").as("d2"))
   }
 
+  /** Ranked EUCLIDEAN cell assignment: each point's `k` nearest
+    * centroids with their rank (1 = nearest) — [[assignNearestEuclid]]
+    * generalized for multi-probe membership (rk = 1 reproduces it
+    * exactly: same fold, same (d2, cid) struct-order tiebreak). Same
+    * zero-corpus-movement shape: one broadcast centroid row, a sorted
+    * slice, an in-row posexplode — fan-out is exactly k×, never a
+    * shuffle. Returns (id, v, cid, rk). */
+  def assignTopKEuclid(points: DataFrame, cents: DataFrame,
+      k: Int): DataFrame = {
+    val centsRow = cents.agg(
+      array_sort(collect_list(struct(col("cid"), col("c")))).as("cents"))
+    val top = slice(array_sort(transform(col("cents"),
+      s => struct(euclid2(col("v"), s.getField("c")).as("d2"),
+        s.getField("cid").as("cid")))), 1, k)
+    points.crossJoin(broadcast(centsRow))
+      .select(col("id"), col("v"), posexplode(top).as(Seq("pos", "r")))
+      .select(col("id"), col("v"), col("r.cid").as("cid"),
+        (col("pos") + 1).cast("long").as("rk"))
+  }
+
   /** One Lloyd UPDATE step: elementwise mean of each cluster's vectors,
     * INTEGER-EXACT until one final division — components are scaled to
     * fixed point (`floor(x·10^6)`, exact longs; floor rather than round
