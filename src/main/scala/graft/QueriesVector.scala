@@ -50,9 +50,18 @@ object QueriesVector {
     * ranks — one cached routing serves the whole curve (v19's
     * route-once discipline). */
   private def semdedupCells(s: SparkSession, d: String): DataFrame = {
-    val K = 16
     val pts = prep(s, d).select(col("id"), col("v"))
-    val cent0 = pts.filter(col("id") < K)
+    // K scales with the corpus (target cell ≈ 312 vectors, floor 16)
+    // so the in-cell pair join stays ~quadratic-in-a-CONSTANT at any
+    // scale — a fixed K would grow cells linearly and the join
+    // quadratically. Derived IN-PLAN (broadcast 1-row count, no
+    // action at query-build time — the d6 lesson); integer div keeps
+    // K identical across engines, and at sf0.01/sf0.1 it lands on
+    // exactly the original 16.
+    val kk = pts.agg(greatest(lit(16L),
+      expr("count(1) div 312")).as("kk"))
+    val cent0 = pts.crossJoin(broadcast(kk))
+      .filter(col("id") < col("kk"))
       .select(col("id").as("cid"), col("v").as("c"))
     val routed = VectorOps.assignTopKEuclid(pts,
       VectorOps.centroidMeans(
@@ -715,7 +724,9 @@ object QueriesVector {
     * routing (v7's CTE shapes) ending in `cells` (vec_id, cid, v, n2)
     * and `p` — the in-cell thresholded near-dup pairs. */
   private val semdedupSql =
-    s"""c0 AS (SELECT vec_id AS cid, v AS c FROM d WHERE vec_id < 16),
+    s"""kk AS (SELECT greatest(16, count(*) // 312) AS kk FROM d),
+       |c0 AS (SELECT vec_id AS cid, v AS c FROM d, kk
+       |  WHERE vec_id < kk.kk),
        |a0 AS (SELECT vec_id, v, cid FROM (
        |  SELECT a.vec_id, a.v, c.cid,
        |    row_number() OVER (PARTITION BY a.vec_id
