@@ -952,7 +952,8 @@ object QueriesRelational {
         Tables.lineitem(s, d).select(col("l_returnflag"),
           col("l_extendedprice"), col("l_quantity")),
         "l_returnflag", col("l_extendedprice"),
-        floor(col("l_quantity")).cast("long"))
+        floor(col("l_quantity")).cast("long"),
+        distributedCum = true) // near-unique price domain
       h.filter(col("cum") * 2 >= col("total"))
         .groupBy("l_returnflag")
         .agg(max(col("total")).as("total_weight"),
@@ -1088,7 +1089,8 @@ object QueriesRelational {
       val h = RelationalOps.valueHistogram(
         Tables.lineitem(s, d).select(col("l_returnflag"),
           col("l_extendedprice")),
-        "l_returnflag", col("l_extendedprice"))
+        "l_returnflag", col("l_extendedprice"),
+        distributedCum = true) // near-unique price domain
       def pick(q: Double, name: String) =
         RelationalOps.valueAtRank(
           ceil(col("total").cast("double") * lit(q))).as(name)

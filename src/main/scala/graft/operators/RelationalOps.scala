@@ -46,15 +46,42 @@ object RelationalOps {
     * (inclusive running Σ in value order), cum_before (= cum − cnt),
     * total (group Σ). */
   def valueHistogram(df: DataFrame, group: String, value: Column,
-      weight: Column = lit(1L)): DataFrame = {
-    val wCum = Window.partitionBy(group).orderBy("v")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wAll = Window.partitionBy(group)
-    df.groupBy(col(group), value.as("v"))
+      weight: Column = lit(1L),
+      distributedCum: Boolean = false): DataFrame = {
+    // Choose the cumulative pass by the VALUE DOMAIN, not the row
+    // count:
+    //  - bounded domain (1..50 quantities, enum codes): the histogram
+    //    is tiny at any data scale, and the per-group window IS the
+    //    right plan — the grouped-prefix machinery's sampling pass
+    //    would cost more than it saves at every scale (measured: g5
+    //    0.25→0.51 s under the distributed form at sf0.1);
+    //  - unbounded/near-unique domain (cents prices — w9/g8): the
+    //    histogram is O(n distinct) rows and the per-group window
+    //    puts ~n/G of them on one task (the r11 scale-killer class) —
+    //    pass distributedCum = true to ride [[rangePrefixAggsBy]]
+    //    (boundary-independent, so every selection read off the frame
+    //    is unchanged; oracle SQL against the window form still
+    //    matches).
+    val counts = df.groupBy(col(group), value.as("v"))
       .agg(sum(weight).as("cnt"))
-      .withColumn("cum", sum(col("cnt")).over(wCum))
-      .withColumn("total", sum(col("cnt")).over(wAll))
-      .withColumn("cum_before", col("cum") - col("cnt"))
+    if (distributedCum) {
+      val withCum = rangePrefixAggsBy(counts, Seq(group),
+        Seq(col("v").asc), col("v"),
+        Seq(PrefixSpec(col("cnt"), sum, nullSafe(_ + _), "cum",
+          inclusive = true)))
+      val tots = counts.groupBy(col(group))
+        .agg(sum(col("cnt")).as("total"))
+      withCum.join(broadcast(tots), Seq(group))
+        .withColumn("cum_before", col("cum") - col("cnt"))
+    } else {
+      val wCum = Window.partitionBy(group).orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy(group)
+      counts
+        .withColumn("cum", sum(col("cnt")).over(wCum))
+        .withColumn("total", sum(col("cnt")).over(wAll))
+        .withColumn("cum_before", col("cum") - col("cnt"))
+    }
   }
 
   /** Value at 1-indexed rank `k` read off a valueHistogram frame:
@@ -159,6 +186,23 @@ object RelationalOps {
     * search. The sampled default stays for unbounded/unknown key
     * domains. */
   def rangePrefixAggs(df: DataFrame, order: Seq[Column], primary: Column,
+      specs: Seq[PrefixSpec], bucket: Option[Column] = None): DataFrame =
+    rangePrefixAggsBy(df, Nil, order, primary, specs, bucket)
+
+  /** GROUPED [[rangePrefixAggs]]: an independent prefix aggregate over
+    * `order` WITHIN each value of `groupCols` — the scale-safe form of
+    * `Window.partitionBy(group).orderBy(...)` when the group count is
+    * LOW (the r11 scale-killer class: cardinality-3 l_returnflag puts
+    * ~n/3 rows on one task). Buckets still come from ONE group-blind
+    * boundary sample over `primary` (monotone within every group by
+    * construction, ties never split); the local window partitions by
+    * (group, bucket), the offset window runs per group over its ≤256
+    * bucket summaries — bounded frames everywhere, no near-global
+    * sort. Group-blind boundaries trade per-group balance for one
+    * shared sampling pass; when group key ranges are disjoint each
+    * group simply uses its own slice of the boundary list. */
+  def rangePrefixAggsBy(df: DataFrame, groupCols: Seq[String],
+      order: Seq[Column], primary: Column,
       specs: Seq[PrefixSpec], bucket: Option[Column] = None): DataFrame = {
     require(specs.nonEmpty, "rangePrefixAggs needs at least one spec")
     val parted0 = bucket match {
@@ -168,17 +212,22 @@ object RelationalOps {
     val parted = specs.zipWithIndex.foldLeft(parted0) {
       case (acc, (sp, i)) => acc.withColumn(s"__v$i", sp.value)
     }
-    val wLoc0 = Window.partitionBy("__part").orderBy(order: _*)
+    val partKeys = groupCols :+ "__part"
+    val wLoc0 = Window.partitionBy(partKeys.map(col): _*)
+      .orderBy(order: _*)
     def wLoc(inclusive: Boolean) =
       if (inclusive) wLoc0.rowsBetween(Window.unboundedPreceding, 0)
       else wLoc0.rowsBetween(Window.unboundedPreceding, -1)
-    val wOff = Window.orderBy("__part")
-      .rowsBetween(Window.unboundedPreceding, -1) // <=256 summary rows
+    // per group: <=256 summary rows; ungrouped: one <=256-row frame
+    val wOff = (if (groupCols.isEmpty) Window.orderBy("__part")
+      else Window.partitionBy(groupCols.map(col): _*).orderBy("__part"))
+      .rowsBetween(Window.unboundedPreceding, -1)
     // The offsets branch re-executes the input lineage, but aggregates
-    // it map-side down to ≤256 partial rows BEFORE any exchange — for
-    // a groupBy-shaped input that beats sharing the windowed exchange
-    // (which would sort the full frame twice); measured, not guessed.
-    val offs = parted.groupBy("__part")
+    // it map-side down to ≤256 partial rows per group BEFORE any
+    // exchange — for a groupBy-shaped input that beats sharing the
+    // windowed exchange (which would sort the full frame twice);
+    // measured, not guessed.
+    val offs = parted.groupBy(partKeys.map(col): _*)
       .agg(specs.indices.map(i => specs(i).aggFn(col(s"__v$i"))
         .as(s"__pa$i")).head,
         specs.indices.tail.map(i => specs(i).aggFn(col(s"__v$i"))
@@ -186,7 +235,7 @@ object RelationalOps {
     val offs2 = specs.zipWithIndex.foldLeft(offs) {
       case (acc, (sp, i)) =>
         acc.withColumn(s"__off$i", sp.aggFn(col(s"__pa$i")).over(wOff))
-    }.select(col("__part") +:
+    }.select(partKeys.map(col) ++
       specs.indices.map(i => col(s"__off$i")): _*)
     val localized = specs.zipWithIndex.foldLeft(parted) {
       case (acc, (sp, i)) =>
@@ -194,7 +243,7 @@ object RelationalOps {
           sp.aggFn(col(s"__v$i")).over(wLoc(sp.inclusive)))
     }
     val combined = specs.zipWithIndex.foldLeft(
-      localized.join(broadcast(offs2), Seq("__part"))) {
+      localized.join(broadcast(offs2), partKeys)) {
       case (acc, (sp, i)) =>
         acc.withColumn(sp.out, sp.combine(col(s"__loc$i"), col(s"__off$i")))
     }
