@@ -234,6 +234,32 @@ class RelationalOpsSpec extends SparkTestBase {
       "multi-spec pass must match the single-sort window forms")
   }
 
+  test("rangePrefixAggsBy equals the per-group window form") {
+    import org.apache.spark.sql.expressions.Window
+    // 3 groups with overlapping AND disjoint key ranges, ties included
+    val df = spark.range(600).select(
+      (pmod(col("id"), lit(3))).cast("string").as("g"),
+      (pmod(col("id") * 41, lit(150)) +
+        when(pmod(col("id"), lit(3)) === 2, 1000L).otherwise(0L)).as("k"),
+      col("id").as("tb"),
+      (pmod(col("id") * 7, lit(25))).as("v"))
+      .repartition(6)
+    val order = Seq(col("k").asc, col("tb").asc)
+    val w = Window.partitionBy("g").orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val expect = df.withColumn("cum_e", sum(col("v")).over(w))
+    val nullAdd = (l: org.apache.spark.sql.Column,
+        o: org.apache.spark.sql.Column) =>
+      when(l.isNull, o).when(o.isNull, l).otherwise(l + o)
+    val got = RelationalOps.rangePrefixAggsBy(df, Seq("g"), order,
+      col("k"), Seq(RelationalOps.PrefixSpec(col("v"), sum, nullAdd,
+        "cum", inclusive = true)))
+    val joined = expect.join(got, Seq("g", "k", "tb", "v"))
+    assert(joined.count() == 600)
+    assert(joined.filter(col("cum_e") =!= col("cum")).count() == 0,
+      "grouped distributed prefix must match the per-group window")
+  }
+
   test("explicit-bucket rank equals the sampled-boundary rank") {
     // stor4's fast path: a monotone tie-safe bucket (k >> 3 here)
     // must yield the identical global rank as the sampled default
