@@ -425,26 +425,38 @@ object QueriesEvents {
     "e11_rfm" -> ((s, d) => {
       val users = rfmUsers(s, d)
       val n1 = users.agg(count(lit(1)).as("n_total"))
-      // primary = the metric's ascending-monotone numeric proxy
-      // (negated, dates as negated day offsets) so the deterministic
-      // range buckets align with the desc rank order. The three ranks
-      // are computed INDEPENDENTLY off the persisted frame and joined
-      // back by user_id — nesting them would multiply lineage (each
-      // outer rank's sample/offsets/main branches re-run the whole
-      // inner rank pipeline: 3³ executions for three nested calls).
-      def q(m: Column, primaryAsc: Column => Column,
-          out: String): DataFrame =
-        RelationalOps.globalRowNumber(
-            users.crossJoin(broadcast(n1))
-              .select(col("user_id"), m.as("__m"), col("n_total")),
-            Seq(col("__m").desc, col("user_id").asc),
-            primaryAsc(col("__m")), "__rk")
-          .select(col("user_id"), RelationalOps.ntileFromRank(
-            col("__rk"), col("n_total"), 5).as(out))
-      val scored = q(col("last_day"),
-          c => -datediff(c, lit("1992-01-01").cast("date")), "r_q")
-        .join(q(col("freq"), c => -c, "f_q"), Seq("user_id"))
-        .join(q(col("cents"), c => -c, "m_q"), Seq("user_id"))
+      // All three metric ranks ride ONE grouped distributed-prefix
+      // pipeline (RelationalOps.rangePrefixAggsBy): the per-user frame
+      // stacks 3× as (metric, key) rows where key is each metric's
+      // ascending-monotone negated proxy (dates as negated day
+      // offsets), so rank within metric = (key asc, user_id asc) ≡
+      // the metric-desc ntile order. One sampling pass, one window,
+      // one offset frame for all three metrics — the prior form ran
+      // three independent rank pipelines (3× the stages), and the
+      // form before that NESTED them (3³ source aggregates).
+      val stacked = users.crossJoin(broadcast(n1)).select(
+        col("user_id"), col("n_total"),
+        explode(array(
+          struct(lit("r").as("m"),
+            (-datediff(col("last_day"), lit("1992-01-01").cast("date")))
+              .cast("long").as("key")),
+          struct(lit("f").as("m"), (-col("freq")).cast("long").as("key")),
+          struct(lit("m").as("m"),
+            (-col("cents")).cast("long").as("key")))).as("x"))
+        .select(col("user_id"), col("n_total"),
+          col("x.m").as("m"), col("x.key").as("key"))
+      val nullAdd = (l: Column, o: Column) =>
+        when(l.isNull, o).when(o.isNull, l).otherwise(l + o)
+      val scored = RelationalOps.rangePrefixAggsBy(stacked, Seq("m"),
+          Seq(col("key").asc, col("user_id").asc), col("key"),
+          Seq(RelationalOps.PrefixSpec(lit(1L), sum, nullAdd, "rk",
+            inclusive = true)))
+        .withColumn("q",
+          RelationalOps.ntileFromRank(col("rk"), col("n_total"), 5))
+        .groupBy("user_id")
+        .agg(max(when(col("m") === "r", col("q"))).as("r_q"),
+          max(when(col("m") === "f", col("q"))).as("f_q"),
+          max(when(col("m") === "m", col("q"))).as("m_q"))
       scored.groupBy("r_q", "f_q", "m_q")
         .agg(count(lit(1)).as("n_users"))
     }),

@@ -161,9 +161,11 @@ class PlanAuditSpec extends SparkTestBase {
       val wins = lp.collect { case w: LWindow => w }
       assert(wins.exists(_.partitionSpec.nonEmpty),
         s"$q must run its data-frame lag per range bucket:\n$lp")
+      // A query may have NO unpartitioned window at all (e11's
+      // grouped-prefix form partitions even its offset frame by the
+      // metric tag) — the guard only demands that any unpartitioned
+      // window that DOES exist sits above a bounded frame.
       val globals = wins.filter(_.partitionSpec.isEmpty)
-      assert(globals.nonEmpty,
-        s"$q should retain the bounded seam window:\n$lp")
       for (g <- globals) {
         val bounded = g.child.collectFirst {
           case a: Aggregate => a
