@@ -953,7 +953,10 @@ object QueriesRelational {
           col("l_extendedprice"), col("l_quantity")),
         "l_returnflag", col("l_extendedprice"),
         floor(col("l_quantity")).cast("long"),
-        distributedCum = true) // near-unique price domain
+        distributedCum = true,
+        // price domain bounded (TPC-H part price × qty ≤ 50 ⇒ cents
+        // < 2^24) — bucket by shift, no sampling pass
+        bucket = Some(shiftright(floor(col("v") * 100).cast("long"), 16)))
       h.filter(col("cum") * 2 >= col("total"))
         .groupBy("l_returnflag")
         .agg(max(col("total")).as("total_weight"),
@@ -1090,7 +1093,10 @@ object QueriesRelational {
         Tables.lineitem(s, d).select(col("l_returnflag"),
           col("l_extendedprice")),
         "l_returnflag", col("l_extendedprice"),
-        distributedCum = true) // near-unique price domain
+        distributedCum = true,
+        // price domain bounded (TPC-H part price × qty ≤ 50 ⇒ cents
+        // < 2^24) — bucket by shift, no sampling pass
+        bucket = Some(shiftright(floor(col("v") * 100).cast("long"), 16)))
       def pick(q: Double, name: String) =
         RelationalOps.valueAtRank(
           ceil(col("total").cast("double") * lit(q))).as(name)

@@ -47,7 +47,13 @@ object RelationalOps {
     * total (group Σ). */
   def valueHistogram(df: DataFrame, group: String, value: Column,
       weight: Column = lit(1L),
-      distributedCum: Boolean = false): DataFrame = {
+      distributedCum: Boolean = false,
+      bucket: Option[Column] = None): DataFrame = {
+    // `bucket` (distributedCum only): an explicit monotone bucket id
+    // over the histogram's `v` column — callers whose value DOMAIN is
+    // bounded enough to shift into ≤256 ids (w9/g8: cents < 2^24)
+    // skip the boundary-sampling pass entirely, same contract as
+    // [[rangePrefixAggs]]'s bucket.
     // Choose the cumulative pass by the VALUE DOMAIN, not the row
     // count:
     //  - bounded domain (1..50 quantities, enum codes): the histogram
@@ -68,7 +74,7 @@ object RelationalOps {
       val withCum = rangePrefixAggsBy(counts, Seq(group),
         Seq(col("v").asc), col("v"),
         Seq(PrefixSpec(col("cnt"), sum, nullSafe(_ + _), "cum",
-          inclusive = true)))
+          inclusive = true)), bucket)
       val tots = counts.groupBy(col(group))
         .agg(sum(col("cnt")).as("total"))
       withCum.join(broadcast(tots), Seq(group))
