@@ -86,6 +86,62 @@ object QueriesRelational {
     // skew-free hash agg over the fact, then a 3-probe explode over
     // the O(|domain|) histogram — no fact rank window, no positional
     // joins.
+    // Exact median over a genuinely UNBOUNDED continuous domain — the
+    // third selection regime valueHistogram's doc promises (bounded
+    // domain → tiny histogram [g5]; near-unique bounded domain →
+    // distributed histogram [w9]; unbounded continuous → COARSEN then
+    // RESCAN, built here): pass 0 computes min/max (one cheap agg);
+    // pass 1 bins values into 4096 fixed-width buckets and finds the
+    // ≤2 buckets holding the median ranks off the ≤4096-row bin
+    // histogram; pass 2 re-scans ONLY those buckets (the
+    // partition-pruning shape — at 100 TB the second scan touches
+    // ~n/4096 rows) and reads the exact values at the target ranks
+    // via an in-bucket value histogram offset by the bins before it.
+    // The bin assignment never needs cross-engine parity: the oracle
+    // checks the RESULT (the rank-selected values), which is
+    // algorithm-independent; clamping the max value into the last bin
+    // and using one identical bin expression in both passes keeps the
+    // two Spark passes consistent with each other.
+    "w12_unbounded_median" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("value").as("x"))
+      val mm = ev.agg(min(col("x")).as("lo"), max(col("x")).as("hi"),
+        count(lit(1)).as("n"))
+      val B = 4096
+      def binOf(x: Column): Column = when(col("hi") === col("lo"),
+        lit(0L)).otherwise(least(lit(B - 1L),
+        floor((x - col("lo")) / ((col("hi") - col("lo")) / B))
+          .cast("long")))
+      val binned = ev.crossJoin(broadcast(mm))
+        .select(col("x"), binOf(col("x")).as("b"), col("n"))
+      // bin histogram: ≤4096 rows, one ordered pass
+      val wb = org.apache.spark.sql.expressions.Window.orderBy("b")
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, -1) // ≤4096-row frame
+      val bh = binned.groupBy("b", "n").agg(count(lit(1)).as("cnt"))
+        .withColumn("before", coalesce(sum(col("cnt")).over(wb), lit(0L)))
+        .withColumn("k1", expr("(n + 1) div 2"))
+        .withColumn("k2", expr("(n + 2) div 2"))
+        .filter((col("before") < col("k1") &&
+            col("k1") <= col("before") + col("cnt")) ||
+          (col("before") < col("k2") &&
+            col("k2") <= col("before") + col("cnt")))
+        .select(col("b"), col("before"), col("k1"), col("k2"))
+      // rescan only the ≤2 target bins; exact in-bin selection via a
+      // value histogram (its window sees ~n/4096 rescanned rows)
+      // offset by the rows in all earlier bins
+      val sub = binned.join(broadcast(bh.select("b")), Seq("b"))
+        .select(col("b"), col("x"))
+      RelationalOps.valueHistogram(sub, "b", col("x"))
+        .join(broadcast(bh), Seq("b"))
+        .agg(
+          max(when(col("before") + col("cum_before") < col("k1") &&
+            col("k1") <= col("before") + col("cum"), col("v"))).as("v1"),
+          max(when(col("before") + col("cum_before") < col("k2") &&
+            col("k2") <= col("before") + col("cum"), col("v"))).as("v2"))
+        .select(col("v1"), col("v2"),
+          ((col("v1") + col("v2")) / 2).as("median"))
+    }),
+
     "w11_percentile_cont" -> ((s, d) => {
       val h = RelationalOps.valueHistogram(
         Tables.lineitem(s, d).select(col("l_returnflag"),
@@ -1426,6 +1482,21 @@ object QueriesRelational {
         |  FROM px)
         |SELECT price_c, -negday AS day_off FROM sc
         |WHERE m IS NULL OR negday < m""".stripMargin,
+    // w12: the RESULT (values at the median ranks) is
+    // algorithm-independent — the oracle rank-selects directly; the
+    // bin+rescan is Spark-side execution strategy only.
+    "w12_unbounded_median" ->
+      """WITH r AS (SELECT value AS x,
+        |    row_number() OVER (ORDER BY value) AS rn,
+        |    count(*) OVER () AS n
+        |  FROM events)
+        |SELECT
+        |  max(CASE WHEN rn = (n + 1) // 2 THEN x END) AS v1,
+        |  max(CASE WHEN rn = (n + 2) // 2 THEN x END) AS v2,
+        |  (max(CASE WHEN rn = (n + 1) // 2 THEN x END)
+        |   + max(CASE WHEN rn = (n + 2) // 2 THEN x END)) / 2
+        |    AS median
+        |FROM r""".stripMargin,
     // w11: same explicit interpolation from ranked rows; the probe
     // list CASTs to DOUBLE (a bare decimal literal list would
     // DECIMAL-quantize pos).

@@ -191,7 +191,7 @@ class PlanAuditSpec extends SparkTestBase {
       Aggregate, Window => LWindow}
     for (q <- Seq("g5_median_quantity", "w9_percentiles",
         "w11_percentile_cont", "g8_weighted_median", "dq12_outlier_iqr",
-        "dq14_mad_outliers")) {
+        "dq14_mad_outliers", "w12_unbounded_median")) {
       val lp = SparkEntry.queries(q)(spark, sf001)
         .queryExecution.optimizedPlan
       val wins = lp.collect { case w: LWindow => w }
