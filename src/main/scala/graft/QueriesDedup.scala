@@ -335,6 +335,59 @@ object QueriesDedup {
           col("jaccard"))
     }),
 
+    // Cross-document duplicate-SPAN extraction — the exact-substring
+    // dedup primitive (Lee et al. 2021, "Deduplicating Training Data
+    // Makes Language Models Better"): not "are these docs similar"
+    // (d2/d14) but "WHICH token ranges are shared verbatim". Shape:
+    // positional 5-gram hash index over the shared token cache →
+    // df-cap at 1000 (drops boilerplate grams and bounds every
+    // posting list, so the pair join is Σ df² with df ≤ 1000 — never
+    // all-pairs) → self-join on the gram hash → gaps-and-islands
+    // merge: matches of one (pair, diagonal pos_a−pos_b) with
+    // consecutive positions are one maximal run, and pos_a −
+    // row_number() is constant exactly on such runs. The merge window
+    // partitions by (pair, diag) — many tiny partitions, no global
+    // sort — and spans ≥ 8 tokens survive. At 100 TB this is the
+    // span-level pass whole-doc verdicts (d1/d2/d3) cannot express:
+    // partially-overlapping docs (quotes, syndication, template
+    // reuse) surface as exact token ranges to cut. The df-cap can
+    // split a span whose interior gram is corpus-frequent; the oracle
+    // applies the identical cap, so parity is by construction.
+    "d25_dup_spans" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val K = 5 // gram width (tokens); L = 8 = min reported span
+      val grams = docsWithTokens(s, d)
+        .filter(size(col("toks")) >= K)
+        .select(col("doc_id"), posexplode(
+          transform(sequence(lit(0), size(col("toks")) - K),
+            i => concat_ws(" ", slice(col("toks"), i + 1, lit(K))))))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"),
+          DedupOps.hash60(lit("sp"), col("col")).as("h"))
+      val rare = grams.groupBy("h")
+        .agg(count(lit(1)).as("df"))
+        .filter(col("df") <= 1000L)
+        .select("h")
+      val idx = grams.join(rare, Seq("h"))
+      val matches = idx
+        .select(col("h"), col("doc_id").as("id_a"), col("pos").as("pos_a"))
+        .join(idx.select(col("h"), col("doc_id").as("id_b"),
+          col("pos").as("pos_b")), Seq("h"))
+        .filter(col("id_a") < col("id_b"))
+      val w = Window
+        .partitionBy(col("id_a"), col("id_b"), col("pos_a") - col("pos_b"))
+        .orderBy(col("pos_a"))
+      matches
+        .withColumn("grp", col("pos_a") - row_number().over(w))
+        .groupBy(col("id_a"), col("id_b"),
+          (col("pos_a") - col("pos_b")).as("diag"), col("grp"))
+        .agg(min(col("pos_a")).as("a_start"),
+          min(col("pos_b")).as("b_start"),
+          (max(col("pos_a")) - min(col("pos_a")) + K).as("span_len"))
+        .filter(col("span_len") >= 8)
+        .select(col("id_a"), col("id_b"), col("a_start"), col("b_start"),
+          col("span_len"))
+    }),
+
     // 60-bit SimHash fingerprint per document.
     "d4_simhash" -> ((s, d) => {
       DedupOps.simhash(docsWithTokens(s, d), "doc_id", col("toks"))
@@ -743,6 +796,34 @@ object QueriesDedup {
          |FROM (SELECT id_a, id_b, n_a, n_b, inter FROM p
          |  WHERE inter / CAST(n_a + n_b - inter AS DOUBLE) >= 0.8) p
          |JOIN m ON p.id_a = m.id_a AND p.id_b = m.id_b""".stripMargin,
+    // d25: identical positional 5-gram hash index (same h60 seed
+    // "sp"), identical df ≤ 1000 cap, identical gaps-and-islands
+    // merge; DuckDB's range() positions are BIGINT, matching the
+    // Spark side's explicit cast.
+    "d25_dup_spans" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |k AS (SELECT doc_id, i AS pos,
+         |    ${h60("concat('sp:', array_to_string(" +
+            "list_slice(toks, i + 1, i + 5), ' '))")} AS h
+         |  FROM (SELECT doc_id, toks, unnest(range(len(toks) - 4)) AS i
+         |        FROM t WHERE len(toks) >= 5)),
+         |rare AS (SELECT h FROM k GROUP BY h HAVING count(*) <= 1000),
+         |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    a.pos AS pos_a, b.pos AS pos_b
+         |  FROM k a JOIN k b ON a.h = b.h
+         |  JOIN rare ON rare.h = a.h
+         |  WHERE a.doc_id < b.doc_id),
+         |r AS (SELECT id_a, id_b, pos_a, pos_b,
+         |    pos_a - pos_b AS diag,
+         |    pos_a - row_number() OVER (
+         |      PARTITION BY id_a, id_b, pos_a - pos_b
+         |      ORDER BY pos_a) AS grp
+         |  FROM p)
+         |SELECT id_a, id_b, min(pos_a) AS a_start,
+         |  min(pos_b) AS b_start,
+         |  max(pos_a) - min(pos_a) + 5 AS span_len
+         |FROM r GROUP BY id_a, id_b, diag, grp
+         |HAVING max(pos_a) - min(pos_a) + 5 >= 8""".stripMargin,
     // d20: d2's chain gives truth AND the hashed shingle index; the
     // minhash signatures derive from e's 60-bit hashes (h30 = s mod
     // 2^30, exactly d3's), so the whole gate shares one CTE spine.
