@@ -85,6 +85,54 @@ object QueriesReference {
           .jsonGetLong(col("props"), "k").as("k_val"))
     }),
 
+    // E1 END-TO-END as ONE oracle-backed composition (VERDICT r12 #7):
+    // the full-load pipeline's transformation chain — observations →
+    // P1–P6 processObservations (fixed clock) → A1 weekly temperature
+    // report + A2 period humidity report + J1 anti-join fact dedup —
+    // verified as a single plan against one DuckDB oracle. The
+    // observation fixture derives DETERMINISTICALLY from `events`
+    // (country/city/Kelvin/humidity mappings both engines compute
+    // identically), so no side files are needed; the three report
+    // frames union into one long-format result (report, country,
+    // city, week, metric). The PHYSICAL leg (sink append + read-back,
+    // O2/O3/O5) stays PipelineSpec's job — layout is an execution
+    // property, the oracle checks the composed semantics.
+    "q2_full_load" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val obs = ev.select(
+        col("event_type").as("country"),
+        concat(lit("c"), (col("user_id") % 5).cast("string")).as("city"),
+        lit(0.0).as("latitude"),
+        lit(0.0).as("longitude"),
+        col("ts").as("weatherDate"),
+        (col("value") + lit(273.15)).as("Temperature"),
+        (col("event_id") % 101).cast("int").as("Humidity"),
+        (col("value") / lit(3.6)).as("WindSpeed"),
+        col("event_type").as("WeatherDescription"))
+      val processed = WeatherOps.processObservations(obs,
+        lit("2024-02-01 00:00:00").cast("timestamp"))
+      val wk = WeatherOps.weeklyAvg(processed, Seq("country", "city"),
+          "weatherDate", "Temperature_in_Celsius", "metric")
+        .select(lit("weekly").as("report"), col("country"), col("city"),
+          col("week").cast("long").as("week"), col("metric"))
+      val hum = WeatherOps.periodAvg(processed, Seq("country", "city"),
+          "weatherDate", "Humidity", "metric",
+          lit(periodStart).cast("timestamp"),
+          lit(periodEnd).cast("timestamp"))
+        .select(lit("humidity").as("report"), col("country"), col("city"),
+          lit(null).cast("long").as("week"), col("metric"))
+      val cut = lit(splitTs).cast("timestamp")
+      val fact = WeatherOps.antiJoinNewRows(
+          processed.filter(col("weatherDate") >= cut),
+          processed.filter(col("weatherDate") < cut),
+          graft.pipeline.WeatherPipeline.dedupKeys)
+        .groupBy("country", "city")
+        .agg(count(lit(1)).cast("double").as("metric"))
+        .select(lit("fact_new").as("report"), col("country"), col("city"),
+          lit(null).cast("long").as("week"), col("metric"))
+      wk.unionByName(hum).unionByName(fact)
+    }),
+
     // TPC-H Q1-shaped pricing summary — the classic partial-agg headline
     // (map-side combine shrinks the shuffle to #groups).
     "q1_pricing_summary" -> ((s, d) => {
@@ -141,6 +189,40 @@ object QueriesReference {
       """SELECT event_id,
         |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
         |FROM events""".stripMargin,
+    // q2: the same observation derivation, the same three report
+    // shapes, unioned. avg parity: temperature is round(2)'d per row
+    // first (P4), humidity sums exactly as integers — both engines
+    // divide identical sums.
+    "q2_full_load" ->
+      s"""WITH obs AS (SELECT event_type AS country,
+         |    'c' || CAST(user_id % 5 AS VARCHAR) AS city,
+         |    ts AS weatherDate,
+         |    round((value + 273.15) - 273.15, 2) AS temp_c,
+         |    CAST(event_id % 101 AS INT) AS humidity
+         |  FROM events),
+         |wk AS (SELECT 'weekly' AS report, country, city,
+         |    CAST(weekofyear(weatherDate) AS BIGINT) AS week,
+         |    round(avg(temp_c), 2) AS metric
+         |  FROM obs GROUP BY country, city, weekofyear(weatherDate)),
+         |hum AS (SELECT 'humidity' AS report, country, city,
+         |    CAST(NULL AS BIGINT) AS week,
+         |    round(avg(humidity), 2) AS metric
+         |  FROM obs
+         |  WHERE weatherDate >= TIMESTAMP '$periodStart'
+         |    AND weatherDate < TIMESTAMP '$periodEnd'
+         |  GROUP BY country, city),
+         |fct AS (SELECT 'fact_new' AS report, n.country, n.city,
+         |    CAST(NULL AS BIGINT) AS week,
+         |    CAST(count(*) AS DOUBLE) AS metric
+         |  FROM obs n
+         |  WHERE n.weatherDate >= TIMESTAMP '$splitTs'
+         |    AND NOT EXISTS (SELECT 1 FROM obs x
+         |      WHERE x.weatherDate < TIMESTAMP '$splitTs'
+         |        AND x.country = n.country AND x.city = n.city
+         |        AND x.weatherDate = n.weatherDate)
+         |  GROUP BY n.country, n.city)
+         |SELECT * FROM wk UNION ALL SELECT * FROM hum
+         |UNION ALL SELECT * FROM fct""".stripMargin,
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,

@@ -36,9 +36,17 @@ object QueriesStorage {
     val t = tag(d)
     val (obName, lbName) = (s"graft_b_orders_$t", s"graft_b_lineitem_$t")
     QueriesStorage.synchronized {
-      if (!s.catalog.tableExists(obName) || !s.catalog.tableExists(lbName)) {
-        val base =
-          s"${System.getProperty("java.io.tmpdir")}/graft_bucketed/$t"
+      val base =
+        s"${System.getProperty("java.io.tmpdir")}/graft_bucketed/$t"
+      // Catalog presence alone is NOT enough as the build marker: the
+      // data lives under java.io.tmpdir, so a tmp reaper (or a stale
+      // catalog surviving in a persistent warehouse) can leave a
+      // registered table whose files are gone — also require the
+      // backing paths to still exist, else rebuild.
+      val backingOk = new java.io.File(s"$base/orders").isDirectory &&
+        new java.io.File(s"$base/lineitem").isDirectory
+      if (!s.catalog.tableExists(obName) || !s.catalog.tableExists(lbName)
+          || !backingOk) {
         s.sql(s"DROP TABLE IF EXISTS $obName")
         s.sql(s"DROP TABLE IF EXISTS $lbName")
         Tables.orders(s, d).select("o_orderkey", "o_orderpriority")
@@ -55,7 +63,69 @@ object QueriesStorage {
     (obName, lbName)
   }
 
+  /** stor5's encoding matrix: codec × dictionary. */
+  private val EncVariants: Seq[(String, String)] = Seq(
+    ("uncompressed", "true"), ("uncompressed", "false"),
+    ("snappy", "true"), ("snappy", "false"),
+    ("zstd", "true"), ("zstd", "false"))
+
+  /** Build-once cache for stor5's encoded copies of lineitem (one
+    * parquet dir per codec × dictionary variant), stor1's discipline:
+    * pay the write once per (session, dir), amortize over every read.
+    * Measured on-disk bytes per variant are logged to stderr at build
+    * time (the size tradeoff is an ARTIFACT — see BASELINE.md — not an
+    * oracle-checkable value: DuckDB's writer produces different files).
+    */
+  private def encodedPaths(s: SparkSession,
+      d: String): Seq[(String, Boolean, String)] = {
+    val base =
+      s"${System.getProperty("java.io.tmpdir")}/graft_encoded/${tag(d)}"
+    QueriesStorage.synchronized {
+      EncVariants.map { case (codec, dict) =>
+        val path = s"$base/${codec}_dict$dict"
+        if (!new java.io.File(path, "_SUCCESS").isFile) {
+          s.read.parquet(s"$d/lineitem.parquet").write.mode("overwrite")
+            .option("compression", codec)
+            // passed through to the parquet writer's hadoop conf
+            .option("parquet.enable.dictionary", dict)
+            .parquet(path)
+          val bytes = Option(new java.io.File(path).listFiles())
+            .fold(0L)(_.filter(_.getName.endsWith(".parquet"))
+              .map(_.length()).sum)
+          System.err.println(
+            s"[stor5] $codec dict=$dict data_bytes=$bytes")
+        }
+        (codec, dict.toBoolean, path)
+      }
+    }
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Parquet ENCODING tradeoff — the third axis of physical design
+    // after placement (stor1) and clustering (stor2/stor4): the same
+    // lineitem rows written under codec × dictionary variants
+    // (zstd/snappy/none, dict on/off), then each variant SCANNED BACK
+    // with exact integer checksums. What the oracle proves is
+    // round-trip LOSSLESSNESS (every variant returns the identical
+    // multiset — layout and encoding are execution properties, the
+    // result is invariant); what the measured artifact records
+    // (BASELINE.md; stderr at build) is the size/scan-time curve a
+    // 100 TB table chooses its storage format from: dictionary does
+    // most of the work on low-cardinality columns, zstd compounds it,
+    // and the scan-time delta is the decompression tax paid on every
+    // read forever. Bench times the 6-scan read path (writes are
+    // amortized by the build-once cache, exactly stor1's economics).
+    "stor5_encoding_tradeoff" -> ((s, d) => {
+      encodedPaths(s, d).map { case (codec, dict, path) =>
+        s.read.parquet(path).agg(
+          count(lit(1)).as("n_rows"),
+          sum(floor(col("l_quantity") * 100 + lit(0.5)).cast("long"))
+            .cast("long").as("sum_qty_cents"),
+          sum(col("l_orderkey")).cast("long").as("sum_okey"))
+          .select(lit(codec).as("codec"), lit(dict).as("dictionary"),
+            col("n_rows"), col("sum_qty_cents"), col("sum_okey"))
+      }.reduce(_.unionByName(_))
+    }),
     // Fact-fact join with ZERO exchange on either input: both sides are
     // written bucketed by the join key (16 buckets, sorted within
     // bucket) and re-read through the catalog, so the sort-merge join
@@ -213,6 +283,21 @@ object QueriesStorage {
   )
 
   def oracle: Map[String, String] = Map(
+    // stor5: encoding-invariant read-back — every variant must return
+    // the source table's exact row count and integer checksums.
+    "stor5_encoding_tradeoff" ->
+      """WITH agg AS (SELECT count(*) AS n_rows,
+        |    CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS sum_qty_cents,
+        |    CAST(sum(l_orderkey) AS BIGINT) AS sum_okey
+        |  FROM lineitem),
+        |v(codec, dictionary) AS (VALUES
+        |  ('uncompressed', true), ('uncompressed', false),
+        |  ('snappy', true), ('snappy', false),
+        |  ('zstd', true), ('zstd', false))
+        |SELECT v.codec, v.dictionary, agg.n_rows, agg.sum_qty_cents,
+        |  agg.sum_okey
+        |FROM v CROSS JOIN agg""".stripMargin,
     // Layout-independent result of the bucketed join: the same
     // orders⋈lineitem aggregate straight off the parquet.
     "stor1_bucketed_join" ->

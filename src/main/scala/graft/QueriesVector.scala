@@ -96,12 +96,51 @@ object QueriesVector {
       .select("cid", "ia", "ib")
   }
 
+  /** v19's corpus-to-cell routing (id_n, centroid_id, v_n, n2_n) —
+    * plan-only helper (cheap, rebuilt per consumer; the expensive
+    * shared frame is [[v19Pairs]]). */
+  private def v19CorpusCells(s: SparkSession, d: String): DataFrame = {
+    val p = prep(s, d)
+    VectorOps.routeToCentroids(p, p.filter(col("id") < 10), 1,
+        keepPayload = true)
+      .toDF("id_n", "centroid_id", "v_n", "n2_n")
+  }
+
+  /** v19's probe routing at the largest nProbe, ranked (id_q,
+    * centroid_id, rk, v_q, n2_q) — plan-only helper. */
+  private def v19Routed(s: SparkSession, d: String): DataFrame = {
+    val p = prep(s, d)
+    VectorOps.routeToCentroidsRanked(p.filter(col("id") < 5),
+      p.filter(col("id") < 10), 3)
+      .toDF("id_q", "centroid_id", "rk", "v_q", "n2_q")
+  }
+
+  /** v19's routed cosine pairs, PERSISTED with the prep discipline:
+    * all three nprobe arms are rk-filters over this ONE cosine join,
+    * so uncached it would re-execute once per arm. Guard-persisted
+    * (storageLevel check) and released in [[unpersistAll]] — the
+    * previous in-closure persist leaked the cache entry for the
+    * session's lifetime. */
+  private def v19Pairs(s: SparkSession, d: String): DataFrame = {
+    val df = v19CorpusCells(s, d)
+      .join(broadcast(v19Routed(s, d)), Seq("centroid_id"))
+      .filter(col("id_q") =!= col("id_n"))
+      .withColumn("cos", round(VectorOps.cosineFromParts(
+        VectorOps.dot(col("v_q"), col("v_n")),
+        col("n2_q"), col("n2_n")), 6))
+      .select(col("id_q"), col("id_n"), col("rk"), col("cos"))
+    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+      df.persist()
+    else df
+  }
+
   /** Release the shared prep cache (for long-lived sessions done with
     * the similarity-search family).
     */
   def unpersistAll(s: SparkSession, d: String): Unit = {
     prep(s, d).unpersist()
     semdedupCells(s, d).unpersist()
+    v19Pairs(s, d).unpersist()
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -419,12 +458,9 @@ object QueriesVector {
     "v19_ivf_tradeoff" -> ((s, d) => {
       val p = prep(s, d)
       val probes = p.filter(col("id") < 5)
-      val cents = p.filter(col("id") < 10)
       val exact = VectorOps.bruteForceTopK(p, probes, 5)
         .select(col("id_q"), col("id_n"))
-      val corpusCells = VectorOps.routeToCentroids(p, cents, 1,
-          keepPayload = true)
-        .toDF("id_n", "centroid_id", "v_n", "n2_n")
+      val corpusCells = v19CorpusCells(s, d)
       val cellSizes = corpusCells.groupBy("centroid_id")
         .agg(count(lit(1)).as("cell_n"))
       val selfCell = corpusCells.filter(col("id_n") < 5)
@@ -434,16 +470,10 @@ object QueriesVector {
       // rk <= np filter over the SAME routed frame and the SAME pair
       // join (each corpus vector lives in one cell, so a pair carries
       // the rank of the probe-route to its cell) — 3 arms, 1 routing,
-      // 1 cosine join, exactly the oracle's CTE shape
-      val routed = VectorOps.routeToCentroidsRanked(probes, cents, 3)
-        .toDF("id_q", "centroid_id", "rk", "v_q", "n2_q")
-      val pairs = corpusCells.join(broadcast(routed), Seq("centroid_id"))
-        .filter(col("id_q") =!= col("id_n"))
-        .withColumn("cos", round(VectorOps.cosineFromParts(
-          VectorOps.dot(col("v_q"), col("v_n")),
-          col("n2_q"), col("n2_n")), 6))
-        .select(col("id_q"), col("id_n"), col("rk"), col("cos"))
-        .persist()
+      // 1 cosine join (v19Pairs, shared/persisted), exactly the
+      // oracle's CTE shape
+      val routed = v19Routed(s, d)
+      val pairs = v19Pairs(s, d)
       val scanCost = routed
         .join(broadcast(cellSizes), Seq("centroid_id"))
         .join(broadcast(selfCell), Seq("id_q"))
@@ -575,11 +605,25 @@ object QueriesVector {
     // dropped count) a corpus-curation pass publishes. Cosine needs
     // no rounding — only threshold compares, and both engines fold
     // the identical (smaller-id first) dot products.
+    // SHIPPED CONFIGURATION: top-2 SOFT routing (np = 2). d24 measured
+    // single-assignment pair recall at 0.33-0.36 in this corpus's
+    // loose-threshold (0.45) regime and top-2 soft assignment at
+    // 0.74-0.86 — the production operator ships the measured-better
+    // configuration (2x routing fan-out, cell size unchanged), and
+    // d24 keeps the single-probe arm as the standing comparison. A
+    // 2-probe pair can surface once per shared cell, so pairs dedupe
+    // to DISTINCT (ia, ib); both the pair and the drop report in the
+    // dropped vector's HOME (rk=1) cell, so per-cell counts sum to
+    // the corpus totals and every attribution lands in a cell the
+    // n_vecs ledger already lists.
     "d23_semdedup" -> ((s, d) => {
-      val pairs = semdedupPairs(s, d)
       val cells = semdedupCells(s, d).filter(col("rk") === 1L)
-      val np = pairs.groupBy("cid").agg(count(lit(1)).as("n_dup_pairs"))
-      val dr = pairs.select(col("cid"), col("ib")).distinct()
+      val home = cells.select(col("id").as("ib"), col("cid"))
+      val pd = semdedupPairs(s, d, np = 2)
+        .select("ia", "ib").distinct()
+        .join(home, Seq("ib"))
+      val np = pd.groupBy("cid").agg(count(lit(1)).as("n_dup_pairs"))
+      val dr = pd.select("cid", "ib").distinct()
         .groupBy("cid").agg(count(lit(1)).as("n_dropped"))
       cells.groupBy("cid").agg(count(lit(1)).as("n_vecs"))
         .join(np, Seq("cid"), "left")
@@ -755,6 +799,12 @@ object QueriesVector {
        |  SELECT a.cid, a.vec_id AS ia, b.vec_id AS ib,
        |    $dotSql / sqrt(a.n2 * b.n2) AS cos
        |  FROM cells a JOIN cells b
+       |    ON a.cid = b.cid AND a.vec_id < b.vec_id)
+       |  WHERE cos >= 0.45),
+       |p2 AS (SELECT DISTINCT ia, ib FROM (
+       |  SELECT a.vec_id AS ia, b.vec_id AS ib,
+       |    $dotSql / sqrt(a.n2 * b.n2) AS cos
+       |  FROM cells2 a JOIN cells2 b
        |    ON a.cid = b.cid AND a.vec_id < b.vec_id)
        |  WHERE cos >= 0.45)""".stripMargin
 
@@ -1030,16 +1080,19 @@ object QueriesVector {
         .stripMargin,
     // d23: v7's deterministic k-means chain at K=16 (same seeded
     // codebook, same fixed-point Lloyd step, same argmin tiebreak),
-    // then the cell-local pair join with the smaller-id-first dot
-    // orientation so the threshold compares identical doubles.
+    // then the SOFT (top-2) cell-local pair join — distinct pairs
+    // attributed to the dropped vector's home (rk=1) cell, mirroring
+    // the Spark side's shipped configuration.
     "d23_semdedup" ->
       s"""WITH $preparedSql,
          |$semdedupSql,
          |nv AS (SELECT cid, count(*) AS n_vecs FROM a1
          |  WHERE rk = 1 GROUP BY 1),
-         |np AS (SELECT cid, count(*) AS n_dup_pairs FROM p GROUP BY 1),
+         |hp AS (SELECT p2.ia, p2.ib, c.cid FROM p2
+         |  JOIN cells c ON c.vec_id = p2.ib),
+         |np AS (SELECT cid, count(*) AS n_dup_pairs FROM hp GROUP BY 1),
          |dr AS (SELECT cid, count(*) AS n_dropped
-         |  FROM (SELECT DISTINCT cid, ib FROM p) GROUP BY 1)
+         |  FROM (SELECT DISTINCT cid, ib FROM hp) GROUP BY 1)
          |SELECT nv.cid AS cell, CAST(nv.n_vecs AS BIGINT) AS n_vecs,
          |  CAST(COALESCE(np.n_dup_pairs, 0) AS BIGINT) AS n_dup_pairs,
          |  CAST(COALESCE(dr.n_dropped, 0) AS BIGINT) AS n_dropped
@@ -1057,12 +1110,6 @@ object QueriesVector {
          |    $dotSql / sqrt(a.n2 * b.n2) AS cos
          |  FROM n a JOIN n b ON a.vec_id < b.vec_id
          |  WHERE a.vec_id < 1000 AND b.vec_id < 1000)
-         |  WHERE cos >= 0.45),
-         |p2 AS (SELECT DISTINCT ia, ib FROM (
-         |  SELECT a.vec_id AS ia, b.vec_id AS ib,
-         |    $dotSql / sqrt(a.n2 * b.n2) AS cos
-         |  FROM cells2 a JOIN cells2 b
-         |    ON a.cid = b.cid AND a.vec_id < b.vec_id)
          |  WHERE cos >= 0.45),
          |h1 AS (SELECT count(*) AS n_hit FROM
          |  (SELECT DISTINCT ia, ib FROM p)

@@ -12,6 +12,18 @@ object Verify {
       if (args.length > 2) args(2).split(",").map(_.trim).toSet else Set()
     require(only.forall(SparkEntry.queries.contains),
       s"unknown query names: ${only -- SparkEntry.queries.keySet}")
+    // SPARK_GRAFT_FAMILY=d,v,stor runs only those families (the name's
+    // leading letter-run: d23→d, stor1→stor) — builder-side iteration
+    // knob at 248+ queries; the driver never sets it, so its runs stay
+    // full-registry. Unknown families fail loudly, like unknown names.
+    val famEnv: Option[Set[String]] = sys.env.get("SPARK_GRAFT_FAMILY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    def family(n: String): String = n.takeWhile(!_.isDigit)
+    famEnv.foreach { fs =>
+      val known = SparkEntry.queries.keySet.map(family)
+      require((fs -- known).isEmpty,
+        s"unknown families in SPARK_GRAFT_FAMILY: ${fs -- known}")
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkConfDefaults.withDefaults(SparkSession.builder())
       .master(s"local[$cpus]")
@@ -30,7 +42,9 @@ object Verify {
       org.apache.logging.log4j.Level.ERROR)
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
-      .filter { case (name, _) => only.isEmpty || only(name) }
+      .filter { case (name, _) =>
+        (only.isEmpty || only(name)) &&
+          famEnv.forall(_.contains(family(name))) }
       .foreach { case (name, fn) =>
       val t0 = System.nanoTime()
       try {

@@ -332,7 +332,10 @@ object MultimodalOps {
           case Some(("bmp", 8, 8)) =>
             val off = ByteBuffer.wrap(bytes, 10, 4)
               .order(ByteOrder.LITTLE_ENDIAN).getInt
-            if (off < 54 || off + 192 > bytes.length) None
+            // long arithmetic: a hostile header's huge offset would
+            // overflow the Int sum negative and slip past the guard
+            // (resizeBmp24 hardens the same class of header this way)
+            if (off < 54 || off.toLong + 192L > bytes.length) None
             else {
               val grays = new Array[Long](64)
               var p = 0

@@ -22,6 +22,12 @@ final case class ClosedSession(key: Long, startMicros: Long,
 final case class Admitted(key: Long, eventId: Long, tsMicros: Long,
     rank: Long)
 
+/** Per-event lateness emitted by [[StreamingOps.disorderWithState]]:
+  * how far (epoch micros) the event's time sits BEHIND the key's
+  * high-water mark at its arrival (0 for in-order events).
+  */
+final case class LateBy(key: Long, eventId: Long, lateByMicros: Long)
+
 /** Event-time windowing + streaming pipeline (SURVEY.md §2.10 / O1).
   *
   * The reference emulates streaming with an hourly Airflow schedule plus a
@@ -214,6 +220,50 @@ object StreamingOps {
     out.select(col("key").as(keyCol), col("eventId").as(idCol),
       timestamp_micros(col("tsMicros")).as(tsCol),
       col("rank").as("admit_rank"))
+  }
+
+  /** True streaming form of the st8 disorder profile: per-key
+    * high-water mark carried in the state store (8 bytes/key), each
+    * event emitted with its lateness vs the mark at arrival. Arrival
+    * order WITHIN a micro-batch is `idCol` ascending (the same
+    * convention as st8's batch window: event_id IS the arrival
+    * sequence); across micro-batches the state store carries the mark,
+    * so a stream fed in id order produces EXACTLY the batch query's
+    * per-event late_by values — StreamingSpec asserts that parity.
+    * This is the measurement operator that SIZES a watermark on a live
+    * stream (max/p99 of late_by over a sliding horizon).
+    *
+    * Scale: one shuffle on the key; per-group work is a sort of that
+    * group's batch slice; state is a single long per key, ever.
+    */
+  def disorderWithState(df: DataFrame, keyCol: String, tsCol: String,
+      idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val out = df
+      .select(col(keyCol).cast("long"), col(tsCol),
+        col(idCol).cast("long"))
+      .as[(Long, java.sql.Timestamp, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Long, LateBy](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key, rows, state) =>
+          def micros(t: java.sql.Timestamp): Long =
+            t.getTime / 1000 * 1000000L + t.getNanos / 1000
+          val sorted = rows.toArray.sortBy(_._3)
+          var hwm = state.getOption.getOrElse(Long.MinValue)
+          val outRows = Seq.newBuilder[LateBy]
+          for (r <- sorted) {
+            val us = micros(r._2)
+            outRows += LateBy(key, r._3,
+              if (hwm > us) hwm - us else 0L)
+            if (us > hwm) hwm = us
+          }
+          state.update(hwm)
+          outRows.result().iterator
+      }
+    out.select(col("key").as(keyCol), col("eventId").as(idCol),
+      col("lateByMicros").as("late_by"))
   }
 
   /** Bounded-horizon dedup, batch form of
