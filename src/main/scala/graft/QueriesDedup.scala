@@ -591,16 +591,24 @@ object QueriesDedup {
 
   /** d2's CTE chain + final select, shared with d7 (which wraps the pair
     * list in a recursive reachability closure).
+    *
+    * MATERIALIZED (valid DuckDB/Postgres syntax, semantics-identical) on
+    * the multiply-referenced CTEs: `e` feeds both rare and ec, and `ec`
+    * self-joins in p. DuckDB 1.0 inlines CTEs by default, so consumers
+    * that reference these chains repeatedly (d9's two PageRank sweeps,
+    * d15's recursive closure) otherwise recompute the whole shingle
+    * self-join per reference — measured at sf1: >45 min + 62 GB of
+    * spill inlined vs 12 s materialized, identical rows.
     */
   private def d2Ctes =
     s"""t AS (SELECT doc_id, $toksSql AS toks FROM documents),
        |s AS (SELECT doc_id, $sh3Sql AS sh FROM t),
        |e0 AS (SELECT doc_id AS id, CAST(len(sh) AS BIGINT) AS n,
        |      unnest(sh) AS sh_s FROM s),
-       |e AS (SELECT id, n, ${h60("concat('sh:', sh_s)")} AS s FROM e0),
+       |e AS MATERIALIZED (SELECT id, n, ${h60("concat('sh:', sh_s)")} AS s FROM e0),
        |rare AS (SELECT s FROM e GROUP BY s HAVING count(*) <= 1000),
-       |ec AS (SELECT e.* FROM e JOIN rare USING (s)),
-       |p AS (SELECT a.id AS id_a, b.id AS id_b, a.n AS n_a, b.n AS n_b,
+       |ec AS MATERIALIZED (SELECT e.* FROM e JOIN rare USING (s)),
+       |p AS MATERIALIZED (SELECT a.id AS id_a, b.id AS id_b, a.n AS n_a, b.n AS n_b,
        |      count(*) AS inter
        |      FROM ec a JOIN ec b ON a.s = b.s AND a.id < b.id
        |      GROUP BY 1, 2, 3, 4)""".stripMargin
@@ -711,24 +719,24 @@ object QueriesDedup {
     // per-cluster argmax and a NOT IN for the self-canonical singletons
     "d15_canonical" ->
       s"""WITH RECURSIVE $d2Ctes,
-         |pairs AS ($d2Select),
-         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |pairs AS MATERIALIZED ($d2Select),
+         |edges AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM pairs
          |          UNION SELECT id_b, id_a FROM pairs),
          |reach(src, dst) AS (
          |  SELECT src, dst FROM edges
          |  UNION
          |  SELECT r.src, e2.dst FROM reach r
          |    JOIN edges e2 ON r.dst = e2.src),
-         |comp AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster
+         |comp AS MATERIALIZED (SELECT src AS doc_id, least(src, min(dst)) AS cluster
          |         FROM reach GROUP BY src),
          |tq AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
-         |q AS (SELECT doc_id,
+         |q AS MATERIALIZED (SELECT doc_id,
          |  round(least(1.0, len(toks) / 100.0) *
          |    (1.0 - CASE WHEN length(text) = 0 THEN 0.0
          |      ELSE length(regexp_replace(text, '[a-z0-9\\s]', '', 'g'))
          |        / CAST(length(text) AS DOUBLE) END), 6) AS q
          |  FROM tq),
-         |m AS (SELECT comp.doc_id, comp.cluster, q.q
+         |m AS MATERIALIZED (SELECT comp.doc_id, comp.cluster, q.q
          |      FROM comp JOIN q USING (doc_id)),
          |canon AS (SELECT cluster, doc_id AS canonical_id FROM (
          |  SELECT cluster, doc_id, row_number() OVER (PARTITION BY
@@ -744,15 +752,15 @@ object QueriesDedup {
          |FROM u""".stripMargin,
     "d9_pagerank" ->
       s"""WITH $d2Ctes,
-         |pairs AS ($d2Select),
-         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |pairs AS MATERIALIZED ($d2Select),
+         |edges AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM pairs
          |          UNION ALL SELECT id_b, id_a FROM pairs),
          |dg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
-         |r0 AS (SELECT src AS id, deg, CAST(1000000 AS BIGINT) AS r
+         |r0 AS MATERIALIZED (SELECT src AS id, deg, CAST(1000000 AS BIGINT) AS r
          |       FROM dg),
          |c1 AS (SELECT e.dst, sum(r.r // r.deg) AS in_sum
          |       FROM edges e JOIN r0 r ON e.src = r.id GROUP BY 1),
-         |r1 AS (SELECT r0.id, r0.deg, CAST(150000 +
+         |r1 AS MATERIALIZED (SELECT r0.id, r0.deg, CAST(150000 +
          |         (coalesce(c1.in_sum, 0) * 17) // 20 AS BIGINT) AS r
          |       FROM r0 LEFT JOIN c1 ON r0.id = c1.dst),
          |c2 AS (SELECT e.dst, sum(r.r // r.deg) AS in_sum
@@ -779,7 +787,7 @@ object QueriesDedup {
          |      ${h60("concat('mh-b:', CAST(i AS VARCHAR))")}
          |        % 2147483647 AS b
          |      FROM (SELECT unnest(range(16)) AS i) r(i)),
-         |mh3 AS (SELECT doc_id, i,
+         |mh3 AS MATERIALIZED (SELECT doc_id, i,
          |      min((a * h30 + b) % 2147483647) AS h
          |      FROM e3 CROSS JOIN seeds GROUP BY doc_id, i),
          |m AS (SELECT ma.doc_id AS id_a, mb.doc_id AS id_b,
@@ -802,7 +810,7 @@ object QueriesDedup {
     // Spark side's explicit cast.
     "d25_dup_spans" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
-         |k AS (SELECT doc_id, i AS pos,
+         |k AS MATERIALIZED (SELECT doc_id, i AS pos,
          |    ${h60("concat('sp:', array_to_string(" +
             "list_slice(toks, i + 1, i + 5), ' '))")} AS h
          |  FROM (SELECT doc_id, toks, unnest(range(len(toks) - 4)) AS i

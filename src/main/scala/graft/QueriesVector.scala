@@ -766,12 +766,17 @@ object QueriesVector {
 
   /** d23/d24's shared oracle chain: the K=16 deterministic k-means
     * routing (v7's CTE shapes) ending in `cells` (vec_id, cid, v, n2)
-    * and `p` — the in-cell thresholded near-dup pairs. */
+    * and `p` — the in-cell thresholded near-dup pairs. The Lloyd-chain
+    * CTEs carry MATERIALIZED (semantics-identical DuckDB/Postgres hint):
+    * a1/cells/cells2 are multiply referenced and DuckDB 1.0 inlines by
+    * default, recomputing the n×K cross joins per reference — at sf1
+    * that turned the d23 oracle into an OOM; materialized it runs in
+    * seconds. */
   private val semdedupSql =
     s"""kk AS (SELECT greatest(16, count(*) // 312) AS kk FROM d),
        |c0 AS (SELECT vec_id AS cid, v AS c FROM d, kk
        |  WHERE vec_id < kk.kk),
-       |a0 AS (SELECT vec_id, v, cid FROM (
+       |a0 AS MATERIALIZED (SELECT vec_id, v, cid FROM (
        |  SELECT a.vec_id, a.v, c.cid,
        |    row_number() OVER (PARTITION BY a.vec_id
        |      ORDER BY $euclid2Sql, c.cid) AS rk
@@ -782,18 +787,18 @@ object QueriesVector {
        |  FROM a0),
        |g AS (SELECT cid, u.pos AS pos, sum(u.fx) AS sfx, count(*) AS n
        |  FROM e GROUP BY 1, 2),
-       |c1 AS (SELECT cid, list_transform(list_sort(list(
+       |c1 AS MATERIALIZED (SELECT cid, list_transform(list_sort(list(
        |    struct_pack(pos := pos, ci := CAST(sfx AS DOUBLE)
        |      / CAST(n * 1000000 AS DOUBLE)))), s -> s.ci) AS c
        |  FROM g GROUP BY cid),
-       |a1 AS (SELECT vec_id, cid, rk FROM (
+       |a1 AS MATERIALIZED (SELECT vec_id, cid, rk FROM (
        |  SELECT a.vec_id, c.cid,
        |    row_number() OVER (PARTITION BY a.vec_id
        |      ORDER BY $euclid2Sql, c.cid) AS rk
        |  FROM d a CROSS JOIN c1 c) WHERE rk <= 2),
-       |cells AS (SELECT a1.vec_id, a1.cid, n.v, n.n2
+       |cells AS MATERIALIZED (SELECT a1.vec_id, a1.cid, n.v, n.n2
        |  FROM a1 JOIN n ON n.vec_id = a1.vec_id WHERE a1.rk = 1),
-       |cells2 AS (SELECT a1.vec_id, a1.cid, n.v, n.n2
+       |cells2 AS MATERIALIZED (SELECT a1.vec_id, a1.cid, n.v, n.n2
        |  FROM a1 JOIN n ON n.vec_id = a1.vec_id),
        |p AS (SELECT * FROM (
        |  SELECT a.cid, a.vec_id AS ia, b.vec_id AS ib,
@@ -1088,7 +1093,7 @@ object QueriesVector {
          |$semdedupSql,
          |nv AS (SELECT cid, count(*) AS n_vecs FROM a1
          |  WHERE rk = 1 GROUP BY 1),
-         |hp AS (SELECT p2.ia, p2.ib, c.cid FROM p2
+         |hp AS MATERIALIZED (SELECT p2.ia, p2.ib, c.cid FROM p2
          |  JOIN cells c ON c.vec_id = p2.ib),
          |np AS (SELECT cid, count(*) AS n_dup_pairs FROM hp GROUP BY 1),
          |dr AS (SELECT cid, count(*) AS n_dropped
@@ -1408,25 +1413,25 @@ object QueriesVector {
     // component min, singletons self-canonical
     "d16_semantic_clusters" ->
       s"""WITH RECURSIVE $preparedSql,
-         |cb AS ($bandSelects),
+         |cb AS MATERIALIZED ($bandSelects),
          |rare AS (SELECT band, bucket FROM cb GROUP BY band, bucket
          |      HAVING count(*) <= 10000),
-         |cf AS (SELECT cb.* FROM cb JOIN rare USING (band, bucket)),
+         |cf AS MATERIALIZED (SELECT cb.* FROM cb JOIN rare USING (band, bucket)),
          |cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
          |      FROM cf a JOIN cf b ON a.band = b.band
          |        AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
-         |pairs AS (SELECT id_a, id_b FROM cand
+         |pairs AS MATERIALIZED (SELECT id_a, id_b FROM cand
          |      JOIN n a ON a.vec_id = cand.id_a
          |      JOIN n b ON b.vec_id = cand.id_b
          |      WHERE $dotSql / sqrt(a.n2 * b.n2) >= 0.45),
-         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |edges AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM pairs
          |          UNION SELECT id_b, id_a FROM pairs),
          |reach(src, dst) AS (
          |  SELECT src, dst FROM edges
          |  UNION
          |  SELECT r.src, e2.dst FROM reach r
          |    JOIN edges e2 ON r.dst = e2.src),
-         |comp AS (SELECT src AS vec_id,
+         |comp AS MATERIALIZED (SELECT src AS vec_id,
          |      least(src, min(dst)) AS canonical_id
          |      FROM reach GROUP BY src),
          |u AS (SELECT vec_id, canonical_id FROM comp

@@ -25,8 +25,17 @@ import duckdb
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, only=None):
     con = duckdb.connect()
+    # Heavy sf1 oracles (shingle self-joins) can exhaust the default
+    # resource envelope when many run on one connection; allow tuning
+    # without changing default behavior.
+    if os.environ.get("DUCKDB_THREADS"):
+        con.execute(f"SET threads={int(os.environ['DUCKDB_THREADS'])}")
+    if os.environ.get("DUCKDB_MEMLIMIT"):
+        con.execute(f"SET memory_limit='{os.environ['DUCKDB_MEMLIMIT']}'")
+    if os.environ.get("DUCKDB_TEMPDIR"):
+        con.execute(f"SET temp_directory='{os.environ['DUCKDB_TEMPDIR']}'")
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.exists(p):
@@ -37,6 +46,9 @@ def main(sf_dir, out_dir):
     n_pass = n_fail = 0
     spark_dirs = {os.path.basename(d) for d in glob.glob(out_dir + "/*")
                   if os.path.isdir(d)}
+    if only is not None:
+        spark_dirs &= only
+        oracles = {k: v for k, v in oracles.items() if k in only}
     for name in sorted(spark_dirs):
         if name not in oracles:
             print(f"[rows-only] {name}: no oracle; spark rows =",
@@ -186,4 +198,9 @@ if __name__ == "__main__":
     if len(sys.argv) == 2 and sys.argv[1] == "--selftest":
         selftest()
         sys.exit(0)
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    only = None
+    argv = [a for a in sys.argv[1:] if not a.startswith("--only=")]
+    for a in sys.argv[1:]:
+        if a.startswith("--only="):
+            only = set(a[len("--only="):].split(","))
+    sys.exit(main(argv[0], argv[1], only))
