@@ -203,6 +203,24 @@ object QueriesStreaming {
             .as("rms"))
     }),
 
+    // REAL audio DYNAMICS decode — m5's time-domain sibling: the same
+    // synthesized WAV payloads parsed back to zero-crossing count and
+    // mean |sample| (the voiced/unvoiced + loudness screen an audio
+    // curation pass runs before transcription). The oracle regenerates
+    // the sample recurrence and counts sign-bit changes with the same
+    // `s < 0` convention — a decode that misreads sign, offset, or
+    // endianness shifts the crossing count and fails the hash. Exact
+    // integers except the one rounded mean at output.
+    "m8_audio_dynamics" -> ((s, d) => {
+      MultimodalOps.decodeAudioDynamics(
+        MultimodalOps.synthesizeWavs(Tables.documents(s, d)))
+        .toDF()
+        .select(col("doc_id"), col("sample_rate"), col("n_samples"),
+          col("zero_crossings"),
+          round(col("abs_sum") / col("n_samples").cast("double"), 6)
+            .as("mean_abs"))
+    }),
+
     // REAL video decode: synthesize complete Y4M streams (ASCII header
     // + FRAME-marked uncompressed 4:2:0 planes), parse header/markers/
     // plane bytes back out, recover the frame COUNT from the stream
@@ -481,6 +499,32 @@ object QueriesStreaming {
         |  round(sqrt(list_reduce(list_prepend(CAST(0 AS BIGINT),
         |      list_transform(vs, s -> s * s)), (x, y) -> x + y)
         |    / CAST(n_samples AS DOUBLE)), 6) AS rms
+        |FROM v""".stripMargin,
+    "m8_audio_dynamics" ->
+      """WITH p AS (SELECT doc_id,
+        |  8000 + CAST(concat('0x', substr(md5(concat('ws:', text)),
+        |    1, 15)) AS BIGINT) % 8 * 1000 AS sample_rate,
+        |  CAST(concat('0x', substr(md5(concat('wn:', text)), 1, 15))
+        |    AS BIGINT) % 256 + 16 AS n_samples,
+        |  CAST(concat('0x', substr(md5(concat('wa:', text)), 1, 15))
+        |    AS BIGINT) % 65536 AS a,
+        |  CAST(concat('0x', substr(md5(concat('wb:', text)), 1, 15))
+        |    AS BIGINT) % 65536 AS b
+        |  FROM documents),
+        |v AS (SELECT doc_id, sample_rate, n_samples,
+        |  list_transform(range(n_samples),
+        |    i -> (a * i + b) % 65536 - 32768) AS vs
+        |  FROM p)
+        |SELECT doc_id, sample_rate, n_samples,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(range(n_samples - 1),
+        |      i -> CASE WHEN (vs[i + 1] < 0) <> (vs[i + 2] < 0)
+        |        THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END)),
+        |    (x, y) -> x + y) AS zero_crossings,
+        |  round(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(vs, s -> CAST(abs(s) AS BIGINT))),
+        |      (x, y) -> x + y)
+        |    / CAST(n_samples AS DOUBLE), 6) AS mean_abs
         |FROM v""".stripMargin,
     "m6_video_decode" ->
       """WITH p AS (SELECT doc_id,

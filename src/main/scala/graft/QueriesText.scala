@@ -509,8 +509,185 @@ object QueriesText {
           .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
             round(score, 6).as("bm25")),
         Seq(col("bm25").desc, col("doc_id").asc), 20)
+    }),
+
+    // BPE-style merge training, distributed the way it actually scales:
+    // ONE corpus pass builds the word-frequency vocab (Heaps' law keeps
+    // it orders of magnitude smaller than the corpus), then every merge
+    // round iterates over the VOCAB frame only — adjacent-pair counts
+    // weighted by word frequency, argmax pair (freq desc, pair asc
+    // tiebreak), and an in-plan leftmost non-overlapping merge applied
+    // via a broadcast of the 1-row winner. No driver collect anywhere:
+    // the winning pair flows through `crossJoin(broadcast(limit(1)))`
+    // and the merge itself is an `aggregate` fold over each symbol
+    // array (seed [syms[0]]; append, or replace the tail element when
+    // (last, next) equals the winner — exactly BPE's left-to-right
+    // non-overlapping rule). Each round's vocab is guard-persisted so
+    // the two consumers per round (pair counts + next merge) read one
+    // materialization instead of doubling the lineage. Output: the
+    // merge table itself — round, pair, weighted frequency.
+    "x35_bpe_merges" -> ((s, d) => bpeMerges(s, d)),
+
+    // Stupid-backoff trigram LM scored across a REAL train/held-out
+    // boundary: the model (c3/c2/c1/N/V) trains on the largest source
+    // (docs desc, source asc tiebreak) and scores every document from
+    // the OTHER sources — so the trigram→bigram→unigram backoff chain
+    // actually fires (training on the full corpus would make every
+    // observed trigram a model hit and the backoff dead code). Model
+    // tables are vocab-bounded aggregates (the x21/x23 discipline);
+    // c1/c2 are guard-persisted because each is joined twice (prefix
+    // and suffix legs). S(w3|w1,w2) = c3/c2(w1w2), else 0.4·c2(w2w3)/
+    // c1(w2), else 0.16·laplace(w3); ln is rounded to 9dp BEFORE the
+    // sorted fold (ln is not IEEE-correctly-rounded, so the fold input
+    // itself must be pinned), one 6dp round at output. bo_rate — the
+    // fraction of trigram mass that backed off — is the per-doc
+    // "how out-of-domain is this" number a mixture builder reads.
+    "x36_backoff_lm" -> ((s, d) => {
+      val srcs = Tables.documents(s, d).select(col("doc_id"), col("source"))
+      val train = srcs.groupBy("source").agg(count(lit(1)).as("nd"))
+        .orderBy(col("nd").desc, col("source")).limit(1)
+        .select(col("source").as("train_src"))
+      val trainToks = QueriesDedup.docsWithTokens(s, d)
+        .join(srcs, "doc_id").join(broadcast(train),
+          col("source") === col("train_src"))
+        .select(col("toks"))
+      val c1 = lmUnigrams(trainToks)
+      val c2 = lmBigrams(trainToks)
+      val stats = c1.agg(sum(col("c1")).as("ntok"),
+        count(lit(1)).as("vsz"))
+      val tg = QueriesDedup.docsWithTokens(s, d)
+        .join(srcs, "doc_id").crossJoin(broadcast(train))
+        .filter(col("source") =!= col("train_src"))
+        .filter(size(col("toks")) >= 3)
+        .select(col("doc_id"), explode(transform(
+          sequence(lit(1), size(col("toks")) - 2),
+          i => array(element_at(col("toks"), i),
+            element_at(col("toks"), i + 1),
+            element_at(col("toks"), i + 2)))).as("t"))
+        .groupBy(col("doc_id"), col("t")(0).as("w1"),
+          col("t")(1).as("w2"), col("t")(2).as("w3"))
+        .agg(count(lit(1)).as("tf3"))
+      val c3 = lmTrigrams(trainToks)
+      val joined = tg
+        .join(c3, Seq("w1", "w2", "w3"), "left")
+        .join(c2.select(col("wa").as("w1"), col("wb").as("w2"),
+          col("c2").as("c2p")), Seq("w1", "w2"), "left")
+        .join(c2.select(col("wa").as("w2"), col("wb").as("w3"),
+          col("c2").as("c2s")), Seq("w2", "w3"), "left")
+        .join(c1.select(col("w").as("w2"), col("c1").as("c1w2")),
+          Seq("w2"), "left")
+        .join(c1.select(col("w").as("w3"), col("c1").as("c1w3")),
+          Seq("w3"), "left")
+        .crossJoin(broadcast(stats))
+      val score = when(col("c3").isNotNull,
+          col("c3").cast("double") / col("c2p").cast("double"))
+        .when(col("c2s").isNotNull,
+          lit(0.4) * col("c2s").cast("double") / col("c1w2").cast("double"))
+        .otherwise(lit(0.4) * lit(0.4) *
+          (coalesce(col("c1w3"), lit(0L)).cast("double") + lit(1.0)) /
+          (col("ntok").cast("double") + col("vsz").cast("double")))
+      joined
+        .select(col("doc_id"), col("tf3"),
+          when(col("c3").isNull, col("tf3")).otherwise(lit(0L)).as("bon"),
+          (col("tf3").cast("double") * round(log(score), 9)).as("contrib"))
+        .groupBy("doc_id")
+        .agg(sum(col("tf3")).as("n_trigrams"),
+          sum(col("bon")).as("bo_n"),
+          array_sort(collect_list(col("contrib"))).as("cs"))
+        .select(col("doc_id"), col("n_trigrams"),
+          round(col("bo_n").cast("double") /
+            col("n_trigrams").cast("double"), 6).as("bo_rate"),
+          round(-aggregate(col("cs"), lit(0.0), (a, x) => a + x) /
+            col("n_trigrams").cast("double"), 6).as("avg_nll3"))
     })
   ) ++ samplingQueries
+
+  /** x35's merge-round count (mirrored in the oracle builder). */
+  val BpeRounds: Int = 6
+
+  /** x35's word shape filter: lowercased alphabetic, bounded length —
+    * bounds the per-word symbol array (and so the pair expansion) at
+    * any corpus scale (mirrored in the oracle).
+    */
+  private val BpeWordRe = "^[a-z]{1,16}$"
+
+  /** The x35 implementation: vocab build + [[BpeRounds]] in-plan merge
+    * rounds. Each round's vocab is guard-persisted (tfFrame pattern) —
+    * without it the pair-count branch and the merge branch would each
+    * re-derive the whole previous-round chain, doubling work per round
+    * (2^R overall).
+    */
+  private def bpeMerges(s: SparkSession, d: String): DataFrame = {
+    def persisted(df: DataFrame): DataFrame =
+      if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+        df.persist()
+      else df
+    var vocab = persisted(QueriesDedup.docsWithTokens(s, d)
+      .select(explode(col("toks")).as("tok"))
+      .select(lower(col("tok")).as("word"))
+      .filter(col("word").rlike(BpeWordRe))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .select(transform(sequence(lit(1), length(col("word"))),
+        i => col("word").substr(i, lit(1))).as("syms"), col("freq")))
+    val rounds = (1 to BpeRounds).map { r =>
+      val top = vocab.filter(size(col("syms")) >= 2)
+        .select(col("freq"), explode(zip_with(
+          slice(col("syms"), lit(1), size(col("syms")) - 1),
+          slice(col("syms"), lit(2), size(col("syms")) - 1),
+          (a, b) => struct(a.as("l"), b.as("r")))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("freq")).as("pf"))
+        .orderBy(col("pf").desc, col("l"), col("r")).limit(1)
+      vocab = persisted(vocab.crossJoin(broadcast(top))
+        .select(aggregate(
+          slice(col("syms"), lit(2), size(col("syms")) - 1),
+          slice(col("syms"), lit(1), lit(1)),
+          (acc, x) => when(
+            element_at(acc, -1) === col("l") && x === col("r"),
+            concat(slice(acc, lit(1), size(acc) - 1),
+              array(concat(col("l"), col("r")))))
+            .otherwise(concat(acc, array(x)))).as("syms"),
+          col("freq")))
+      top.select(lit(r.toLong).as("merge_round"), col("l").as("lhs"),
+        col("r").as("rhs"), col("pf").as("pair_freq"))
+    }
+    rounds.reduce(_ unionAll _)
+  }
+
+  /** Train-corpus n-gram model tables for x36 — c1/c2 are joined twice
+    * each (prefix and suffix legs), so both are guard-persisted.
+    */
+  private def lmUnigrams(trainToks: DataFrame): DataFrame = {
+    val df = trainToks.select(explode(col("toks")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c1"))
+    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+      df.persist()
+    else df
+  }
+
+  private def lmBigrams(trainToks: DataFrame): DataFrame = {
+    val df = trainToks.filter(size(col("toks")) >= 2)
+      .select(explode(zip_with(
+        slice(col("toks"), lit(1), size(col("toks")) - 1),
+        slice(col("toks"), lit(2), size(col("toks")) - 1),
+        (a, b) => struct(a.as("wa"), b.as("wb")))).as("p"))
+      .groupBy(col("p.wa").as("wa"), col("p.wb").as("wb"))
+      .agg(count(lit(1)).as("c2"))
+    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+      df.persist()
+    else df
+  }
+
+  private def lmTrigrams(trainToks: DataFrame): DataFrame =
+    trainToks.filter(size(col("toks")) >= 3)
+      .select(explode(transform(
+        sequence(lit(1), size(col("toks")) - 2),
+        i => array(element_at(col("toks"), i),
+          element_at(col("toks"), i + 1),
+          element_at(col("toks"), i + 2)))).as("t"))
+      .groupBy(col("t")(0).as("w1"), col("t")(1).as("w2"),
+        col("t")(2).as("w3"))
+      .agg(count(lit(1)).as("c3"))
 
   /** x24's fixed query terms (chosen from the corpus vocabulary so tf
     * and df both vary; mirrored literally in the oracle SQL).
@@ -813,7 +990,105 @@ object QueriesText {
        |        1, 15)) AS BIGINT) AS chunk_hash
        |      FROM e)""".stripMargin
 
+  /** x35's oracle, generated for [[BpeRounds]] rounds: the same vocab
+    * build, per-round pair argmax, and leftmost non-overlapping merge —
+    * the fold packs its accumulator as a LIST of strings (the ts8/r11
+    * discipline: DuckDB `list_reduce` corrupts multi-field STRUCT
+    * accumulators but folds LIST state correctly; elements arrive as
+    * 1-element lists so the lambda signature stays LIST→LIST).
+    */
+  private lazy val bpeOracleSql: String = {
+    val rounds = (1 to BpeRounds).map { r =>
+      s"""p$r AS (SELECT p[1] AS l, p[2] AS r, CAST(sum(freq) AS BIGINT)
+         |    AS pf
+         |  FROM (SELECT freq, unnest(list_transform(range(len(syms) - 1),
+         |      i -> [syms[i + 1], syms[i + 2]])) AS p
+         |    FROM v${r - 1} WHERE len(syms) >= 2)
+         |  GROUP BY 1, 2),
+         |t$r AS (SELECT l, r, pf FROM p$r ORDER BY pf DESC, l, r LIMIT 1),
+         |v$r AS (SELECT list_reduce(
+         |    list_prepend([syms[1]], list_transform(syms[2:], x -> [x])),
+         |    (acc, xl) -> CASE WHEN acc[len(acc)] = t.l AND xl[1] = t.r
+         |      THEN list_append(acc[1:len(acc) - 1], t.l || t.r)
+         |      ELSE list_append(acc, xl[1]) END) AS syms, freq
+         |  FROM v${r - 1}, t$r AS t)""".stripMargin
+    }.mkString(",\n")
+    val sel = (1 to BpeRounds).map(r =>
+      s"SELECT CAST($r AS BIGINT) AS merge_round, l AS lhs, r AS rhs, " +
+        s"pf AS pair_freq FROM t$r").mkString("\nUNION ALL\n")
+    s"""WITH w0 AS (SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
+       |    SELECT lower(tok) AS word FROM (
+       |      SELECT unnest($toksSql) AS tok FROM documents))
+       |  WHERE regexp_matches(word, '^[a-z]{1,16}$$') GROUP BY word),
+       |v0 AS (SELECT list_transform(range(length(word)),
+       |    i -> substr(word, i + 1, 1)) AS syms, freq FROM w0),
+       |$rounds
+       |$sel""".stripMargin
+  }
+
   def oracle: Map[String, String] = Map(
+    "x35_bpe_merges" -> bpeOracleSql,
+    "x36_backoff_lm" ->
+      s"""WITH tr AS (SELECT source FROM documents GROUP BY source
+         |  ORDER BY count(*) DESC, source LIMIT 1),
+         |tt AS (SELECT $toksSql AS toks FROM documents d
+         |  JOIN tr ON d.source = tr.source),
+         |u AS (SELECT unnest(toks) AS w FROM tt),
+         |c1 AS (SELECT w, CAST(count(*) AS BIGINT) AS c1 FROM u
+         |  GROUP BY w),
+         |b AS (SELECT unnest(list_transform(range(len(toks) - 1),
+         |    i -> [toks[i + 1], toks[i + 2]])) AS p
+         |  FROM tt WHERE len(toks) >= 2),
+         |c2 AS (SELECT p[1] AS wa, p[2] AS wb,
+         |    CAST(count(*) AS BIGINT) AS c2 FROM b GROUP BY 1, 2),
+         |t3 AS (SELECT unnest(list_transform(range(len(toks) - 2),
+         |    i -> [toks[i + 1], toks[i + 2], toks[i + 3]])) AS t
+         |  FROM tt WHERE len(toks) >= 3),
+         |c3 AS (SELECT t[1] AS w1, t[2] AS w2, t[3] AS w3,
+         |    CAST(count(*) AS BIGINT) AS c3 FROM t3 GROUP BY 1, 2, 3),
+         |st AS (SELECT CAST(sum(c1) AS BIGINT) AS ntok,
+         |    CAST(count(*) AS BIGINT) AS vsz FROM c1),
+         |sd AS (SELECT d.doc_id, $toksSql AS toks FROM documents d, tr
+         |  WHERE d.source <> tr.source),
+         |dt AS (SELECT doc_id, unnest(list_transform(range(len(toks) - 2),
+         |    i -> [toks[i + 1], toks[i + 2], toks[i + 3]])) AS t
+         |  FROM sd WHERE len(toks) >= 3),
+         |tf AS (SELECT doc_id, t[1] AS w1, t[2] AS w2, t[3] AS w3,
+         |    CAST(count(*) AS BIGINT) AS tf3 FROM dt GROUP BY 1, 2, 3, 4),
+         |j AS (SELECT tf.doc_id, tf.tf3, c3.c3, p.c2 AS c2p,
+         |    sx.c2 AS c2s, u2.c1 AS c1w2, u3.c1 AS c1w3, st.ntok, st.vsz
+         |  FROM tf
+         |  LEFT JOIN c3 ON c3.w1 = tf.w1 AND c3.w2 = tf.w2
+         |    AND c3.w3 = tf.w3
+         |  LEFT JOIN c2 p ON p.wa = tf.w1 AND p.wb = tf.w2
+         |  LEFT JOIN c2 sx ON sx.wa = tf.w2 AND sx.wb = tf.w3
+         |  LEFT JOIN c1 u2 ON u2.w = tf.w2
+         |  LEFT JOIN c1 u3 ON u3.w = tf.w3
+         |  CROSS JOIN st),
+         |sc AS (SELECT doc_id, tf3,
+         |    CASE WHEN c3 IS NULL THEN tf3 ELSE 0 END AS bon,
+         |    CAST(tf3 AS DOUBLE) * round(ln(
+         |      CASE WHEN c3 IS NOT NULL
+         |        THEN CAST(c3 AS DOUBLE) / CAST(c2p AS DOUBLE)
+         |      WHEN c2s IS NOT NULL
+         |        THEN CAST(0.4 AS DOUBLE) * CAST(c2s AS DOUBLE)
+         |          / CAST(c1w2 AS DOUBLE)
+         |      ELSE CAST(0.4 AS DOUBLE) * CAST(0.4 AS DOUBLE)
+         |        * (CAST(coalesce(c1w3, 0) AS DOUBLE) + 1.0)
+         |        / (CAST(ntok AS DOUBLE) + CAST(vsz AS DOUBLE)) END), 9)
+         |      AS contrib
+         |  FROM j),
+         |g AS (SELECT doc_id, CAST(sum(tf3) AS BIGINT) AS n_trigrams,
+         |    CAST(sum(bon) AS BIGINT) AS bo_n,
+         |    list_sort(list(contrib)) AS cs
+         |  FROM sc GROUP BY doc_id)
+         |SELECT doc_id, n_trigrams,
+         |  round(CAST(bo_n AS DOUBLE) / CAST(n_trigrams AS DOUBLE), 6)
+         |    AS bo_rate,
+         |  round(-list_reduce(list_prepend(CAST(0.0 AS DOUBLE), cs),
+         |    (a, x) -> a + x) / CAST(n_trigrams AS DOUBLE), 6)
+         |    AS avg_nll3
+         |FROM g""".stripMargin,
     "x1_token_stats" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks, text FROM documents)
          |SELECT doc_id,

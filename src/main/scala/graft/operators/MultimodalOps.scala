@@ -44,6 +44,13 @@ final case class GrayGrid(doc_id: Long, grays: Array[Long])
 final case class AudioStats(doc_id: Long, sample_rate: Long,
     n_samples: Long, peak: Long, sq_sum: Long)
 
+/** Audio-dynamics decode output: zero-crossing count + |sample| sum —
+  * RAW exact integers like [[AudioStats]] (the query layer derives the
+  * mean with engine-parity rounding).
+  */
+final case class AudioDynamics(doc_id: Long, sample_rate: Long,
+    n_samples: Long, zero_crossings: Long, abs_sum: Long)
+
 /** Video-decode output: header metadata, the frame count recovered from
   * the actual byte stream, and per-frame byte sums — RAW exact integers
   * for the same reason as [[PixelStats]]/[[AudioStats]] (the query
@@ -503,6 +510,47 @@ object MultimodalOps {
       }
       Some((bb.getInt(24), n, peak, sqSum))
     }
+
+    /** Parse header AND samples into DYNAMICS statistics: (sampleRate,
+      * nSamples, zero crossings, sum of |sample|) — the time-domain
+      * features a speech/music screen reads (ZCR separates voiced from
+      * fricative/noise content; mean |s| is loudness without the square
+      * emphasis). Crossing = consecutive samples whose sign BITS differ
+      * (sign = s < 0, so 0 is non-negative — pinned because the oracle
+      * regenerates the same convention). Same validation gauntlet as
+      * [[decodeWav16]]; None for undecodable payloads.
+      */
+    def decodeWav16Dynamics(bytes: Array[Byte])
+        : Option[(Int, Int, Long, Long)] = {
+      def tag(off: Int, s: String): Boolean =
+        bytes.length >= off + 4 &&
+          new String(bytes, off, 4, "US-ASCII") == s
+      if (!(bytes.length >= 44 && tag(0, "RIFF") && tag(8, "WAVE") &&
+        tag(12, "fmt ") && tag(36, "data"))) return None
+      val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+      val fmtSize = bb.getInt(16)
+      val audioFormat = bb.getShort(20)
+      val channels = bb.getShort(22)
+      val bits = bb.getShort(34)
+      val dataSize = bb.getInt(40)
+      val n = dataSize / 2
+      if (fmtSize != 16 || audioFormat != 1 || channels != 1 ||
+        bits != 16 || dataSize < 0 || dataSize % 2 != 0 ||
+        n > MaxSamples || 44L + dataSize > bytes.length) return None
+      var zc = 0L
+      var absSum = 0L
+      var prevNeg = false
+      var i = 0
+      while (i < n) {
+        val v = bb.getShort(44 + 2 * i).toLong
+        val neg = v < 0
+        if (i > 0 && neg != prevNeg) zc += 1
+        prevNeg = neg
+        absSum += math.abs(v)
+        i += 1
+      }
+      Some((bb.getInt(24), n, zc, absSum))
+    }
   }
 
   /** Synthesize complete WAV files — real headers AND a real PCM sample
@@ -540,6 +588,24 @@ object MultimodalOps {
       it.flatMap { b =>
         WavCodec.decodeWav16(b.payload).map { case (sr, n, peak, sq) =>
           AudioStats(b.doc_id, sr.toLong, n.toLong, peak, sq)
+        }
+      }
+    }
+  }
+
+  /** REAL audio dynamics decode: parse the PCM stream and reduce it to
+    * zero-crossing count + absolute-amplitude sum — exact integers from
+    * the actual payload bytes, same mapPartitions batch shape as
+    * [[decodeAudioStats]]. Undecodable payloads are dropped.
+    */
+  def decodeAudioDynamics(blobs: Dataset[MediaBlob])
+      : Dataset[AudioDynamics] = {
+    import blobs.sparkSession.implicits._
+    blobs.mapPartitions { it =>
+      it.flatMap { b =>
+        WavCodec.decodeWav16Dynamics(b.payload).map {
+          case (sr, n, zc, absSum) =>
+            AudioDynamics(b.doc_id, sr.toLong, n.toLong, zc, absSum)
         }
       }
     }

@@ -58,6 +58,25 @@ class MultimodalOpsSpec extends SparkTestBase {
     assert(WavCodec.decodeWav16(hostile).isEmpty)
   }
 
+  test("decodeWav16Dynamics: zero crossings + |s| sum, hand-computed") {
+    import MultimodalOps.WavCodec
+    // signs (s < 0): +, -, +, -, + — a crossing at every adjacent
+    // step; zero counts as NON-negative (the pinned convention)
+    val wav = WavCodec.encodeWav16(8000, Array[Short](1, -1, 2, -3, 0))
+    assert(WavCodec.decodeWav16Dynamics(wav) ==
+      Some((8000, 5, 4L, 7L)))
+    // all non-negative: no crossings; |s| sums the raw magnitudes
+    val flat = WavCodec.encodeWav16(8000, Array[Short](0, 5, 3))
+    assert(WavCodec.decodeWav16Dynamics(flat) == Some((8000, 3, 0L, 8L)))
+    // same validation gauntlet as decodeWav16
+    assert(WavCodec.decodeWav16Dynamics(wav.dropRight(1)).isEmpty)
+    val hostile = wav.clone()
+    java.nio.ByteBuffer.wrap(hostile)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(40, Int.MaxValue - 2)
+    assert(WavCodec.decodeWav16Dynamics(hostile).isEmpty)
+  }
+
   test("synthesizeWavs → decodeAudioStats: deterministic, exact") {
     val stats = MultimodalOps.decodeAudioStats(
       MultimodalOps.synthesizeWavs(docs)).collect()

@@ -1,0 +1,82 @@
+package graft
+
+import java.nio.file.Files
+
+/** Hand-computed pins for the round-13 text additions: x35 (BPE-style
+  * merge training) and x36 (stupid-backoff trigram LM across a real
+  * train/held-out source boundary).
+  */
+class TextLmSpec extends SparkTestBase {
+
+  private def writeDocs(rows: Seq[(Long, String, String)]): String = {
+    import spark.implicits._
+    val docs = rows.toDF("doc_id", "text", "source")
+      .selectExpr("doc_id", "text", "'en' AS lang", "source",
+        "CAST(length(text) AS BIGINT) AS n_chars")
+    val dir = Files.createTempDirectory("graft_textlm").toString
+    docs.coalesce(1).write.parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("x35: merge sequence matches the hand-run BPE rounds") {
+    // vocab: aaab x2, ab x3
+    // r1 pairs: (a,a) 2*2=4, (a,b) 1*2+1*3=5      -> (a,b,5)
+    //   merge: aaab -> [a,a,ab]; ab -> [ab]
+    // r2 pairs: (a,a) 2, (a,ab) 2 — tie, (l,r) asc -> (a,a,2)
+    //   merge: [a,a,ab] -> [aa,ab]
+    // r3 pairs: (aa,ab) 2                          -> (aa,ab,2)
+    //   merge: [aa,ab] -> [aaab]
+    // r4..r6: no adjacent pairs remain -> no merge rows (the argmax
+    // frame is empty, and the empty cross join empties the vocab —
+    // identical exhaustion semantics on the oracle side)
+    val dir = writeDocs(Seq((1L, "aaab aaab ab ab ab", "unit")))
+    val got = SparkEntry.queries("x35_bpe_merges")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3)))
+      .toSet
+    assert(got == Set(
+      (1L, "a", "b", 5L),
+      (2L, "a", "a", 2L),
+      (3L, "aa", "ab", 2L)), s"got $got")
+  }
+
+  test("x36: backoff chain fires at every level, hand-computed") {
+    // train source "a" — both sources have 3 docs, so the (docs desc,
+    // source asc) tiebreak fires and picks "a" (exercising the pinned
+    // tiebreak path). Model from docs 1-3:
+    //   c1: x3 y3 z3 q1 r1 -> N=11, V=5
+    //   c2: (x,y)3 (y,z)3 (z,x)1 (q,r)1
+    //   c3: (x,y,z)3 (y,z,x)1 (z,x,y)1
+    val dir = writeDocs(Seq(
+      (1L, "x y z x y z", "a"),
+      (2L, "x y z", "a"),
+      (3L, "q r", "a"),
+      // doc 100: (x,y,z) model hit S=3/3; (y,z,w) full backoff to
+      // the +1-laplace unigram floor: 0.16 * (0+1)/(11+5) = 0.01
+      (100L, "x y z w", "z"),
+      // doc 101: (z,x,q) laplace on q: 0.16 * (1+1)/16 = 0.02;
+      // (x,q,r) bigram-level backoff: 0.4 * c2(q,r)/c1(q) = 0.4
+      (101L, "z x q r", "z"),
+      // doc 102: under 3 tokens -> not scored
+      (102L, "just two", "z")))
+
+    def r9(x: Double): Double =
+      BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+    val got = SparkEntry.queries("x36_backoff_lm")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0),
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))))
+      .toMap
+    assert(got.keySet == Set(100L, 101L), s"got ${got.keySet}")
+    assert(got(100L) ==
+      ((2L, 0.5, r6(-(r9(math.log(1.0)) + r9(math.log(0.01))) / 2))),
+      s"got ${got(100L)}")
+    assert(got(101L) ==
+      ((2L, 1.0, r6(-(r9(math.log(0.02)) + r9(math.log(0.4))) / 2))),
+      s"got ${got(101L)}")
+  }
+}
