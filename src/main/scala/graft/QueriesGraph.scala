@@ -98,8 +98,32 @@ object QueriesGraph {
         .select(col("x").cast("long").as("cust_a"),
           col("y").cast("long").as("cust_b"),
           col("common"), col("nbr_jaccard"))
+    }),
+
+    // Multi-source BFS hop distances over the SAME co-purchase
+    // substrate (one edge table, many algorithms): "every customer
+    // within 4 hops of the seed set, with the hop count" — the
+    // influence-radius / blast-radius query a fraud or recommendation
+    // platform runs from a suspect set. Seeds are the 5 smallest node
+    // ids (deterministic); each of the 4 rounds moves O(frontier·deg)
+    // KEYS through one equi-join + one anti-join (never payloads,
+    // never all-pairs), with per-round lineage cuts — BFS is the d7/
+    // d9/d11 iterative discipline applied to reachability. The oracle
+    // is a depth-bounded recursive closure with min(dist): first
+    // discovery in the engine IS min distance in the closure.
+    "d26_bfs_hops" -> ((s, d) => {
+      val edges = coPurchaseEdges(s, d)
+      val sources = edges
+        .select(explode(array(col("a"), col("b"))).as("id")).distinct()
+        .orderBy(col("id")).limit(BfsSources)
+      GraphOps.bfsDistances(edges, sources, BfsRounds)
+        .select(col("id").cast("long").as("custkey"), col("dist"))
     })
   )
+
+  /** d26's horizon and seed count (mirrored in the oracle). */
+  private[graft] val BfsRounds = 4
+  private[graft] val BfsSources = 5
 
   private[graft] val LpRounds = 2
 
@@ -225,7 +249,28 @@ object QueriesGraph {
          |l0 AS MATERIALIZED (SELECT DISTINCT u AS id, u AS lbl FROM sym),
          |${unrolledLp(LpRounds)}
          |SELECT CAST(id AS BIGINT) AS custkey, CAST(lbl AS BIGINT)
-         |  AS community FROM l$LpRounds""".stripMargin
+         |  AS community FROM l$LpRounds""".stripMargin,
+
+    // d26: the same substrate, then a depth-bounded recursive closure.
+    // UNION (not ALL) dedups (id, dist) pairs per step, so the working
+    // set is ≤ nodes·rounds — no path explosion — and min(dist) over
+    // the closure is the BFS distance.
+    "d26_bfs_hops" ->
+      s"""WITH RECURSIVE $coPurchaseCtes,
+         |sym AS MATERIALIZED (SELECT a AS u, b AS v FROM e0
+         |      UNION ALL SELECT b, a FROM e0),
+         |src AS MATERIALIZED (SELECT id FROM (
+         |      SELECT DISTINCT u AS id FROM sym)
+         |      ORDER BY id LIMIT $BfsSources),
+         |bfs(id, dist) AS (
+         |  SELECT id, 0 AS dist FROM src
+         |  UNION
+         |  SELECT s.v AS id, b.dist + 1 AS dist
+         |  FROM bfs b JOIN sym s ON s.u = b.id
+         |  WHERE b.dist < $BfsRounds)
+         |SELECT CAST(id AS BIGINT) AS custkey,
+         |  CAST(min(dist) AS BIGINT) AS dist
+         |FROM bfs GROUP BY id""".stripMargin
   )
 
   /** The d11/d13 shared substrate CTEs (mirror [[coPurchaseEdges]]):

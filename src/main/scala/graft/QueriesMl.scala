@@ -1,0 +1,177 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Distributed model-fitting primitives (north-star extension): the
+  * closed-form regressions a feature platform runs INSIDE the engine
+  * instead of collecting to a driver-side solver. Everything reduces to
+  * sufficient statistics — one map-side-combined aggregation pass over
+  * the fact table, then a constant-size solve expressed in the plan —
+  * so the shape is a single shuffle of ~10 longs per group at any data
+  * scale (the dq6 exact-moments discipline: quantize to integers,
+  * accumulate Long sums, ONE double combination in an expression shape
+  * both engines evaluate identically — never float accumulation, whose
+  * partition order would unpin the oracle hash).
+  */
+object QueriesMl {
+
+  /** The shared quantization (dq6's grains): quantity in units,
+    * extendedprice in TENS of dollars, discount in percent. Long
+    * bounds: Σy² ≤ rows·(1.1e4)² ≈ rows·1.2e8 — exact to sf100 with
+    * ~100× headroom. Regression coefficients are ON the quantized
+    * columns (the documented semantic; both engines quantize alike).
+    */
+  private def quantized(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d).select(
+      col("l_returnflag"),
+      floor(col("l_quantity")).cast("long").as("x1"),
+      floor(col("l_discount") * 100).cast("long").as("x2"),
+      floor(col("l_extendedprice") / 10).cast("long").as("y"))
+
+  /** Per-group sufficient statistics for [1, x1, x2] → y: the ten
+    * exact Long moments of the normal equations.
+    */
+  private def moments(df: DataFrame): DataFrame =
+    df.groupBy("l_returnflag").agg(
+      count(lit(1)).as("n"),
+      sum(col("x1")).as("s1"), sum(col("x2")).as("s2"),
+      sum(col("x1") * col("x1")).as("q1"),
+      sum(col("x1") * col("x2")).as("p12"),
+      sum(col("x2") * col("x2")).as("q2"),
+      sum(col("y")).as("sy"),
+      sum(col("x1") * col("y")).as("p1y"),
+      sum(col("x2") * col("y")).as("p2y"),
+      sum(col("y") * col("y")).as("qy"))
+
+  /** The 3×3 Cramer solve over the moment columns, as SQL text shared
+    * verbatim with the oracle — same parse tree, same IEEE operand
+    * order, bit-equal coefficients on both engines. `lam` is the ridge
+    * penalty added to the x1/x2 diagonal (never the intercept), scaled
+    * by n so the path is sample-size-invariant; lam=0 is OLS.
+    *
+    * A = [[n, s1, s2], [s1, q1+λn, p12], [s2, p12, q2+λn]], c = [sy,
+    * p1y, p2y]; det expansion along the first row.
+    */
+  private def solveSql(lam: String): Map[String, String] = {
+    val n = "CAST(n AS DOUBLE)"
+    val (s1, s2) = ("CAST(s1 AS DOUBLE)", "CAST(s2 AS DOUBLE)")
+    val q1 = s"(CAST(q1 AS DOUBLE) + $lam * $n)"
+    val q2 = s"(CAST(q2 AS DOUBLE) + $lam * $n)"
+    val p12 = "CAST(p12 AS DOUBLE)"
+    val (sy, p1y, p2y) =
+      ("CAST(sy AS DOUBLE)", "CAST(p1y AS DOUBLE)", "CAST(p2y AS DOUBLE)")
+    val det = s"($n * ($q1 * $q2 - $p12 * $p12)" +
+      s" - $s1 * ($s1 * $q2 - $p12 * $s2)" +
+      s" + $s2 * ($s1 * $p12 - $q1 * $s2))"
+    val det0 = s"($sy * ($q1 * $q2 - $p12 * $p12)" +
+      s" - $s1 * ($p1y * $q2 - $p12 * $p2y)" +
+      s" + $s2 * ($p1y * $p12 - $q1 * $p2y))"
+    val det1 = s"($n * ($p1y * $q2 - $p2y * $p12)" +
+      s" - $sy * ($s1 * $q2 - $p12 * $s2)" +
+      s" + $s2 * ($s1 * $p2y - $p1y * $s2))"
+    val det2 = s"($n * ($q1 * $p2y - $p12 * $p1y)" +
+      s" - $s1 * ($s1 * $p2y - $p1y * $s2)" +
+      s" + $sy * ($s1 * $p12 - $q1 * $s2))"
+    Map("b0" -> s"($det0 / $det)", "b1" -> s"($det1 / $det)",
+      "b2" -> s"($det2 / $det)",
+      "sy" -> sy, "p1y" -> p1y, "p2y" -> p2y, "n" -> n)
+  }
+
+  /** R² from the same moments: SSE = qy − b0·sy − b1·p1y − b2·p2y,
+    * SST = qy − sy²/n (exact Long qy widened once).
+    */
+  private def r2Sql(f: Map[String, String]): String = {
+    val qy = "CAST(qy AS DOUBLE)"
+    val sse = s"($qy - ${f("b0")} * ${f("sy")} - ${f("b1")} * " +
+      s"${f("p1y")} - ${f("b2")} * ${f("p2y")})"
+    val sst = s"($qy - ${f("sy")} * ${f("sy")} / ${f("n")})"
+    // constant-y group: SST = 0 and the intercept fits perfectly —
+    // define R² = 1 rather than emit 0/0 NaN
+    s"(CASE WHEN $sst > 0.0 THEN 1.0 - $sse / $sst ELSE 1.0 END)"
+  }
+
+  /** The ridge path's λ grid (documented in ml2's output): 0 is the
+    * OLS corner, then three decades.
+    */
+  private val RidgeLams = Seq("0.0", "0.1", "1.0", "10.0")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Grouped closed-form OLS — y ≈ b0 + b1·quantity + b2·discount per
+    // returnflag, fit ENTIRELY in the plan: one exact-moment pass
+    // (map-side combine, ten longs per group) and a Cramer solve in
+    // the projection. No iterations, no driver linear algebra, no
+    // collect — the one-aggregation shape that fits a regression per
+    // group over a 100 TB fact table as cheaply as a groupBy count.
+    // Coefficients/R² round 6dp at output only; everything upstream is
+    // exact integers, so both engines solve from bit-identical doubles.
+    "ml1_ols" -> ((s, d) => {
+      val f = solveSql("0.0")
+      moments(quantized(s, d)).selectExpr(
+        "l_returnflag", "n",
+        s"round(${f("b0")}, 6) AS beta0",
+        s"round(${f("b1")}, 6) AS beta1",
+        s"round(${f("b2")}, 6) AS beta2",
+        s"round(${r2Sql(f)}, 6) AS r2")
+    }),
+
+    // Ridge regularization path over the SAME sufficient statistics:
+    // the moment pass happens ONCE and each λ is just another constant
+    // solve in the projection — the reason closed-form paths are
+    // near-free in-engine (a λ grid costs zero extra data passes,
+    // where an iterative solver would rescan per λ). λ scales with n
+    // (penalty on the mean Gram), never the intercept.
+    "ml2_ridge_path" -> ((s, d) => {
+      val m = moments(quantized(s, d))
+      RidgeLams.map { lam =>
+        val f = solveSql(lam)
+        m.selectExpr("l_returnflag",
+          s"CAST($lam AS DOUBLE) AS lambda",
+          s"round(${f("b0")}, 6) AS beta0",
+          s"round(${f("b1")}, 6) AS beta1",
+          s"round(${f("b2")}, 6) AS beta2")
+      }.reduce(_ unionAll _)
+    })
+  )
+
+  /** One moments CTE shared by both oracles — the Spark-side agg
+    * mirrored column-for-column, then the IDENTICAL solve text.
+    */
+  private val momentsCte: String =
+    """m AS (SELECT l_returnflag,
+      |  CAST(count(*) AS BIGINT) AS n,
+      |  sum(x1) AS s1, sum(x2) AS s2,
+      |  sum(x1 * x1) AS q1, sum(x1 * x2) AS p12, sum(x2 * x2) AS q2,
+      |  sum(y) AS sy, sum(x1 * y) AS p1y, sum(x2 * y) AS p2y,
+      |  sum(y * y) AS qy
+      |FROM (SELECT l_returnflag,
+      |    CAST(floor(l_quantity) AS BIGINT) AS x1,
+      |    CAST(floor(l_discount * 100) AS BIGINT) AS x2,
+      |    CAST(floor(l_extendedprice / 10) AS BIGINT) AS y
+      |  FROM lineitem)
+      |GROUP BY l_returnflag)""".stripMargin
+
+  def oracle: Map[String, String] = {
+    val f0 = solveSql("0.0")
+    val ridgeArms = RidgeLams.map { lam =>
+      val f = solveSql(lam)
+      s"""SELECT l_returnflag, CAST($lam AS DOUBLE) AS lambda,
+         |  round(${f("b0")}, 6) AS beta0,
+         |  round(${f("b1")}, 6) AS beta1,
+         |  round(${f("b2")}, 6) AS beta2 FROM m""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    Map(
+      "ml1_ols" ->
+        s"""WITH $momentsCte
+           |SELECT l_returnflag, n,
+           |  round(${f0("b0")}, 6) AS beta0,
+           |  round(${f0("b1")}, 6) AS beta1,
+           |  round(${f0("b2")}, 6) AS beta2,
+           |  round(${r2Sql(f0)}, 6) AS r2
+           |FROM m""".stripMargin,
+      "ml2_ridge_path" ->
+        s"""WITH $momentsCte
+           |$ridgeArms""".stripMargin)
+  }
+}

@@ -240,6 +240,33 @@ object QueriesStreaming {
             .as("f_sum"))
     }),
 
+    // Scene-change detection — the temporal segmentation step a video
+    // curation pass runs before sampling training frames (frames
+    // inside one scene are near-duplicates; cuts are where content
+    // changes). The synthesized streams have REAL scene structure
+    // (per-scene byte recurrences + md5-seeded cut positions), the
+    // decode reduces adjacent REAL frame pairs to absolute-difference
+    // energy (one previous-frame buffer of state — O(frame), however
+    // long the stream), and the query thresholds mean-absolute-
+    // difference per pixel byte (MAD > 16 ⇒ cut; within-scene MAD ≤ 5
+    // by construction — wrap-free jitter — cross-scene ≈ 83). The
+    // oracle regenerates every
+    // byte analytically — a decode that desyncs from a marker or
+    // misreads a plane byte shifts an energy and fails the hash.
+    "m9_scene_change" -> ((s, d) => {
+      val dec = MultimodalOps.decodeVideoDiffs(
+        MultimodalOps.synthesizeSceneVideos(Tables.documents(s, d)))
+        .toDF()
+      dec.select(col("doc_id"), col("n_frames"),
+          expr("width * height * 3 DIV 2").as("fs"),
+          posexplode(col("d_sums")).as(Seq("pos", "dsum")))
+        .select(col("doc_id"), col("n_frames"),
+          (col("pos") + 1).cast("long").as("frame_idx"), col("dsum"),
+          round(col("dsum").cast("double") / col("fs").cast("double"), 6)
+            .as("mad"),
+          (col("dsum") > col("fs") * 16).cast("long").as("is_cut"))
+    }),
+
     // Perceptual-hash image dedup — the multimodal→dedup bridge: the
     // subject-keyed 8×8 BMPs (near-dup documents share a text prefix,
     // so their images differ only by clamped ±3 noise) are REALLY
@@ -548,6 +575,51 @@ object QueriesStreaming {
         |        % 256)),
         |    (x, y) -> x + y) AS f_sum
         |FROM f""".stripMargin,
+    // m9: the oracle regenerates the scene-structured byte recurrence
+    // analytically — the same md5-seeded cut flags (running-sum scene
+    // ids over a window), per-scene slopes, +k frame jitter — and
+    // derives each adjacent-pair difference energy with a bounded
+    // list fold, mirroring the decoded-bytes computation exactly.
+    "m9_scene_change" ->
+      """WITH p AS (SELECT doc_id, text,
+        |  (CAST(concat('0x', substr(md5(concat('scw:', text)), 1, 15))
+        |    AS BIGINT) % 8 + 1) * 2 AS w,
+        |  (CAST(concat('0x', substr(md5(concat('sch:', text)), 1, 15))
+        |    AS BIGINT) % 8 + 1) * 2 AS h,
+        |  CAST(concat('0x', substr(md5(concat('vf:', text)), 1, 15))
+        |    AS BIGINT) % 8 + 2 AS nf
+        |  FROM documents),
+        |fr AS (SELECT doc_id, text, w, h, nf,
+        |    unnest(range(nf)) AS k FROM p),
+        |sc AS (SELECT doc_id, text, w, h, nf, k,
+        |  sum(CASE WHEN k >= 1 AND CAST(concat('0x', substr(md5(
+        |        concat('vc', CAST(k AS VARCHAR), ':', text)), 1, 15))
+        |        AS BIGINT) % 4 = 0
+        |      THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY doc_id ORDER BY k) AS s
+        |  FROM fr),
+        |ab AS (SELECT doc_id, w, h, nf, k,
+        |  CAST(concat('0x', substr(md5(concat('sva', CAST(s AS VARCHAR),
+        |    ':', text)), 1, 15)) AS BIGINT) % 256 AS a,
+        |  CAST(concat('0x', substr(md5(concat('svb', CAST(s AS VARCHAR),
+        |    ':', text)), 1, 15)) AS BIGINT) % 256 AS b
+        |  FROM sc),
+        |lg AS (SELECT doc_id, w, h, nf, k, a, b,
+        |  lag(a) OVER (PARTITION BY doc_id ORDER BY k) AS pa,
+        |  lag(b) OVER (PARTITION BY doc_id ORDER BY k) AS pb FROM ab),
+        |df AS (SELECT doc_id, nf, k, w * h * 3 // 2 AS fs,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(range(w * h * 3 // 2),
+        |      i -> CAST(abs(((a * i + b) % 250 + k % 6)
+        |        - ((pa * i + pb) % 250 + (k - 1) % 6)) AS BIGINT))),
+        |    (x, y) -> x + y) AS dsum
+        |  FROM lg WHERE k >= 1)
+        |SELECT doc_id, nf AS n_frames, CAST(k AS BIGINT) AS frame_idx,
+        |  dsum,
+        |  round(CAST(dsum AS DOUBLE) / CAST(fs AS DOUBLE), 6) AS mad,
+        |  CAST(CASE WHEN dsum > fs * 16 THEN 1 ELSE 0 END AS BIGINT)
+        |    AS is_cut
+        |FROM df""".stripMargin,
     // m7: the oracle regenerates the subject-keyed pixels analytically
     // (same md5 seeds, same clamp), derives the identical integer
     // aHash, and mirrors d5's chunk-banded candidate generation

@@ -599,6 +599,42 @@ object QueriesText {
             col("n_trigrams").cast("double"), 6).as("bo_rate"),
           round(-aggregate(col("cs"), lit(0.0), (a, x) => a + x) /
             col("n_trigrams").cast("double"), 6).as("avg_nll3"))
+    }),
+
+    // Trained-tokenizer ENCODE — the apply half of x35's train loop:
+    // every corpus word re-segments under the trained merges (the
+    // final vocab of the SAME persisted chain — train once, encode
+    // everywhere; CacheManager plan equality makes x35 and x37 read
+    // one materialization). The per-source ledger reports what the
+    // tokenizer actually buys: words, characters, BPE tokens, tokens
+    // per word (TRAINED fertility — x28 measures the regex-subtoken
+    // proxy; this is the real thing) and chars per token. The encode
+    // join broadcasts the unique-word vocabulary (Heaps-law sublinear
+    // in corpus size), so the corpus side never shuffles for the
+    // lookup: one narrow explode + broadcast join + bounded agg at
+    // any scale — exactly how a 100 TB corpus is tokenized against a
+    // trained merges table.
+    "x37_bpe_encode" -> ((s, d) => {
+      val enc = bpeChain(s, d)._1
+        .select(col("word"), size(col("syms")).cast("long").as("ntok"))
+      val srcs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"))
+      QueriesDedup.docsWithTokens(s, d)
+        .join(srcs, "doc_id")
+        .select(col("source"), explode(col("toks")).as("tok"))
+        .select(col("source"), lower(col("tok")).as("word"))
+        .filter(col("word").rlike(BpeWordRe))
+        .join(broadcast(enc), "word")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_words"),
+          sum(length(col("word")).cast("long")).as("n_chars"),
+          sum(col("ntok")).as("n_bpe_tokens"))
+        .select(col("source"), col("n_words"), col("n_chars"),
+          col("n_bpe_tokens"),
+          round(col("n_bpe_tokens").cast("double") /
+            col("n_words").cast("double"), 6).as("bpe_fertility"),
+          round(col("n_chars").cast("double") /
+            col("n_bpe_tokens").cast("double"), 6).as("chars_per_token"))
     })
   ) ++ samplingQueries
 
@@ -611,13 +647,18 @@ object QueriesText {
     */
   private val BpeWordRe = "^[a-z]{1,16}$"
 
-  /** The x35 implementation: vocab build + [[BpeRounds]] in-plan merge
-    * rounds. Each round's vocab is guard-persisted (tfFrame pattern) —
-    * without it the pair-count branch and the merge branch would each
-    * re-derive the whole previous-round chain, doubling work per round
-    * (2^R overall).
+  /** The shared x35/x37 training chain: vocab build + [[BpeRounds]]
+    * in-plan merge rounds, with `word` carried through every round so
+    * the trained segmentation can be joined back to the corpus (x37's
+    * encode pass). Each round's vocab is guard-persisted (tfFrame
+    * pattern) — without it the pair-count branch and the merge branch
+    * would each re-derive the whole previous-round chain, doubling
+    * work per round (2^R overall); the plan-equality guard also means
+    * x35 and x37 share ONE materialized chain per scale dir.
+    * Returns (final vocab (word, syms, freq), merge-rounds table).
     */
-  private def bpeMerges(s: SparkSession, d: String): DataFrame = {
+  private def bpeChain(s: SparkSession, d: String)
+      : (DataFrame, DataFrame) = {
     def persisted(df: DataFrame): DataFrame =
       if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
         df.persist()
@@ -627,8 +668,9 @@ object QueriesText {
       .select(lower(col("tok")).as("word"))
       .filter(col("word").rlike(BpeWordRe))
       .groupBy("word").agg(count(lit(1)).as("freq"))
-      .select(transform(sequence(lit(1), length(col("word"))),
-        i => col("word").substr(i, lit(1))).as("syms"), col("freq")))
+      .select(col("word"),
+        transform(sequence(lit(1), length(col("word"))),
+          i => col("word").substr(i, lit(1))).as("syms"), col("freq")))
     val rounds = (1 to BpeRounds).map { r =>
       val top = vocab.filter(size(col("syms")) >= 2)
         .select(col("freq"), explode(zip_with(
@@ -638,8 +680,19 @@ object QueriesText {
         .groupBy(col("p.l").as("l"), col("p.r").as("r"))
         .agg(sum(col("freq")).as("pf"))
         .orderBy(col("pf").desc, col("l"), col("r")).limit(1)
-      vocab = persisted(vocab.crossJoin(broadcast(top))
-        .select(aggregate(
+      // Exhaustion guard: when no pair remains (tiny/degenerate corpus
+      // trained past its merge capacity), `top` is EMPTY and a bare
+      // cross join would empty the vocab — x35's rounds table just
+      // loses its row (correct), but x37's encode would lose the whole
+      // segmentation. The NULL sentinel (pf = −1, outranked by any
+      // real pair) turns the merge fold into a no-op: NULL = x is
+      // NULL, so every element takes the append branch.
+      val topOrNoop = top.unionAll(s.range(1).select(
+          lit(null).cast("string").as("l"),
+          lit(null).cast("string").as("r"), lit(-1L).as("pf")))
+        .orderBy(col("pf").desc).limit(1)
+      vocab = persisted(vocab.crossJoin(broadcast(topOrNoop))
+        .select(col("word"), aggregate(
           slice(col("syms"), lit(2), size(col("syms")) - 1),
           slice(col("syms"), lit(1), lit(1)),
           (acc, x) => when(
@@ -651,8 +704,11 @@ object QueriesText {
       top.select(lit(r.toLong).as("merge_round"), col("l").as("lhs"),
         col("r").as("rhs"), col("pf").as("pair_freq"))
     }
-    rounds.reduce(_ unionAll _)
+    (vocab, rounds.reduce(_ unionAll _))
   }
+
+  private def bpeMerges(s: SparkSession, d: String): DataFrame =
+    bpeChain(s, d)._2
 
   /** Train-corpus n-gram model tables for x36 — c1/c2 are joined twice
     * each (prefix and suffix legs), so both are guard-persisted.
@@ -997,7 +1053,14 @@ object QueriesText {
     * accumulators but folds LIST state correctly; elements arrive as
     * 1-element lists so the lambda signature stays LIST→LIST).
     */
-  private lazy val bpeOracleSql: String = {
+  /** The shared x35/x37 oracle chain (mirrors [[bpeChain]]: word is
+    * carried through every round so x37's encode join can read
+    * v[[BpeRounds]]). v$r CTEs are MATERIALIZED — each is referenced
+    * by both the next round's pair count and its merge fold, and
+    * DuckDB 1.0 inlines CTEs by default, which would re-derive the
+    * whole chain 2^R times (the d9 sf1 lesson).
+    */
+  private lazy val bpeChainSql: String = {
     val rounds = (1 to BpeRounds).map { r =>
       s"""p$r AS (SELECT p[1] AS l, p[2] AS r, CAST(sum(freq) AS BIGINT)
          |    AS pf
@@ -1006,28 +1069,58 @@ object QueriesText {
          |    FROM v${r - 1} WHERE len(syms) >= 2)
          |  GROUP BY 1, 2),
          |t$r AS (SELECT l, r, pf FROM p$r ORDER BY pf DESC, l, r LIMIT 1),
-         |v$r AS (SELECT list_reduce(
+         |tn$r AS (SELECT l, r, pf FROM (SELECT l, r, pf FROM t$r
+         |    UNION ALL SELECT NULL, NULL, CAST(-1 AS BIGINT))
+         |  ORDER BY pf DESC LIMIT 1),
+         |v$r AS MATERIALIZED (SELECT word, list_reduce(
          |    list_prepend([syms[1]], list_transform(syms[2:], x -> [x])),
          |    (acc, xl) -> CASE WHEN acc[len(acc)] = t.l AND xl[1] = t.r
          |      THEN list_append(acc[1:len(acc) - 1], t.l || t.r)
          |      ELSE list_append(acc, xl[1]) END) AS syms, freq
-         |  FROM v${r - 1}, t$r AS t)""".stripMargin
+         |  FROM v${r - 1}, tn$r AS t)""".stripMargin
     }.mkString(",\n")
-    val sel = (1 to BpeRounds).map(r =>
-      s"SELECT CAST($r AS BIGINT) AS merge_round, l AS lhs, r AS rhs, " +
-        s"pf AS pair_freq FROM t$r").mkString("\nUNION ALL\n")
-    s"""WITH w0 AS (SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
+    s"""w0 AS (SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
        |    SELECT lower(tok) AS word FROM (
        |      SELECT unnest($toksSql) AS tok FROM documents))
        |  WHERE regexp_matches(word, '^[a-z]{1,16}$$') GROUP BY word),
-       |v0 AS (SELECT list_transform(range(length(word)),
+       |v0 AS MATERIALIZED (SELECT word, list_transform(range(length(word)),
        |    i -> substr(word, i + 1, 1)) AS syms, freq FROM w0),
-       |$rounds
+       |$rounds""".stripMargin
+  }
+
+  private lazy val bpeOracleSql: String = {
+    val sel = (1 to BpeRounds).map(r =>
+      s"SELECT CAST($r AS BIGINT) AS merge_round, l AS lhs, r AS rhs, " +
+        s"pf AS pair_freq FROM t$r").mkString("\nUNION ALL\n")
+    s"""WITH $bpeChainSql
        |$sel""".stripMargin
   }
 
+  /** x37's oracle: the same chain, then the encode join + per-source
+    * ledger (divisions written in the same shape as the Spark side —
+    * exact BIGINT sums widened to DOUBLE, one 6dp round at output).
+    */
+  private lazy val bpeEncodeOracleSql: String =
+    s"""WITH $bpeChainSql,
+       |enc AS (SELECT word, CAST(len(syms) AS BIGINT) AS ntok
+       |  FROM v$BpeRounds),
+       |wd AS (SELECT source, word FROM (
+       |    SELECT source, lower(tok) AS word FROM (
+       |      SELECT source, unnest($toksSql) AS tok FROM documents))
+       |  WHERE regexp_matches(word, '^[a-z]{1,16}$$'))
+       |SELECT wd.source, CAST(count(*) AS BIGINT) AS n_words,
+       |  CAST(sum(length(wd.word)) AS BIGINT) AS n_chars,
+       |  CAST(sum(enc.ntok) AS BIGINT) AS n_bpe_tokens,
+       |  round(CAST(sum(enc.ntok) AS DOUBLE)
+       |    / CAST(count(*) AS DOUBLE), 6) AS bpe_fertility,
+       |  round(CAST(sum(length(wd.word)) AS DOUBLE)
+       |    / CAST(sum(enc.ntok) AS DOUBLE), 6) AS chars_per_token
+       |FROM wd JOIN enc ON enc.word = wd.word
+       |GROUP BY wd.source""".stripMargin
+
   def oracle: Map[String, String] = Map(
     "x35_bpe_merges" -> bpeOracleSql,
+    "x37_bpe_encode" -> bpeEncodeOracleSql,
     "x36_backoff_lm" ->
       s"""WITH tr AS (SELECT source FROM documents GROUP BY source
          |  ORDER BY count(*) DESC, source LIMIT 1),

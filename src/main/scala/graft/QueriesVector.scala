@@ -497,6 +497,45 @@ object QueriesVector {
       arm(1).unionAll(arm(2)).unionAll(arm(3))
     }),
 
+    // Cluster-quality gate for the deterministic k-means stack — the
+    // centroid-based (simplified) SILHOUETTE per cluster: a(i) =
+    // distance to the OWN (nearest) centroid, b(i) = distance to the
+    // runner-up, s(i) = 1 − √a²/√b² (the (b−a)/max(a,b) form with
+    // b ≥ a by construction, so s ∈ [0,1]). Routing reuses v7's exact
+    // chain (seeded codebook + one fixed-point Lloyd step) through the
+    // ranked top-2 assignment, so the gate grades the SAME clustering
+    // d23/v3 route with — the measured-quality discipline (d20/d24/
+    // v8) extended to cluster geometry. Per-vector scores are
+    // bit-identical doubles (sqrt and / are IEEE-correctly-rounded
+    // over v7's pinned distances), then fixed-point-floored (1e6) to
+    // exact Longs so the per-cluster mean is an ORDER-FREE exact sum —
+    // the dq6 integer-moments discipline; a sorted-fold mean would
+    // carry O(cluster) driver-visible state where this carries one
+    // Long per cluster. K output rows at any corpus scale.
+    "v20_silhouette" -> ((s, d) => {
+      val x = prep(s, d).select(col("id"), col("v"))
+      val cent0 = x.filter(col("id") < 5)
+        .select(col("id").as("cid"), col("v").as("c"))
+      val c1 = VectorOps.centroidMeans(
+        VectorOps.assignNearestEuclid(x, cent0))
+      val two = VectorOps.assignTopKEuclid(x, c1, 2)
+        .groupBy("id").agg(
+          max(when(col("rk") === 1, col("cid"))).as("cluster"),
+          max(when(col("rk") === 1, col("d2"))).as("d2a"),
+          max(when(col("rk") === 2, col("d2"))).as("d2b"))
+      val si = when(col("d2b") > 0.0,
+        lit(1.0) - sqrt(col("d2a")) / sqrt(col("d2b")))
+        .otherwise(lit(0.0))
+      two.select(col("cluster"),
+          floor(si * lit(1000000.0)).cast("long").as("fx"))
+        .groupBy("cluster")
+        .agg(count(lit(1)).as("n_vecs"), sum(col("fx")).as("sfx"))
+        .select(col("cluster"), col("n_vecs"),
+          round(col("sfx").cast("double") /
+            (col("n_vecs") * lit(1000000L)).cast("double"), 6)
+            .as("mean_sil"))
+    }),
+
     "v8_ann_recall" -> ((s, d) => {
       val exact = queries("v1_cosine_topk")(s, d).select("id_q", "id_n")
       def recallOf(cand: DataFrame, method: String): DataFrame =
@@ -1083,6 +1122,45 @@ object QueriesVector {
          |  FROM d a CROSS JOIN c1 c) WHERE rk = 1)
          |SELECT vec_id, cid AS cluster, round(d2, 6) AS d2 FROM a1"""
         .stripMargin,
+    // v20: v7's exact chain through the ranked top-2 assignment, then
+    // the fixed-point silhouette ledger (same floor(·1e6) pinning as
+    // the Spark side, same CASE shape for the zero-distance guard).
+    "v20_silhouette" ->
+      s"""WITH $preparedSql,
+         |c0 AS (SELECT vec_id AS cid, v AS c FROM d WHERE vec_id < 5),
+         |a0 AS MATERIALIZED (SELECT vec_id, v, cid FROM (
+         |  SELECT a.vec_id, a.v, c.cid,
+         |    row_number() OVER (PARTITION BY a.vec_id
+         |      ORDER BY $euclid2Sql, c.cid) AS rk
+         |  FROM d a CROSS JOIN c0 c) WHERE rk = 1),
+         |e AS (SELECT cid, unnest(list_transform(range(len(v)),
+         |    i -> struct_pack(pos := i,
+         |      fx := CAST(floor(v[i+1] * 1000000.0) AS BIGINT)))) AS u
+         |  FROM a0),
+         |g AS (SELECT cid, u.pos AS pos, sum(u.fx) AS sfx, count(*) AS n
+         |  FROM e GROUP BY 1, 2),
+         |c1 AS MATERIALIZED (SELECT cid, list_transform(list_sort(list(
+         |    struct_pack(pos := pos, ci := CAST(sfx AS DOUBLE)
+         |      / CAST(n * 1000000 AS DOUBLE)))), s -> s.ci) AS c
+         |  FROM g GROUP BY cid),
+         |a2 AS (SELECT vec_id, cid, d2, rk FROM (
+         |  SELECT a.vec_id, c.cid, $euclid2Sql AS d2,
+         |    row_number() OVER (PARTITION BY a.vec_id
+         |      ORDER BY $euclid2Sql, c.cid) AS rk
+         |  FROM d a CROSS JOIN c1 c) WHERE rk <= 2),
+         |pv AS (SELECT vec_id,
+         |    max(CASE WHEN rk = 1 THEN cid END) AS cluster,
+         |    max(CASE WHEN rk = 1 THEN d2 END) AS d2a,
+         |    max(CASE WHEN rk = 2 THEN d2 END) AS d2b
+         |  FROM a2 GROUP BY vec_id),
+         |fx AS (SELECT cluster, CAST(floor((CASE WHEN d2b > 0.0
+         |      THEN 1.0 - sqrt(d2a) / sqrt(d2b) ELSE 0.0 END)
+         |      * 1000000.0) AS BIGINT) AS fx
+         |  FROM pv)
+         |SELECT cluster, CAST(count(*) AS BIGINT) AS n_vecs,
+         |  round(CAST(sum(fx) AS DOUBLE)
+         |    / CAST(count(*) * 1000000 AS DOUBLE), 6) AS mean_sil
+         |FROM fx GROUP BY cluster""".stripMargin,
     // d23: v7's deterministic k-means chain at K=16 (same seeded
     // codebook, same fixed-point Lloyd step, same argmin tiebreak),
     // then the SOFT (top-2) cell-local pair join — distinct pairs

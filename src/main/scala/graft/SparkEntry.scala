@@ -20,7 +20,7 @@ object SparkEntry {
       QueriesCuration.queries ++ QueriesEvents.queries ++
       QueriesGraph.queries ++ QueriesTimeseries.queries ++
       QueriesProfile.queries ++ QueriesSql.queries ++
-      QueriesStorage.queries
+      QueriesStorage.queries ++ QueriesMl.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -32,5 +32,5 @@ object SparkEntry {
       QueriesCuration.oracle ++ QueriesEvents.oracle ++
       QueriesGraph.oracle ++ QueriesTimeseries.oracle ++
       QueriesProfile.oracle ++ QueriesSql.oracle ++
-      QueriesStorage.oracle
+      QueriesStorage.oracle ++ QueriesMl.oracle
 }

@@ -283,4 +283,46 @@ object GraphOps {
     RelationalOps.topKGlobal(counts,
       Seq(col("n_triangles").desc, col("id").asc), topK)
   }
+
+  /** Multi-source BFS hop distances over the undirected edge set:
+    * `rounds` synchronous frontier expansions from `sources` (a frame
+    * with one `id` column, dist 0). Each round is ONE equi-join of the
+    * current frontier to the symmetrized edges + one anti-join against
+    * the discovered set + a distinct — everything moves O(frontier·
+    * avg_deg) keys, never payloads, and frontier/discovered are
+    * lineage-cut per round (the kCore/LPA discipline) so the plan
+    * stays constant-size at any horizon. First discovery IS the
+    * shortest hop count (BFS invariant), so the result equals a
+    * depth-bounded recursive closure with min(dist) — the exact shape
+    * the SQL oracle takes. Nodes beyond `rounds` hops are absent by
+    * contract (the bounded-horizon semantics a "within k hops"
+    * audience query wants; an unbounded frontier would iterate to the
+    * graph diameter).
+    */
+  def bfsDistances(edges: DataFrame, sources: DataFrame,
+      rounds: Int): DataFrame = {
+    val sym = edges.select(explode(array(
+        struct(col("a").cast("long").as("u"), col("b").cast("long").as("v")),
+        struct(col("b").cast("long").as("u"), col("a").cast("long").as("v"))))
+        .as("p"))
+      .select(col("p.u").as("u"), col("p.v").as("v"))
+      .localCheckpoint(eager = false)
+    var discovered = sources
+      .select(col("id").cast("long").as("id"), lit(0L).as("dist"))
+      .localCheckpoint(eager = false)
+    var frontier = discovered
+    var r = 1
+    while (r <= rounds) {
+      val next = sym
+        .join(frontier.select(col("id").as("u")), Seq("u"))
+        .select(col("v").as("id")).distinct()
+        .join(discovered, Seq("id"), "left_anti")
+        .select(col("id"), lit(r.toLong).as("dist"))
+        .localCheckpoint(eager = false)
+      discovered = discovered.unionAll(next).localCheckpoint(eager = false)
+      frontier = next
+      r += 1
+    }
+    discovered
+  }
 }

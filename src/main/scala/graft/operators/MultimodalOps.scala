@@ -59,6 +59,15 @@ final case class AudioDynamics(doc_id: Long, sample_rate: Long,
 final case class VideoStats(doc_id: Long, width: Long, height: Long,
     n_frames: Long, f_sums: Array[Long])
 
+/** Per-video consecutive-frame difference energies: d_sums(k-1) =
+  * Σ_i |frame_k[i] − frame_{k−1}[i]| for k = 1..n_frames−1 — the raw
+  * signal scene-change detection thresholds (exact integers from the
+  * decoded plane bytes; the query layer derives MAD + cut flags with
+  * engine-parity rounding).
+  */
+final case class VideoDiffs(doc_id: Long, width: Long, height: Long,
+    n_frames: Long, d_sums: Array[Long])
+
 /** Multimodal-column plumbing (north-star extension): binary columns in,
   * typed features out, via per-partition batch decode.
   *
@@ -706,6 +715,60 @@ object MultimodalOps {
       }
       if (sums.isEmpty) None else Some((w, h, sums.length, sums.toArray))
     }
+
+    /** Parse header AND every frame like [[decodeY4m]], but reduce to
+      * CONSECUTIVE-FRAME absolute-difference sums (the scene-change
+      * signal) instead of per-frame sums. Holds exactly one previous
+      * frame buffer — O(frame) state however long the stream. Same
+      * hostile-input guards; streams with fewer than 2 frames return
+      * None (no pair to difference).
+      */
+    def decodeY4mDiffs(bytes: Array[Byte])
+        : Option[(Int, Int, Int, Array[Long])] = {
+      val nl = bytes.indexOf('\n'.toByte)
+      if (nl < 0) return None
+      val header = new String(bytes, 0, nl, "US-ASCII")
+      val toks = header.split(' ')
+      if (toks.isEmpty || toks(0) != "YUV4MPEG2") return None
+      var w = -1
+      var h = -1
+      var c420 = true
+      toks.iterator.drop(1).foreach { t =>
+        if (t.startsWith("W")) w = t.drop(1).toIntOption.getOrElse(-1)
+        else if (t.startsWith("H")) h = t.drop(1).toIntOption.getOrElse(-1)
+        else if (t.startsWith("C")) c420 = t == "C420"
+      }
+      if (w <= 0 || h <= 0 || w % 2 != 0 || h % 2 != 0 || !c420 ||
+        w > MaxDim || h > MaxDim) return None
+      val fsL = w.toLong * h * 3 / 2
+      val fs = fsL.toInt
+      val diffs = scala.collection.mutable.ArrayBuffer.empty[Long]
+      var prev: Array[Byte] = null
+      var nFrames = 0
+      var pos = nl + 1
+      while (pos < bytes.length) {
+        if (nFrames >= MaxFrames) return None
+        if (pos + FrameMarker.length > bytes.length ||
+          !FrameMarker.indices.forall(i => bytes(pos + i) == FrameMarker(i)))
+          return None
+        pos += FrameMarker.length
+        if (pos.toLong + fsL > bytes.length) return None
+        if (prev != null) {
+          var d = 0L
+          var i = 0
+          while (i < fs) {
+            d += math.abs((bytes(pos + i) & 0xff) - (prev(i) & 0xff))
+            i += 1
+          }
+          diffs += d
+        }
+        prev = java.util.Arrays.copyOfRange(bytes, pos, pos + fs)
+        nFrames += 1
+        pos += fs
+      }
+      if (nFrames < 2) None
+      else Some((w, h, nFrames, diffs.toArray))
+    }
   }
 
   /** Synthesize complete Y4M streams — real header AND real frame
@@ -753,6 +816,69 @@ object MultimodalOps {
       it.flatMap { b =>
         Y4MCodec.decodeY4m(b.payload).map { case (w, h, nf, sums) =>
           VideoStats(b.doc_id, w.toLong, h.toLong, nf.toLong, sums)
+        }
+      }
+    }
+  }
+
+  /** Synthesize Y4M streams with SCENE STRUCTURE: frames group into
+    * runs ("scenes") whose byte recurrence `(a_s·i + b_s) mod 250 +
+    * (k mod 6)` is seeded per scene — within a scene consecutive
+    * frames differ only by the frame jitter (|Δ| ≤ 5 per byte, wrap-
+    * free by construction: values stay ≤ 254), across a cut the
+    * recurrence slope changes (MAD ≈ uniform, ~83) — so a threshold
+    * on the decoded frame-difference energy recovers the cut
+    * positions. Scene ids are the running count of md5-seeded cut
+    * flags (P[cut] = 1/4 per boundary), all derived IN THE PLAN
+    * (hash60 columns, the synthesizeSubjectBmps discipline) so the
+    * DuckDB oracle regenerates every byte analytically.
+    */
+  def synthesizeSceneVideos(docs: DataFrame): Dataset[MediaBlob] = {
+    import docs.sparkSession.implicits._
+    val nf = DedupOps.hash60(lit("vf"), col("text")) % 8 + 2
+    // scene id per frame k = 0..nf-1: running sum of cut flags
+    val sArr = aggregate(
+      sequence(lit(1L), nf - 1),
+      array(lit(0L)),
+      (acc, j) => concat(acc, array(element_at(acc, -1) +
+        when(DedupOps.hash60(concat(lit("vc"), j.cast("string")),
+          col("text")) % 4 === 0, 1L).otherwise(0L))))
+    def seedArr(tag: String) = transform(sArr,
+      sc => DedupOps.hash60(concat(lit(tag), sc.cast("string")),
+        col("text")) % 256)
+    DedupOps.spread(docs.select(col("doc_id"),
+      ((DedupOps.hash60(lit("scw"), col("text")) % 8 + 1) * 2).as("w"),
+      ((DedupOps.hash60(lit("sch"), col("text")) % 8 + 1) * 2).as("h"),
+      seedArr("sva").as("aArr"), seedArr("svb").as("bArr")))
+      .as[(Long, Long, Long, Seq[Long], Seq[Long])]
+      .mapPartitions(_.map { case (id, w, h, aArr, bArr) =>
+        val fs = (w * h * 3 / 2).toInt
+        val frames = Array.tabulate(aArr.length) { k =>
+          val f = new Array[Byte](fs)
+          var i = 0
+          while (i < fs) {
+            f(i) = ((aArr(k) * i + bArr(k)) % 250 + k % 6).toByte
+            i += 1
+          }
+          f
+        }
+        MediaBlob(id, "video/y4m",
+          Y4MCodec.encodeY4m(w.toInt, h.toInt, frames))
+      })
+  }
+
+  /** REAL consecutive-frame difference decode: parse the Y4M stream
+    * and reduce each adjacent frame pair to its absolute-difference
+    * byte sum — the scene-change signal, from actual plane bytes.
+    * Same mapPartitions batch shape as the other codecs; undecodable
+    * or single-frame payloads are dropped.
+    */
+  def decodeVideoDiffs(blobs: Dataset[MediaBlob]): Dataset[VideoDiffs] = {
+    import blobs.sparkSession.implicits._
+    blobs.mapPartitions { it =>
+      it.flatMap { b =>
+        Y4MCodec.decodeY4mDiffs(b.payload).map { case (w, h, nf, ds) =>
+          VideoDiffs(b.doc_id, w.toLong, h.toLong, nf.toLong, ds)
         }
       }
     }

@@ -482,7 +482,7 @@ object VectorOps {
     points.crossJoin(broadcast(centsRow))
       .select(col("id"), col("v"), posexplode(top).as(Seq("pos", "r")))
       .select(col("id"), col("v"), col("r.cid").as("cid"),
-        (col("pos") + 1).cast("long").as("rk"))
+        (col("pos") + 1).cast("long").as("rk"), col("r.d2").as("d2"))
   }
 
   /** One Lloyd UPDATE step: elementwise mean of each cluster's vectors,

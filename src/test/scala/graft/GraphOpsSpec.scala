@@ -143,6 +143,39 @@ class GraphOpsSpec extends SparkTestBase {
       "the cap must keep the id-ordered first 16 incident arcs")
   }
 
+  test("bfsDistances: hop counts, horizon cut, multi-source min") {
+    import spark.implicits._
+    // path 1-2-3-4-5 plus a disconnected pair {10,11}
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (10L, 11L)).toDF("a", "b")
+    def run(src: Seq[Long], rounds: Int): Map[Long, Long] =
+      GraphOps.bfsDistances(edges, src.toDF("id"), rounds)
+        .as[(Long, Long)].collect().toMap
+    // single source, horizon 3: node 5 (dist 4) and the {10,11}
+    // component are absent
+    assert(run(Seq(1L), 3) ==
+      Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L))
+    // edges are undirected: from the far end the path reverses
+    assert(run(Seq(5L), 2) == Map(5L -> 0L, 4L -> 1L, 3L -> 2L))
+    // multi-source: first discovery wins — 3 is 2 hops from either
+    // seed, 2 and 4 are 1 hop from their nearer seed
+    assert(run(Seq(1L, 5L), 4) ==
+      Map(1L -> 0L, 5L -> 0L, 2L -> 1L, 4L -> 1L, 3L -> 2L))
+  }
+
+  test("d26_bfs_hops runs on sf0.001: seeds at 0, dists within horizon") {
+    val rows = QueriesGraph.queries("d26_bfs_hops")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.nonEmpty)
+    val byDist = rows.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(byDist.getOrElse(0L, 0) == QueriesGraph.BfsSources,
+      s"exactly the seed set at dist 0: $byDist")
+    assert(rows.forall(_._2 <= QueriesGraph.BfsRounds),
+      "no node past the horizon")
+    // a node appears exactly once (first discovery is THE distance)
+    assert(rows.map(_._1).distinct.length == rows.length)
+  }
+
   test("d10_triangles runs on sf0.001 with bounded shapes") {
     val out = QueriesGraph.queries("d10_triangles")(spark, sf0001)
     val rows = out.collect()

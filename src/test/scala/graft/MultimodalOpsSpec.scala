@@ -273,4 +273,58 @@ class MultimodalOpsSpec extends SparkTestBase {
       .collect().map(g => g.doc_id -> g.grays).toMap
     assert(again(10L).toSeq == grids(10L).toSeq)
   }
+
+  test("decodeY4mDiffs: adjacent-frame |diff| sums, hand-computed") {
+    import MultimodalOps.Y4MCodec
+    // 2x2 C420 frames are 6 bytes; f1 reverses f0 (diff 18), f2 = f1
+    // (diff 0) — incl. a >= 0x80 byte to catch sign-extension
+    val f0 = Array[Byte](0, 1, 2, 3, 4, 5)
+    val f1 = Array[Byte](5, 4, 3, 2, 1, 0)
+    val f2 = f1.clone()
+    val y4m = Y4MCodec.encodeY4m(2, 2, Array(f0, f1, f2))
+    val Some((w, h, nf, ds)) = Y4MCodec.decodeY4mDiffs(y4m)
+    assert((w, h, nf) == (2, 2, 3))
+    assert(ds.toSeq == Seq(18L, 0L))
+    val hi = Array(Array[Byte](0, 0, 0, 0, 0, 0),
+      Array.fill(6)(0xff.toByte))
+    assert(Y4MCodec.decodeY4mDiffs(Y4MCodec.encodeY4m(2, 2, hi))
+      .get._4.toSeq == Seq(255L * 6), "0xff reads unsigned")
+    // single-frame streams have no pair; hostile inputs still reject
+    assert(Y4MCodec.decodeY4mDiffs(
+      Y4MCodec.encodeY4m(2, 2, Array(f0))).isEmpty)
+    assert(Y4MCodec.decodeY4mDiffs(y4m.dropRight(1)).isEmpty)
+    assert(Y4MCodec.decodeY4mDiffs("JUNK W2 H2\n".getBytes).isEmpty)
+  }
+
+  test("synthesizeSceneVideos → decodeVideoDiffs: scene structure") {
+    val diffs = MultimodalOps.decodeVideoDiffs(
+      MultimodalOps.synthesizeSceneVideos(docs)).collect()
+      .map(v => v.doc_id -> v).toMap
+    assert(diffs.keySet == Set(1L, 2L, 3L))
+    val texts = docs.collect().map(r => r.getLong(0) -> r.getString(1))
+      .toMap
+    diffs.foreach { case (id, v) =>
+      assert(v.d_sums.length == v.n_frames - 1)
+      val fs = v.width * v.height * 3 / 2
+      // recompute the cut flags from the same md5 formula the
+      // synthesizer derives them from: a NON-cut pair differs only by
+      // the frame jitter, whose wrap-free construction bounds it at
+      // |Δ| ≤ 5 per byte — far under the MAD>16 threshold; cut pairs
+      // re-seed the recurrence slope
+      (1L until v.n_frames).foreach { k =>
+        val cut = graft.operators.DedupOps
+          .driverHash60(s"vc$k:${texts(id)}") % 4 == 0
+        val mad = v.d_sums((k - 1).toInt).toDouble / fs
+        if (!cut) assert(mad <= 5.0,
+          s"doc $id pair $k: within-scene MAD $mad exceeds jitter bound")
+        assert(v.d_sums((k - 1).toInt) >= 0 &&
+          v.d_sums((k - 1).toInt) <= 255L * fs)
+      }
+    }
+    // determinism: a second synthesize+decode is byte-identical
+    val again = MultimodalOps.decodeVideoDiffs(
+      MultimodalOps.synthesizeSceneVideos(docs)).collect()
+      .map(v => v.doc_id -> v.d_sums.toSeq).toMap
+    assert(diffs.keySet.forall(k => again(k) == diffs(k).d_sums.toSeq))
+  }
 }

@@ -525,4 +525,27 @@ class PlanAuditSpec extends SparkTestBase {
     assert(p.contains("skew=true"),
       s"j13 must execute with a skew-split SortMergeJoin:\n$p")
   }
+
+  test("ml1 is one exact-moment pass: partial aggregation, no window") {
+    // The closed-form regression's whole scale story is "ten Long
+    // sums per group, map-side combined, solve in the projection" —
+    // a window or a second fact exchange would mean the solve stopped
+    // being a pure aggregation shape.
+    val p = plan("ml1_ols")
+    assert(p.contains("partial_sum") || p.contains("partial_count"),
+      s"ml1 must partial-aggregate map-side:\n$p")
+    assert(!p.contains("Window"), s"ml1 must not window:\n$p")
+    assert("Exchange".r.findAllIn(p).size == 1,
+      s"ml1 is one shuffle of 10 longs per group:\n$p")
+  }
+
+  test("x37 broadcasts the trained vocab — the corpus never shuffles " +
+    "for the encode join") {
+    // Heaps-law vocabulary vs corpus-scale words: the encode lookup
+    // must be a broadcast hash join; a shuffled join would move the
+    // exploded corpus for a bounded dictionary.
+    val p = plan("x37_bpe_encode")
+    assert(p.contains("BroadcastHashJoin"),
+      s"x37's encode join must broadcast the vocab:\n$p")
+  }
 }

@@ -25,7 +25,8 @@ class RegistryIntegritySpec extends AnyFunSuite {
     ("Timeseries", QueriesTimeseries.queries, QueriesTimeseries.oracle),
     ("Profile", QueriesProfile.queries, QueriesProfile.oracle),
     ("Sql", QueriesSql.queries, QueriesSql.oracle),
-    ("Storage", QueriesStorage.queries, QueriesStorage.oracle))
+    ("Storage", QueriesStorage.queries, QueriesStorage.oracle),
+    ("Ml", QueriesMl.queries, QueriesMl.oracle))
 
   test("no query key is shadowed across family objects") {
     val all = families.flatMap { case (f, qs, _) => qs.keys.map(_ -> f) }

@@ -27,8 +27,9 @@ class TextLmSpec extends SparkTestBase {
     // r3 pairs: (aa,ab) 2                          -> (aa,ab,2)
     //   merge: [aa,ab] -> [aaab]
     // r4..r6: no adjacent pairs remain -> no merge rows (the argmax
-    // frame is empty, and the empty cross join empties the vocab —
-    // identical exhaustion semantics on the oracle side)
+    // frame is empty; the NULL-sentinel no-op merge preserves the
+    // vocab for x37's encode — identical exhaustion semantics on the
+    // oracle side)
     val dir = writeDocs(Seq((1L, "aaab aaab ab ab ab", "unit")))
     val got = SparkEntry.queries("x35_bpe_merges")(spark, dir)
       .collect()
@@ -78,5 +79,44 @@ class TextLmSpec extends SparkTestBase {
     assert(got(101L) ==
       ((2L, 1.0, r6(-(r9(math.log(0.02)) + r9(math.log(0.4))) / 2))),
       s"got ${got(101L)}")
+  }
+
+  test("x37: encode under the trained merges, exhaustion-safe") {
+    // same corpus as x35: merges exhaust after round 3 with the final
+    // vocab aaab -> [aaab], ab -> [ab] (each word one token). The
+    // sentinel no-op rounds 4-6 must PRESERVE that vocab — before the
+    // guard, the empty cross join would have emptied it and the
+    // encode would return zero rows.
+    val dir = writeDocs(Seq((1L, "aaab aaab ab ab ab", "unit")))
+    val got = SparkEntry.queries("x37_bpe_encode")(spark, dir).collect()
+    assert(got.length == 1, s"one source row, got ${got.length}")
+    val r = got.head
+    assert((r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getDouble(4), r.getDouble(5)) ==
+      (("unit", 5L, 14L, 5L, 1.0, 2.8)), s"got $r")
+    // x35's rounds table is unaffected by the sentinel: still exactly
+    // the 3 real merges, no NULL row
+    val merges = SparkEntry.queries("x35_bpe_merges")(spark, dir)
+      .collect()
+    assert(merges.length == 3 && merges.forall(!_.isNullAt(1)))
+  }
+
+  test("x37: mid-word merges count subword tokens, per source") {
+    // two sources over one vocab: 6 rounds on "abab"/"cd" merge all
+    // the way to single tokens for both words; "xy" appears once per
+    // source and also fuses. Hand-run: freq(abab)=3, (cd)=2, (xy)=2
+    //   r1 (a,b,6) r2 (ab,ab,3) r3 (c,d,2) r4 (x,y,2) r5/r6 no-op
+    // final: abab->[abab] 1 tok, cd->[cd] 1 tok, xy->[xy] 1 tok
+    val dir = writeDocs(Seq(
+      (1L, "abab abab cd xy", "s1"),
+      (2L, "abab cd xy", "s2")))
+    val got = SparkEntry.queries("x37_bpe_encode")(spark, dir)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4), r.getDouble(5)))).toMap
+    // s1: words abab,abab,cd,xy -> 4 words, 4+4+2+2=12 chars, 4 toks
+    assert(got("s1") == ((4L, 12L, 4L, 1.0, 3.0)), s"got ${got("s1")}")
+    // s2: abab,cd,xy -> 3 words, 8 chars, 3 toks; 8/3 rounds to 6dp
+    assert(got("s2") == ((3L, 8L, 3L, 1.0, 2.666667)), s"got ${got("s2")}")
   }
 }

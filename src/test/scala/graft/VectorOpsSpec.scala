@@ -100,6 +100,34 @@ class VectorOpsSpec extends SparkTestBase {
     assert(out(3L) == 0L) // colinear with centroid 0
   }
 
+  test("assignTopKEuclid carries exact squared distances per rank") {
+    val pts = Seq((1L, Seq(1.0, 0.0)), (2L, Seq(9.0, 0.0)))
+      .toDF("id", "v")
+    val cents = Seq((0L, Seq(0.0, 0.0)), (1L, Seq(10.0, 0.0)))
+      .toDF("cid", "c")
+    val out = VectorOps.assignTopKEuclid(pts, cents, 2)
+      .select("id", "rk", "cid", "d2")
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(out((1L, 1L)) == ((0L, 1.0)))   // (1-0)² nearest
+    assert(out((1L, 2L)) == ((1L, 81.0)))  // (1-10)² runner-up
+    assert(out((2L, 1L)) == ((1L, 1.0)))
+    assert(out((2L, 2L)) == ((0L, 81.0)))
+  }
+
+  test("v20_silhouette: partition of the corpus, scores in [0,1]") {
+    val rows = SparkEntry.queries("v20_silhouette")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.nonEmpty && rows.length <= 5, "at most K=5 clusters")
+    val n = spark.read.parquet(s"$sf0001/embeddings.parquet").count()
+    assert(rows.map(_._2).sum == n,
+      "every vector scores in exactly one cluster")
+    // b >= a by construction (b is the runner-up distance), so the
+    // per-cluster mean silhouette is bounded in [0, 1]
+    assert(rows.forall(r => r._3 >= 0.0 && r._3 <= 1.0),
+      s"sil out of range: ${rows.toSeq}")
+  }
+
   test("centroidMeans is the exact per-dimension mean") {
     val assigned = Seq(
       (0L, Seq(1.0, 2.0), 7L), (1L, Seq(3.0, 4.0), 7L),
