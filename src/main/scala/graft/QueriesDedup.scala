@@ -777,7 +777,11 @@ object QueriesDedup {
         .stripMargin,
     // d21: d2's chain gives pairs + per-pair intersections; minhash
     // values per (doc, i) from d20's derived-h30 chain, matches
-    // counted per pair.
+    // counted per pair. The match count joins mh3 THROUGH the
+    // selected pairs (sel) — an earlier all-pairs-per-i form was
+    // O(docs²·16) and exhausted 170+ GB at sf1 before the final join
+    // would have discarded almost all of it (the Spark side always
+    // scored only selected pairs).
     "d21_minhash_error" ->
       s"""WITH $d2Ctes,
          |e3 AS (SELECT id AS doc_id, s % 1073741824 AS h30 FROM e),
@@ -790,20 +794,23 @@ object QueriesDedup {
          |mh3 AS MATERIALIZED (SELECT doc_id, i,
          |      min((a * h30 + b) % 2147483647) AS h
          |      FROM e3 CROSS JOIN seeds GROUP BY doc_id, i),
-         |m AS (SELECT ma.doc_id AS id_a, mb.doc_id AS id_b,
+         |sel AS MATERIALIZED (SELECT id_a, id_b, n_a, n_b, inter FROM p
+         |  WHERE inter / CAST(n_a + n_b - inter AS DOUBLE) >= 0.8),
+         |m AS (SELECT sel.id_a, sel.id_b,
          |      CAST(sum(CASE WHEN ma.h = mb.h THEN 1 ELSE 0 END)
          |        AS BIGINT) AS n_match
-         |      FROM mh3 ma JOIN mh3 mb
-         |        ON ma.i = mb.i AND ma.doc_id < mb.doc_id
+         |      FROM sel JOIN mh3 ma ON ma.doc_id = sel.id_a
+         |                JOIN mh3 mb ON mb.doc_id = sel.id_b
+         |                           AND mb.i = ma.i
          |      GROUP BY 1, 2)
-         |SELECT p.id_a, p.id_b, p.inter,
-         |  p.n_a + p.n_b - p.inter AS uni, m.n_match,
+         |SELECT sel.id_a, sel.id_b, sel.inter,
+         |  sel.n_a + sel.n_b - sel.inter AS uni, m.n_match,
          |  round(CAST(m.n_match AS DOUBLE) / 16.0, 6) AS est_j,
-         |  round(p.inter / CAST(p.n_a + p.n_b - p.inter AS DOUBLE), 6)
+         |  round(sel.inter
+         |    / CAST(sel.n_a + sel.n_b - sel.inter AS DOUBLE), 6)
          |    AS jaccard
-         |FROM (SELECT id_a, id_b, n_a, n_b, inter FROM p
-         |  WHERE inter / CAST(n_a + n_b - inter AS DOUBLE) >= 0.8) p
-         |JOIN m ON p.id_a = m.id_a AND p.id_b = m.id_b""".stripMargin,
+         |FROM sel JOIN m ON sel.id_a = m.id_a AND sel.id_b = m.id_b"""
+        .stripMargin,
     // d25: identical positional 5-gram hash index (same h60 seed
     // "sp"), identical df ≤ 1000 cap, identical gaps-and-islands
     // merge; DuckDB's range() positions are BIGINT, matching the

@@ -89,6 +89,92 @@ object QueriesEvents {
             .as("share"))
     }),
 
+    // Markov REMOVAL-EFFECT attribution — the data-driven alternative
+    // to e4/e15's positional rules (Anderl et al. 2014's chain model):
+    // user journeys (events up to and including the FIRST purchase)
+    // become a first-order chain over states {(start), channels,
+    // (conv), (null)}; each channel's credit is its REMOVAL EFFECT —
+    // how much absorbing-conversion probability disappears when every
+    // transition into that channel is redirected to (null). The
+    // corpus cost is e3's shape (one user_id window + a bounded edge
+    // count); everything after is value iteration on a ≤(types+3)²-row
+    // matrix — 10 synchronous fixed-horizon rounds, all arms (base +
+    // one per channel) carried in ONE frame with per-round lineage
+    // cuts. Parity is by construction: transition probabilities are
+    // exact-count ratios, every Σ P·v folds in sorted target order on
+    // both engines, and the FIXED horizon makes convergence identical
+    // rather than assumed. Removing paths can only lower a fixed-
+    // horizon reach probability, so effects are ≥ 0 and the share
+    // normalization is safe (zero-guarded like the d20 ratios).
+    "e18_markov_attribution" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val pe = markovEdges(s, d)
+      val arms = pe.select(col("i")).filter(col("i") =!= "(start)")
+        .distinct().select(col("i").as("arm"))
+        .unionAll(pe.sparkSession.range(1)
+          .select(lit("(base)").as("arm")))
+      // per-arm rewrite: drop the removed state's outgoing edges,
+      // redirect its incoming mass to (null) (≤2 merged terms — IEEE
+      // addition of two operands is order-free)
+      val ae = pe.crossJoin(broadcast(arms))
+        .filter(col("i") =!= col("arm"))
+        .select(col("arm"), col("i"),
+          when(col("j") === col("arm"), lit("(null)"))
+            .otherwise(col("j")).as("j"), col("p"))
+        .groupBy("arm", "i", "j").agg(sum(col("p")).as("p"))
+        .coalesce(1) // ≤ arms·edges rows: one task per round, not 8
+        .localCheckpoint(eager = false)
+      val absorbing = arms
+        .select(col("arm"), lit("(conv)").as("st"), lit(1.0).as("v"))
+        .unionAll(arms
+          .select(col("arm"), lit("(null)").as("st"), lit(0.0).as("v")))
+      var v = ae.select(col("arm"), col("i").as("st")).distinct()
+        .select(col("arm"), col("st"), lit(0.0).as("v"))
+        .unionAll(absorbing)
+        .localCheckpoint(eager = false)
+      for (_ <- 1 to MarkovRounds) {
+        val trans = ae
+          .join(v.select(col("arm"), col("st").as("j"), col("v")),
+            Seq("arm", "j"))
+          .select(col("arm"), col("i"), col("j"),
+            (col("p") * col("v")).as("t"))
+          .groupBy("arm", "i")
+          .agg(array_sort(collect_list(struct(col("j"), col("t"))))
+            .as("ts"))
+          .select(col("arm"), col("i").as("st"),
+            aggregate(col("ts"), lit(0.0),
+              (a, x) => a + x.getField("t")).as("v"))
+        // per-round lineage cut: although v_r references v_{r-1} only
+        // once (linear plan growth — no 2^R law here), a measured
+        // comparison showed the un-cut 10-deep plan pays ~2× in
+        // analysis/codegen over 10 cheap materializations of a
+        // ≤40-row frame (25.8 s vs 13.3 s at sf0.01); coalesce(1)
+        // keeps each round's job at one task
+        v = trans.unionAll(absorbing).coalesce(1)
+          .localCheckpoint(eager = false)
+      }
+      val pBase = v.filter(col("arm") === "(base)" &&
+          col("st") === "(start)").select(col("v").as("pb"))
+      val eff = v.filter(col("arm") =!= "(base)" &&
+          col("st") === "(start)")
+        .crossJoin(broadcast(pBase))
+        .select(col("arm").as("channel"), col("pb"),
+          col("v").as("pr"),
+          when(col("pb") > 0.0, lit(1.0) - col("v") / col("pb"))
+            .otherwise(lit(0.0)).as("eff"))
+      val tot = eff
+        .agg(array_sort(collect_list(struct(col("channel"), col("eff"))))
+          .as("es"))
+        .select(aggregate(col("es"), lit(0.0),
+          (a, x) => a + x.getField("eff")).as("te"))
+      eff.crossJoin(broadcast(tot))
+        .select(col("channel"), round(col("pb"), 6).as("p_base"),
+          round(col("pr"), 6).as("p_removed"),
+          round(col("eff"), 6).as("removal_effect"),
+          round(when(col("te") > 0.0, col("eff") / col("te"))
+            .otherwise(lit(0.0)), 6).as("share"))
+    }),
+
     // Last-touch attribution: each purchase is credited to the user's
     // most recent PRIOR non-purchase event, but only if it happened
     // within the 7-day lookback (older touches — and purchases with no
@@ -596,8 +682,58 @@ object QueriesEvents {
     else df
   }
 
-  def unpersistAll(s: SparkSession, d: String): Unit =
+  /** e18's fixed value-iteration horizon (mirrored in the oracle). */
+  private[graft] val MarkovRounds = 10
+
+  /** e18's transition-probability edges (i, j, p): journeys truncate
+    * at the user's first purchase (mapped to the absorbing `(conv)`;
+    * journeys without one get a terminal `(null)` edge), `(start)`
+    * prepends, and p = n_ij / n_i from exact counts. PERSISTED — the
+    * arm derivation and the per-arm rewrite both consume it, and at
+    * 100 TB this frame (≤ (types+2)² rows) is the entire residue of
+    * the corpus scan.
+    */
+  private def markovEdges(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val rn = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), col("ts"),
+        col("event_id"))
+      .withColumn("rn", row_number().over(w))
+    val firstP = rn.groupBy("user_id").agg(
+      min(when(col("event_type") === "purchase", col("rn"))).as("prn"),
+      max(col("rn")).as("mxall"))
+    val j = rn.join(firstP, Seq("user_id"))
+      .withColumn("lastrn", coalesce(col("prn"), col("mxall")))
+      .filter(col("rn") <= col("lastrn"))
+      .select(col("user_id"),
+        when(col("event_type") === "purchase", lit("(conv)"))
+          .otherwise(col("event_type")).as("st"),
+        col("rn"), col("lastrn"))
+    val wf = Window.partitionBy("user_id").orderBy(col("rn"))
+    val withPrev = j.withColumn("prev", lag(col("st"), 1).over(wf))
+    val edges = withPrev.filter(col("prev").isNull)
+      .select(lit("(start)").as("i"), col("st").as("j"))
+      .unionAll(withPrev.filter(col("prev").isNotNull)
+        .select(col("prev").as("i"), col("st").as("j")))
+      .unionAll(withPrev
+        .filter(col("rn") === col("lastrn") && col("st") =!= "(conv)")
+        .select(col("st").as("i"), lit("(null)").as("j")))
+    val n = edges.groupBy("i", "j").agg(count(lit(1)).as("nij"))
+    val ni = n.groupBy("i").agg(sum(col("nij")).as("ni"))
+    val df = n.join(ni, Seq("i"))
+      .select(col("i"), col("j"),
+        (col("nij").cast("double") / col("ni").cast("double")).as("p"))
+    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+      df.persist()
+    else df
+  }
+
+  def unpersistAll(s: SparkSession, d: String): Unit = {
     rfmUsers(s, d).unpersist()
+    markovEdges(s, d).unpersist()
+  }
 
   /** The e6/e7 shared sessionization frame: gap>30min boundaries via
     * lag + running boundary count, both windows on ONE user_id
@@ -745,6 +881,80 @@ object QueriesEvents {
         |SELECT prev_type, next_type, n,
         |  round(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS share
         |FROM t, tot""".stripMargin,
+    // e18: the same journey truncation, edge counting and per-arm
+    // rewrite, then MarkovRounds unrolled value-iteration CTEs. Every
+    // v$r is MATERIALIZED (referenced by the next round's join AND
+    // its absorbing carry — inlined, the chain re-expands 2^R times),
+    // and every Σ P·v folds in ORDER BY target order, mirroring the
+    // Spark side's sorted fold.
+    "e18_markov_attribution" -> {
+      val rounds = (1 to MarkovRounds).map { r =>
+        s"""v$r AS MATERIALIZED (SELECT e.arm, e.i AS st,
+           |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           |      list(e.p * v.v ORDER BY e.j)), (a, b) -> a + b) AS v
+           |  FROM ae e JOIN v${r - 1} v ON v.arm = e.arm AND v.st = e.j
+           |  GROUP BY 1, 2
+           |  UNION ALL
+           |  SELECT arm, st, v FROM v${r - 1}
+           |  WHERE st IN ('(conv)', '(null)'))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH rn AS (SELECT user_id, event_type, ts, event_id,
+         |    row_number() OVER (PARTITION BY user_id
+         |      ORDER BY ts, event_id) AS rn
+         |  FROM events),
+         |fp AS (SELECT user_id,
+         |    min(CASE WHEN event_type = 'purchase' THEN rn END) AS prn,
+         |    max(rn) AS mxall FROM rn GROUP BY user_id),
+         |jj AS (SELECT r.user_id,
+         |    CASE WHEN r.event_type = 'purchase' THEN '(conv)'
+         |      ELSE r.event_type END AS st,
+         |    r.rn, COALESCE(fp.prn, fp.mxall) AS lastrn
+         |  FROM rn r JOIN fp ON fp.user_id = r.user_id
+         |  WHERE r.rn <= COALESCE(fp.prn, fp.mxall)),
+         |wp AS (SELECT user_id, st, rn, lastrn,
+         |    lag(st) OVER (PARTITION BY user_id ORDER BY rn) AS prev
+         |  FROM jj),
+         |ed AS (SELECT '(start)' AS i, st AS j FROM wp WHERE prev IS NULL
+         |  UNION ALL SELECT prev, st FROM wp WHERE prev IS NOT NULL
+         |  UNION ALL SELECT st, '(null)' FROM wp
+         |    WHERE rn = lastrn AND st <> '(conv)'),
+         |n AS (SELECT i, j, count(*) AS nij FROM ed GROUP BY 1, 2),
+         |ni AS (SELECT i, sum(nij) AS ni FROM n GROUP BY 1),
+         |pe AS MATERIALIZED (SELECT n.i, n.j,
+         |    CAST(nij AS DOUBLE) / CAST(ni.ni AS DOUBLE) AS p
+         |  FROM n JOIN ni ON ni.i = n.i),
+         |arms AS MATERIALIZED (SELECT DISTINCT i AS arm FROM pe
+         |    WHERE i <> '(start)'
+         |  UNION ALL SELECT '(base)'),
+         |ae AS MATERIALIZED (SELECT arm, i,
+         |    CASE WHEN j = arm THEN '(null)' ELSE j END AS j,
+         |    sum(p) AS p
+         |  FROM arms CROSS JOIN pe WHERE i <> arm GROUP BY 1, 2, 3),
+         |v0 AS MATERIALIZED (SELECT arm, i AS st,
+         |    CAST(0.0 AS DOUBLE) AS v
+         |    FROM (SELECT DISTINCT arm, i FROM ae)
+         |  UNION ALL SELECT arm, '(conv)', CAST(1.0 AS DOUBLE)
+         |    FROM arms
+         |  UNION ALL SELECT arm, '(null)', CAST(0.0 AS DOUBLE)
+         |    FROM arms),
+         |$rounds,
+         |pb AS (SELECT v AS pb FROM v$MarkovRounds
+         |  WHERE arm = '(base)' AND st = '(start)'),
+         |re AS (SELECT arm AS channel, pb.pb, v AS pr,
+         |    CASE WHEN pb.pb > 0.0 THEN 1.0 - v / pb.pb
+         |      ELSE 0.0 END AS eff
+         |  FROM v$MarkovRounds, pb
+         |  WHERE arm <> '(base)' AND st = '(start)'),
+         |tot AS (SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |    list(eff ORDER BY channel)), (a, b) -> a + b) AS te
+         |  FROM re)
+         |SELECT channel, round(pb, 6) AS p_base,
+         |  round(pr, 6) AS p_removed,
+         |  round(eff, 6) AS removal_effect,
+         |  round(CASE WHEN te > 0.0 THEN eff / te ELSE 0.0 END, 6)
+         |    AS share
+         |FROM re, tot""".stripMargin
+    },
     "e4_attribution" ->
       """WITH t AS (
         |  SELECT user_id, event_type, ts, value,

@@ -547,12 +547,8 @@ object QueriesText {
       val train = srcs.groupBy("source").agg(count(lit(1)).as("nd"))
         .orderBy(col("nd").desc, col("source")).limit(1)
         .select(col("source").as("train_src"))
-      val trainToks = QueriesDedup.docsWithTokens(s, d)
-        .join(srcs, "doc_id").join(broadcast(train),
-          col("source") === col("train_src"))
-        .select(col("toks"))
-      val c1 = lmUnigrams(trainToks)
-      val c2 = lmBigrams(trainToks)
+      val c1 = lmUnigrams(trainToks(s, d))
+      val c2 = lmBigrams(trainToks(s, d))
       val stats = c1.agg(sum(col("c1")).as("ntok"),
         count(lit(1)).as("vsz"))
       val tg = QueriesDedup.docsWithTokens(s, d)
@@ -567,7 +563,7 @@ object QueriesText {
         .groupBy(col("doc_id"), col("t")(0).as("w1"),
           col("t")(1).as("w2"), col("t")(2).as("w3"))
         .agg(count(lit(1)).as("tf3"))
-      val c3 = lmTrigrams(trainToks)
+      val c3 = lmTrigrams(trainToks(s, d))
       val joined = tg
         .join(c3, Seq("w1", "w2", "w3"), "left")
         .join(c2.select(col("wa").as("w1"), col("wb").as("w2"),
@@ -659,10 +655,25 @@ object QueriesText {
     */
   private def bpeChain(s: SparkSession, d: String)
       : (DataFrame, DataFrame) = {
-    def persisted(df: DataFrame): DataFrame =
-      if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
-        df.persist()
-      else df
+    val (frames, rounds) = bpeChainFrames(s, d)
+    (frames.last, rounds)
+  }
+
+  /** The chain with every per-round persisted vocab frame exposed, so
+    * [[unpersistAll]] can release the whole ladder (plan equality —
+    * the QueriesDedup.unpersistAll discipline).
+    */
+  private def bpeChainFrames(s: SparkSession, d: String)
+      : (Seq[DataFrame], DataFrame) = {
+    val persistedFrames = Seq.newBuilder[DataFrame]
+    def persisted(df: DataFrame): DataFrame = {
+      val out =
+        if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+          df.persist()
+        else df
+      persistedFrames += out
+      out
+    }
     var vocab = persisted(QueriesDedup.docsWithTokens(s, d)
       .select(explode(col("toks")).as("tok"))
       .select(lower(col("tok")).as("word"))
@@ -704,11 +715,37 @@ object QueriesText {
       top.select(lit(r.toLong).as("merge_round"), col("l").as("lhs"),
         col("r").as("rhs"), col("pf").as("pair_freq"))
     }
-    (vocab, rounds.reduce(_ unionAll _))
+    (persistedFrames.result(), rounds.reduce(_ unionAll _))
   }
 
   private def bpeMerges(s: SparkSession, d: String): DataFrame =
     bpeChain(s, d)._2
+
+  /** Release this family's shared caches — the BPE vocab ladder (one
+    * frame per round) and x36's c1/c2 model tables — for long-lived
+    * sessions done with the text queries (the house guard-persist +
+    * unpersistAll discipline).
+    */
+  def unpersistAll(s: SparkSession, d: String): Unit = {
+    bpeChainFrames(s, d)._1.foreach(_.unpersist())
+    lmUnigrams(trainToks(s, d)).unpersist()
+    lmBigrams(trainToks(s, d)).unpersist()
+  }
+
+  /** x36's training corpus: token arrays of the largest source (docs
+    * desc, source asc tiebreak) — extracted so [[unpersistAll]] can
+    * re-derive the c1/c2 cache plans.
+    */
+  private def trainToks(s: SparkSession, d: String): DataFrame = {
+    val srcs = Tables.documents(s, d).select(col("doc_id"), col("source"))
+    val train = srcs.groupBy("source").agg(count(lit(1)).as("nd"))
+      .orderBy(col("nd").desc, col("source")).limit(1)
+      .select(col("source").as("train_src"))
+    QueriesDedup.docsWithTokens(s, d)
+      .join(srcs, "doc_id").join(broadcast(train),
+        col("source") === col("train_src"))
+      .select(col("toks"))
+  }
 
   /** Train-corpus n-gram model tables for x36 — c1/c2 are joined twice
     * each (prefix and suffix legs), so both are guard-persisted.
