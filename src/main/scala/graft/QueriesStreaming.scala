@@ -394,11 +394,15 @@ object QueriesStreaming {
         |      WHERE event_type = 'click') c
         |  ON c.user_id = e.user_id AND c.ts >= e.ts
         |    AND c.ts <= e.ts + INTERVAL 1 HOUR""".stripMargin,
+    // st1's mean is HALF-UP in exact integer micro-units (mirroring
+    // tumblingAgg): round() on the double ratio disagreed across
+    // engines at an exact 6dp half boundary (caught by the sf1 gate).
     "st1_tumbling_window" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
         |  count(*) AS n_events,
-        |  round(CAST(sum(CAST(floor(value * 1e6 + 0.5) AS BIGINT))
-        |    AS BIGINT) / 1e6 / count(*), 6) AS avg_value
+        |  CAST((CAST(sum(CAST(floor(value * 1e6 + 0.5) AS BIGINT))
+        |      AS BIGINT) + count(*) // 2) // count(*) AS DOUBLE)
+        |    / 1e6 AS avg_value
         |FROM events GROUP BY 1, 2""".stripMargin,
     "st2_sliding_window" ->
       """SELECT w AS window_start, event_type, count(*) AS n_events

@@ -631,6 +631,70 @@ object QueriesText {
             col("n_words").cast("double"), 6).as("bpe_fertility"),
           round(col("n_chars").cast("double") /
             col("n_bpe_tokens").cast("double"), 6).as("chars_per_token"))
+    }),
+
+    // Token-budget WATERFILLING — the mixture-planning step between
+    // x31 (temperature weights) and the samplers (x9/x22): given a
+    // token budget B (half the corpus) and per-source demand weights
+    // (doc counts), allocate alloc_s = min(avail_s, λ·w_s) with the
+    // unique λ solving Σ alloc = B. Small sources saturate (take all
+    // their tokens), big ones cap at λ·w — the standard cap-and-
+    // redistribute law every corpus mixer implements. λ is found by
+    // the closed form over sources sorted by avail/weight: for the
+    // unique prefix k of saturated sources, λ_k = (B − A_k)/(W − W_k)
+    // with the boundary checks r_k ≤ λ_k < r_{k+1} — one bounded
+    // window (source-catalog-sized frame: the ORDER BY spans sources,
+    // never rows) + one broadcast of the 1-row λ. Doubles appear only
+    // in ratios with identical expression shapes on both engines;
+    // the prefix sums are exact integers.
+    "x38_token_budget" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val srcs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"))
+      val per = QueriesDedup.docsWithTokens(s, d)
+        .join(srcs, "doc_id")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(col("toks")).cast("long")).as("avail"))
+      val tot = per.agg(sum(col("avail")).as("atot"),
+        sum(col("n_docs")).as("wtot"),
+        expr("CAST(sum(avail) DIV 2 AS BIGINT)").as("budget"))
+      val wr = per.select(col("source"), col("n_docs"), col("avail"),
+        (col("avail").cast("double") / col("n_docs").cast("double"))
+          .as("r"))
+      val win = Window.orderBy(col("r").asc, col("source").asc)
+      val rows = wr
+        .withColumn("ak", sum(col("avail")).over(win))
+        .withColumn("wk", sum(col("n_docs")).over(win))
+        .withColumn("rnext", lead(col("r"), 1).over(win))
+        .crossJoin(broadcast(tot))
+        // the k = n arm ("all sources saturated") needs B ≥ Σ avail —
+        // impossible with B = Σ/2 — and its divisor is 0 (ANSI-fatal):
+        // drop it before the division
+        .filter(col("wk") < col("wtot"))
+        .select(col("r"), col("rnext"),
+          ((col("budget") - col("ak")).cast("double") /
+            (col("wtot") - col("wk")).cast("double")).as("lam"),
+          col("budget"))
+      val sentinel = tot
+        .crossJoin(broadcast(wr.agg(min(col("r")).as("rnext"))))
+        .select(lit(0.0).as("r"), col("rnext"),
+          (col("budget").cast("double") / col("wtot").cast("double"))
+            .as("lam"),
+          col("budget"))
+      val lamRow = rows.unionByName(sentinel)
+        .filter(col("r") <= col("lam") &&
+          (col("rnext").isNull || col("rnext") > col("lam")))
+        .select(col("lam"), col("budget"))
+      wr.crossJoin(broadcast(lamRow))
+        .select(col("source"), col("n_docs"),
+          col("avail").as("tokens_avail"), col("budget"),
+          round(col("lam"), 6).as("lambda"),
+          round(least(col("avail").cast("double"),
+            col("lam") * col("n_docs").cast("double")), 6).as("alloc"),
+          (col("avail").cast("double") <=
+            col("lam") * col("n_docs").cast("double")).cast("long")
+            .as("saturated"))
     })
   ) ++ samplingQueries
 
@@ -1158,6 +1222,44 @@ object QueriesText {
   def oracle: Map[String, String] = Map(
     "x35_bpe_merges" -> bpeOracleSql,
     "x37_bpe_encode" -> bpeEncodeOracleSql,
+    // x38: identical closed form — exact integer prefix sums over the
+    // ratio-sorted sources, λ candidates with the same boundary
+    // checks (the impossible k=n arm is filtered out BEFORE its
+    // zero-divisor division, mirroring the Spark side's ANSI guard;
+    // the k=0 sentinel mirrors the Spark union), alloc/saturated in
+    // the same expression shapes.
+    "x38_token_budget" ->
+      s"""WITH per AS (SELECT source,
+         |    CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(len($toksSql)) AS BIGINT) AS avail
+         |  FROM documents GROUP BY source),
+         |tot AS (SELECT sum(avail) AS atot, sum(n_docs) AS wtot,
+         |    CAST(sum(avail) // 2 AS BIGINT) AS budget FROM per),
+         |wr AS (SELECT source, n_docs, avail,
+         |    CAST(avail AS DOUBLE) / CAST(n_docs AS DOUBLE) AS r
+         |  FROM per),
+         |rws AS (SELECT r,
+         |    sum(avail) OVER wd AS ak, sum(n_docs) OVER wd AS wk,
+         |    lead(r) OVER wd AS rnext
+         |  FROM wr WINDOW wd AS (ORDER BY r, source)),
+         |cand AS (SELECT lam, budget FROM (
+         |    SELECT r, rnext,
+         |      CAST(budget - ak AS DOUBLE)
+         |        / CAST(wtot - wk AS DOUBLE) AS lam, budget
+         |    FROM rws, tot WHERE wk < wtot
+         |    UNION ALL
+         |    SELECT 0.0, (SELECT min(r) FROM wr),
+         |      CAST(budget AS DOUBLE) / CAST(wtot AS DOUBLE), budget
+         |    FROM tot)
+         |  WHERE r <= lam AND (rnext IS NULL OR rnext > lam))
+         |SELECT w.source, w.n_docs, w.avail AS tokens_avail, c.budget,
+         |  round(c.lam, 6) AS lambda,
+         |  round(least(CAST(w.avail AS DOUBLE),
+         |    c.lam * CAST(w.n_docs AS DOUBLE)), 6) AS alloc,
+         |  CAST(CASE WHEN CAST(w.avail AS DOUBLE)
+         |      <= c.lam * CAST(w.n_docs AS DOUBLE)
+         |    THEN 1 ELSE 0 END AS BIGINT) AS saturated
+         |FROM wr w, cand c""".stripMargin,
     "x36_backoff_lm" ->
       s"""WITH tr AS (SELECT source FROM documents GROUP BY source
          |  ORDER BY count(*) DESC, source LIMIT 1),

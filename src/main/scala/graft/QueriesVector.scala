@@ -536,6 +536,37 @@ object QueriesVector {
             .as("mean_sil"))
     }),
 
+    // PQ/ADC recall gate — the v8 measured-quality discipline applied
+    // to v14's 8-byte codes: exact L2 top-5 per probe (the metric ADC
+    // approximates — NOT v1's cosine truth) laid beside the ADC
+    // top-5, per-probe hit counts. This is the number that decides
+    // whether 8-byte codes are enough or the deployment needs 16 —
+    // the compression/recall trade a 100 TB ANN scan is priced on.
+    // Exact arm: corpus × 5 broadcast probes (corpus never shuffles),
+    // ranked on the UNROUNDED fold-exact distance with id tiebreak
+    // (the v7 determinism law).
+    "v21_pq_recall" -> ((s, d) => {
+      val p = prep(s, d)
+      val probes = p.filter(col("id") < 5)
+        .select(col("id").as("id_q"), col("v").as("vq"))
+      val pairs = p.select(col("id").as("id_n"), col("v").as("vn"))
+        .crossJoin(broadcast(probes))
+        .filter(col("id_n") =!= col("id_q"))
+        .select(col("id_q"), col("id_n"),
+          VectorOps.euclid2(col("vq"), col("vn")).as("d2"))
+      val truth = RelationalOps.topKPerGroup(pairs, Seq("id_q"),
+          Seq(col("d2").asc, col("id_n").asc), 5)
+        .select(col("id_q"), col("id_n"))
+      val adc = queries("v14_pq_adc")(s, d)
+        .select(col("id_q"), col("id_n"), lit(1L).as("hit"))
+      truth.join(adc, Seq("id_q", "id_n"), "left")
+        .groupBy("id_q")
+        .agg(count(lit(1)).as("n_truth"), count(col("hit")).as("n_hits"))
+        .select(col("id_q"), col("n_truth"), col("n_hits"),
+          round(col("n_hits").cast("double") /
+            col("n_truth").cast("double"), 6).as("recall"))
+    }),
+
     "v8_ann_recall" -> ((s, d) => {
       val exact = queries("v1_cosine_topk")(s, d).select("id_q", "id_n")
       def recallOf(cand: DataFrame, method: String): DataFrame =
@@ -861,6 +892,48 @@ object QueriesVector {
       |        i -> v[i+1] * v[i+1])), (x, y) -> x + y) AS n2 FROM d)"""
       .stripMargin
 
+  /** v14/v21's shared PQ chain: md5-derived codebook → per-vector
+    * distance tables → codes → probe ADC sums → ranked `r`. Ends with
+    * the raw-vector relation `d` still in scope for the truth arm.
+    */
+  private val pqChainSql =
+    """d AS (SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |grid AS (SELECT s.sv AS sv, c.cv AS cv, j.jv AS jv,
+      |    CAST(CAST(concat('0x', substr(md5(concat('pq',
+      |      CAST(s.sv AS VARCHAR), ':', CAST(c.cv AS VARCHAR), ':',
+      |      CAST(j.jv AS VARCHAR))), 1, 15)) AS BIGINT) AS DOUBLE)
+      |      / 576460752303423488.0 - 1.0 AS comp
+      |  FROM range(8) s(sv), range(16) c(cv), range(8) j(jv)),
+      |cbv AS (SELECT sv, cv, list(comp ORDER BY jv) AS cvec
+      |  FROM grid GROUP BY sv, cv),
+      |cb AS (SELECT list(cvec ORDER BY sv, cv) AS flat FROM cbv),
+      |dls AS MATERIALIZED (SELECT vec_id,
+      |    list_transform(range(8), s ->
+      |      list_transform(range(16), c ->
+      |        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |          list_transform(range(8), j ->
+      |            (v[s*8+j+1] - flat[s*16+c+1][j+1])
+      |            * (v[s*8+j+1] - flat[s*16+c+1][j+1]))),
+      |          (a, x) -> a + x))) AS dl
+      |  FROM d CROSS JOIN cb),
+      |enc AS (SELECT vec_id,
+      |    list_transform(dl, l -> list_position(l, list_min(l)) - 1)
+      |      AS codes
+      |  FROM dls),
+      |pt AS (SELECT vec_id AS id_q, dl AS dtab FROM dls
+      |  WHERE vec_id < 5),
+      |p AS (SELECT pt.id_q, e.vec_id AS id_n,
+      |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |      list_transform(range(8), s -> dtab[s+1][codes[s+1]+1])),
+      |      (a, x) -> a + x) AS ad2
+      |  FROM enc e, pt WHERE e.vec_id <> pt.id_q),
+      |r AS (SELECT id_q, id_n, ad2,
+      |    row_number() OVER (PARTITION BY id_q ORDER BY ad2, id_n)
+      |      AS rank
+      |  FROM p)""".stripMargin
+
   /** Projection of v onto md5-derived hyperplane `p`, mirroring
     * VectorOps.planeComponent + the strict left fold of the dot product.
     */
@@ -1047,44 +1120,31 @@ object QueriesVector {
     // kernel — identical left folds to the Spark side, so code words
     // and ADC sums are bit-equal before the 6dp rounding
     "v14_pq_adc" ->
-      """WITH d AS (SELECT vec_id,
-        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-        |  FROM embeddings),
-        |grid AS (SELECT s.sv AS sv, c.cv AS cv, j.jv AS jv,
-        |    CAST(CAST(concat('0x', substr(md5(concat('pq',
-        |      CAST(s.sv AS VARCHAR), ':', CAST(c.cv AS VARCHAR), ':',
-        |      CAST(j.jv AS VARCHAR))), 1, 15)) AS BIGINT) AS DOUBLE)
-        |      / 576460752303423488.0 - 1.0 AS comp
-        |  FROM range(8) s(sv), range(16) c(cv), range(8) j(jv)),
-        |cbv AS (SELECT sv, cv, list(comp ORDER BY jv) AS cvec
-        |  FROM grid GROUP BY sv, cv),
-        |cb AS (SELECT list(cvec ORDER BY sv, cv) AS flat FROM cbv),
-        |dls AS (SELECT vec_id,
-        |    list_transform(range(8), s ->
-        |      list_transform(range(16), c ->
-        |        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-        |          list_transform(range(8), j ->
-        |            (v[s*8+j+1] - flat[s*16+c+1][j+1])
-        |            * (v[s*8+j+1] - flat[s*16+c+1][j+1]))),
-        |          (a, x) -> a + x))) AS dl
-        |  FROM d CROSS JOIN cb),
-        |enc AS (SELECT vec_id,
-        |    list_transform(dl, l -> list_position(l, list_min(l)) - 1)
-        |      AS codes
-        |  FROM dls),
-        |pt AS (SELECT vec_id AS id_q, dl AS dtab FROM dls
-        |  WHERE vec_id < 5),
-        |p AS (SELECT pt.id_q, e.vec_id AS id_n,
-        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-        |      list_transform(range(8), s -> dtab[s+1][codes[s+1]+1])),
-        |      (a, x) -> a + x) AS ad2
-        |  FROM enc e, pt WHERE e.vec_id <> pt.id_q),
-        |r AS (SELECT id_q, id_n, ad2,
-        |    row_number() OVER (PARTITION BY id_q ORDER BY ad2, id_n)
-        |      AS rank
-        |  FROM p)
-        |SELECT id_q, id_n, round(ad2, 6) AS ad2, rank FROM r
-        |WHERE rank <= 5""".stripMargin,
+      s"""WITH $pqChainSql
+         |SELECT id_q, id_n, round(ad2, 6) AS ad2, rank FROM r
+         |WHERE rank <= 5""".stripMargin,
+    // v21: the same PQ chain's top-5 vs exact L2 truth (ADC
+    // approximates squared L2, so the truth arm is the UNROUNDED
+    // fold-exact euclidean rank, not v1's cosine)
+    "v21_pq_recall" ->
+      s"""WITH $pqChainSql,
+         |ex AS (SELECT id_q, id_n FROM (
+         |  SELECT a.vec_id AS id_q, b.vec_id AS id_n,
+         |    row_number() OVER (PARTITION BY a.vec_id
+         |      ORDER BY list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |        list_transform(range(len(a.v)),
+         |          i -> (a.v[i+1] - b.v[i+1]) * (a.v[i+1] - b.v[i+1]))),
+         |        (x, y) -> x + y), b.vec_id) AS rk
+         |  FROM d a JOIN d b ON b.vec_id <> a.vec_id
+         |  WHERE a.vec_id < 5) WHERE rk <= 5),
+         |adc AS (SELECT id_q, id_n FROM r WHERE rank <= 5)
+         |SELECT ex.id_q, CAST(count(*) AS BIGINT) AS n_truth,
+         |  CAST(count(adc.id_n) AS BIGINT) AS n_hits,
+         |  round(CAST(count(adc.id_n) AS DOUBLE)
+         |    / CAST(count(*) AS DOUBLE), 6) AS recall
+         |FROM ex LEFT JOIN adc
+         |  ON adc.id_q = ex.id_q AND adc.id_n = ex.id_n
+         |GROUP BY ex.id_q""".stripMargin,
     "v6_hybrid_topk" ->
       s"""WITH $preparedSql,
          |e AS (SELECT n.* FROM n JOIN documents

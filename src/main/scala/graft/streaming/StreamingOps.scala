@@ -65,7 +65,15 @@ object StreamingOps {
         sum(floor(col("value") * 1e6 + 0.5).cast("long")).as("__fx"))
       .select((col("window.start").as("window_start") +: keys.map(col)) :+
         col("n_events") :+
-        round(col("__fx") / 1e6 / col("n_events"), 6).as("avg_value"): _*)
+        // HALF-UP in exact integer micro-units, then ONE exact
+        // long→double conversion — never round() on a double ratio:
+        // engines disagree on round() when the true mean lands
+        // exactly on a 6dp half boundary (sf1 surfaced one: DuckDB's
+        // scale-multiply-then-nearbyint vs Spark's exact BigDecimal
+        // HALF_UP); integer division cannot disagree. Nonnegative
+        // operands, so Spark's truncating DIV == DuckDB's floor //
+        (expr("(__fx + n_events DIV 2) DIV n_events").cast("double") /
+          lit(1e6)).as("avg_value"): _*)
 
   /** Sliding event-time window aggregate. */
   def slidingAgg(df: DataFrame, tsCol: String, duration: String,

@@ -119,4 +119,26 @@ class TextLmSpec extends SparkTestBase {
     // s2: abab,cd,xy -> 3 words, 8 chars, 3 toks; 8/3 rounds to 6dp
     assert(got("s2") == ((3L, 8L, 3L, 1.0, 2.666667)), s"got ${got("s2")}")
   }
+
+  test("x38: waterfill saturates the small source, caps the big one") {
+    // big: 2 docs, 100 tokens (r=50); small: 2 docs, 8 tokens (r=4).
+    // B = 108/2 = 54. k=0: λ=54/4=13.5 invalid (r₁=4 ≤ 13.5 means
+    // small WOULD saturate). k=1 (small saturated):
+    // λ = (54−8)/2 = 23 with 4 ≤ 23 < 50 ✓ — so small takes all 8,
+    // big caps at 23·2 = 46.
+    val big1 = (1 to 60).map(i => s"t$i").mkString(" ")
+    val big2 = (1 to 40).map(i => s"u$i").mkString(" ")
+    val dir = writeDocs(Seq(
+      (1L, big1, "big"), (2L, big2, "big"),
+      (3L, "a b c d", "small"), (4L, "e f g h", "small")))
+    val got = SparkEntry.queries("x38_token_budget")(spark, dir)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4), r.getDouble(5), r.getLong(6))))
+      .toMap
+    assert(got("small") == ((2L, 8L, 54L, 23.0, 8.0, 1L)),
+      s"got ${got("small")}")
+    assert(got("big") == ((2L, 100L, 54L, 23.0, 46.0, 0L)),
+      s"got ${got("big")}")
+  }
 }
