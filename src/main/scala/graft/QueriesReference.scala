@@ -150,6 +150,15 @@ object QueriesReference {
     })
   )
 
+  /** DuckDB mirror of WeatherOps.centsMeanExpr: `c`/`n` are aggregate
+    * expressions (repeated inline — SQL aggregates may appear several
+    * times in one projection), `//` is DuckDB's floor division, which
+    * equals Spark's truncating DIV on the nonnegative magnitudes.
+    */
+  private def centsMeanSql(c: String, n: String): String =
+    s"CAST(CASE WHEN $c < 0 THEN -((-($c) + $n // 2) // $n) " +
+      s"ELSE ($c + $n // 2) // $n END AS DOUBLE) / 100.0"
+
   def oracle: Map[String, String] = Map(
     "p1_p6_unit_convert" ->
       """SELECT event_id, event_type,
@@ -165,12 +174,19 @@ object QueriesReference {
         |FROM events, (SELECT max(ts) AS now_ts FROM events) m
         |WHERE date_diff('second', ts, now_ts) BETWEEN 0 AND 86400"""
         .stripMargin,
+    // a1/a2/q2: the 2dp mean mirrors WeatherOps.centsMeanExpr — exact
+    // integer cents, half-away-from-zero magnitude division (round()
+    // on the double mean disagrees across engines exactly on
+    // half-cent boundaries; caught by the sf0.001 gate on q2).
     "a1_weekly_avg" ->
-      """SELECT event_type, weekofyear(ts) AS week,
-        |  round(avg(value), 2) AS average_value
-        |FROM events GROUP BY event_type, weekofyear(ts)""".stripMargin,
+      s"""SELECT event_type, weekofyear(ts) AS week,
+         |  ${centsMeanSql("sum(CAST(floor(value * 100 + 0.5) AS BIGINT))",
+              "count(*)")} AS average_value
+         |FROM events GROUP BY event_type, weekofyear(ts)""".stripMargin,
     "a2_period_avg" ->
-      s"""SELECT event_type, round(avg(value), 2) AS average_value,
+      s"""SELECT event_type,
+         |  ${centsMeanSql("sum(CAST(floor(value * 100 + 0.5) AS BIGINT))",
+              "count(*)")} AS average_value,
          |  '2024-01-10' AS start_date, '2024-01-20' AS end_date
          |FROM events
          |WHERE ts >= TIMESTAMP '$periodStart'
@@ -202,11 +218,15 @@ object QueriesReference {
          |  FROM events),
          |wk AS (SELECT 'weekly' AS report, country, city,
          |    CAST(weekofyear(weatherDate) AS BIGINT) AS week,
-         |    round(avg(temp_c), 2) AS metric
+         |    ${centsMeanSql(
+                "sum(CAST(floor(temp_c * 100 + 0.5) AS BIGINT))",
+                "count(*)")} AS metric
          |  FROM obs GROUP BY country, city, weekofyear(weatherDate)),
          |hum AS (SELECT 'humidity' AS report, country, city,
          |    CAST(NULL AS BIGINT) AS week,
-         |    round(avg(humidity), 2) AS metric
+         |    ${centsMeanSql(
+                "sum(CAST(floor(humidity * 100 + 0.5) AS BIGINT))",
+                "count(*)")} AS metric
          |  FROM obs
          |  WHERE weatherDate >= TIMESTAMP '$periodStart'
          |    AND weatherDate < TIMESTAMP '$periodEnd'

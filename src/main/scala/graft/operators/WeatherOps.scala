@@ -85,10 +85,30 @@ object WeatherOps {
     * aggregate — map-side combine keeps the shuffle proportional to group
     * cardinality, not row count.
     */
+  /** The A1/A2 2dp mean in EXACT integer arithmetic: observations
+    * quantize to cents (exact recovery for the pipeline's P4-rounded
+    * 2dp values; a raw double quantizes half-up at the cent), the
+    * mean rounds half-AWAY-FROM-ZERO at integer cents via magnitude
+    * division, and ONE long→double conversion ends the computation.
+    * `round(avg(x), 2)` on a double is the same number EXCEPT when
+    * the true mean sits exactly on a half-cent, where engines
+    * legitimately disagree on rounding the double (DuckDB's
+    * scale-multiply-then-nearbyint vs Spark's BigDecimal HALF_UP —
+    * the st1/q2 lesson from the sf1/sf0.001 gates); integer division
+    * cannot disagree. Magnitude form because Spark's DIV truncates
+    * toward zero while DuckDB's // floors — identical only on
+    * nonnegative operands.
+    */
+  private def centsMeanExpr(outCol: String): String =
+    "CAST(CASE WHEN __c < 0 THEN -((-__c + __n DIV 2) DIV __n) " +
+      s"ELSE (__c + __n DIV 2) DIV __n END AS DOUBLE) / 100.0 AS $outCol"
+
   def weeklyAvg(df: DataFrame, keys: Seq[String], tsCol: String,
       valueCol: String, outCol: String): DataFrame =
     df.groupBy((keys.map(col) :+ weekofyear(col(tsCol)).as("week")): _*)
-      .agg(round(avg(col(valueCol)), 2).as(outCol))
+      .agg(sum(floor(col(valueCol) * 100 + lit(0.5)).cast("long"))
+        .as("__c"), count(lit(1)).as("__n"))
+      .selectExpr((keys :+ "week" :+ centsMeanExpr(outCol)): _*)
 
   // ---- A2: period average (FULL:97-115) -----------------------------------
 
@@ -97,7 +117,9 @@ object WeatherOps {
       endExclusive: Column): DataFrame =
     periodFilter(df, tsCol, start, endExclusive)
       .groupBy(keys.map(col): _*)
-      .agg(round(avg(col(valueCol)), 2).as(outCol))
+      .agg(sum(floor(col(valueCol) * 100 + lit(0.5)).cast("long"))
+        .as("__c"), count(lit(1)).as("__n"))
+      .selectExpr((keys :+ centsMeanExpr(outCol)): _*)
 
   // ---- J1: left-anti incremental dedup (FULL:160-171) ---------------------
 
