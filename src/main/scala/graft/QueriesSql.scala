@@ -245,6 +245,15 @@ object QueriesSql {
     // under Spark's default 100-level recursion limit) and therefore
     // terminates under UNION ALL; the frame is file METADATA, so
     // depth is O(months), never O(data).
+    // Closed-form OLS through the SQL front door — literally the SAME
+    // SQL text the DuckDB oracle executes (QueriesMl.oracle): one
+    // string, two engines, one hash. Registered to pin that the ml
+    // family's exact-moment + in-projection Cramer solve is plain
+    // ANSI SQL surface, not DataFrame-only machinery (the sql1/q1
+    // relationship, extended to regression).
+    "sql16_ols" -> ((s, d) =>
+      sqlSession(s, d, "lineitem").sql(QueriesMl.oracle("ml1_ols"))),
+
     "sql15_reset_binpack" -> ((s, d) => {
       // Materialize the ~80-row month-file frame ONCE (guard-persist —
       // Spark's cache manager dedups by logical plan, so repeat calls
@@ -319,6 +328,8 @@ object QueriesSql {
   )
 
   def oracle: Map[String, String] = Map(
+    // identical text on both engines by construction
+    "sql16_ols" -> QueriesMl.oracle("ml1_ols"),
     // SQL twins reuse the long-green oracle of the query they mirror —
     // one source of truth per semantics.
     "sql1_pricing" -> QueriesReference.oracle("q1_pricing_summary"),
