@@ -650,4 +650,48 @@ class StreamingSpec extends SparkTestBase {
       .as[(Long, Long, Option[Long])].collect().toSet
     assert(streamed == batch)
   }
+
+  test("checkpointed stateful query RESTARTS: state recovered, " +
+    "files not re-read, exactly-once counts") {
+    // Restart recovery for the BUILT-IN window aggregation over the
+    // FILE source (the custom-state restart test above covers the
+    // MemoryStream + flatMapGroupsWithState path): a stateful query
+    // stops mid-stream and a NEW query resumes from the same
+    // checkpoint. The file source's processed-file log and the
+    // aggregation's state store must both recover — if batch A were
+    // re-read after restart, every count below would double; if state
+    // were lost, A's contribution would vanish. This is the
+    // crash-recovery contract a production pipeline relies on.
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_restart").toString
+    val (srcDir, ckpt) = (s"$root/src", s"$root/ckpt")
+    val a = evs.take(3)
+    val b = evs.drop(3)
+    a.toDF().write.mode("append").parquet(srcDir)
+    def agg() = StreamingOps.tumblingAgg(
+      spark.readStream.schema(evs.toDF().schema).parquet(srcDir),
+      "ts", "1 hour", Seq("user_id"))
+    val q1 = agg().writeStream.format("memory").queryName("restart_t1")
+      .outputMode("complete").option("checkpointLocation", ckpt).start()
+    try q1.processAllAvailable() finally q1.stop()
+    val phase1 = spark.table("restart_t1")
+      .select("window_start", "user_id", "n_events")
+      .as[(Timestamp, Long, Long)].collect().toSet
+    // batch A is events 1-3: all user 1, all in the 10:00 hour
+    assert(phase1 == Set((t("2024-01-01 10:00:00"), 1L, 3L)),
+      s"phase 1 state: $phase1")
+    b.toDF().write.mode("append").parquet(srcDir)
+    val q2 = agg().writeStream.format("memory").queryName("restart_t2")
+      .outputMode("complete").option("checkpointLocation", ckpt).start()
+    try q2.processAllAvailable() finally q2.stop()
+    val resumed = spark.table("restart_t2")
+      .select("window_start", "user_id", "n_events", "avg_value")
+      .as[(Timestamp, Long, Long, Double)].collect().toSet
+    val batch = StreamingOps.tumblingAgg(evs.toDF(), "ts", "1 hour",
+        Seq("user_id"))
+      .select("window_start", "user_id", "n_events", "avg_value")
+      .as[(Timestamp, Long, Long, Double)].collect().toSet
+    assert(resumed == batch,
+      s"resumed state must equal the single-run batch: $resumed vs $batch")
+  }
 }
