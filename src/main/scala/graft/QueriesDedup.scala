@@ -311,6 +311,35 @@ object QueriesDedup {
     // accident — now both engines share one convention BY
     // CONSTRUCTION, and the reported jaccard is exactly the capped
     // jaccard the pair was selected on).
+    // The dedup THRESHOLD OPERATING CURVE — v19's nprobe-curve
+    // discipline applied to the near-dup verdict itself: for each
+    // jaccard threshold θ ∈ {0.5..0.9} a curation team could deploy,
+    // how many candidate pairs verify and how many documents the d15
+    // keeper rule would drop. All five arms filter the ONE cached
+    // pair frame (pairIntersections — the df-capped shingle index,
+    // never all-pairs), and the θ compare is an EXACT integer
+    // cross-multiplication (inter·10 ≥ k·(n_a+n_b−inter), θ = k/10) —
+    // no float enters the verdict at any scale. This is the table
+    // that prices a dedup deployment's aggressiveness BEFORE it runs:
+    // pairs ≈ verification cost, drops ≈ data lost.
+    "d27_threshold_curve" -> ((s, d) => {
+      val pi = pairIntersections(s, d)
+      val nDocs = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
+      val arms = Seq(5, 6, 7, 8, 9).map { k =>
+        val keep = pi.filter(col("inter") * 10 >=
+          lit(k.toLong) * (col("n_a") + col("n_b") - col("inter")))
+        keep.agg(count(lit(1)).as("n_pairs"),
+            countDistinct(col("id_b")).as("n_dropped"))
+          .select(lit(k / 10.0).as("threshold"),
+            col("n_pairs"), col("n_dropped"))
+      }
+      arms.reduce(_ unionAll _)
+        .crossJoin(broadcast(nDocs))
+        .select(col("threshold"), col("n_pairs"), col("n_dropped"),
+          round(col("n_dropped").cast("double") /
+            col("n_docs").cast("double"), 6).as("pct_dropped"))
+    }),
+
     "d21_minhash_error" -> ((s, d) => {
       val sh = docsWithShingles(s, d)
       val pi = pairIntersections(s, d)
@@ -627,6 +656,26 @@ object QueriesDedup {
          |FROM (SELECT doc_id, $toksSql AS toks FROM documents)
          |GROUP BY 1""".stripMargin,
     "d2_jaccard_pairs" -> s"WITH $d2Ctes\n$d2Select",
+    // d27: the same pair CTE scanned per threshold arm; LEFT JOIN from
+    // the arm spine so a zero-pair threshold still emits its row
+    // (count of all-NULL = 0, matching the Spark side's agg), the
+    // same exact integer cross-multiplication.
+    "d27_threshold_curve" ->
+      s"""WITH $d2Ctes,
+         |arms AS (SELECT unnest([5, 6, 7, 8, 9]) AS k),
+         |c AS (SELECT a.k,
+         |    count(p.id_a) AS n_pairs,
+         |    count(DISTINCT p.id_b) AS n_dropped
+         |  FROM arms a LEFT JOIN p
+         |    ON p.inter * 10 >= a.k * (p.n_a + p.n_b - p.inter)
+         |  GROUP BY a.k),
+         |nd AS (SELECT count(*) AS n_docs FROM documents)
+         |SELECT CAST(k AS DOUBLE) / 10.0 AS threshold,
+         |  CAST(n_pairs AS BIGINT) AS n_pairs,
+         |  CAST(n_dropped AS BIGINT) AS n_dropped,
+         |  round(CAST(n_dropped AS DOUBLE) / CAST(n_docs AS DOUBLE), 6)
+         |    AS pct_dropped
+         |FROM c, nd""".stripMargin,
     // d18: rank self-join expresses the same w-window neighborhood the
     // Spark side expands in-row with lead(); the verify recomputes
     // d2's Jaccard from in-row hashed-shingle intersections.
