@@ -72,4 +72,39 @@ class GraphPropertySpec extends SparkTestBase {
       assert(got == expected, s"seed=$seed k=$k edges=$edges")
     }
   }
+
+  /** Reference BFS: level-synchronous frontier walk over the adjacency
+    * map, horizon-bounded like the operator.
+    */
+  private def bruteBfs(edges: Seq[(Long, Long)], sources: Set[Long],
+      rounds: Int): Map[Long, Long] = {
+    val adj = adjacency(edges)
+    var dist = sources.map(_ -> 0L).toMap
+    var frontier = sources
+    for (r <- 1 to rounds) {
+      val next = frontier.flatMap(adj.getOrElse(_, Set.empty))
+        .diff(dist.keySet)
+      dist ++= next.map(_ -> r.toLong)
+      frontier = next
+    }
+    dist
+  }
+
+  test("bfsDistances matches brute force on random graphs") {
+    import spark.implicits._
+    for (seed <- 9 to 12; rounds <- Seq(2, 4)) {
+      val edges = randomGraph(seed)
+      if (edges.nonEmpty) {
+        // seeds: the 2 smallest node ids present (may sit in
+        // different components — multi-source min must still hold)
+        val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+        val sources = nodes.take(2).toSet
+        val expected = bruteBfs(edges, sources, rounds)
+        val got = GraphOps.bfsDistances(edges.toDF("a", "b"),
+            sources.toSeq.toDF("id"), rounds)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got == expected, s"seed=$seed rounds=$rounds edges=$edges")
+      }
+    }
+  }
 }
