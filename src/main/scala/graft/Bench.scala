@@ -135,6 +135,34 @@ object Bench {
         System.err.println(s"[bench] warmup $name failed: $e") }
     }
 
+    // Shared-cache pre-build (VERDICT r13 #2): every family's persisted
+    // cross-query frame is forced HERE, at the target scale, before the
+    // timed passes — each build timed on its own `[bench-cache]` line
+    // and reported under "caches" in BENCH_DETAIL.json. Without this,
+    // a family's cache build lands on whichever member query runs
+    // first, so per-query numbers silently move whenever a family
+    // gains a query (r13: d14 read 5.9× "slower" after d27 joined the
+    // shared pair frame; x37 absorbed the whole BPE-chain build).
+    // Dependency order (tokens → shingles → pairs) attributes each
+    // layer's cost to its own line rather than to the deepest frame.
+    // SPARK_GRAFT_NO_CACHE_PREBUILD=1 skips this (profiling knob for
+    // measuring a family's gross first-query cost).
+    val caches: Seq[(String, Double)] =
+      if (sys.env.get("SPARK_GRAFT_NO_CACHE_PREBUILD").contains("1")) Nil
+      else SparkEntry.sharedCaches.map { case (cname, build) =>
+        val t0 = System.nanoTime()
+        try {
+          force(build(spark, sfDir))
+          val sec = (System.nanoTime() - t0) / 1e9
+          System.err.println(f"[bench-cache] $cname $sec%.2fs")
+          cname -> sec
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench-cache] FAIL $cname: $e")
+          cname -> -1.0
+        }
+      }
+    val cacheTotal = caches.collect { case (_, s) if s >= 0 => s }.sum
+
     // One timed execution; None = the query THREW. A failure must never
     // masquerade as a fast timing — failed queries are excluded from the
     // total, listed in the JSON, and fail the run's exit code.
@@ -228,8 +256,11 @@ object Bench {
     val slowest = ok.sortBy(-_._2).take(10)
       .map { case (k, v) => "\"" + key(k) + "\":" + fmt(v) }
       .mkString("{", ",", "}")
+    val cachesJson = caches
+      .map { case (n, v) => "\"" + n + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
     val detail =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","cpus":$cpus,"n_queries":${ok.size},"queries":$qsFull,"failed":$failedJson,"regressed":$regressedJson,"baseline_file":"${if (baseline.nonEmpty) "BENCH_BASELINE.json" else ""}"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","cpus":$cpus,"n_queries":${ok.size},"queries":$qsFull,"cache_total":${fmt(cacheTotal)},"caches":$cachesJson,"failed":$failedJson,"regressed":$regressedJson,"baseline_file":"${if (baseline.nonEmpty) "BENCH_BASELINE.json" else ""}"}"""
     val detailFile = new java.io.File(repoDir, "BENCH_DETAIL.json")
     try {
       val w = new java.io.PrintWriter(detailFile, "UTF-8")
@@ -238,7 +269,7 @@ object Bench {
       System.err.println(s"[bench] WARNING: could not write $detailFile: $e")
     }
     val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","n_queries":${ok.size},"queries":$slowest,"failed":$failedJson,"regressed":$regressedJson,"detail":"BENCH_DETAIL.json"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","n_queries":${ok.size},"queries":$slowest,"cache_total":${fmt(cacheTotal)},"failed":$failedJson,"regressed":$regressedJson,"detail":"BENCH_DETAIL.json"}"""
     if (line.length > 1500)
       System.err.println(s"[bench] WARNING: JSON line ${line.length} chars " +
         "— approaching the driver's 2000-char tail capture")

@@ -107,7 +107,6 @@ object QueriesEvents {
     // horizon reach probability, so effects are ≥ 0 and the share
     // normalization is safe (zero-guarded like the d20 ratios).
     "e18_markov_attribution" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
       val pe = markovEdges(s, d)
       val arms = pe.select(col("i")).filter(col("i") =!= "(start)")
         .distinct().select(col("i").as("arm"))
@@ -729,6 +728,15 @@ object QueriesEvents {
       df.persist()
     else df
   }
+
+  /** This family's shared persisted caches (the QueriesDedup.sharedCaches
+    * contract: name → builder, pre-built and timed separately by Bench
+    * so per-query times are net of cache).
+    */
+  private[graft] def sharedCaches
+      : Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "events.rfm_users" -> (rfmUsers _),
+    "events.markov_edges" -> (markovEdges _))
 
   def unpersistAll(s: SparkSession, d: String): Unit = {
     rfmUsers(s, d).unpersist()

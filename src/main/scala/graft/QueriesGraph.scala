@@ -153,6 +153,14 @@ object QueriesGraph {
     else edges
   }
 
+  /** This family's shared persisted caches (the QueriesDedup.sharedCaches
+    * contract: name → builder, pre-built and timed separately by Bench
+    * so per-query times are net of cache).
+    */
+  private[graft] def sharedCaches
+      : Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "graph.copurchase_edges" -> (coPurchaseEdges _))
+
   /** Release the shared edge cache (for long-lived sessions done with
     * the graph query family).
     */

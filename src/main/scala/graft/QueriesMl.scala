@@ -74,8 +74,19 @@ object QueriesMl {
     val det2 = s"($n * ($q1 * $p2y - $p12 * $p1y)" +
       s" - $s1 * ($s1 * $p2y - $p1y * $s2)" +
       s" + $sy * ($s1 * $p12 - $q1 * $s2))"
-    Map("b0" -> s"($det0 / $det)", "b1" -> s"($det1 / $det)",
-      "b2" -> s"($det2 / $det)",
+    // Singular-matrix guard: a degenerate group (n = 1, or collinear
+    // x1/x2) has det = 0 and an unguarded Cramer solve emits ±Inf/NaN
+    // betas, which would make the verify hash fragile on degenerate
+    // fixtures. The defined fallback is the intercept-only fit
+    // (b0 = ȳ, b1 = b2 = 0) — the least-squares solution restricted to
+    // the constant model, which is always well-posed for n ≥ 1. The
+    // guard lives in the SHARED SQL text, so both engines branch on the
+    // bit-identical det double and parity is preserved by construction.
+    def guarded(bi: String, fallback: String): String =
+      s"(CASE WHEN $det <> 0.0 THEN ($bi / $det) ELSE $fallback END)"
+    Map("b0" -> guarded(det0, s"($sy / $n)"),
+      "b1" -> guarded(det1, "0.0"),
+      "b2" -> guarded(det2, "0.0"),
       "sy" -> sy, "p1y" -> p1y, "p2y" -> p2y, "n" -> n)
   }
 

@@ -177,16 +177,19 @@ object QueriesReference {
     // a1/a2/q2: the 2dp mean mirrors WeatherOps.centsMeanExpr — exact
     // integer cents, half-away-from-zero magnitude division (round()
     // on the double mean disagrees across engines exactly on
-    // half-cent boundaries; caught by the sf0.001 gate on q2).
+    // half-cent boundaries; caught by the sf0.001 gate on q2). The
+    // denominator is count(valueCol) — NON-NULL count, matching the
+    // Spark side and avg()'s null-skipping semantics (NULL cents are
+    // skipped by the numerator sum, so count(*) would shrink the mean).
     "a1_weekly_avg" ->
       s"""SELECT event_type, weekofyear(ts) AS week,
          |  ${centsMeanSql("sum(CAST(floor(value * 100 + 0.5) AS BIGINT))",
-              "count(*)")} AS average_value
+              "count(value)")} AS average_value
          |FROM events GROUP BY event_type, weekofyear(ts)""".stripMargin,
     "a2_period_avg" ->
       s"""SELECT event_type,
          |  ${centsMeanSql("sum(CAST(floor(value * 100 + 0.5) AS BIGINT))",
-              "count(*)")} AS average_value,
+              "count(value)")} AS average_value,
          |  '2024-01-10' AS start_date, '2024-01-20' AS end_date
          |FROM events
          |WHERE ts >= TIMESTAMP '$periodStart'
@@ -220,13 +223,13 @@ object QueriesReference {
          |    CAST(weekofyear(weatherDate) AS BIGINT) AS week,
          |    ${centsMeanSql(
                 "sum(CAST(floor(temp_c * 100 + 0.5) AS BIGINT))",
-                "count(*)")} AS metric
+                "count(temp_c)")} AS metric
          |  FROM obs GROUP BY country, city, weekofyear(weatherDate)),
          |hum AS (SELECT 'humidity' AS report, country, city,
          |    CAST(NULL AS BIGINT) AS week,
          |    ${centsMeanSql(
                 "sum(CAST(floor(humidity * 100 + 0.5) AS BIGINT))",
-                "count(*)")} AS metric
+                "count(humidity)")} AS metric
          |  FROM obs
          |  WHERE weatherDate >= TIMESTAMP '$periodStart'
          |    AND weatherDate < TIMESTAMP '$periodEnd'

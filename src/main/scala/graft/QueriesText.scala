@@ -785,6 +785,23 @@ object QueriesText {
   private def bpeMerges(s: SparkSession, d: String): DataFrame =
     bpeChain(s, d)._2
 
+  /** This family's shared persisted caches (the QueriesDedup.sharedCaches
+    * contract: name → builder in dependency order, pre-built and timed
+    * separately by Bench so per-query times are net of cache). The BPE
+    * entry returns the FINAL vocab frame — forcing it materializes the
+    * whole guard-persisted ladder transitively, which is the expensive
+    * part shared by x35/x37.
+    */
+  private[graft] def sharedCaches
+      : Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "text.tf" -> (tfFrame _),
+    "text.bigrams" -> (bg2Frame _),
+    "text.bpe_chain" -> ((s: SparkSession, d: String) => bpeChain(s, d)._1),
+    "text.lm_unigrams" ->
+      ((s: SparkSession, d: String) => lmUnigrams(trainToks(s, d))),
+    "text.lm_bigrams" ->
+      ((s: SparkSession, d: String) => lmBigrams(trainToks(s, d))))
+
   /** Release this family's shared caches — the BPE vocab ladder (one
     * frame per round) and x36's c1/c2 model tables — for long-lived
     * sessions done with the text queries (the house guard-persist +

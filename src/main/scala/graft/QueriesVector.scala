@@ -134,6 +134,16 @@ object QueriesVector {
     else df
   }
 
+  /** This family's shared persisted caches (the QueriesDedup.sharedCaches
+    * contract: name → builder in dependency order, pre-built and timed
+    * separately by Bench so per-query times are net of cache).
+    */
+  private[graft] def sharedCaches
+      : Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "vector.prep" -> (prep _),
+    "vector.semdedup_cells" -> (semdedupCells _),
+    "vector.v19_pairs" -> (v19Pairs _))
+
   /** Release the shared prep cache (for long-lived sessions done with
     * the similarity-search family).
     */

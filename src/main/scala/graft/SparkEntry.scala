@@ -22,6 +22,20 @@ object SparkEntry {
       QueriesProfile.queries ++ QueriesSql.queries ++
       QueriesStorage.queries ++ QueriesMl.queries
 
+  /** Every family's shared persisted caches (name → builder), in
+    * dependency order — dedup.tokens first because the text caches
+    * read it. Bench forces these BEFORE its timed passes and reports
+    * each build on its own `[bench-cache]` line, so per-query bench
+    * times are net of cache and stop moving when a family gains
+    * members (the r13 d14/x-family attribution-drift class). Families
+    * without cross-query persisted frames are absent by construction.
+    */
+  private[graft] def sharedCaches
+      : Seq[(String, (SparkSession, String) => DataFrame)] =
+    QueriesDedup.sharedCaches ++ QueriesText.sharedCaches ++
+      QueriesVector.sharedCaches ++ QueriesEvents.sharedCaches ++
+      QueriesGraph.sharedCaches
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =

@@ -103,11 +103,16 @@ object WeatherOps {
     "CAST(CASE WHEN __c < 0 THEN -((-__c + __n DIV 2) DIV __n) " +
       s"ELSE (__c + __n DIV 2) DIV __n END AS DOUBLE) / 100.0 AS $outCol"
 
+  /** `__n` counts NON-NULL values (`count(valueCol)`, not `count(*)`) so
+    * the mean keeps `avg()`'s null-skipping semantics: NULL cents are
+    * skipped by the sum, so counting them in the denominator would
+    * silently shrink the mean. The oracle mirror counts the same column.
+    */
   def weeklyAvg(df: DataFrame, keys: Seq[String], tsCol: String,
       valueCol: String, outCol: String): DataFrame =
     df.groupBy((keys.map(col) :+ weekofyear(col(tsCol)).as("week")): _*)
       .agg(sum(floor(col(valueCol) * 100 + lit(0.5)).cast("long"))
-        .as("__c"), count(lit(1)).as("__n"))
+        .as("__c"), count(col(valueCol)).as("__n"))
       .selectExpr((keys :+ "week" :+ centsMeanExpr(outCol)): _*)
 
   // ---- A2: period average (FULL:97-115) -----------------------------------
@@ -118,7 +123,7 @@ object WeatherOps {
     periodFilter(df, tsCol, start, endExclusive)
       .groupBy(keys.map(col): _*)
       .agg(sum(floor(col(valueCol) * 100 + lit(0.5)).cast("long"))
-        .as("__c"), count(lit(1)).as("__n"))
+        .as("__c"), count(col(valueCol)).as("__n"))
       .selectExpr((keys :+ centsMeanExpr(outCol)): _*)
 
   // ---- J1: left-anti incremental dedup (FULL:160-171) ---------------------
