@@ -356,6 +356,45 @@ object QueriesDedup {
             col("n_docs").cast("double"), 6).as("pct_dropped"))
     }),
 
+    // Bounded-emission SimHash pairs (VERDICT r13 #3: the 100 TB
+    // valve on the pair GENERATORS): each fingerprint pairs only with
+    // its B=2 immediate successors per chunk bucket, so output and
+    // expansion cost are |index|·B at ANY duplicate density — the
+    // unbounded d5 emitted 32.2 M pairs (79 s) on sf1's clone
+    // cliques because saturated buckets expand quadratically. The cut
+    // is LOUD: trunc_a/trunc_b carry the successor slots dropped
+    // around each endpoint (0 ⟺ exhaustive). Clique connectivity
+    // survives (consecutive successors chain every bucket), so
+    // cluster membership is preserved; d5 stays the exactness oracle
+    // at sf ≤ 0.01, and d30's curve prices the budget choice.
+    "d28_simhash_budget" -> ((s, d) => {
+      DedupOps.simhashPairsBudgeted(
+        DedupOps.simhash(docsWithTokens(s, d), "doc_id", col("toks")),
+        maxHamming = 3, perDocBudget = 2)
+    }),
+
+    // Bounded-emission prefix-filter pairs: d17's lossless generator
+    // with the same B=2 successor window per prefix bucket (d17 read
+    // 199 s / 250 k pairs at sf1 — output-bound). Same LOUD-truncation
+    // contract as d28; exact-Jaccard verification unchanged.
+    "d29_prefix_budget" -> ((s, d) => {
+      DedupOps.prefixFilterPairsBudgeted(docsWithShingles(s, d),
+        "doc_id", "sh", 7, 10, perDocBudget = 2)
+    }),
+
+    // The budget OPERATING CURVE (d27's discipline applied to the
+    // emission budget): for B ∈ {1,2,4,8}, how many verified pairs
+    // survive, how many generation slots are cut, and how many docs
+    // are touched — all off ONE bounded expansion at B=8 (a pair
+    // survives budget B iff its minimal bucket offset ≤ B, so every
+    // smaller budget is a filter, not a re-expansion). This is the
+    // table that prices a budget before deploying it at scale.
+    "d30_budget_curve" -> ((s, d) => {
+      DedupOps.simhashBudgetCurve(
+        DedupOps.simhash(docsWithTokens(s, d), "doc_id", col("toks")),
+        maxHamming = 3, budgets = Seq(1, 2, 4, 8))
+    }),
+
     "d21_minhash_error" -> ((s, d) => {
       val sh = docsWithShingles(s, d)
       val pi = pairIntersections(s, d)
@@ -664,6 +703,57 @@ object QueriesDedup {
       |FROM p WHERE inter / CAST(n_a + n_b - inter AS DOUBLE) >= 0.8"""
       .stripMargin
 
+  /** d5/d28/d30's SimHash chunk-index chain (t → tok → h → b → sh → c
+    * → rare → cf): 60-bit fingerprints, 4×15-bit chunks, df-capped
+    * buckets. `cf` is MATERIALIZED — every consumer self-joins it (or
+    * the rn window over it), and DuckDB inlines CTEs by default (the
+    * d21 sf1 lesson: an inlined multiply-referenced chain recomputes
+    * the whole fingerprint pipeline per reference).
+    */
+  private def simhashCfCtes =
+    s"""t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |tok AS (SELECT doc_id, unnest(list_distinct(toks)) AS tk FROM t),
+       |h AS (SELECT doc_id, ${h60("concat('t:', tk)")} AS h FROM tok),
+       |b AS (SELECT doc_id, j,
+       |      CASE WHEN sum(((h >> j) & 1) * 2 - 1) > 0 THEN 1 ELSE 0 END
+       |        AS bit
+       |      FROM h CROSS JOIN (SELECT unnest(range(60)) AS j) r(j)
+       |      GROUP BY doc_id, j),
+       |sh AS (SELECT doc_id,
+       |      CAST(sum(bit * (CAST(1 AS BIGINT) << j)) AS BIGINT)
+       |        AS simhash
+       |      FROM b GROUP BY doc_id),
+       |c AS (SELECT doc_id, simhash, j, (simhash >> (15 * j)) & 32767
+       |        AS chunk
+       |      FROM sh CROSS JOIN (SELECT unnest(range(4)) AS j) r(j)),
+       |rare AS (SELECT j, chunk FROM c GROUP BY j, chunk
+       |      HAVING count(*) <= 10000),
+       |cf AS MATERIALIZED (SELECT c.* FROM c JOIN rare USING (j, chunk))"""
+      .stripMargin
+
+  /** d17/d29's prefix-filter front half (t → s → e0 → e → dfg → r →
+    * pre → ok): the rarity-ordered prefix index and its surviving
+    * buckets. `e` (the verify index) and `pre` (the bucket members)
+    * are each referenced twice downstream — MATERIALIZED for the same
+    * reason as [[simhashCfCtes]].
+    */
+  private def prefixPreCtes =
+    s"""t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |s AS (SELECT doc_id, $sh3Sql AS sh FROM t),
+       |e0 AS (SELECT doc_id AS id, CAST(len(sh) AS BIGINT) AS n,
+       |      unnest(sh) AS sh_s FROM s),
+       |e AS MATERIALIZED (SELECT id, n, ${h60("concat('sh:', sh_s)")} AS s
+       |      FROM e0),
+       |dfg AS (SELECT s, count(*) AS df FROM e GROUP BY s),
+       |r AS (SELECT id, n, list(e.s ORDER BY df, e.s) AS sorted
+       |      FROM e JOIN dfg USING (s) WHERE n > 0 GROUP BY id, n),
+       |pre AS MATERIALIZED (SELECT id, n,
+       |      unnest(list_slice(sorted, 1,
+       |        CAST(n - (n * 7 + 9) // 10 + 1 AS INTEGER))) AS s
+       |      FROM r),
+       |ok AS (SELECT s FROM pre GROUP BY s HAVING count(*) <= 1000)"""
+      .stripMargin
+
   def oracle: Map[String, String] = Map(
     "d1_exact_dedup" ->
       s"""SELECT md5(array_to_string(list_slice(toks, 1, 5), ' '))
@@ -725,20 +815,7 @@ object QueriesDedup {
     // prefix chain — rarity order via list(s ORDER BY df, s), integer
     // ceil prefix length, bucket cap, length filter, exact verify.
     "d17_prefix_filter" ->
-      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
-         |s AS (SELECT doc_id, $sh3Sql AS sh FROM t),
-         |e0 AS (SELECT doc_id AS id, CAST(len(sh) AS BIGINT) AS n,
-         |      unnest(sh) AS sh_s FROM s),
-         |e AS (SELECT id, n, ${h60("concat('sh:', sh_s)")} AS s
-         |      FROM e0),
-         |dfg AS (SELECT s, count(*) AS df FROM e GROUP BY s),
-         |r AS (SELECT id, n, list(e.s ORDER BY df, e.s) AS sorted
-         |      FROM e JOIN dfg USING (s) WHERE n > 0 GROUP BY id, n),
-         |pre AS (SELECT id, n,
-         |      unnest(list_slice(sorted, 1,
-         |        CAST(n - (n * 7 + 9) // 10 + 1 AS INTEGER))) AS s
-         |      FROM r),
-         |ok AS (SELECT s FROM pre GROUP BY s HAVING count(*) <= 1000),
+      s"""WITH $prefixPreCtes,
          |pc AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b,
          |      a.n AS n_a, b.n AS n_b
          |      FROM pre a JOIN pre b ON a.s = b.s AND a.id < b.id
@@ -754,6 +831,39 @@ object QueriesDedup {
          |  round(inter / CAST(n_a + n_b - inter AS DOUBLE), 6)
          |    AS jaccard
          |FROM p WHERE inter * 17 >= (n_a + n_b) * 7""".stripMargin,
+    // Mirrors d29: per-bucket row_number in id order over SURVIVING
+    // buckets (pb joins ok, = Spark's filtered id-sorted arrays), the
+    // B=2 successor window before the length-ratio gate, and the same
+    // exact-intersection verify as d17.
+    "d29_prefix_budget" ->
+      s"""WITH $prefixPreCtes,
+         |pb AS MATERIALIZED (SELECT pre.id, pre.n, pre.s,
+         |      row_number() OVER (PARTITION BY pre.s
+         |        ORDER BY pre.id) AS rn,
+         |      count(*) OVER (PARTITION BY pre.s) AS cnt
+         |      FROM pre JOIN ok ON pre.s = ok.s),
+         |tr AS (SELECT id,
+         |      CAST(sum(greatest(cnt - rn - 2, 0)) AS BIGINT) AS trunc
+         |      FROM pb GROUP BY id),
+         |pc AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+         |      a.n AS n_a, b.n AS n_b
+         |      FROM pb a JOIN pb b ON a.s = b.s
+         |        AND b.rn - a.rn BETWEEN 1 AND 2
+         |      WHERE a.n * 10 >= b.n * 7 AND b.n * 10 >= a.n * 7),
+         |p AS (SELECT pc.id_a, pc.id_b, pc.n_a, pc.n_b,
+         |      count(*) AS inter
+         |      FROM pc
+         |      JOIN e ea ON ea.id = pc.id_a
+         |      JOIN e eb ON eb.id = pc.id_b AND eb.s = ea.s
+         |      GROUP BY 1, 2, 3, 4)
+         |SELECT p.id_a, p.id_b, p.inter,
+         |  round(p.inter / CAST(p.n_a + p.n_b - p.inter AS DOUBLE), 6)
+         |    AS jaccard,
+         |  ta.trunc AS trunc_a, tb.trunc AS trunc_b
+         |FROM p
+         |JOIN tr ta ON ta.id = p.id_a
+         |JOIN tr tb ON tb.id = p.id_b
+         |WHERE p.inter * 17 >= (p.n_a + p.n_b) * 7""".stripMargin,
     "d8_decontaminate" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
          |s AS (SELECT doc_id, $sh3Sql AS sh FROM t),
@@ -968,24 +1078,7 @@ object QueriesDedup {
          |  CAST(sum(bit * (CAST(1 AS BIGINT) << j)) AS BIGINT) AS simhash
          |FROM b GROUP BY doc_id""".stripMargin,
     "d5_simhash_pairs" ->
-      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
-         |tok AS (SELECT doc_id, unnest(list_distinct(toks)) AS tk FROM t),
-         |h AS (SELECT doc_id, ${h60("concat('t:', tk)")} AS h FROM tok),
-         |b AS (SELECT doc_id, j,
-         |      CASE WHEN sum(((h >> j) & 1) * 2 - 1) > 0 THEN 1 ELSE 0 END
-         |        AS bit
-         |      FROM h CROSS JOIN (SELECT unnest(range(60)) AS j) r(j)
-         |      GROUP BY doc_id, j),
-         |sh AS (SELECT doc_id,
-         |      CAST(sum(bit * (CAST(1 AS BIGINT) << j)) AS BIGINT)
-         |        AS simhash
-         |      FROM b GROUP BY doc_id),
-         |c AS (SELECT doc_id, simhash, j, (simhash >> (15 * j)) & 32767
-         |        AS chunk
-         |      FROM sh CROSS JOIN (SELECT unnest(range(4)) AS j) r(j)),
-         |rare AS (SELECT j, chunk FROM c GROUP BY j, chunk
-         |      HAVING count(*) <= 10000),
-         |cf AS (SELECT c.* FROM c JOIN rare USING (j, chunk)),
+      s"""WITH $simhashCfCtes,
          |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
          |      a.simhash AS sim_a, b.simhash AS sim_b
          |      FROM cf a JOIN cf b ON a.j = b.j AND a.chunk = b.chunk
@@ -993,6 +1086,63 @@ object QueriesDedup {
          |SELECT id_a, id_b,
          |  CAST(bit_count(xor(sim_a, sim_b)) AS BIGINT) AS hamming
          |FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= 3""".stripMargin,
+    // Mirrors d28: the same cf chain, per-bucket row_number in doc_id
+    // order (= Spark's id-sorted posting array), a pair survives iff
+    // the successor offset is within the budget, and trunc_x is the
+    // total successor slots cut around each endpoint across buckets.
+    "d28_simhash_budget" ->
+      s"""WITH $simhashCfCtes,
+         |rn AS (SELECT doc_id, simhash, j, chunk,
+         |      row_number() OVER (PARTITION BY j, chunk
+         |        ORDER BY doc_id) AS rn,
+         |      count(*) OVER (PARTITION BY j, chunk) AS cnt
+         |      FROM cf),
+         |tr AS (SELECT doc_id,
+         |      CAST(sum(greatest(cnt - rn - 2, 0)) AS BIGINT) AS trunc
+         |      FROM rn GROUP BY doc_id),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b,
+         |      a.simhash AS sim_a, b2.simhash AS sim_b
+         |      FROM rn a JOIN rn b2 ON a.j = b2.j AND a.chunk = b2.chunk
+         |        AND b2.rn - a.rn BETWEEN 1 AND 2),
+         |p AS (SELECT id_a, id_b,
+         |      CAST(bit_count(xor(sim_a, sim_b)) AS BIGINT) AS hamming
+         |      FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= 3)
+         |SELECT p.id_a, p.id_b, p.hamming,
+         |  ta.trunc AS trunc_a, tb.trunc AS trunc_b
+         |FROM p JOIN tr ta ON ta.doc_id = p.id_a
+         |JOIN tr tb ON tb.doc_id = p.id_b""".stripMargin,
+    // Mirrors d30: one offset-windowed expansion at max budget, each
+    // pair's minimal offset decides which budgets keep it; slot
+    // accounting (cnt − rn successors per element) prices the cut.
+    "d30_budget_curve" ->
+      s"""WITH $simhashCfCtes,
+         |rn AS (SELECT doc_id, simhash, j, chunk,
+         |      row_number() OVER (PARTITION BY j, chunk
+         |        ORDER BY doc_id) AS rn,
+         |      count(*) OVER (PARTITION BY j, chunk) AS cnt
+         |      FROM cf),
+         |bud AS (SELECT CAST(unnest([1, 2, 4, 8]) AS BIGINT) AS budget),
+         |wide AS (SELECT a.doc_id AS id_a, b2.doc_id AS id_b,
+         |      min(b2.rn - a.rn) AS min_off
+         |      FROM rn a JOIN rn b2 ON a.j = b2.j AND a.chunk = b2.chunk
+         |        AND b2.rn - a.rn BETWEEN 1 AND 8
+         |      WHERE bit_count(xor(a.simhash, b2.simhash)) <= 3
+         |      GROUP BY 1, 2),
+         |kept AS (SELECT budget, count(*) AS pairs_kept
+         |      FROM bud JOIN wide ON min_off <= budget GROUP BY 1),
+         |slots AS (SELECT doc_id, cnt - rn AS n_succ FROM rn),
+         |cut AS (SELECT budget,
+         |      CAST(sum(greatest(n_succ - budget, 0)) AS BIGINT)
+         |        AS slots_dropped,
+         |      count(DISTINCT CASE WHEN n_succ > budget
+         |        THEN doc_id END) AS docs_truncated
+         |      FROM bud CROSS JOIN slots GROUP BY 1)
+         |SELECT bud.budget,
+         |  coalesce(kept.pairs_kept, 0) AS pairs_kept,
+         |  coalesce(cut.slots_dropped, 0) AS slots_dropped,
+         |  coalesce(cut.docs_truncated, 0) AS docs_truncated
+         |FROM bud LEFT JOIN kept USING (budget)
+         |LEFT JOIN cut USING (budget)""".stripMargin,
     "d6_embedding_neardup" ->
       s"""WITH d AS (SELECT vec_id,
          |      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

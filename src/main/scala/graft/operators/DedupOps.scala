@@ -229,6 +229,28 @@ object DedupOps {
     */
   def prefixFilterPairs(docs: DataFrame, idCol: String, shCol: String,
       tNum: Int, tDen: Int, maxBucket: Long = 1000L): DataFrame = {
+    val (e, buckets) = prefixBuckets(docs, idCol, shCol, tNum, tDen, maxBucket)
+    val cand = buckets
+      .select(col("ds"), explode(col("ds")).as("a"))
+      .select(col("a"), explode(col("ds")).as("b"))
+      .filter(col("a.id") < col("b.id"))
+      // t·max ≤ min, both directions in exact integers
+      .filter(col("a.n") * lit(tDen) >= col("b.n") * lit(tNum) &&
+        col("b.n") * lit(tDen) >= col("a.n") * lit(tNum))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    verifyJaccardPairs(cand, e, tNum, tDen)
+  }
+
+  /** The shared front half of the prefix-filter pipeline: the per-doc
+    * shingle index `e` (id, n, s) and the prefix buckets as id-sorted
+    * posting arrays — extracted so the unbounded [[prefixFilterPairs]]
+    * and the budgeted [[prefixFilterPairsBudgeted]] read ONE
+    * construction (divergence here would silently change what the
+    * budget arm is an approximation OF).
+    */
+  private def prefixBuckets(docs: DataFrame, idCol: String, shCol: String,
+      tNum: Int, tDen: Int, maxBucket: Long): (DataFrame, DataFrame) = {
     require(tNum > 0 && tDen > tNum, s"threshold must be in (0,1): $tNum/$tDen")
     val e = shingleIndex(docs, idCol, shCol).filter(col("n") > 0)
     val dfG = e.groupBy("s").agg(count(lit(1)).as("df"))
@@ -244,15 +266,15 @@ object DedupOps {
       .agg(collect_list(struct(col("id"), col("n"))).as("ds"))
       .filter(size(col("ds")) <= maxBucket)
       .select(array_sort(col("ds")).as("ds"))
-    val cand = buckets
-      .select(col("ds"), explode(col("ds")).as("a"))
-      .select(col("a"), explode(col("ds")).as("b"))
-      .filter(col("a.id") < col("b.id"))
-      // t·max ≤ min, both directions in exact integers
-      .filter(col("a.n") * lit(tDen) >= col("b.n") * lit(tNum) &&
-        col("b.n") * lit(tDen) >= col("a.n") * lit(tNum))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .distinct()
+    (e, buckets)
+  }
+
+  /** The shared back half: exact-intersection verification of candidate
+    * pairs against the shingle index, with the symmetric Jaccard gate
+    * in exact integers.
+    */
+  private def verifyJaccardPairs(cand: DataFrame, e: DataFrame,
+      tNum: Int, tDen: Int): DataFrame = {
     val ea = e.select(col("id").as("id_a"), col("n").as("n_a"), col("s"))
     val eb = e.select(col("id").as("id_b"), col("n").as("n_b"), col("s"))
     cand.join(ea, Seq("id_a")).join(eb, Seq("id_b", "s"))
@@ -264,6 +286,51 @@ object DedupOps {
         round(col("inter") /
           (col("n_a") + col("n_b") - col("inter")).cast("double"), 6)
           .as("jaccard"))
+  }
+
+  /** Bounded-emission arm of [[prefixFilterPairs]] (the 100 TB scale
+    * valve): each doc emits candidate pairs only to its `perDocBudget`
+    * immediate successors in each bucket's id order, so a bucket of
+    * size m expands m·B slots instead of m²/2 — the output (and the
+    * expansion cost) is linear in the index at ANY duplicate density,
+    * where the unbounded form goes quadratic on clone cliques (sf1:
+    * 250 k pairs from d17's corpus). The cut is LOUD, never silent:
+    * every surviving pair carries `trunc_a`/`trunc_b` — the total
+    * successor slots dropped around each endpoint across all its
+    * buckets (0 ⟺ that doc's pair list is exhaustive). Connectivity
+    * degrades gracefully: consecutive-successor windows keep every
+    * same-bucket clique connected as a chain (B ≥ 1), so downstream
+    * connected-components clustering still finds the clique — what's
+    * lost is individual pair rows, not cluster membership. The window
+    * applies BEFORE the length-ratio gate (slots are positional), and
+    * the unbounded form stays the exactness oracle at sf ≤ 0.01.
+    */
+  def prefixFilterPairsBudgeted(docs: DataFrame, idCol: String,
+      shCol: String, tNum: Int, tDen: Int, perDocBudget: Int,
+      maxBucket: Long = 1000L): DataFrame = {
+    require(perDocBudget >= 1, s"perDocBudget must be >= 1: $perDocBudget")
+    val (e, buckets) = prefixBuckets(docs, idCol, shCol, tNum, tDen, maxBucket)
+    val expanded = buckets
+      .select(col("ds"), posexplode(col("ds")).as(Seq("i", "a")))
+      .select(col("a"),
+        slice(col("ds"), col("i") + lit(2), lit(perDocBudget)).as("succ"),
+        greatest(size(col("ds")) - col("i") - lit(1) - lit(perDocBudget),
+          lit(0)).cast("long").as("dropped"))
+    val cand = expanded
+      .select(col("a"), explode(col("succ")).as("b"))
+      .filter(col("a.n") * lit(tDen) >= col("b.n") * lit(tNum) &&
+        col("b.n") * lit(tDen) >= col("a.n") * lit(tNum))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    val trunc = expanded.groupBy(col("a.id").as("id"))
+      .agg(sum(col("dropped")).as("trunc"))
+    verifyJaccardPairs(cand, e, tNum, tDen)
+      .join(trunc.select(col("id").as("id_a"), col("trunc").as("trunc_a")),
+        Seq("id_a"))
+      .join(trunc.select(col("id").as("id_b"), col("trunc").as("trunc_b")),
+        Seq("id_b"))
+      .select(col("id_a"), col("id_b"), col("inter"), col("jaccard"),
+        col("trunc_a"), col("trunc_b"))
   }
 
   /** Connected components over an undirected pair list (the last step of
@@ -546,11 +613,7 @@ object DedupOps {
       s"pigeonhole completeness needs maxHamming < chunks " +
         s"(got maxHamming=$maxHamming, chunks=$chunks): a pair may differ " +
         s"in every chunk once hamming >= chunks")
-    val c = simhashChunks(sims, chunks, chunkBits)
-    val postings = c.groupBy("j", "chunk")
-      .agg(collect_list(struct(col("id"), col("simhash"))).as("ds"))
-      .filter(size(col("ds")) <= maxChunkFreq)
-      .select(array_sort(col("ds")).as("ds"))
+    val postings = simhashPostings(sims, chunks, chunkBits, maxChunkFreq)
     // Hamming-verify BEFORE the distinct: bit_count per candidate
     // occurrence is a codegen'd two-instruction check, while the distinct
     // is a shuffle — filtering first means the exchange carries only the
@@ -567,5 +630,122 @@ object DedupOps {
           .as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .distinct()
+  }
+
+  /** The shared chunk-posting construction of [[simhashPairs]] and its
+    * budgeted/curve arms: (j, chunk) buckets as id-sorted posting
+    * arrays, over-full buckets dropped (the df-cap discipline). One
+    * construction so the budget arm approximates exactly the frame the
+    * unbounded form expands.
+    */
+  private def simhashPostings(sims: DataFrame, chunks: Int, chunkBits: Int,
+      maxChunkFreq: Long): DataFrame =
+    simhashChunks(sims, chunks, chunkBits)
+      .groupBy("j", "chunk")
+      .agg(collect_list(struct(col("id"), col("simhash"))).as("ds"))
+      .filter(size(col("ds")) <= maxChunkFreq)
+      .select(array_sort(col("ds")).as("ds"))
+
+  /** Bounded-emission arm of [[simhashPairs]] (the 100 TB scale valve;
+    * same contract as [[prefixFilterPairsBudgeted]]): each fingerprint
+    * pairs only with its `perDocBudget` immediate successors per
+    * (band, chunk) bucket, bounding both the expansion cost and the
+    * output at |index|·B — the unbounded form emitted 32.2 M pairs on
+    * sf1's clone cliques because every 2^15-saturated bucket expands
+    * quadratically. LOUD truncation: `trunc_a`/`trunc_b` carry the
+    * total successor slots dropped around each endpoint (0 ⟺ that
+    * doc's emitted pairs are exhaustive). Clique connectivity survives
+    * any B ≥ 1 (consecutive successors chain the bucket), so
+    * downstream clustering keeps finding the duplicate groups; the
+    * unbounded form remains the exactness oracle at sf ≤ 0.01.
+    */
+  def simhashPairsBudgeted(sims: DataFrame, maxHamming: Int,
+      perDocBudget: Int, chunks: Int = 4, chunkBits: Int = 15,
+      maxChunkFreq: Long = 10000L): DataFrame = {
+    require(maxHamming < chunks,
+      s"pigeonhole completeness needs maxHamming < chunks " +
+        s"(got maxHamming=$maxHamming, chunks=$chunks)")
+    require(perDocBudget >= 1, s"perDocBudget must be >= 1: $perDocBudget")
+    val expanded =
+      simhashPostings(sims, chunks, chunkBits, maxChunkFreq)
+        .select(col("ds"), posexplode(col("ds")).as(Seq("i", "a")))
+        .select(col("a"),
+          slice(col("ds"), col("i") + lit(2), lit(perDocBudget)).as("succ"),
+          greatest(size(col("ds")) - col("i") - lit(1) - lit(perDocBudget),
+            lit(0)).cast("long").as("dropped"))
+    val pairs = expanded
+      .select(col("a"), explode(col("succ")).as("b"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        expr("bit_count(a.simhash ^ b.simhash)").cast("long")
+          .as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+    val trunc = expanded.groupBy(col("a.id").as("id"))
+      .agg(sum(col("dropped")).as("trunc"))
+    pairs
+      .join(trunc.select(col("id").as("id_a"), col("trunc").as("trunc_a")),
+        Seq("id_a"))
+      .join(trunc.select(col("id").as("id_b"), col("trunc").as("trunc_b")),
+        Seq("id_b"))
+      .select(col("id_a"), col("id_b"), col("hamming"),
+        col("trunc_a"), col("trunc_b"))
+  }
+
+  /** The budget operating curve for [[simhashPairsBudgeted]] (the d27
+    * discipline: measure the knob before trusting it). For each budget
+    * B in `budgets`, off ONE bounded expansion at max(budgets):
+    *  - `pairs_kept`   — verified pairs surviving budget B (a pair
+    *    survives iff SOME bucket places the two within B positions —
+    *    exact for every B ≤ max(budgets) via the min-offset trick, no
+    *    per-B re-expansion);
+    *  - `slots_dropped` — generation slots cut before verification
+    *    (the emission saved);
+    *  - `docs_truncated` — docs with at least one cut slot (the blast
+    *    radius of the approximation).
+    * Everything is bounded: the widest expansion is |index|·max(B).
+    */
+  def simhashBudgetCurve(sims: DataFrame, maxHamming: Int,
+      budgets: Seq[Int], chunks: Int = 4, chunkBits: Int = 15,
+      maxChunkFreq: Long = 10000L): DataFrame = {
+    require(budgets.nonEmpty && budgets.forall(_ >= 1),
+      s"budgets must be >= 1: $budgets")
+    val maxB = budgets.max
+    val spark = sims.sparkSession
+    val postings = simhashPostings(sims, chunks, chunkBits, maxChunkFreq)
+    val elems = postings
+      .select(col("ds"), posexplode(col("ds")).as(Seq("i", "a")))
+    // min successor offset at which each verified pair is emitted:
+    // the pair survives budget B iff min_off <= B
+    val minOff = elems
+      .select(col("a"),
+        posexplode(slice(col("ds"), col("i") + lit(2), lit(maxB)))
+          .as(Seq("k", "b")))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        expr("bit_count(a.simhash ^ b.simhash)").cast("long")
+          .as("hamming"), (col("k") + lit(1)).cast("long").as("off"))
+      .filter(col("hamming") <= maxHamming)
+      .groupBy("id_a", "id_b").agg(min(col("off")).as("min_off"))
+    // per-element successor counts (the slot accounting, pre-verify)
+    val slots = elems.select(col("a.id").as("id"),
+      (size(col("ds")) - col("i") - lit(1)).cast("long").as("n_succ"))
+    // the budget dimension: a bounded literal frame (|budgets| rows),
+    // broadcast into both accounting joins
+    val bdf = budgets.sorted.map(b =>
+        spark.range(1).select(lit(b.toLong).as("budget")))
+      .reduce(_ unionAll _)
+    val kept = minOff.crossJoin(broadcast(bdf))
+      .filter(col("min_off") <= col("budget"))
+      .groupBy("budget").agg(count(lit(1)).as("pairs_kept"))
+    val cut = slots.crossJoin(broadcast(bdf))
+      .groupBy("budget").agg(
+        sum(greatest(col("n_succ") - col("budget"), lit(0L)))
+          .as("slots_dropped"),
+        count_distinct(when(col("n_succ") > col("budget"), col("id")))
+          .as("docs_truncated"))
+    bdf.join(kept, Seq("budget"), "left").join(cut, Seq("budget"), "left")
+      .select(col("budget"),
+        coalesce(col("pairs_kept"), lit(0L)).as("pairs_kept"),
+        coalesce(col("slots_dropped"), lit(0L)).as("slots_dropped"),
+        coalesce(col("docs_truncated"), lit(0L)).as("docs_truncated"))
   }
 }
