@@ -779,6 +779,31 @@ object QueriesRelational {
           2).as("revenue"), count(lit(1)).as("n_items"))
     }),
 
+    // SELF-TUNING skew salt (closes the dq5 → j6 loop the way d24's
+    // recall gate feeds d23's routing): the salt multiplier is DERIVED
+    // in-plan from a one-pass skew pre-pass over the fact side
+    // (max-key-count ÷ mean-per-key, exact-integer ceil, clamped to
+    // 32) and broadcast into both sides — uniform keys derive salt = 1
+    // and the plan degenerates to the plain join; a hot key derives
+    // its own spread, with replication priced exactly at the measured
+    // skew. Same aggregation as j6 so the semantics-preservation
+    // oracle is the plain join; the derived factor is SURFACED as an
+    // output column so the oracle also pins the derivation formula
+    // (not just that salting didn't corrupt the join).
+    "j17_adaptive_salt" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+      val ord = Tables.orders(s, d)
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+      RelationalOps.adaptiveSaltedJoin(li, ord, Seq("l_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))),
+          2).as("revenue"), count(lit(1)).as("n_items"))
+        .crossJoin(broadcast( // 1-row derived factor, made visible
+          RelationalOps.derivedSaltFactor(li, Seq("l_orderkey"), 32)
+            .select(col("__salt_n").as("salt_factor"))))
+    }),
+
     // Scalar subquery: parts priced above the global average.
     "sub1_scalar_subquery" -> ((s, d) => {
       val p = Tables.part(s, d)
@@ -1281,6 +1306,21 @@ object QueriesRelational {
         |  count(*) AS n_items
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority""".stripMargin,
+    // Mirrors j17: j6's plain join (salting is semantics-preserving)
+    // plus the derived multiplier — exact-integer ceil of the dq5
+    // skew factor over the fact side's join key, clamped to [1, 32]
+    // (// equals Spark's DIV on these nonnegative operands).
+    "j17_adaptive_salt" ->
+      """WITH c AS (SELECT l_orderkey, count(*) AS n
+        |           FROM lineitem GROUP BY 1),
+        |m AS (SELECT max(n) AS mx, count(*) AS k, sum(n) AS tot FROM c),
+        |sf AS (SELECT least(greatest((mx * k + tot - 1) // tot, 1), 32)
+        |         AS salt_factor FROM m)
+        |SELECT o_orderpriority,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  count(*) AS n_items, CAST(sf.salt_factor AS BIGINT) AS salt_factor
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey, sf
+        |GROUP BY o_orderpriority, sf.salt_factor""".stripMargin,
     "j7_full_outer" ->
       """SELECT CASE WHEN c_custkey IS NULL THEN 'no_customer'
         |  WHEN o_orderkey IS NULL THEN 'no_orders'

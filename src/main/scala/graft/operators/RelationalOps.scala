@@ -535,6 +535,61 @@ object RelationalOps {
     l.join(r, keys :+ saltCol, joinType).drop(saltCol)
   }
 
+  /** The dq5 skew factor as a broadcast-able 1-row frame: max key
+    * count ÷ mean-per-key over `df`'s join keys, ceil'd in EXACT
+    * integer arithmetic ((mx·k + tot − 1) DIV tot — all operands
+    * nonnegative, so Spark's truncating DIV equals DuckDB's flooring
+    * //), clamped to [1, maxSalt]. This IS the "right salt
+    * multiplier" dq5's Scaladoc promises: a key with s× the mean
+    * share needs its rows spread over ~s reducers, and salting wider
+    * than the skew only multiplies the replicated side for nothing.
+    * Cost: one map-side-combined count per key + a 4-value reduce —
+    * the same one-pass diagnostic shape as dq5, cheap at any scale.
+    * Non-empty input required (aggregates over zero rows yield NULL
+    * and the two engines disagree on NULL in greatest/least).
+    */
+  def derivedSaltFactor(df: DataFrame, keys: Seq[String],
+      maxSalt: Int): DataFrame = {
+    require(maxSalt >= 1, s"maxSalt must be >= 1, got $maxSalt")
+    df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("__n"))
+      .agg(max(col("__n")).as("__mx"), count(lit(1)).as("__k"),
+        sum(col("__n")).as("__tot"))
+      .select(least(greatest(
+        expr("(__mx * __k + __tot - 1) div __tot"), lit(1L)),
+        lit(maxSalt.toLong)).as("__salt_n"))
+  }
+
+  /** [[saltedJoin]] with the multiplier DERIVED from the data instead
+    * of hand-tuned (VERDICT r13 #8: close the loop between the dq5
+    * diagnostic and the mitigation, the way d24's recall gate feeds
+    * d23's routing): a [[derivedSaltFactor]] pre-pass over the fact
+    * side broadcasts ONE row into both sides, the fact side salts by
+    * `pmod(rowhash, salt)`, the replicated side explodes
+    * `sequence(0, salt−1)`. Uniform data derives salt = 1 and the
+    * plan degenerates to the plain join (zero replication); a hot key
+    * derives its own spread. Semantics-preserving by construction —
+    * j6's plain-join oracle applies verbatim.
+    */
+  def adaptiveSaltedJoin(left: DataFrame, right: DataFrame,
+      keys: Seq[String], maxSalt: Int = 32,
+      joinType: String = "inner"): DataFrame = {
+    require(Set("inner", "left", "left_outer", "left_semi", "left_anti")
+      .contains(joinType.toLowerCase),
+      s"adaptiveSaltedJoin supports inner/left joins only, got $joinType")
+    val saltCol = "__graft_salt"
+    val sf = derivedSaltFactor(left, keys, maxSalt)
+    val l = left.crossJoin(broadcast(sf))
+      .withColumn(saltCol,
+        pmod(xxhash64(left.columns.toSeq.map(col): _*), col("__salt_n"))
+          .cast("int"))
+      .drop("__salt_n")
+    val r = right.crossJoin(broadcast(sf))
+      .withColumn(saltCol,
+        explode(sequence(lit(0), (col("__salt_n") - 1).cast("int"))))
+      .drop("__salt_n")
+    l.join(r, keys :+ saltCol, joinType).drop(saltCol)
+  }
+
   /** SCD Type-2 interval build: collapse a per-key attribute timeline
     * into validity intervals — one row per *change*, carrying
     * `valid_from` (the change row's timestamp), `valid_to` (the NEXT

@@ -419,6 +419,21 @@ class PlanAuditSpec extends SparkTestBase {
       s"ts2's spine build must stay a broadcast cross of 1-row bounds:\n$p")
   }
 
+  test("j17 broadcasts the derived salt; the fact side never replicates") {
+    val p = plan("j17_adaptive_salt")
+    // the 1-row skew pre-pass enters both sides via broadcast — a
+    // shuffled nested-loop would move the fact table for a scalar
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"),
+      s"j17 must broadcast the derived salt factor:\n$p")
+    // replication (explode of sequence(0, salt-1)) belongs on the
+    // DIMENSION side only: exactly one Generate, fed by orders' scan,
+    // never lineitem's
+    val gens = "(?m)^.*Generate .*$".r.findAllIn(p).toList
+    assert(gens.size == 1,
+      s"j17 must have exactly ONE salt-explode Generate, got $gens\n$p")
+  }
+
   test("kmeans broadcasts centroids and partial-aggregates the update") {
     val p = plan("v7_kmeans")
     assert(p.contains("BroadcastNestedLoopJoin") ||

@@ -127,6 +127,46 @@ class RelationalOpsSpec extends SparkTestBase {
     info(f"hot-key 50%% of ${n}: plain $tPlain%.2fs, salted $tSalted%.2fs")
   }
 
+  test("derivedSaltFactor: exact-integer skew ceil, clamped both ends") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    def factor(rows: Seq[Int], maxSalt: Int = 32): Long =
+      graft.operators.RelationalOps
+        .derivedSaltFactor(rows.toDF("k"), Seq("k"), maxSalt)
+        .collect()(0).getLong(0)
+    // uniform: every key once -> skew 1 -> salt 1 (degenerate plain join)
+    assert(factor(Seq(1, 2, 3, 4)) == 1L)
+    // one key with 6 of 9 rows over 4 keys: ceil(6*4/9) = ceil(2.67) = 3
+    assert(factor(Seq(1, 1, 1, 1, 1, 1, 2, 3, 4)) == 3L)
+    // pathological single key: skew = k=1 -> mx*1/tot = 1 -> salt 1
+    // (one key can't be spread by ANY multiplier without losing rows;
+    // the formula correctly refuses to replicate for nothing)
+    assert(factor(Seq(7, 7, 7, 7)) == 1L)
+    // clamp: 90% hot key over 11 keys, skew ceil(90*11/100)=10, cap 4
+    assert(factor(Seq.fill(90)(0) ++ (1 to 10), maxSalt = 4) == 4L)
+  }
+
+  test("adaptiveSaltedJoin equals the plain join; uniform data derives 1") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // skewed fact side: key 1 dominates
+    val left = (Seq.fill(20)((1, "h")) ++ Seq((2, "c"), (3, "d")))
+      .toDF("k", "lv")
+    val right = Seq((1, "X"), (2, "Z"), (9, "W")).toDF("k", "rv")
+    for (jt <- Seq("inner", "left", "left_anti")) {
+      val plain = left.join(right, Seq("k"), jt)
+        .collect().map(_.toSeq).toSeq.sortBy(_.mkString(","))
+      val adaptive = graft.operators.RelationalOps
+        .adaptiveSaltedJoin(left, right, Seq("k"), joinType = jt)
+        .collect().map(_.toSeq).toSeq.sortBy(_.mkString(","))
+      assert(adaptive == plain, s"join type $jt diverged")
+    }
+    // the derived factor actually spread: skew = ceil(20*3/22) = 3
+    val sf = graft.operators.RelationalOps
+      .derivedSaltFactor(left, Seq("k"), 32).collect()(0).getLong(0)
+    assert(sf == 3L)
+  }
+
   import spark.implicits._
 
   private lazy val sales = Seq(
