@@ -88,7 +88,24 @@ object Bench {
       "org.apache.spark.sql.execution.window",
       org.apache.logging.log4j.Level.ERROR)
 
-    val names = sys.env.get("SPARK_GRAFT_BENCH_ONLY") match {
+    // The pinned ambient-drift control set (the d10/d14 adjudication
+    // playbook, BASELINE.md): queries spanning trivial scans to heavy
+    // multi-stage plans whose code rarely changes — when the driver's
+    // regression gate flags entries, ONE run of this set prices the
+    // host's current ambient band (uniform inflation here = host
+    // drift; an outlier against THIS set = a real per-query cause).
+    // SPARK_GRAFT_BENCH_CONTROL=1 selects it.
+    val controlSet = Seq(
+      "p1_p6_unit_convert", "p7_period_filter", "f7_bitwise_funcs",
+      "s4_except_users", "d2_jaccard_pairs", "d10_triangles",
+      "d16_semantic_clusters", "g8_weighted_median", "x8_tfidf_topk",
+      "v2_ann_lsh", "e1_funnel")
+    controlSet.foreach(c => require(SparkEntry.queries.contains(c),
+      s"control-set query '$c' is not in the registry — renamed?"))
+
+    val names = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+        .orElse(if (sys.env.get("SPARK_GRAFT_BENCH_CONTROL").contains("1"))
+          Some(controlSet.mkString(",")) else None) match {
       case Some(only) =>
         val requested = only.split(",").toSeq.map(_.trim).filter(_.nonEmpty)
         val unknown = requested.filterNot(SparkEntry.queries.contains)

@@ -98,6 +98,36 @@ object QueriesDedup {
     else df
   }
 
+  /** d31's body over a tokenized (doc_id, toks) frame: full-token-hash
+    * clone collapse to min-id keepers (with clique sizes), then the
+    * d2 intersection chain over keepers only. Extracted so the spec
+    * can drive it with a hand fixture.
+    */
+  private[graft] def dedupFirstPairs(toks: DataFrame): DataFrame = {
+    val groups = toks
+      .groupBy(md5(concat_ws(" ", col("toks"))).as("k"))
+      .agg(min(col("doc_id")).as("doc_id"),
+        count(lit(1)).as("copies"))
+      .select(col("doc_id"), col("copies"))
+    val survivors = toks.join(groups, "doc_id")
+    val sh = survivors.select(col("doc_id"),
+      DedupOps.shingleHashes(col("toks"), 3).as("sh"))
+    val pairs = DedupOps
+      .shingleIntersections(sh, "doc_id", "sh", maxDocFreq = 1000L)
+      .filter(col("inter") / (col("n_a") + col("n_b") - col("inter"))
+        >= 0.8)
+      .select(col("id_a"), col("id_b"),
+        round(col("inter") /
+          (col("n_a") + col("n_b") - col("inter")), 6).as("jaccard"))
+    pairs
+      .join(groups.select(col("doc_id").as("id_a"),
+        col("copies").as("copies_a")), Seq("id_a"))
+      .join(groups.select(col("doc_id").as("id_b"),
+        col("copies").as("copies_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), col("jaccard"),
+        col("copies_a"), col("copies_b"))
+  }
+
   /** This family's shared persisted caches, name → builder, in
     * DEPENDENCY order (shingles read tokens, pairs read shingles):
     * forcing them in sequence attributes each build to its own line.
@@ -394,6 +424,21 @@ object QueriesDedup {
         DedupOps.simhash(docsWithTokens(s, d), "doc_id", col("toks")),
         maxHamming = 3, budgets = Seq(1, 2, 4, 8))
     }),
+
+    // EXACT-DEDUP-FIRST near-dup pairing — the production sequence
+    // the sf5 probe proved necessary: at 49-clone duplicate density
+    // the unbounded intersection frame over RAW docs exceeds local
+    // spill disk (Σ df² grows with the square of clone multiplicity),
+    // while collapsing exact clones FIRST (full-token hash → min-id
+    // keeper) shrinks the pairing corpus by the clone factor and the
+    // intersection frame by its square. Output pairs canonical
+    // keepers with their clique sizes (copies_a/copies_b — how many
+    // raw docs each endpoint represents), so downstream keeps the
+    // full lineage. At sf5 this FINISHES where the raw-corpus chain
+    // dies; at any sf the pair list equals d2's restricted to
+    // keepers (clones add no information to near-dup structure).
+    "d31_dedup_first_pairs" -> ((s, d) =>
+      dedupFirstPairs(docsWithTokens(s, d))),
 
     "d21_minhash_error" -> ((s, d) => {
       val sh = docsWithShingles(s, d)
@@ -864,6 +909,36 @@ object QueriesDedup {
          |JOIN tr ta ON ta.id = p.id_a
          |JOIN tr tb ON tb.id = p.id_b
          |WHERE p.inter * 17 >= (p.n_a + p.n_b) * 7""".stripMargin,
+    // Mirrors d31: full-token-hash clone collapse (min-id keeper +
+    // clique size), then d2's intersection chain restricted to the
+    // keepers — identical df cap, identical jaccard gate.
+    "d31_dedup_first_pairs" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |g AS MATERIALIZED (SELECT min(doc_id) AS doc_id,
+         |      count(*) AS copies
+         |      FROM (SELECT doc_id, md5(array_to_string(toks, ' ')) AS k
+         |            FROM t)
+         |      GROUP BY k),
+         |s AS (SELECT t.doc_id, $sh3Sql AS sh
+         |      FROM t JOIN g ON t.doc_id = g.doc_id),
+         |e0 AS (SELECT doc_id AS id, CAST(len(sh) AS BIGINT) AS n,
+         |      unnest(sh) AS sh_s FROM s),
+         |e AS MATERIALIZED (SELECT id, n,
+         |      ${h60("concat('sh:', sh_s)")} AS s FROM e0),
+         |rare AS (SELECT s FROM e GROUP BY s HAVING count(*) <= 1000),
+         |ec AS MATERIALIZED (SELECT e.* FROM e JOIN rare USING (s)),
+         |p AS (SELECT a.id AS id_a, b.id AS id_b, a.n AS n_a,
+         |      b.n AS n_b, count(*) AS inter
+         |      FROM ec a JOIN ec b ON a.s = b.s AND a.id < b.id
+         |      GROUP BY 1, 2, 3, 4)
+         |SELECT p.id_a, p.id_b,
+         |  round(p.inter / CAST(p.n_a + p.n_b - p.inter AS DOUBLE), 6)
+         |    AS jaccard,
+         |  ga.copies AS copies_a, gb.copies AS copies_b
+         |FROM p JOIN g ga ON ga.doc_id = p.id_a
+         |JOIN g gb ON gb.doc_id = p.id_b
+         |WHERE p.inter / CAST(p.n_a + p.n_b - p.inter AS DOUBLE)
+         |  >= 0.8""".stripMargin,
     "d8_decontaminate" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
          |s AS (SELECT doc_id, $sh3Sql AS sh FROM t),

@@ -82,6 +82,23 @@ class DedupBudgetSpec extends SparkTestBase {
     assert(comps.toSeq == Seq(1L))
   }
 
+  test("dedup-first pairing: clones collapse, keepers pair with lineage") {
+    // 6 exact clones of A (ids 1-6) + one near-dup B (id 7, last of
+    // 30 tokens differs: 28 shingles each, the final shingle diverges
+    // -> 27 shared over a 29-shingle union)
+    val base = (1 to 30).map(i => s"w$i").mkString(" ")
+    val near = (1 to 29).map(i => s"w$i").mkString(" ") + " zz"
+    val docs = ((1L to 6L).map(i => (i, base)) :+ (7L, near))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+    val rows = QueriesDedup.dedupFirstPairs(docs)
+      .as[(Long, Long, Double, Long, Long)].collect()
+    // exactly one pair: keeper 1 (representing 6 raw docs) vs 7
+    assert(rows.toSeq == Seq((1L, 7L,
+      BigDecimal(27.0 / 29.0).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble, 6L, 1L)))
+  }
+
   test("budget curve: monotone, exact at the wide end, prices the cut") {
     val curve = DedupOps
       .simhashBudgetCurve(realSims, maxHamming = 3, budgets = Seq(1, 2, 4, 8))
