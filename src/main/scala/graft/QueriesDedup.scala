@@ -440,6 +440,15 @@ object QueriesDedup {
     "d31_dedup_first_pairs" -> ((s, d) =>
       dedupFirstPairs(docsWithTokens(s, d))),
 
+    // d30's twin for the prefix-filter generator: the same min-offset
+    // curve over d29's buckets (B ∈ {1,2,4,8}) — pairs_kept at B=2
+    // equals d29's pair count by construction (pinned in spec), so
+    // the two budget arms are priced by the same instrument.
+    "d32_prefix_budget_curve" -> ((s, d) => {
+      DedupOps.prefixBudgetCurve(docsWithShingles(s, d), "doc_id", "sh",
+        7, 10, budgets = Seq(1, 2, 4, 8))
+    }),
+
     "d21_minhash_error" -> ((s, d) => {
       val sh = docsWithShingles(s, d)
       val pi = pairIntersections(s, d)
@@ -909,6 +918,45 @@ object QueriesDedup {
          |JOIN tr ta ON ta.id = p.id_a
          |JOIN tr tb ON tb.id = p.id_b
          |WHERE p.inter * 17 >= (p.n_a + p.n_b) * 7""".stripMargin,
+    // Mirrors d32: d29's pb window chain, offsets ≤ 8 with the ratio
+    // gate, min offset per pair, ONE intersection verify, then the
+    // d30-style budget spine (kept/slots/docs per B).
+    "d32_prefix_budget_curve" ->
+      s"""WITH $prefixPreCtes,
+         |pb AS MATERIALIZED (SELECT pre.id, pre.n, pre.s,
+         |      row_number() OVER (PARTITION BY pre.s
+         |        ORDER BY pre.id) AS rn,
+         |      count(*) OVER (PARTITION BY pre.s) AS cnt
+         |      FROM pre JOIN ok ON pre.s = ok.s),
+         |bud AS (SELECT CAST(unnest([1, 2, 4, 8]) AS BIGINT) AS budget),
+         |wide AS MATERIALIZED (SELECT a.id AS id_a, b.id AS id_b,
+         |      a.n AS n_a, b.n AS n_b, min(b.rn - a.rn) AS min_off
+         |      FROM pb a JOIN pb b ON a.s = b.s
+         |        AND b.rn - a.rn BETWEEN 1 AND 8
+         |      WHERE a.n * 10 >= b.n * 7 AND b.n * 10 >= a.n * 7
+         |      GROUP BY 1, 2, 3, 4),
+         |v AS MATERIALIZED (SELECT w.id_a, w.id_b, w.min_off,
+         |      count(*) AS inter
+         |      FROM wide w
+         |      JOIN e ea ON ea.id = w.id_a
+         |      JOIN e eb ON eb.id = w.id_b AND eb.s = ea.s
+         |      GROUP BY 1, 2, 3
+         |      HAVING count(*) * 17 >= (max(w.n_a) + max(w.n_b)) * 7),
+         |kept AS (SELECT budget, count(*) AS pairs_kept
+         |      FROM bud JOIN v ON v.min_off <= budget GROUP BY 1),
+         |slots AS (SELECT id, cnt - rn AS n_succ FROM pb),
+         |cut AS (SELECT budget,
+         |      CAST(sum(greatest(n_succ - budget, 0)) AS BIGINT)
+         |        AS slots_dropped,
+         |      count(DISTINCT CASE WHEN n_succ > budget
+         |        THEN id END) AS docs_truncated
+         |      FROM bud CROSS JOIN slots GROUP BY 1)
+         |SELECT bud.budget,
+         |  coalesce(kept.pairs_kept, 0) AS pairs_kept,
+         |  coalesce(cut.slots_dropped, 0) AS slots_dropped,
+         |  coalesce(cut.docs_truncated, 0) AS docs_truncated
+         |FROM bud LEFT JOIN kept USING (budget)
+         |LEFT JOIN cut USING (budget)""".stripMargin,
     // Mirrors d31: full-token-hash clone collapse (min-id keeper +
     // clique size), then d2's intersection chain restricted to the
     // keepers — identical df cap, identical jaccard gate.

@@ -691,6 +691,60 @@ object DedupOps {
         col("trunc_a"), col("trunc_b"))
   }
 
+  /** [[simhashBudgetCurve]]'s twin for the prefix-filter generator:
+    * for each budget B, verified pairs kept / generation slots cut /
+    * docs touched, off ONE offset-windowed expansion at max(budgets)
+    * (the min-offset trick — smaller budgets are filters). The
+    * length-ratio gate applies at the pair level (offset-independent),
+    * so it filters candidates before the single exact-intersection
+    * verify; `pairs_kept` at B therefore equals
+    * [[prefixFilterPairsBudgeted]]'s distinct pair count at the same B
+    * (pinned in DedupBudgetSpec).
+    */
+  def prefixBudgetCurve(docs: DataFrame, idCol: String, shCol: String,
+      tNum: Int, tDen: Int, budgets: Seq[Int],
+      maxBucket: Long = 1000L): DataFrame = {
+    require(budgets.nonEmpty && budgets.forall(_ >= 1),
+      s"budgets must be >= 1: $budgets")
+    val maxB = budgets.max
+    val spark = docs.sparkSession
+    val (e, buckets) = prefixBuckets(docs, idCol, shCol, tNum, tDen,
+      maxBucket)
+    val elems = buckets
+      .select(col("ds"), posexplode(col("ds")).as(Seq("i", "a")))
+    val minOff = elems
+      .select(col("a"),
+        posexplode(slice(col("ds"), col("i") + lit(2), lit(maxB)))
+          .as(Seq("k", "b")))
+      .filter(col("a.n") * lit(tDen) >= col("b.n") * lit(tNum) &&
+        col("b.n") * lit(tDen) >= col("a.n") * lit(tNum))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        (col("k") + lit(1)).cast("long").as("off"))
+      .groupBy("id_a", "id_b").agg(min(col("off")).as("min_off"))
+    val verified = verifyJaccardPairs(
+        minOff.select(col("id_a"), col("id_b")), e, tNum, tDen)
+      .join(minOff, Seq("id_a", "id_b"))
+    val slots = elems.select(col("a.id").as("id"),
+      (size(col("ds")) - col("i") - lit(1)).cast("long").as("n_succ"))
+    val bdf = budgets.sorted.map(b =>
+        spark.range(1).select(lit(b.toLong).as("budget")))
+      .reduce(_ unionAll _)
+    val kept = verified.crossJoin(broadcast(bdf))
+      .filter(col("min_off") <= col("budget"))
+      .groupBy("budget").agg(count(lit(1)).as("pairs_kept"))
+    val cut = slots.crossJoin(broadcast(bdf))
+      .groupBy("budget").agg(
+        sum(greatest(col("n_succ") - col("budget"), lit(0L)))
+          .as("slots_dropped"),
+        count_distinct(when(col("n_succ") > col("budget"), col("id")))
+          .as("docs_truncated"))
+    bdf.join(kept, Seq("budget"), "left").join(cut, Seq("budget"), "left")
+      .select(col("budget"),
+        coalesce(col("pairs_kept"), lit(0L)).as("pairs_kept"),
+        coalesce(col("slots_dropped"), lit(0L)).as("slots_dropped"),
+        coalesce(col("docs_truncated"), lit(0L)).as("docs_truncated"))
+  }
+
   /** The budget operating curve for [[simhashPairsBudgeted]] (the d27
     * discipline: measure the knob before trusting it). For each budget
     * B in `budgets`, off ONE bounded expansion at max(budgets):

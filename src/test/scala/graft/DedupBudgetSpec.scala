@@ -99,6 +99,20 @@ class DedupBudgetSpec extends SparkTestBase {
         BigDecimal.RoundingMode.HALF_UP).toDouble, 6L, 1L)))
   }
 
+  test("prefix budget curve: monotone, consistent with the generator") {
+    val curve = DedupOps
+      .prefixBudgetCurve(realShingles, "doc_id", "sh", 7, 10,
+        budgets = Seq(1, 2, 4, 8))
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(curve.map(_._1).toSeq == Seq(1L, 2L, 4L, 8L))
+    assert(curve.sliding(2).forall { case Array(a, b) =>
+      a._2 <= b._2 && a._3 >= b._3 && a._4 >= b._4 })
+    val gen2 = DedupOps
+      .prefixFilterPairsBudgeted(realShingles, "doc_id", "sh", 7, 10,
+        perDocBudget = 2).count()
+    assert(curve.find(_._1 == 2L).get._2 == gen2)
+  }
+
   test("budget curve: monotone, exact at the wide end, prices the cut") {
     val curve = DedupOps
       .simhashBudgetCurve(realSims, maxHamming = 3, budgets = Seq(1, 2, 4, 8))
