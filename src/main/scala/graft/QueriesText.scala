@@ -723,18 +723,38 @@ object QueriesText {
     (frames.last, rounds)
   }
 
-  /** The chain with every per-round persisted vocab frame exposed, so
-    * [[unpersistAll]] can release the whole ladder (plan equality —
-    * the QueriesDedup.unpersistAll discipline).
+  /** The chain memo: x35 and x37 share the SAME frame objects per
+    * (session, scale dir). Sharing used to ride CacheManager
+    * plan-equality (guard-persist), but the chain's analyzed plan
+    * DOUBLES per round — round r's vocab references round r−1 twice
+    * (once in the pair-count argmax, once in the merge fold), so each
+    * invocation re-ANALYZED a 2^R-copy tree (~6 s of pure Catalyst
+    * analysis per x35/x37 call at ANY scale, measured: the x37 plan
+    * rendered 414 nested InMemoryRelations). The fix is the
+    * connectedComponents discipline: eagerly localCheckpoint each
+    * round (constant-size LogicalRDD plans) and share by OBJECT
+    * IDENTITY through this memo, since a LogicalRDD can't be found by
+    * plan equality. localCheckpoint is the single-process form; a
+    * resilient cluster deployment would use checkpoint() to durable
+    * storage — same shape, same truncation.
     */
+  private val bpeChainMemo =
+    new java.util.concurrent.ConcurrentHashMap[
+      (SparkSession, String), (Seq[DataFrame], DataFrame)]()
+
   private def bpeChainFrames(s: SparkSession, d: String)
+      : (Seq[DataFrame], DataFrame) =
+    bpeChainMemo.computeIfAbsent((s, d),
+      _ => buildBpeChainFrames(s, d))
+
+  private def buildBpeChainFrames(s: SparkSession, d: String)
       : (Seq[DataFrame], DataFrame) = {
     val persistedFrames = Seq.newBuilder[DataFrame]
+    // eager lineage cut: materializes NOW (so the whole ladder build
+    // lands on the [bench-cache] line / first caller, never split
+    // across consumers) and truncates the plan to a LogicalRDD
     def persisted(df: DataFrame): DataFrame = {
-      val out =
-        if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
-          df.persist()
-        else df
+      val out = df.localCheckpoint()
       persistedFrames += out
       out
     }
@@ -803,12 +823,13 @@ object QueriesText {
       ((s: SparkSession, d: String) => lmBigrams(trainToks(s, d))))
 
   /** Release this family's shared caches — the BPE vocab ladder (one
-    * frame per round) and x36's c1/c2 model tables — for long-lived
-    * sessions done with the text queries (the house guard-persist +
-    * unpersistAll discipline).
+    * checkpointed frame per round, dropped from the memo so the
+    * ContextCleaner frees its blocks once unreferenced) and x36's
+    * c1/c2 model tables — for long-lived sessions done with the text
+    * queries (the house unpersistAll discipline).
     */
   def unpersistAll(s: SparkSession, d: String): Unit = {
-    bpeChainFrames(s, d)._1.foreach(_.unpersist())
+    bpeChainMemo.remove((s, d))
     lmUnigrams(trainToks(s, d)).unpersist()
     lmBigrams(trainToks(s, d)).unpersist()
   }
