@@ -98,6 +98,26 @@ object QueriesDedup {
     else df
   }
 
+  /** The prefix-filter front half (shingle index + rarity-ordered
+    * prefix buckets at the d17 7/10 threshold), with the BUCKETS
+    * frame guard-persisted: three queries consume it (d17 unbounded,
+    * d29 budgeted, d32 curve) and the per-doc rarity sort +
+    * collect_list is the expensive shared part. `e` rides the
+    * shingles cache and is cheap to re-derive, so only buckets
+    * persist (CacheManager plan equality dedups re-invocations, the
+    * house discipline).
+    */
+  private def prefixBucketFrames(s: SparkSession, d: String)
+      : (DataFrame, DataFrame) = {
+    val (e, buckets) = DedupOps.prefixBuckets(docsWithShingles(s, d),
+      "doc_id", "sh", 7, 10, maxBucket = 1000L)
+    val bc =
+      if (buckets.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+        buckets.persist()
+      else buckets
+    (e, bc)
+  }
+
   /** d31's body over a tokenized (doc_id, toks) frame: full-token-hash
     * clone collapse to min-id keepers (with clique sizes), then the
     * d2 intersection chain over keepers only. Extracted so the spec
@@ -142,12 +162,15 @@ object QueriesDedup {
     "dedup.tokens" -> (docsWithTokens _),
     "dedup.shingles" -> (docsWithShingles _),
     "dedup.pair_intersections" -> (pairIntersections _),
-    "dedup.verified_pairs" -> (verifiedPairs _))
+    "dedup.verified_pairs" -> (verifiedPairs _),
+    "dedup.prefix_buckets" ->
+      ((s: SparkSession, d: String) => prefixBucketFrames(s, d)._2))
 
   /** Release the shared tokenization/shingle/pair caches (for long-lived
     * sessions that are done with the dedup query family).
     */
   def unpersistAll(s: SparkSession, d: String): Unit = {
+    prefixBucketFrames(s, d)._2.unpersist()
     verifiedPairs(s, d).unpersist()
     pairIntersections(s, d).unpersist()
     docsWithShingles(s, d).unpersist()
@@ -175,8 +198,8 @@ object QueriesDedup {
     // All gates in exact integer arithmetic; rides the shared shingle
     // cache.
     "d17_prefix_filter" -> ((s, d) => {
-      DedupOps.prefixFilterPairs(docsWithShingles(s, d), "doc_id", "sh",
-        7, 10, maxBucket = 1000L)
+      val (e, buckets) = prefixBucketFrames(s, d)
+      DedupOps.prefixFilterPairsFrom(e, buckets, 7, 10)
     }),
 
     // Sorted-neighborhood blocking (the third candidate-generation
@@ -408,8 +431,9 @@ object QueriesDedup {
     // 199 s / 250 k pairs at sf1 — output-bound). Same LOUD-truncation
     // contract as d28; exact-Jaccard verification unchanged.
     "d29_prefix_budget" -> ((s, d) => {
-      DedupOps.prefixFilterPairsBudgeted(docsWithShingles(s, d),
-        "doc_id", "sh", 7, 10, perDocBudget = 2)
+      val (e, buckets) = prefixBucketFrames(s, d)
+      DedupOps.prefixFilterPairsBudgetedFrom(e, buckets, 7, 10,
+        perDocBudget = 2)
     }),
 
     // The budget OPERATING CURVE (d27's discipline applied to the
@@ -445,8 +469,9 @@ object QueriesDedup {
     // equals d29's pair count by construction (pinned in spec), so
     // the two budget arms are priced by the same instrument.
     "d32_prefix_budget_curve" -> ((s, d) => {
-      DedupOps.prefixBudgetCurve(docsWithShingles(s, d), "doc_id", "sh",
-        7, 10, budgets = Seq(1, 2, 4, 8))
+      val (e, buckets) = prefixBucketFrames(s, d)
+      DedupOps.prefixBudgetCurveFrom(e, buckets, 7, 10,
+        budgets = Seq(1, 2, 4, 8))
     }),
 
     "d21_minhash_error" -> ((s, d) => {

@@ -230,6 +230,16 @@ object DedupOps {
   def prefixFilterPairs(docs: DataFrame, idCol: String, shCol: String,
       tNum: Int, tDen: Int, maxBucket: Long = 1000L): DataFrame = {
     val (e, buckets) = prefixBuckets(docs, idCol, shCol, tNum, tDen, maxBucket)
+    prefixFilterPairsFrom(e, buckets, tNum, tDen)
+  }
+
+  /** [[prefixFilterPairs]] over prebuilt (e, buckets) frames — the
+    * entry point for callers that share ONE cached bucket frame
+    * across the unbounded/budgeted/curve consumers (the
+    * QueriesDedup.sharedCaches discipline).
+    */
+  def prefixFilterPairsFrom(e: DataFrame, buckets: DataFrame,
+      tNum: Int, tDen: Int): DataFrame = {
     val cand = buckets
       .select(col("ds"), explode(col("ds")).as("a"))
       .select(col("a"), explode(col("ds")).as("b"))
@@ -249,8 +259,9 @@ object DedupOps {
     * construction (divergence here would silently change what the
     * budget arm is an approximation OF).
     */
-  private def prefixBuckets(docs: DataFrame, idCol: String, shCol: String,
-      tNum: Int, tDen: Int, maxBucket: Long): (DataFrame, DataFrame) = {
+  private[graft] def prefixBuckets(docs: DataFrame, idCol: String,
+      shCol: String, tNum: Int, tDen: Int, maxBucket: Long)
+      : (DataFrame, DataFrame) = {
     require(tNum > 0 && tDen > tNum, s"threshold must be in (0,1): $tNum/$tDen")
     val e = shingleIndex(docs, idCol, shCol).filter(col("n") > 0)
     val dfG = e.groupBy("s").agg(count(lit(1)).as("df"))
@@ -308,8 +319,14 @@ object DedupOps {
   def prefixFilterPairsBudgeted(docs: DataFrame, idCol: String,
       shCol: String, tNum: Int, tDen: Int, perDocBudget: Int,
       maxBucket: Long = 1000L): DataFrame = {
-    require(perDocBudget >= 1, s"perDocBudget must be >= 1: $perDocBudget")
     val (e, buckets) = prefixBuckets(docs, idCol, shCol, tNum, tDen, maxBucket)
+    prefixFilterPairsBudgetedFrom(e, buckets, tNum, tDen, perDocBudget)
+  }
+
+  /** [[prefixFilterPairsBudgeted]] over prebuilt (e, buckets). */
+  def prefixFilterPairsBudgetedFrom(e: DataFrame, buckets: DataFrame,
+      tNum: Int, tDen: Int, perDocBudget: Int): DataFrame = {
+    require(perDocBudget >= 1, s"perDocBudget must be >= 1: $perDocBudget")
     val expanded = buckets
       .select(col("ds"), posexplode(col("ds")).as(Seq("i", "a")))
       .select(col("a"),
@@ -704,12 +721,18 @@ object DedupOps {
   def prefixBudgetCurve(docs: DataFrame, idCol: String, shCol: String,
       tNum: Int, tDen: Int, budgets: Seq[Int],
       maxBucket: Long = 1000L): DataFrame = {
+    val (e, buckets) = prefixBuckets(docs, idCol, shCol, tNum, tDen,
+      maxBucket)
+    prefixBudgetCurveFrom(e, buckets, tNum, tDen, budgets)
+  }
+
+  /** [[prefixBudgetCurve]] over prebuilt (e, buckets). */
+  def prefixBudgetCurveFrom(e: DataFrame, buckets: DataFrame,
+      tNum: Int, tDen: Int, budgets: Seq[Int]): DataFrame = {
     require(budgets.nonEmpty && budgets.forall(_ >= 1),
       s"budgets must be >= 1: $budgets")
     val maxB = budgets.max
-    val spark = docs.sparkSession
-    val (e, buckets) = prefixBuckets(docs, idCol, shCol, tNum, tDen,
-      maxBucket)
+    val spark = buckets.sparkSession
     val elems = buckets
       .select(col("ds"), posexplode(col("ds")).as(Seq("i", "a")))
     val minOff = elems
