@@ -55,6 +55,17 @@ class RegistryIntegritySpec extends AnyFunSuite {
     assert(unbacked.isEmpty, s"queries without oracles: $unbacked")
   }
 
+  test("shared-cache registry: unique names, family-prefixed") {
+    // Bench keys its [bench-cache] lines and the BENCH_DETAIL caches
+    // map by these names — a duplicate would silently drop a timing;
+    // an unprefixed name would collide with query short-keys in the
+    // baseline regex.
+    val names = SparkEntry.sharedCaches.map(_._1)
+    assert(names.distinct == names, s"duplicate cache names: $names")
+    assert(names.forall(_.matches("[a-z]+\\.[a-z0-9_]+")),
+      s"cache names must be family.member: $names")
+  }
+
   test("family key prefixes are contiguously numbered") {
     // A gap (sql10 → sql12) reads as a missing query to any auditor
     // — the r11 verdict's numbering-hygiene item, now pinned.
