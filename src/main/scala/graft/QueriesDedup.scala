@@ -62,41 +62,103 @@ object QueriesDedup {
     else df
   }
 
-  /** The verified Jaccard near-dup pair list (d2's output), PERSISTED —
-    * three queries consume it (d2 returns it, d7 clusters it, d9 ranks
-    * it), and the pair computation (shingle index → candidate join →
-    * exact verify) is the expensive part of all three. CacheManager
-    * plan equality makes the second and third consumers read the
-    * materialized pairs instead of re-running the pipeline — the same
-    * "verify once → checkpoint → fan out" discipline as the signature
-    * caches, and exactly what a production dedup pipeline does with its
-    * verified-pairs table.
+  /** Guard-persist: consult the CacheManager (plan equality) so repeat
+    * invocations reuse the existing entry instead of stacking persist()
+    * calls — the house discipline of every shared frame below.
     */
-  /** The df-capped per-pair intersection counts (id_a, id_b, n_a, n_b,
-    * inter), SHARED between the verified-pairs selection and d21's
-    * estimator gate so both read one convention AND one
-    * materialization (the r12 d21 rewrite initially recomputed this
-    * frame per call and tripled d21's bench time).
-    */
-  private def pairIntersections(s: SparkSession, d: String): DataFrame = {
-    val df = DedupOps.shingleIntersections(docsWithShingles(s, d),
-      "doc_id", "sh", maxDocFreq = 1000L)
+  private def guardPersist(df: DataFrame): DataFrame =
     if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
       df.persist()
     else df
-  }
 
-  private def verifiedPairs(s: SparkSession, d: String): DataFrame = {
-    val df = pairIntersections(s, d)
-      .withColumn("jaccard",
-        col("inter") / (col("n_a") + col("n_b") - col("inter")))
-      .filter(col("jaccard") >= 0.8)
-      .select(col("id_a"), col("id_b"),
-        round(col("jaccard"), 6).as("jaccard"))
-    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
-      df.persist()
-    else df
-  }
+  /** DEDUP-FIRST shared pair machinery (VERDICT r14 #1 — closes the sf5
+    * density failure at its source). The old `pair_intersections` cache
+    * ran d2's df-capped intersection chain over the RAW corpus; at
+    * adversarial duplicate density (sf5: every doc has 49 exact clones)
+    * its Σ df² join intermediate exceeded local spill disk and took
+    * d15 down with it. The rebuild collapses exact clones FIRST
+    * (d31's full-token-hash keeper rule) and runs the quadratic stage
+    * on keepers only — smaller by the clone factor SQUARED — then
+    * reconstructs the raw-corpus pair frame exactly:
+    *
+    *  - [[cloneMembers]]: raw doc_id → keeper (min id over identical
+    *    token sequences), one hash-agg + one join;
+    *  - [[keeperIndex]]: the shingle index over keepers with the df cap
+    *    on Σ clique sizes = the RAW df, so exactly the shingles the old
+    *    raw chain kept survive (the identity that makes expansion
+    *    bit-exact against the unchanged raw-corpus oracles);
+    *  - [[keeperPairs]]: per-keeper-pair intersection counts (the only
+    *    quadratic stage, now density-invariant);
+    *  - [[cliqueSelf]]: per-clique surviving-shingle counts — the
+    *    intra-clique pairs' intersection (clones share one shingle set);
+    *  - [[rawPairsWhere]]: filter at keeper level (predicates are
+    *    symmetric), THEN expand through the membership table — cross
+    *    pairs fan out |Ca|·|Cb|, intra pairs C(copies,2) — so the only
+    *    raw-sized frames are post-filter answers, never candidates.
+    *
+    * The raw-corpus form (DedupOps.shingleIntersections) remains the
+    * executable spec; DedupFirstCacheSpec pins frame equality on a
+    * clone-heavy fixture, and the sf ≤ 1 oracles are unchanged.
+    */
+  private[graft] def cloneMembers(s: SparkSession, d: String): DataFrame =
+    guardPersist(DedupOps.cloneMembership(
+      docsWithTokens(s, d), "doc_id", col("toks")))
+
+  private def keeperIndex(s: SparkSession, d: String): DataFrame =
+    guardPersist {
+      val w = cloneMembers(s, d).groupBy("keeper")
+        .agg(count(lit(1)).as("w"))
+        .withColumnRenamed("keeper", "doc_id")
+      DedupOps.weightedCappedIndex(
+        docsWithShingles(s, d).join(w, "doc_id"),
+        "doc_id", "sh", "w", maxDocFreq = 1000L)
+    }
+
+  private def keeperPairs(s: SparkSession, d: String): DataFrame =
+    guardPersist(DedupOps.pairIntersectionsFromIndex(keeperIndex(s, d)))
+
+  private def cliqueSelf(s: SparkSession, d: String): DataFrame =
+    guardPersist {
+      val copies = cloneMembers(s, d).groupBy("keeper")
+        .agg(count(lit(1)).as("copies"))
+        .filter(col("copies") >= 2)
+      keeperIndex(s, d)
+        .groupBy(col("id").as("keeper"), col("n"))
+        .agg(count(lit(1)).as("surv"))
+        .join(copies, "keeper")
+    }
+
+  /** The raw-corpus pair frame (id_a, id_b, n_a, n_b, inter — exactly
+    * what the old raw-corpus intersection chain produced), reconstructed
+    * from the keeper caches AFTER `pred` filters at keeper level. `pred`
+    * must be SYMMETRIC in (n_a, n_b) — every consumer's is (Jaccard,
+    * integer-threshold arms, two-sided containment). Cross-clique pairs
+    * keep n_a with the smaller raw id (clones share set sizes, so n
+    * follows the clique); intra-clique pairs have n_a = n_b and
+    * inter = the clique's surviving-shingle count, and only exist when
+    * ≥ 1 shingle survives — matching the raw chain, where a pair appears
+    * iff it shares a surviving shingle.
+    */
+  private[graft] def rawPairsWhere(s: SparkSession, d: String,
+      pred: Column): DataFrame =
+    DedupOps.expandKeeperPairs(keeperPairs(s, d), cliqueSelf(s, d),
+      cloneMembers(s, d), pred)
+
+  private val jaccardGe08: Column =
+    col("inter") / (col("n_a") + col("n_b") - col("inter")) >= 0.8
+
+  /** The verified Jaccard near-dup pair list (d2's output), PERSISTED —
+    * d2 returns it, d7 clusters it, d9 ranks it, d15 elects keepers on
+    * it, d20 gates recall against it. Built dedup-first (see above):
+    * the keeper-level filter runs before expansion, so the only
+    * raw-sized materialization is the answer itself.
+    */
+  private def verifiedPairs(s: SparkSession, d: String): DataFrame =
+    guardPersist(
+      rawPairsWhere(s, d, jaccardGe08)
+        .select(col("id_a"), col("id_b"),
+          round(col("inter") / (col("n_a") + col("n_b") - col("inter")), 6)
+            .as("jaccard")))
 
   /** The prefix-filter front half (shingle index + rarity-ordered
     * prefix buckets at the d17 7/10 threshold), with the BUCKETS
@@ -161,7 +223,10 @@ object QueriesDedup {
       : Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "dedup.tokens" -> (docsWithTokens _),
     "dedup.shingles" -> (docsWithShingles _),
-    "dedup.pair_intersections" -> (pairIntersections _),
+    "dedup.clone_members" -> (cloneMembers _),
+    "dedup.keeper_index" -> (keeperIndex _),
+    "dedup.keeper_pairs" -> (keeperPairs _),
+    "dedup.clique_self" -> (cliqueSelf _),
     "dedup.verified_pairs" -> (verifiedPairs _),
     "dedup.prefix_buckets" ->
       ((s: SparkSession, d: String) => prefixBucketFrames(s, d)._2))
@@ -172,7 +237,10 @@ object QueriesDedup {
   def unpersistAll(s: SparkSession, d: String): Unit = {
     prefixBucketFrames(s, d)._2.unpersist()
     verifiedPairs(s, d).unpersist()
-    pairIntersections(s, d).unpersist()
+    cliqueSelf(s, d).unpersist()
+    keeperPairs(s, d).unpersist()
+    keeperIndex(s, d).unpersist()
+    cloneMembers(s, d).unpersist()
     docsWithShingles(s, d).unpersist()
     docsWithTokens(s, d).unpersist()
   }
@@ -384,18 +452,19 @@ object QueriesDedup {
     // discipline applied to the near-dup verdict itself: for each
     // jaccard threshold θ ∈ {0.5..0.9} a curation team could deploy,
     // how many candidate pairs verify and how many documents the d15
-    // keeper rule would drop. All five arms filter the ONE cached
-    // pair frame (pairIntersections — the df-capped shingle index,
-    // never all-pairs), and the θ compare is an EXACT integer
+    // keeper rule would drop. All five arms filter the ONE shared
+    // keeper-pair cache (dedup-first, never all-pairs) before
+    // expansion, and the θ compare is an EXACT integer
     // cross-multiplication (inter·10 ≥ k·(n_a+n_b−inter), θ = k/10) —
     // no float enters the verdict at any scale. This is the table
     // that prices a dedup deployment's aggressiveness BEFORE it runs:
     // pairs ≈ verification cost, drops ≈ data lost.
     "d27_threshold_curve" -> ((s, d) => {
-      val pi = pairIntersections(s, d)
       val nDocs = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
       val arms = Seq(5, 6, 7, 8, 9).map { k =>
-        val keep = pi.filter(col("inter") * 10 >=
+        // dedup-first: the integer θ-arm filters at KEEPER level, then
+        // expands — only pairs above the loosest arm ever materialize
+        val keep = rawPairsWhere(s, d, col("inter") * 10 >=
           lit(k.toLong) * (col("n_a") + col("n_b") - col("inter")))
         keep.agg(count(lit(1)).as("n_pairs"),
             countDistinct(col("id_b")).as("n_dropped"))
@@ -415,8 +484,9 @@ object QueriesDedup {
     // expansion cost are |index|·B at ANY duplicate density — the
     // unbounded d5 emitted 32.2 M pairs (79 s) on sf1's clone
     // cliques because saturated buckets expand quadratically. The cut
-    // is LOUD: trunc_a/trunc_b carry the successor slots dropped
-    // around each endpoint (0 ⟺ exhaustive). Clique connectivity
+    // is LOUD: trunc_a/trunc_b carry the pair slots dropped around
+    // each endpoint — successors AND predecessors, so 0 ⟺ that doc's
+    // within-bucket pair list is exhaustive. Clique connectivity
     // survives (consecutive successors chain every bucket), so
     // cluster membership is preserved; d5 stays the exactness oracle
     // at sf ≤ 0.01, and d30's curve prices the budget choice.
@@ -476,10 +546,9 @@ object QueriesDedup {
 
     "d21_minhash_error" -> ((s, d) => {
       val sh = docsWithShingles(s, d)
-      val pi = pairIntersections(s, d)
+      val pi = rawPairsWhere(s, d, jaccardGe08)
         .withColumn("jacc_raw",
           col("inter") / (col("n_a") + col("n_b") - col("inter")))
-        .filter(col("jacc_raw") >= 0.8)
       val sigs = DedupOps.minhashSigs(sh, "doc_id", "sh", 16)
       pi
         .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")),
@@ -645,11 +714,16 @@ object QueriesDedup {
     // either direction over the same df-capped shingle index as d2 —
     // the "short doc embedded in a long one" detector that symmetric
     // Jaccard structurally misses (the union is dominated by the long
-    // doc). Shares the d2/d3 shingle cache and candidate shape; only
-    // the final predicate differs.
+    // doc). Rides the shared dedup-first keeper caches (the two-sided
+    // `greatest` predicate is symmetric, so the keeper-level filter +
+    // expansion reproduces the raw chain exactly); only the final
+    // predicate differs from d2.
     "d14_containment" -> ((s, d) => {
-      DedupOps.containmentPairs(docsWithShingles(s, d), "doc_id", "sh",
-        0.9, maxDocFreq = 1000L)
+      rawPairsWhere(s, d, greatest(col("inter") / col("n_a"),
+          col("inter") / col("n_b")) >= 0.9)
+        .select(col("id_a"), col("id_b"),
+          round(col("inter") / col("n_a"), 6).as("cont_ab"),
+          round(col("inter") / col("n_b"), 6).as("cont_ba"))
     }),
 
     // Canonical-representative selection — the "which duplicate do we
@@ -922,7 +996,8 @@ object QueriesDedup {
          |      count(*) OVER (PARTITION BY pre.s) AS cnt
          |      FROM pre JOIN ok ON pre.s = ok.s),
          |tr AS (SELECT id,
-         |      CAST(sum(greatest(cnt - rn - 2, 0)) AS BIGINT) AS trunc
+         |      CAST(sum(greatest(cnt - rn - 2, 0)
+         |        + greatest(rn - 3, 0)) AS BIGINT) AS trunc
          |      FROM pb GROUP BY id),
          |pc AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b,
          |      a.n AS n_a, b.n AS n_b
@@ -1236,8 +1311,8 @@ object QueriesDedup {
          |FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= 3""".stripMargin,
     // Mirrors d28: the same cf chain, per-bucket row_number in doc_id
     // order (= Spark's id-sorted posting array), a pair survives iff
-    // the successor offset is within the budget, and trunc_x is the
-    // total successor slots cut around each endpoint across buckets.
+    // the successor offset is within the budget, and trunc_x counts
+    // both dropped successor and predecessor slots per endpoint.
     "d28_simhash_budget" ->
       s"""WITH $simhashCfCtes,
          |rn AS (SELECT doc_id, simhash, j, chunk,
@@ -1246,7 +1321,8 @@ object QueriesDedup {
          |      count(*) OVER (PARTITION BY j, chunk) AS cnt
          |      FROM cf),
          |tr AS (SELECT doc_id,
-         |      CAST(sum(greatest(cnt - rn - 2, 0)) AS BIGINT) AS trunc
+         |      CAST(sum(greatest(cnt - rn - 2, 0)
+         |        + greatest(rn - 3, 0)) AS BIGINT) AS trunc
          |      FROM rn GROUP BY doc_id),
          |cand AS (SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b,
          |      a.simhash AS sim_a, b2.simhash AS sim_b

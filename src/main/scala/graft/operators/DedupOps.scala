@@ -200,6 +200,113 @@ object DedupOps {
       .agg(count(lit(1)).as("inter"))
   }
 
+  /** Exact-clone membership over a tokenized corpus: every raw document
+    * mapped to its clone clique's KEEPER (the minimum id among documents
+    * with byte-identical token sequences — tokens are whitespace-split so
+    * the single-space join is injective). This is the front half of the
+    * dedup-first pair discipline (see [[weightedCappedIndex]]): at
+    * adversarial duplicate density (sf5's 49-clone cliques) the raw-corpus
+    * intersection frame grows with the SQUARE of clone multiplicity, while
+    * the keeper corpus is density-invariant. Shape: one hash-agg on the
+    * content key + one equi-join back — both linear, both shuffle on the
+    * 32-hex key, no pairwise stage.
+    */
+  def cloneMembership(toks: DataFrame, idCol: String,
+      toksCol: Column): DataFrame = {
+    val keyed = toks.select(col(idCol).as("id"),
+      md5(concat_ws(" ", toksCol)).as("k"))
+    val g = keyed.groupBy("k").agg(min(col("id")).as("keeper"))
+    keyed.join(g, "k").select(col("id"), col("keeper"))
+  }
+
+  /** WEIGHTED-df capped shingle index over a keeper corpus: `wCol` carries
+    * each keeper's clone-clique size, and the document-frequency cap cuts
+    * on Σ weights — i.e. on the RAW corpus's df — so the surviving shingle
+    * set is exactly what the raw-corpus index ([[shingleIntersections]]'s
+    * cap) would keep. That identity is what lets keeper-level pair frames
+    * expand back to the raw-corpus answer bit-for-bit (QueriesDedup's
+    * oracle parity) while the expensive Σ df² pair stage runs on keeper
+    * df — smaller by the clone factor squared. Output: (id, n, s) rows
+    * for surviving shingles, n = the keeper's FULL distinct-shingle count
+    * (the Jaccard denominator is uncapped set size, as in the raw chain).
+    */
+  def weightedCappedIndex(docs: DataFrame, idCol: String, shCol: String,
+      wCol: String, maxDocFreq: Long): DataFrame = {
+    val e0 = docs.select(col(idCol).as("id"),
+      size(col(shCol)).cast("long").as("n"), col(wCol).cast("long").as("w"),
+      explode(col(shCol)).as("sh_e"))
+    val e =
+      if (isHashed(docs, shCol))
+        e0.select(col("id"), col("n"), col("w"), col("sh_e").as("s"))
+      else e0.select(col("id"), col("n"), col("w"),
+        hash60(lit("sh"), col("sh_e")).as("s"))
+    val ok = e.groupBy("s").agg(sum(col("w")).as("df"))
+      .filter(col("df") <= maxDocFreq).select("s")
+    e.join(ok, "s").select(col("id"), col("n"), col("s"))
+  }
+
+  /** Per-pair intersection counts from a prebuilt (id, n, s) index — the
+    * back half of [[shingleIntersections]], exposed so keeper-corpus
+    * callers reuse one capped index across the pair join and the per-doc
+    * surviving counts. Posting arrays are bounded by the caller's df cap
+    * (keeper df ≤ raw df ≤ cap), so the in-row a<b expansion stays
+    * linear-per-bucket.
+    */
+  def pairIntersectionsFromIndex(idx: DataFrame): DataFrame = {
+    val postings = idx.groupBy("s")
+      .agg(collect_list(struct(col("id"), col("n"))).as("ds"))
+      .select(array_sort(col("ds")).as("ds"))
+    postings
+      .select(col("ds"), explode(col("ds")).as("a"))
+      .select(col("a"), explode(col("ds")).as("b"))
+      .filter(col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.n").as("n_a"), col("b.n").as("n_b"))
+      .groupBy("id_a", "id_b", "n_a", "n_b")
+      .agg(count(lit(1)).as("inter"))
+  }
+
+  /** Reconstruct the RAW-corpus pair frame (id_a, id_b, n_a, n_b, inter)
+    * from keeper-level frames, applying the (symmetric) predicate BEFORE
+    * expansion so only answer-sized frames materialize:
+    *  - `keeperPairs`: (id_a, id_b, n_a, n_b, inter) over keepers
+    *    ([[pairIntersectionsFromIndex]] of a [[weightedCappedIndex]]);
+    *  - `cliqueSelf`: (keeper, n, surv, copies) — clone cliques with
+    *    ≥ 2 copies and their surviving-shingle count (clones share one
+    *    shingle set, so surv IS the intra-clique intersection);
+    *  - `members`: (id, keeper) from [[cloneMembership]].
+    * Cross-clique pairs fan out |Ca|·|Cb| with n following the smaller
+    * raw id's clique; intra-clique pairs fan out C(copies, 2) with
+    * n_a = n_b. Equals the raw [[shingleIntersections]] filtered by the
+    * same predicate — DedupFirstCacheSpec pins the identity on a
+    * clone-heavy fixture whose raw df crosses the cap.
+    */
+  def expandKeeperPairs(keeperPairs: DataFrame, cliqueSelf: DataFrame,
+      members: DataFrame, pred: Column): DataFrame = {
+    val cross = keeperPairs.filter(pred)
+      .join(members.select(col("keeper").as("id_a"), col("id").as("ra")),
+        Seq("id_a"))
+      .join(members.select(col("keeper").as("id_b"), col("id").as("rb")),
+        Seq("id_b"))
+      .select(least(col("ra"), col("rb")).as("id_a"),
+        greatest(col("ra"), col("rb")).as("id_b"),
+        when(col("ra") < col("rb"), col("n_a")).otherwise(col("n_b"))
+          .as("n_a"),
+        when(col("ra") < col("rb"), col("n_b")).otherwise(col("n_a"))
+          .as("n_b"),
+        col("inter"))
+    val intra = cliqueSelf
+      .select(col("keeper"), col("n").as("n_a"), col("n").as("n_b"),
+        col("surv").as("inter"))
+      .filter(pred)
+      .join(members.select(col("keeper"), col("id").as("ra")), Seq("keeper"))
+      .join(members.select(col("keeper"), col("id").as("rb")), Seq("keeper"))
+      .filter(col("ra") < col("rb"))
+      .select(col("ra").as("id_a"), col("rb").as("id_b"),
+        col("n_a"), col("n_b"), col("inter"))
+    cross.unionByName(intra)
+  }
+
   /** Prefix-filter set-similarity self-join — the PPJoin candidate
     * discipline, the third candidate generator beside the df-capped
     * full index ([[jaccardPairs]]) and MinHash banding: order every
@@ -306,9 +413,14 @@ object DedupOps {
     * expansion cost) is linear in the index at ANY duplicate density,
     * where the unbounded form goes quadratic on clone cliques (sf1:
     * 250 k pairs from d17's corpus). The cut is LOUD, never silent:
-    * every surviving pair carries `trunc_a`/`trunc_b` — the total
-    * successor slots dropped around each endpoint across all its
-    * buckets (0 ⟺ that doc's pair list is exhaustive). Connectivity
+    * every surviving pair carries `trunc_a`/`trunc_b` — the total pair
+    * slots dropped around each endpoint across all its buckets,
+    * counting BOTH dropped successors (slots this element did not emit)
+    * and dropped predecessors (elements that did not emit to it), so
+    * trunc = 0 ⟺ that doc's within-bucket pair list is exhaustive.
+    * (ADVICE r14: successor-only counting let a tail doc in a saturated
+    * bucket read 0 while missing pairs to truncated predecessors — the
+    * equivalence consumers filter on was false.) Connectivity
     * degrades gracefully: consecutive-successor windows keep every
     * same-bucket clique connected as a chain (B ≥ 1), so downstream
     * connected-components clustering still finds the clique — what's
@@ -331,8 +443,12 @@ object DedupOps {
       .select(col("ds"), posexplode(col("ds")).as(Seq("i", "a")))
       .select(col("a"),
         slice(col("ds"), col("i") + lit(2), lit(perDocBudget)).as("succ"),
-        greatest(size(col("ds")) - col("i") - lit(1) - lit(perDocBudget),
-          lit(0)).cast("long").as("dropped"))
+        // dropped pair slots around THIS element: successors beyond the
+        // budget window + predecessors whose window ends before it
+        (greatest(size(col("ds")) - col("i") - lit(1) - lit(perDocBudget),
+          lit(0)) +
+          greatest(col("i") - lit(perDocBudget), lit(0)))
+          .cast("long").as("dropped"))
     val cand = expanded
       .select(col("a"), explode(col("succ")).as("b"))
       .filter(col("a.n") * lit(tDen) >= col("b.n") * lit(tNum) &&
@@ -670,8 +786,10 @@ object DedupOps {
     * output at |index|·B — the unbounded form emitted 32.2 M pairs on
     * sf1's clone cliques because every 2^15-saturated bucket expands
     * quadratically. LOUD truncation: `trunc_a`/`trunc_b` carry the
-    * total successor slots dropped around each endpoint (0 ⟺ that
-    * doc's emitted pairs are exhaustive). Clique connectivity survives
+    * total pair slots dropped around each endpoint — dropped
+    * successors AND dropped predecessors, so 0 ⟺ that doc's
+    * within-bucket pair list is exhaustive (the contract
+    * [[prefixFilterPairsBudgeted]] documents). Clique connectivity survives
     * any B ≥ 1 (consecutive successors chain the bucket), so
     * downstream clustering keeps finding the duplicate groups; the
     * unbounded form remains the exactness oracle at sf ≤ 0.01.
@@ -688,8 +806,12 @@ object DedupOps {
         .select(col("ds"), posexplode(col("ds")).as(Seq("i", "a")))
         .select(col("a"),
           slice(col("ds"), col("i") + lit(2), lit(perDocBudget)).as("succ"),
-          greatest(size(col("ds")) - col("i") - lit(1) - lit(perDocBudget),
-            lit(0)).cast("long").as("dropped"))
+          // successor slots beyond the window + predecessor windows that
+          // end before this element (see prefixFilterPairsBudgetedFrom)
+          (greatest(size(col("ds")) - col("i") - lit(1) - lit(perDocBudget),
+            lit(0)) +
+            greatest(col("i") - lit(perDocBudget), lit(0)))
+            .cast("long").as("dropped"))
     val pairs = expanded
       .select(col("a"), explode(col("succ")).as("b"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),

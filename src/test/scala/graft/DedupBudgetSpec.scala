@@ -72,9 +72,19 @@ class DedupBudgetSpec extends SparkTestBase {
     assert(rows.map(t => (t._1, t._2)).toSet ==
       (1L to 5L).map(i => (i, i + 1)).toSet)
     // the cut is loud: doc 1 heads every bucket and drops 4 successor
-    // slots per chunk (6-1-1) × 4 chunks = 16
+    // slots per chunk (6-1-1) × 4 chunks = 16 (no predecessors)
     val trunc1 = rows.filter(_._1 == 1L).map(_._4).head
     assert(trunc1 == 16L)
+    // ADVICE r14 (the tail-doc case): pair (5,6) survives at B=1, and
+    // BOTH endpoints must read nonzero — each is missing pairs to
+    // truncated predecessors even though neither dropped a successor
+    // there. Per chunk: doc 5 (0-based i=4) drops max(4-4,0) succ +
+    // max(4-1,0) pred = 3; doc 6 (i=5) drops 0 + 4. × 4 chunks.
+    val p56 = rows.find(t => t._1 == 5L && t._2 == 6L).get
+    assert(p56._4 == 12L && p56._5 == 16L)
+    // trunc = 0 ⟺ exhaustive: in a saturated clique at B=1, NO doc's
+    // pair list is exhaustive, so no counter may read 0
+    assert(rows.forall(t => t._4 > 0L && t._5 > 0L))
     // and the clique still clusters as ONE component downstream
     val comps = DedupOps
       .connectedComponents(pairs, "id_a", "id_b")
