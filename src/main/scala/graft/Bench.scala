@@ -162,11 +162,15 @@ object Bench {
     // shared pair frame; x37 absorbed the whole BPE-chain build).
     // Dependency order (tokens → shingles → pairs) attributes each
     // layer's cost to its own line rather than to the deepest frame.
+    // Only the caches the SELECTED queries consume are forced (ADVICE
+    // r14: a one-query or control-set run previously paid every
+    // family's builds, defeating the control set's "one cheap run
+    // prices the ambient band" purpose).
     // SPARK_GRAFT_NO_CACHE_PREBUILD=1 skips this (profiling knob for
     // measuring a family's gross first-query cost).
     val caches: Seq[(String, Double)] =
       if (sys.env.get("SPARK_GRAFT_NO_CACHE_PREBUILD").contains("1")) Nil
-      else SparkEntry.sharedCaches.map { case (cname, build) =>
+      else SparkEntry.sharedCachesFor(names.toSet).map { case (cname, build) =>
         val t0 = System.nanoTime()
         try {
           force(build(spark, sfDir))
@@ -179,6 +183,10 @@ object Bench {
         }
       }
     val cacheTotal = caches.collect { case (_, s) if s >= 0 => s }.sum
+    // A failed cache build must fail the run (ADVICE r14): the member
+    // queries would silently re-absorb the build cost, and the
+    // attribution drift the prebuild exists to kill returns unnoticed.
+    val failedCaches = caches.collect { case (n, s) if s < 0 => n }
 
     // One timed execution; None = the query THREW. A failure must never
     // masquerade as a fast timing — failed queries are excluded from the
@@ -222,7 +230,10 @@ object Bench {
       }
     }
     val ok = results.collect { case (n, Some(s)) => n -> s }
-    val failed = results.collect { case (n, None) => n }
+    // failed cache builds are listed (and fail the exit code) alongside
+    // failed queries, prefixed by their registry name
+    val failed = failedCaches.map("cache:" + _) ++
+      results.collect { case (n, None) => n }
     // ---- artifact emission -------------------------------------------
     // The driver captures only the TAIL of this process's output (2000
     // chars observed), so the printed JSON line must stay WELL under

@@ -79,9 +79,24 @@ object QueriesMl {
     // betas, which would make the verify hash fragile on degenerate
     // fixtures. The defined fallback is the intercept-only fit
     // (b0 = ȳ, b1 = b2 = 0) — the least-squares solution restricted to
-    // the constant model, which is always well-posed for n ≥ 1. The
-    // guard lives in the SHARED SQL text, so both engines branch on the
-    // bit-identical det double and parity is preserved by construction.
+    // the constant model, which is always well-posed for n ≥ 1.
+    // What the guard covers, precisely (ADVICE r14): the moments are
+    // exact Long sums (order-independent — never float accumulation),
+    // cast to double once and combined through this ONE shared
+    // expression tree, so det is a deterministic function of the
+    // group's rows and identical on both engines; a group that is
+    // exactly singular in the quantized integer space evaluates to det
+    // = 0.0 when its products stay within double precision (|moment
+    // products| < 2^53 — MlSpec pins n = 1 and exactly-collinear
+    // fixtures). NOT covered: a NEAR-singular group (det = tiny
+    // nonzero) takes the Cramer branch and yields huge, ill-conditioned
+    // betas — identically on both engines (the hash still matches), but
+    // numerically meaningless; and exact singularity whose integer
+    // moments exceed 2^53 may round to a tiny nonzero det, landing in
+    // the same ill-conditioned branch. A production fit would gate on a
+    // relative det threshold; kept exact here because any epsilon
+    // choice is arbitrary and the quantized grains keep real data far
+    // from the knife edge.
     def guarded(bi: String, fallback: String): String =
       s"(CASE WHEN $det <> 0.0 THEN ($bi / $det) ELSE $fallback END)"
     Map("b0" -> guarded(det0, s"($sy / $n)"),

@@ -742,10 +742,34 @@ object QueriesText {
     new java.util.concurrent.ConcurrentHashMap[
       (SparkSession, String), (Seq[DataFrame], DataFrame)]()
 
+  /** The memo's keys hold SparkSessions strongly; without this, a
+    * session stopped without [[unpersistAll]] would pin its entry (and
+    * the session object) for the life of the JVM (ADVICE r14). One
+    * context-wide listener clears the memo at application end — the
+    * lifetime that actually bounds checkpoint blocks, since stopping
+    * the context drops the block manager anyway.
+    */
+  private val memoCleanupRegistered =
+    new java.util.concurrent.atomic.AtomicBoolean(false)
+
+  private def ensureMemoCleanup(s: SparkSession): Unit =
+    if (memoCleanupRegistered.compareAndSet(false, true))
+      s.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onApplicationEnd(
+              e: org.apache.spark.scheduler
+                .SparkListenerApplicationEnd): Unit = {
+            bpeChainMemo.clear()
+            memoCleanupRegistered.set(false)
+          }
+        })
+
   private def bpeChainFrames(s: SparkSession, d: String)
-      : (Seq[DataFrame], DataFrame) =
+      : (Seq[DataFrame], DataFrame) = {
+    ensureMemoCleanup(s)
     bpeChainMemo.computeIfAbsent((s, d),
       _ => buildBpeChainFrames(s, d))
+  }
 
   private def buildBpeChainFrames(s: SparkSession, d: String)
       : (Seq[DataFrame], DataFrame) = {
@@ -823,13 +847,24 @@ object QueriesText {
       ((s: SparkSession, d: String) => lmBigrams(trainToks(s, d))))
 
   /** Release this family's shared caches — the BPE vocab ladder (one
-    * checkpointed frame per round, dropped from the memo so the
-    * ContextCleaner frees its blocks once unreferenced) and x36's
-    * c1/c2 model tables — for long-lived sessions done with the text
-    * queries (the house unpersistAll discipline).
+    * checkpointed frame per round) and x36's c1/c2 model tables — for
+    * long-lived sessions done with the text queries (the house
+    * unpersistAll discipline). The removed memo entry's checkpointed
+    * frames have their underlying RDD blocks unpersisted EXPLICITLY
+    * (ADVICE r14: relying on GC + ContextCleaner made storage release
+    * nondeterministic — a long-lived session could hold every round's
+    * blocks until a full GC).
     */
   def unpersistAll(s: SparkSession, d: String): Unit = {
-    bpeChainMemo.remove((s, d))
+    Option(bpeChainMemo.remove((s, d))).foreach { case (frames, _) =>
+      frames.foreach { f =>
+        f.queryExecution.analyzed.foreach {
+          case l: org.apache.spark.sql.execution.LogicalRDD =>
+            l.rdd.unpersist(blocking = false)
+          case _ =>
+        }
+      }
+    }
     lmUnigrams(trainToks(s, d)).unpersist()
     lmBigrams(trainToks(s, d)).unpersist()
   }

@@ -36,6 +36,96 @@ object SparkEntry {
       QueriesVector.sharedCaches ++ QueriesEvents.sharedCaches ++
       QueriesGraph.sharedCaches
 
+  /** DIRECT consumers per shared cache — the query names that read the
+    * cached frame in their own plan. Cheap base-layer caches (tokens,
+    * shingles) list their whole family as a conservative superset (a
+    * spurious 0.1 s force is harmless); the expensive caches (BPE
+    * chain, semdedup cells, the keeper-pair chain, LM tables) are
+    * exact, because forcing one a selected subset never reads is the
+    * inflation ADVICE r14 flagged. RegistryIntegritySpec pins every
+    * listed name to the registry so renames fail loudly.
+    */
+  private[graft] def cacheDirectConsumers: Map[String, Set[String]] = {
+    val dedupQ = QueriesDedup.queries.keySet
+    val textQ = QueriesText.queries.keySet
+    Map(
+      "dedup.tokens" -> (dedupQ ++ textQ - "d6_embedding_neardup"),
+      "dedup.shingles" -> Set("d3_minhash_lsh", "d8_decontaminate",
+        "d12_novelty", "d18_sorted_neighborhood", "d20_lsh_recall",
+        "d21_minhash_error", "mv5_lsh_delta"),
+      "dedup.clone_members" -> Set.empty[String],
+      "dedup.keeper_index" -> Set.empty[String],
+      "dedup.keeper_pairs" -> Set("d14_containment", "d21_minhash_error",
+        "d27_threshold_curve"),
+      "dedup.clique_self" -> Set("d14_containment", "d21_minhash_error",
+        "d27_threshold_curve"),
+      "dedup.verified_pairs" -> Set("d2_jaccard_pairs", "d7_dedup_clusters",
+        "d9_pagerank", "d15_canonical", "d20_lsh_recall"),
+      "dedup.prefix_buckets" -> Set("d17_prefix_filter", "d29_prefix_budget",
+        "d32_prefix_budget_curve"),
+      "text.tf" -> Set("x8_tfidf_topk", "x19_inverted_index",
+        "x21_unigram_lm", "x32_heaps_vocab", "x33_zipf_slope",
+        "x38_token_budget"),
+      "text.bigrams" -> Set("x19_inverted_index", "x23_bigram_lm"),
+      "text.bpe_chain" -> Set("x35_bpe_merges", "x37_bpe_encode",
+        "x38_token_budget"),
+      "text.lm_unigrams" -> Set("x36_backoff_lm"),
+      "text.lm_bigrams" -> Set("x36_backoff_lm"),
+      "vector.prep" -> (QueriesVector.queries.keySet -
+        "d23_semdedup"),
+      "vector.semdedup_cells" -> Set("d23_semdedup"),
+      "vector.v19_pairs" -> Set("v19_ivf_tradeoff"),
+      "events.rfm_users" -> Set("e9_survival", "e11_rfm", "e14_pareto80"),
+      "events.markov_edges" -> Set("e9_survival", "e18_markov_attribution"),
+      "graph.copurchase_edges" -> Set("d11_kcore", "d13_labelprop",
+        "d19_common_neighbors", "d26_bfs_hops"))
+  }
+
+  /** Cache → upstream caches its BUILD reads (forcing a downstream
+    * cache forces its upstreams implicitly, so their consumer sets
+    * must include the downstream's).
+    */
+  private[graft] def cacheDeps: Map[String, Seq[String]] = Map(
+    "dedup.shingles" -> Seq("dedup.tokens"),
+    "dedup.clone_members" -> Seq("dedup.tokens"),
+    "dedup.keeper_index" -> Seq("dedup.shingles", "dedup.clone_members"),
+    "dedup.keeper_pairs" -> Seq("dedup.keeper_index"),
+    "dedup.clique_self" -> Seq("dedup.keeper_index", "dedup.clone_members"),
+    "dedup.verified_pairs" -> Seq("dedup.keeper_pairs", "dedup.clique_self",
+      "dedup.clone_members"),
+    "dedup.prefix_buckets" -> Seq("dedup.shingles"),
+    "text.tf" -> Seq("dedup.tokens"),
+    "text.bigrams" -> Seq("dedup.tokens"),
+    "text.bpe_chain" -> Seq("dedup.tokens"),
+    "text.lm_unigrams" -> Seq("dedup.tokens"),
+    "text.lm_bigrams" -> Seq("dedup.tokens"),
+    "vector.semdedup_cells" -> Seq("vector.prep"),
+    "vector.v19_pairs" -> Seq("vector.prep"))
+
+  /** [[sharedCaches]] filtered to what a SELECTED query set actually
+    * consumes (ADVICE r14: a one-query SPARK_GRAFT_BENCH_ONLY run paid
+    * every family's builds, and the control set — whose whole purpose
+    * is ONE cheap run pricing the ambient band — absorbed the full BPE
+    * chain). A cache is forced iff a selected query reads it directly
+    * OR reads a cache built on top of it (transitive closure over
+    * [[cacheDeps]], so net-of-cache attribution stays exact: nothing a
+    * selected query's first run would build is left unforced).
+    */
+  private[graft] def sharedCachesFor(selected: Set[String])
+      : Seq[(String, (SparkSession, String) => DataFrame)] = {
+    val direct = cacheDirectConsumers
+    // effective consumers = direct ∪ consumers of every downstream cache
+    def consumersOf(cache: String, seen: Set[String]): Set[String] = {
+      val downstream = cacheDeps.collect {
+        case (down, ups) if ups.contains(cache) && !seen(down) => down
+      }
+      direct.getOrElse(cache, Set.empty) ++
+        downstream.flatMap(d => consumersOf(d, seen + cache))
+    }
+    sharedCaches.filter { case (name, _) =>
+      consumersOf(name, Set(name)).exists(selected) }
+  }
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =

@@ -578,9 +578,17 @@ object RelationalOps {
       s"adaptiveSaltedJoin supports inner/left joins only, got $joinType")
     val saltCol = "__graft_salt"
     val sf = derivedSaltFactor(left, keys, maxSalt)
+    // Salt = hash over all columns MIXED with a per-row disambiguator
+    // (ADVICE r14): fully-identical duplicate rows of the hot key —
+    // exactly the clone-density regime salting exists for — would hash
+    // to ONE salt value and land in a single partition. The
+    // monotonically_increasing_id term separates identical rows; its
+    // nondeterminism under task retry is harmless because the salt
+    // column only routes rows and is dropped after the join.
     val l = left.crossJoin(broadcast(sf))
       .withColumn(saltCol,
-        pmod(xxhash64(left.columns.toSeq.map(col): _*), col("__salt_n"))
+        pmod(xxhash64(left.columns.toSeq.map(col) :+
+            monotonically_increasing_id(): _*), col("__salt_n"))
           .cast("int"))
       .drop("__salt_n")
     val r = right.crossJoin(broadcast(sf))

@@ -46,6 +46,25 @@ class MlSpec extends SparkTestBase {
     assert(got("R") == ((3L, 7.0, 0.0, 0.0, 1.0)), s"got ${got("R")}")
   }
 
+  test("singular groups take the intercept-only fallback (ADVICE r14)") {
+    // n = 1 (S) and exactly-collinear x2 = 2·x1 (C): both have det
+    // exactly 0.0 in double arithmetic (all moment products are small
+    // integers, exactly representable), so the guard must fire and
+    // emit b0 = ȳ, b1 = b2 = 0 — never ±Inf/NaN. These are the cases
+    // the det <> 0.0 guard actually covers; near-singular (tiny
+    // nonzero det) groups deliberately take the Cramer branch.
+    val dg = writeLineitem(Seq(
+      ("S", 4L, 1L, 9L),
+      ("C", 1L, 2L, 3L), ("C", 2L, 4L, 5L), ("C", 3L, 6L, 10L)))
+    val got = SparkEntry.queries("ml1_ols")(spark, dg)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4))))
+      .toMap
+    assert(got("S") == ((1L, 9.0, 0.0, 0.0)), s"got ${got("S")}")
+    assert(got("C") == ((3L, 6.0, 0.0, 0.0)), s"got ${got("C")}")
+  }
+
   test("ml2_ridge_path: λ=0 arm is OLS; zero-slope group is λ-invariant") {
     val rows = SparkEntry.queries("ml2_ridge_path")(spark, dir)
       .collect()

@@ -66,6 +66,32 @@ class RegistryIntegritySpec extends AnyFunSuite {
       s"cache names must be family.member: $names")
   }
 
+  test("cache consumer/dependency maps agree with the registry") {
+    // Bench's subset filtering (sharedCachesFor) forces a cache iff a
+    // selected query consumes it (transitively) — a renamed query or
+    // cache here would silently stop forcing a build and the r13
+    // attribution-drift class returns. Pin all three name spaces.
+    val cacheNames = SparkEntry.sharedCaches.map(_._1).toSet
+    val direct = SparkEntry.cacheDirectConsumers
+    assert(direct.keySet == cacheNames,
+      s"consumer map vs cache registry: ${direct.keySet diff cacheNames} / ${cacheNames diff direct.keySet}")
+    val unknownQ = direct.values.flatten.toSet -- SparkEntry.queries.keySet
+    assert(unknownQ.isEmpty, s"consumers not in registry: $unknownQ")
+    val depNames = SparkEntry.cacheDeps.keySet ++
+      SparkEntry.cacheDeps.values.flatten
+    assert((depNames -- cacheNames).isEmpty,
+      s"cacheDeps names not in cache registry: ${depNames -- cacheNames}")
+    // every cache is reachable by SOME query, else it can never be
+    // forced and its build lands on a member query's first run
+    val unreachable = cacheNames.filter(c =>
+      SparkEntry.sharedCachesFor(SparkEntry.queries.keySet)
+        .forall(_._1 != c))
+    assert(unreachable.isEmpty, s"caches no query consumes: $unreachable")
+    // and the full selection forces the full list, in registry order
+    assert(SparkEntry.sharedCachesFor(SparkEntry.queries.keySet)
+      .map(_._1) == SparkEntry.sharedCaches.map(_._1))
+  }
+
   test("family key prefixes are contiguously numbered") {
     // A gap (sql10 → sql12) reads as a missing query to any auditor
     // — the r11 verdict's numbering-hygiene item, now pinned.
