@@ -188,14 +188,52 @@ object Bench {
     // attribution drift the prebuild exists to kill returns unnoticed.
     val failedCaches = caches.collect { case (n, s) if s < 0 => n }
 
+    // SPARK_GRAFT_PROFILE=1: per-query execution-shape line (jobs,
+    // stages, tasks, summed task time vs wall) — the floor-class
+    // decomposition tool (VERDICT r14 #2b): wall >> task time means
+    // the query pays scheduling/driver floor, not compute.
+    val profile = sys.env.get("SPARK_GRAFT_PROFILE").contains("1")
+    val prof = new org.apache.spark.scheduler.SparkListener {
+      val jobs = new java.util.concurrent.atomic.AtomicLong
+      val stages = new java.util.concurrent.atomic.AtomicLong
+      val tasks = new java.util.concurrent.atomic.AtomicLong
+      val taskNanos = new java.util.concurrent.atomic.AtomicLong
+      override def onJobStart(
+          e: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+      override def onStageCompleted(
+          e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+        stages.incrementAndGet()
+      override def onTaskEnd(
+          e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        tasks.incrementAndGet()
+        if (e.taskMetrics != null)
+          taskNanos.addAndGet(e.taskMetrics.executorRunTime * 1000000L)
+      }
+      def snap(): (Long, Long, Long, Long) =
+        (jobs.get, stages.get, tasks.get, taskNanos.get)
+    }
+    if (profile) spark.sparkContext.addSparkListener(prof)
+
     // One timed execution; None = the query THREW. A failure must never
     // masquerade as a fast timing — failed queries are excluded from the
     // total, listed in the JSON, and fail the run's exit code.
     def time(name: String): Option[Double] = {
+      val before = if (profile) prof.snap() else null
       val t0 = System.nanoTime()
       try {
         force(SparkEntry.queries(name)(spark, sfDir))
         val sec = (System.nanoTime() - t0) / 1e9
+        if (profile) {
+          // let the (async) listener bus drain so the counters cover
+          // this query; the timing above is already taken
+          Thread.sleep(300)
+          val a = prof.snap()
+          System.err.println(f"[bench-prof] $name $sec%.3fs " +
+            f"jobs=${a._1 - before._1} stages=${a._2 - before._2} " +
+            f"tasks=${a._3 - before._3} " +
+            f"taskTime=${(a._4 - before._4) / 1e9}%.3fs")
+        }
         System.err.println(f"[bench] $name $sec%.2fs")
         Some(sec)
       } catch {

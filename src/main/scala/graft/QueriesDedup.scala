@@ -144,6 +144,18 @@ object QueriesDedup {
     DedupOps.expandKeeperPairs(keeperPairs(s, d), cliqueSelf(s, d),
       cloneMembers(s, d), pred)
 
+  /** The ONE bounded prefix-bucket expansion (verified pairs + minimal
+    * successor offset at B=8), PERSISTED — d29 is its min_off ≤ 2
+    * filter and d32 its budget curve, so the expansion+verify cost is
+    * paid once (VERDICT r14 #2a: d32 previously re-expanded at B=8
+    * what d29 had already expanded at B=2).
+    */
+  private def budgetPairs(s: SparkSession, d: String): DataFrame =
+    guardPersist {
+      val (e, buckets) = prefixBucketFrames(s, d)
+      DedupOps.prefixVerifiedMinOff(e, buckets, 7, 10, maxB = 8)
+    }
+
   private val jaccardGe08: Column =
     col("inter") / (col("n_a") + col("n_b") - col("inter")) >= 0.8
 
@@ -229,12 +241,14 @@ object QueriesDedup {
     "dedup.clique_self" -> (cliqueSelf _),
     "dedup.verified_pairs" -> (verifiedPairs _),
     "dedup.prefix_buckets" ->
-      ((s: SparkSession, d: String) => prefixBucketFrames(s, d)._2))
+      ((s: SparkSession, d: String) => prefixBucketFrames(s, d)._2),
+    "dedup.budget_pairs" -> (budgetPairs _))
 
   /** Release the shared tokenization/shingle/pair caches (for long-lived
     * sessions that are done with the dedup query family).
     */
   def unpersistAll(s: SparkSession, d: String): Unit = {
+    budgetPairs(s, d).unpersist()
     prefixBucketFrames(s, d)._2.unpersist()
     verifiedPairs(s, d).unpersist()
     cliqueSelf(s, d).unpersist()
@@ -501,9 +515,9 @@ object QueriesDedup {
     // 199 s / 250 k pairs at sf1 — output-bound). Same LOUD-truncation
     // contract as d28; exact-Jaccard verification unchanged.
     "d29_prefix_budget" -> ((s, d) => {
-      val (e, buckets) = prefixBucketFrames(s, d)
-      DedupOps.prefixFilterPairsBudgetedFrom(e, buckets, 7, 10,
-        perDocBudget = 2)
+      val (_, buckets) = prefixBucketFrames(s, d)
+      DedupOps.prefixFilterPairsBudgetedFromVerified(
+        budgetPairs(s, d), buckets, perDocBudget = 2)
     }),
 
     // The budget OPERATING CURVE (d27's discipline applied to the
@@ -539,8 +553,8 @@ object QueriesDedup {
     // equals d29's pair count by construction (pinned in spec), so
     // the two budget arms are priced by the same instrument.
     "d32_prefix_budget_curve" -> ((s, d) => {
-      val (e, buckets) = prefixBucketFrames(s, d)
-      DedupOps.prefixBudgetCurveFrom(e, buckets, 7, 10,
+      val (_, buckets) = prefixBucketFrames(s, d)
+      DedupOps.prefixBudgetCurveFromVerified(budgetPairs(s, d), buckets,
         budgets = Seq(1, 2, 4, 8))
     }),
 

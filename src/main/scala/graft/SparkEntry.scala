@@ -63,6 +63,8 @@ object SparkEntry {
         "d9_pagerank", "d15_canonical", "d20_lsh_recall"),
       "dedup.prefix_buckets" -> Set("d17_prefix_filter", "d29_prefix_budget",
         "d32_prefix_budget_curve"),
+      "dedup.budget_pairs" -> Set("d29_prefix_budget",
+        "d32_prefix_budget_curve"),
       "text.tf" -> Set("x8_tfidf_topk", "x19_inverted_index",
         "x21_unigram_lm", "x32_heaps_vocab", "x33_zipf_slope",
         "x38_token_budget"),
@@ -94,6 +96,7 @@ object SparkEntry {
     "dedup.verified_pairs" -> Seq("dedup.keeper_pairs", "dedup.clique_self",
       "dedup.clone_members"),
     "dedup.prefix_buckets" -> Seq("dedup.shingles"),
+    "dedup.budget_pairs" -> Seq("dedup.prefix_buckets"),
     "text.tf" -> Seq("dedup.tokens"),
     "text.bigrams" -> Seq("dedup.tokens"),
     "text.bpe_chain" -> Seq("dedup.tokens"),

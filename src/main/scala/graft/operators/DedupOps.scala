@@ -853,8 +853,22 @@ object DedupOps {
       tNum: Int, tDen: Int, budgets: Seq[Int]): DataFrame = {
     require(budgets.nonEmpty && budgets.forall(_ >= 1),
       s"budgets must be >= 1: $budgets")
-    val maxB = budgets.max
-    val spark = buckets.sparkSession
+    prefixBudgetCurveFromVerified(
+      prefixVerifiedMinOff(e, buckets, tNum, tDen, budgets.max),
+      buckets, budgets)
+  }
+
+  /** The ONE bounded expansion both the budgeted generator (d29) and
+    * the operating curve (d32) read (VERDICT r14 #2a — d32 previously
+    * re-expanded at B=8 what d29 had already expanded at B=2):
+    * verified pairs with their minimal successor offset ≤ `maxB`. A
+    * pair survives budget B iff min_off ≤ B, so every budget up to
+    * maxB is a FILTER of this frame — QueriesDedup persists it as the
+    * `dedup.budget_pairs` shared cache. Output: (id_a, id_b, inter,
+    * jaccard, min_off).
+    */
+  def prefixVerifiedMinOff(e: DataFrame, buckets: DataFrame,
+      tNum: Int, tDen: Int, maxB: Int): DataFrame = {
     val elems = buckets
       .select(col("ds"), posexplode(col("ds")).as(Seq("i", "a")))
     val minOff = elems
@@ -866,11 +880,56 @@ object DedupOps {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         (col("k") + lit(1)).cast("long").as("off"))
       .groupBy("id_a", "id_b").agg(min(col("off")).as("min_off"))
-    val verified = verifyJaccardPairs(
+    verifyJaccardPairs(
         minOff.select(col("id_a"), col("id_b")), e, tNum, tDen)
       .join(minOff, Seq("id_a", "id_b"))
-    val slots = elems.select(col("a.id").as("id"),
-      (size(col("ds")) - col("i") - lit(1)).cast("long").as("n_succ"))
+  }
+
+  /** Per-element truncation accounting at budget B over the bucket
+    * frame (dropped successor + predecessor slots per doc — the LOUD
+    * cut counters d28/d29 attach to every pair).
+    */
+  def prefixTruncCounts(buckets: DataFrame, perDocBudget: Int): DataFrame =
+    buckets
+      .select(col("ds"), posexplode(col("ds")).as(Seq("i", "a")))
+      .select(col("a.id").as("id"),
+        (greatest(size(col("ds")) - col("i") - lit(1) - lit(perDocBudget),
+          lit(0)) +
+          greatest(col("i") - lit(perDocBudget), lit(0)))
+          .cast("long").as("dropped"))
+      .groupBy("id").agg(sum(col("dropped")).as("trunc"))
+
+  /** [[prefixFilterPairsBudgeted]] as a filter of the shared verified
+    * min-offset frame: a pair survives budget B iff some bucket
+    * places its endpoints within B positions (min_off ≤ B — the same
+    * identity the curve uses, pinned against the direct expansion in
+    * DedupBudgetSpec). Only the truncation counters re-read the
+    * buckets, at B's own accounting.
+    */
+  def prefixFilterPairsBudgetedFromVerified(verified: DataFrame,
+      buckets: DataFrame, perDocBudget: Int): DataFrame = {
+    val trunc = prefixTruncCounts(buckets, perDocBudget)
+    verified.filter(col("min_off") <= perDocBudget)
+      .join(trunc.select(col("id").as("id_a"), col("trunc").as("trunc_a")),
+        Seq("id_a"))
+      .join(trunc.select(col("id").as("id_b"), col("trunc").as("trunc_b")),
+        Seq("id_b"))
+      .select(col("id_a"), col("id_b"), col("inter"), col("jaccard"),
+        col("trunc_a"), col("trunc_b"))
+  }
+
+  /** The kept/cut accounting of [[prefixBudgetCurve]] over a prebuilt
+    * verified min-offset frame.
+    */
+  def prefixBudgetCurveFromVerified(verified: DataFrame,
+      buckets: DataFrame, budgets: Seq[Int]): DataFrame = {
+    require(budgets.nonEmpty && budgets.forall(_ >= 1),
+      s"budgets must be >= 1: $budgets")
+    val spark = buckets.sparkSession
+    val slots = buckets
+      .select(col("ds"), posexplode(col("ds")).as(Seq("i", "a")))
+      .select(col("a.id").as("id"),
+        (size(col("ds")) - col("i") - lit(1)).cast("long").as("n_succ"))
     val bdf = budgets.sorted.map(b =>
         spark.range(1).select(lit(b.toLong).as("budget")))
       .reduce(_ unionAll _)

@@ -55,10 +55,38 @@ final case class FormatTableSource(format: String, path: String,
       .schema(schema).load(path)
 }
 
-/** Convenience accessors for the driver-provided tables. */
+/** Convenience accessors for the driver-provided tables.
+  *
+  * Resolution is MEMOIZED per (session, dir, table) — the catalog
+  * discipline: `spark.read.parquet` re-lists the path and re-infers the
+  * schema from footers on EVERY call, a driver-side filesystem round
+  * trip that a suite invoking hundreds of queries pays hundreds of
+  * times (measured: a visible slice of the ~0.25 s floor-class query
+  * wall at sf0.1). A real deployment resolves a table once in its
+  * catalog; the memo is that resolution. DataFrames are immutable, so
+  * sharing the object is safe; a context-end listener clears the map so
+  * stopped sessions are not pinned (the bpeChainMemo discipline).
+  */
 object Tables {
-  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
-    ParquetTableSource(dir, name).load(spark)
+  private val resolved = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, String), DataFrame]()
+  private val cleanupRegistered =
+    new java.util.concurrent.atomic.AtomicBoolean(false)
+
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    if (cleanupRegistered.compareAndSet(false, true))
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onApplicationEnd(
+              e: org.apache.spark.scheduler
+                .SparkListenerApplicationEnd): Unit = {
+            resolved.clear()
+            cleanupRegistered.set(false)
+          }
+        })
+    resolved.computeIfAbsent((spark, dir, name),
+      _ => ParquetTableSource(dir, name).load(spark))
+  }
 
   def lineitem(s: SparkSession, d: String): DataFrame = apply(s, d, "lineitem")
   def orders(s: SparkSession, d: String): DataFrame = apply(s, d, "orders")

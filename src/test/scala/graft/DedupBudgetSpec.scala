@@ -109,6 +109,23 @@ class DedupBudgetSpec extends SparkTestBase {
         BigDecimal.RoundingMode.HALF_UP).toDouble, 6L, 1L)))
   }
 
+  test("shared min-off frame filter == direct budgeted expansion") {
+    // d29 now filters the persisted B=8 verified min-offset frame
+    // (VERDICT r14 #2a) — pin that the filter reproduces the direct
+    // B=2 expansion row-for-row, trunc counters included
+    val (e, buckets) = graft.operators.DedupOps
+      .prefixBuckets(realShingles, "doc_id", "sh", 7, 10, 1000L)
+    val verified = DedupOps.prefixVerifiedMinOff(e, buckets, 7, 10, 8)
+    val viaShared = DedupOps
+      .prefixFilterPairsBudgetedFromVerified(verified, buckets, 2)
+      .as[(Long, Long, Long, Double, Long, Long)].collect().toSet
+    val direct = DedupOps
+      .prefixFilterPairsBudgetedFrom(e, buckets, 7, 10, 2)
+      .as[(Long, Long, Long, Double, Long, Long)].collect().toSet
+    assert(viaShared == direct)
+    assert(direct.nonEmpty)
+  }
+
   test("prefix budget curve: monotone, consistent with the generator") {
     val curve = DedupOps
       .prefixBudgetCurve(realShingles, "doc_id", "sh", 7, 10,
