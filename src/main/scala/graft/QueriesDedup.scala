@@ -71,6 +71,50 @@ object QueriesDedup {
       df.persist()
     else df
 
+  /** Object-identity memo of eagerly-checkpointed derived frames — the
+    * bpeChainMemo discipline applied to the keeper-pair chain: the
+    * dedup-first caches stack six layers of joins, and although
+    * CacheManager plan-equality made every EXECUTION a cached scan,
+    * each invocation still re-ANALYZED the full expansion tree (~0.3 s
+    * of driver-side Catalyst per consumer at any scale — measured: d2,
+    * a pure cached read, ran 0.34 s wall / 0.02 s task). The
+    * localCheckpoint truncates the plan to a LogicalRDD, so consumers
+    * build shallow plans; the memo shares by object identity because a
+    * LogicalRDD cannot be re-found by plan equality. Context-end
+    * cleanup mirrors Tables.resolved.
+    */
+  private val frameMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, String), DataFrame]()
+  private val memoCleanup =
+    new java.util.concurrent.atomic.AtomicBoolean(false)
+
+  private def memoChk(s: SparkSession, d: String, name: String)(
+      build: => DataFrame): DataFrame = {
+    if (memoCleanup.compareAndSet(false, true))
+      s.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onApplicationEnd(
+              e: org.apache.spark.scheduler
+                .SparkListenerApplicationEnd): Unit = {
+            frameMemo.clear()
+            memoCleanup.set(false)
+          }
+        })
+    frameMemo.computeIfAbsent((s, d, name), _ => build.localCheckpoint())
+  }
+
+  /** Drop a memoized frame and free its checkpoint blocks explicitly
+    * (the deterministic-release discipline from QueriesText).
+    */
+  private def dropMemo(s: SparkSession, d: String, name: String): Unit =
+    Option(frameMemo.remove((s, d, name))).foreach {
+      _.queryExecution.analyzed.foreach {
+        case l: org.apache.spark.sql.execution.LogicalRDD =>
+          l.rdd.unpersist(blocking = false)
+        case _ =>
+      }
+    }
+
   /** DEDUP-FIRST shared pair machinery (VERDICT r14 #1 — closes the sf5
     * density failure at its source). The old `pair_intersections` cache
     * ran d2's df-capped intersection chain over the RAW corpus; at
@@ -101,11 +145,11 @@ object QueriesDedup {
     * clone-heavy fixture, and the sf ≤ 1 oracles are unchanged.
     */
   private[graft] def cloneMembers(s: SparkSession, d: String): DataFrame =
-    guardPersist(DedupOps.cloneMembership(
+    memoChk(s, d, "clone_members")(DedupOps.cloneMembership(
       docsWithTokens(s, d), "doc_id", col("toks")))
 
   private def keeperIndex(s: SparkSession, d: String): DataFrame =
-    guardPersist {
+    memoChk(s, d, "keeper_index") {
       val w = cloneMembers(s, d).groupBy("keeper")
         .agg(count(lit(1)).as("w"))
         .withColumnRenamed("keeper", "doc_id")
@@ -115,10 +159,11 @@ object QueriesDedup {
     }
 
   private def keeperPairs(s: SparkSession, d: String): DataFrame =
-    guardPersist(DedupOps.pairIntersectionsFromIndex(keeperIndex(s, d)))
+    memoChk(s, d, "keeper_pairs")(
+      DedupOps.pairIntersectionsFromIndex(keeperIndex(s, d)))
 
   private def cliqueSelf(s: SparkSession, d: String): DataFrame =
-    guardPersist {
+    memoChk(s, d, "clique_self") {
       val copies = cloneMembers(s, d).groupBy("keeper")
         .agg(count(lit(1)).as("copies"))
         .filter(col("copies") >= 2)
@@ -151,7 +196,7 @@ object QueriesDedup {
     * what d29 had already expanded at B=2).
     */
   private def budgetPairs(s: SparkSession, d: String): DataFrame =
-    guardPersist {
+    memoChk(s, d, "budget_pairs") {
       val (e, buckets) = prefixBucketFrames(s, d)
       DedupOps.prefixVerifiedMinOff(e, buckets, 7, 10, maxB = 8)
     }
@@ -166,30 +211,29 @@ object QueriesDedup {
     * raw-sized materialization is the answer itself.
     */
   private def verifiedPairs(s: SparkSession, d: String): DataFrame =
-    guardPersist(
-      rawPairsWhere(s, d, jaccardGe08)
+    memoChk(s, d, "verified_pairs")(
+      // spread: the cross ∪ intra expansion doubles partition count,
+      // and the iterative consumers (d7's Pregel, d9's PageRank)
+      // symmetrize this frame again — without re-bounding, every round
+      // schedules 4× the empty tasks
+      DedupOps.spread(rawPairsWhere(s, d, jaccardGe08)
         .select(col("id_a"), col("id_b"),
           round(col("inter") / (col("n_a") + col("n_b") - col("inter")), 6)
-            .as("jaccard")))
+            .as("jaccard"))))
 
   /** The prefix-filter front half (shingle index + rarity-ordered
     * prefix buckets at the d17 7/10 threshold), with the BUCKETS
-    * frame guard-persisted: three queries consume it (d17 unbounded,
-    * d29 budgeted, d32 curve) and the per-doc rarity sort +
-    * collect_list is the expensive shared part. `e` rides the
-    * shingles cache and is cheap to re-derive, so only buckets
-    * persist (CacheManager plan equality dedups re-invocations, the
-    * house discipline).
+    * frame memo-checkpointed: four consumers (d17 unbounded, d29
+    * budgeted, d32 curve, the budget_pairs expansion) and the per-doc
+    * rarity sort + collect_list is the expensive shared part. `e`
+    * rides the shingles cache and is cheap to re-derive, so only
+    * buckets materialize.
     */
   private def prefixBucketFrames(s: SparkSession, d: String)
       : (DataFrame, DataFrame) = {
     val (e, buckets) = DedupOps.prefixBuckets(docsWithShingles(s, d),
       "doc_id", "sh", 7, 10, maxBucket = 1000L)
-    val bc =
-      if (buckets.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
-        buckets.persist()
-      else buckets
-    (e, bc)
+    (e, memoChk(s, d, "prefix_buckets")(buckets))
   }
 
   /** d31's body over a tokenized (doc_id, toks) frame: full-token-hash
@@ -248,13 +292,9 @@ object QueriesDedup {
     * sessions that are done with the dedup query family).
     */
   def unpersistAll(s: SparkSession, d: String): Unit = {
-    budgetPairs(s, d).unpersist()
-    prefixBucketFrames(s, d)._2.unpersist()
-    verifiedPairs(s, d).unpersist()
-    cliqueSelf(s, d).unpersist()
-    keeperPairs(s, d).unpersist()
-    keeperIndex(s, d).unpersist()
-    cloneMembers(s, d).unpersist()
+    Seq("budget_pairs", "prefix_buckets", "verified_pairs", "clique_self",
+      "keeper_pairs", "keeper_index", "clone_members")
+      .foreach(dropMemo(s, d, _))
     docsWithShingles(s, d).unpersist()
     docsWithTokens(s, d).unpersist()
   }
@@ -475,20 +515,29 @@ object QueriesDedup {
     // pairs ≈ verification cost, drops ≈ data lost.
     "d27_threshold_curve" -> ((s, d) => {
       val nDocs = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
-      val arms = Seq(5, 6, 7, 8, 9).map { k =>
-        // dedup-first: the integer θ-arm filters at KEEPER level, then
-        // expands — only pairs above the loosest arm ever materialize
-        val keep = rawPairsWhere(s, d, col("inter") * 10 >=
-          lit(k.toLong) * (col("n_a") + col("n_b") - col("inter")))
-        keep.agg(count(lit(1)).as("n_pairs"),
-            countDistinct(col("id_b")).as("n_dropped"))
-          .select(lit(k / 10.0).as("threshold"),
-            col("n_pairs"), col("n_dropped"))
-      }
-      arms.reduce(_ unionAll _)
+      // ONE expansion for all five arms (the min-offset trick in θ
+      // form): a pair passes arm k iff k ≤ ⌊10·inter/union⌋, so the
+      // θ ≥ 0.5 expansion is exploded to its qualifying arms and one
+      // hash-agg prices every threshold — the previous per-arm
+      // rawPairsWhere ran the expansion joins five times (2.7 s vs
+      // 0.5 s at sf0.1). Filter + kmax both in exact integers.
+      val union = col("n_a") + col("n_b") - col("inter")
+      val raw5 = rawPairsWhere(s, d, col("inter") * 10 >= lit(5L) * union)
+      val armed = raw5.select(col("id_b"),
+        explode(sequence(lit(5L),
+          least(expr("(10 * inter) div (n_a + n_b - inter)"), lit(9L))))
+          .as("k"))
+      val counts = armed.groupBy("k")
+        .agg(count(lit(1)).as("np"), countDistinct(col("id_b")).as("nd"))
+      val spine = Seq(5L, 6L, 7L, 8L, 9L)
+        .map(k => s.range(1).select(lit(k).as("k")))
+        .reduce(_ unionAll _)
+      spine.join(counts, Seq("k"), "left")
         .crossJoin(broadcast(nDocs))
-        .select(col("threshold"), col("n_pairs"), col("n_dropped"),
-          round(col("n_dropped").cast("double") /
+        .select((col("k") / 10.0).as("threshold"),
+          coalesce(col("np"), lit(0L)).as("n_pairs"),
+          coalesce(col("nd"), lit(0L)).as("n_dropped"),
+          round(coalesce(col("nd"), lit(0L)).cast("double") /
             col("n_docs").cast("double"), 6).as("pct_dropped"))
     }),
 

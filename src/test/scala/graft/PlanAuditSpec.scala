@@ -78,9 +78,24 @@ class PlanAuditSpec extends SparkTestBase {
 
   test("candidate generators keep their frequency caps in the plan") {
     // the cap filters sit on size(collect_list(...)) aggregate outputs
-    for (q <- Seq("d2_jaccard_pairs", "d5_simhash_pairs", "v5_neardup_lsh"))
+    for (q <- Seq("d5_simhash_pairs", "v5_neardup_lsh"))
       assert(plan(q).contains("size("),
         s"$q must retain its posting-size cap filter")
+    // d2's pair chain is dedup-first and memo-checkpointed (its query
+    // plan is a LogicalRDD scan by design), so the cap is audited on
+    // the cache BUILD plan: the weighted-df gate must survive
+    // optimization as a real filter below the pair expansion
+    import org.apache.spark.sql.functions.{col => fcol, lit => flit}
+    val buildPlan = graft.operators.DedupOps.weightedCappedIndex(
+      spark.read.parquet(s"$sf001/documents.parquet")
+        .select(fcol("doc_id"),
+          graft.operators.DedupOps.shingleHashes(
+            graft.operators.TextOps.tokens(fcol("text")), 3).as("sh"),
+          flit(1L).as("w")),
+      "doc_id", "sh", "w", 1000L)
+      .queryExecution.optimizedPlan.toString
+    assert(buildPlan.contains("<= 1000"),
+      s"keeper index must retain its weighted-df cap:\n$buildPlan")
     // x16's cap is a sort+slice of the distinct-token array BEFORE the
     // double explode — dropping it re-opens the only uncapped quadratic
     // stage the repo ever had (one long document → O(u²) pairs)

@@ -2,12 +2,18 @@
 """Time every oracle SQL in DuckDB at a given scale dir (the judge's
 comparison baseline): min of two runs per query, 32 threads.
 
-Usage: python3 tools/bench_duckdb.py <sfDir> <oracle_sql.json>
+Usage: python3 tools/bench_duckdb.py <sfDir> <oracle_sql.json> [detail.json]
   (get oracle_sql.json from a graft.Verify run's outDir)
 
 Prints one line per query plus a total — this is the denominator for
 "Spark vs DuckDB" per-query ratios; it is NOT the correctness gate
 (that's check_oracle.py).
+
+When a BENCH_DETAIL.json path is given as the third argument, the
+per-query DuckDB seconds are merged into it under "duckdb" (plus a
+"ratio_top" of the 15 worst spark/duckdb ratios), so the suite-level
+paired ratio can be decomposed into the individual queries that are
+slower than the columnar baseline (VERDICT r14 #7).
 """
 import json
 import sys
@@ -42,6 +48,42 @@ def main() -> None:
     for name, sec in sorted(rows, key=lambda r: -r[1]):
         print(f"{sec:8.3f}s  {name}")
     print(f"{total:8.3f}s  TOTAL ({len(rows)} queries)")
+
+    if len(sys.argv) > 3:
+        merge_into_detail(sys.argv[3], dict(rows))
+
+
+def merge_into_detail(detail_path: str, duck: dict) -> None:
+    """Attach per-query duckdb seconds (and the worst spark/duckdb
+    ratios) to an existing BENCH_DETAIL.json. Spark keys there are
+    short (family prefix) unless ambiguous — mirror Bench.shortKey.
+    """
+    detail = json.load(open(detail_path))
+    spark_q = detail.get("queries", {})
+
+    def short(name: str) -> str:
+        return name.split("_")[0]
+
+    shorts = {}
+    for name in duck:
+        shorts.setdefault(short(name), []).append(name)
+
+    def key(name: str) -> str:
+        return name if len(shorts[short(name)]) > 1 else short(name)
+
+    duck_k = {key(n): round(s, 3) for n, s in duck.items()}
+    detail["duckdb"] = {k: duck_k[k] for k in sorted(duck_k)}
+    ratios = sorted(
+        ((k, round(spark_q[k] / duck_k[k], 2))
+         for k in duck_k if k in spark_q and duck_k[k] > 0),
+        key=lambda r: -r[1])
+    detail["ratio_top"] = dict(ratios[:15])
+    with open(detail_path, "w") as f:
+        json.dump(detail, f, separators=(",", ":"))
+        f.write("\n")
+    print(f"merged duckdb column into {detail_path} "
+          f"({len(duck_k)} queries, worst ratio "
+          f"{ratios[0][0]}={ratios[0][1]}x)" if ratios else "")
 
 
 if __name__ == "__main__":
