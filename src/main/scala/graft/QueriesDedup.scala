@@ -100,7 +100,27 @@ object QueriesDedup {
             memoCleanup.set(false)
           }
         })
-    frameMemo.computeIfAbsent((s, d, name), _ => build.localCheckpoint())
+    // get-then-putIfAbsent rather than computeIfAbsent: cache builds
+    // NEST (verified_pairs builds keeper_pairs builds keeper_index...),
+    // and ConcurrentHashMap forbids recursive updates inside a mapping
+    // function. A racing duplicate build is harmless — the loser's
+    // checkpoint blocks are released and the winner is returned.
+    val key = (s, d, name)
+    val existing = frameMemo.get(key)
+    if (existing != null) existing
+    else {
+      val built = build.localCheckpoint()
+      val prev = frameMemo.putIfAbsent(key, built)
+      if (prev == null) built
+      else {
+        built.queryExecution.analyzed.foreach {
+          case l: org.apache.spark.sql.execution.LogicalRDD =>
+            l.rdd.unpersist(blocking = false)
+          case _ =>
+        }
+        prev
+      }
+    }
   }
 
   /** Drop a memoized frame and free its checkpoint blocks explicitly
@@ -607,6 +627,35 @@ object QueriesDedup {
         budgets = Seq(1, 2, 4, 8))
     }),
 
+    // The COMPOSED production sequence (VERDICT r14 #3): d31's exact-
+    // clone collapse FIRST, then d29's budgeted prefix-filter pairing
+    // over the keepers only — the emission budget tames bucket
+    // saturation, the collapse removes the duplicate DENSITY that
+    // saturates buckets in the first place. At sf5's 49-clone corpus
+    // this runs where raw-corpus d29 is 27× super-linear (the clone
+    // cliques square the bucket arrays; keepers are density-invariant).
+    // Pairs carry both the budget's LOUD trunc counters and the
+    // collapse's copies lineage, so downstream keeps full accounting.
+    // The df cap here is keeper-count (d31's convention — this is a
+    // keeper-corpus operator, not a raw-frame reconstruction).
+    "d33_budget_on_keepers" -> ((s, d) => {
+      val mem = cloneMembers(s, d)
+      val copies = mem.groupBy("keeper").agg(count(lit(1)).as("copies"))
+      val sh = docsWithShingles(s, d)
+        .join(mem.filter(col("id") === col("keeper"))
+          .select(col("id").as("doc_id")), "doc_id")
+      val (e, buckets) = DedupOps.prefixBuckets(sh, "doc_id", "sh",
+        7, 10, maxBucket = 1000L)
+      DedupOps.prefixFilterPairsBudgetedFrom(e, buckets, 7, 10,
+          perDocBudget = 2)
+        .join(copies.select(col("keeper").as("id_a"),
+          col("copies").as("copies_a")), Seq("id_a"))
+        .join(copies.select(col("keeper").as("id_b"),
+          col("copies").as("copies_b")), Seq("id_b"))
+        .select(col("id_a"), col("id_b"), col("inter"), col("jaccard"),
+          col("trunc_a"), col("trunc_b"), col("copies_a"), col("copies_b"))
+    }),
+
     "d21_minhash_error" -> ((s, d) => {
       val sh = docsWithShingles(s, d)
       val pi = rawPairsWhere(s, d, jaccardGe08)
@@ -951,10 +1000,14 @@ object QueriesDedup {
     * pre → ok): the rarity-ordered prefix index and its surviving
     * buckets. `e` (the verify index) and `pre` (the bucket members)
     * are each referenced twice downstream — MATERIALIZED for the same
-    * reason as [[simhashCfCtes]].
+    * reason as [[simhashCfCtes]]. `tSrc` lets d33 swap the raw corpus
+    * for the clone-collapsed keepers.
     */
-  private def prefixPreCtes =
-    s"""t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+  private def prefixPreCtes: String = prefixPreCtesFrom(
+    s"t AS (SELECT doc_id, $toksSql AS toks FROM documents)")
+
+  private def prefixPreCtesFrom(tSrc: String) =
+    s"""$tSrc,
        |s AS (SELECT doc_id, $sh3Sql AS sh FROM t),
        |e0 AS (SELECT doc_id AS id, CAST(len(sh) AS BIGINT) AS n,
        |      unnest(sh) AS sh_s FROM s),
@@ -1081,6 +1134,53 @@ object QueriesDedup {
          |JOIN tr ta ON ta.id = p.id_a
          |JOIN tr tb ON tb.id = p.id_b
          |WHERE p.inter * 17 >= (p.n_a + p.n_b) * 7""".stripMargin,
+    // Mirrors d33: d31's clone-collapse CTE feeds d29's prefix-budget
+    // chain (the tSrc splice restricts the corpus to keepers), then
+    // the copies lineage joins back on — trunc counts both dropped
+    // successor and predecessor slots, like d28/d29.
+    "d33_budget_on_keepers" -> {
+      val keeperSrc =
+        s"""t0 AS (SELECT doc_id, $toksSql AS toks FROM documents),
+           |g AS MATERIALIZED (SELECT min(doc_id) AS doc_id,
+           |      count(*) AS copies
+           |      FROM (SELECT doc_id, md5(array_to_string(toks, ' '))
+           |              AS k FROM t0)
+           |      GROUP BY k),
+           |t AS (SELECT t0.doc_id, t0.toks FROM t0
+           |      JOIN g ON t0.doc_id = g.doc_id)""".stripMargin
+      s"""WITH ${prefixPreCtesFrom(keeperSrc)},
+         |pb AS MATERIALIZED (SELECT pre.id, pre.n, pre.s,
+         |      row_number() OVER (PARTITION BY pre.s
+         |        ORDER BY pre.id) AS rn,
+         |      count(*) OVER (PARTITION BY pre.s) AS cnt
+         |      FROM pre JOIN ok ON pre.s = ok.s),
+         |tr AS (SELECT id,
+         |      CAST(sum(greatest(cnt - rn - 2, 0)
+         |        + greatest(rn - 3, 0)) AS BIGINT) AS trunc
+         |      FROM pb GROUP BY id),
+         |pc AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+         |      a.n AS n_a, b.n AS n_b
+         |      FROM pb a JOIN pb b ON a.s = b.s
+         |        AND b.rn - a.rn BETWEEN 1 AND 2
+         |      WHERE a.n * 10 >= b.n * 7 AND b.n * 10 >= a.n * 7),
+         |p AS (SELECT pc.id_a, pc.id_b, pc.n_a, pc.n_b,
+         |      count(*) AS inter
+         |      FROM pc
+         |      JOIN e ea ON ea.id = pc.id_a
+         |      JOIN e eb ON eb.id = pc.id_b AND eb.s = ea.s
+         |      GROUP BY 1, 2, 3, 4)
+         |SELECT p.id_a, p.id_b, p.inter,
+         |  round(p.inter / CAST(p.n_a + p.n_b - p.inter AS DOUBLE), 6)
+         |    AS jaccard,
+         |  ta.trunc AS trunc_a, tb.trunc AS trunc_b,
+         |  ga.copies AS copies_a, gb.copies AS copies_b
+         |FROM p
+         |JOIN tr ta ON ta.id = p.id_a
+         |JOIN tr tb ON tb.id = p.id_b
+         |JOIN g ga ON ga.doc_id = p.id_a
+         |JOIN g gb ON gb.doc_id = p.id_b
+         |WHERE p.inter * 17 >= (p.n_a + p.n_b) * 7""".stripMargin
+    },
     // Mirrors d32: d29's pb window chain, offsets ≤ 8 with the ratio
     // gate, min offset per pair, ONE intersection verify, then the
     // d30-style budget spine (kept/slots/docs per B).

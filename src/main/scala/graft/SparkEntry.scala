@@ -52,8 +52,8 @@ object SparkEntry {
       "dedup.tokens" -> (dedupQ ++ textQ - "d6_embedding_neardup"),
       "dedup.shingles" -> Set("d3_minhash_lsh", "d8_decontaminate",
         "d12_novelty", "d18_sorted_neighborhood", "d20_lsh_recall",
-        "d21_minhash_error", "mv5_lsh_delta"),
-      "dedup.clone_members" -> Set.empty[String],
+        "d21_minhash_error", "d33_budget_on_keepers", "mv5_lsh_delta"),
+      "dedup.clone_members" -> Set("d33_budget_on_keepers"),
       "dedup.keeper_index" -> Set.empty[String],
       "dedup.keeper_pairs" -> Set("d14_containment", "d21_minhash_error",
         "d27_threshold_curve"),
