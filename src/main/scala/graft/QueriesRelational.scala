@@ -804,6 +804,33 @@ object QueriesRelational {
             .select(col("__salt_n").as("salt_factor"))))
     }),
 
+    // COST-GUARDED join strategy (VERDICT r14 #8 — j17's
+    // diagnostic→mitigation loop applied to strategy choice): a
+    // CBO-style pre-pass measures the two statistics that decide a
+    // physical join — right-side cardinality and the left key's dq5
+    // skew factor — and chooseJoinStrategy (a pure, oracle-mirrorable
+    // function) picks broadcast / shuffle / salted. Here customer is
+    // far under the broadcast budget, so the executed plan is a
+    // broadcast hash join (PlanAuditSpec pins the flip to shuffle and
+    // to salted when the estimates say otherwise); the output carries
+    // the decision and its inputs so the policy itself is
+    // oracle-checked, and the join result is strategy-invariant.
+    "j18_cost_guarded_join" -> ((s, d) => {
+      val ord = Tables.orders(s, d).select("o_custkey", "o_totalprice")
+      val cust = Tables.customer(s, d)
+        .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))
+      val (strategy, joined) = RelationalOps.costGuardedJoin(
+        ord, cust, Seq("o_custkey"))
+      joined.groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(floor(col("o_totalprice") * 100 + lit(0.5)).cast("long"))
+            .as("price_cents"))
+        .crossJoin(broadcast(
+          cust.agg(count(lit(1)).as("right_rows"))))
+        .select(col("c_mktsegment"), col("n_orders"), col("price_cents"),
+          col("right_rows"), lit(strategy).as("strategy"))
+    }),
+
     // Scalar subquery: parts priced above the global average.
     "sub1_scalar_subquery" -> ((s, d) => {
       val p = Tables.part(s, d)
@@ -1321,6 +1348,20 @@ object QueriesRelational {
         |  count(*) AS n_items, CAST(sf.salt_factor AS BIGINT) AS salt_factor
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey, sf
         |GROUP BY o_orderpriority, sf.salt_factor""".stripMargin,
+    // j18: the decision recomputed relationally — strategy =
+    // 'broadcast' iff the right side fits the 1M-row budget (the skew
+    // arm can't fire here; its policy is pinned in RelationalOpsSpec
+    // and the plan flips in PlanAuditSpec).
+    "j18_cost_guarded_join" ->
+      """WITH rr AS (SELECT count(*) AS right_rows FROM customer)
+        |SELECT c_mktsegment, count(*) AS n_orders,
+        |  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |    AS BIGINT) AS price_cents,
+        |  rr.right_rows,
+        |  CASE WHEN rr.right_rows <= 1000000 THEN 'broadcast'
+        |       ELSE 'shuffle' END AS strategy
+        |FROM orders JOIN customer ON o_custkey = c_custkey, rr
+        |GROUP BY c_mktsegment, rr.right_rows""".stripMargin,
     "j7_full_outer" ->
       """SELECT CASE WHEN c_custkey IS NULL THEN 'no_customer'
         |  WHEN o_orderkey IS NULL THEN 'no_orders'

@@ -598,6 +598,53 @@ object RelationalOps {
     l.join(r, keys :+ saltCol, joinType).drop(saltCol)
   }
 
+  /** The cost-guarded join-strategy DECISION (VERDICT r14 #8 — j17's
+    * diagnostic→mitigation loop applied to strategy choice, the way a
+    * cost-based optimizer picks a physical join): a PURE function of
+    * two measured statistics, so the policy is testable and
+    * oracle-expressible without running a join.
+    *  - right side fits the broadcast budget → "broadcast" (no
+    *    shuffle at all; the 100 TB dim-join default);
+    *  - right is big and the left's key skew factor (dq5's max/mean
+    *    diagnostic) is under the threshold → "shuffle" (plain
+    *    sort-merge/shuffled-hash — AQE handles residual imbalance);
+    *  - right is big AND the left is skewed → "salted" (explicit
+    *    spread; the hot key would stall one reducer for the stage).
+    */
+  def chooseJoinStrategy(rightRows: Long, skewFactor: Long,
+      broadcastMaxRows: Long = 1000000L,
+      skewThreshold: Long = 4L): String =
+    if (rightRows <= broadcastMaxRows) "broadcast"
+    else if (skewFactor < skewThreshold) "shuffle"
+    else "salted"
+
+  /** [[chooseJoinStrategy]] wired to a measured pre-pass and the
+    * matching executor: returns (strategy, joined frame). The two
+    * statistics are gathered by ONE aggregate action each (a 1-row
+    * result — this is the planner's statistics collection, the same
+    * driver-side metadata read every CBO performs before physical
+    * planning, and the stor3 economics: metadata is orders of
+    * magnitude smaller than data). The joined result is
+    * strategy-INVARIANT by construction — the oracle checks the
+    * result and recomputes the decision relationally; PlanAuditSpec
+    * pins that the physical plan actually flips with the estimates.
+    */
+  def costGuardedJoin(left: DataFrame, right: DataFrame,
+      keys: Seq[String], broadcastMaxRows: Long = 1000000L,
+      skewThreshold: Long = 4L, maxSalt: Int = 32): (String, DataFrame) = {
+    val rightRows = right.groupBy().agg(count(lit(1))).head().getLong(0)
+    val skew =
+      if (rightRows <= broadcastMaxRows) 1L // skew probe not needed
+      else derivedSaltFactor(left, keys, maxSalt).head().getLong(0)
+    chooseJoinStrategy(rightRows, skew, broadcastMaxRows,
+      skewThreshold) match {
+      case "broadcast" => ("broadcast", left.join(broadcast(right), keys))
+      case "shuffle" =>
+        ("shuffle", left.join(right.hint("merge"), keys))
+      case s => (s, saltedJoin(left, right, keys, skew.toInt))
+    }
+  }
+
   /** SCD Type-2 interval build: collapse a per-key attribute timeline
     * into validity intervals — one row per *change*, carrying
     * `valid_from` (the change row's timestamp), `valid_to` (the NEXT

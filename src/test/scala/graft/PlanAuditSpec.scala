@@ -528,6 +528,58 @@ class PlanAuditSpec extends SparkTestBase {
       s"stor1's scans must report the bucketed layout:\n$p")
   }
 
+  test("stor6's as-of reader prunes partitions at planning time") {
+    // The property the versioned read exists for: liveness + the
+    // zone-map month window are PARTITION-COLUMN predicates, so the
+    // scan plans PartitionFilters (no manifest collect, no full-table
+    // read). Every file_month scan in the plan must carry partition
+    // filters, and the v1/v2 window reads must also push the exact
+    // ship predicate into the surviving files' row groups.
+    val p = plan("stor6_time_travel")
+    val scans = "PartitionFilters: \\[[^\\]]*\\]".r.findAllIn(p).toList
+    assert(scans.nonEmpty && scans.forall(_.contains("file_month")),
+      s"stor6's scans must partition-prune on file_month:\n$p")
+    assert(p.contains("PushedFilters: [") && p.contains("ship"),
+      s"stor6's window read must push the ship predicate:\n$p")
+  }
+
+  test("j18's cost-guarded strategy flips the physical join with the estimates") {
+    import graft.operators.RelationalOps
+    import org.apache.spark.sql.functions.{col => fcol, lit => flit}
+    // the registry decision on this data: customer is far under the
+    // broadcast budget → the executed join must be a broadcast hash
+    val p = plan("j18_cost_guarded_join")
+    assert(p.contains("BroadcastHashJoin"),
+      s"j18 must broadcast the small dim:\n$p")
+    val ord = spark.read.parquet(s"$sf001/orders.parquet")
+      .select(fcol("o_custkey"), fcol("o_totalprice"))
+    val cust = spark.read.parquet(s"$sf001/customer.parquet")
+      .select(fcol("c_custkey").as("o_custkey"), fcol("c_mktsegment"))
+    // same join, broadcast budget forced to zero → shuffle arm, and
+    // the plan must NOT broadcast the right side
+    val (s2, df2) = RelationalOps.costGuardedJoin(ord, cust,
+      Seq("o_custkey"), broadcastMaxRows = 0L)
+    val p2 = df2.queryExecution.explainString(SimpleMode)
+    assert(s2 == "shuffle" && p2.contains("SortMergeJoin") &&
+      !p2.contains("BroadcastHashJoin"),
+      s"zero budget must force the shuffle arm:\n$p2")
+    // skewed left + zero budget → salted arm: the salt spread (hash
+    // pmod + the replicated-side Generate) must be in the plan
+    import spark.implicits._
+    val hot = ((1 to 900).map(_ => 1L) ++ (2L to 101L)).zipWithIndex
+      .map { case (k, i) => (k, i.toLong) }.toDF("k", "v")
+    val right = (1L to 101L).map(k => (k, s"r$k")).toDF("k", "tag")
+    val (s3, df3) = RelationalOps.costGuardedJoin(hot, right, Seq("k"),
+      broadcastMaxRows = 0L, skewThreshold = 2L)
+    val p3 = df3.queryExecution.explainString(SimpleMode)
+    // (xxhash64 itself constant-folds into the LocalTableScan on
+    // in-memory fixtures — assert the salt column and the replicated-
+    // side Generate, the structural salt machinery)
+    assert(s3 == "salted" && p3.contains("__graft_salt") &&
+      p3.contains("Generate"),
+      s"skewed left must force the salted arm:\n$p3")
+  }
+
   test("e6 sessionizes in ONE shuffle: both windows and the agg share it") {
     // lag + running-sum ride one user_id exchange, and the (user_id,
     // session_idx) aggregate is satisfied by the same partitioning

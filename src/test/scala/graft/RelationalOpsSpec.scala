@@ -545,4 +545,29 @@ class RelationalOpsSpec extends SparkTestBase {
       assert(c > 0, s"delta-join term $term is empty: $counts")
     }
   }
+  test("chooseJoinStrategy: the pure policy and strategy-invariant results") {
+    import graft.operators.RelationalOps._
+    import spark.implicits._
+    // the policy, exhaustively at its boundaries
+    assert(chooseJoinStrategy(1000000L, 99L) == "broadcast") // at budget
+    assert(chooseJoinStrategy(1000001L, 3L) == "shuffle")    // under skew
+    assert(chooseJoinStrategy(1000001L, 4L) == "salted")     // at threshold
+    assert(chooseJoinStrategy(0L, 100L) == "broadcast")
+    // all three arms return the identical join result (the invariance
+    // the j18 oracle relies on): run the same keyed join through each
+    // forced arm and compare multisets
+    val left = ((1 to 50).map(_ => 1L) ++ (2L to 11L)).zipWithIndex
+      .map { case (k, i) => (k, i.toLong) }.toDF("k", "v")
+    val right = (1L to 11L).map(k => (k, s"r$k")).toDF("k", "tag")
+    def rows(r: (String, org.apache.spark.sql.DataFrame)) =
+      r._2.as[(Long, Long, String)].collect().toSeq.sorted
+    val b = costGuardedJoin(left, right, Seq("k"))                // broadcast
+    val sh = costGuardedJoin(left, right, Seq("k"),
+      broadcastMaxRows = 0L, skewThreshold = 100L)                // shuffle
+    val sa = costGuardedJoin(left, right, Seq("k"),
+      broadcastMaxRows = 0L, skewThreshold = 2L)                  // salted
+    assert(b._1 == "broadcast" && sh._1 == "shuffle" && sa._1 == "salted")
+    assert(rows(b) == rows(sh) && rows(sh) == rows(sa))
+    assert(rows(b).nonEmpty)
+  }
 }

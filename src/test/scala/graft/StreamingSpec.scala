@@ -446,6 +446,84 @@ class StreamingSpec extends SparkTestBase {
       s"recovered-state sessions wrong: $out")
   }
 
+  test("RocksDB state store: 5k-key state survives checkpoint restart") {
+    // VERDICT r14 #6 — the large-state axis the MemoryStream specs
+    // don't exercise: the default HDFSBackedStateStoreProvider keeps
+    // every version of every key ON HEAP, which is what OOMs first on
+    // a 100 TB-scale stateful stream; production sessionization runs
+    // on the RocksDB provider (off-heap + local disk, changelog/
+    // snapshot files under the checkpoint). Same recovery contract as
+    // the custom-state restart test, but (a) under the RocksDB
+    // provider, (b) with 5,000 open sessions in state at the kill
+    // point, and (c) asserting the checkpoint actually contains
+    // RocksDB artifacts so a silently-ignored conf cannot fake a pass.
+    implicit val sqlCtx = spark.sqlContext
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(provKey)
+    spark.conf.set(provKey, "org.apache.spark.sql.execution.streaming" +
+      ".state.RocksDBStateStoreProvider")
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_rocks_ckpt_").toString
+    val outDir = java.nio.file.Files
+      .createTempDirectory("graft_rocks_out_").toString
+    try {
+      val ms = MemoryStream[Ev]
+      def start() = StreamingOps.sessionizeWithState(
+          ms.toDF().withWatermark("ts", "10 minutes"),
+          "user_id", "ts", gapSeconds = 1800L, emitOpen = false)
+        .writeStream.format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+      val users = 1L to 5000L
+      // phase 1: two under-gap events per user — 5,000 OPEN sessions
+      // live in the state store when the query is killed
+      val q1 = start()
+      try {
+        ms.addData(users.map(u =>
+          Ev(u, t("2024-01-01 10:05:00"), u, 1.0)))
+        ms.addData(users.map(u =>
+          Ev(10000 + u, t("2024-01-01 10:20:00"), u, 2.0)))
+        q1.processAllAvailable()
+      } finally q1.stop()
+      // the provider must have written RocksDB state files (zip
+      // snapshots / changelogs), not the HDFS provider's .delta files
+      def stateFiles(suffix: String): Int = {
+        val base = java.nio.file.Paths.get(ckpt, "state")
+        if (!java.nio.file.Files.isDirectory(base)) 0
+        else {
+          val it = java.nio.file.Files.walk(base)
+          try it.filter(p => p.toString.endsWith(suffix)).count().toInt
+          finally it.close()
+        }
+      }
+      assert(stateFiles(".zip") + stateFiles(".changelog") > 0,
+        "checkpoint has no RocksDB snapshot/changelog files — the " +
+          "provider conf did not take effect")
+      assert(stateFiles(".delta") == 0,
+        "checkpoint has HDFS-provider .delta files — wrong provider ran")
+      // phase 2: restart from the checkpoint; a far-future sentinel
+      // advances the watermark past every session's timeout, so all
+      // 5,000 recovered sessions must close with BOTH events counted
+      val q2 = start()
+      try {
+        ms.addData(Ev(99999, t("2024-01-02 12:00:00"), 999999L, 0.0))
+        q2.processAllAvailable()
+      } finally q2.stop()
+      val out = spark.read.parquet(outDir)
+        .filter(col("user_id") =!= 999999L)
+        .groupBy("n_events").count()
+        .as[(Long, Long)].collect().toMap
+      assert(out == Map(2L -> 5000L),
+        s"expected 5000 recovered 2-event sessions, got: $out")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(provKey, v)
+        case None => spark.conf.unset(provKey)
+      }
+    }
+  }
+
   test("foreachBatch merge-upsert is idempotent under batch replay") {
     // The production sink pattern a CDC stream feeds: each micro-batch
     // MERGES into a keyed latest-value table (last writer by (ts,
