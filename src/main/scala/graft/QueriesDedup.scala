@@ -258,33 +258,45 @@ object QueriesDedup {
 
   /** d31's body over a tokenized (doc_id, toks) frame: full-token-hash
     * clone collapse to min-id keepers (with clique sizes), then the
-    * d2 intersection chain over keepers only. Extracted so the spec
-    * can drive it with a hand fixture.
+    * d2 intersection chain over keepers only — with the df cap on the
+    * WEIGHTED (raw-corpus) frequency, so the pair list is EXACTLY
+    * d2's restricted to keepers (under a keeper-count cap that claim
+    * held only while no shingle's raw df crossed the cap; r15 aligned
+    * the convention with the shared keeper caches). Extracted so the
+    * spec can drive it with a hand fixture; the registered query is
+    * the same composition read from the shared caches.
     */
   private[graft] def dedupFirstPairs(toks: DataFrame): DataFrame = {
-    val groups = toks
-      .groupBy(md5(concat_ws(" ", col("toks"))).as("k"))
-      .agg(min(col("doc_id")).as("doc_id"),
-        count(lit(1)).as("copies"))
-      .select(col("doc_id"), col("copies"))
-    val survivors = toks.join(groups, "doc_id")
-    val sh = survivors.select(col("doc_id"),
-      DedupOps.shingleHashes(col("toks"), 3).as("sh"))
-    val pairs = DedupOps
-      .shingleIntersections(sh, "doc_id", "sh", maxDocFreq = 1000L)
+    val mem = DedupOps.cloneMembership(toks, "doc_id", col("toks"))
+    val copies = mem.groupBy("keeper").agg(count(lit(1)).as("copies"))
+    val sh = toks
+      .join(mem.filter(col("id") === col("keeper"))
+        .select(col("id").as("doc_id")), "doc_id")
+      .select(col("doc_id"), DedupOps.shingleHashes(col("toks"), 3).as("sh"))
+      .join(copies.withColumnRenamed("keeper", "doc_id"), "doc_id")
+    val idx = DedupOps.weightedCappedIndex(sh, "doc_id", "sh", "copies",
+      maxDocFreq = 1000L)
+    withCopiesLineage(
+      DedupOps.pairIntersectionsFromIndex(idx), copies)
+  }
+
+  /** Jaccard ≥ 0.8 + clique-size lineage over a keeper-pair frame —
+    * shared by [[dedupFirstPairs]] and the cache-backed d31.
+    */
+  private def withCopiesLineage(keeperPairFrame: DataFrame,
+      copies: DataFrame): DataFrame =
+    keeperPairFrame
       .filter(col("inter") / (col("n_a") + col("n_b") - col("inter"))
         >= 0.8)
       .select(col("id_a"), col("id_b"),
         round(col("inter") /
           (col("n_a") + col("n_b") - col("inter")), 6).as("jaccard"))
-    pairs
-      .join(groups.select(col("doc_id").as("id_a"),
+      .join(copies.select(col("keeper").as("id_a"),
         col("copies").as("copies_a")), Seq("id_a"))
-      .join(groups.select(col("doc_id").as("id_b"),
+      .join(copies.select(col("keeper").as("id_b"),
         col("copies").as("copies_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"), col("jaccard"),
         col("copies_a"), col("copies_b"))
-  }
 
   /** This family's shared persisted caches, name → builder, in
     * DEPENDENCY order (shingles read tokens, pairs read shingles):
@@ -611,11 +623,15 @@ object QueriesDedup {
     // intersection frame by its square. Output pairs canonical
     // keepers with their clique sizes (copies_a/copies_b — how many
     // raw docs each endpoint represents), so downstream keeps the
-    // full lineage. At sf5 this FINISHES where the raw-corpus chain
-    // dies; at any sf the pair list equals d2's restricted to
-    // keepers (clones add no information to near-dup structure).
+    // full lineage. Since r15 this IS the shared keeper-pair cache's
+    // convention (weighted df cap = the raw corpus's), so the query
+    // is a filter + lineage join over the cache, and the pair list
+    // equals d2's restricted to keepers BY CONSTRUCTION (clones add
+    // no information to near-dup structure).
     "d31_dedup_first_pairs" -> ((s, d) =>
-      dedupFirstPairs(docsWithTokens(s, d))),
+      withCopiesLineage(keeperPairs(s, d),
+        cloneMembers(s, d).groupBy("keeper")
+          .agg(count(lit(1)).as("copies")))),
 
     // d30's twin for the prefix-filter generator: the same min-offset
     // curve over d29's buckets (B ∈ {1,2,4,8}) — pairs_kept at B=2
@@ -1222,7 +1238,9 @@ object QueriesDedup {
          |LEFT JOIN cut USING (budget)""".stripMargin,
     // Mirrors d31: full-token-hash clone collapse (min-id keeper +
     // clique size), then d2's intersection chain restricted to the
-    // keepers — identical df cap, identical jaccard gate.
+    // keepers — the df cap on the WEIGHTED (raw-corpus) frequency
+    // Σ copies, so the pair list is exactly d2's restricted to
+    // keepers; identical jaccard gate.
     "d31_dedup_first_pairs" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
          |g AS MATERIALIZED (SELECT min(doc_id) AS doc_id,
@@ -1236,7 +1254,8 @@ object QueriesDedup {
          |      unnest(sh) AS sh_s FROM s),
          |e AS MATERIALIZED (SELECT id, n,
          |      ${h60("concat('sh:', sh_s)")} AS s FROM e0),
-         |rare AS (SELECT s FROM e GROUP BY s HAVING count(*) <= 1000),
+         |rare AS (SELECT e.s FROM e JOIN g ON g.doc_id = e.id
+         |      GROUP BY e.s HAVING sum(g.copies) <= 1000),
          |ec AS MATERIALIZED (SELECT e.* FROM e JOIN rare USING (s)),
          |p AS (SELECT a.id AS id_a, b.id AS id_b, a.n AS n_a,
          |      b.n AS n_b, count(*) AS inter

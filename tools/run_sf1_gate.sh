@@ -15,8 +15,11 @@ cd "$(dirname "$0")/.."
 
 SF1=benchdata/sf1
 OUT=/tmp/verify_sf1
-LOG=SF1_GATE.log
 ONLY="${1:-}"
+# --only runs log to a side file: the committed SF1_GATE.log is the
+# FULL-registry artifact, and tee would truncate it (bit r15: a 1-query
+# spot-check wiped the 273-query log).
+if [ -n "$ONLY" ]; then LOG=SF1_GATE.only.log; else LOG=SF1_GATE.log; fi
 
 if [ ! -d "$SF1" ]; then
   echo "[sf1-gate] building $SF1 (make_sf1.py)..."
