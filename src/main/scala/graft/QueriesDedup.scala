@@ -221,6 +221,23 @@ object QueriesDedup {
       DedupOps.prefixVerifiedMinOff(e, buckets, 7, 10, maxB = 8)
     }
 
+  /** d33's keeper-corpus prefix front half — the rarity sort +
+    * bucket build over KEEPERS (the keeper-corpus twin of
+    * [[prefixBucketFrames]]), memo-checkpointed: the index is the
+    * reusable substrate of any keeper-corpus pairing query, and
+    * rebuilding it per invocation dominated d33's bench time (the
+    * budgeted expansion + verify it exists for is the cheap part).
+    */
+  private def keeperPrefixFrames(s: SparkSession, d: String)
+      : (DataFrame, DataFrame) = {
+    val keeperSh = docsWithShingles(s, d)
+      .join(cloneMembers(s, d).filter(col("id") === col("keeper"))
+        .select(col("id").as("doc_id")), "doc_id")
+    val (e, buckets) = DedupOps.prefixBuckets(keeperSh, "doc_id", "sh",
+      7, 10, maxBucket = 1000L)
+    (e, memoChk(s, d, "keeper_prefix_buckets")(buckets))
+  }
+
   private val jaccardGe08: Column =
     col("inter") / (col("n_a") + col("n_b") - col("inter")) >= 0.8
 
@@ -318,14 +335,17 @@ object QueriesDedup {
     "dedup.verified_pairs" -> (verifiedPairs _),
     "dedup.prefix_buckets" ->
       ((s: SparkSession, d: String) => prefixBucketFrames(s, d)._2),
-    "dedup.budget_pairs" -> (budgetPairs _))
+    "dedup.budget_pairs" -> (budgetPairs _),
+    "dedup.keeper_buckets" ->
+      ((s: SparkSession, d: String) => keeperPrefixFrames(s, d)._2))
 
   /** Release the shared tokenization/shingle/pair caches (for long-lived
     * sessions that are done with the dedup query family).
     */
   def unpersistAll(s: SparkSession, d: String): Unit = {
-    Seq("budget_pairs", "prefix_buckets", "verified_pairs", "clique_self",
-      "keeper_pairs", "keeper_index", "clone_members")
+    Seq("keeper_prefix_buckets", "budget_pairs", "prefix_buckets",
+      "verified_pairs", "clique_self", "keeper_pairs", "keeper_index",
+      "clone_members")
       .foreach(dropMemo(s, d, _))
     docsWithShingles(s, d).unpersist()
     docsWithTokens(s, d).unpersist()
@@ -655,13 +675,9 @@ object QueriesDedup {
     // The df cap here is keeper-count (d31's convention — this is a
     // keeper-corpus operator, not a raw-frame reconstruction).
     "d33_budget_on_keepers" -> ((s, d) => {
-      val mem = cloneMembers(s, d)
-      val copies = mem.groupBy("keeper").agg(count(lit(1)).as("copies"))
-      val sh = docsWithShingles(s, d)
-        .join(mem.filter(col("id") === col("keeper"))
-          .select(col("id").as("doc_id")), "doc_id")
-      val (e, buckets) = DedupOps.prefixBuckets(sh, "doc_id", "sh",
-        7, 10, maxBucket = 1000L)
+      val copies = cloneMembers(s, d).groupBy("keeper")
+        .agg(count(lit(1)).as("copies"))
+      val (e, buckets) = keeperPrefixFrames(s, d)
       DedupOps.prefixFilterPairsBudgetedFrom(e, buckets, 7, 10,
           perDocBudget = 2)
         .join(copies.select(col("keeper").as("id_a"),

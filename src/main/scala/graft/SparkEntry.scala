@@ -65,6 +65,7 @@ object SparkEntry {
         "d32_prefix_budget_curve"),
       "dedup.budget_pairs" -> Set("d29_prefix_budget",
         "d32_prefix_budget_curve"),
+      "dedup.keeper_buckets" -> Set("d33_budget_on_keepers"),
       "text.tf" -> Set("x8_tfidf_topk", "x19_inverted_index",
         "x21_unigram_lm", "x32_heaps_vocab", "x33_zipf_slope",
         "x38_token_budget"),
@@ -97,6 +98,7 @@ object SparkEntry {
       "dedup.clone_members"),
     "dedup.prefix_buckets" -> Seq("dedup.shingles"),
     "dedup.budget_pairs" -> Seq("dedup.prefix_buckets"),
+    "dedup.keeper_buckets" -> Seq("dedup.shingles", "dedup.clone_members"),
     "text.tf" -> Seq("dedup.tokens"),
     "text.bigrams" -> Seq("dedup.tokens"),
     "text.bpe_chain" -> Seq("dedup.tokens"),
