@@ -25,6 +25,28 @@ object QueriesStorage {
     */
   private def tag(d: String): String = d.replaceAll("[^A-Za-z0-9]", "_")
 
+  /** Cheap fingerprint of a source parquet table (file or directory):
+    * total bytes + newest mtime of the data files. Folded into
+    * build-once cache paths so REGENERATING the testdata at the same
+    * path (e.g. a make_sf1.py rebuild) invalidates the cache instead
+    * of silently serving stale data (ADVICE r15: stor6 read a stale
+    * snapshot after a benchdata rebuild). Metadata-only — never reads
+    * a row.
+    */
+  private def srcFingerprint(d: String, table: String): String = {
+    val f = new java.io.File(s"$d/$table.parquet")
+    val files: Seq[java.io.File] =
+      if (f.isDirectory)
+        Option(f.listFiles()).fold(Seq.empty[java.io.File])(
+          _.filter(_.getName.endsWith(".parquet")).toSeq)
+      else Seq(f)
+    val bytes = files.map(_.length()).sum
+    val mtime = (files.map(_.lastModified()) :+ 0L).max
+    java.lang.Long.toHexString(
+      java.util.Objects.hash(bytes: java.lang.Long,
+        mtime: java.lang.Long).toLong & 0xffffffffL)
+  }
+
   /** Build-once cache for stor1's bucketed tables: writes both sides
     * bucketed(16, sorted) the FIRST time a (session, dir) asks, then
     * every later call reuses the catalog tables. The session catalog
@@ -33,7 +55,10 @@ object QueriesStorage {
     * cross-read). The testdata under the dir is immutable for a
     * session's lifetime, so reuse is safe. */
   private def bucketedTables(s: SparkSession, d: String): (String, String) = {
-    val t = tag(d)
+    // Names and paths keyed on (dir, source fingerprints) so a testdata
+    // rebuild invalidates the layout instead of serving stale buckets.
+    val t = s"${tag(d)}_${srcFingerprint(d, "orders")}" +
+      s"_${srcFingerprint(d, "lineitem")}"
     val (obName, lbName) = (s"graft_b_orders_$t", s"graft_b_lineitem_$t")
     QueriesStorage.synchronized {
       val base =
@@ -78,8 +103,8 @@ object QueriesStorage {
     */
   private def encodedPaths(s: SparkSession,
       d: String): Seq[(String, Boolean, String)] = {
-    val base =
-      s"${System.getProperty("java.io.tmpdir")}/graft_encoded/${tag(d)}"
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_encoded/" +
+      s"${tag(d)}_${srcFingerprint(d, "lineitem")}"
     QueriesStorage.synchronized {
       EncVariants.map { case (codec, dict) =>
         val path = s"$base/${codec}_dict$dict"
@@ -107,8 +132,10 @@ object QueriesStorage {
     * economics (pay the write once, amortize over every read).
     */
   private def snapshotPath(s: SparkSession, d: String): String = {
-    val base =
-      s"${System.getProperty("java.io.tmpdir")}/graft_snap/${tag(d)}"
+    // Path keyed on (dir, source fingerprint): a benchdata rebuild at
+    // the same dir lands in a fresh snapshot dir and forces a rebuild.
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_snap/" +
+      s"${tag(d)}_${srcFingerprint(d, "lineitem")}"
     QueriesStorage.synchronized {
       if (!new java.io.File(base, "_SUCCESS").isFile) {
         Tables.lineitem(s, d)

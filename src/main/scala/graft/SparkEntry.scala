@@ -53,10 +53,11 @@ object SparkEntry {
       "dedup.shingles" -> Set("d3_minhash_lsh", "d8_decontaminate",
         "d12_novelty", "d18_sorted_neighborhood", "d20_lsh_recall",
         "d21_minhash_error", "d33_budget_on_keepers", "mv5_lsh_delta"),
-      "dedup.clone_members" -> Set("d33_budget_on_keepers"),
+      "dedup.clone_members" -> Set("d33_budget_on_keepers",
+        "d31_dedup_first_pairs"),
       "dedup.keeper_index" -> Set.empty[String],
       "dedup.keeper_pairs" -> Set("d14_containment", "d21_minhash_error",
-        "d27_threshold_curve"),
+        "d27_threshold_curve", "d31_dedup_first_pairs"),
       "dedup.clique_self" -> Set("d14_containment", "d21_minhash_error",
         "d27_threshold_curve"),
       "dedup.verified_pairs" -> Set("d2_jaccard_pairs", "d7_dedup_clusters",

@@ -527,8 +527,13 @@ object RelationalOps {
       s"saltedJoin supports inner/left joins only, got $joinType")
     require(saltFactor >= 1, s"saltFactor must be >= 1, got $saltFactor")
     val saltCol = "__graft_salt"
+    // Row-hash MIXED with a per-row disambiguator (same formula as
+    // adaptiveSaltedJoin, ADVICE r15): fully-identical duplicate rows
+    // of the hot key — the clone-density regime salting exists for —
+    // would otherwise hash to ONE salt value and defeat the spread.
     val l = left.withColumn(saltCol,
-      pmod(xxhash64(left.columns.toSeq.map(col): _*), lit(saltFactor))
+      pmod(xxhash64(left.columns.toSeq.map(col) :+
+          monotonically_increasing_id(): _*), lit(saltFactor))
         .cast("int"))
     val r = right.withColumn(saltCol,
       explode(array((0 until saltFactor).map(lit): _*)))
@@ -582,9 +587,12 @@ object RelationalOps {
     // (ADVICE r14): fully-identical duplicate rows of the hot key —
     // exactly the clone-density regime salting exists for — would hash
     // to ONE salt value and land in a single partition. The
-    // monotonically_increasing_id term separates identical rows; its
-    // nondeterminism under task retry is harmless because the salt
-    // column only routes rows and is dropped after the join.
+    // monotonically_increasing_id term separates identical rows. Note
+    // its nondeterminism under task retry is the SPARK-23207 class:
+    // the salt routes rows through a shuffle, so on a fetch-failure
+    // retry Spark treats the stage as INDETERMINATE and recomputes it
+    // wholesale (or aborts the job if downstream tasks already
+    // committed) — safe-or-loud in modern Spark, never silently wrong.
     val l = left.crossJoin(broadcast(sf))
       .withColumn(saltCol,
         pmod(xxhash64(left.columns.toSeq.map(col) :+
