@@ -25,27 +25,15 @@ object QueriesStorage {
     */
   private def tag(d: String): String = d.replaceAll("[^A-Za-z0-9]", "_")
 
-  /** Cheap fingerprint of a source parquet table (file or directory):
-    * total bytes + newest mtime of the data files. Folded into
+  /** Cheap fingerprint of a source parquet table — folded into
     * build-once cache paths so REGENERATING the testdata at the same
     * path (e.g. a make_sf1.py rebuild) invalidates the cache instead
     * of silently serving stale data (ADVICE r15: stor6 read a stale
     * snapshot after a benchdata rebuild). Metadata-only — never reads
     * a row.
     */
-  private def srcFingerprint(d: String, table: String): String = {
-    val f = new java.io.File(s"$d/$table.parquet")
-    val files: Seq[java.io.File] =
-      if (f.isDirectory)
-        Option(f.listFiles()).fold(Seq.empty[java.io.File])(
-          _.filter(_.getName.endsWith(".parquet")).toSeq)
-      else Seq(f)
-    val bytes = files.map(_.length()).sum
-    val mtime = (files.map(_.lastModified()) :+ 0L).max
-    java.lang.Long.toHexString(
-      java.util.Objects.hash(bytes: java.lang.Long,
-        mtime: java.lang.Long).toLong & 0xffffffffL)
-  }
+  private def srcFingerprint(d: String, table: String): String =
+    graft.storage.CommitLog.srcFingerprint(d, table)
 
   /** Build-once cache for stor1's bucketed tables: writes both sides
     * bucketed(16, sorted) the FIRST time a (session, dir) asks, then
@@ -160,6 +148,185 @@ object QueriesStorage {
     * with no manifest collect (PlanAuditSpec pins PartitionFilters on
     * the scan).
     */
+  /** stor7's protocol run — the WRITE half of the table-format story
+    * (VERDICT r15 #1), executed ONCE per (dir, fingerprint) against
+    * the real [[graft.storage.CommitLog]] and summarized to a marker
+    * file so later invocations (and bench passes) re-read final state
+    * instead of re-running the protocol. The timeline mirrors stor6's
+    * modeled manifest, but every step here is EXECUTED:
+    *
+    *   1. stage ALL month files (written first, invisible — no commit
+    *      names them yet);
+    *   2. commit v1 = history ≤ 1996-12;
+    *   3. TWO CONCURRENT committers (1997-1998 vs 1999+), barrier-
+    *      synchronized so both base on v1 and race for v2: the winner
+    *      links v2, the loser gets CommitConflict, refreshes, retries,
+    *      commits v3 — exactly one conflict, final state independent
+    *      of who wins;
+    *   4. commit v4 = retention delete of the ≤ 1995-06 files;
+    *   5. expire snapshots below v4: checkpoint v4's live set, drop
+    *      manifests v1-v3, PHYSICALLY delete the month files only the
+    *      expired snapshots referenced;
+    *   6. prove the guard: time travel to v2 must refuse
+    *      (SnapshotExpired), and the deleted files must be gone from
+    *      disk.
+    */
+  private[graft] def stor7Table(s: SparkSession, d: String): String = {
+    import graft.storage.CommitLog
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_commitlog/" +
+      s"${tag(d)}_${srcFingerprint(d, "lineitem")}"
+    QueriesStorage.synchronized {
+      val summary = new java.io.File(base, "_protocol_summary.txt")
+      if (!summary.isFile) {
+        // wipe any partial state from a crashed run, then rebuild
+        def rmrf(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rmrf)); f.delete(): Unit
+        }
+        rmrf(new java.io.File(base))
+        val dataDir = CommitLog.dataDir(base)
+        Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_quantity"),
+            col("l_shipdate").cast("date").as("ship"),
+            date_trunc("month", col("l_shipdate")).cast("date")
+              .as("file_month"))
+          .write.partitionBy("file_month").parquet(dataDir)
+        // classify the staged month dirs by their partition value
+        val months = Option(new java.io.File(dataDir).listFiles())
+          .fold(Seq.empty[java.io.File])(_.toSeq)
+          .filter(f => f.isDirectory && f.getName.startsWith("file_month="))
+          .map(f => (f.getName, f.getName.stripPrefix("file_month=")))
+          .sortBy(_._2)
+        def upTo(cut: String) = months.filter(_._2 <= cut).map(_._1)
+        val b1 = upTo("1996-12-31")
+        val b2 = months.filter(m => m._2 > "1996-12-31" &&
+          m._2 <= "1998-12-31").map(_._1)
+        val b3 = months.filter(_._2 > "1998-12-31").map(_._1)
+        val retention = upTo("1995-06-30")
+        require(b1.nonEmpty && b2.nonEmpty && b3.nonEmpty &&
+          retention.nonEmpty, s"unexpected ship-month span in $d")
+        CommitLog.commit(base, b1, Nil, 0L)
+        // two concurrent committers, both based on v1, racing for v2
+        val barrier = new java.util.concurrent.CyclicBarrier(2)
+        val conflicts = new java.util.concurrent.atomic.AtomicInteger(0)
+        val errs =
+          new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+        val threads = Seq(b2, b3).map { batch =>
+          new Thread(() => {
+            try {
+              val expected = CommitLog.latestVersion(base) // both see v1
+              barrier.await()
+              try { CommitLog.commit(base, batch, Nil, expected); () }
+              catch {
+                case _: CommitLog.CommitConflict =>
+                  conflicts.incrementAndGet()
+                  // refresh to the winner's snapshot, retry at the head
+                  CommitLog.commit(base, batch, Nil,
+                    CommitLog.latestVersion(base)): Unit
+              }
+            } catch { case t: Throwable => errs.add(t): Unit }
+          })
+        }
+        threads.foreach(_.start()); threads.foreach(_.join())
+        if (!errs.isEmpty) throw errs.peek()
+        // v4: retention delete of the oldest files
+        CommitLog.commit(base, Nil, retention, 3L)
+        val (nExpired, nDeleted) = CommitLog.expireSnapshots(base, 4L)
+        val refused =
+          try { CommitLog.liveFiles(base, 2L); false }
+          catch { case _: CommitLog.SnapshotExpired => true }
+        val gone = retention.forall(r =>
+          !new java.io.File(dataDir, r).exists())
+        val body = Seq(
+          s"version_head=${CommitLog.latestVersion(base)}",
+          s"n_conflicts=${conflicts.get()}",
+          s"n_manifests_expired=$nExpired",
+          s"n_files_deleted=$nDeleted",
+          s"expired_read_refused=$refused",
+          s"files_physically_gone=$gone").mkString("", "\n", "\n")
+        java.nio.file.Files.write(summary.toPath,
+          body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      }
+    }
+    base
+  }
+
+  /** stor8's compaction run (VERDICT r15 #2 — stor3's plan, EXECUTED):
+    * its own table instance (stor7's mutates/expires; this one stays
+    * append+rewrite so both timelines are deterministic). v1 commits
+    * the raw month files; the stor3 bin-pack plan is computed from the
+    * v1 snapshot (one metadata-scale aggregate over O(files) rows),
+    * broadcast into the rewrite (each row gets its bin by a broadcast
+    * join on file_month — the plan is metadata, the rewrite is the
+    * cluster-wide job, exactly the stor3 economics), and v2 is the
+    * REWRITE commit: adds the per-bin compacted files, removes every
+    * month file. Nothing is expired — time travel to v1 must still
+    * return the identical table (pinned in StorageCompactionSpec along
+    * with the physical file-count drop).
+    */
+  private[graft] def stor8Table(s: SparkSession, d: String): String = {
+    import graft.storage.CommitLog
+    import org.apache.spark.sql.expressions.Window
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_compact/" +
+      s"${tag(d)}_${srcFingerprint(d, "lineitem")}"
+    QueriesStorage.synchronized {
+      val marker = new java.io.File(base, "_compaction_summary.txt")
+      if (!marker.isFile) {
+        def rmrf(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rmrf)); f.delete(): Unit
+        }
+        rmrf(new java.io.File(base))
+        val dataDir = CommitLog.dataDir(base)
+        Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_quantity"),
+            col("l_shipdate").cast("date").as("ship"),
+            date_trunc("month", col("l_shipdate")).cast("date")
+              .as("file_month"))
+          .write.partitionBy("file_month").parquet(dataDir)
+        def dirs(prefix: String) =
+          Option(new java.io.File(dataDir).listFiles())
+            .fold(Seq.empty[String])(_.toSeq
+              .filter(f => f.isDirectory && f.getName.startsWith(prefix))
+              .map(_.getName)).sorted
+        val months = dirs("file_month=")
+        CommitLog.commit(base, months, Nil, 0L)
+        // stor3's plan, from the committed snapshot: est 64 B/row,
+        // 4 MB target, running-sum admission over month order
+        val snap = CommitLog.read(s, base)
+        val w = Window.orderBy(col("file_month"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        // Same admission discipline as stor3's 4 MB plan; 1 MiB target
+        // here so the EXECUTED rewrite demonstrably merges multiple
+        // groups at every correctness scale (sf0.01's whole table is
+        // under 4 MB estimated — one bin would make the prune flag and
+        // the merge count trivial).
+        val plan = snap.groupBy("file_month")
+          .agg((count(lit(1)) * 64L).as("est_bytes"))
+          .withColumn("end_off", sum(col("est_bytes")).over(w))
+          .withColumn("bin",
+            ((col("end_off") - col("est_bytes")) / (1024L * 1024))
+              .cast("long"))
+          .select("file_month", "bin")
+        snap.join(broadcast(plan), "file_month")
+          .select(col("l_orderkey"), col("l_quantity"), col("ship"),
+            col("file_month"), col("bin"))
+          .write.mode("append").partitionBy("bin").parquet(dataDir)
+        CommitLog.commit(base, dirs("bin="), months, 1L)
+        java.nio.file.Files.write(marker.toPath,
+          s"n_files_before=${months.size}\nn_files_after=${dirs("bin=").size}\n"
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      }
+    }
+    base
+  }
+
+  private[graft] def stor7Summary(base: String): Map[String, String] =
+    java.nio.file.Files.readAllLines(
+      new java.io.File(base, "_protocol_summary.txt").toPath)
+      .toArray(Array.empty[String]).toSeq
+      .filter(_.contains("=")).map { l =>
+        val Array(k, v) = l.split("=", 2); (k, v)
+      }.toMap
+
   private def addVersion(m: Column): Column =
     when(m <= lit("1996-12-01").cast("date"), 1L)
       .when(m <= lit("1998-12-01").cast("date"), 2L)
@@ -169,6 +336,43 @@ object QueriesStorage {
       !(m <= lit("1995-06-01").cast("date") && lit(v >= 3))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // COMMIT PROTOCOL, executed (VERDICT r15 #1 — the write half stor6
+    // lacked): the month-file table is built through the real
+    // CommitLog — files staged invisible, manifests published by
+    // atomic hard-link, two barrier-synchronized committers racing for
+    // v2 (loser detects CommitConflict and retries against the
+    // winner's snapshot → exactly one conflict, order-independent
+    // final state), a retention-delete commit, then snapshot expiry
+    // that checkpoints the horizon, drops manifests v1-v3 and
+    // PHYSICALLY deletes the files only they referenced. The query
+    // reads the surviving head snapshot back through the log and
+    // reports the protocol's measured counters; the oracle recomputes
+    // every one relationally from raw lineitem (file counts are month
+    // counts; the protocol constants — head version, one conflict,
+    // three expired manifests, guards true — are deterministic by
+    // construction). The refusal guard (time travel below the horizon
+    // throws) and on-disk deletion are measured, not asserted.
+    "stor7_commit_protocol" -> ((s, d) => {
+      import graft.storage.CommitLog
+      val t = stor7Table(s, d)
+      val sm = stor7Summary(t)
+      val head = CommitLog.latestVersion(t)
+      val nLive = CommitLog.liveFiles(t, head).size
+      CommitLog.read(s, t)
+        .agg(count(lit(1)).as("rows_current"),
+          sum(floor(col("l_quantity") * 100 + lit(0.5)).cast("long"))
+            .cast("long").as("sum_qty_cents"))
+        .select(lit(head).as("version_head"),
+          lit(sm("n_conflicts").toLong).as("n_conflicts"),
+          lit(sm("n_manifests_expired").toLong).as("n_manifests_expired"),
+          lit(sm("n_files_deleted").toLong).as("n_files_deleted"),
+          lit(sm("expired_read_refused").toBoolean)
+            .as("expired_read_refused"),
+          lit(sm("files_physically_gone").toBoolean)
+            .as("files_physically_gone"),
+          lit(nLive.toLong).as("n_live_files"),
+          col("rows_current"), col("sum_qty_cents"))
+    }),
     // SNAPSHOT / TIME-TRAVEL reads (VERDICT r14 #5 — the versioned-read
     // capability that completes the table-format story): lineitem lives
     // as a REAL month-partitioned layout (one "file" per ship month,
@@ -229,6 +433,41 @@ object QueriesStorage {
       }
       perVersion.reduce(_ unionByName _)
     }),
+    // COMPACTION, executed (VERDICT r15 #2): stor3 planned the
+    // bin-packing of the small month-files; this query RUNS it through
+    // the commit log (1 MiB target — stor3's discipline, sized so the
+    // rewrite merges multiple groups at every correctness scale) —
+    // v1 commits the month files, the plan is one
+    // metadata aggregate broadcast into a cluster-side rewrite, v2 is
+    // the rewrite commit (adds per-bin compacted files, removes the
+    // months). The result reads the COMPACTED snapshot back and
+    // reports, per bin: how many files merged, rows, the exact integer
+    // checksum (stor5's losslessness discipline — rewritten bytes must
+    // carry identical data), the bin's ship span, and whether the
+    // stor2 3-month window still prunes it (zone-map prunability
+    // survives compaction because bins pack CONSECUTIVE months). The
+    // oracle recomputes the plan and every stat relationally from raw
+    // lineitem; StorageCompactionSpec pins the physical side (fewer
+    // files on disk, v1 time travel intact, log at v2).
+    "stor8_compaction_exec" -> ((s, d) => {
+      import graft.storage.CommitLog
+      val t = stor8Table(s, d)
+      val lo = lit(java.sql.Date.valueOf("1997-04-01"))
+      val hi = lit(java.sql.Date.valueOf("1997-07-01")) // end-exclusive
+      CommitLog.read(s, t) // head = v2, the compacted snapshot
+        .groupBy(col("bin").cast("long").as("bin"))
+        .agg(countDistinct(col("file_month")).as("n_files_merged"),
+          count(lit(1)).as("n_rows"),
+          sum(floor(col("l_quantity") * 100 + lit(0.5)).cast("long"))
+            .cast("long").as("sum_qty_cents"),
+          min(col("file_month")).as("from_month"),
+          max(col("file_month")).as("to_month"),
+          min(col("ship")).as("__mn"), max(col("ship")).as("__mx"))
+        .select(col("bin"), col("n_files_merged"), col("n_rows"),
+          col("sum_qty_cents"), col("from_month"), col("to_month"),
+          (col("__mx") < lo || col("__mn") >= hi).as("pruned"))
+    }),
+
     // Parquet ENCODING tradeoff — the third axis of physical design
     // after placement (stor1) and clustering (stor2/stor4): the same
     // lineitem rows written under codec × dictionary variants
@@ -411,6 +650,31 @@ object QueriesStorage {
   )
 
   def oracle: Map[String, String] = Map(
+    // stor7: protocol constants are deterministic by construction
+    // (4 commits, exactly one forced conflict, manifests v1-v3
+    // expired, both guards must hold); file counts and row/checksum
+    // state recompute relationally from lineitem's ship months. The
+    // retention delete removed months ≤ 1995-06, so the surviving
+    // head snapshot is everything after.
+    "stor7_commit_protocol" ->
+      """WITH f AS (SELECT date_trunc('month', l_shipdate)::DATE AS m,
+        |    count(*) AS n_rows,
+        |    CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS cents
+        |  FROM lineitem GROUP BY 1)
+        |SELECT CAST(4 AS BIGINT) AS version_head,
+        |  CAST(1 AS BIGINT) AS n_conflicts,
+        |  CAST(3 AS BIGINT) AS n_manifests_expired,
+        |  (SELECT count(*) FROM f WHERE m <= DATE '1995-06-01')
+        |    AS n_files_deleted,
+        |  true AS expired_read_refused,
+        |  true AS files_physically_gone,
+        |  (SELECT count(*) FROM f WHERE m > DATE '1995-06-01')
+        |    AS n_live_files,
+        |  (SELECT CAST(sum(n_rows) AS BIGINT) FROM f
+        |    WHERE m > DATE '1995-06-01') AS rows_current,
+        |  (SELECT CAST(sum(cents) AS BIGINT) FROM f
+        |    WHERE m > DATE '1995-06-01') AS sum_qty_cents""".stripMargin,
     // stor6: the same three-version manifest timeline and zone-map
     // arithmetic computed relationally from raw lineitem (layout and
     // versioning are execution properties; the result is invariant).
@@ -455,6 +719,31 @@ object QueriesStorage {
         |  stats.rows_asof, stats.rows_scanned,
         |  chk.rows_matched, chk.sum_qty_cents
         |FROM stats JOIN chk USING (version)""".stripMargin,
+    // stor8: stor3's binning recomputed relationally, with per-bin
+    // row/checksum/span stats and the stor2 window's prune flag — the
+    // compacted physical layout must carry identical data.
+    "stor8_compaction_exec" ->
+      """WITH f AS (SELECT date_trunc('month', l_shipdate)::DATE
+        |    AS file_month, count(*) AS n_rows,
+        |    CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS cents,
+        |    min(l_shipdate::DATE) AS min_ship,
+        |    max(l_shipdate::DATE) AS max_ship
+        |  FROM lineitem GROUP BY 1),
+        |o AS (SELECT *, n_rows * 64 AS est_bytes,
+        |    sum(n_rows * 64) OVER (ORDER BY file_month
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS end_off
+        |  FROM f)
+        |SELECT CAST(floor((end_off - est_bytes) / 1048576.0) AS BIGINT)
+        |    AS bin,
+        |  count(*) AS n_files_merged,
+        |  CAST(sum(n_rows) AS BIGINT) AS n_rows,
+        |  CAST(sum(cents) AS BIGINT) AS sum_qty_cents,
+        |  min(file_month) AS from_month, max(file_month) AS to_month,
+        |  (max(max_ship) < DATE '1997-04-01'
+        |    OR min(min_ship) >= DATE '1997-07-01') AS pruned
+        |FROM o GROUP BY 1""".stripMargin,
     // stor5: encoding-invariant read-back — every variant must return
     // the source table's exact row count and integer checksums.
     "stor5_encoding_tradeoff" ->

@@ -1,0 +1,253 @@
+package graft.storage
+
+import java.io.File
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, FileAlreadyExistsException, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Minimal table-format commit log — the WRITE half of the snapshot
+  * story stor6 reads (VERDICT r15 #1). The shape is the public
+  * Iceberg/Delta contract, reduced to its invariants:
+  *
+  *  - **Data files are written first, invisible.** A writer stages
+  *    parquet under `tableDir/data/`; nothing reads it until a commit
+  *    names it.
+  *  - **A commit is ONE atomic filesystem operation.** The manifest
+  *    (added/removed file lists + parent version) is written to a temp
+  *    file, then published as `_log/v%05d.txt` via a hard link —
+  *    `Files.createLink` is atomic create-exclusive, so two writers
+  *    racing for the same version cannot both succeed and a reader can
+  *    never observe a half-written manifest (the linked inode is
+  *    already complete).
+  *  - **Optimistic concurrency.** The loser's link attempt throws
+  *    [[CommitConflict]]; it refreshes to the winner's snapshot and
+  *    retries against the new head ([[commitWithRetry]]).
+  *  - **Snapshot expiry is checkpoint-then-delete.** Expiring history
+  *    below a horizon first materializes the horizon version's full
+  *    live set as a checkpoint manifest (crash-safe: a reader that
+  *    races the expiry still resolves every surviving version), then
+  *    deletes the expired manifests, then deletes data files no
+  *    surviving snapshot references. Time travel below the horizon
+  *    refuses loudly ([[SnapshotExpired]]), never silently serves a
+  *    partial file set.
+  *
+  * At 100 TB this is exactly the economics that make table formats
+  * work: commits move O(files-touched) metadata through one atomic
+  * rename-class operation while the data plane streams in parallel,
+  * and readers plan from O(manifest) metadata without listing the
+  * object store.
+  *
+  * Manifest format (line-oriented, no parser dependencies):
+  * {{{
+  *   P <parentVersion>
+  *   A <relative/data/path>     // file added by this commit
+  *   R <relative/data/path>     // file removed by this commit
+  * }}}
+  * A checkpoint manifest `_log/v%05d.checkpoint.txt` holds the FULL
+  * live set (`A` lines only) of its version; replay starts from the
+  * newest checkpoint at or below the requested version.
+  */
+object CommitLog {
+
+  /** Another writer committed the version this writer raced for. */
+  final case class CommitConflict(attempted: Long, latest: Long)
+    extends RuntimeException(
+      s"commit conflict: attempted v$attempted but log is at v$latest")
+
+  /** Time travel below the expiry horizon — refused, never partial. */
+  final case class SnapshotExpired(asOf: Long, earliest: Long)
+    extends RuntimeException(
+      s"snapshot v$asOf expired: earliest surviving version is v$earliest")
+
+  private def logDir(tableDir: String): File = new File(tableDir, "_log")
+  def dataDir(tableDir: String): String =
+    new File(tableDir, "data").getAbsolutePath
+
+  private def manifestName(v: Long): String = f"v$v%05d.txt"
+  private def checkpointName(v: Long): String = f"v$v%05d.checkpoint.txt"
+
+  private def versionOf(name: String): Option[Long] =
+    if (name.startsWith("v") && name.endsWith(".txt"))
+      name.stripPrefix("v").split("\\.").headOption
+        .flatMap(s => scala.util.Try(s.toLong).toOption)
+    else None
+
+  private def listLog(tableDir: String): Seq[File] =
+    Option(logDir(tableDir).listFiles())
+      .fold(Seq.empty[File])(_.toSeq)
+      .filter(f => versionOf(f.getName).isDefined)
+
+  /** Latest committed version; 0 when the log is empty (a fresh table
+    * is "version 0": no files live).
+    */
+  def latestVersion(tableDir: String): Long =
+    (listLog(tableDir).flatMap(f => versionOf(f.getName)) :+ 0L).max
+
+  /** Earliest version still resolvable (expiry moves this up). 1 on a
+    * never-expired log with at least one commit.
+    */
+  def earliestVersion(tableDir: String): Long = {
+    val vs = listLog(tableDir).flatMap(f => versionOf(f.getName))
+    if (vs.isEmpty) 0L else vs.min
+  }
+
+  /** Atomically commit `added`/`removed` against the snapshot this
+    * writer last saw. Returns the new version; throws [[CommitConflict]]
+    * if another writer claimed `expectedCurrent + 1` first. The write
+    * is temp-file + hard-link publish: the link either fully exists
+    * (complete content — the inode was written before linking) or does
+    * not exist at all.
+    */
+  def commit(tableDir: String, added: Seq[String], removed: Seq[String],
+      expectedCurrent: Long): Long = {
+    val dir = logDir(tableDir)
+    dir.mkdirs()
+    val next = expectedCurrent + 1
+    val body = (s"P $expectedCurrent" +:
+      (added.sorted.map("A " + _) ++ removed.sorted.map("R " + _)))
+      .mkString("", "\n", "\n")
+    val tmp = new File(dir, s"_tmp_${java.util.UUID.randomUUID()}")
+    Files.write(tmp.toPath, body.getBytes(StandardCharsets.UTF_8))
+    val target = new File(dir, manifestName(next)).toPath
+    try {
+      Files.createLink(target, tmp.toPath)
+      next
+    } catch {
+      case _: FileAlreadyExistsException =>
+        throw CommitConflict(next, latestVersion(tableDir))
+    } finally Files.deleteIfExists(tmp.toPath)
+  }
+
+  /** Optimistic-retry wrapper: `mkBatch` maps the CURRENT live file
+    * set to the (added, removed) lists — recomputed after every
+    * conflict so the retry commits against the winner's snapshot.
+    * Returns (committedVersion, conflictsSeen).
+    */
+  def commitWithRetry(tableDir: String,
+      mkBatch: Seq[String] => (Seq[String], Seq[String]),
+      maxRetries: Int = 5): (Long, Int) = {
+    var conflicts = 0
+    while (true) {
+      val head = latestVersion(tableDir)
+      val (add, rem) = mkBatch(
+        if (head == 0L) Seq.empty else liveFiles(tableDir, head))
+      try return (commit(tableDir, add, rem, head), conflicts)
+      catch {
+        case _: CommitConflict if conflicts < maxRetries => conflicts += 1
+      }
+    }
+    sys.error("unreachable")
+  }
+
+  private def parse(f: File): (Seq[String], Seq[String]) = {
+    val lines = Files.readAllLines(f.toPath).toArray(Array.empty[String])
+    (lines.collect { case l if l.startsWith("A ") => l.drop(2) }.toSeq,
+      lines.collect { case l if l.startsWith("R ") => l.drop(2) }.toSeq)
+  }
+
+  /** The live data-file set of snapshot `asOf`: replay from the newest
+    * checkpoint ≤ asOf. Refuses loudly when the version is expired
+    * (below every surviving manifest) or unknown (above the head).
+    */
+  def liveFiles(tableDir: String, asOf: Long): Seq[String] = {
+    val head = latestVersion(tableDir)
+    require(asOf >= 1 && asOf <= head,
+      s"unknown snapshot v$asOf (log head is v$head)")
+    val files = listLog(tableDir)
+    val byVersion = files.groupBy(f => versionOf(f.getName).get)
+    val ckpts = files.filter(_.getName.endsWith(".checkpoint.txt"))
+      .flatMap(f => versionOf(f.getName)).filter(_ <= asOf)
+    val base = if (ckpts.isEmpty) 0L else ckpts.max
+    // Every version in (base, asOf] must have a plain manifest, else
+    // history below the horizon was expired out from under the caller.
+    val replay = ((base + 1) to asOf).map { v =>
+      byVersion.getOrElse(v, Seq.empty)
+        .find(!_.getName.endsWith(".checkpoint.txt"))
+        .getOrElse(throw SnapshotExpired(asOf, earliestVersion(tableDir)))
+    }
+    val start: Set[String] =
+      if (base == 0L) Set.empty
+      else parse(byVersion(base)
+        .find(_.getName.endsWith(".checkpoint.txt")).get)._1.toSet
+    replay.foldLeft(start) { (live, m) =>
+      val (add, rem) = parse(m)
+      live -- rem ++ add
+    }.toSeq.sorted
+  }
+
+  /** Read snapshot `asOf` (default: head) as a DataFrame. `basePath`
+    * keeps directory-partition columns (e.g. `file_month=...`)
+    * visible. An EMPTY live set has no schema source and is refused —
+    * callers model deletes via `removed` entries, not empty tables.
+    */
+  def read(spark: SparkSession, tableDir: String,
+      asOf: Option[Long] = None): DataFrame = {
+    val v = asOf.getOrElse(latestVersion(tableDir))
+    val files = liveFiles(tableDir, v)
+    require(files.nonEmpty, s"snapshot v$v is empty")
+    val base = dataDir(tableDir)
+    spark.read.option("basePath", base)
+      .parquet(files.map(f => s"$base/$f"): _*)
+  }
+
+  private def deleteRecursively(f: File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    f.delete(): Unit
+  }
+
+  /** Expire every snapshot below `keepFrom`: write a checkpoint of
+    * `keepFrom`'s live set FIRST (readers racing the expiry still
+    * resolve surviving versions), then delete the expired manifests,
+    * then physically delete data files referenced ONLY by expired
+    * snapshots. Returns (manifestsExpired, dataFilesDeleted).
+    */
+  def expireSnapshots(tableDir: String, keepFrom: Long): (Int, Int) = {
+    val head = latestVersion(tableDir)
+    require(keepFrom >= 1 && keepFrom <= head,
+      s"retention horizon v$keepFrom outside committed range 1..$head")
+    val earliest = earliestVersion(tableDir)
+    if (keepFrom <= earliest) return (0, 0)
+    // Union of live sets over every version the caller may still read.
+    val surviving = (keepFrom to head).flatMap(liveFiles(tableDir, _)).toSet
+    // Union over expired versions — resolvable while their manifests
+    // still exist.
+    val expired = (earliest until keepFrom)
+      .flatMap(liveFiles(tableDir, _)).toSet
+    val keepLive = liveFiles(tableDir, keepFrom)
+    // 1. checkpoint the horizon
+    val ckBody = (s"P ${keepFrom - 1}" +: keepLive.map("A " + _))
+      .mkString("", "\n", "\n")
+    val ck = new File(logDir(tableDir), checkpointName(keepFrom))
+    if (!ck.isFile)
+      Files.write(ck.toPath, ckBody.getBytes(StandardCharsets.UTF_8))
+    // 2. drop expired manifests
+    val dropped = listLog(tableDir).filter { f =>
+      versionOf(f.getName).exists(_ < keepFrom) }
+    dropped.foreach(f => Files.deleteIfExists(f.toPath))
+    // 3. physically delete orphaned data files
+    val orphans = (expired -- surviving).toSeq.sorted
+    val base = dataDir(tableDir)
+    orphans.foreach(rel => deleteRecursively(new File(base, rel)))
+    (dropped.size, orphans.size)
+  }
+
+  /** Cheap fingerprint of a source parquet table (file or directory):
+    * total bytes + newest mtime. Folded into build-once cache paths so
+    * regenerating testdata at the same path invalidates the cache
+    * instead of silently serving stale data. Metadata-only.
+    */
+  def srcFingerprint(d: String, table: String): String = {
+    val f = new File(s"$d/$table.parquet")
+    val files: Seq[File] =
+      if (f.isDirectory)
+        Option(f.listFiles()).fold(Seq.empty[File])(
+          _.filter(_.getName.endsWith(".parquet")).toSeq)
+      else Seq(f)
+    val bytes = files.map(_.length()).sum
+    val mtime = (files.map(_.lastModified()) :+ 0L).max
+    java.lang.Long.toHexString(
+      java.util.Objects.hash(bytes: java.lang.Long,
+        mtime: java.lang.Long).toLong & 0xffffffffL)
+  }
+}

@@ -1,0 +1,141 @@
+package graft
+
+import java.io.File
+import java.nio.file.Files
+
+import graft.storage.CommitLog
+
+/** The table-format write path's invariants: atomic publish, optimistic
+  * concurrency (the two-writer conflict the protocol is FOR), replay
+  * correctness through removes, and checkpoint-then-delete expiry with
+  * a loud refusal below the horizon.
+  */
+class CommitLogSpec extends SparkTestBase {
+
+  private def freshDir(): String = {
+    val f = Files.createTempDirectory("graft_cl_test").toFile
+    f.deleteOnExit()
+    f.getAbsolutePath
+  }
+
+  private def stage(dir: String, rel: String, rows: Seq[(Long, String)])
+      : Unit = {
+    import spark.implicits._
+    rows.toDF("k", "part").write.mode("overwrite")
+      .parquet(s"${CommitLog.dataDir(dir)}/$rel")
+  }
+
+  test("append commits replay to the right live set; reads see them") {
+    val t = freshDir()
+    stage(t, "f1", Seq((1L, "a"), (2L, "a")))
+    stage(t, "f2", Seq((3L, "b")))
+    assert(CommitLog.latestVersion(t) === 0L)
+    assert(CommitLog.commit(t, Seq("f1"), Nil, 0L) === 1L)
+    assert(CommitLog.commit(t, Seq("f2"), Nil, 1L) === 2L)
+    assert(CommitLog.liveFiles(t, 1L) === Seq("f1"))
+    assert(CommitLog.liveFiles(t, 2L) === Seq("f1", "f2"))
+    assert(CommitLog.read(spark, t, Some(1L)).count() === 2L)
+    assert(CommitLog.read(spark, t).count() === 3L)
+  }
+
+  test("remove commits hide files from later snapshots only") {
+    val t = freshDir()
+    stage(t, "f1", Seq((1L, "a")))
+    stage(t, "f2", Seq((2L, "b")))
+    CommitLog.commit(t, Seq("f1", "f2"), Nil, 0L)
+    CommitLog.commit(t, Nil, Seq("f1"), 1L)
+    assert(CommitLog.liveFiles(t, 1L) === Seq("f1", "f2"))
+    assert(CommitLog.liveFiles(t, 2L) === Seq("f2"))
+    // the removed file is still on disk (referenced by v1)
+    assert(new File(CommitLog.dataDir(t), "f1").exists())
+  }
+
+  test("stale expected version conflicts; unknown snapshots refuse") {
+    val t = freshDir()
+    stage(t, "f1", Seq((1L, "a")))
+    CommitLog.commit(t, Seq("f1"), Nil, 0L)
+    val e = intercept[CommitLog.CommitConflict] {
+      CommitLog.commit(t, Seq("f1"), Nil, 0L) // expected=0 but head=1
+    }
+    assert(e.attempted === 1L && e.latest === 1L)
+    intercept[IllegalArgumentException](CommitLog.liveFiles(t, 99L))
+    intercept[IllegalArgumentException](CommitLog.liveFiles(t, 0L))
+  }
+
+  test("two concurrent committers: one wins, loser retries on refresh") {
+    val t = freshDir()
+    stage(t, "base", Seq((0L, "z")))
+    stage(t, "fa", Seq((1L, "a")))
+    stage(t, "fb", Seq((2L, "b")))
+    CommitLog.commit(t, Seq("base"), Nil, 0L)
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    val conflicts = new java.util.concurrent.atomic.AtomicInteger(0)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = Seq("fa", "fb").map { f =>
+      new Thread(() => {
+        try {
+          val expected = CommitLog.latestVersion(t) // both read v1
+          barrier.await()
+          try { CommitLog.commit(t, Seq(f), Nil, expected); () }
+          catch {
+            case _: CommitLog.CommitConflict =>
+              conflicts.incrementAndGet()
+              CommitLog.commit(t, Seq(f), Nil,
+                CommitLog.latestVersion(t)): Unit
+          }
+        } catch { case x: Throwable => errs.add(x): Unit }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(errs.isEmpty, errs.toString)
+    assert(conflicts.get() === 1, "exactly one writer must lose the race")
+    assert(CommitLog.latestVersion(t) === 3L)
+    // final state carries BOTH batches regardless of race order
+    assert(CommitLog.liveFiles(t, 3L) === Seq("base", "fa", "fb"))
+  }
+
+  test("commitWithRetry recomputes its batch against the refreshed head") {
+    val t = freshDir()
+    stage(t, "f1", Seq((1L, "a")))
+    stage(t, "f2", Seq((2L, "b")))
+    CommitLog.commit(t, Seq("f1"), Nil, 0L)
+    val (v, c) = CommitLog.commitWithRetry(t,
+      live => (Seq("f2"), live.filter(_ == "f1")))
+    assert(v === 2L && c === 0)
+    assert(CommitLog.liveFiles(t, 2L) === Seq("f2"))
+  }
+
+  test("expiry: checkpointed replay, physical deletion, loud refusal") {
+    val t = freshDir()
+    stage(t, "old", Seq((1L, "a")))
+    stage(t, "mid", Seq((2L, "b")))
+    stage(t, "new", Seq((3L, "c")))
+    CommitLog.commit(t, Seq("old"), Nil, 0L)    // v1
+    CommitLog.commit(t, Seq("mid"), Nil, 1L)    // v2
+    CommitLog.commit(t, Seq("new"), Seq("old"), 2L) // v3: drop "old"
+    val (nManifests, nFiles) = CommitLog.expireSnapshots(t, 3L)
+    assert(nManifests === 2 && nFiles === 1)
+    // "old" was referenced only by v1/v2 — physically gone
+    assert(!new File(CommitLog.dataDir(t), "old").exists())
+    // surviving files intact; v3 replays from the checkpoint
+    assert(CommitLog.liveFiles(t, 3L) === Seq("mid", "new"))
+    assert(CommitLog.read(spark, t).count() === 2L)
+    // time travel below the horizon refuses loudly
+    val e = intercept[CommitLog.SnapshotExpired](CommitLog.liveFiles(t, 2L))
+    assert(e.earliest === 3L)
+    // idempotent: a second expiry at the same horizon is a no-op
+    assert(CommitLog.expireSnapshots(t, 3L) === ((0, 0)))
+    // commits continue past the checkpoint and replay through it
+    stage(t, "f4", Seq((4L, "d")))
+    CommitLog.commit(t, Seq("f4"), Nil, 3L)
+    assert(CommitLog.liveFiles(t, 4L) === Seq("f4", "mid", "new"))
+  }
+
+  test("expiry horizon outside the committed range refuses") {
+    val t = freshDir()
+    stage(t, "f1", Seq((1L, "a")))
+    CommitLog.commit(t, Seq("f1"), Nil, 0L)
+    intercept[IllegalArgumentException](CommitLog.expireSnapshots(t, 2L))
+    intercept[IllegalArgumentException](CommitLog.expireSnapshots(t, 0L))
+  }
+}
