@@ -787,6 +787,21 @@ object QueriesDedup {
         .select(col("id").as("doc_id"), col("cluster").as("cluster_id"))
     }),
 
+    // d7's clustering recomputed by ALTERNATING STAR CONTRACTION
+    // (VERDICT r15 #4): identical output contract — every doc labeled
+    // with its component's min id over the same verified pairs — but
+    // O(log n) rounds on ANY topology where d7's min-label Pregel pays
+    // O(component diameter). On this corpus's clique-shaped duplicate
+    // components both converge fast; the algorithm exists for the
+    // 100× corpus whose near-dups CHAIN (A~B~C~…) — a path component
+    // of 2^k docs costs min-label 2^k rounds and star contraction ~k
+    // (StarContractionSpec pins the round counts on exactly that
+    // fixture). Same recursive-CTE oracle as d7.
+    "d34_star_contraction" -> ((s, d) => {
+      DedupOps.starContraction(verifiedPairs(s, d), "id_a", "id_b")._1
+        .select(col("id").as("doc_id"), col("cluster").as("cluster_id"))
+    }),
+
     // Test-set decontamination: training docs (x6's hash split) that
     // share any 3-shingle with the held-out test split, with the
     // distinct-overlap count. One equi-join on the 8-byte shingle hash
@@ -1299,6 +1314,21 @@ object QueriesDedup {
          |SELECT doc_id, count(*) AS n_hits
          |FROM tr JOIN te USING (sh_h) GROUP BY 1""".stripMargin,
     "d7_dedup_clusters" ->
+      s"""WITH RECURSIVE $d2Ctes,
+         |pairs AS ($d2Select),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |          UNION SELECT id_b, id_a FROM pairs),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e2.dst FROM reach r
+         |    JOIN edges e2 ON r.dst = e2.src)
+         |SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+         |FROM reach GROUP BY src""".stripMargin,
+    // d34: same closure oracle as d7 — the Spark side differs only in
+    // HOW it converges (star contraction vs min-label), the relational
+    // answer is identical by definition.
+    "d34_star_contraction" ->
       s"""WITH RECURSIVE $d2Ctes,
          |pairs AS ($d2Select),
          |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs

@@ -831,6 +831,35 @@ object QueriesRelational {
           col("right_rows"), lit(strategy).as("strategy"))
     }),
 
+    // CATALOG-STATS join planning (VERDICT r15 #3 — j18 with the CBO's
+    // statistics read where a CBO actually reads them): the decision
+    // inputs come from the persisted ANALYZE catalog (row counts, KMV
+    // NDV, dq5 hot-key skew, fingerprint-guarded staleness), built
+    // once per (dir, table, key) and amortized over every plan — this
+    // invocation costs ZERO statistics jobs once the catalog is warm,
+    // where j18 pays a full right-side count every time. Decision
+    // thresholds are shared with j18 (parity pinned in
+    // CatalogStatsSpec); the decision AND its two inputs are surfaced
+    // as columns so the oracle recomputes the whole policy
+    // relationally (skew = exact integer ceil, the j17 formula). The
+    // join result is strategy-invariant by construction.
+    "j19_catalog_stats_join" -> ((s, d) => {
+      val ord = Tables.orders(s, d).select("o_custkey", "o_totalprice")
+      val cust = Tables.customer(s, d)
+        .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))
+      val (strategy, _, (rightRows, skew), joined) =
+        RelationalOps.costGuardedJoinFromCatalog(s, d,
+          ord, "orders", "o_custkey", cust, "customer", "o_custkey",
+          Seq("o_custkey"))
+      joined.groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(floor(col("o_totalprice") * 100 + lit(0.5)).cast("long"))
+            .as("price_cents"))
+        .select(col("c_mktsegment"), col("n_orders"), col("price_cents"),
+          lit(rightRows).as("right_rows"), lit(skew).as("skew_factor"),
+          lit(strategy).as("strategy"))
+    }),
+
     // Scalar subquery: parts priced above the global average.
     "sub1_scalar_subquery" -> ((s, d) => {
       val p = Tables.part(s, d)
@@ -1362,6 +1391,23 @@ object QueriesRelational {
         |       ELSE 'shuffle' END AS strategy
         |FROM orders JOIN customer ON o_custkey = c_custkey, rr
         |GROUP BY c_mktsegment, rr.right_rows""".stripMargin,
+    // j19: the catalog's decision inputs recomputed relationally —
+    // right_rows exact, skew = the j17 exact-integer ceil over the
+    // left key's distribution — and the shared policy applied.
+    "j19_catalog_stats_join" ->
+      """WITH rr AS (SELECT count(*) AS right_rows FROM customer),
+        |sk AS (SELECT CAST((max(n) * count(*) + sum(n) - 1) // sum(n)
+        |    AS BIGINT) AS skew_factor
+        |  FROM (SELECT count(*) AS n FROM orders GROUP BY o_custkey))
+        |SELECT c_mktsegment, count(*) AS n_orders,
+        |  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |    AS BIGINT) AS price_cents,
+        |  rr.right_rows, sk.skew_factor,
+        |  CASE WHEN rr.right_rows <= 1000000 THEN 'broadcast'
+        |       WHEN sk.skew_factor < 4 THEN 'shuffle'
+        |       ELSE 'salted' END AS strategy
+        |FROM orders JOIN customer ON o_custkey = c_custkey, rr, sk
+        |GROUP BY c_mktsegment, rr.right_rows, sk.skew_factor""".stripMargin,
     "j7_full_outer" ->
       """SELECT CASE WHEN c_custkey IS NULL THEN 'no_customer'
         |  WHEN o_orderkey IS NULL THEN 'no_orders'

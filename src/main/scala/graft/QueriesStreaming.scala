@@ -350,6 +350,24 @@ object QueriesStreaming {
       MultimodalOps.decodeHeaders(
         MultimodalOps.synthesizeImages(Tables.documents(s, d)))
         .toDF().select("doc_id", "format", "width", "height")
+    }),
+
+    // JPEG frame-header decode (VERDICT r15 #8 — real crawled corpora
+    // are overwhelmingly JPEG): synthesize spec-conformant T.81 marker
+    // streams (SOI + JFIF APP0 + SOF0/SOF2) with md5-derived dims and
+    // component counts, then SCAN the actual bytes back out — marker
+    // sync, fill bytes, standalone markers, segment lengths, and the
+    // SOF0-vs-SOF2 distinction all parsed, with the hostile-header
+    // gauntlet (bogus lengths, forged component tables, oversized
+    // dims) spec-pinned in MultimodalOpsSpec. The oracle recomputes
+    // every field from the text formulas, so a scan that misreads any
+    // header byte fails the hash.
+    "m10_jpeg_headers" -> ((s, d) => {
+      MultimodalOps.decodeJpegHeaders(
+        MultimodalOps.synthesizeJpegs(Tables.documents(s, d)))
+        .toDF()
+        .select("doc_id", "progressive", "width", "height",
+          "n_components")
     })
   )
 
@@ -687,6 +705,18 @@ object QueriesStreaming {
         |    AS BIGINT) % 640 + 1 AS width,
         |  CAST(concat('0x', substr(md5(concat('h:', text)), 1, 15))
         |    AS BIGINT) % 480 + 1 AS height
+        |FROM documents""".stripMargin,
+    // m10: every decoded field recomputed from the same md5 formulas
+    // that seeded the encoder.
+    "m10_jpeg_headers" ->
+      """SELECT doc_id,
+        |  doc_id % 2 = 0 AS progressive,
+        |  CAST(concat('0x', substr(md5(concat('jw:', text)), 1, 15))
+        |    AS BIGINT) % 640 + 1 AS width,
+        |  CAST(concat('0x', substr(md5(concat('jh:', text)), 1, 15))
+        |    AS BIGINT) % 480 + 1 AS height,
+        |  CAST(concat('0x', substr(md5(concat('jc:', text)), 1, 15))
+        |    AS BIGINT) % 2 * 2 + 1 AS n_components
         |FROM documents""".stripMargin,
     "m1_multimodal_meta" ->
       """SELECT doc_id,

@@ -61,7 +61,8 @@ object SparkEntry {
       "dedup.clique_self" -> Set("d14_containment", "d21_minhash_error",
         "d27_threshold_curve"),
       "dedup.verified_pairs" -> Set("d2_jaccard_pairs", "d7_dedup_clusters",
-        "d9_pagerank", "d15_canonical", "d20_lsh_recall"),
+        "d9_pagerank", "d15_canonical", "d20_lsh_recall",
+        "d34_star_contraction"),
       "dedup.prefix_buckets" -> Set("d17_prefix_filter", "d29_prefix_budget",
         "d32_prefix_budget_curve"),
       "dedup.budget_pairs" -> Set("d29_prefix_budget",

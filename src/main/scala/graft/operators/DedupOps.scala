@@ -546,6 +546,95 @@ object DedupOps {
     } finally sym.unpersist()
   }
 
+  /** Connected components by ALTERNATING STAR CONTRACTION (VERDICT r15
+    * #4 — the O(log n)-round alternative to [[connectedComponents]]'s
+    * O(diameter) min-label Pregel): the two-phase algorithm of
+    * Kiveris et al., "Connected Components in MapReduce and Beyond"
+    * (SoCC'14). Edges are kept oriented child→parent (src > dst);
+    * each round applies
+    *
+    *  - **large-star**: every node attaches its LARGER neighbors
+    *    directly to the minimum of its closed neighborhood, halving
+    *    long chains upward;
+    *  - **small-star**: every node re-points itself and its smaller
+    *    non-min parents at its minimum parent, flattening the local
+    *    tree into a star;
+    *
+    * until the edge set is a fixpoint — at which point every edge is
+    * (node → component-min) and labels read off directly. Both phases
+    * are one groupBy + one equi-join over the edge list (same per-round
+    * movement as one min-label round), but the ROUND COUNT is
+    * O(log n) on any topology: a path of 2^k nodes converges in ~k
+    * rounds where min-label pays 2^k (StarContractionSpec pins both).
+    * That is the property that keeps the dedup-cluster step safe when
+    * a 100× corpus contains CHAINED near-duplicates (A~B~C~…) instead
+    * of band-collision cliques. Per-round lineage is cut with the same
+    * lazy localCheckpoint discipline as min-label (each phase's plan
+    * references the previous frame twice — unchecked, the plan tree
+    * doubles per round); the fixpoint probe (symmetric difference,
+    * first row only) is the round's single action.
+    *
+    * Returns (labels, rounds): labels = (id, cluster) for every node
+    * appearing in `pairs`, cluster = component min id.
+    */
+  def starContraction(pairs: DataFrame, idACol: String, idBCol: String,
+      maxIters: Int = 50): (DataFrame, Int) = {
+    val ab = pairs.select(col(idACol).cast("long").as("a"),
+      col(idBCol).cast("long").as("b"))
+    val nodes = ab.select(col("a").as("id"))
+      .union(ab.select(col("b").as("id"))).distinct()
+      .localCheckpoint(eager = false)
+    var e = ab.filter(col("a") =!= col("b"))
+      .select(greatest(col("a"), col("b")).as("src"),
+        least(col("a"), col("b")).as("dst"))
+      .distinct()
+      .localCheckpoint(eager = false)
+
+    // large-star(u): m = min(Γ(u) ∪ {u}); emit (v, m) ∀ v ∈ Γ(u), v > u.
+    // Each oriented edge (c, p) is seen from BOTH endpoints' groups, so
+    // the child always survives via the smaller endpoint's emission.
+    def largeStar(edges: DataFrame): DataFrame = {
+      val sym = edges.union(
+        edges.select(col("dst").as("src"), col("src").as("dst")))
+      val m = sym.groupBy("src")
+        .agg(least(min(col("dst")), col("src")).as("m"))
+      sym.join(m, "src").filter(col("dst") > col("src"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .distinct()
+    }
+    // small-star(u): m = min(N(u)) over u's parents; re-point u and
+    // every non-min parent at m. Keeps the child→parent orientation.
+    def smallStar(edges: DataFrame): DataFrame = {
+      val m = edges.groupBy("src").agg(min(col("dst")).as("m"))
+      edges.join(m, "src").filter(col("dst") =!= col("m"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .union(m.select(col("src"), col("m").as("dst")))
+        .distinct()
+    }
+
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIters) {
+      val next = smallStar(largeStar(e)).localCheckpoint(eager = false)
+      // single probe action per round: any edge in exactly one of the
+      // two sets means another round (materializes `next` as a side
+      // effect, same discipline as min-label's change probe)
+      val changed = next.exceptAll(e).union(e.exceptAll(next))
+        .limit(1).count() > 0
+      e = next
+      converged = !changed
+      iter += 1
+    }
+    require(converged,
+      s"starContraction did not converge in $maxIters rounds — " +
+        "this bound should be ~log2(nodes); raise maxIters")
+    val labels = nodes.join(
+      e.select(col("src").as("id"), col("dst").as("cluster")),
+      Seq("id"), "left")
+      .select(col("id"), coalesce(col("cluster"), col("id")).as("cluster"))
+    (labels, iter)
+  }
+
   /** Integer PageRank over an undirected pair list: `iters` rounds of
     * r' = (1-d)·10^6 + d·Σ_in (r div deg) with d = 17/20, all in
     * micro-units with FLOOR division — every round is integer-exact, so

@@ -653,6 +653,43 @@ object RelationalOps {
     }
   }
 
+  /** [[costGuardedJoin]] with its statistics read from the persisted
+    * ANALYZE catalog instead of measured per invocation (VERDICT r15
+    * #3: at 100 TB a planner reads catalog stats, it does not count
+    * the table per query). The first call on a fresh catalog runs the
+    * ANALYZE pass and persists it; every later call — and every OTHER
+    * query joining the same tables — reads two tiny text entries, so
+    * the decision costs zero Spark jobs. Stale stats (source parquet
+    * regenerated since ANALYZE) are detected by fingerprint and fall
+    * back to re-measuring — never silently planned against a dead
+    * snapshot. Decision parity with the measured [[costGuardedJoin]]
+    * is pinned in CatalogStatsSpec; the policy thresholds are shared.
+    * Returns (strategy, statsSource, joined) where statsSource is
+    * "catalog" when both entries were served persisted.
+    */
+  def costGuardedJoinFromCatalog(s: org.apache.spark.sql.SparkSession,
+      d: String, left: DataFrame, leftTable: String, leftKey: String,
+      right: DataFrame, rightTable: String, rightKey: String,
+      keys: Seq[String], broadcastMaxRows: Long = 1000000L,
+      skewThreshold: Long = 4L, maxSalt: Int = 32)
+      : (String, String, (Long, Long), DataFrame) = {
+    import graft.storage.StatsCatalog
+    val r = StatsCatalog.readOrAnalyze(s, d, rightTable, right, rightKey)
+    val l = StatsCatalog.readOrAnalyze(s, d, leftTable, left, leftKey)
+    val strategy = chooseJoinStrategy(r.stats.rows, l.stats.skew,
+      broadcastMaxRows, skewThreshold)
+    val src =
+      if (r.source == "catalog" && l.source == "catalog") "catalog"
+      else "analyzed"
+    val joined = strategy match {
+      case "broadcast" => left.join(broadcast(right), keys)
+      case "shuffle" => left.join(right.hint("merge"), keys)
+      case _ => saltedJoin(left, right, keys,
+        math.min(l.stats.skew, maxSalt.toLong).toInt)
+    }
+    (strategy, src, (r.stats.rows, l.stats.skew), joined)
+  }
+
   /** SCD Type-2 interval build: collapse a per-key attribute timeline
     * into validity intervals — one row per *change*, carrying
     * `valid_from` (the change row's timestamp), `valid_to` (the NEXT

@@ -1,0 +1,108 @@
+package graft.storage
+
+import java.io.File
+import java.nio.charset.StandardCharsets
+import java.nio.file.Files
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** ANALYZE-style statistics catalog (VERDICT r15 #3): the planner-side
+  * fix for j18's per-invocation `count()` pre-pass. A real CBO does
+  * not count a 100 TB table per query — it reads persisted catalog
+  * statistics collected ONCE by an ANALYZE job and amortized over
+  * every subsequent plan. This catalog stores, per (dir, table, key):
+  *
+  *  - `rows` — exact row count;
+  *  - `ndv` — distinct keys, estimated by the native KMV bottom-k
+  *    aggregate (one pass, no shuffle of the key space — the sketch is
+  *    a bounded buffer per partial; chosen over the raw-HLL aggregate
+  *    because raw HLL without linear-counting saturates at ≈2954 on
+  *    exactly the cardinalities the correctness scales exercise, while
+  *    KMV is EXACT under k and ~1/√k above);
+  *  - `maxKeyRows` — the hottest key's row count (dq5's diagnostic);
+  *  - `skew` — the derivedSaltFactor ceil (max·groups ÷ total, exact
+  *    integer), the number chooseJoinStrategy consumes;
+  *  - the source-table fingerprint the stats were collected against.
+  *
+  * Staleness is a first-class outcome: [[read]] returns None when the
+  * stored fingerprint no longer matches the source files, and
+  * [[readOrAnalyze]] then falls back to re-measuring — the
+  * stale-stats arm is pinned in CatalogStatsSpec. Entries are tiny
+  * text files (catalog metadata is orders of magnitude smaller than
+  * data — the stor3 economics applied to planning).
+  */
+object StatsCatalog {
+
+  final case class TableStats(rows: Long, ndv: Long, maxKeyRows: Long,
+      skew: Long, fingerprint: String)
+
+  /** `source`: "catalog" when served from a fresh persisted entry,
+    * "analyzed" when this call had to (re)measure.
+    */
+  final case class StatsResult(stats: TableStats, source: String)
+
+  private def tag(d: String): String = d.replaceAll("[^A-Za-z0-9]", "_")
+
+  private[graft] def entryFile(d: String, table: String, key: String): File =
+    new File(s"${System.getProperty("java.io.tmpdir")}/graft_stats/" +
+      s"${tag(d)}/${table}__$key.txt")
+
+  /** Collect stats with two aggregation jobs — the ANALYZE pass. The
+    * skew/max/rows numbers come from one groupBy(key) reduction
+    * (exact — this is the one pass a real ANALYZE pays, amortized over
+    * every later plan); the NDV comes from the KMV sketch aggregate
+    * in a second shuffle-free pass. Persists the entry and returns it.
+    */
+  def analyze(s: SparkSession, d: String, table: String,
+      df: DataFrame, key: String): TableStats = {
+    val g = df.groupBy(col(key)).agg(count(lit(1)).as("__n"))
+      .agg(max(col("__n")).as("mx"), count(lit(1)).as("groups"),
+        sum(col("__n")).as("tot"))
+      .select(col("mx"), col("groups"), col("tot"),
+        expr("(mx * groups + tot - 1) div tot").as("skew"))
+      .head()
+    val ndv = df.agg(
+      org.apache.spark.sql.graft.SketchAggregates.kmvEstimate(
+        concat(lit("stats:"), col(key).cast("string")), 4096).as("ndv"))
+      .head().getDouble(0).round
+    val st = TableStats(g.getLong(2), ndv, g.getLong(0), g.getLong(3),
+      CommitLog.srcFingerprint(d, table))
+    val f = entryFile(d, table, key)
+    f.getParentFile.mkdirs()
+    val body = Seq(s"fp=${st.fingerprint}", s"rows=${st.rows}",
+      s"ndv=${st.ndv}", s"max_key_rows=${st.maxKeyRows}",
+      s"skew=${st.skew}").mkString("", "\n", "\n")
+    Files.write(f.toPath, body.getBytes(StandardCharsets.UTF_8))
+    st
+  }
+
+  /** Read the persisted entry; None when absent OR stale (the stored
+    * fingerprint no longer matches the source parquet).
+    */
+  def read(d: String, table: String, key: String): Option[TableStats] = {
+    val f = entryFile(d, table, key)
+    if (!f.isFile) None
+    else {
+      val kv = Files.readAllLines(f.toPath)
+        .toArray(Array.empty[String]).toSeq
+        .filter(_.contains("=")).map { l =>
+          val Array(k, v) = l.split("=", 2); (k, v)
+        }.toMap
+      val st = TableStats(kv("rows").toLong, kv("ndv").toLong,
+        kv("max_key_rows").toLong, kv("skew").toLong, kv("fp"))
+      if (st.fingerprint == CommitLog.srcFingerprint(d, table)) Some(st)
+      else None // stale: source regenerated since ANALYZE
+    }
+  }
+
+  /** Catalog read with the measured fallback: serve the persisted
+    * entry when fresh, re-ANALYZE when missing or stale.
+    */
+  def readOrAnalyze(s: SparkSession, d: String, table: String,
+      df: => DataFrame, key: String): StatsResult =
+    read(d, table, key) match {
+      case Some(st) => StatsResult(st, "catalog")
+      case None => StatsResult(analyze(s, d, table, df, key), "analyzed")
+    }
+}

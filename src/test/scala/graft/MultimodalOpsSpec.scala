@@ -327,4 +327,78 @@ class MultimodalOpsSpec extends SparkTestBase {
       .map(v => v.doc_id -> v.d_sums.toSeq).toMap
     assert(diffs.keySet.forall(k => again(k) == diffs(k).d_sums.toSeq))
   }
+
+  test("encodeJpeg/decodeJpeg: SOF0/SOF2 round-trip") {
+    import graft.operators.MultimodalOps.ImageHeaders
+    assert(ImageHeaders.decodeJpeg(
+      ImageHeaders.encodeJpeg(640, 480, 3, progressive = false))
+      === Some((false, 640, 480, 3)))
+    assert(ImageHeaders.decodeJpeg(
+      ImageHeaders.encodeJpeg(17, 1, 1, progressive = true))
+      === Some((true, 17, 1, 1)))
+    // fill bytes before a marker are legal padding (T.81 B.1.1.2)
+    val j = ImageHeaders.encodeJpeg(8, 8, 3, progressive = false)
+    val padded = j.take(2) ++ Array(0xFF.toByte, 0xFF.toByte) ++ j.drop(2)
+    assert(ImageHeaders.decodeJpeg(padded) === Some((false, 8, 8, 3)))
+    // a standalone RST marker mid-stream is skipped, not parsed as a
+    // lengthed segment
+    val withRst = j.take(2) ++ Array(0xFF.toByte, 0xD0.toByte) ++ j.drop(2)
+    assert(ImageHeaders.decodeJpeg(withRst) === Some((false, 8, 8, 3)))
+  }
+
+  test("decodeJpeg hostile-header gauntlet") {
+    import graft.operators.MultimodalOps.ImageHeaders
+    val good = ImageHeaders.encodeJpeg(64, 32, 3, progressive = false)
+    // not a JPEG at all / truncated SOI
+    assert(ImageHeaders.decodeJpeg("BM junk".getBytes).isEmpty)
+    assert(ImageHeaders.decodeJpeg(Array(0xFF.toByte)).isEmpty)
+    // truncated mid-segment: every prefix that cuts into or before the
+    // SOF segment must fail cleanly, never read out of bounds or loop
+    // (a prefix keeping the complete SOF parses — trailing truncation
+    // after the frame header is immaterial to a header scan)
+    val sofEnd = good.length - 2 // EOI is the last 2 bytes
+    (0 until sofEnd).foreach { n =>
+      assert(ImageHeaders.decodeJpeg(good.take(n)).isEmpty,
+        s"truncation at $n must not parse")
+    }
+    assert(ImageHeaders.decodeJpeg(good.take(sofEnd)).nonEmpty)
+    // segment length < 2 would walk backwards / loop forever
+    val loopy = good.clone()
+    loopy(4) = 0; loopy(5) = 0 // APP0 length := 0
+    assert(ImageHeaders.decodeJpeg(loopy).isEmpty)
+    // segment length past the buffer
+    val over = good.clone()
+    over(4) = 0x7F; over(5) = 0xFF.toByte
+    assert(ImageHeaders.decodeJpeg(over).isEmpty)
+    // EOI / SOS before any SOF: no frame header, scan data not walked
+    assert(ImageHeaders.decodeJpeg(Array(0xFF, 0xD8, 0xFF, 0xD9)
+      .map(_.toByte)).isEmpty)
+    assert(ImageHeaders.decodeJpeg((Array(0xFF, 0xD8, 0xFF, 0xDA, 0, 4)
+      ++ Array.fill(64)(0)).map(_.toByte)).isEmpty)
+    // forged component table: declared count inconsistent with length
+    val forged = good.clone()
+    forged(29) = 4 // SOF payload declares 4 components, length says 3
+    assert(ImageHeaders.decodeJpeg(forged).isEmpty)
+    // zero dims rejected like the BMP paths
+    val zero = good.clone()
+    zero(25) = 0; zero(26) = 0 // height := 0
+    assert(ImageHeaders.decodeJpeg(zero).isEmpty)
+    // lost marker sync (a non-FF where a marker must start)
+    val desync = good.clone()
+    desync(2) = 0x12
+    assert(ImageHeaders.decodeJpeg(desync).isEmpty)
+  }
+
+  test("synthesizeJpegs → decodeJpegHeaders recovers all fields") {
+    val out = MultimodalOps.decodeJpegHeaders(
+      MultimodalOps.synthesizeJpegs(docs)).collect()
+      .map(h => h.doc_id -> h).toMap
+    assert(out.keySet === Set(1L, 2L, 3L))
+    out.foreach { case (id, h) =>
+      assert(h.progressive === (id % 2 == 0))
+      assert(h.width >= 1 && h.width <= 640)
+      assert(h.height >= 1 && h.height <= 480)
+      assert(h.n_components == 1L || h.n_components == 3L)
+    }
+  }
 }
