@@ -238,6 +238,20 @@ object QueriesDedup {
     (e, memoChk(s, d, "keeper_prefix_buckets")(buckets))
   }
 
+  /** MinHash signatures over KEEPERS only, memo-checkpointed — the
+    * shared substrate of the dedup-first quality gates (d20 bands +
+    * sig-bearing census, d21's two sig joins), each of which would
+    * otherwise recompute the signature pass per count branch.
+    */
+  private def keeperSigs(s: SparkSession, d: String): DataFrame =
+    memoChk(s, d, "keeper_sigs") {
+      DedupOps.minhashSigs(
+        docsWithShingles(s, d)
+          .join(cloneMembers(s, d).filter(col("id") === col("keeper"))
+            .select(col("id").as("doc_id")), "doc_id"),
+        "doc_id", "sh", 16)
+    }
+
   private val jaccardGe08: Column =
     col("inter") / (col("n_a") + col("n_b") - col("inter")) >= 0.8
 
@@ -332,6 +346,7 @@ object QueriesDedup {
     "dedup.keeper_index" -> (keeperIndex _),
     "dedup.keeper_pairs" -> (keeperPairs _),
     "dedup.clique_self" -> (cliqueSelf _),
+    "dedup.keeper_sigs" -> (keeperSigs _),
     "dedup.verified_pairs" -> (verifiedPairs _),
     "dedup.prefix_buckets" ->
       ((s: SparkSession, d: String) => prefixBucketFrames(s, d)._2),
@@ -344,8 +359,8 @@ object QueriesDedup {
     */
   def unpersistAll(s: SparkSession, d: String): Unit = {
     Seq("keeper_prefix_buckets", "budget_pairs", "prefix_buckets",
-      "verified_pairs", "clique_self", "keeper_pairs", "keeper_index",
-      "clone_members")
+      "verified_pairs", "keeper_sigs", "clique_self", "keeper_pairs",
+      "keeper_index", "clone_members")
       .foreach(dropMemo(s, d, _))
     docsWithShingles(s, d).unpersist()
     docsWithTokens(s, d).unpersist()
@@ -519,15 +534,48 @@ object QueriesDedup {
     // zero false candidates — the planted near-dups sit far above the
     // 4×4 band threshold.)
     "d20_lsh_recall" -> ((s, d) => {
-      val truth = verifiedPairs(s, d).select("id_a", "id_b")
-      val sigs = DedupOps.minhashSigs(docsWithShingles(s, d),
-        "doc_id", "sh", 16)
-      val cand = DedupOps.lshCandidates(
+      // DEDUP-FIRST form (VERDICT r15 #6 — the d33 discipline applied
+      // to the quality gate): exact clones share shingle sets, hence
+      // MinHash signatures, hence band collisions — so every raw-pair
+      // count decomposes EXACTLY into keeper-level pairs × clique
+      // weights, and the gate never materializes the clone-quadratic
+      // pair frame that cost 27.7 s solo at sf5 density. Cross-clique:
+      // bands/candidates over KEEPERS only, weighted |Ca|·|Cb|.
+      // Intra-clique: clones always collide (identical sigs), so
+      // candidates = C(c,2) over sig-bearing cliques and hits = the
+      // truth intra pairs themselves (truth needs a surviving shingle
+      // → nonempty shingles → a sig). Counts are bit-equal to the
+      // raw-corpus form; the oracle is unchanged.
+      val mem = cloneMembers(s, d)
+      val copies = mem.groupBy("keeper").agg(count(lit(1)).as("copies"))
+      val sigs = keeperSigs(s, d)
+      val candK = DedupOps.lshCandidates(
         DedupOps.lshBands(sigs, "id", "sig", 4, 4))
-      val hit = truth.join(cand, Seq("id_a", "id_b"))
-        .agg(count(lit(1)).as("n_hit"))
-      val tN = truth.agg(count(lit(1)).as("n_truth"))
-      val cN = cand.agg(count(lit(1)).as("n_cand"))
+        .select(col("id_a"), col("id_b"), lit(true).as("c"))
+      val truthK = keeperPairs(s, d).filter(jaccardGe08)
+        .select(col("id_a"), col("id_b"), lit(true).as("t"))
+      // ONE pass over the keeper pairs prices all three cross counts:
+      // full-outer truth⋈cand, weights joined once, flag-filtered sums
+      val cross = truthK.join(candK, Seq("id_a", "id_b"), "full_outer")
+        .join(copies.select(col("keeper").as("id_a"),
+          col("copies").as("ca")), "id_a")
+        .join(copies.select(col("keeper").as("id_b"),
+          col("copies").as("cb")), "id_b")
+        .agg(
+          coalesce(sum(when(col("t"), col("ca") * col("cb"))), lit(0L))
+            .as("tc"),
+          coalesce(sum(when(col("c"), col("ca") * col("cb"))), lit(0L))
+            .as("cc"),
+          coalesce(sum(when(col("t") && col("c"), col("ca") * col("cb"))),
+            lit(0L)).as("hc"))
+      // intra pair count per clique: C(copies, 2), exact integers
+      val c2 = expr("copies * (copies - 1) div 2")
+      val truthIntra = cliqueSelf(s, d)
+        .filter(col("surv") / (col("n") + col("n") - col("surv")) >= 0.8)
+        .agg(coalesce(sum(c2), lit(0L)).as("ti"))
+      val candIntra = sigs.select(col("id").as("keeper"))
+        .join(copies, "keeper").filter(col("copies") >= 2)
+        .agg(coalesce(sum(c2), lit(0L)).as("ci"))
       // ratio zero-guards (ADVICE r11): an empty candidate or truth
       // set — the exact regression this gate exists to catch — must
       // report 0.0 identically on both engines, not a NULL-vs-NaN
@@ -535,7 +583,12 @@ object QueriesDedup {
       def safeRatio(num: Column, den: Column): Column =
         round(when(den > 0,
           num.cast("double") / den.cast("double")).otherwise(0.0), 6)
-      tN.crossJoin(broadcast(cN)).crossJoin(broadcast(hit))
+      cross
+        .crossJoin(broadcast(truthIntra))
+        .crossJoin(broadcast(candIntra))
+        .select((col("tc") + col("ti")).as("n_truth"),
+          (col("cc") + col("ci")).as("n_cand"),
+          (col("hc") + col("ti")).as("n_hit"))
         .select(col("n_truth"), col("n_cand"), col("n_hit"),
           safeRatio(col("n_hit"), col("n_truth")).as("recall"),
           safeRatio(col("n_hit"), col("n_cand")).as("precision"))
@@ -689,12 +742,20 @@ object QueriesDedup {
     }),
 
     "d21_minhash_error" -> ((s, d) => {
-      val sh = docsWithShingles(s, d)
-      val pi = rawPairsWhere(s, d, jaccardGe08)
-        .withColumn("jacc_raw",
-          col("inter") / (col("n_a") + col("n_b") - col("inter")))
-      val sigs = DedupOps.minhashSigs(sh, "doc_id", "sh", 16)
-      pi
+      // DEDUP-FIRST form (VERDICT r15 #6): the signature-agreement
+      // count n_match is a function of the two docs' shingle SETS, and
+      // clones share them — so score KEEPER pairs against keeper sigs
+      // (density-invariant: the only quadratic frame is keeper-sized)
+      // and expand through the membership table afterwards. The
+      // expansion is the OUTPUT (one row per verified raw pair — the
+      // query's contract), but it is now the post-filter answer frame,
+      // never a join input; intra-clique pairs are identical docs, so
+      // n_match = 16 by construction (their sigs are equal arrays) and
+      // their jaccard is the clique's capped surv/(2n − surv), exactly
+      // the raw chain's. Output is bit-equal; the oracle is unchanged.
+      val mem = cloneMembers(s, d)
+      val sigs = keeperSigs(s, d)
+      val crossK = keeperPairs(s, d).filter(jaccardGe08)
         .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")),
           Seq("id_a"))
         .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")),
@@ -702,13 +763,31 @@ object QueriesDedup {
         .select(col("id_a"), col("id_b"), col("inter"),
           (col("n_a") + col("n_b") - col("inter")).as("uni"),
           size(filter(zip_with(col("sig_a"), col("sig_b"),
-            (x, y) => x === y), b => b)).cast("long").as("n_match"),
-          round(col("jacc_raw"), 6).as("jaccard"))
+            (x, y) => x === y), b => b)).cast("long").as("n_match"))
+      val cross = crossK
+        .join(mem.select(col("keeper").as("id_a"), col("id").as("ra")),
+          Seq("id_a"))
+        .join(mem.select(col("keeper").as("id_b"), col("id").as("rb")),
+          Seq("id_b"))
+        .select(least(col("ra"), col("rb")).as("id_a"),
+          greatest(col("ra"), col("rb")).as("id_b"),
+          col("inter"), col("uni"), col("n_match"))
+      val intra = cliqueSelf(s, d)
+        .filter(col("surv") / (col("n") + col("n") - col("surv")) >= 0.8)
+        .select(col("keeper"), col("surv").as("inter"),
+          (col("n") * 2 - col("surv")).as("uni"),
+          lit(16L).as("n_match"))
+        .join(mem.select(col("keeper"), col("id").as("ra")), Seq("keeper"))
+        .join(mem.select(col("keeper"), col("id").as("rb")), Seq("keeper"))
+        .filter(col("ra") < col("rb"))
+        .select(col("ra").as("id_a"), col("rb").as("id_b"),
+          col("inter"), col("uni"), col("n_match"))
+      cross.unionByName(intra)
         .select(col("id_a"), col("id_b"), col("inter"), col("uni"),
           col("n_match"),
           round(col("n_match").cast("double") / lit(16.0), 6)
             .as("est_j"),
-          col("jaccard"))
+          round(col("inter") / col("uni"), 6).as("jaccard"))
     }),
 
     // Cross-document duplicate-SPAN extraction — the exact-substring

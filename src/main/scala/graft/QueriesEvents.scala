@@ -389,29 +389,20 @@ object QueriesEvents {
     // the threshold tested as cum·100 ≥ total·80 in exact integers so
     // the cut cannot ulp-flip. O(users) after one agg; 1-row output.
     "e14_pareto80" -> ((s, d) => {
-      val ua = rfmUsers(s, d).select(col("user_id"), col("freq").as("n"))
-      val order = Seq(col("n").desc, col("user_id").asc)
-      val tot = ua.agg(sum(col("n")).as("total"),
-        count(lit(1)).as("n_users"))
-      // rank + running sum in ONE range-partitioned prefix pass
-      // (RelationalOps.rangePrefixAggs) — no single-partition global
-      // window over O(users) rows (the r11 scale-killer list), and no
-      // nested-call lineage multiplication (two nested calls would
-      // re-run the user aggregate 9×; the multi-spec pass does it 3×,
-      // all against the persisted rfmUsers frame)
-      val nullAdd = (l: Column, o: Column) =>
-        when(l.isNull, o).when(o.isNull, l).otherwise(l + o)
-      val reach = RelationalOps.rangePrefixAggs(ua, order, -col("n"),
-          Seq(RelationalOps.PrefixSpec(lit(1L), sum, nullAdd, "rk",
-              inclusive = true),
-            RelationalOps.PrefixSpec(col("n"), sum, nullAdd, "cum",
-              inclusive = true)))
-        .crossJoin(broadcast(tot))
-        .filter(col("cum") * 100 >= col("total") * 80)
+      // Rank + running event sum come straight off the SHARED
+      // stacked-rank frame's f-metric slice (rfmRanked: rk = activity-
+      // desc rank, cum = inclusive running freq sum, totals embedded) —
+      // e14's former private prefix pass folded into e11's machinery
+      // (VERDICT r15 #5). What remains is one filtered min-aggregate
+      // over the materialized frame; the integer threshold test is
+      // unchanged (cum·100 ≥ total·80, no ulp flips).
+      val f = rfmRanked(s, d).filter(col("m") === "f")
+      val tot = f.agg(max(col("n_total")).as("n_users"),
+        max(col("total_f")).as("total_events"))
+      val reach = f.filter(col("cum") * 100 >= col("total_f") * 80)
         .agg(min(col("rk")).as("k80"))
       tot.crossJoin(broadcast(reach))
-        .select(col("n_users"), col("total").as("total_events"),
-          col("k80"),
+        .select(col("n_users"), col("total_events"), col("k80"),
           round(col("k80").cast("double") /
             col("n_users").cast("double") * 100.0, 6)
             .as("pct_users_for_80pct"))
@@ -508,41 +499,20 @@ object QueriesEvents {
     // passes over O(users), never a single-partition ntile window
     // (the r11 scale-killer list).
     "e11_rfm" -> ((s, d) => {
-      val users = rfmUsers(s, d)
-      val n1 = users.agg(count(lit(1)).as("n_total"))
-      // All three metric ranks ride ONE grouped distributed-prefix
-      // pipeline (RelationalOps.rangePrefixAggsBy): the per-user frame
-      // stacks 3× as (metric, key) rows where key is each metric's
-      // ascending-monotone negated proxy (dates as negated day
-      // offsets), so rank within metric = (key asc, user_id asc) ≡
-      // the metric-desc ntile order. One sampling pass, one window,
-      // one offset frame for all three metrics — the prior form ran
-      // three independent rank pipelines (3× the stages), and the
-      // form before that NESTED them (3³ source aggregates).
-      val stacked = users.crossJoin(broadcast(n1)).select(
-        col("user_id"), col("n_total"),
-        explode(array(
-          struct(lit("r").as("m"),
-            (-datediff(col("last_day"), lit("1992-01-01").cast("date")))
-              .cast("long").as("key")),
-          struct(lit("f").as("m"), (-col("freq")).cast("long").as("key")),
-          struct(lit("m").as("m"),
-            (-col("cents")).cast("long").as("key")))).as("x"))
-        .select(col("user_id"), col("n_total"),
-          col("x.m").as("m"), col("x.key").as("key"))
-      val nullAdd = (l: Column, o: Column) =>
-        when(l.isNull, o).when(o.isNull, l).otherwise(l + o)
-      val scored = RelationalOps.rangePrefixAggsBy(stacked, Seq("m"),
-          Seq(col("key").asc, col("user_id").asc), col("key"),
-          Seq(RelationalOps.PrefixSpec(lit(1L), sum, nullAdd, "rk",
-            inclusive = true)))
+      // All three metric ranks ride the SHARED stacked-rank frame
+      // (rfmRanked — one grouped distributed-prefix pipeline for the
+      // whole family, built once and checkpointed; e14 reads the same
+      // frame). rank within metric = (key asc, user_id asc) ≡ the
+      // metric-desc ntile order; what remains per query is two
+      // O(users) hash aggregates.
+      rfmRanked(s, d)
         .withColumn("q",
           RelationalOps.ntileFromRank(col("rk"), col("n_total"), 5))
         .groupBy("user_id")
         .agg(max(when(col("m") === "r", col("q"))).as("r_q"),
           max(when(col("m") === "f", col("q"))).as("f_q"),
           max(when(col("m") === "m", col("q"))).as("m_q"))
-      scored.groupBy("r_q", "f_q", "m_q")
+        .groupBy("r_q", "f_q", "m_q")
         .agg(count(lit(1)).as("n_users"))
     }),
 
@@ -681,6 +651,76 @@ object QueriesEvents {
     else df
   }
 
+  /** (session, dir) memo of the ranked frame's eager localCheckpoint —
+    * the QueriesDedup.memoChk discipline: CacheManager plan-equality
+    * reuse would re-ANALYZE the window+broadcast pipeline per
+    * consumer invocation; the checkpointed LogicalRDD shared by object
+    * identity costs nothing to reference.
+    */
+  private val rankedMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
+      DataFrame]()
+
+  /** The e11/e14 shared STACKED-RANK frame (VERDICT r15 #5 — fold
+    * e14's separate prefix pass into e11's machinery): one
+    * range-partitioned prefix pipeline ranks all three RFM metric
+    * orders AND carries the f-metric's running event sum, so e11's
+    * quintile labels and e14's Pareto reach both read a materialized
+    * frame instead of each paying the sample/offsets/main branches of
+    * their own rank pipeline per run. Columns: (user_id, m ∈ {r,f,m},
+    * rk, cum, n_total, total_f) where rk is the 1-indexed rank within
+    * metric m's descending order (user_id tiebreak) and cum is the
+    * inclusive running sum of `freq` in that order (meaningful for
+    * m='f', e14's cumulative-events curve; harmless for the others).
+    */
+  private[graft] def rfmRanked(s: SparkSession, d: String): DataFrame = {
+    val key = (s, d)
+    val existing = rankedMemo.get(key)
+    if (existing != null) return existing
+    val built = rfmRankedPlan(s, d).localCheckpoint()
+    val prev = rankedMemo.putIfAbsent(key, built)
+    if (prev == null) built
+    else {
+      built.queryExecution.analyzed.foreach {
+        case l: org.apache.spark.sql.execution.LogicalRDD =>
+          l.rdd.unpersist(blocking = false)
+        case _ =>
+      }
+      prev
+    }
+  }
+
+  /** The raw (un-checkpointed) build pipeline of [[rfmRanked]] — split
+    * out so PlanAuditSpec can pin the build's physical properties
+    * (native-search bucketing, partitioned windows), which the
+    * checkpoint hides from the consumers' plans.
+    */
+  private[graft] def rfmRankedPlan(s: SparkSession, d: String): DataFrame = {
+    val users = rfmUsers(s, d)
+    val n1 = users.agg(count(lit(1)).as("n_total"),
+      sum(col("freq")).as("total_f"))
+    val stacked = users.crossJoin(broadcast(n1)).select(
+      col("user_id"), col("n_total"), col("total_f"),
+      explode(array(
+        struct(lit("r").as("m"),
+          (-datediff(col("last_day"), lit("1992-01-01").cast("date")))
+            .cast("long").as("key"), lit(0L).as("v")),
+        struct(lit("f").as("m"), (-col("freq")).cast("long").as("key"),
+          col("freq").cast("long").as("v")),
+        struct(lit("m").as("m"), (-col("cents")).cast("long").as("key"),
+          lit(0L).as("v")))).as("x"))
+      .select(col("user_id"), col("n_total"), col("total_f"),
+        col("x.m").as("m"), col("x.key").as("key"), col("x.v").as("v"))
+    val nullAdd = (l: Column, o: Column) =>
+      when(l.isNull, o).when(o.isNull, l).otherwise(l + o)
+    RelationalOps.rangePrefixAggsBy(stacked, Seq("m"),
+      Seq(col("key").asc, col("user_id").asc), col("key"),
+      Seq(RelationalOps.PrefixSpec(lit(1L), sum, nullAdd, "rk",
+          inclusive = true),
+        RelationalOps.PrefixSpec(col("v"), sum, nullAdd, "cum",
+          inclusive = true)))
+  }
+
   /** e18's fixed value-iteration horizon (mirrored in the oracle). */
   private[graft] val MarkovRounds = 10
 
@@ -736,10 +776,18 @@ object QueriesEvents {
   private[graft] def sharedCaches
       : Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "events.rfm_users" -> (rfmUsers _),
+    "events.rfm_ranked" -> (rfmRanked _),
     "events.markov_edges" -> (markovEdges _))
 
   def unpersistAll(s: SparkSession, d: String): Unit = {
     rfmUsers(s, d).unpersist()
+    Option(rankedMemo.remove((s, d))).foreach {
+      _.queryExecution.analyzed.foreach {
+        case l: org.apache.spark.sql.execution.LogicalRDD =>
+          l.rdd.unpersist(blocking = false)
+        case _ =>
+      }
+    }
     markovEdges(s, d).unpersist()
   }
 

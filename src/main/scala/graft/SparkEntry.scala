@@ -54,15 +54,15 @@ object SparkEntry {
         "d12_novelty", "d18_sorted_neighborhood", "d20_lsh_recall",
         "d21_minhash_error", "d33_budget_on_keepers", "mv5_lsh_delta"),
       "dedup.clone_members" -> Set("d33_budget_on_keepers",
-        "d31_dedup_first_pairs"),
+        "d31_dedup_first_pairs", "d20_lsh_recall", "d21_minhash_error"),
       "dedup.keeper_index" -> Set.empty[String],
       "dedup.keeper_pairs" -> Set("d14_containment", "d21_minhash_error",
-        "d27_threshold_curve", "d31_dedup_first_pairs"),
+        "d27_threshold_curve", "d31_dedup_first_pairs", "d20_lsh_recall"),
       "dedup.clique_self" -> Set("d14_containment", "d21_minhash_error",
-        "d27_threshold_curve"),
+        "d27_threshold_curve", "d20_lsh_recall"),
+      "dedup.keeper_sigs" -> Set("d20_lsh_recall", "d21_minhash_error"),
       "dedup.verified_pairs" -> Set("d2_jaccard_pairs", "d7_dedup_clusters",
-        "d9_pagerank", "d15_canonical", "d20_lsh_recall",
-        "d34_star_contraction"),
+        "d9_pagerank", "d15_canonical", "d34_star_contraction"),
       "dedup.prefix_buckets" -> Set("d17_prefix_filter", "d29_prefix_budget",
         "d32_prefix_budget_curve"),
       "dedup.budget_pairs" -> Set("d29_prefix_budget",
@@ -80,7 +80,8 @@ object SparkEntry {
         "d23_semdedup"),
       "vector.semdedup_cells" -> Set("d23_semdedup"),
       "vector.v19_pairs" -> Set("v19_ivf_tradeoff"),
-      "events.rfm_users" -> Set("e9_survival", "e11_rfm", "e14_pareto80"),
+      "events.rfm_users" -> Set("e9_survival"),
+      "events.rfm_ranked" -> Set("e11_rfm", "e14_pareto80"),
       "events.markov_edges" -> Set("e9_survival", "e18_markov_attribution"),
       "graph.copurchase_edges" -> Set("d11_kcore", "d13_labelprop",
         "d19_common_neighbors", "d26_bfs_hops"))
@@ -101,13 +102,15 @@ object SparkEntry {
     "dedup.prefix_buckets" -> Seq("dedup.shingles"),
     "dedup.budget_pairs" -> Seq("dedup.prefix_buckets"),
     "dedup.keeper_buckets" -> Seq("dedup.shingles", "dedup.clone_members"),
+    "dedup.keeper_sigs" -> Seq("dedup.shingles", "dedup.clone_members"),
     "text.tf" -> Seq("dedup.tokens"),
     "text.bigrams" -> Seq("dedup.tokens"),
     "text.bpe_chain" -> Seq("dedup.tokens"),
     "text.lm_unigrams" -> Seq("dedup.tokens"),
     "text.lm_bigrams" -> Seq("dedup.tokens"),
     "vector.semdedup_cells" -> Seq("vector.prep"),
-    "vector.v19_pairs" -> Seq("vector.prep"))
+    "vector.v19_pairs" -> Seq("vector.prep"),
+    "events.rfm_ranked" -> Seq("events.rfm_users"))
 
   /** [[sharedCaches]] filtered to what a SELECTED query set actually
     * consumes (ADVICE r14: a one-query SPARK_GRAFT_BENCH_ONLY run paid

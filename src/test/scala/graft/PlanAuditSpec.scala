@@ -123,9 +123,12 @@ class PlanAuditSpec extends SparkTestBase {
     // (SortedLowerBoundCount), not an ArrayAggregate fold — the fold
     // is a CodegenFallback whose interpreted per-row scan cost ~2 s
     // on g11 at sf0.1 and broke the whole-stage span around it.
-    for (q <- Seq("g11_pareto", "e11_rfm", "e14_pareto80",
-        "d18_sorted_neighborhood")) {
-      val p = plan(q)
+    // e11/e14 now read the shared checkpointed rank frame, so the
+    // bucketing property lives in that frame's BUILD plan
+    val rankedBuild = QueriesEvents.rfmRankedPlan(spark, sf001)
+      .queryExecution.explainString(SimpleMode)
+    for ((q, p) <- Seq("g11_pareto", "d18_sorted_neighborhood")
+        .map(q => (q, plan(q))) :+ (("events.rfm_ranked", rankedBuild))) {
       assert(p.toLowerCase.contains("sortedlowerboundcount"),
         s"$q must assign range buckets through the native search:\n$p")
       assert(!p.contains("aggregate(lambda"),
@@ -168,11 +171,14 @@ class PlanAuditSpec extends SparkTestBase {
     // <= 2W·P rows) — never directly over the raw scan.
     import org.apache.spark.sql.catalyst.plans.logical.{
       Aggregate, Filter, Window => LWindow}
-    for (q <- Seq("dq11_sequence_gaps", "d18_sorted_neighborhood",
-        "e11_rfm", "e14_pareto80", "g11_pareto", "sql13_pareto",
-        "stor4_zorder_skip")) {
-      val lp = SparkEntry.queries(q)(spark, sf001)
-        .queryExecution.optimizedPlan
+    val auditees: Seq[(String, org.apache.spark.sql.DataFrame)] =
+      Seq("dq11_sequence_gaps", "d18_sorted_neighborhood",
+        "g11_pareto", "sql13_pareto", "stor4_zorder_skip")
+        .map(q => (q, SparkEntry.queries(q)(spark, sf001))) :+
+        // e11/e14's window pipeline lives in the shared frame's build
+        (("events.rfm_ranked", QueriesEvents.rfmRankedPlan(spark, sf001)))
+    for ((q, df) <- auditees) {
+      val lp = df.queryExecution.optimizedPlan
       val wins = lp.collect { case w: LWindow => w }
       assert(wins.exists(_.partitionSpec.nonEmpty),
         s"$q must run its data-frame lag per range bucket:\n$lp")

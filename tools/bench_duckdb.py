@@ -81,7 +81,18 @@ def merge_into_detail(detail_path: str, duck: dict) -> None:
     with open(detail_path, "w") as f:
         json.dump(detail, f, separators=(",", ":"))
         f.write("\n")
-    print(f"merged duckdb column into {detail_path} "
+    # ALSO write the merged artifact to its own file (ADVICE/VERDICT
+    # r15 #7): a fresh graft.Bench run rewrites BENCH_DETAIL.json and
+    # would silently drop the duckdb/ratio_top columns — BENCH_PAIRED
+    # .json is owned by THIS script only, so the paired-run evidence
+    # survives any number of later Spark-only bench passes.
+    import os
+    paired_path = os.path.join(os.path.dirname(os.path.abspath(
+        detail_path)), "BENCH_PAIRED.json")
+    with open(paired_path, "w") as f:
+        json.dump(detail, f, separators=(",", ":"))
+        f.write("\n")
+    print(f"merged duckdb column into {detail_path} + {paired_path} "
           f"({len(duck_k)} queries, worst ratio "
           f"{ratios[0][0]}={ratios[0][1]}x)" if ratios else "")
 
