@@ -319,6 +319,44 @@ object QueriesStorage {
     base
   }
 
+  /** stor9's table: the stor7 timeline WITHOUT the destructive tail —
+    * three pure APPEND commits (history ≤ 1996-12, 1997-1998, 1999+)
+    * over the month-file layout, built once per (dir, fingerprint).
+    * Kept separate from stor7's (which expires history) and stor8's
+    * (which rewrites it) so the incremental contract is demonstrated
+    * over the append-only history it is defined on.
+    */
+  private[graft] def stor9Table(s: SparkSession, d: String): String = {
+    import graft.storage.CommitLog
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_incr/" +
+      s"${tag(d)}_${srcFingerprint(d, "lineitem")}"
+    QueriesStorage.synchronized {
+      if (CommitLog.latestVersion(base) < 3L) {
+        def rmrf(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rmrf)); f.delete(): Unit
+        }
+        rmrf(new java.io.File(base))
+        val dataDir = CommitLog.dataDir(base)
+        Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_quantity"),
+            col("l_shipdate").cast("date").as("ship"),
+            date_trunc("month", col("l_shipdate")).cast("date")
+              .as("file_month"))
+          .write.partitionBy("file_month").parquet(dataDir)
+        val months = Option(new java.io.File(dataDir).listFiles())
+          .fold(Seq.empty[String])(_.toSeq
+            .filter(f => f.isDirectory && f.getName.startsWith("file_month="))
+            .map(_.getName)).sorted
+        def in(lo: String, hi: String) = months.filter { m =>
+          val v = m.stripPrefix("file_month="); v > lo && v <= hi }
+        CommitLog.commit(base, in("", "1996-12-31"), Nil, 0L)
+        CommitLog.commit(base, in("1996-12-31", "1998-12-31"), Nil, 1L)
+        CommitLog.commit(base, in("1998-12-31", "9999-12-31"), Nil, 2L)
+      }
+    }
+    base
+  }
+
   private[graft] def stor7Summary(base: String): Map[String, String] =
     java.nio.file.Files.readAllLines(
       new java.io.File(base, "_protocol_summary.txt").toPath)
@@ -433,6 +471,33 @@ object QueriesStorage {
       }
       perVersion.reduce(_ unionByName _)
     }),
+    // INCREMENTAL SCAN — the downstream-consumer contract the
+    // table-format story was missing: a pipeline that has processed
+    // snapshot v reads ONLY the files commit v+1 added (never a table
+    // rescan), which is how every incremental ETL/CDC consumer rides
+    // an append-only 100 TB table. Three append commits over the
+    // month-file layout; for each the query reads the INCREMENT
+    // (fromV, toV] through the log and reports new-file count, rows
+    // added, and the exact checksum — and the cumulative sums across
+    // increments must reconstruct the full table (the oracle computes
+    // both from raw lineitem). The refusal arm — an increment spanning
+    // a REWRITE commit must throw rather than double-count — is pinned
+    // in StorageCompactionSpec against stor8's rewrite timeline.
+    "stor9_incremental_scan" -> ((s, d) => {
+      import graft.storage.CommitLog
+      val t = stor9Table(s, d)
+      (1L to 3L).map { v =>
+        val files = CommitLog.addedFiles(t, v - 1, v)
+        CommitLog.readIncrement(s, t, v - 1, v)
+          .agg(count(lit(1)).as("rows_added"),
+            sum(floor(col("l_quantity") * 100 + lit(0.5)).cast("long"))
+              .cast("long").as("sum_qty_cents"))
+          .select(lit(v).as("version"),
+            lit(files.size.toLong).as("n_files_new"),
+            col("rows_added"), col("sum_qty_cents"))
+      }.reduce(_ unionByName _)
+    }),
+
     // COMPACTION, executed (VERDICT r15 #2): stor3 planned the
     // bin-packing of the small month-files; this query RUNS it through
     // the commit log (1 MiB target — stor3's discipline, sized so the
@@ -719,6 +784,23 @@ object QueriesStorage {
         |  stats.rows_asof, stats.rows_scanned,
         |  chk.rows_matched, chk.sum_qty_cents
         |FROM stats JOIN chk USING (version)""".stripMargin,
+    // stor9: each append commit's increment recomputed from the ship
+    // months it covers.
+    "stor9_incremental_scan" ->
+      """WITH f AS (SELECT date_trunc('month', l_shipdate)::DATE AS m,
+        |    count(*) AS n_rows,
+        |    CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS cents
+        |  FROM lineitem GROUP BY 1),
+        |v(version, lo, hi) AS (VALUES
+        |  (CAST(1 AS BIGINT), DATE '1900-01-01', DATE '1996-12-31'),
+        |  (2, DATE '1996-12-31', DATE '1998-12-31'),
+        |  (3, DATE '1998-12-31', DATE '9999-12-31'))
+        |SELECT v.version, count(*) AS n_files_new,
+        |  CAST(sum(f.n_rows) AS BIGINT) AS rows_added,
+        |  CAST(sum(f.cents) AS BIGINT) AS sum_qty_cents
+        |FROM v JOIN f ON f.m > v.lo AND f.m <= v.hi
+        |GROUP BY 1""".stripMargin,
     // stor8: stor3's binning recomputed relationally, with per-bin
     // row/checksum/span stats and the stor2 window's prune flag — the
     // compacted physical layout must carry identical data.

@@ -191,6 +191,51 @@ object CommitLog {
       .parquet(files.map(f => s"$base/$f"): _*)
   }
 
+  /** Files ADDED by the commits in (fromV, toV] — the incremental-scan
+    * contract (the Iceberg/Delta append-only incremental read): a
+    * downstream consumer that has processed snapshot fromV reads ONLY
+    * the new files to catch up to toV, never rescanning the table.
+    * REFUSES loudly when any commit in range is not append-only
+    * (a rewrite/delete invalidates file-level increments — the caller
+    * needs a full rescan or a row-level merge; silently unioning the
+    * added files would double-count rewritten rows), and when the
+    * range reaches below the expiry horizon ([[SnapshotExpired]]).
+    * fromV = 0 reads everything up to toV.
+    */
+  def addedFiles(tableDir: String, fromV: Long, toV: Long): Seq[String] = {
+    val head = latestVersion(tableDir)
+    require(fromV >= 0 && fromV <= toV && toV <= head,
+      s"bad incremental range ($fromV, $toV]: log head is v$head")
+    val byVersion = listLog(tableDir)
+      .groupBy(f => versionOf(f.getName).get)
+    ((fromV + 1) to toV).flatMap { v =>
+      val m = byVersion.getOrElse(v, Seq.empty)
+        .find(!_.getName.endsWith(".checkpoint.txt"))
+        .getOrElse(throw SnapshotExpired(v, earliestVersion(tableDir)))
+      val (add, rem) = parse(m)
+      if (rem.nonEmpty)
+        throw new IllegalStateException(
+          s"incremental read across non-append commit v$v " +
+            s"(${rem.size} files removed): file-level increments are " +
+            "only valid over append-only history — full rescan or " +
+            "row-level merge required")
+      add
+    }.distinct.sorted
+  }
+
+  /** Read the increment (fromV, toV] as a DataFrame (see
+    * [[addedFiles]]). An empty increment is an error for the same
+    * reason as [[read]]'s empty-snapshot guard.
+    */
+  def readIncrement(spark: SparkSession, tableDir: String, fromV: Long,
+      toV: Long): DataFrame = {
+    val files = addedFiles(tableDir, fromV, toV)
+    require(files.nonEmpty, s"increment ($fromV, $toV] added no files")
+    val base = dataDir(tableDir)
+    spark.read.option("basePath", base)
+      .parquet(files.map(f => s"$base/$f"): _*)
+  }
+
   private def deleteRecursively(f: File): Unit = {
     Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
     f.delete(): Unit
@@ -230,6 +275,58 @@ object CommitLog {
     val base = dataDir(tableDir)
     orphans.foreach(rel => deleteRecursively(new File(base, rel)))
     (dropped.size, orphans.size)
+  }
+
+  /** Batch ids already committed to this table (the `B` manifest
+    * lines) — the idempotence ledger of [[appendBatch]].
+    */
+  def committedBatchIds(tableDir: String): Set[Long] =
+    listLog(tableDir).filter(!_.getName.endsWith(".checkpoint.txt"))
+      .flatMap { f =>
+        Files.readAllLines(f.toPath).toArray(Array.empty[String])
+          .collect { case l if l.startsWith("B ") => l.drop(2).toLong }
+      }.toSet
+
+  /** EXACTLY-ONCE streaming append: the foreachBatch sink body that
+    * makes the hourly-append contract ACID. Each micro-batch stages
+    * its rows as a fresh file set under `data/`, then commits it with
+    * the batch id recorded in the manifest — so a batch REPLAYED after
+    * a failure (Structured Streaming's at-least-once foreachBatch
+    * delivery) detects its id in the log and skips, and a crash
+    * BETWEEN stage and commit leaves only invisible files (no reader
+    * ever saw them; the replay stages and commits a fresh set).
+    * Concurrent non-streaming writers are tolerated via optimistic
+    * retry. Returns true when this call performed the commit, false
+    * when the batch was already committed (replay).
+    */
+  def appendBatch(tableDir: String, batch: DataFrame,
+      batchId: Long): Boolean = {
+    if (committedBatchIds(tableDir).contains(batchId)) return false
+    val rel = f"batch_$batchId%06d_${java.util.UUID.randomUUID()}"
+    batch.write.parquet(s"${dataDir(tableDir)}/$rel")
+    var done = false
+    while (!done) {
+      val head = latestVersion(tableDir)
+      // a racing replay of the SAME batch may have committed while we
+      // staged — re-check before retrying the version race
+      if (committedBatchIds(tableDir).contains(batchId)) {
+        deleteRecursively(new File(dataDir(tableDir), rel))
+        return false
+      }
+      val dir = logDir(tableDir)
+      dir.mkdirs()
+      val body = s"P $head\nB $batchId\nA $rel\n"
+      val tmp = new File(dir, s"_tmp_${java.util.UUID.randomUUID()}")
+      Files.write(tmp.toPath, body.getBytes(StandardCharsets.UTF_8))
+      try {
+        Files.createLink(new File(dir, manifestName(head + 1)).toPath,
+          tmp.toPath)
+        done = true
+      } catch {
+        case _: FileAlreadyExistsException => // lost the race; retry
+      } finally Files.deleteIfExists(tmp.toPath)
+    }
+    true
   }
 
   /** Cheap fingerprint of a source parquet table (file or directory):

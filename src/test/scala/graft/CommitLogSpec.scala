@@ -131,6 +131,51 @@ class CommitLogSpec extends SparkTestBase {
     assert(CommitLog.liveFiles(t, 4L) === Seq("f4", "mid", "new"))
   }
 
+  test("appendBatch: exactly-once under replay, ACID under readers") {
+    import spark.implicits._
+    val t = freshDir()
+    val b0 = Seq((1L, "a"), (2L, "a")).toDF("k", "part")
+    assert(CommitLog.appendBatch(t, b0, 0L))
+    // a replayed batch (Structured Streaming's at-least-once
+    // foreachBatch delivery) must detect its id and commit nothing
+    assert(!CommitLog.appendBatch(t, b0, 0L))
+    assert(CommitLog.latestVersion(t) === 1L)
+    assert(CommitLog.read(spark, t).count() === 2L)
+    assert(CommitLog.appendBatch(t, Seq((3L, "b")).toDF("k", "part"), 1L))
+    assert(CommitLog.committedBatchIds(t) === Set(0L, 1L))
+    assert(CommitLog.read(spark, t).count() === 3L)
+    // batch commits are append-only: the incremental contract holds
+    assert(CommitLog.readIncrement(spark, t, 1L, 2L).count() === 1L)
+  }
+
+  test("a stream lands through appendBatch and replays nothing") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val t = freshDir()
+    val ms = org.apache.spark.sql.execution.streaming
+      .runtime.MemoryStream[(Long, String)]
+    ms.addData((1L, "a"), (2L, "b"))
+    val ckpt = Files.createTempDirectory("graft_cl_ckpt").toString
+    def run(): Unit = {
+      val q = ms.toDF().toDF("k", "part").writeStream
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          CommitLog.appendBatch(t, b, id): Unit
+        }.start()
+      try q.awaitTermination(120000) finally q.stop()
+    }
+    run()
+    assert(CommitLog.read(spark, t).count() === 2L)
+    // restart from the same checkpoint with one new batch: only the
+    // new rows land, the old batch is not re-committed
+    ms.addData((3L, "c"))
+    run()
+    assert(CommitLog.read(spark, t).count() === 3L)
+    assert(CommitLog.read(spark, t).select("k").as[Long].collect()
+      .toSet === Set(1L, 2L, 3L))
+  }
+
   test("expiry horizon outside the committed range refuses") {
     val t = freshDir()
     stage(t, "f1", Seq((1L, "a")))

@@ -46,6 +46,35 @@ class StorageCompactionSpec extends SparkTestBase {
     assert(before.forall(rel => new File(dd, rel).exists()))
   }
 
+  test("stor9: increments reconcile to the full table; rewrite refuses") {
+    import org.apache.spark.sql.functions._
+    val t = QueriesStorage.stor9Table(spark, sf001)
+    assert(CommitLog.latestVersion(t) === 3L)
+    // the three increments partition the table: cumulative rows equal
+    // a full head-snapshot read, and files never overlap
+    val incFiles = (1L to 3L).map(v => CommitLog.addedFiles(t, v - 1, v))
+    assert(incFiles.flatten.distinct.size === incFiles.map(_.size).sum,
+      "increments must not overlap")
+    val incRows = (1L to 3L).map(v =>
+      CommitLog.readIncrement(spark, t, v - 1, v).count()).sum
+    assert(incRows === CommitLog.read(spark, t).count())
+    // a multi-commit range unions the same files as the per-commit reads
+    assert(CommitLog.addedFiles(t, 0L, 3L).toSet ===
+      incFiles.flatten.toSet)
+    // refusal: an increment spanning stor8's REWRITE commit must throw
+    // (file-level increments would double-count rewritten rows)
+    val rw = QueriesStorage.stor8Table(spark, sf001)
+    val e = intercept[IllegalStateException] {
+      CommitLog.addedFiles(rw, 1L, 2L)
+    }
+    assert(e.getMessage.contains("non-append commit"))
+    // refusal: a range reaching below the expiry horizon must throw
+    val exp = QueriesStorage.stor7Table(spark, sf001)
+    intercept[CommitLog.SnapshotExpired] {
+      CommitLog.addedFiles(exp, 1L, 4L)
+    }
+  }
+
   test("stor7: protocol summary is fully green and matches the log") {
     val t = QueriesStorage.stor7Table(spark, sf001)
     val sm = QueriesStorage.stor7Summary(t)
