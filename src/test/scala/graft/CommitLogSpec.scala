@@ -176,6 +176,56 @@ class CommitLogSpec extends SparkTestBase {
       .toSet === Set(1L, 2L, 3L))
   }
 
+  test("eight concurrent committers all land; final set is the union") {
+    val t = freshDir()
+    val n = 8
+    (1 to n).foreach(i => stage(t, s"f$i", Seq((i.toLong, "x"))))
+    val barrier = new java.util.concurrent.CyclicBarrier(n)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val conflicts = new java.util.concurrent.atomic.AtomicInteger(0)
+    val threads = (1 to n).map { i =>
+      new Thread(() => {
+        try {
+          barrier.await()
+          val (_, c) = CommitLog.commitWithRetry(t,
+            _ => (Seq(s"f$i"), Nil), maxRetries = n + 2)
+          conflicts.addAndGet(c): Unit
+        } catch { case x: Throwable => errs.add(x): Unit }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(errs.isEmpty, errs.toString)
+    assert(CommitLog.latestVersion(t) === n.toLong,
+      "every writer must land exactly one commit")
+    assert(CommitLog.liveFiles(t, n.toLong) ===
+      (1 to n).map(i => s"f$i").sorted)
+    // total-order contention bound: each retry round has one winner
+    assert(conflicts.get() <= n * (n - 1) / 2)
+  }
+
+  test("concurrent replays of one batch id: exactly one commits") {
+    import spark.implicits._
+    val t = freshDir()
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    val landed = new java.util.concurrent.atomic.AtomicInteger(0)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val dfs = Seq(Seq((1L, "a")).toDF("k", "part"),
+      Seq((1L, "a")).toDF("k", "part"))
+    val threads = dfs.map { df =>
+      new Thread(() => {
+        try {
+          barrier.await()
+          if (CommitLog.appendBatch(t, df, 7L)) landed.incrementAndGet(): Unit
+        } catch { case x: Throwable => errs.add(x): Unit }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(errs.isEmpty, errs.toString)
+    assert(landed.get() === 1, "the batch must commit exactly once")
+    assert(CommitLog.read(spark, t).count() === 1L)
+    assert(CommitLog.committedBatchIds(t) === Set(7L))
+  }
+
   test("expiry horizon outside the committed range refuses") {
     val t = freshDir()
     stage(t, "f1", Seq((1L, "a")))
