@@ -357,6 +357,163 @@ object QueriesStorage {
     base
   }
 
+  /** stor10's table: the month-file layout committed ONCE with
+    * per-file column stats in the manifest (ship min/max + orderkey
+    * min/max — the Iceberg lower/upper-bounds idea), so scan planning
+    * can skip files from metadata alone. Build-once per (dir,
+    * fingerprint); the stats aggregate is ONE metadata-scale job
+    * (O(files) output rows).
+    */
+  private[graft] def stor10Table(s: SparkSession, d: String): String = {
+    import graft.storage.CommitLog
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_statscan/" +
+      s"${tag(d)}_${srcFingerprint(d, "lineitem")}"
+    QueriesStorage.synchronized {
+      if (CommitLog.latestVersion(base) < 1L) {
+        def rmrf(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rmrf)); f.delete(): Unit
+        }
+        rmrf(new java.io.File(base))
+        val dataDir = CommitLog.dataDir(base)
+        Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_quantity"),
+            col("l_shipdate").cast("date").as("ship"),
+            date_trunc("month", col("l_shipdate")).cast("date")
+              .as("file_month"))
+          .write.partitionBy("file_month").parquet(dataDir)
+        // per-file manifest stats: one aggregate, O(files) rows
+        val stats = s.read.parquet(dataDir)
+          .groupBy("file_month")
+          .agg(min(col("ship")).as("mn_s"), max(col("ship")).as("mx_s"),
+            min(col("l_orderkey")).as("mn_k"),
+            max(col("l_orderkey")).as("mx_k"))
+          .collect()
+          .map { r =>
+            val file = s"file_month=${r.getDate(0)}"
+            file -> Map(
+              "ship" -> CommitLog.ColStats(
+                r.getDate(1).toString, r.getDate(2).toString),
+              "l_orderkey" -> CommitLog.ColStats(
+                r.getLong(3).toString, r.getLong(4).toString))
+          }.toMap
+        CommitLog.commit(base, stats.keys.toSeq, Nil, 0L, stats)
+      }
+    }
+    base
+  }
+
+  /** stor11's table: month files as plain directories (no Hive `k=v`
+    * encoding — rewritten files must coexist with originals in one
+    * read) committed with ship stats, then a COPY-ON-WRITE DELETE run
+    * through the log: plan the candidate files from manifest stats,
+    * rewrite ONLY those (drop a candidate whose rows are all deleted),
+    * commit v2 = add rewrites (with tightened stats) / remove
+    * candidates. Build-once per (dir, fingerprint).
+    */
+  private[graft] val CowLo = "1997-04-15"
+  private[graft] val CowHi = "1997-06-20" // end-exclusive
+  private[graft] def stor11Table(s: SparkSession, d: String): String = {
+    import graft.storage.CommitLog
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_cow/" +
+      s"${tag(d)}_${srcFingerprint(d, "lineitem")}"
+    QueriesStorage.synchronized {
+      if (CommitLog.latestVersion(base) < 2L) {
+        def rmrf(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rmrf)); f.delete(): Unit
+        }
+        rmrf(new java.io.File(base))
+        val dataDir = CommitLog.dataDir(base)
+        Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_quantity"),
+            col("l_shipdate").cast("date").as("ship"),
+            date_trunc("month", col("l_shipdate")).cast("date")
+              .as("file_month"))
+          .write.partitionBy("file_month").parquet(dataDir)
+        val stats = s.read.parquet(dataDir)
+          .groupBy("file_month")
+          .agg(min(col("ship")).as("mn"), max(col("ship")).as("mx"))
+          .collect()
+          .map { r =>
+            (s"file_month=${r.getDate(0)}", s"m_${r.getDate(0)}",
+              CommitLog.ColStats(r.getDate(1).toString,
+                r.getDate(2).toString))
+          }
+        // de-Hive the layout: rename `file_month=X` -> `m_X` so original
+        // and rewritten files share one (non-partitioned) read schema
+        stats.foreach { case (hive, plain, _) =>
+          val ok = new java.io.File(dataDir, hive)
+            .renameTo(new java.io.File(dataDir, plain))
+          require(ok, s"rename $hive -> $plain failed")
+        }
+        CommitLog.commit(base, stats.map(_._2).toSeq, Nil, 0L,
+          stats.map { case (_, p, cs) => p -> Map("ship" -> cs) }.toMap)
+        // --- the COW delete ---
+        val pred = CommitLog.RangePredicate("ship", CowLo, CowHi)
+        val cands = CommitLog.planScan(base, 1L, Seq(pred)).selected
+        val keepCond = col("ship") < lit(CowLo).cast("date") ||
+          col("ship") >= lit(CowHi).cast("date")
+        val (adds, statsAdd) = cands.flatMap { f =>
+          val kept = CommitLog.readFiles(s, base, Seq(f)).filter(keepCond)
+          val st = kept.agg(count(lit(1)), min(col("ship")),
+            max(col("ship"))).head()
+          if (st.getLong(0) == 0L) None // fully deleted: drop, no rewrite
+          else {
+            val out = s"rw2_$f"
+            kept.write.parquet(s"$dataDir/$out")
+            Some((out, out -> Map("ship" -> CommitLog.ColStats(
+              st.getDate(1).toString, st.getDate(2).toString))))
+          }
+        }.unzip
+        CommitLog.commit(base, adds, cands, 1L, statsAdd.toMap)
+      }
+    }
+    base
+  }
+
+  /** stor12's table: SCHEMA EVOLUTION through the commit log — v1
+    * commits pre-1997 months under the original 3-column schema, v2
+    * appends later months that CARRY A NEW COLUMN (`qty_band`). The
+    * log is schema-agnostic (files are opaque); evolution is a
+    * read-side contract: merged reads surface the union schema with
+    * nulls for pre-evolution rows, and time travel to v1 serves the
+    * ORIGINAL schema untouched. Build-once per (dir, fingerprint).
+    */
+  private[graft] def stor12Table(s: SparkSession, d: String): String = {
+    import graft.storage.CommitLog
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_schemaevo/" +
+      s"${tag(d)}_${srcFingerprint(d, "lineitem")}"
+    QueriesStorage.synchronized {
+      if (CommitLog.latestVersion(base) < 2L) {
+        def rmrf(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rmrf)); f.delete(): Unit
+        }
+        rmrf(new java.io.File(base))
+        val dataDir = CommitLog.dataDir(base)
+        val cut = lit("1996-12-01").cast("date")
+        val src = Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_quantity"),
+            col("l_shipdate").cast("date").as("ship"),
+            date_trunc("month", col("l_shipdate")).cast("date")
+              .as("file_month"))
+        def dirs() = Option(new java.io.File(dataDir).listFiles())
+          .fold(Seq.empty[String])(_.toSeq
+            .filter(f => f.isDirectory && f.getName.startsWith("file_month="))
+            .map(_.getName)).sorted
+        src.filter(col("file_month") <= cut)
+          .write.partitionBy("file_month").parquet(dataDir)
+        val old = dirs()
+        CommitLog.commit(base, old, Nil, 0L)
+        // the evolved writer: later months gain `qty_band`
+        src.filter(col("file_month") > cut)
+          .withColumn("qty_band",
+            when(col("l_quantity") < 25, "lo").otherwise("hi"))
+          .write.mode("append").partitionBy("file_month").parquet(dataDir)
+        CommitLog.commit(base, dirs().diff(old), Nil, 1L)
+      }
+    }
+    base
+  }
+
   private[graft] def stor7Summary(base: String): Map[String, String] =
     java.nio.file.Files.readAllLines(
       new java.io.File(base, "_protocol_summary.txt").toPath)
@@ -531,6 +688,125 @@ object QueriesStorage {
         .select(col("bin"), col("n_files_merged"), col("n_rows"),
           col("sum_qty_cents"), col("from_month"), col("to_month"),
           (col("__mx") < lo || col("__mn") >= hi).as("pruned"))
+    }),
+
+    // SCAN PLANNING FROM MANIFEST STATS (the read-side payoff of
+    // carrying per-file column bounds in commits — Iceberg's
+    // lower/upper_bounds): the month-file table is committed ONCE with
+    // ship + orderkey min/max per file, and the query plans a
+    // conjunctive range scan (a 2-month ship window AND an orderkey
+    // band) from the manifest ALONE — no footer reads, no data I/O —
+    // then opens ONLY the planned files. At 100 TB this is the planning
+    // step that makes a selective query cost O(matching files) instead
+    // of O(table): the driver touches O(manifest) metadata and the
+    // skipped files are never even listed to the reader. The ship
+    // predicate prunes whole months; the orderkey band prunes NOTHING
+    // (keys are uniform across months — min/max spans of every file
+    // overlap any band), which the result REPORTS honestly: stats on a
+    // layout-uncorrelated column carry no skipping power, exactly why
+    // z-ordering (stor4) exists. The oracle recomputes the zone-map
+    // arithmetic and the exact row predicate relationally; equality
+    // proves the metadata-planned scan returns precisely what a full
+    // scan would.
+    "stor10_stats_pruned_scan" -> ((s, d) => {
+      import graft.storage.CommitLog
+      val t = stor10Table(s, d)
+      val (lo, hi) = ("1997-04-15", "1997-06-20") // end-exclusive
+      val (kLo, kHi) = (1000L, 2000L)             // end-exclusive
+      val numCmp = (a: String, b: String) => a.toLong.compare(b.toLong)
+      val plan = CommitLog.planScan(t, 1L, Seq(
+        CommitLog.RangePredicate("ship", lo, hi),
+        CommitLog.RangePredicate("l_orderkey", kLo.toString,
+          kHi.toString, numCmp)))
+      val nLive = CommitLog.liveFiles(t, 1L).size
+      val rowPred = col("ship") >= lit(lo).cast("date") &&
+        col("ship") < lit(hi).cast("date") &&
+        col("l_orderkey") >= kLo && col("l_orderkey") < kHi
+      CommitLog.readFiles(s, t, plan.selected)
+        .agg(count(lit(1)).as("rows_scanned"),
+          sum(when(rowPred, 1L).otherwise(0L)).as("rows_matched"),
+          coalesce(sum(when(rowPred,
+            floor(col("l_quantity") * 100 + lit(0.5)).cast("long"))),
+            lit(0L)).as("sum_qty_cents"))
+        .select(lit(nLive.toLong).as("n_live_files"),
+          lit(plan.skipped.getOrElse("ship", 0L)).as("n_skip_ship"),
+          lit(plan.skipped.getOrElse("l_orderkey", 0L)).as("n_skip_key"),
+          lit(plan.noStats.size.toLong).as("n_no_stats"),
+          lit(plan.selected.size.toLong).as("n_files_read"),
+          col("rows_scanned"), col("rows_matched"), col("sum_qty_cents"))
+    }),
+
+    // COPY-ON-WRITE row-level DELETE through the commit log — the DML
+    // half of the table-format story (append = stor7/stor9, rewrite =
+    // stor8; this is DELETE WHERE): candidate files come from manifest
+    // stats (planScan — only files whose ship bounds overlap the
+    // predicate), each candidate is rewritten WITHOUT its matching
+    // rows (a candidate left empty is dropped, not rewritten), and the
+    // commit swaps candidates for rewrites atomically with TIGHTENED
+    // stats. Untouched files are never opened, never rewritten — at
+    // 100 TB a delete of a 2-month window costs O(2 months of data),
+    // not O(table). The result proves all four invariants at once:
+    // the file ledger (total/candidates/rewritten/dropped/untouched
+    // from the log), the row ledger (head rows + checksum = exactly
+    // the kept rows), time travel to the pre-delete snapshot intact,
+    // and the closing metadata argument — a post-delete scan for the
+    // deleted range plans ZERO files from the rewritten stats alone.
+    // The oracle recomputes every column relationally from raw
+    // lineitem month arithmetic.
+    "stor11_cow_delete" -> ((s, d) => {
+      import graft.storage.CommitLog
+      val t = stor11Table(s, d)
+      val pred = CommitLog.RangePredicate("ship", CowLo, CowHi)
+      val v1Files = CommitLog.liveFiles(t, 1L).size
+      val cands = CommitLog.planScan(t, 1L, Seq(pred)).selected.size
+      val headFiles = CommitLog.liveFiles(t, 2L).size
+      val rewritten = headFiles - (v1Files - cands)
+      val overlapAfter = CommitLog.planScan(t, 2L, Seq(pred)).selected.size
+      val cents = sum(floor(col("l_quantity") * 100 + lit(0.5))
+        .cast("long")).cast("long")
+      val v1Agg = CommitLog.read(s, t, Some(1L))
+        .agg(count(lit(1)).as("rows_at_v1"))
+      val headAgg = CommitLog.read(s, t)
+        .agg(count(lit(1)).as("rows_head"), cents.as("sum_qty_cents"))
+      v1Agg.crossJoin(broadcast(headAgg))
+        .select(lit(v1Files.toLong).as("n_files_v1"),
+          lit(cands.toLong).as("n_candidates"),
+          lit(rewritten.toLong).as("n_rewritten"),
+          lit((cands - rewritten).toLong).as("n_dropped"),
+          lit((v1Files - cands).toLong).as("n_untouched"),
+          col("rows_at_v1"),
+          (col("rows_at_v1") - col("rows_head")).as("rows_deleted"),
+          col("rows_head"), col("sum_qty_cents"),
+          lit(overlapAfter.toLong).as("n_files_overlap_after"))
+    }),
+
+    // SCHEMA EVOLUTION through the commit log — the add-column
+    // contract every long-lived 100 TB table eventually needs: v1
+    // committed pre-1997 months under the original schema, v2 appended
+    // later months carrying a NEW `qty_band` column. No rewrite of old
+    // data (at scale that would be a full-table job for a metadata
+    // change): the merged head read surfaces the union schema with
+    // pre-evolution rows null-banded, while time travel to v1 serves
+    // the ORIGINAL 4-column schema untouched — both widths are
+    // reported from the actual read schemas, so the oracle's
+    // by-construction 4/5 pins them. Row results recompute relationally
+    // (band = the evolved writer's expression after the cutover, a
+    // sentinel before it).
+    "stor12_schema_evolution" -> ((s, d) => {
+      import graft.storage.CommitLog
+      val t = stor12Table(s, d)
+      val v1 = CommitLog.read(s, t, Some(1L))
+      require(!v1.columns.contains("qty_band"),
+        "time travel must serve the pre-evolution schema")
+      val head = CommitLog.read(s, t, None, Map("mergeSchema" -> "true"))
+      head.groupBy(coalesce(col("qty_band"), lit("pre_evolution"))
+          .as("qty_band"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(floor(col("l_quantity") * 100 + lit(0.5)).cast("long"))
+            .cast("long").as("sum_qty_cents"))
+        .select(col("qty_band"), col("n_rows"), col("sum_qty_cents"),
+          lit(v1.columns.length.toLong).as("n_cols_v1"),
+          lit(head.columns.length.toLong).as("n_cols_head"))
     }),
 
     // Parquet ENCODING tradeoff — the third axis of physical design
@@ -826,6 +1102,107 @@ object QueriesStorage {
         |  (max(max_ship) < DATE '1997-04-01'
         |    OR min(min_ship) >= DATE '1997-07-01') AS pruned
         |FROM o GROUP BY 1""".stripMargin,
+    // stor10: the manifest zone-map arithmetic (ship + orderkey
+    // bounds per month-file, skip = provably disjoint) and the exact
+    // conjunctive row predicate, recomputed relationally. n_no_stats
+    // is 0 by construction: every committed file carried stats.
+    "stor10_stats_pruned_scan" ->
+      """WITH f AS (SELECT date_trunc('month', l_shipdate)::DATE AS m,
+        |    count(*) AS n_rows,
+        |    min(l_shipdate::DATE) AS mn_s, max(l_shipdate::DATE) AS mx_s,
+        |    min(l_orderkey) AS mn_k, max(l_orderkey) AS mx_k
+        |  FROM lineitem GROUP BY 1),
+        |z AS (SELECT *,
+        |    (mx_s < DATE '1997-04-15' OR mn_s >= DATE '1997-06-20')
+        |      AS skip_s,
+        |    (mx_k < 1000 OR mn_k >= 2000) AS skip_k
+        |  FROM f),
+        |plan AS (SELECT count(*) AS n_live_files,
+        |    CAST(sum(CASE WHEN skip_s THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_skip_ship,
+        |    CAST(sum(CASE WHEN skip_k THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_skip_key,
+        |    CAST(0 AS BIGINT) AS n_no_stats,
+        |    CAST(sum(CASE WHEN skip_s OR skip_k THEN 0 ELSE 1 END)
+        |      AS BIGINT) AS n_files_read,
+        |    CAST(sum(CASE WHEN skip_s OR skip_k THEN 0 ELSE n_rows END)
+        |      AS BIGINT) AS rows_scanned
+        |  FROM z),
+        |mt AS (SELECT count(*) AS rows_matched,
+        |    coalesce(CAST(sum(CAST(floor(l_quantity * 100 + 0.5)
+        |      AS BIGINT)) AS BIGINT), 0) AS sum_qty_cents
+        |  FROM lineitem
+        |  WHERE l_shipdate::DATE >= DATE '1997-04-15'
+        |    AND l_shipdate::DATE < DATE '1997-06-20'
+        |    AND l_orderkey >= 1000 AND l_orderkey < 2000)
+        |SELECT plan.n_live_files, plan.n_skip_ship, plan.n_skip_key,
+        |  plan.n_no_stats, plan.n_files_read, plan.rows_scanned,
+        |  mt.rows_matched, mt.sum_qty_cents
+        |FROM plan CROSS JOIN mt""".stripMargin,
+    // stor11: the whole COW-delete ledger from month arithmetic —
+    // candidates are months whose ship bounds overlap the window,
+    // dropped are candidates with no surviving rows, the post-delete
+    // overlap count uses the KEPT rows' tightened bounds.
+    "stor11_cow_delete" ->
+      """WITH f AS (SELECT date_trunc('month', l_shipdate)::DATE AS m,
+        |    count(*) AS n_rows,
+        |    min(l_shipdate::DATE) AS mn, max(l_shipdate::DATE) AS mx,
+        |    CAST(sum(CASE WHEN l_shipdate::DATE >= DATE '1997-04-15'
+        |      AND l_shipdate::DATE < DATE '1997-06-20'
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_del,
+        |    min(CASE WHEN l_shipdate::DATE < DATE '1997-04-15'
+        |      OR l_shipdate::DATE >= DATE '1997-06-20'
+        |      THEN l_shipdate::DATE END) AS kept_mn,
+        |    max(CASE WHEN l_shipdate::DATE < DATE '1997-04-15'
+        |      OR l_shipdate::DATE >= DATE '1997-06-20'
+        |      THEN l_shipdate::DATE END) AS kept_mx,
+        |    CAST(sum(CASE WHEN l_shipdate::DATE < DATE '1997-04-15'
+        |      OR l_shipdate::DATE >= DATE '1997-06-20'
+        |      THEN CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)
+        |      ELSE 0 END) AS BIGINT) AS cents_kept
+        |  FROM lineitem GROUP BY 1),
+        |z AS (SELECT *,
+        |    NOT (mx < DATE '1997-04-15' OR mn >= DATE '1997-06-20')
+        |      AS cand,
+        |    n_rows - n_del AS n_kept
+        |  FROM f)
+        |SELECT count(*) AS n_files_v1,
+        |  CAST(sum(CASE WHEN cand THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_candidates,
+        |  CAST(sum(CASE WHEN cand AND n_kept > 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_rewritten,
+        |  CAST(sum(CASE WHEN cand AND n_kept = 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_dropped,
+        |  CAST(sum(CASE WHEN cand THEN 0 ELSE 1 END) AS BIGINT)
+        |    AS n_untouched,
+        |  CAST(sum(n_rows) AS BIGINT) AS rows_at_v1,
+        |  CAST(sum(n_del) AS BIGINT) AS rows_deleted,
+        |  CAST(sum(n_kept) AS BIGINT) AS rows_head,
+        |  CAST(sum(cents_kept) AS BIGINT) AS sum_qty_cents,
+        |  CAST(sum(CASE WHEN cand AND n_kept > 0
+        |      AND NOT (kept_mx < DATE '1997-04-15'
+        |        OR kept_mn >= DATE '1997-06-20') THEN 1
+        |    WHEN NOT cand
+        |      AND NOT (mx < DATE '1997-04-15'
+        |        OR mn >= DATE '1997-06-20') THEN 1
+        |    ELSE 0 END) AS BIGINT) AS n_files_overlap_after
+        |FROM z""".stripMargin,
+    // stor12: band = the evolved writer's expression after the 1996-12
+    // cutover, the sentinel before it; schema widths are
+    // by-construction (4 original cols incl. the partition column, +1
+    // after evolution) — the Spark side reports them from the ACTUAL
+    // read schemas, so a regression fails the hash.
+    "stor12_schema_evolution" ->
+      """SELECT CASE WHEN date_trunc('month', l_shipdate)::DATE
+        |    > DATE '1996-12-01'
+        |    THEN (CASE WHEN l_quantity < 25 THEN 'lo' ELSE 'hi' END)
+        |    ELSE 'pre_evolution' END AS qty_band,
+        |  count(*) AS n_rows,
+        |  CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT))
+        |    AS BIGINT) AS sum_qty_cents,
+        |  CAST(4 AS BIGINT) AS n_cols_v1,
+        |  CAST(5 AS BIGINT) AS n_cols_head
+        |FROM lineitem GROUP BY 1""".stripMargin,
     // stor5: encoding-invariant read-back — every variant must return
     // the source table's exact row count and integer checksums.
     "stor5_encoding_tradeoff" ->

@@ -50,6 +50,33 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object CommitLog {
 
+  /** Per-file column range statistics carried in the manifest (the
+    * Iceberg `lower_bounds`/`upper_bounds` idea): `min`/`max` are the
+    * stringified column values. Comparisons happen in [[planScan]]
+    * through a caller-supplied comparator, so ISO dates ride plain
+    * string order and numeric columns pass a numeric comparator —
+    * the log itself never interprets values.
+    */
+  final case class ColStats(min: String, max: String)
+
+  /** A pruning predicate for [[planScan]]: rows with `lo <= col < hi`
+    * (end-exclusive, the zone-map convention used throughout the
+    * storage family). A file is provably disjoint — skippable — when
+    * its stats say `max < lo` or `min >= hi`.
+    */
+  final case class RangePredicate(col: String, lo: String, hi: String,
+      cmp: (String, String) => Int = _ compareTo _)
+
+  /** What scan planning decided, from manifest metadata alone:
+    * `selected` is the file list the reader must open; `skipped`
+    * counts, per predicate column, how many live files that predicate
+    * alone proved disjoint (a file can count under several);
+    * `noStats` lists files that lacked stats for at least one
+    * predicate column — conservatively kept, never skipped blind.
+    */
+  final case class ScanPlan(selected: Seq[String],
+      skipped: Map[String, Long], noStats: Seq[String])
+
   /** Another writer committed the version this writer raced for. */
   final case class CommitConflict(attempted: Long, latest: Long)
     extends RuntimeException(
@@ -100,12 +127,14 @@ object CommitLog {
     * not exist at all.
     */
   def commit(tableDir: String, added: Seq[String], removed: Seq[String],
-      expectedCurrent: Long): Long = {
+      expectedCurrent: Long,
+      stats: Map[String, Map[String, ColStats]] = Map.empty): Long = {
     val dir = logDir(tableDir)
     dir.mkdirs()
     val next = expectedCurrent + 1
     val body = (s"P $expectedCurrent" +:
-      (added.sorted.map("A " + _) ++ removed.sorted.map("R " + _)))
+      (added.sorted.map("A " + _) ++ removed.sorted.map("R " + _) ++
+        statsLines(stats)))
       .mkString("", "\n", "\n")
     val tmp = new File(dir, s"_tmp_${java.util.UUID.randomUUID()}")
     Files.write(tmp.toPath, body.getBytes(StandardCharsets.UTF_8))
@@ -146,6 +175,94 @@ object CommitLog {
       lines.collect { case l if l.startsWith("R ") => l.drop(2) }.toSeq)
   }
 
+  /** Stats manifest lines: `S <file>\t<col>\t<min>\t<max>` (tab-split
+    * so file paths with spaces stay parseable; values are refused tabs
+    * and newlines at write).
+    */
+  private def statsLines(
+      stats: Map[String, Map[String, ColStats]]): Seq[String] =
+    stats.toSeq.sortBy(_._1).flatMap { case (file, cols) =>
+      cols.toSeq.sortBy(_._1).map { case (c, s) =>
+        require(!Seq(file, c, s.min, s.max).exists(v =>
+          v.contains('\t') || v.contains('\n')),
+          s"stats values must not contain tabs/newlines: $file.$c")
+        s"S $file\t$c\t${s.min}\t${s.max}"
+      }
+    }
+
+  private def parseStats(f: File): Map[String, Map[String, ColStats]] =
+    Files.readAllLines(f.toPath).toArray(Array.empty[String])
+      .collect { case l if l.startsWith("S ") => l.drop(2).split('\t') }
+      .collect { case Array(file, c, mn, mx) => (file, c, ColStats(mn, mx)) }
+      .groupBy(_._1)
+      .map { case (file, rows) =>
+        file -> rows.map(r => r._2 -> r._3).toMap }
+
+  /** Per-file column stats of snapshot `asOf`, replayed like
+    * [[liveFiles]]: stats attach to a file when a commit ADDS it (a
+    * re-add replaces them), and drop with the file on remove. Only
+    * live files appear.
+    */
+  def statsAt(tableDir: String,
+      asOf: Long): Map[String, Map[String, ColStats]] = {
+    val live = liveFiles(tableDir, asOf).toSet
+    val files = listLog(tableDir)
+    val byVersion = files.groupBy(f => versionOf(f.getName).get)
+    val ckpts = files.filter(_.getName.endsWith(".checkpoint.txt"))
+      .flatMap(f => versionOf(f.getName)).filter(_ <= asOf)
+    val base = if (ckpts.isEmpty) 0L else ckpts.max
+    val start: Map[String, Map[String, ColStats]] =
+      if (base == 0L) Map.empty
+      else parseStats(byVersion(base)
+        .find(_.getName.endsWith(".checkpoint.txt")).get)
+    ((base + 1) to asOf).foldLeft(start) { (acc, v) =>
+      val m = byVersion(v).find(!_.getName.endsWith(".checkpoint.txt")).get
+      val (_, rem) = parse(m)
+      (acc -- rem) ++ parseStats(m)
+    }.filter { case (f, _) => live.contains(f) }
+  }
+
+  /** SCAN PLANNING from manifest metadata alone — the read-side payoff
+    * of carrying [[ColStats]] in commits: decide which of snapshot
+    * `asOf`'s live files a conjunctive range query must open WITHOUT
+    * touching any data bytes (no footer reads, no object-store
+    * listing — at 100 TB this is the difference between a planning
+    * step that costs O(manifest) on the driver and one that costs an
+    * I/O storm). A file is skipped when ANY predicate's stats prove it
+    * disjoint; a file missing stats for a predicate column is
+    * conservatively kept and reported in `noStats`.
+    */
+  def planScan(tableDir: String, asOf: Long,
+      preds: Seq[RangePredicate]): ScanPlan = {
+    val stats = statsAt(tableDir, asOf)
+    val live = liveFiles(tableDir, asOf)
+    val skipped = scala.collection.mutable.Map[String, Long]()
+      .withDefaultValue(0L)
+    val noStats = scala.collection.mutable.ArrayBuffer[String]()
+    val selected = live.filter { f =>
+      val cols = stats.getOrElse(f, Map.empty)
+      if (preds.exists(p => !cols.contains(p.col))) noStats += f
+      val skips = preds.filter { p =>
+        cols.get(p.col).exists(s =>
+          p.cmp(s.max, p.lo) < 0 || p.cmp(s.min, p.hi) >= 0)
+      }
+      skips.foreach(p => skipped(p.col) += 1L)
+      skips.isEmpty
+    }
+    ScanPlan(selected, skipped.toMap, noStats.toSeq)
+  }
+
+  /** Read an explicit planned file list (e.g. [[ScanPlan.selected]])
+    * of this table as a DataFrame.
+    */
+  def readFiles(spark: SparkSession, tableDir: String,
+      files: Seq[String]): DataFrame = {
+    require(files.nonEmpty, "planned file list is empty")
+    val base = dataDir(tableDir)
+    spark.read.option("basePath", base)
+      .parquet(files.map(f => s"$base/$f"): _*)
+  }
+
   /** The live data-file set of snapshot `asOf`: replay from the newest
     * checkpoint ≤ asOf. Refuses loudly when the version is expired
     * (below every surviving manifest) or unknown (above the head).
@@ -182,12 +299,13 @@ object CommitLog {
     * callers model deletes via `removed` entries, not empty tables.
     */
   def read(spark: SparkSession, tableDir: String,
-      asOf: Option[Long] = None): DataFrame = {
+      asOf: Option[Long] = None,
+      options: Map[String, String] = Map.empty): DataFrame = {
     val v = asOf.getOrElse(latestVersion(tableDir))
     val files = liveFiles(tableDir, v)
     require(files.nonEmpty, s"snapshot v$v is empty")
     val base = dataDir(tableDir)
-    spark.read.option("basePath", base)
+    spark.read.option("basePath", base).options(options)
       .parquet(files.map(f => s"$base/$f"): _*)
   }
 
@@ -260,8 +378,10 @@ object CommitLog {
     val expired = (earliest until keepFrom)
       .flatMap(liveFiles(tableDir, _)).toSet
     val keepLive = liveFiles(tableDir, keepFrom)
-    // 1. checkpoint the horizon
-    val ckBody = (s"P ${keepFrom - 1}" +: keepLive.map("A " + _))
+    // 1. checkpoint the horizon (live set + its stats, so scan
+    // planning survives history expiry)
+    val ckBody = ((s"P ${keepFrom - 1}" +: keepLive.map("A " + _)) ++
+      statsLines(statsAt(tableDir, keepFrom)))
       .mkString("", "\n", "\n")
     val ck = new File(logDir(tableDir), checkpointName(keepFrom))
     if (!ck.isFile)

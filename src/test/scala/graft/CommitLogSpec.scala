@@ -226,6 +226,80 @@ class CommitLogSpec extends SparkTestBase {
     assert(CommitLog.committedBatchIds(t) === Set(7L))
   }
 
+  test("manifest stats: replay through removes, survive expiry") {
+    import CommitLog.ColStats
+    val t = freshDir()
+    stage(t, "f1", Seq((1L, "a")))
+    stage(t, "f2", Seq((2L, "b")))
+    stage(t, "f3", Seq((3L, "c")))
+    CommitLog.commit(t, Seq("f1", "f2"), Nil, 0L, Map(
+      "f1" -> Map("k" -> ColStats("1", "1")),
+      "f2" -> Map("k" -> ColStats("2", "2"))))
+    CommitLog.commit(t, Seq("f3"), Seq("f1"), 1L, Map(
+      "f3" -> Map("k" -> ColStats("3", "3"))))
+    // v1 sees both original files' stats; v2 drops f1's with the file
+    assert(CommitLog.statsAt(t, 1L).keySet === Set("f1", "f2"))
+    assert(CommitLog.statsAt(t, 2L) === Map(
+      "f2" -> Map("k" -> ColStats("2", "2")),
+      "f3" -> Map("k" -> ColStats("3", "3"))))
+    // stats ride the checkpoint across expiry
+    CommitLog.expireSnapshots(t, 2L)
+    assert(CommitLog.statsAt(t, 2L) === Map(
+      "f2" -> Map("k" -> ColStats("2", "2")),
+      "f3" -> Map("k" -> ColStats("3", "3"))))
+    // and replay forward past it
+    stage(t, "f4", Seq((4L, "d")))
+    CommitLog.commit(t, Seq("f4"), Nil, 2L,
+      Map("f4" -> Map("k" -> ColStats("4", "4"))))
+    assert(CommitLog.statsAt(t, 3L).keySet === Set("f2", "f3", "f4"))
+    // tabs/newlines in stats values are refused at write
+    intercept[IllegalArgumentException] {
+      CommitLog.commit(t, Seq("f4"), Nil, 3L,
+        Map("f4" -> Map("k" -> ColStats("a\tb", "c"))))
+    }
+  }
+
+  test("planScan: range skipping, conjunction, conservative no-stats") {
+    import CommitLog.{ColStats, RangePredicate}
+    val t = freshDir()
+    Seq("jan", "feb", "mar", "nostats").foreach(f =>
+      stage(t, f, Seq((1L, "x"))))
+    CommitLog.commit(t, Seq("jan", "feb", "mar", "nostats"), Nil, 0L, Map(
+      "jan" -> Map("d" -> ColStats("2024-01-01", "2024-01-31"),
+        "k" -> ColStats("5", "40")),
+      "feb" -> Map("d" -> ColStats("2024-02-01", "2024-02-29"),
+        "k" -> ColStats("90", "200")),
+      "mar" -> Map("d" -> ColStats("2024-03-01", "2024-03-31"),
+        "k" -> ColStats("7", "35"))))
+    val numCmp = (a: String, b: String) => a.toLong.compare(b.toLong)
+    // date window [feb 10, mar 5): jan skips (max < lo), feb+mar kept;
+    // "nostats" has no stats — conservatively kept and reported
+    val p1 = CommitLog.planScan(t, 1L,
+      Seq(RangePredicate("d", "2024-02-10", "2024-03-05")))
+    assert(p1.selected === Seq("feb", "mar", "nostats"))
+    assert(p1.skipped === Map("d" -> 1L))
+    assert(p1.noStats === Seq("nostats"))
+    // conjunction: the numeric band [50, 80) also kills feb (min 90 >=
+    // 80) and mar/jan (max < 50) — only the stats-less file survives
+    val p2 = CommitLog.planScan(t, 1L, Seq(
+      RangePredicate("d", "2024-02-10", "2024-03-05"),
+      RangePredicate("k", "50", "80", numCmp)))
+    assert(p2.selected === Seq("nostats"))
+    assert(p2.skipped === Map("d" -> 1L, "k" -> 3L))
+    // the comparator is load-bearing: against the band [100, 150),
+    // feb's [90, 200] numerically OVERLAPS (must be read), but the
+    // DEFAULT string order wrongly skips it ("90" >= "150" lexically)
+    // — numeric columns MUST pass a numeric comparator
+    assert(!CommitLog.planScan(t, 1L,
+      Seq(RangePredicate("k", "100", "150"))).selected.contains("feb"),
+      "documents the lexical hazard the numeric comparator exists for")
+    assert(CommitLog.planScan(t, 1L,
+      Seq(RangePredicate("k", "100", "150", numCmp)))
+      .selected.contains("feb"))
+    // an empty predicate list selects every live file
+    assert(CommitLog.planScan(t, 1L, Nil).selected.size === 4)
+  }
+
   test("expiry horizon outside the committed range refuses") {
     val t = freshDir()
     stage(t, "f1", Seq((1L, "a")))

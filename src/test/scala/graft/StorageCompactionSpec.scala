@@ -75,6 +75,92 @@ class StorageCompactionSpec extends SparkTestBase {
     }
   }
 
+  test("stor10: planning is metadata-only and matches a full scan") {
+    import org.apache.spark.sql.functions._
+    val t = QueriesStorage.stor10Table(spark, sf001)
+    assert(CommitLog.latestVersion(t) === 1L)
+    // every committed file carries both stat columns
+    val st = CommitLog.statsAt(t, 1L)
+    val live = CommitLog.liveFiles(t, 1L)
+    assert(st.keySet === live.toSet)
+    assert(st.values.forall(_.keySet === Set("ship", "l_orderkey")))
+    val plan = CommitLog.planScan(t, 1L, Seq(
+      CommitLog.RangePredicate("ship", "1997-04-15", "1997-06-20")))
+    // the ship window prunes real files, and only month files that
+    // can't contain the window
+    assert(plan.selected.nonEmpty &&
+      plan.selected.size < live.size)
+    assert(plan.noStats.isEmpty)
+    assert(plan.selected.forall { f =>
+      val m = f.stripPrefix("file_month=")
+      m >= "1997-04-01" && m <= "1997-06-01"
+    })
+    // the planned scan returns exactly what a full scan would
+    val pred = col("ship") >= lit("1997-04-15").cast("date") &&
+      col("ship") < lit("1997-06-20").cast("date")
+    val planned = CommitLog.readFiles(spark, t, plan.selected)
+      .filter(pred).agg(count(lit(1)), sum(col("l_orderkey")))
+      .collect()(0).toSeq
+    val full = CommitLog.read(spark, t).filter(pred)
+      .agg(count(lit(1)), sum(col("l_orderkey"))).collect()(0).toSeq
+    assert(planned === full)
+  }
+
+  test("stor11: COW delete rewrites only candidates, time travel intact") {
+    import org.apache.spark.sql.functions._
+    val t = QueriesStorage.stor11Table(spark, sf001)
+    assert(CommitLog.latestVersion(t) === 2L)
+    val v1 = CommitLog.liveFiles(t, 1L)
+    val v2 = CommitLog.liveFiles(t, 2L)
+    // untouched files survive by IDENTITY — same relpath, never rewritten
+    val untouched = v1.toSet intersect v2.toSet
+    val rewritten = v2.toSet -- v1.toSet
+    assert(untouched.nonEmpty && rewritten.nonEmpty)
+    assert(rewritten.forall(_.startsWith("rw2_")))
+    // the delete window spans three months mid-month to mid-month:
+    // April/June survive as rewrites, fully-covered May is dropped
+    val candidates = v1.toSet -- untouched
+    assert(candidates.size > rewritten.size,
+      "at least one fully-deleted file must be dropped, not rewritten")
+    // head has no deleted rows; v1 still has them all (COW: originals
+    // stay on disk for time travel)
+    val win = col("ship") >= lit("1997-04-15").cast("date") &&
+      col("ship") < lit("1997-06-20").cast("date")
+    assert(CommitLog.read(spark, t).filter(win).count() === 0L)
+    assert(CommitLog.read(spark, t, Some(1L)).filter(win).count() > 0L)
+    import java.io.File
+    val dd = CommitLog.dataDir(t)
+    assert(v1.forall(rel => new File(dd, rel).exists()))
+    // rewritten stats are TIGHTENED: planning the deleted window at v2
+    // opens zero files
+    assert(CommitLog.planScan(t, 2L, Seq(CommitLog.RangePredicate(
+      "ship", "1997-04-15", "1997-06-20"))).selected.isEmpty)
+  }
+
+  test("stor12: schema evolves forward; old snapshots keep old schema") {
+    import org.apache.spark.sql.functions._
+    val t = QueriesStorage.stor12Table(spark, sf001)
+    assert(CommitLog.latestVersion(t) === 2L)
+    // v1: original schema, no trace of the evolved column
+    val v1 = CommitLog.read(spark, t, Some(1L))
+    assert(v1.columns.sorted ===
+      Array("file_month", "l_orderkey", "l_quantity", "ship"))
+    // merged head: union schema; nulls EXACTLY on pre-evolution rows
+    val head = CommitLog.read(spark, t, None, Map("mergeSchema" -> "true"))
+    assert(head.columns.contains("qty_band"))
+    val cut = lit("1996-12-01").cast("date")
+    assert(head.filter(col("qty_band").isNull &&
+      col("file_month") > cut).count() === 0L)
+    assert(head.filter(col("qty_band").isNotNull &&
+      col("file_month") <= cut).count() === 0L)
+    // evolution commits are plain appends: the incremental contract
+    // spans the schema change (the increment carries the NEW schema)
+    val inc = CommitLog.addedFiles(t, 1L, 2L)
+    assert(inc.nonEmpty)
+    assert(CommitLog.readFiles(spark, t, inc).columns
+      .contains("qty_band"))
+  }
+
   test("stor7: protocol summary is fully green and matches the log") {
     val t = QueriesStorage.stor7Table(spark, sf001)
     val sm = QueriesStorage.stor7Summary(t)
