@@ -514,6 +514,104 @@ object QueriesStorage {
     base
   }
 
+  /** stor13's table: orders laid out in CONTIGUOUS KEY-RANGE files —
+    * the layout that gives key-predicate stats real pruning power
+    * (month files span the whole key range; ~20 key buckets don't) —
+    * then a COPY-ON-WRITE MERGE run through the log. The changeset is
+    * deterministic band arithmetic over the live max key (mx):
+    * keys in [mx/4, mx/4 + mx/20) are updated (k % 3 == 0 →
+    * price := k), deleted (k % 3 == 1), or seed inserts (k % 3 == 2 →
+    * new row at key mx + k, price k). Candidate files come from
+    * [[graft.storage.CommitLog.planScan]] on the key band; ONLY those
+    * are rewritten with updates/deletes applied, inserts land as one
+    * appended file, and a single commit publishes all of it with
+    * tightened stats. Build-once per (dir, fingerprint).
+    */
+  private[graft] def stor13Table(s: SparkSession, d: String): String = {
+    import graft.storage.CommitLog
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_merge/" +
+      s"${tag(d)}_${srcFingerprint(d, "orders")}"
+    val numCmp = (a: String, b: String) => a.toLong.compare(b.toLong)
+    QueriesStorage.synchronized {
+      if (CommitLog.latestVersion(base) < 2L) {
+        def rmrf(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rmrf)); f.delete(): Unit
+        }
+        rmrf(new java.io.File(base))
+        val dataDir = CommitLog.dataDir(base)
+        val orders = Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_totalprice"))
+        val mx = orders.agg(max(col("o_orderkey"))).head().getLong(0)
+        val step = (mx + 19L) / 20L
+        orders
+          .withColumn("bucket",
+            ((col("o_orderkey") - 1) / step).cast("long"))
+          .write.partitionBy("bucket").parquet(dataDir)
+        // partition-dir inference types `bucket` as INT — normalize
+        val st = s.read.parquet(dataDir)
+          .groupBy(col("bucket").cast("long").as("bucket"))
+          .agg(min(col("o_orderkey")).as("mn"),
+            max(col("o_orderkey")).as("mxk"))
+          .collect()
+          .map(r => (s"bucket=${r.getLong(0)}", s"b_${r.getLong(0)}",
+            CommitLog.ColStats(r.getLong(1).toString,
+              r.getLong(2).toString)))
+        // de-Hive (stor11's discipline): rewrites must coexist with
+        // originals under one read schema
+        st.foreach { case (hive, plain, _) =>
+          require(new java.io.File(dataDir, hive)
+            .renameTo(new java.io.File(dataDir, plain)),
+            s"rename $hive -> $plain failed")
+        }
+        CommitLog.commit(base, st.map(_._2).toSeq, Nil, 0L,
+          st.map { case (_, p, cs) =>
+            p -> Map("o_orderkey" -> cs) }.toMap)
+        // --- the MERGE ---
+        val (bandLo, bandHi) = (mx / 4L, mx / 4L + mx / 20L)
+        val inBand = col("o_orderkey") >= bandLo &&
+          col("o_orderkey") < bandHi
+        val cands = CommitLog.planScan(base, 1L, Seq(
+          CommitLog.RangePredicate("o_orderkey", bandLo.toString,
+            bandHi.toString, numCmp))).selected
+        val (adds, statsAdd) = cands.flatMap { f =>
+          val merged = CommitLog.readFiles(s, base, Seq(f))
+            .filter(!(inBand && col("o_orderkey") % 3 === 1)) // deletes
+            .withColumn("o_totalprice",
+              when(inBand && col("o_orderkey") % 3 === 0,
+                col("o_orderkey").cast("double")) // updates
+                .otherwise(col("o_totalprice")))
+          val stRow = merged.agg(count(lit(1)), min(col("o_orderkey")),
+            max(col("o_orderkey"))).head()
+          if (stRow.getLong(0) == 0L) None
+          else {
+            val out = s"rw2_$f"
+            merged.write.parquet(s"$dataDir/$out")
+            Some((out, out -> Map("o_orderkey" -> CommitLog.ColStats(
+              stRow.getLong(1).toString, stRow.getLong(2).toString))))
+          }
+        }.unzip
+        // inserts: brand-new keys above mx, one appended file
+        val ins = CommitLog.read(s, base)
+          .filter(inBand && col("o_orderkey") % 3 === 2)
+          .select((col("o_orderkey") + mx).as("o_orderkey"),
+            col("o_orderkey").cast("double").as("o_totalprice"))
+        val insSt = ins.agg(count(lit(1)), min(col("o_orderkey")),
+          max(col("o_orderkey"))).head()
+        val (insAdds, insStats) =
+          if (insSt.getLong(0) == 0L) (Nil, Map.empty)
+          else {
+            ins.write.parquet(s"$dataDir/ins_v2")
+            (Seq("ins_v2"), Map("ins_v2" -> Map("o_orderkey" ->
+              CommitLog.ColStats(insSt.getLong(1).toString,
+                insSt.getLong(2).toString))))
+          }
+        CommitLog.commit(base, adds ++ insAdds, cands, 1L,
+          statsAdd.toMap ++ insStats)
+      }
+    }
+    base
+  }
+
   private[graft] def stor7Summary(base: String): Map[String, String] =
     java.nio.file.Files.readAllLines(
       new java.io.File(base, "_protocol_summary.txt").toPath)
@@ -778,6 +876,68 @@ object QueriesStorage {
           (col("rows_at_v1") - col("rows_head")).as("rows_deleted"),
           col("rows_head"), col("sum_qty_cents"),
           lit(overlapAfter.toLong).as("n_files_overlap_after"))
+    }),
+
+    // COPY-ON-WRITE MERGE through the commit log — update + delete +
+    // insert in ONE atomic commit, completing the DML triangle
+    // (append stor7/9, compaction rewrite stor8, delete stor11). The
+    // table is laid out in contiguous KEY-RANGE files so the merge
+    // keys' stats actually prune: the changeset touches one narrow
+    // band (~5% of the key space), planScan selects only the 1-2
+    // overlapping files, ONLY those are rewritten (updates applied,
+    // deletes dropped), and the brand-new keys land as one appended
+    // file — at 100 TB a MERGE priced by the changeset's key
+    // footprint, not the table. Every measured column has relational
+    // ground truth: the file ledger from the log + planScan, the
+    // update count from the head rows that actually carry the new
+    // price, inserts from keys above the old max, and exact cent
+    // checksums before/after. The oracle recomputes the band
+    // arithmetic, the bucket layout, and both checksums from raw
+    // orders.
+    "stor13_cow_merge" -> ((s, d) => {
+      import graft.storage.CommitLog
+      val t = stor13Table(s, d)
+      val numCmp = (a: String, b: String) => a.toLong.compare(b.toLong)
+      // mx from v1 manifest stats — metadata-only, no data read
+      val mx = CommitLog.statsAt(t, 1L).values
+        .map(_("o_orderkey").max.toLong).max
+      val (bandLo, bandHi) = (mx / 4L, mx / 4L + mx / 20L)
+      val plan = CommitLog.planScan(t, 1L, Seq(
+        CommitLog.RangePredicate("o_orderkey", bandLo.toString,
+          bandHi.toString, numCmp)))
+      val v1Files = CommitLog.liveFiles(t, 1L)
+      val headFiles = CommitLog.liveFiles(t, 2L)
+      val untouched = v1Files.toSet.intersect(headFiles.toSet).size
+      val cents = sum(floor(col("o_totalprice") * 100 + lit(0.5))
+        .cast("long")).cast("long")
+      val inBand = col("o_orderkey") >= bandLo &&
+        col("o_orderkey") < bandHi
+      val v1Agg = CommitLog.read(s, t, Some(1L))
+        .agg(count(lit(1)).as("rows_at_v1"),
+          cents.as("sum_price_cents_v1"))
+      val headAgg = CommitLog.read(s, t)
+        .agg(count(lit(1)).as("rows_head"),
+          cents.as("sum_price_cents_head"),
+          // updates verified by VALUE: band keys that carry price = key
+          sum(when(inBand && col("o_orderkey") % 3 === 0 &&
+            col("o_totalprice") === col("o_orderkey").cast("double"),
+            1L).otherwise(0L)).as("n_updated"),
+          // inserts are exactly the keys above the old max
+          sum(when(col("o_orderkey") > mx, 1L).otherwise(0L))
+            .as("n_inserted"))
+      v1Agg.crossJoin(broadcast(headAgg))
+        .select(lit(v1Files.size.toLong).as("n_files_v1"),
+          lit(plan.selected.size.toLong).as("n_candidates"),
+          lit(headFiles.count(_.startsWith("rw2_")).toLong)
+            .as("n_rewritten"),
+          lit(headFiles.count(_.startsWith("ins_")).toLong)
+            .as("n_appended"),
+          lit(untouched.toLong).as("n_untouched"),
+          col("rows_at_v1"), col("rows_head"),
+          col("n_updated"), col("n_inserted"),
+          (col("rows_at_v1") + col("n_inserted") - col("rows_head"))
+            .as("n_deleted"),
+          col("sum_price_cents_v1"), col("sum_price_cents_head"))
     }),
 
     // SCHEMA EVOLUTION through the commit log — the add-column
@@ -1187,6 +1347,60 @@ object QueriesStorage {
         |        OR mn >= DATE '1997-06-20') THEN 1
         |    ELSE 0 END) AS BIGINT) AS n_files_overlap_after
         |FROM z""".stripMargin,
+    // stor13: the merge band, the key-bucket layout, and both cent
+    // checksums recomputed from raw orders. Updated rows are worth
+    // k*100 cents exactly (price := key, integer-valued double);
+    // inserted keys live above the old max so they can't collide with
+    // the band arithmetic.
+    "stor13_cow_merge" ->
+      """WITH p AS (SELECT max(o_orderkey) AS mx,
+        |    (max(o_orderkey) + 19) // 20 AS step,
+        |    max(o_orderkey) // 4 AS lo,
+        |    max(o_orderkey) // 4 + max(o_orderkey) // 20 AS hi
+        |  FROM orders),
+        |b AS (SELECT o.o_orderkey AS k, o.o_totalprice AS pr,
+        |    (o.o_orderkey - 1) // p.step AS bucket,
+        |    (o.o_orderkey >= p.lo AND o.o_orderkey < p.hi) AS band
+        |  FROM orders o CROSS JOIN p),
+        |f AS (SELECT bucket, min(k) AS mn, max(k) AS mxk,
+        |    CAST(sum(CASE WHEN band AND k % 3 = 1 THEN 0 ELSE 1 END)
+        |      AS BIGINT) AS n_kept
+        |  FROM b GROUP BY 1),
+        |fc AS (SELECT f.*,
+        |    NOT (f.mxk < p.lo OR f.mn >= p.hi) AS cand
+        |  FROM f CROSS JOIN p),
+        |ledger AS (SELECT count(*) AS n_files_v1,
+        |    CAST(sum(CASE WHEN cand THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_candidates,
+        |    CAST(sum(CASE WHEN cand AND n_kept > 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_rewritten,
+        |    CAST(sum(CASE WHEN cand THEN 0 ELSE 1 END) AS BIGINT)
+        |      AS n_untouched
+        |  FROM fc),
+        |r AS (SELECT count(*) AS rows_at_v1,
+        |    CAST(sum(CAST(floor(pr * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |      AS sum_price_cents_v1,
+        |    CAST(sum(CASE WHEN band AND k % 3 = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_updated,
+        |    CAST(sum(CASE WHEN band AND k % 3 = 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_deleted,
+        |    CAST(sum(CASE WHEN band AND k % 3 = 2 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_inserted,
+        |    CAST(sum(CASE WHEN band AND k % 3 = 1 THEN 0
+        |        WHEN band AND k % 3 = 0 THEN k * 100
+        |        ELSE CAST(floor(pr * 100 + 0.5) AS BIGINT) END)
+        |      + sum(CASE WHEN band AND k % 3 = 2 THEN k * 100
+        |        ELSE 0 END) AS BIGINT) AS sum_price_cents_head
+        |  FROM b)
+        |SELECT ledger.n_files_v1, ledger.n_candidates,
+        |  ledger.n_rewritten,
+        |  CAST(CASE WHEN r.n_inserted > 0 THEN 1 ELSE 0 END AS BIGINT)
+        |    AS n_appended,
+        |  ledger.n_untouched, r.rows_at_v1,
+        |  r.rows_at_v1 + r.n_inserted - r.n_deleted AS rows_head,
+        |  r.n_updated, r.n_inserted, r.n_deleted,
+        |  r.sum_price_cents_v1, r.sum_price_cents_head
+        |FROM ledger CROSS JOIN r""".stripMargin,
     // stor12: band = the evolved writer's expression after the 1996-12
     // cutover, the sentinel before it; schema widths are
     // by-construction (4 original cols incl. the partition column, +1

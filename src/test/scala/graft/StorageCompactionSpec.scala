@@ -161,6 +161,43 @@ class StorageCompactionSpec extends SparkTestBase {
       .contains("qty_band"))
   }
 
+  test("stor13: COW merge prunes by key stats; all three DMLs land") {
+    import org.apache.spark.sql.functions._
+    val t = QueriesStorage.stor13Table(spark, sf001)
+    assert(CommitLog.latestVersion(t) === 2L)
+    val v1 = CommitLog.liveFiles(t, 1L)
+    val v2 = CommitLog.liveFiles(t, 2L)
+    val rewritten = v2.filter(_.startsWith("rw2_"))
+    val appended = v2.filter(_.startsWith("ins_"))
+    val untouched = v1.toSet.intersect(v2.toSet)
+    assert(rewritten.nonEmpty && appended.nonEmpty)
+    // key-range layout makes the band prune REAL: most files untouched
+    assert(untouched.size > v1.size / 2,
+      s"merge must not rewrite the table: ${untouched.size}/${v1.size}")
+    val mx = CommitLog.statsAt(t, 1L).values
+      .map(_("o_orderkey").max.toLong).max
+    val (lo, hi) = (mx / 4L, mx / 4L + mx / 20L)
+    val band = col("o_orderkey") >= lo && col("o_orderkey") < hi
+    val head = CommitLog.read(spark, t)
+    // deletes gone, updates carry price = key, inserts above old max
+    assert(head.filter(band && col("o_orderkey") % 3 === 1).count() === 0L)
+    assert(head.filter(band && col("o_orderkey") % 3 === 0 &&
+      col("o_totalprice") =!= col("o_orderkey").cast("double"))
+      .count() === 0L)
+    val nIns = head.filter(col("o_orderkey") > mx).count()
+    assert(nIns > 0L)
+    // time travel: the pre-merge table is byte-identical semantics —
+    // deleted keys still present, no inserted keys, prices untouched
+    val old = CommitLog.read(spark, t, Some(1L))
+    assert(old.filter(band && col("o_orderkey") % 3 === 1).count() > 0L)
+    assert(old.filter(col("o_orderkey") > mx).count() === 0L)
+    // (not ===0: a synthetic price may coincidentally equal its key)
+    assert(old.filter(band && col("o_orderkey") % 3 === 0 &&
+      col("o_totalprice") === col("o_orderkey").cast("double")).count() <
+      old.filter(band && col("o_orderkey") % 3 === 0).count(),
+      "v1 must not show the updated prices")
+  }
+
   test("stor7: protocol summary is fully green and matches the log") {
     val t = QueriesStorage.stor7Table(spark, sf001)
     val sm = QueriesStorage.stor7Summary(t)
