@@ -612,6 +612,44 @@ object QueriesStorage {
     base
   }
 
+  /** stor14's pair of tables: stor9's three append commits as the
+    * UPSTREAM, and a DOWNSTREAM derived table built by running
+    * [[graft.storage.CommitLog.syncIncrement]] once per upstream
+    * commit — each sync reads ONLY that commit's increment, applies a
+    * row-wise transform (integer qty cents), and lands as one
+    * downstream commit recording the consumed upstream version. The
+    * downstream is itself a commit-log table, so its own history is
+    * time-travelable and incrementally consumable. Build-once per
+    * (dir, fingerprint).
+    */
+  private[graft] def stor14Tables(s: SparkSession,
+      d: String): (String, String) = {
+    import graft.storage.CommitLog
+    val up = stor9Table(s, d)
+    val down = s"${System.getProperty("java.io.tmpdir")}/graft_derived/" +
+      s"${tag(d)}_${srcFingerprint(d, "lineitem")}"
+    QueriesStorage.synchronized {
+      if (CommitLog.latestVersion(down) < 3L ||
+          CommitLog.consumedUpstreamVersion(down) < 3L) {
+        def rmrf(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rmrf)); f.delete(): Unit
+        }
+        rmrf(new java.io.File(down))
+        // one sync per upstream commit (bounded catch-up), so each
+        // downstream version mirrors exactly one upstream increment
+        (1L to 3L).foreach { v =>
+          val r = CommitLog.syncIncrement(s, up, down, Some(v))(
+            _.select(col("l_orderkey"),
+              floor(col("l_quantity") * 100 + lit(0.5)).cast("long")
+                .as("qty_cents"),
+              col("ship")))
+          require(r.contains((v, v - 1, v)), s"sync $v landed $r")
+        }
+      }
+    }
+    (up, down)
+  }
+
   private[graft] def stor7Summary(base: String): Map[String, String] =
     java.nio.file.Files.readAllLines(
       new java.io.File(base, "_protocol_summary.txt").toPath)
@@ -750,6 +788,33 @@ object QueriesStorage {
           .select(lit(v).as("version"),
             lit(files.size.toLong).as("n_files_new"),
             col("rows_added"), col("sum_qty_cents"))
+      }.reduce(_ unionByName _)
+    }),
+
+    // EXACTLY-ONCE DERIVED TABLE — the consumer half of the
+    // incremental contract stor9 demonstrates on the producer side:
+    // a downstream table built by syncIncrement, one bounded sync per
+    // upstream commit, each reading ONLY that commit's files,
+    // applying a row-wise transform, and recording the consumed
+    // upstream version IN the downstream manifest (crash before the
+    // commit → invisible files, redo; crash after → the recorded
+    // version stops any replay; racing syncers → one lands, pinned in
+    // CommitLogSpec). This is how a 100 TB pipeline keeps a family of
+    // derived tables in step with a source-of-truth table without
+    // rescans and without double-counts. The downstream is itself a
+    // commit-log table: the query time-travels it version by version
+    // and reports the cumulative derived state; the oracle recomputes
+    // each from the upstream month windows.
+    "stor14_derived_sync" -> ((s, d) => {
+      import graft.storage.CommitLog
+      val (_, down) = stor14Tables(s, d)
+      val consumed = CommitLog.consumedUpstreamVersion(down)
+      (1L to 3L).map { v =>
+        CommitLog.read(s, down, Some(v))
+          .agg(count(lit(1)).as("rows_cum"),
+            sum(col("qty_cents")).cast("long").as("sum_qty_cents_cum"))
+          .select(lit(v).as("version"), col("rows_cum"),
+            col("sum_qty_cents_cum"), lit(consumed).as("consumed_up"))
       }.reduce(_ unionByName _)
     }),
 
@@ -1236,6 +1301,25 @@ object QueriesStorage {
         |  CAST(sum(f.n_rows) AS BIGINT) AS rows_added,
         |  CAST(sum(f.cents) AS BIGINT) AS sum_qty_cents
         |FROM v JOIN f ON f.m > v.lo AND f.m <= v.hi
+        |GROUP BY 1""".stripMargin,
+    // stor14: cumulative derived state per downstream version = the
+    // upstream month windows, cumulatively; the consumed-version
+    // ledger is 3 by construction (one bounded sync per upstream
+    // commit, pinned in the builder).
+    "stor14_derived_sync" ->
+      """WITH f AS (SELECT date_trunc('month', l_shipdate)::DATE AS m,
+        |    count(*) AS n_rows,
+        |    CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS cents
+        |  FROM lineitem GROUP BY 1),
+        |v(version, hi) AS (VALUES
+        |  (CAST(1 AS BIGINT), DATE '1996-12-31'),
+        |  (2, DATE '1998-12-31'), (3, DATE '9999-12-31'))
+        |SELECT v.version,
+        |  CAST(sum(f.n_rows) AS BIGINT) AS rows_cum,
+        |  CAST(sum(f.cents) AS BIGINT) AS sum_qty_cents_cum,
+        |  CAST(3 AS BIGINT) AS consumed_up
+        |FROM v JOIN f ON f.m <= v.hi
         |GROUP BY 1""".stripMargin,
     // stor8: stor3's binning recomputed relationally, with per-bin
     // row/checksum/span stats and the stor2 window's prune flag — the

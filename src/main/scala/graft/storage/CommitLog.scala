@@ -449,6 +449,69 @@ object CommitLog {
     true
   }
 
+  /** Highest upstream version a downstream table has consumed via
+    * [[syncIncrement]] (the `U` manifest lines) — 0 if never synced.
+    */
+  def consumedUpstreamVersion(tableDir: String): Long =
+    (listLog(tableDir).filter(!_.getName.endsWith(".checkpoint.txt"))
+      .flatMap { f =>
+        Files.readAllLines(f.toPath).toArray(Array.empty[String])
+          .collect { case l if l.startsWith("U ") => l.drop(2).toLong }
+      } :+ 0L).max
+
+  /** EXACTLY-ONCE derived-table sync — the consumer half of the
+    * incremental contract: read the upstream increment
+    * `(consumed, upstreamHead]`, apply `transform`, stage the result
+    * invisible, and commit it downstream with the consumed upstream
+    * version recorded in the manifest (`U` line). Crash anywhere
+    * before the commit → only invisible files, the next sync redoes
+    * the same range; crash after → the next sync sees the recorded
+    * version and consumes nothing twice. Concurrent syncers resolve
+    * like [[appendBatch]]: the loser of the version race re-checks
+    * whether its range was already consumed and backs off. Inherits
+    * [[addedFiles]]' refusals (rewrite commits, expired history) —
+    * a derived table can never silently double-count. Returns the
+    * downstream version and the consumed range, or None when already
+    * caught up (or lost the race to an identical sync).
+    */
+  def syncIncrement(spark: SparkSession, upDir: String, downDir: String,
+      upTo: Option[Long] = None)
+      (transform: DataFrame => DataFrame): Option[(Long, Long, Long)] = {
+    // `upTo` bounds the catch-up (backpressure: consume at most up to
+    // that upstream version this round); default = the current head
+    val upHead = upTo.getOrElse(latestVersion(upDir))
+    val from = consumedUpstreamVersion(downDir)
+    if (from >= upHead) return None
+    val inc = readIncrement(spark, upDir, from, upHead)
+    val rel = f"sync_${from}%05d_${upHead}%05d_" +
+      java.util.UUID.randomUUID().toString
+    transform(inc).write.parquet(s"${dataDir(downDir)}/$rel")
+    while (true) {
+      val head = latestVersion(downDir)
+      if (consumedUpstreamVersion(downDir) != from) {
+        // a racing syncer moved the consumed version while we staged:
+        // our transform was computed against base `from` and would
+        // double-count any overlap — abort; the caller re-invokes to
+        // sync whatever remains
+        deleteRecursively(new File(dataDir(downDir), rel))
+        return None
+      }
+      val dir = logDir(downDir)
+      dir.mkdirs()
+      val body = s"P $head\nU $upHead\nA $rel\n"
+      val tmp = new File(dir, s"_tmp_${java.util.UUID.randomUUID()}")
+      Files.write(tmp.toPath, body.getBytes(StandardCharsets.UTF_8))
+      try {
+        Files.createLink(new File(dir, manifestName(head + 1)).toPath,
+          tmp.toPath)
+        return Some((head + 1, from, upHead))
+      } catch {
+        case _: FileAlreadyExistsException => // lost the race; re-check
+      } finally Files.deleteIfExists(tmp.toPath)
+    }
+    sys.error("unreachable")
+  }
+
   /** Cheap fingerprint of a source parquet table (file or directory):
     * total bytes + newest mtime. Folded into build-once cache paths so
     * regenerating testdata at the same path invalidates the cache

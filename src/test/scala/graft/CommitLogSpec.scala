@@ -300,6 +300,65 @@ class CommitLogSpec extends SparkTestBase {
     assert(CommitLog.planScan(t, 1L, Nil).selected.size === 4)
   }
 
+  test("syncIncrement: exactly-once derived table, resumes after catchup") {
+    import org.apache.spark.sql.functions._
+    val up = freshDir()
+    val down = freshDir()
+    stage(up, "f1", Seq((1L, "a"), (2L, "a")))
+    stage(up, "f2", Seq((3L, "b")))
+    CommitLog.commit(up, Seq("f1"), Nil, 0L)
+    CommitLog.commit(up, Seq("f2"), Nil, 1L)
+    def sync() = CommitLog.syncIncrement(spark, up, down)(
+      _.withColumn("k2", col("k") * 2))
+    // first sync consumes the whole history (0, 2]
+    assert(sync() === Some((1L, 0L, 2L)))
+    assert(CommitLog.read(spark, down).count() === 3L)
+    // caught up: a replay is a no-op, nothing committed twice
+    assert(sync() === None)
+    assert(CommitLog.latestVersion(down) === 1L)
+    // upstream advances; only the increment flows
+    stage(up, "f3", Seq((4L, "c")))
+    CommitLog.commit(up, Seq("f3"), Nil, 2L)
+    assert(sync() === Some((2L, 2L, 3L)))
+    assert(CommitLog.read(spark, down).count() === 4L)
+    assert(CommitLog.readIncrement(spark, down, 1L, 2L).count() === 1L)
+    // the transform actually applied
+    import spark.implicits._
+    assert(CommitLog.read(spark, down).select("k2").as[Long]
+      .collect().sorted === Array(2L, 4L, 6L, 8L))
+    // a derived table refuses to sync across an upstream rewrite
+    stage(up, "f4", Seq((5L, "d")))
+    CommitLog.commit(up, Seq("f4"), Seq("f1"), 3L)
+    intercept[IllegalStateException](sync())
+  }
+
+  test("syncIncrement: racing syncers — exactly one lands") {
+    import org.apache.spark.sql.functions._
+    val up = freshDir()
+    val down = freshDir()
+    stage(up, "f1", Seq((1L, "a")))
+    CommitLog.commit(up, Seq("f1"), Nil, 0L)
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    val landed = new java.util.concurrent.atomic.AtomicInteger(0)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (1 to 2).map { _ =>
+      new Thread(() => {
+        try {
+          barrier.await()
+          if (CommitLog.syncIncrement(spark, up, down)(
+            _.withColumn("k2", col("k") * 2)).isDefined)
+            landed.incrementAndGet(): Unit
+        } catch { case x: Throwable => errs.add(x): Unit }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(errs.isEmpty, errs.toString)
+    assert(landed.get() === 1, "the range must be consumed exactly once")
+    assert(CommitLog.latestVersion(down) === 1L)
+    assert(CommitLog.read(spark, down).count() === 1L)
+    assert(CommitLog.consumedUpstreamVersion(down) === 1L)
+  }
+
   test("expiry horizon outside the committed range refuses") {
     val t = freshDir()
     stage(t, "f1", Seq((1L, "a")))
