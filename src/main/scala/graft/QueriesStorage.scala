@@ -76,6 +76,49 @@ object QueriesStorage {
     (obName, lbName)
   }
 
+  /** Wipe a partial table dir (crashed build) before a rebuild —
+    * shared by every build-once storage builder.
+    */
+  private def rmrf(f: java.io.File): Unit =
+    graft.storage.CommitLog.deleteRecursively(f)
+
+  /** Atomically publish a small marker/summary file (temp + move).
+    * Markers double as build-once guards, so a torn write must never
+    * become a permanent wedge: a crash mid-write leaves no marker and
+    * the next run rebuilds.
+    */
+  private def writeMarker(f: java.io.File, body: String): Unit = {
+    val tmp = new java.io.File(f.getParentFile,
+      s"_tmp_${java.util.UUID.randomUUID()}")
+    java.nio.file.Files.write(tmp.toPath,
+      body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.move(tmp.toPath, f.toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
+  }
+
+  /** The sorted `prefix...` directory names under `dataDir`. */
+  private def listDirs(dataDir: String, prefix: String): Seq[String] =
+    Option(new java.io.File(dataDir).listFiles())
+      .fold(Seq.empty[String])(_.toSeq
+        .filter(f => f.isDirectory && f.getName.startsWith(prefix))
+        .map(_.getName)).sorted
+
+  /** Stage lineitem as one parquet dir per ship month under `dataDir`
+    * — the month-file layout the stor7+ table-format family commits —
+    * returning the sorted `file_month=...` dir names.
+    */
+  private def stageMonthFiles(s: SparkSession, d: String,
+      dataDir: String): Seq[String] = {
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_quantity"),
+        col("l_shipdate").cast("date").as("ship"),
+        date_trunc("month", col("l_shipdate")).cast("date")
+          .as("file_month"))
+      .write.partitionBy("file_month").parquet(dataDir)
+    listDirs(dataDir, "file_month=")
+  }
+
   /** stor5's encoding matrix: codec × dictionary. */
   private val EncVariants: Seq[(String, String)] = Seq(
     ("uncompressed", "true"), ("uncompressed", "false"),
@@ -179,23 +222,11 @@ object QueriesStorage {
       val summary = new java.io.File(base, "_protocol_summary.txt")
       if (!summary.isFile) {
         // wipe any partial state from a crashed run, then rebuild
-        def rmrf(f: java.io.File): Unit = {
-          Option(f.listFiles()).foreach(_.foreach(rmrf)); f.delete(): Unit
-        }
         rmrf(new java.io.File(base))
         val dataDir = CommitLog.dataDir(base)
-        Tables.lineitem(s, d)
-          .select(col("l_orderkey"), col("l_quantity"),
-            col("l_shipdate").cast("date").as("ship"),
-            date_trunc("month", col("l_shipdate")).cast("date")
-              .as("file_month"))
-          .write.partitionBy("file_month").parquet(dataDir)
         // classify the staged month dirs by their partition value
-        val months = Option(new java.io.File(dataDir).listFiles())
-          .fold(Seq.empty[java.io.File])(_.toSeq)
-          .filter(f => f.isDirectory && f.getName.startsWith("file_month="))
-          .map(f => (f.getName, f.getName.stripPrefix("file_month=")))
-          .sortBy(_._2)
+        val months = stageMonthFiles(s, d, dataDir)
+          .map(n => (n, n.stripPrefix("file_month=")))
         def upTo(cut: String) = months.filter(_._2 <= cut).map(_._1)
         val b1 = upTo("1996-12-31")
         val b2 = months.filter(m => m._2 > "1996-12-31" &&
@@ -243,8 +274,7 @@ object QueriesStorage {
           s"n_files_deleted=$nDeleted",
           s"expired_read_refused=$refused",
           s"files_physically_gone=$gone").mkString("", "\n", "\n")
-        java.nio.file.Files.write(summary.toPath,
-          body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        writeMarker(summary, body)
       }
     }
     base
@@ -271,23 +301,9 @@ object QueriesStorage {
     QueriesStorage.synchronized {
       val marker = new java.io.File(base, "_compaction_summary.txt")
       if (!marker.isFile) {
-        def rmrf(f: java.io.File): Unit = {
-          Option(f.listFiles()).foreach(_.foreach(rmrf)); f.delete(): Unit
-        }
         rmrf(new java.io.File(base))
         val dataDir = CommitLog.dataDir(base)
-        Tables.lineitem(s, d)
-          .select(col("l_orderkey"), col("l_quantity"),
-            col("l_shipdate").cast("date").as("ship"),
-            date_trunc("month", col("l_shipdate")).cast("date")
-              .as("file_month"))
-          .write.partitionBy("file_month").parquet(dataDir)
-        def dirs(prefix: String) =
-          Option(new java.io.File(dataDir).listFiles())
-            .fold(Seq.empty[String])(_.toSeq
-              .filter(f => f.isDirectory && f.getName.startsWith(prefix))
-              .map(_.getName)).sorted
-        val months = dirs("file_month=")
+        val months = stageMonthFiles(s, d, dataDir)
         CommitLog.commit(base, months, Nil, 0L)
         // stor3's plan, from the committed snapshot: est 64 B/row,
         // 4 MB target, running-sum admission over month order
@@ -310,10 +326,10 @@ object QueriesStorage {
           .select(col("l_orderkey"), col("l_quantity"), col("ship"),
             col("file_month"), col("bin"))
           .write.mode("append").partitionBy("bin").parquet(dataDir)
-        CommitLog.commit(base, dirs("bin="), months, 1L)
-        java.nio.file.Files.write(marker.toPath,
-          s"n_files_before=${months.size}\nn_files_after=${dirs("bin=").size}\n"
-            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        val bins = listDirs(dataDir, "bin=")
+        CommitLog.commit(base, bins, months, 1L)
+        writeMarker(marker,
+          s"n_files_before=${months.size}\nn_files_after=${bins.size}\n")
       }
     }
     base
@@ -332,21 +348,9 @@ object QueriesStorage {
       s"${tag(d)}_${srcFingerprint(d, "lineitem")}"
     QueriesStorage.synchronized {
       if (CommitLog.latestVersion(base) < 3L) {
-        def rmrf(f: java.io.File): Unit = {
-          Option(f.listFiles()).foreach(_.foreach(rmrf)); f.delete(): Unit
-        }
         rmrf(new java.io.File(base))
         val dataDir = CommitLog.dataDir(base)
-        Tables.lineitem(s, d)
-          .select(col("l_orderkey"), col("l_quantity"),
-            col("l_shipdate").cast("date").as("ship"),
-            date_trunc("month", col("l_shipdate")).cast("date")
-              .as("file_month"))
-          .write.partitionBy("file_month").parquet(dataDir)
-        val months = Option(new java.io.File(dataDir).listFiles())
-          .fold(Seq.empty[String])(_.toSeq
-            .filter(f => f.isDirectory && f.getName.startsWith("file_month="))
-            .map(_.getName)).sorted
+        val months = stageMonthFiles(s, d, dataDir)
         def in(lo: String, hi: String) = months.filter { m =>
           val v = m.stripPrefix("file_month="); v > lo && v <= hi }
         CommitLog.commit(base, in("", "1996-12-31"), Nil, 0L)
@@ -370,17 +374,9 @@ object QueriesStorage {
       s"${tag(d)}_${srcFingerprint(d, "lineitem")}"
     QueriesStorage.synchronized {
       if (CommitLog.latestVersion(base) < 1L) {
-        def rmrf(f: java.io.File): Unit = {
-          Option(f.listFiles()).foreach(_.foreach(rmrf)); f.delete(): Unit
-        }
         rmrf(new java.io.File(base))
         val dataDir = CommitLog.dataDir(base)
-        Tables.lineitem(s, d)
-          .select(col("l_orderkey"), col("l_quantity"),
-            col("l_shipdate").cast("date").as("ship"),
-            date_trunc("month", col("l_shipdate")).cast("date")
-              .as("file_month"))
-          .write.partitionBy("file_month").parquet(dataDir)
+        stageMonthFiles(s, d, dataDir): Unit
         // per-file manifest stats: one aggregate, O(files) rows
         val stats = s.read.parquet(dataDir)
           .groupBy("file_month")
@@ -418,17 +414,9 @@ object QueriesStorage {
       s"${tag(d)}_${srcFingerprint(d, "lineitem")}"
     QueriesStorage.synchronized {
       if (CommitLog.latestVersion(base) < 2L) {
-        def rmrf(f: java.io.File): Unit = {
-          Option(f.listFiles()).foreach(_.foreach(rmrf)); f.delete(): Unit
-        }
         rmrf(new java.io.File(base))
         val dataDir = CommitLog.dataDir(base)
-        Tables.lineitem(s, d)
-          .select(col("l_orderkey"), col("l_quantity"),
-            col("l_shipdate").cast("date").as("ship"),
-            date_trunc("month", col("l_shipdate")).cast("date")
-              .as("file_month"))
-          .write.partitionBy("file_month").parquet(dataDir)
+        stageMonthFiles(s, d, dataDir): Unit
         val stats = s.read.parquet(dataDir)
           .groupBy("file_month")
           .agg(min(col("ship")).as("mn"), max(col("ship")).as("mx"))
@@ -484,9 +472,6 @@ object QueriesStorage {
       s"${tag(d)}_${srcFingerprint(d, "lineitem")}"
     QueriesStorage.synchronized {
       if (CommitLog.latestVersion(base) < 2L) {
-        def rmrf(f: java.io.File): Unit = {
-          Option(f.listFiles()).foreach(_.foreach(rmrf)); f.delete(): Unit
-        }
         rmrf(new java.io.File(base))
         val dataDir = CommitLog.dataDir(base)
         val cut = lit("1996-12-01").cast("date")
@@ -495,10 +480,7 @@ object QueriesStorage {
             col("l_shipdate").cast("date").as("ship"),
             date_trunc("month", col("l_shipdate")).cast("date")
               .as("file_month"))
-        def dirs() = Option(new java.io.File(dataDir).listFiles())
-          .fold(Seq.empty[String])(_.toSeq
-            .filter(f => f.isDirectory && f.getName.startsWith("file_month="))
-            .map(_.getName)).sorted
+        def dirs() = listDirs(dataDir, "file_month=")
         src.filter(col("file_month") <= cut)
           .write.partitionBy("file_month").parquet(dataDir)
         val old = dirs()
@@ -534,9 +516,6 @@ object QueriesStorage {
     val numCmp = (a: String, b: String) => a.toLong.compare(b.toLong)
     QueriesStorage.synchronized {
       if (CommitLog.latestVersion(base) < 2L) {
-        def rmrf(f: java.io.File): Unit = {
-          Option(f.listFiles()).foreach(_.foreach(rmrf)); f.delete(): Unit
-        }
         rmrf(new java.io.File(base))
         val dataDir = CommitLog.dataDir(base)
         val orders = Tables.orders(s, d)
@@ -631,9 +610,6 @@ object QueriesStorage {
     QueriesStorage.synchronized {
       if (CommitLog.latestVersion(down) < 3L ||
           CommitLog.consumedUpstreamVersion(down) < 3L) {
-        def rmrf(f: java.io.File): Unit = {
-          Option(f.listFiles()).foreach(_.foreach(rmrf)); f.delete(): Unit
-        }
         rmrf(new java.io.File(down))
         // one sync per upstream commit (bounded catch-up), so each
         // downstream version mirrors exactly one upstream increment

@@ -71,8 +71,9 @@ object CommitLog {
     * `selected` is the file list the reader must open; `skipped`
     * counts, per predicate column, how many live files that predicate
     * alone proved disjoint (a file can count under several);
-    * `noStats` lists files that lacked stats for at least one
-    * predicate column — conservatively kept, never skipped blind.
+    * `noStats` — a subset of `selected` — flags kept files the
+    * planner could not fully evaluate (missing stats for at least one
+    * predicate column): conservatively read, never skipped blind.
     */
   final case class ScanPlan(selected: Seq[String],
       skipped: Map[String, Long], noStats: Seq[String])
@@ -241,13 +242,17 @@ object CommitLog {
     val noStats = scala.collection.mutable.ArrayBuffer[String]()
     val selected = live.filter { f =>
       val cols = stats.getOrElse(f, Map.empty)
-      if (preds.exists(p => !cols.contains(p.col))) noStats += f
       val skips = preds.filter { p =>
         cols.get(p.col).exists(s =>
           p.cmp(s.max, p.lo) < 0 || p.cmp(s.min, p.hi) >= 0)
       }
       skips.foreach(p => skipped(p.col) += 1L)
-      skips.isEmpty
+      val kept = skips.isEmpty
+      // noStats ⊆ selected by contract: it flags kept files the
+      // planner could not fully evaluate (a file another predicate
+      // already proved disjoint is just skipped, not blind)
+      if (kept && preds.exists(p => !cols.contains(p.col))) noStats += f
+      kept
     }
     ScanPlan(selected, skipped.toMap, noStats.toSeq)
   }
@@ -354,7 +359,7 @@ object CommitLog {
       .parquet(files.map(f => s"$base/$f"): _*)
   }
 
-  private def deleteRecursively(f: File): Unit = {
+  private[graft] def deleteRecursively(f: File): Unit = {
     Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
     f.delete(): Unit
   }
@@ -377,15 +382,10 @@ object CommitLog {
     // still exist.
     val expired = (earliest until keepFrom)
       .flatMap(liveFiles(tableDir, _)).toSet
-    val keepLive = liveFiles(tableDir, keepFrom)
-    // 1. checkpoint the horizon (live set + its stats, so scan
-    // planning survives history expiry)
-    val ckBody = ((s"P ${keepFrom - 1}" +: keepLive.map("A " + _)) ++
-      statsLines(statsAt(tableDir, keepFrom)))
-      .mkString("", "\n", "\n")
-    val ck = new File(logDir(tableDir), checkpointName(keepFrom))
-    if (!ck.isFile)
-      Files.write(ck.toPath, ckBody.getBytes(StandardCharsets.UTF_8))
+    // 1. checkpoint the horizon — atomically published, and carrying
+    // the live set, its stats AND the exactly-once ledger, so expiry
+    // can't tear a checkpoint or reopen a committed batch for replay
+    checkpoint(tableDir, Some(keepFrom)): Unit
     // 2. drop expired manifests
     val dropped = listLog(tableDir).filter { f =>
       versionOf(f.getName).exists(_ < keepFrom) }
@@ -397,15 +397,107 @@ object CommitLog {
     (dropped.size, orphans.size)
   }
 
-  /** Batch ids already committed to this table (the `B` manifest
-    * lines) — the idempotence ledger of [[appendBatch]].
+  /** Write the checkpoint manifest of version `asOf` (default: the
+    * head): the full live set, its stats, and the exactly-once ledger
+    * (`B`/`U` lines), published atomically via temp-file + hard link —
+    * a racing reader (or a crash mid-write) sees a complete checkpoint
+    * or none, the same guarantee [[commit]] gives manifests. Replay
+    * ([[liveFiles]], [[statsAt]], [[committedBatchIds]],
+    * [[consumedUpstreamVersion]]) starts from the newest checkpoint,
+    * so calling this periodically is the compaction discipline that
+    * keeps every replay — including the per-micro-batch ledger scan on
+    * [[appendBatch]]'s hot path — O(commits since checkpoint) instead
+    * of O(table lifetime). Idempotent per version; returns true when
+    * this call created the checkpoint.
+    */
+  def checkpoint(tableDir: String, asOfOpt: Option[Long] = None): Boolean = {
+    val asOf = asOfOpt.getOrElse(latestVersion(tableDir))
+    val live = liveFiles(tableDir, asOf)
+    val (bids, u) = ledgerAt(tableDir, asOf)
+    val body = ((s"P ${asOf - 1}" +: live.map("A " + _)) ++
+      statsLines(statsAt(tableDir, asOf)) ++
+      bids.toSeq.sorted.map("B " + _) ++
+      (if (u > 0L) Seq(s"U $u") else Nil))
+      .mkString("", "\n", "\n")
+    val dir = logDir(tableDir)
+    dir.mkdirs()
+    val tmp = new File(dir, s"_tmp_${java.util.UUID.randomUUID()}")
+    Files.write(tmp.toPath, body.getBytes(StandardCharsets.UTF_8))
+    try {
+      Files.createLink(new File(dir, checkpointName(asOf)).toPath,
+        tmp.toPath)
+      true
+    } catch {
+      case _: FileAlreadyExistsException => false // complete by link
+    } finally Files.deleteIfExists(tmp.toPath)
+  }
+
+  /** Delete STAGED-BUT-NEVER-COMMITTED data — the debris a crash
+    * between stage and commit leaves behind ([[appendBatch]],
+    * [[syncIncrement]], or any writer that staged and died): top-level
+    * entries under `data/` that NO surviving manifest or checkpoint
+    * references (added or removed — committed-then-removed files
+    * belong to expiry, not this vacuum) and whose mtime is older than
+    * `graceMs`. The grace window protects stagings racing this call:
+    * run it with a margin comfortably above the longest stage-to-
+    * commit latency. Returns the number of entries deleted.
+    */
+  def vacuumOrphans(tableDir: String, graceMs: Long): Int = {
+    val referenced = listLog(tableDir).flatMap { f =>
+      val (a, r) = parse(f); a ++ r
+    }.map(_.split("/").head).toSet
+    val cutoff = System.currentTimeMillis() - graceMs
+    val orphans = Option(new File(dataDir(tableDir)).listFiles())
+      .fold(Seq.empty[File])(_.toSeq)
+      .filterNot(f => referenced.contains(f.getName))
+      // partitioned-write markers at the data root (_SUCCESS, .crc)
+      .filterNot(f => f.getName.startsWith("_") || f.getName.startsWith("."))
+      .filter(_.lastModified() < cutoff)
+    orphans.foreach(deleteRecursively)
+    orphans.size
+  }
+
+  private def parseLedger(f: File): (Set[Long], Long) = {
+    val lines = Files.readAllLines(f.toPath).toArray(Array.empty[String])
+    (lines.collect { case l if l.startsWith("B ") => l.drop(2).toLong }
+      .toSet,
+      (lines.collect { case l if l.startsWith("U ") => l.drop(2).toLong }
+        .toSeq :+ 0L).max)
+  }
+
+  /** The exactly-once ledger at snapshot `asOf` — committed batch ids
+    * and the highest consumed upstream version — replayed from the
+    * newest checkpoint at or below `asOf`. Checkpoints summarize the
+    * ledger of every manifest below them, so snapshot expiry can never
+    * reopen a committed batch or a consumed upstream range for replay.
+    */
+  private def ledgerAt(tableDir: String, asOf: Long): (Set[Long], Long) = {
+    if (asOf == 0L) return (Set.empty, 0L)
+    val files = listLog(tableDir)
+    val byVersion = files.groupBy(f => versionOf(f.getName).get)
+    val ckpts = files.filter(_.getName.endsWith(".checkpoint.txt"))
+      .flatMap(f => versionOf(f.getName)).filter(_ <= asOf)
+    val base = if (ckpts.isEmpty) 0L else ckpts.max
+    val start: (Set[Long], Long) =
+      if (base == 0L) (Set.empty, 0L)
+      else parseLedger(byVersion(base)
+        .find(_.getName.endsWith(".checkpoint.txt")).get)
+    ((base + 1) to asOf).foldLeft(start) { (acc, v) =>
+      val m = byVersion.getOrElse(v, Seq.empty)
+        .find(!_.getName.endsWith(".checkpoint.txt"))
+        .getOrElse(throw SnapshotExpired(asOf, earliestVersion(tableDir)))
+      val (bs, u) = parseLedger(m)
+      (acc._1 ++ bs, math.max(acc._2, u))
+    }
+  }
+
+  /** Batch ids already committed to this table (the `B` lines) — the
+    * idempotence ledger of [[appendBatch]], checkpoint-aware: expiry
+    * folds expired manifests' ids into the checkpoint, and replay
+    * costs O(commits since the newest checkpoint).
     */
   def committedBatchIds(tableDir: String): Set[Long] =
-    listLog(tableDir).filter(!_.getName.endsWith(".checkpoint.txt"))
-      .flatMap { f =>
-        Files.readAllLines(f.toPath).toArray(Array.empty[String])
-          .collect { case l if l.startsWith("B ") => l.drop(2).toLong }
-      }.toSet
+    ledgerAt(tableDir, latestVersion(tableDir))._1
 
   /** EXACTLY-ONCE streaming append: the foreachBatch sink body that
     * makes the hourly-append contract ACID. Each micro-batch stages
@@ -414,7 +506,8 @@ object CommitLog {
     * a failure (Structured Streaming's at-least-once foreachBatch
     * delivery) detects its id in the log and skips, and a crash
     * BETWEEN stage and commit leaves only invisible files (no reader
-    * ever saw them; the replay stages and commits a fresh set).
+    * ever saw them; the replay stages and commits a fresh set, and
+    * [[vacuumOrphans]] reclaims the debris).
     * Concurrent non-streaming writers are tolerated via optimistic
     * retry. Returns true when this call performed the commit, false
     * when the batch was already committed (replay).
@@ -450,14 +543,11 @@ object CommitLog {
   }
 
   /** Highest upstream version a downstream table has consumed via
-    * [[syncIncrement]] (the `U` manifest lines) — 0 if never synced.
+    * [[syncIncrement]] (the `U` lines) — 0 if never synced.
+    * Checkpoint-aware like [[committedBatchIds]]: expiry preserves it.
     */
   def consumedUpstreamVersion(tableDir: String): Long =
-    (listLog(tableDir).filter(!_.getName.endsWith(".checkpoint.txt"))
-      .flatMap { f =>
-        Files.readAllLines(f.toPath).toArray(Array.empty[String])
-          .collect { case l if l.startsWith("U ") => l.drop(2).toLong }
-      } :+ 0L).max
+    ledgerAt(tableDir, latestVersion(tableDir))._2
 
   /** EXACTLY-ONCE derived-table sync — the consumer half of the
     * incremental contract: read the upstream increment

@@ -73,12 +73,22 @@ object StatsCatalog {
     val body = Seq(s"fp=${st.fingerprint}", s"rows=${st.rows}",
       s"ndv=${st.ndv}", s"max_key_rows=${st.maxKeyRows}",
       s"skew=${st.skew}").mkString("", "\n", "\n")
-    Files.write(f.toPath, body.getBytes(StandardCharsets.UTF_8))
+    // atomic publish (temp + move): a reader racing this write — or a
+    // crash mid-write — must see the old entry or the new one, never a
+    // torn file that would poison every later read
+    val tmp = new File(f.getParentFile,
+      s"_tmp_${java.util.UUID.randomUUID()}")
+    Files.write(tmp.toPath, body.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp.toPath, f.toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     st
   }
 
-  /** Read the persisted entry; None when absent OR stale (the stored
-    * fingerprint no longer matches the source parquet).
+  /** Read the persisted entry; None when absent, STALE (the stored
+    * fingerprint no longer matches the source parquet) or UNPARSEABLE
+    * (a torn/foreign file is a stale entry, not an exception — the
+    * fallback re-ANALYZE self-heals it).
     */
   def read(d: String, table: String, key: String): Option[TableStats] = {
     val f = entryFile(d, table, key)
@@ -89,10 +99,10 @@ object StatsCatalog {
         .filter(_.contains("=")).map { l =>
           val Array(k, v) = l.split("=", 2); (k, v)
         }.toMap
-      val st = TableStats(kv("rows").toLong, kv("ndv").toLong,
-        kv("max_key_rows").toLong, kv("skew").toLong, kv("fp"))
-      if (st.fingerprint == CommitLog.srcFingerprint(d, table)) Some(st)
-      else None // stale: source regenerated since ANALYZE
+      val parsed = scala.util.Try(TableStats(kv("rows").toLong,
+        kv("ndv").toLong, kv("max_key_rows").toLong, kv("skew").toLong,
+        kv("fp"))).toOption
+      parsed.filter(_.fingerprint == CommitLog.srcFingerprint(d, table))
     }
   }
 

@@ -35,6 +35,22 @@ class CatalogStatsSpec extends SparkTestBase {
     assert(StatsCatalog.read(sf0001, "orders", "o_custkey") === Some(st))
   }
 
+  test("a torn/foreign entry reads as stale, not an exception") {
+    StatsCatalog.analyze(spark, sf0001, "orders", ord, "o_custkey")
+    val f = StatsCatalog.entryFile(sf0001, "orders", "o_custkey")
+    // simulate a crash mid-write: a prefix of the entry survives
+    Files.write(f.toPath,
+      "fp=deadbeef\nrows=42\n".getBytes(StandardCharsets.UTF_8))
+    assert(StatsCatalog.read(sf0001, "orders", "o_custkey") === None,
+      "unparseable entries must fall back to re-ANALYZE, not throw")
+    // the fallback self-heals the entry
+    val r = StatsCatalog.readOrAnalyze(spark, sf0001, "orders", ord,
+      "o_custkey")
+    assert(r.source === "analyzed")
+    assert(StatsCatalog.read(sf0001, "orders", "o_custkey")
+      === Some(r.stats))
+  }
+
   test("stale fingerprint is detected and re-analyzed, then cached") {
     StatsCatalog.analyze(spark, sf0001, "customer", cust, "o_custkey")
     val f = StatsCatalog.entryFile(sf0001, "customer", "o_custkey")

@@ -262,30 +262,36 @@ class CommitLogSpec extends SparkTestBase {
   test("planScan: range skipping, conjunction, conservative no-stats") {
     import CommitLog.{ColStats, RangePredicate}
     val t = freshDir()
-    Seq("jan", "feb", "mar", "nostats").foreach(f =>
+    Seq("half", "jan", "feb", "mar", "nostats").foreach(f =>
       stage(t, f, Seq((1L, "x"))))
-    CommitLog.commit(t, Seq("jan", "feb", "mar", "nostats"), Nil, 0L, Map(
-      "jan" -> Map("d" -> ColStats("2024-01-01", "2024-01-31"),
-        "k" -> ColStats("5", "40")),
-      "feb" -> Map("d" -> ColStats("2024-02-01", "2024-02-29"),
-        "k" -> ColStats("90", "200")),
-      "mar" -> Map("d" -> ColStats("2024-03-01", "2024-03-31"),
-        "k" -> ColStats("7", "35"))))
+    CommitLog.commit(t, Seq("half", "jan", "feb", "mar", "nostats"),
+      Nil, 0L, Map(
+        "jan" -> Map("d" -> ColStats("2024-01-01", "2024-01-31"),
+          "k" -> ColStats("5", "40")),
+        "feb" -> Map("d" -> ColStats("2024-02-01", "2024-02-29"),
+          "k" -> ColStats("90", "200")),
+        "mar" -> Map("d" -> ColStats("2024-03-01", "2024-03-31"),
+          "k" -> ColStats("7", "35")),
+        // d stats only — skippable on d, blind on k
+        "half" -> Map("d" -> ColStats("2024-01-05", "2024-01-15"))))
     val numCmp = (a: String, b: String) => a.toLong.compare(b.toLong)
-    // date window [feb 10, mar 5): jan skips (max < lo), feb+mar kept;
-    // "nostats" has no stats — conservatively kept and reported
+    // date window [feb 10, mar 5): jan+half skip (max < lo), feb+mar
+    // kept; "nostats" has no stats — conservatively kept and reported
     val p1 = CommitLog.planScan(t, 1L,
       Seq(RangePredicate("d", "2024-02-10", "2024-03-05")))
     assert(p1.selected === Seq("feb", "mar", "nostats"))
-    assert(p1.skipped === Map("d" -> 1L))
+    assert(p1.skipped === Map("d" -> 2L))
     assert(p1.noStats === Seq("nostats"))
     // conjunction: the numeric band [50, 80) also kills feb (min 90 >=
-    // 80) and mar/jan (max < 50) — only the stats-less file survives
+    // 80) and mar/jan (max < 50) — only the stats-less file survives.
+    // "half" is already skipped by d, so its missing k stats do NOT
+    // put it in noStats (noStats ⊆ selected by contract)
     val p2 = CommitLog.planScan(t, 1L, Seq(
       RangePredicate("d", "2024-02-10", "2024-03-05"),
       RangePredicate("k", "50", "80", numCmp)))
     assert(p2.selected === Seq("nostats"))
-    assert(p2.skipped === Map("d" -> 1L, "k" -> 3L))
+    assert(p2.skipped === Map("d" -> 2L, "k" -> 3L))
+    assert(p2.noStats === Seq("nostats"))
     // the comparator is load-bearing: against the band [100, 150),
     // feb's [90, 200] numerically OVERLAPS (must be read), but the
     // DEFAULT string order wrongly skips it ("90" >= "150" lexically)
@@ -297,7 +303,7 @@ class CommitLogSpec extends SparkTestBase {
       Seq(RangePredicate("k", "100", "150", numCmp)))
       .selected.contains("feb"))
     // an empty predicate list selects every live file
-    assert(CommitLog.planScan(t, 1L, Nil).selected.size === 4)
+    assert(CommitLog.planScan(t, 1L, Nil).selected.size === 5)
   }
 
   test("syncIncrement: exactly-once derived table, resumes after catchup") {
@@ -357,6 +363,71 @@ class CommitLogSpec extends SparkTestBase {
     assert(CommitLog.latestVersion(down) === 1L)
     assert(CommitLog.read(spark, down).count() === 1L)
     assert(CommitLog.consumedUpstreamVersion(down) === 1L)
+  }
+
+  test("expiry preserves the exactly-once ledgers in the checkpoint") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // appendBatch ledger: expire past the batch's manifest, then replay
+    val t = freshDir()
+    assert(CommitLog.appendBatch(t, Seq((1L, "a")).toDF("k", "part"), 0L))
+    assert(CommitLog.appendBatch(t, Seq((2L, "b")).toDF("k", "part"), 1L))
+    CommitLog.expireSnapshots(t, 2L)
+    assert(CommitLog.committedBatchIds(t) === Set(0L, 1L),
+      "expiry must not erase batch ids — a late replay would recommit")
+    assert(!CommitLog.appendBatch(t, Seq((1L, "a")).toDF("k", "part"), 0L))
+    assert(CommitLog.read(spark, t).count() === 2L)
+    // syncIncrement ledger: expire the manifest carrying the U line
+    val up = freshDir()
+    val down = freshDir()
+    stage(up, "f1", Seq((1L, "a")))
+    CommitLog.commit(up, Seq("f1"), Nil, 0L)
+    assert(CommitLog.syncIncrement(spark, up, down)(
+      _.withColumn("k2", col("k") * 2)).isDefined)
+    stage(down, "extra", Seq((9L, "z")))
+    CommitLog.commit(down, Seq("extra"), Nil, 1L)
+    CommitLog.expireSnapshots(down, 2L)
+    assert(CommitLog.consumedUpstreamVersion(down) === 1L,
+      "expiry must not reopen a consumed upstream range")
+    assert(CommitLog.syncIncrement(spark, up, down)(identity) === None)
+  }
+
+  test("checkpoint(): atomic, idempotent, bounds ledger replay") {
+    import spark.implicits._
+    val t = freshDir()
+    assert(CommitLog.appendBatch(t, Seq((1L, "a")).toDF("k", "part"), 0L))
+    stage(t, "f2", Seq((2L, "b")))
+    CommitLog.commit(t, Seq("f2"), Nil, 1L,
+      Map("f2" -> Map("k" -> CommitLog.ColStats("2", "2"))))
+    assert(CommitLog.checkpoint(t))
+    assert(!CommitLog.checkpoint(t), "second checkpoint at head: no-op")
+    // replay from the checkpoint reproduces live set, stats and ledger
+    assert(CommitLog.liveFiles(t, 2L).size === 2)
+    assert(CommitLog.statsAt(t, 2L)("f2") ===
+      Map("k" -> CommitLog.ColStats("2", "2")))
+    assert(CommitLog.committedBatchIds(t) === Set(0L))
+    // commits continue past it and the ledger keeps accumulating
+    assert(CommitLog.appendBatch(t, Seq((3L, "c")).toDF("k", "part"), 1L))
+    assert(CommitLog.committedBatchIds(t) === Set(0L, 1L))
+    assert(CommitLog.read(spark, t).count() === 3L)
+  }
+
+  test("vacuumOrphans: reclaims crashed stagings, spares the committed") {
+    val t = freshDir()
+    stage(t, "committed", Seq((1L, "a")))
+    stage(t, "removed_later", Seq((2L, "b")))
+    stage(t, "crashed_staging", Seq((3L, "c"))) // never committed
+    CommitLog.commit(t, Seq("committed", "removed_later"), Nil, 0L)
+    CommitLog.commit(t, Nil, Seq("removed_later"), 1L)
+    assert(CommitLog.vacuumOrphans(t, graceMs = 0L) === 1)
+    assert(!new File(CommitLog.dataDir(t), "crashed_staging").exists())
+    // committed files survive — even ones later REMOVED (expiry's job)
+    assert(new File(CommitLog.dataDir(t), "committed").exists())
+    assert(new File(CommitLog.dataDir(t), "removed_later").exists())
+    // the grace window protects an in-flight staging
+    stage(t, "in_flight", Seq((4L, "d")))
+    assert(CommitLog.vacuumOrphans(t, graceMs = 3600000L) === 0)
+    assert(new File(CommitLog.dataDir(t), "in_flight").exists())
   }
 
   test("expiry horizon outside the committed range refuses") {
