@@ -384,6 +384,15 @@ object DedupOps {
       .agg(collect_list(struct(col("id"), col("n"))).as("ds"))
       .filter(size(col("ds")) <= maxBucket)
       .select(array_sort(col("ds")).as("ds"))
+      // Spread the posting arrays BEFORE the quadratic in-row
+      // expansion: the bucket frame itself is small (one row per
+      // prefix shingle), so AQE coalesces its shuffle to a handful of
+      // partitions — but the explode² each consumer runs amplifies it
+      // by the bucket sizes, and a narrow chain inherits the
+      // pre-amplification partitioning (measured at sf1: d17 on 28
+      // tasks = 331 s; full fan-out restores ~n_cores parallelism).
+      // Round-robin repartition is safe: bucket rows are independent.
+      .repartition(docs.sparkSession.sessionState.conf.numShufflePartitions)
     (e, buckets)
   }
 
