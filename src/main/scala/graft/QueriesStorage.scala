@@ -82,20 +82,14 @@ object QueriesStorage {
   private def rmrf(f: java.io.File): Unit =
     graft.storage.CommitLog.deleteRecursively(f)
 
-  /** Atomically publish a small marker/summary file (temp + move).
-    * Markers double as build-once guards, so a torn write must never
-    * become a permanent wedge: a crash mid-write leaves no marker and
-    * the next run rebuilds.
+  /** Atomically publish a small marker/summary file. Markers double
+    * as build-once guards, so a torn write must never become a
+    * permanent wedge: a crash mid-write leaves no marker and the next
+    * run rebuilds. One shared primitive (CommitLog.writeAtomic) with
+    * the stats catalog.
     */
-  private def writeMarker(f: java.io.File, body: String): Unit = {
-    val tmp = new java.io.File(f.getParentFile,
-      s"_tmp_${java.util.UUID.randomUUID()}")
-    java.nio.file.Files.write(tmp.toPath,
-      body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    java.nio.file.Files.move(tmp.toPath, f.toPath,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
-  }
+  private def writeMarker(f: java.io.File, body: String): Unit =
+    graft.storage.CommitLog.writeAtomic(f, body)
 
   /** The sorted `prefix...` directory names under `dataDir`. */
   private def listDirs(dataDir: String, prefix: String): Seq[String] =
@@ -608,8 +602,14 @@ object QueriesStorage {
     val down = s"${System.getProperty("java.io.tmpdir")}/graft_derived/" +
       s"${tag(d)}_${srcFingerprint(d, "lineitem")}"
     QueriesStorage.synchronized {
-      if (CommitLog.latestVersion(down) < 3L ||
-          CommitLog.consumedUpstreamVersion(down) < 3L) {
+      // guard in a Try: a partially-reaped log (tmp cleaner aging
+      // individual manifests) makes consumedUpstreamVersion THROW
+      // SnapshotExpired — that must mean "rebuild", never a permanent
+      // wedge of the build-once path
+      val complete = scala.util.Try(
+        CommitLog.latestVersion(down) >= 3L &&
+          CommitLog.consumedUpstreamVersion(down) >= 3L).getOrElse(false)
+      if (!complete) {
         rmrf(new java.io.File(down))
         // one sync per upstream commit (bounded catch-up), so each
         // downstream version mirrors exactly one upstream increment

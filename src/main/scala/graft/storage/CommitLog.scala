@@ -130,23 +130,52 @@ object CommitLog {
   def commit(tableDir: String, added: Seq[String], removed: Seq[String],
       expectedCurrent: Long,
       stats: Map[String, Map[String, ColStats]] = Map.empty): Long = {
-    val dir = logDir(tableDir)
-    dir.mkdirs()
     val next = expectedCurrent + 1
     val body = (s"P $expectedCurrent" +:
       (added.sorted.map("A " + _) ++ removed.sorted.map("R " + _) ++
         statsLines(stats)))
       .mkString("", "\n", "\n")
+    if (!publishAtomic(tableDir, manifestName(next), body))
+      throw CommitConflict(next, latestVersion(tableDir))
+    next
+  }
+
+  /** THE atomic-publish primitive every log write rides (manifests,
+    * checkpoints, the streaming/sync commit loops): write the body to
+    * a temp file, then claim `name` via `Files.createLink` —
+    * create-exclusive and atomic, so two writers racing one name
+    * cannot both succeed and a reader can never observe a half-written
+    * file (the linked inode is already complete). Returns false when
+    * the name was already claimed. Single-sourced so the crash-safety
+    * reasoning lives in one place.
+    */
+  private def publishAtomic(tableDir: String, name: String,
+      body: String): Boolean = {
+    val dir = logDir(tableDir)
+    dir.mkdirs()
     val tmp = new File(dir, s"_tmp_${java.util.UUID.randomUUID()}")
     Files.write(tmp.toPath, body.getBytes(StandardCharsets.UTF_8))
-    val target = new File(dir, manifestName(next)).toPath
     try {
-      Files.createLink(target, tmp.toPath)
-      next
+      Files.createLink(new File(dir, name).toPath, tmp.toPath)
+      true
     } catch {
-      case _: FileAlreadyExistsException =>
-        throw CommitConflict(next, latestVersion(tableDir))
-    } finally Files.deleteIfExists(tmp.toPath)
+      case _: FileAlreadyExistsException => false
+    } finally Files.deleteIfExists(tmp.toPath): Unit
+  }
+
+  /** Atomically (re)write a small metadata file via temp +
+    * ATOMIC_MOVE — the replace-allowed sibling of [[publishAtomic]]
+    * for overwritable entries (markers, catalog stats): a reader
+    * racing the write, or a crash mid-write, sees the old complete
+    * content or the new, never a torn file.
+    */
+  private[graft] def writeAtomic(f: File, body: String): Unit = {
+    val tmp = new File(f.getParentFile,
+      s"_tmp_${java.util.UUID.randomUUID()}")
+    Files.write(tmp.toPath, body.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp.toPath, f.toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
   }
 
   /** Optimistic-retry wrapper: `mkBatch` maps the CURRENT live file
@@ -412,6 +441,7 @@ object CommitLog {
     */
   def checkpoint(tableDir: String, asOfOpt: Option[Long] = None): Boolean = {
     val asOf = asOfOpt.getOrElse(latestVersion(tableDir))
+    if (asOf == 0L) return false // empty table: nothing to checkpoint
     val live = liveFiles(tableDir, asOf)
     val (bids, u) = ledgerAt(tableDir, asOf)
     val body = ((s"P ${asOf - 1}" +: live.map("A " + _)) ++
@@ -419,17 +449,7 @@ object CommitLog {
       bids.toSeq.sorted.map("B " + _) ++
       (if (u > 0L) Seq(s"U $u") else Nil))
       .mkString("", "\n", "\n")
-    val dir = logDir(tableDir)
-    dir.mkdirs()
-    val tmp = new File(dir, s"_tmp_${java.util.UUID.randomUUID()}")
-    Files.write(tmp.toPath, body.getBytes(StandardCharsets.UTF_8))
-    try {
-      Files.createLink(new File(dir, checkpointName(asOf)).toPath,
-        tmp.toPath)
-      true
-    } catch {
-      case _: FileAlreadyExistsException => false // complete by link
-    } finally Files.deleteIfExists(tmp.toPath)
+    publishAtomic(tableDir, checkpointName(asOf), body)
   }
 
   /** Delete STAGED-BUT-NEVER-COMMITTED data — the debris a crash
@@ -443,6 +463,10 @@ object CommitLog {
     * commit latency. Returns the number of entries deleted.
     */
   def vacuumOrphans(tableDir: String, graceMs: Long): Int = {
+    require(graceMs > 0L,
+      "vacuumOrphans needs a positive grace window: an in-flight " +
+        "writer stages BEFORE it commits, so the grace must exceed " +
+        "the longest stage-to-commit latency or the vacuum races it")
     val referenced = listLog(tableDir).flatMap { f =>
       val (a, r) = parse(f); a ++ r
     }.map(_.split("/").head).toSet
@@ -526,18 +550,17 @@ object CommitLog {
         deleteRecursively(new File(dataDir(tableDir), rel))
         return false
       }
-      val dir = logDir(tableDir)
-      dir.mkdirs()
-      val body = s"P $head\nB $batchId\nA $rel\n"
-      val tmp = new File(dir, s"_tmp_${java.util.UUID.randomUUID()}")
-      Files.write(tmp.toPath, body.getBytes(StandardCharsets.UTF_8))
-      try {
-        Files.createLink(new File(dir, manifestName(head + 1)).toPath,
-          tmp.toPath)
-        done = true
-      } catch {
-        case _: FileAlreadyExistsException => // lost the race; retry
-      } finally Files.deleteIfExists(tmp.toPath)
+      // refuse LOUDLY if a racing vacuum reclaimed our staging during
+      // a long stall — committing a manifest whose files are gone
+      // would leave an unreadable head AND burn the batch id (a
+      // silent exactly-once violation; the caller retries the batch)
+      if (!new File(dataDir(tableDir), rel).exists())
+        throw new IllegalStateException(
+          s"staged $rel vanished before commit (vacuumOrphans grace " +
+            "too short for this writer's stage-to-commit latency)")
+      if (publishAtomic(tableDir, manifestName(head + 1),
+        s"P $head\nB $batchId\nA $rel\n")) done = true
+      // else: lost the version race; loop re-checks and retries
     }
     true
   }
@@ -586,18 +609,16 @@ object CommitLog {
         deleteRecursively(new File(dataDir(downDir), rel))
         return None
       }
-      val dir = logDir(downDir)
-      dir.mkdirs()
-      val body = s"P $head\nU $upHead\nA $rel\n"
-      val tmp = new File(dir, s"_tmp_${java.util.UUID.randomUUID()}")
-      Files.write(tmp.toPath, body.getBytes(StandardCharsets.UTF_8))
-      try {
-        Files.createLink(new File(dir, manifestName(head + 1)).toPath,
-          tmp.toPath)
+      // same loud refusal as appendBatch: never commit a manifest
+      // whose staged files a racing vacuum already reclaimed
+      if (!new File(dataDir(downDir), rel).exists())
+        throw new IllegalStateException(
+          s"staged $rel vanished before commit (vacuumOrphans grace " +
+            "too short for this syncer's stage-to-commit latency)")
+      if (publishAtomic(downDir, manifestName(head + 1),
+        s"P $head\nU $upHead\nA $rel\n"))
         return Some((head + 1, from, upHead))
-      } catch {
-        case _: FileAlreadyExistsException => // lost the race; re-check
-      } finally Files.deleteIfExists(tmp.toPath)
+      // else: lost the version race; loop re-checks and retries
     }
     sys.error("unreachable")
   }

@@ -73,15 +73,10 @@ object StatsCatalog {
     val body = Seq(s"fp=${st.fingerprint}", s"rows=${st.rows}",
       s"ndv=${st.ndv}", s"max_key_rows=${st.maxKeyRows}",
       s"skew=${st.skew}").mkString("", "\n", "\n")
-    // atomic publish (temp + move): a reader racing this write — or a
-    // crash mid-write — must see the old entry or the new one, never a
-    // torn file that would poison every later read
-    val tmp = new File(f.getParentFile,
-      s"_tmp_${java.util.UUID.randomUUID()}")
-    Files.write(tmp.toPath, body.getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp.toPath, f.toPath,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    // atomic publish: a reader racing this write — or a crash
+    // mid-write — must see the old entry or the new one, never a torn
+    // file that would poison every later read
+    CommitLog.writeAtomic(f, body)
     st
   }
 
@@ -94,14 +89,18 @@ object StatsCatalog {
     val f = entryFile(d, table, key)
     if (!f.isFile) None
     else {
-      val kv = Files.readAllLines(f.toPath)
-        .toArray(Array.empty[String]).toSeq
-        .filter(_.contains("=")).map { l =>
-          val Array(k, v) = l.split("=", 2); (k, v)
-        }.toMap
-      val parsed = scala.util.Try(TableStats(kv("rows").toLong,
-        kv("ndv").toLong, kv("max_key_rows").toLong, kv("skew").toLong,
-        kv("fp"))).toOption
+      // the WHOLE read is inside the Try: a non-UTF-8/binary foreign
+      // file throws from readAllLines itself, and that too must read
+      // as stale (self-heal), never as an exception
+      val parsed = scala.util.Try {
+        val kv = Files.readAllLines(f.toPath)
+          .toArray(Array.empty[String]).toSeq
+          .filter(_.contains("=")).map { l =>
+            val Array(k, v) = l.split("=", 2); (k, v)
+          }.toMap
+        TableStats(kv("rows").toLong, kv("ndv").toLong,
+          kv("max_key_rows").toLong, kv("skew").toLong, kv("fp"))
+      }.toOption
       parsed.filter(_.fingerprint == CommitLog.srcFingerprint(d, table))
     }
   }

@@ -419,8 +419,15 @@ class CommitLogSpec extends SparkTestBase {
     stage(t, "crashed_staging", Seq((3L, "c"))) // never committed
     CommitLog.commit(t, Seq("committed", "removed_later"), Nil, 0L)
     CommitLog.commit(t, Nil, Seq("removed_later"), 1L)
-    assert(CommitLog.vacuumOrphans(t, graceMs = 0L) === 1)
-    assert(!new File(CommitLog.dataDir(t), "crashed_staging").exists())
+    // zero grace is refused — an in-flight writer stages BEFORE it
+    // commits, so a graceless vacuum races it into data loss
+    intercept[IllegalArgumentException](CommitLog.vacuumOrphans(t, 0L))
+    // age the crashed staging past a real grace window
+    val crashed = new File(CommitLog.dataDir(t), "crashed_staging")
+    assert(crashed.setLastModified(
+      System.currentTimeMillis() - 7200000L))
+    assert(CommitLog.vacuumOrphans(t, graceMs = 3600000L) === 1)
+    assert(!crashed.exists())
     // committed files survive — even ones later REMOVED (expiry's job)
     assert(new File(CommitLog.dataDir(t), "committed").exists())
     assert(new File(CommitLog.dataDir(t), "removed_later").exists())
