@@ -371,13 +371,14 @@ object QueriesStorage {
         rmrf(new java.io.File(base))
         val dataDir = CommitLog.dataDir(base)
         stageMonthFiles(s, d, dataDir): Unit
-        // per-file manifest stats: one aggregate, O(files) rows
-        val stats = s.read.parquet(dataDir)
+        // per-file manifest stats: one aggregate, O(files) rows —
+        // bounded collect (CommitLog.collectMeta) keeps the metadata
+        // plane loud if ever pointed at a 10⁶-file table
+        val stats = CommitLog.collectMeta(s.read.parquet(dataDir)
           .groupBy("file_month")
           .agg(min(col("ship")).as("mn_s"), max(col("ship")).as("mx_s"),
             min(col("l_orderkey")).as("mn_k"),
-            max(col("l_orderkey")).as("mx_k"))
-          .collect()
+            max(col("l_orderkey")).as("mx_k")), "stor10 manifest stats")
           .map { r =>
             val file = s"file_month=${r.getDate(0)}"
             file -> Map(
@@ -411,10 +412,10 @@ object QueriesStorage {
         rmrf(new java.io.File(base))
         val dataDir = CommitLog.dataDir(base)
         stageMonthFiles(s, d, dataDir): Unit
-        val stats = s.read.parquet(dataDir)
+        val stats = CommitLog.collectMeta(s.read.parquet(dataDir)
           .groupBy("file_month")
-          .agg(min(col("ship")).as("mn"), max(col("ship")).as("mx"))
-          .collect()
+          .agg(min(col("ship")).as("mn"), max(col("ship")).as("mx")),
+          "stor11 manifest stats")
           .map { r =>
             (s"file_month=${r.getDate(0)}", s"m_${r.getDate(0)}",
               CommitLog.ColStats(r.getDate(1).toString,
@@ -521,11 +522,10 @@ object QueriesStorage {
             ((col("o_orderkey") - 1) / step).cast("long"))
           .write.partitionBy("bucket").parquet(dataDir)
         // partition-dir inference types `bucket` as INT — normalize
-        val st = s.read.parquet(dataDir)
+        val st = CommitLog.collectMeta(s.read.parquet(dataDir)
           .groupBy(col("bucket").cast("long").as("bucket"))
           .agg(min(col("o_orderkey")).as("mn"),
-            max(col("o_orderkey")).as("mxk"))
-          .collect()
+            max(col("o_orderkey")).as("mxk")), "stor13 manifest stats")
           .map(r => (s"bucket=${r.getLong(0)}", s"b_${r.getLong(0)}",
             CommitLog.ColStats(r.getLong(1).toString,
               r.getLong(2).toString)))

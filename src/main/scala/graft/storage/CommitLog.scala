@@ -130,6 +130,15 @@ object CommitLog {
   def commit(tableDir: String, added: Seq[String], removed: Seq[String],
       expectedCurrent: Long,
       stats: Map[String, Map[String, ColStats]] = Map.empty): Long = {
+    // Stats may only ride the files THIS commit adds: a stats line for
+    // an untouched file would silently shadow-update pruning metadata
+    // outside the add/remove ledger (ADVICE r16 — the statsAt replay
+    // assumes stats ⊆ added, and this require makes that a contract,
+    // not a convention).
+    val extraneous = stats.keySet -- added.toSet
+    require(extraneous.isEmpty,
+      s"commit stats must cover only added files; extraneous: " +
+        extraneous.toSeq.sorted.mkString(", "))
     val next = expectedCurrent + 1
     val body = (s"P $expectedCurrent" +:
       (added.sorted.map("A " + _) ++ removed.sorted.map("R " + _) ++
@@ -230,8 +239,12 @@ object CommitLog {
 
   /** Per-file column stats of snapshot `asOf`, replayed like
     * [[liveFiles]]: stats attach to a file when a commit ADDS it (a
-    * re-add replaces them), and drop with the file on remove. Only
-    * live files appear.
+    * re-add replaces them — the fold clears any prior stats for every
+    * file in the commit's ADD list, so a re-add WITHOUT fresh stats
+    * reads as "no stats" (conservatively scanned by [[planScan]]),
+    * never as the stale pre-re-add bounds, which could wrongly skip a
+    * file whose new data widened the range — ADVICE r16), and drop
+    * with the file on remove. Only live files appear.
     */
   def statsAt(tableDir: String,
       asOf: Long): Map[String, Map[String, ColStats]] = {
@@ -244,11 +257,18 @@ object CommitLog {
     val start: Map[String, Map[String, ColStats]] =
       if (base == 0L) Map.empty
       else parseStats(byVersion(base)
-        .find(_.getName.endsWith(".checkpoint.txt")).get)
+        .find(_.getName.endsWith(".checkpoint.txt"))
+        .getOrElse(throw SnapshotExpired(asOf, earliestVersion(tableDir))))
     ((base + 1) to asOf).foldLeft(start) { (acc, v) =>
-      val m = byVersion(v).find(!_.getName.endsWith(".checkpoint.txt")).get
-      val (_, rem) = parse(m)
-      (acc -- rem) ++ parseStats(m)
+      // same typed refusal as liveFiles/ledgerAt when a racing
+      // expireSnapshots deleted a manifest between our two listLog
+      // passes — a diagnosable SnapshotExpired, not a bare
+      // NoSuchElementException (ADVICE r16)
+      val m = byVersion.getOrElse(v, Seq.empty)
+        .find(!_.getName.endsWith(".checkpoint.txt"))
+        .getOrElse(throw SnapshotExpired(asOf, earliestVersion(tableDir)))
+      val (add, rem) = parse(m)
+      (acc -- rem -- add) ++ parseStats(m)
     }.filter { case (f, _) => live.contains(f) }
   }
 
@@ -452,15 +472,39 @@ object CommitLog {
     publishAtomic(tableDir, checkpointName(asOf), body)
   }
 
+  /** In-flight-staging sentinel for `data/<rel>`: a writer touches it
+    * BEFORE staging and removes it after its commit publishes (or on
+    * abort), and [[vacuumOrphans]] refuses to reclaim an entry whose
+    * sentinel is fresher than the grace cutoff — so a writer stalled
+    * longer than graceMs can keep its staging alive by re-touching the
+    * sentinel (the heartbeat), instead of relying on the staged dir's
+    * top-level mtime (which a deep partitioned write may never
+    * refresh). The leading '.' keeps the sentinel itself out of the
+    * vacuum's candidate set and out of parquet directory listings.
+    */
+  private[graft] def stagingSentinel(tableDir: String, rel: String): File =
+    new File(dataDir(tableDir), s".staging_$rel")
+
+  private[graft] def touchSentinel(tableDir: String, rel: String): Unit = {
+    val f = stagingSentinel(tableDir, rel)
+    f.getParentFile.mkdirs()
+    if (!f.createNewFile())
+      f.setLastModified(System.currentTimeMillis()): Unit
+  }
+
   /** Delete STAGED-BUT-NEVER-COMMITTED data — the debris a crash
     * between stage and commit leaves behind ([[appendBatch]],
     * [[syncIncrement]], or any writer that staged and died): top-level
     * entries under `data/` that NO surviving manifest or checkpoint
     * references (added or removed — committed-then-removed files
-    * belong to expiry, not this vacuum) and whose mtime is older than
-    * `graceMs`. The grace window protects stagings racing this call:
-    * run it with a margin comfortably above the longest stage-to-
-    * commit latency. Returns the number of entries deleted.
+    * belong to expiry, not this vacuum), whose mtime is older than
+    * `graceMs`, AND whose staging sentinel (if any) is also older than
+    * the cutoff. The grace window plus the sentinel heartbeat protect
+    * stagings racing this call: run it with a margin comfortably above
+    * the longest stage-to-commit latency, and a writer expecting
+    * longer stalls re-touches its sentinel ([[touchSentinel]]).
+    * Stale sentinels (entry gone or reclaimed) are cleaned up too.
+    * Returns the number of data entries deleted.
     */
   def vacuumOrphans(tableDir: String, graceMs: Long): Int = {
     require(graceMs > 0L,
@@ -471,13 +515,31 @@ object CommitLog {
       val (a, r) = parse(f); a ++ r
     }.map(_.split("/").head).toSet
     val cutoff = System.currentTimeMillis() - graceMs
-    val orphans = Option(new File(dataDir(tableDir)).listFiles())
+    val entries = Option(new File(dataDir(tableDir)).listFiles())
       .fold(Seq.empty[File])(_.toSeq)
+    val orphans = entries
       .filterNot(f => referenced.contains(f.getName))
       // partitioned-write markers at the data root (_SUCCESS, .crc)
       .filterNot(f => f.getName.startsWith("_") || f.getName.startsWith("."))
       .filter(_.lastModified() < cutoff)
-    orphans.foreach(deleteRecursively)
+      // a fresh sentinel marks an in-flight writer mid-stall: spare it
+      .filterNot { f =>
+        val s = stagingSentinel(tableDir, f.getName)
+        s.isFile && s.lastModified() >= cutoff
+      }
+    orphans.foreach { f =>
+      deleteRecursively(f)
+      Files.deleteIfExists(stagingSentinel(tableDir, f.getName).toPath): Unit
+    }
+    // sweep sentinels whose entry no longer exists (commit published
+    // and cleaned the staging name, or a crash before staging began) —
+    // stale only, so an in-flight writer's pre-stage touch survives
+    entries.filter(f => f.getName.startsWith(".staging_"))
+      .filter(_.lastModified() < cutoff)
+      .filterNot(f =>
+        new File(dataDir(tableDir), f.getName.stripPrefix(".staging_"))
+          .exists())
+      .foreach(f => Files.deleteIfExists(f.toPath): Unit)
     orphans.size
   }
 
@@ -540,6 +602,11 @@ object CommitLog {
       batchId: Long): Boolean = {
     if (committedBatchIds(tableDir).contains(batchId)) return false
     val rel = f"batch_$batchId%06d_${java.util.UUID.randomUUID()}"
+    // sentinel BEFORE staging: a racing vacuumOrphans spares any entry
+    // whose sentinel is fresher than its grace cutoff, so the staging
+    // survives stalls up to graceMs past this touch (re-touch via
+    // touchSentinel to heartbeat through longer ones)
+    touchSentinel(tableDir, rel)
     batch.write.parquet(s"${dataDir(tableDir)}/$rel")
     var done = false
     while (!done) {
@@ -548,12 +615,16 @@ object CommitLog {
       // staged — re-check before retrying the version race
       if (committedBatchIds(tableDir).contains(batchId)) {
         deleteRecursively(new File(dataDir(tableDir), rel))
+        Files.deleteIfExists(stagingSentinel(tableDir, rel).toPath): Unit
         return false
       }
-      // refuse LOUDLY if a racing vacuum reclaimed our staging during
-      // a long stall — committing a manifest whose files are gone
-      // would leave an unreadable head AND burn the batch id (a
-      // silent exactly-once violation; the caller retries the batch)
+      // BEST-EFFORT refusal if a vacuum outlasted both the sentinel
+      // and the grace window and reclaimed our staging: committing a
+      // manifest whose files are gone would leave an unreadable head
+      // AND burn the batch id (a silent exactly-once violation; the
+      // caller retries the batch). Best-effort because exists() and
+      // the publish below are not one atomic step — the REAL defense
+      // is the sentinel + grace contract in vacuumOrphans.
       if (!new File(dataDir(tableDir), rel).exists())
         throw new IllegalStateException(
           s"staged $rel vanished before commit (vacuumOrphans grace " +
@@ -562,6 +633,7 @@ object CommitLog {
         s"P $head\nB $batchId\nA $rel\n")) done = true
       // else: lost the version race; loop re-checks and retries
     }
+    Files.deleteIfExists(stagingSentinel(tableDir, rel).toPath): Unit
     true
   }
 
@@ -598,6 +670,7 @@ object CommitLog {
     val inc = readIncrement(spark, upDir, from, upHead)
     val rel = f"sync_${from}%05d_${upHead}%05d_" +
       java.util.UUID.randomUUID().toString
+    touchSentinel(downDir, rel) // see appendBatch: vacuum spares us
     transform(inc).write.parquet(s"${dataDir(downDir)}/$rel")
     while (true) {
       val head = latestVersion(downDir)
@@ -607,20 +680,46 @@ object CommitLog {
         // double-count any overlap — abort; the caller re-invokes to
         // sync whatever remains
         deleteRecursively(new File(dataDir(downDir), rel))
+        Files.deleteIfExists(stagingSentinel(downDir, rel).toPath): Unit
         return None
       }
-      // same loud refusal as appendBatch: never commit a manifest
-      // whose staged files a racing vacuum already reclaimed
+      // same BEST-EFFORT refusal as appendBatch: never knowingly
+      // commit a manifest whose staged files a vacuum that outlasted
+      // the sentinel + grace already reclaimed (the sentinel contract
+      // in vacuumOrphans is the real defense; this check narrows, not
+      // closes, the window)
       if (!new File(dataDir(downDir), rel).exists())
         throw new IllegalStateException(
           s"staged $rel vanished before commit (vacuumOrphans grace " +
             "too short for this syncer's stage-to-commit latency)")
       if (publishAtomic(downDir, manifestName(head + 1),
-        s"P $head\nU $upHead\nA $rel\n"))
+        s"P $head\nU $upHead\nA $rel\n")) {
+        Files.deleteIfExists(stagingSentinel(downDir, rel).toPath): Unit
         return Some((head + 1, from, upHead))
+      }
       // else: lost the version race; loop re-checks and retries
     }
     sys.error("unreachable")
+  }
+
+  /** Bounded driver-side collect for MANIFEST-SCALE aggregates (the
+    * per-file stats a table builder folds into commit metadata). The
+    * metadata plane is O(#files) by definition — tens to thousands of
+    * rows — so a caller pulling more than `maxRows` has pointed this
+    * at a data-scale frame (e.g. a 10⁶-file table whose stats belong
+    * in a parquet manifest table, not a driver array) and must hear
+    * about it LOUDLY instead of silently ballooning the driver
+    * (VERDICT r16 finding #1). `head(max+1)` bounds what the driver
+    * materializes even when the guard fires.
+    */
+  private[graft] def collectMeta(df: DataFrame, what: String,
+      maxRows: Int = 10000): Array[org.apache.spark.sql.Row] = {
+    val rows = df.head(maxRows + 1)
+    require(rows.length <= maxRows,
+      s"$what produced over $maxRows metadata rows — this collect is " +
+        "for manifest-scale aggregates only; spill larger file ledgers " +
+        "to a parquet manifest table instead of the driver")
+    rows
   }
 
   /** Cheap fingerprint of a source parquet table (file or directory):

@@ -444,4 +444,66 @@ class CommitLogSpec extends SparkTestBase {
     intercept[IllegalArgumentException](CommitLog.expireSnapshots(t, 2L))
     intercept[IllegalArgumentException](CommitLog.expireSnapshots(t, 0L))
   }
+
+  test("a re-add without fresh stats clears the prior stats (ADVICE r16)") {
+    import CommitLog.{ColStats, RangePredicate}
+    val t = freshDir()
+    stage(t, "f1", Seq((1L, "a")))
+    CommitLog.commit(t, Seq("f1"), Nil, 0L,
+      Map("f1" -> Map("k" -> ColStats("1", "5"))))
+    // v2 re-adds f1 in place WITHOUT stats (a writer that rewrote the
+    // file's content under the same name, widening k beyond 5): the
+    // stale [1,5] bounds must NOT survive — planScan would wrongly
+    // skip the file for k in [50, 60) and drop rows
+    CommitLog.commit(t, Seq("f1"), Nil, 1L)
+    assert(CommitLog.statsAt(t, 2L) === Map.empty)
+    val numCmp = (a: String, b: String) => a.toLong.compare(b.toLong)
+    val p = CommitLog.planScan(t, 2L,
+      Seq(RangePredicate("k", "50", "60", numCmp)))
+    assert(p.selected === Seq("f1"), "no stats → conservatively read")
+    assert(p.noStats === Seq("f1"))
+    // and stats FOR files the commit does not add are refused outright
+    stage(t, "f2", Seq((2L, "b")))
+    intercept[IllegalArgumentException] {
+      CommitLog.commit(t, Seq("f2"), Nil, 2L,
+        Map("f1" -> Map("k" -> ColStats("0", "9"))))
+    }
+  }
+
+  test("vacuum spares a staging with a fresh sentinel; sweeps stale ones") {
+    val t = freshDir()
+    stage(t, "committed", Seq((1L, "a")))
+    CommitLog.commit(t, Seq("committed"), Nil, 0L)
+    // a long-stalled writer: staged dir aged past the grace window,
+    // but its sentinel heartbeat is fresh — vacuum must spare it
+    CommitLog.touchSentinel(t, "stalled_staging")
+    stage(t, "stalled_staging", Seq((2L, "b")))
+    val stalled = new File(CommitLog.dataDir(t), "stalled_staging")
+    assert(stalled.setLastModified(System.currentTimeMillis() - 7200000L))
+    assert(CommitLog.vacuumOrphans(t, graceMs = 3600000L) === 0)
+    assert(stalled.exists())
+    // once the sentinel itself goes stale (writer truly dead), both
+    // the staging and its sentinel are reclaimed together
+    val sentinel = CommitLog.stagingSentinel(t, "stalled_staging")
+    assert(sentinel.setLastModified(System.currentTimeMillis() - 7200000L))
+    assert(CommitLog.vacuumOrphans(t, graceMs = 3600000L) === 1)
+    assert(!stalled.exists() && !sentinel.exists())
+    // a stale sentinel whose staging never materialized (crash before
+    // the first byte) is swept without counting as a data reclaim
+    CommitLog.touchSentinel(t, "never_staged")
+    val ghost = CommitLog.stagingSentinel(t, "never_staged")
+    assert(ghost.setLastModified(System.currentTimeMillis() - 7200000L))
+    assert(CommitLog.vacuumOrphans(t, graceMs = 3600000L) === 0)
+    assert(!ghost.exists())
+  }
+
+  test("collectMeta: manifest-scale collects are bounded and loud") {
+    import spark.implicits._
+    val df = Seq(1L, 2L, 3L).toDF("k")
+    assert(CommitLog.collectMeta(df, "tiny").length === 3)
+    val e = intercept[IllegalArgumentException] {
+      CommitLog.collectMeta(df, "oversized ledger", maxRows = 2)
+    }
+    assert(e.getMessage.contains("oversized ledger"))
+  }
 }
