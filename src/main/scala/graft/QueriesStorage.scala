@@ -585,6 +585,86 @@ object QueriesStorage {
     base
   }
 
+  /** stor15's table: the same de-Hived month layout and delete window
+    * as stor11, but the delete is MERGE-ON-READ (VERDICT r16 #1 — the
+    * one remaining table-format gap): v2 publishes ONE positional
+    * delete file (the (fpath, pos) identity of every row in the
+    * [CowLo, CowHi) ship window, computed from the planScan candidate
+    * files' metadata columns — no data rewritten), and v3 is the FOLD:
+    * a compaction rewrite of only the files carrying marks (deletes
+    * applied via the same anti-join the reader uses; a file left empty
+    * is dropped), removing the delete file in the same atomic commit —
+    * restoring the zero-overhead scan. At 100 TB the contrast with
+    * stor11's COW is the point: the delete itself writes O(rows
+    * deleted) bytes instead of rewriting O(candidate files), and the
+    * rewrite cost moves into the compaction window where it is
+    * amortized and scheduled, not paid synchronously on the erasure
+    * request. Build-once per (dir, fingerprint).
+    */
+  private[graft] def stor15Table(s: SparkSession, d: String): String = {
+    import graft.storage.CommitLog
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_mor/" +
+      s"${tag(d)}_${srcFingerprint(d, "lineitem")}"
+    QueriesStorage.synchronized {
+      if (CommitLog.latestVersion(base) < 3L) {
+        rmrf(new java.io.File(base))
+        val dataDir = CommitLog.dataDir(base)
+        stageMonthFiles(s, d, dataDir): Unit
+        val stats = CommitLog.collectMeta(s.read.parquet(dataDir)
+          .groupBy("file_month")
+          .agg(min(col("ship")).as("mn"), max(col("ship")).as("mx")),
+          "stor15 manifest stats")
+          .map { r =>
+            (s"file_month=${r.getDate(0)}", s"m_${r.getDate(0)}",
+              CommitLog.ColStats(r.getDate(1).toString,
+                r.getDate(2).toString))
+          }
+        // de-Hive (stor11's discipline): rewritten fold files must
+        // coexist with originals under one read schema
+        stats.foreach { case (hive, plain, _) =>
+          require(new java.io.File(dataDir, hive)
+            .renameTo(new java.io.File(dataDir, plain)),
+            s"rename $hive -> $plain failed")
+        }
+        CommitLog.commit(base, stats.map(_._2).toSeq, Nil, 0L,
+          stats.map { case (_, p, cs) => p -> Map("ship" -> cs) }.toMap)
+        // --- v2: the MOR delete — one tiny delete file, zero rewrites
+        val pred = CommitLog.RangePredicate("ship", CowLo, CowHi)
+        val cands = CommitLog.planScan(base, 1L, Seq(pred)).selected
+        val delPred = col("ship") >= lit(CowLo).cast("date") &&
+          col("ship") < lit(CowHi).cast("date")
+        CommitLog.deleteRows(s, base, cands, delPred)
+          .coalesce(1) // O(rows deleted) pairs — one small file
+          .write.parquet(s"$dataDir/del_v2")
+        CommitLog.commit(base, Nil, Nil, 1L, Map.empty, Seq("del_v2"))
+        // --- v3: the FOLD — rewrite only the candidate files with the
+        // marks applied (the reader's own anti-join), drop empties,
+        // retire the delete file; one atomic commit
+        val delDf = s.read.parquet(s"$dataDir/del_v2")
+          .select(col("fpath").as("__fp"), col("pos").as("__ri"))
+        val (adds, statsAdd) = cands.flatMap { f =>
+          val kept = CommitLog.readFiles(s, base, Seq(f))
+            .select(col("*"), col("_metadata.file_path").as("__fp"),
+              col("_metadata.row_index").as("__ri"))
+            .join(broadcast(delDf), Seq("__fp", "__ri"), "left_anti")
+            .drop("__fp", "__ri")
+          val st = kept.agg(count(lit(1)), min(col("ship")),
+            max(col("ship"))).head()
+          if (st.getLong(0) == 0L) None // fully deleted: drop
+          else {
+            val out = s"fold3_$f"
+            kept.write.parquet(s"$dataDir/$out")
+            Some((out, out -> Map("ship" -> CommitLog.ColStats(
+              st.getDate(1).toString, st.getDate(2).toString))))
+          }
+        }.unzip
+        CommitLog.commit(base, adds, cands :+ "del_v2", 2L,
+          statsAdd.toMap)
+      }
+    }
+    base
+  }
+
   /** stor14's pair of tables: stor9's three append commits as the
     * UPSTREAM, and a DOWNSTREAM derived table built by running
     * [[graft.storage.CommitLog.syncIncrement]] once per upstream
@@ -917,6 +997,49 @@ object QueriesStorage {
           (col("rows_at_v1") - col("rows_head")).as("rows_deleted"),
           col("rows_head"), col("sum_qty_cents"),
           lit(overlapAfter.toLong).as("n_files_overlap_after"))
+    }),
+
+    // MERGE-ON-READ row-level DELETE through the commit log (VERDICT
+    // r16 #1 — the format-native answer to point deletes at 100 TB):
+    // v2 publishes ONE positional delete file (the (fpath, pos)
+    // identity of every ship-window row, found via planScan's
+    // candidate pruning) and rewrites NOTHING — the erasure costs
+    // O(rows deleted) bytes where stor11's COW rewrites whole files;
+    // reads apply the marks as a broadcast anti-join on the scan's
+    // (_metadata.file_path, _metadata.row_index). v3 FOLDS: only the
+    // marked files are rewritten (the reader's own anti-join), the
+    // delete file retires in the same atomic commit, and the scan
+    // overhead returns to zero. The query reads all three versions
+    // back through the log and reports the ledger per version —
+    // data/delete file counts, marked rows, visible rows, exact cents
+    // — proving MOR at v2, the fold at v3, and (because the window
+    // matches stor11's) that COW and MOR converge on the identical
+    // relational state; the oracle recomputes every column from raw
+    // lineitem month arithmetic. StorageCompactionSpec pins the
+    // physical side: v2 time travel still applies marks after the
+    // fold, delete-file bytes ≪ COW rewrite bytes, incremental reads
+    // refuse to cross the D commit.
+    "stor15_mor_delete" -> ((s, d) => {
+      import graft.storage.CommitLog
+      val t = stor15Table(s, d)
+      val dataDir = CommitLog.dataDir(t)
+      (1L to 3L).map { v =>
+        val nData = CommitLog.liveFiles(t, v).size
+        val dels = CommitLog.liveDeleteFiles(t, v)
+        val marked =
+          if (dels.isEmpty) lit(0L)
+          else lit(s.read.parquet(dels.map(f => s"$dataDir/$f"): _*)
+            .count())
+        CommitLog.read(s, t, Some(v))
+          .agg(count(lit(1)).as("rows_visible"),
+            sum(floor(col("l_quantity") * 100 + lit(0.5)).cast("long"))
+              .cast("long").as("sum_qty_cents"))
+          .select(lit(v).as("version"),
+            lit(nData.toLong).as("n_data_files"),
+            lit(dels.size.toLong).as("n_delete_files"),
+            marked.as("rows_marked"),
+            col("rows_visible"), col("sum_qty_cents"))
+      }.reduce(_ unionByName _)
     }),
 
     // COPY-ON-WRITE MERGE through the commit log — update + delete +
@@ -1407,6 +1530,52 @@ object QueriesStorage {
         |        OR mn >= DATE '1997-06-20') THEN 1
         |    ELSE 0 END) AS BIGINT) AS n_files_overlap_after
         |FROM z""".stripMargin,
+    // stor15: the MOR-delete ledger from the same month arithmetic as
+    // stor11 (shared ground truth IS the COW/MOR-equivalence proof):
+    // v1 full table, v2 marks = all window rows with files untouched,
+    // v3 = the fold's file ledger (candidates with survivors rewritten,
+    // empties dropped) with identical visible state.
+    "stor15_mor_delete" ->
+      """WITH f AS (SELECT date_trunc('month', l_shipdate)::DATE AS m,
+        |    count(*) AS n_rows,
+        |    min(l_shipdate::DATE) AS mn, max(l_shipdate::DATE) AS mx,
+        |    CAST(sum(CASE WHEN l_shipdate::DATE >= DATE '1997-04-15'
+        |      AND l_shipdate::DATE < DATE '1997-06-20'
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_del,
+        |    CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS cents_all,
+        |    CAST(sum(CASE WHEN l_shipdate::DATE < DATE '1997-04-15'
+        |      OR l_shipdate::DATE >= DATE '1997-06-20'
+        |      THEN CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)
+        |      ELSE 0 END) AS BIGINT) AS cents_kept
+        |  FROM lineitem GROUP BY 1),
+        |z AS (SELECT *,
+        |    NOT (mx < DATE '1997-04-15' OR mn >= DATE '1997-06-20')
+        |      AS cand,
+        |    n_rows - n_del AS n_kept
+        |  FROM f),
+        |t AS (SELECT count(*) AS n_months,
+        |    CAST(sum(n_rows) AS BIGINT) AS rows_all,
+        |    CAST(sum(n_del) AS BIGINT) AS rows_del,
+        |    CAST(sum(n_kept) AS BIGINT) AS rows_kept,
+        |    CAST(sum(cents_all) AS BIGINT) AS c_all,
+        |    CAST(sum(cents_kept) AS BIGINT) AS c_kept,
+        |    CAST(sum(CASE WHEN cand THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_cand,
+        |    CAST(sum(CASE WHEN cand AND n_kept > 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_refold
+        |  FROM z)
+        |SELECT CAST(1 AS BIGINT) AS version, n_months AS n_data_files,
+        |  CAST(0 AS BIGINT) AS n_delete_files,
+        |  CAST(0 AS BIGINT) AS rows_marked,
+        |  rows_all AS rows_visible, c_all AS sum_qty_cents FROM t
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), n_months, CAST(1 AS BIGINT),
+        |  rows_del, rows_kept, c_kept FROM t
+        |UNION ALL
+        |SELECT CAST(3 AS BIGINT), n_months - n_cand + n_refold,
+        |  CAST(0 AS BIGINT), CAST(0 AS BIGINT), rows_kept, c_kept
+        |FROM t""".stripMargin,
     // stor13: the merge band, the key-bucket layout, and both cent
     // checksums recomputed from raw orders. Updated rows are worth
     // k*100 cents exactly (price := key, integer-valued double);

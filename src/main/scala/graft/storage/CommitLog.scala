@@ -41,12 +41,28 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Manifest format (line-oriented, no parser dependencies):
   * {{{
   *   P <parentVersion>
-  *   A <relative/data/path>     // file added by this commit
-  *   R <relative/data/path>     // file removed by this commit
+  *   A <relative/data/path>     // data file added by this commit
+  *   R <relative/data/path>     // file removed (data OR delete file)
+  *   D <relative/data/path>     // POSITIONAL DELETE file added — a
+  *                              // parquet of (fpath, pos) rows marking
+  *                              // individual rows of committed data
+  *                              // files as deleted (merge-on-read)
   * }}}
   * A checkpoint manifest `_log/v%05d.checkpoint.txt` holds the FULL
-  * live set (`A` lines only) of its version; replay starts from the
+  * live set (`A` + `D` lines) of its version; replay starts from the
   * newest checkpoint at or below the requested version.
+  *
+  * MERGE-ON-READ deletes (the Iceberg positional-delete / Delta
+  * deletion-vector idea): a `D` commit publishes a tiny file of
+  * (data-file-path, row-ordinal) pairs instead of rewriting the data
+  * files — at 100 TB a point-delete (GDPR erasure, late retraction)
+  * costs O(rows deleted) bytes written, not O(files touched) rewritten.
+  * [[read]] applies live delete files as an anti-join on
+  * (`_metadata.file_path`, `_metadata.row_index`) — distributed, and
+  * broadcast when the delete set is small (the normal case). The read
+  * tax is repaid by folding: a compaction rewrite commit removes both
+  * the data files and their delete files (see the stor15 fold),
+  * restoring the zero-overhead scan.
   */
 object CommitLog {
 
@@ -130,6 +146,15 @@ object CommitLog {
   def commit(tableDir: String, added: Seq[String], removed: Seq[String],
       expectedCurrent: Long,
       stats: Map[String, Map[String, ColStats]] = Map.empty): Long = {
+    commit(tableDir, added, removed, expectedCurrent, stats, Nil)
+  }
+
+  /** [[commit]] variant that also publishes positional-delete files
+    * (`D` lines — see the object doc's merge-on-read section).
+    */
+  def commit(tableDir: String, added: Seq[String], removed: Seq[String],
+      expectedCurrent: Long, stats: Map[String, Map[String, ColStats]],
+      deletes: Seq[String]): Long = {
     // Stats may only ride the files THIS commit adds: a stats line for
     // an untouched file would silently shadow-update pruning metadata
     // outside the add/remove ledger (ADVICE r16 — the statsAt replay
@@ -142,7 +167,7 @@ object CommitLog {
     val next = expectedCurrent + 1
     val body = (s"P $expectedCurrent" +:
       (added.sorted.map("A " + _) ++ removed.sorted.map("R " + _) ++
-        statsLines(stats)))
+        deletes.sorted.map("D " + _) ++ statsLines(stats)))
       .mkString("", "\n", "\n")
     if (!publishAtomic(tableDir, manifestName(next), body))
       throw CommitConflict(next, latestVersion(tableDir))
@@ -208,10 +233,12 @@ object CommitLog {
     sys.error("unreachable")
   }
 
-  private def parse(f: File): (Seq[String], Seq[String]) = {
+  /** (data adds, removes, delete-file adds) of one manifest. */
+  private def parse(f: File): (Seq[String], Seq[String], Seq[String]) = {
     val lines = Files.readAllLines(f.toPath).toArray(Array.empty[String])
     (lines.collect { case l if l.startsWith("A ") => l.drop(2) }.toSeq,
-      lines.collect { case l if l.startsWith("R ") => l.drop(2) }.toSeq)
+      lines.collect { case l if l.startsWith("R ") => l.drop(2) }.toSeq,
+      lines.collect { case l if l.startsWith("D ") => l.drop(2) }.toSeq)
   }
 
   /** Stats manifest lines: `S <file>\t<col>\t<min>\t<max>` (tab-split
@@ -267,7 +294,7 @@ object CommitLog {
       val m = byVersion.getOrElse(v, Seq.empty)
         .find(!_.getName.endsWith(".checkpoint.txt"))
         .getOrElse(throw SnapshotExpired(asOf, earliestVersion(tableDir)))
-      val (add, rem) = parse(m)
+      val (add, rem, _) = parse(m)
       (acc -- rem -- add) ++ parseStats(m)
     }.filter { case (f, _) => live.contains(f) }
   }
@@ -317,11 +344,15 @@ object CommitLog {
       .parquet(files.map(f => s"$base/$f"): _*)
   }
 
-  /** The live data-file set of snapshot `asOf`: replay from the newest
-    * checkpoint ≤ asOf. Refuses loudly when the version is expired
-    * (below every surviving manifest) or unknown (above the head).
+  /** The live (data files, positional-delete files) of snapshot
+    * `asOf`: replay from the newest checkpoint ≤ asOf. Refuses loudly
+    * when the version is expired (below every surviving manifest) or
+    * unknown (above the head). `R` lines remove either kind (paths are
+    * unique across the table); a fold commit removes data files
+    * together with the delete files that referenced them.
     */
-  def liveFiles(tableDir: String, asOf: Long): Seq[String] = {
+  private def liveSets(tableDir: String,
+      asOf: Long): (Seq[String], Seq[String]) = {
     val head = latestVersion(tableDir)
     require(asOf >= 1 && asOf <= head,
       s"unknown snapshot v$asOf (log head is v$head)")
@@ -337,30 +368,82 @@ object CommitLog {
         .find(!_.getName.endsWith(".checkpoint.txt"))
         .getOrElse(throw SnapshotExpired(asOf, earliestVersion(tableDir)))
     }
-    val start: Set[String] =
-      if (base == 0L) Set.empty
-      else parse(byVersion(base)
-        .find(_.getName.endsWith(".checkpoint.txt")).get)._1.toSet
-    replay.foldLeft(start) { (live, m) =>
-      val (add, rem) = parse(m)
-      live -- rem ++ add
-    }.toSeq.sorted
+    val start: (Set[String], Set[String]) =
+      if (base == 0L) (Set.empty, Set.empty)
+      else {
+        val (a, _, dl) = parse(byVersion(base)
+          .find(_.getName.endsWith(".checkpoint.txt")).get)
+        (a.toSet, dl.toSet)
+      }
+    val (data, dels) = replay.foldLeft(start) { case ((live, dlive), m) =>
+      val (add, rem, del) = parse(m)
+      (live -- rem ++ add, dlive -- rem ++ del)
+    }
+    (data.toSeq.sorted, dels.toSeq.sorted)
   }
+
+  /** The live data-file set of snapshot `asOf` (see [[liveSets]]). */
+  def liveFiles(tableDir: String, asOf: Long): Seq[String] =
+    liveSets(tableDir, asOf)._1
+
+  /** The live positional-delete files of snapshot `asOf` — empty on a
+    * table with no unfolded merge-on-read deletes.
+    */
+  def liveDeleteFiles(tableDir: String, asOf: Long): Seq[String] =
+    liveSets(tableDir, asOf)._2
 
   /** Read snapshot `asOf` (default: head) as a DataFrame. `basePath`
     * keeps directory-partition columns (e.g. `file_month=...`)
     * visible. An EMPTY live set has no schema source and is refused —
-    * callers model deletes via `removed` entries, not empty tables.
+    * callers model whole-file deletes via `removed` entries, not empty
+    * tables.
+    *
+    * MERGE-ON-READ apply: when the snapshot carries live positional-
+    * delete files, the scan is anti-joined against their (fpath, pos)
+    * pairs on (`_metadata.file_path`, `_metadata.row_index`) — the
+    * row's physical identity, stable for immutable committed files.
+    * The delete side is tiny relative to the data (that is the whole
+    * point of MOR), so Catalyst broadcasts it and the scan stays
+    * shuffle-free; a table with no delete files pays NOTHING (the
+    * metadata columns are never even projected).
     */
   def read(spark: SparkSession, tableDir: String,
       asOf: Option[Long] = None,
       options: Map[String, String] = Map.empty): DataFrame = {
+    import org.apache.spark.sql.functions.col
     val v = asOf.getOrElse(latestVersion(tableDir))
-    val files = liveFiles(tableDir, v)
+    val (files, dels) = liveSets(tableDir, v)
     require(files.nonEmpty, s"snapshot v$v is empty")
     val base = dataDir(tableDir)
-    spark.read.option("basePath", base).options(options)
+    val scan = spark.read.option("basePath", base).options(options)
       .parquet(files.map(f => s"$base/$f"): _*)
+    if (dels.isEmpty) scan
+    else {
+      val delDf = spark.read.parquet(dels.map(f => s"$base/$f"): _*)
+        .select(col("fpath").as("__fp"), col("pos").as("__ri"))
+      scan
+        .select(col("*"), col("_metadata.file_path").as("__fp"),
+          col("_metadata.row_index").as("__ri"))
+        .join(delDf, Seq("__fp", "__ri"), "left_anti")
+        .drop("__fp", "__ri")
+    }
+  }
+
+  /** The (fpath, pos) rows a positional-delete commit publishes: the
+    * physical identity of every row of `files` (within snapshot
+    * `asOf`'s live set) matching `pred` — computed from the scan's
+    * metadata columns, no data rewritten. `fpath` is the absolute
+    * `_metadata.file_path`, `pos` the row's ordinal in that file.
+    */
+  def deleteRows(spark: SparkSession, tableDir: String,
+      files: Seq[String],
+      pred: org.apache.spark.sql.Column): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    readFiles(spark, tableDir, files)
+      .select(col("_metadata.file_path").as("fpath"),
+        col("_metadata.row_index").as("pos"), col("*"))
+      .filter(pred)
+      .select(col("fpath"), col("pos"))
   }
 
   /** Files ADDED by the commits in (fromV, toV] — the incremental-scan
@@ -384,12 +467,15 @@ object CommitLog {
       val m = byVersion.getOrElse(v, Seq.empty)
         .find(!_.getName.endsWith(".checkpoint.txt"))
         .getOrElse(throw SnapshotExpired(v, earliestVersion(tableDir)))
-      val (add, rem) = parse(m)
-      if (rem.nonEmpty)
+      val (add, rem, del) = parse(m)
+      if (rem.nonEmpty || del.nonEmpty)
         throw new IllegalStateException(
           s"incremental read across non-append commit v$v " +
-            s"(${rem.size} files removed): file-level increments are " +
-            "only valid over append-only history — full rescan or " +
+            s"(${rem.size} files removed, ${del.size} delete files " +
+            "added): file-level increments are only valid over " +
+            "append-only history — a remove rewrites rows and a " +
+            "positional delete retracts them, and silently unioning " +
+            "added files would miscount either way; full rescan or " +
             "row-level merge required")
       add
     }.distinct.sorted
@@ -425,12 +511,14 @@ object CommitLog {
       s"retention horizon v$keepFrom outside committed range 1..$head")
     val earliest = earliestVersion(tableDir)
     if (keepFrom <= earliest) return (0, 0)
-    // Union of live sets over every version the caller may still read.
-    val surviving = (keepFrom to head).flatMap(liveFiles(tableDir, _)).toSet
+    // Union of live sets (data AND delete files) over every version
+    // the caller may still read.
+    val surviving = (keepFrom to head).flatMap { v =>
+      val (a, dl) = liveSets(tableDir, v); a ++ dl }.toSet
     // Union over expired versions — resolvable while their manifests
     // still exist.
-    val expired = (earliest until keepFrom)
-      .flatMap(liveFiles(tableDir, _)).toSet
+    val expired = (earliest until keepFrom).flatMap { v =>
+      val (a, dl) = liveSets(tableDir, v); a ++ dl }.toSet
     // 1. checkpoint the horizon — atomically published, and carrying
     // the live set, its stats AND the exactly-once ledger, so expiry
     // can't tear a checkpoint or reopen a committed batch for replay
@@ -462,9 +550,10 @@ object CommitLog {
   def checkpoint(tableDir: String, asOfOpt: Option[Long] = None): Boolean = {
     val asOf = asOfOpt.getOrElse(latestVersion(tableDir))
     if (asOf == 0L) return false // empty table: nothing to checkpoint
-    val live = liveFiles(tableDir, asOf)
+    val (live, dels) = liveSets(tableDir, asOf)
     val (bids, u) = ledgerAt(tableDir, asOf)
     val body = ((s"P ${asOf - 1}" +: live.map("A " + _)) ++
+      dels.map("D " + _) ++
       statsLines(statsAt(tableDir, asOf)) ++
       bids.toSeq.sorted.map("B " + _) ++
       (if (u > 0L) Seq(s"U $u") else Nil))
@@ -512,7 +601,7 @@ object CommitLog {
         "writer stages BEFORE it commits, so the grace must exceed " +
         "the longest stage-to-commit latency or the vacuum races it")
     val referenced = listLog(tableDir).flatMap { f =>
-      val (a, r) = parse(f); a ++ r
+      val (a, r, dl) = parse(f); a ++ r ++ dl
     }.map(_.split("/").head).toSet
     val cutoff = System.currentTimeMillis() - graceMs
     val entries = Option(new File(dataDir(tableDir)).listFiles())

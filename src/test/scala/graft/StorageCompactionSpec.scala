@@ -198,6 +198,84 @@ class StorageCompactionSpec extends SparkTestBase {
       "v1 must not show the updated prices")
   }
 
+  test("stor15: MOR delete marks, COW equivalence, fold, size economics") {
+    import org.apache.spark.sql.functions._
+    def parquetBytesUnder(f: File): Long =
+      if (f.isDirectory)
+        Option(f.listFiles()).fold(0L)(_.map(parquetBytesUnder).sum)
+      else if (f.getName.endsWith(".parquet")) f.length()
+      else 0L
+    val t = QueriesStorage.stor15Table(spark, sf001)
+    assert(CommitLog.latestVersion(t) === 3L)
+    // v2 rewrote NOTHING: the data-file set is IDENTICAL to v1 (same
+    // relpaths — no rewrites, no drops), plus exactly one delete file
+    assert(CommitLog.liveFiles(t, 2L) === CommitLog.liveFiles(t, 1L))
+    assert(CommitLog.liveDeleteFiles(t, 1L).isEmpty)
+    assert(CommitLog.liveDeleteFiles(t, 2L) === Seq("del_v2"))
+    // the v2 read applies the marks: window rows gone, v1 still whole —
+    // and this read runs AFTER the fold commit, so it also pins that
+    // time travel to the marked snapshot still applies the delete file
+    val win = col("ship") >= lit("1997-04-15").cast("date") &&
+      col("ship") < lit("1997-06-20").cast("date")
+    assert(CommitLog.read(spark, t, Some(2L)).filter(win).count() === 0L)
+    assert(CommitLog.read(spark, t, Some(1L)).filter(win).count() > 0L)
+    // COW/MOR equivalence, asserted directly: stor11's COW head and
+    // this table's MOR v2 carry the identical relational state for the
+    // same delete predicate
+    def sig(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("l_orderkey"), col("l_quantity"))
+        .agg(count(lit(1)), sum(col("l_orderkey")),
+          sum(floor(col("l_quantity") * 100 + lit(0.5)).cast("long")))
+        .collect()(0).toSeq
+    val cow = QueriesStorage.stor11Table(spark, sf001)
+    assert(sig(CommitLog.read(spark, t, Some(2L))) ===
+      sig(CommitLog.read(spark, cow)))
+    // the FOLD: v3 carries no delete files, fold files replaced every
+    // marked candidate, and the visible state is unchanged
+    assert(CommitLog.liveDeleteFiles(t, 3L).isEmpty)
+    val v3 = CommitLog.liveFiles(t, 3L)
+    assert(v3.exists(_.startsWith("fold3_")))
+    assert(sig(CommitLog.read(spark, t, Some(3L))) ===
+      sig(CommitLog.read(spark, t, Some(2L))))
+    // folded stats are tightened: planning the deleted window at v3
+    // opens zero files (stor11's closing metadata argument, post-fold)
+    assert(CommitLog.planScan(t, 3L, Seq(CommitLog.RangePredicate(
+      "ship", "1997-04-15", "1997-06-20"))).selected.isEmpty)
+    // incremental reads refuse to cross the D commit: a positional
+    // delete retracts rows, so file-level increments would miscount
+    val e = intercept[IllegalStateException] {
+      CommitLog.addedFiles(t, 1L, 2L)
+    }
+    assert(e.getMessage.contains("delete"))
+    // the 100 TB economics, MEASURED on the workload MOR exists for —
+    // a POINT delete (the GDPR-erasure / late-retraction shape): erase
+    // ONE orderkey from the v1 snapshot. COW must rewrite every file
+    // holding a matching row (measured as those files' physical
+    // bytes); MOR writes just the (fpath, pos) pairs. The window
+    // delete above is deliberately NOT the size argument: it removes
+    // ~2/3 of the candidate rows, the regime where COW's
+    // kept-row rewrite is genuinely competitive — point deletes are
+    // where rewriting terabytes to remove kilobytes happens.
+    val someKey = CommitLog.read(spark, t, Some(1L))
+      .agg(min(col("l_orderkey"))).collect()(0).getLong(0)
+    val pairs = CommitLog.deleteRows(spark, t,
+      CommitLog.liveFiles(t, 1L), col("l_orderkey") === someKey)
+    val touched = pairs.select(col("fpath")).distinct()
+      .collect().map(_.getString(0))
+    assert(touched.nonEmpty)
+    val cowBytes = touched.map(p => new File(new java.net.URI(p)).length()).sum
+    val morDir = java.nio.file.Files
+      .createTempDirectory("graft_mor_point").toFile
+    morDir.deleteOnExit()
+    pairs.coalesce(1).write.mode("overwrite")
+      .parquet(s"${morDir.getAbsolutePath}/del")
+    val morBytes = parquetBytesUnder(new File(morDir, "del"))
+    assert(morBytes > 0L && cowBytes > morBytes * 2,
+      s"point-delete MOR must beat COW rewrite bytes: $morBytes vs $cowBytes")
+    info(s"point delete of key $someKey: MOR delete file $morBytes B; " +
+      f"COW would rewrite $cowBytes B (${cowBytes.toDouble / morBytes}%.1fx)")
+  }
+
   test("stor7: protocol summary is fully green and matches the log") {
     val t = QueriesStorage.stor7Table(spark, sf001)
     val sm = QueriesStorage.stor7Summary(t)
