@@ -19,7 +19,83 @@ import graft.sources.Tables
   */
 object QueriesStreaming {
 
+  /** st12's pair of tables: stor9's three append commits as the
+    * UPSTREAM, and a DOWNSTREAM commit-log table populated by a REAL
+    * Structured Streaming query — `readStream` over the commit-log
+    * source (offset = table version, one version per micro-batch),
+    * a row-wise transform (stor14's qty-cents), and a `foreachBatch`
+    * sink landing through [[graft.storage.CommitLog.appendBatch]]'s
+    * exactly-once batch ledger. This is stor14's derived-table
+    * contract with the ENGINE driving the increments instead of a
+    * hand-rolled sync loop: the engine's checkpoint WAL carries the
+    * consumed version, the manifest ledger dedups replays, and the
+    * source inherits readIncrement's refusals (rewrite commits,
+    * expired history). Build-once per (dir, fingerprint);
+    * StreamingSpec pins the live-stream properties (per-version
+    * pacing, restart resume, loud refusal) on its own tables.
+    */
+  private[graft] def st12Tables(s: SparkSession,
+      d: String): (String, String) = {
+    import graft.storage.CommitLog
+    import org.apache.spark.sql.graft.CommitLogStream
+    val up = QueriesStorage.stor9Table(s, d)
+    val down =
+      s"${System.getProperty("java.io.tmpdir")}/graft_streamsync/" +
+        s"${d.replaceAll("[^A-Za-z0-9]", "_")}_" +
+        CommitLog.srcFingerprint(d, "lineitem")
+    QueriesStreaming.synchronized {
+      // Try-guarded completeness probe (stor14's discipline): a
+      // partially-reaped log must read as "rebuild", never wedge
+      val complete = scala.util.Try(
+        CommitLog.latestVersion(down) >= 3L &&
+          CommitLog.committedBatchIds(down) == Set(0L, 1L, 2L))
+        .getOrElse(false)
+      if (!complete) {
+        CommitLog.deleteRecursively(new java.io.File(down))
+        val q = s.readStream.format(CommitLogStream.Format)
+          .option("path", up)
+          .option("maxVersionsPerBatch", "1")
+          .load()
+          .select(col("l_orderkey"),
+            floor(col("l_quantity") * 100 + lit(0.5)).cast("long")
+              .as("qty_cents"),
+            col("ship"))
+          .writeStream
+          .option("checkpointLocation", s"$down/_streamckpt")
+          .foreachBatch { (b: DataFrame, id: Long) =>
+            CommitLog.appendBatch(down, b, id): Unit
+          }
+          .start()
+        try q.processAllAvailable() finally q.stop()
+      }
+    }
+    (up, down)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // THE COMMIT LOG AS A STREAMING SOURCE (VERDICT r16 #2): the
+    // downstream table below was populated by a real readStream over
+    // the commit-log source — offset = table version, each micro-batch
+    // exactly one version's increment, exactly-once landing through
+    // appendBatch's manifest ledger. The query time-travels the
+    // downstream version by version and reports the cumulative derived
+    // state plus the batch ledger — cumulative sums reconstructing the
+    // full upstream table is the stor9 discipline, and the oracle
+    // recomputes every row from the upstream month windows (one
+    // downstream version per upstream commit by the pacing contract).
+    "st12_stream_commitlog" -> ((s, d) => {
+      import graft.storage.CommitLog
+      val (_, down) = st12Tables(s, d)
+      val nBatches = CommitLog.committedBatchIds(down).size
+      (1L to 3L).map { v =>
+        CommitLog.read(s, down, Some(v))
+          .agg(count(lit(1)).as("rows_cum"),
+            sum(col("qty_cents")).cast("long").as("sum_qty_cents_cum"))
+          .select(lit(v).as("version"), col("rows_cum"),
+            col("sum_qty_cents_cum"),
+            lit(nBatches.toLong).as("n_batches"))
+      }.reduce(_ unionByName _)
+    }),
     // Tumbling 1-hour event-time windows per event type.
     "st1_tumbling_window" -> ((s, d) => {
       StreamingOps.tumblingAgg(Tables.events(s, d), "ts", "1 hour",
@@ -372,6 +448,26 @@ object QueriesStreaming {
   )
 
   def oracle: Map[String, String] = Map(
+    // st12: cumulative derived state per downstream version = the
+    // upstream month windows, cumulatively (stor14's arithmetic); the
+    // batch ledger is 3 by construction (one micro-batch per upstream
+    // commit under the pacing contract, ids 0..2 on a fresh
+    // checkpoint).
+    "st12_stream_commitlog" ->
+      """WITH f AS (SELECT date_trunc('month', l_shipdate)::DATE AS m,
+        |    count(*) AS n_rows,
+        |    CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS cents
+        |  FROM lineitem GROUP BY 1),
+        |v(version, hi) AS (VALUES
+        |  (CAST(1 AS BIGINT), DATE '1996-12-31'),
+        |  (2, DATE '1998-12-31'), (3, DATE '9999-12-31'))
+        |SELECT v.version,
+        |  CAST(sum(f.n_rows) AS BIGINT) AS rows_cum,
+        |  CAST(sum(f.cents) AS BIGINT) AS sum_qty_cents_cum,
+        |  CAST(3 AS BIGINT) AS n_batches
+        |FROM v JOIN f ON f.m <= v.hi
+        |GROUP BY 1""".stripMargin,
     "st8_disorder" ->
       """WITH a AS (
         |  SELECT event_type, epoch_us(ts) AS us,

@@ -1,0 +1,119 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.{DataFrame, SQLContext}
+import org.apache.spark.sql.execution.streaming.{Offset, Source}
+import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+import org.apache.spark.sql.sources.StreamSourceProvider
+import org.apache.spark.sql.types.StructType
+
+import graft.storage.CommitLog
+
+/** The commit log as a Structured Streaming SOURCE (VERDICT r16 #2):
+  * `spark.readStream.format(CommitLogStream.Format).option("path",
+  * tableDir)` turns a [[graft.storage.CommitLog]] table into a
+  * micro-batch stream whose OFFSET IS THE TABLE VERSION — each batch
+  * reads exactly the files the commits in `(startVersion, endVersion]`
+  * added, through the same `readIncrement` contract the batch
+  * consumers (stor9/stor14) ride. That inherits every refusal the
+  * contract makes: a rewrite or positional-delete commit in range
+  * throws (file-level increments would miscount), and a range below
+  * the expiry horizon raises `SnapshotExpired` — a streaming consumer
+  * can never silently double-count or skip.
+  *
+  * Pacing: `maxVersionsPerBatch` (default 1) bounds how many commits
+  * one micro-batch may cover — the "each micro-batch = one version
+  * increment" discipline, which keeps batch sizes proportional to
+  * commit sizes instead of to how far behind the consumer fell
+  * (backpressure by version, the same idea as maxFilesPerTrigger).
+  *
+  * Exactly-once end-to-end composes from public pieces: the engine's
+  * checkpoint WAL replays offset ranges deterministically (a version
+  * range always names the same files), and a `foreachBatch` sink that
+  * lands through [[graft.storage.CommitLog.appendBatch]] dedups
+  * replayed batch ids through the manifest ledger — so source replay
+  * after a crash re-reads the range but commits nothing twice.
+  *
+  * Lives in the spark.sql.graft shim package for the private[sql]
+  * `internalCreateDataFrame` access: a DSv1 source's `getBatch` must
+  * return a DataFrame with `isStreaming = true` (MicroBatchExecution
+  * asserts it), and the public API offers no way to mark one.
+  */
+class CommitLogStreamProvider extends StreamSourceProvider {
+
+  private def tableDir(params: Map[String, String]): String =
+    params.getOrElse("path", throw new IllegalArgumentException(
+      "commit-log stream needs .option(\"path\", <tableDir>)"))
+
+  override def sourceSchema(ctx: SQLContext, schema: Option[StructType],
+      providerName: String,
+      params: Map[String, String]): (String, StructType) =
+    ("graft-commitlog", schema.getOrElse(
+      CommitLog.read(ctx.sparkSession, tableDir(params)).schema))
+
+  override def createSource(ctx: SQLContext, metadataPath: String,
+      schema: Option[StructType], providerName: String,
+      params: Map[String, String]): Source =
+    new CommitLogSource(ctx, tableDir(params),
+      params.getOrElse("maxVersionsPerBatch", "1").toLong)
+}
+
+object CommitLogStream {
+  /** Pass to `readStream.format(...)` (fully-qualified provider — no
+    * META-INF service registration needed, zero-dependency rule).
+    */
+  val Format: String = classOf[CommitLogStreamProvider].getName
+}
+
+private class CommitLogSource(ctx: SQLContext, dir: String,
+    maxVersionsPerBatch: Long) extends Source {
+  require(maxVersionsPerBatch >= 1L,
+    s"maxVersionsPerBatch must be >= 1, got $maxVersionsPerBatch")
+
+  override val schema: StructType =
+    CommitLog.read(ctx.sparkSession, dir).schema
+
+  /** Highest version already handed to the engine — getBatch bumps it
+    * (covers checkpoint-recovery replay, where the engine calls
+    * getBatch for the WAL range before ever polling getOffset), and
+    * getOffset paces from it. Driver-side only; the engine serializes
+    * source calls per query.
+    */
+  private var offered: Long = -1L
+
+  override def getOffset: Option[Offset] = {
+    val head = CommitLog.latestVersion(dir)
+    if (head == 0L) None
+    else {
+      val base = if (offered < 0L) 0L else offered
+      val next = math.min(head, base + maxVersionsPerBatch)
+      offered = math.max(offered, next)
+      Some(LongOffset(math.max(next, base)))
+    }
+  }
+
+  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    val from = start.map(asVersion).getOrElse(0L)
+    val to = asVersion(end)
+    offered = math.max(offered, to)
+    val inc = CommitLog.readIncrement(ctx.sparkSession, dir, from, to)
+      .asInstanceOf[org.apache.spark.sql.classic.Dataset[
+        org.apache.spark.sql.Row]]
+    // re-plan as a STREAMING frame: same schema, same rows, the flag
+    // MicroBatchExecution requires of a v1 source's batch (Spark 4
+    // moved internalCreateDataFrame to the classic session impl)
+    ctx.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .internalCreateDataFrame(inc.queryExecution.toRdd, inc.schema,
+        isStreaming = true)
+  }
+
+  private def asVersion(o: Offset): Long = o match {
+    case l: LongOffset => l.offset
+    case other => LongOffset(
+      org.apache.spark.sql.execution.streaming.runtime.SerializedOffset(
+        other.json)).offset
+  }
+
+  override def stop(): Unit = ()
+
+  override def toString: String = s"CommitLogSource[$dir]"
+}

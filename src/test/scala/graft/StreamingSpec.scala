@@ -772,4 +772,75 @@ class StreamingSpec extends SparkTestBase {
     assert(resumed == batch,
       s"resumed state must equal the single-run batch: $resumed vs $batch")
   }
+
+  test("commit-log stream: one version per micro-batch, exactly-once " +
+    "sink, restart resumes from the checkpointed version") {
+    import graft.storage.CommitLog
+    import org.apache.spark.sql.graft.CommitLogStream
+    val up = java.nio.file.Files.createTempDirectory("graft_cls_up")
+      .toFile.getAbsolutePath
+    val down = java.nio.file.Files.createTempDirectory("graft_cls_down")
+      .toFile.getAbsolutePath
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_cls_ck")
+      .toFile.getAbsolutePath
+    def stage(rel: String, rows: Seq[(Long, Long)]): Unit =
+      rows.toDF("k", "v").write
+        .parquet(s"${CommitLog.dataDir(up)}/$rel")
+    stage("f1", Seq((1L, 10L), (2L, 20L)))
+    stage("f2", Seq((3L, 30L)))
+    CommitLog.commit(up, Seq("f1"), Nil, 0L)
+    CommitLog.commit(up, Seq("f2"), Nil, 1L)
+    val batchSizes =
+      scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    def run(): Unit = {
+      val q = spark.readStream.format(CommitLogStream.Format)
+        .option("path", up).load()
+        .withColumn("v2", col("v") * 2)
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          batchSizes.synchronized { batchSizes += ((id, b.count())) }
+          CommitLog.appendBatch(down, b, id): Unit
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    run()
+    // pacing: version 1 (2 rows) and version 2 (1 row) arrived as TWO
+    // micro-batches, never coalesced — batch = one version increment
+    assert(batchSizes.toList === List((0L, 2L), (1L, 1L)),
+      s"got $batchSizes")
+    assert(CommitLog.read(spark, down).count() === 3L)
+    assert(CommitLog.committedBatchIds(down) === Set(0L, 1L))
+    // upstream advances; a RESTARTED query resumes from the
+    // checkpointed version — only the new increment flows, and the
+    // exactly-once ledger shows no replays
+    batchSizes.clear()
+    stage("f3", Seq((4L, 40L), (5L, 50L), (6L, 60L)))
+    CommitLog.commit(up, Seq("f3"), Nil, 2L)
+    run()
+    assert(batchSizes.toList === List((2L, 3L)), s"got $batchSizes")
+    assert(CommitLog.read(spark, down).count() === 6L)
+    assert(CommitLog.committedBatchIds(down) === Set(0L, 1L, 2L))
+    // the transform rode the stream: downstream carries v2 = 2v exactly
+    assert(CommitLog.read(spark, down)
+      .filter(col("v2") =!= col("v") * 2).count() === 0L)
+    // a REWRITE commit upstream poisons the increment contract: the
+    // stream must refuse loudly (inherited from readIncrement), never
+    // silently double-count the rewritten rows
+    stage("f1_rw", Seq((1L, 10L), (2L, 20L)))
+    CommitLog.commit(up, Seq("f1_rw"), Seq("f1"), 3L)
+    val q3 = spark.readStream.format(CommitLogStream.Format)
+      .option("path", up).load()
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (_: org.apache.spark.sql.DataFrame, _: Long) => () }
+      .start()
+    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q3.processAllAvailable()
+      q3.awaitTermination(30000)
+    }
+    q3.stop()
+    assert(err.getMessage.contains("non-append commit") ||
+      Option(err.getCause).exists(_.getMessage.contains("non-append commit")))
+  }
 }
