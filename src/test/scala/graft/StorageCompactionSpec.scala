@@ -276,6 +276,30 @@ class StorageCompactionSpec extends SparkTestBase {
       f"COW would rewrite $cowBytes B (${cowBytes.toDouble / morBytes}%.1fx)")
   }
 
+  test("stor16: z-order rewrite is lossless, tightens stats, keeps v1") {
+    import org.apache.spark.sql.functions._
+    val t = QueriesStorage.stor16Table(spark, sf001)
+    assert(CommitLog.latestVersion(t) === 2L)
+    val v1 = CommitLog.liveFiles(t, 1L)
+    val v2 = CommitLog.liveFiles(t, 2L)
+    assert(v1.forall(_.startsWith("m_")))
+    assert(v2.forall(_.startsWith("z_")) && v2.size === 64)
+    // lossless rewrite: identical multiset across the commit
+    def sig(v: Long) = CommitLog.read(spark, t, Some(v))
+      .agg(count(lit(1)), sum(col("l_orderkey")),
+        sum(floor(col("l_quantity") * 100 + lit(0.5)).cast("long")))
+      .collect()(0).toSeq
+    assert(sig(1L) === sig(2L))
+    // the month files survive on disk for v1 time travel (a rewrite
+    // commit retires them from the live set, never deletes bytes)
+    val dd = CommitLog.dataDir(t)
+    assert(v1.forall(rel => new File(dd, rel).exists()))
+    // every z-file carries tightened bounds on BOTH dims
+    val st = CommitLog.statsAt(t, 2L)
+    assert(st.keySet === v2.toSet)
+    assert(st.values.forall(_.keySet === Set("dm", "pk")))
+  }
+
   test("stor7: protocol summary is fully green and matches the log") {
     val t = QueriesStorage.stor7Table(spark, sf001)
     val sm = QueriesStorage.stor7Summary(t)
