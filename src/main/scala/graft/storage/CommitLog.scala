@@ -212,6 +212,30 @@ object CommitLog {
       java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
   }
 
+  /** [[commit]] + ANALYZE-on-write: after the commit publishes, the
+    * stats-catalog entry for this table is refreshed against the new
+    * head ([[StatsCatalog.analyzeTable]]), so a planner reading the
+    * catalog (j19's discipline) sees statistics that already include
+    * this commit's rows — a skewed append flips the downstream join
+    * strategy on the very next plan instead of after some off-path
+    * re-ANALYZE (CatalogStatsSpec pins the flip). On [[CommitConflict]]
+    * nothing is analyzed — the loser retries first. The refresh is one
+    * aggregate pass over the head snapshot; at 100 TB callers batch it
+    * the way real ANALYZE is batched (e.g. refresh on the compaction
+    * commit, not on every micro-batch append), which is why it is this
+    * separate entry point and not a flag every commit pays.
+    */
+  def commitAndAnalyze(spark: SparkSession, tableDir: String,
+      added: Seq[String], removed: Seq[String], expectedCurrent: Long,
+      analyzeKey: String,
+      stats: Map[String, Map[String, ColStats]] = Map.empty,
+      deletes: Seq[String] = Nil): Long = {
+    val v = commit(tableDir, added, removed, expectedCurrent, stats,
+      deletes)
+    StatsCatalog.analyzeTable(spark, tableDir, analyzeKey): Unit
+    v
+  }
+
   /** Optimistic-retry wrapper: `mkBatch` maps the CURRENT live file
     * set to the (added, removed) lists — recomputed after every
     * conflict so the retry commits against the winner's snapshot.

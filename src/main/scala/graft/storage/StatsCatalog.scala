@@ -48,14 +48,14 @@ object StatsCatalog {
     new File(s"${System.getProperty("java.io.tmpdir")}/graft_stats/" +
       s"${tag(d)}/${table}__$key.txt")
 
-  /** Collect stats with two aggregation jobs — the ANALYZE pass. The
-    * skew/max/rows numbers come from one groupBy(key) reduction
+  /** The measuring core of every ANALYZE pass: two aggregation jobs.
+    * The skew/max/rows numbers come from one groupBy(key) reduction
     * (exact — this is the one pass a real ANALYZE pays, amortized over
     * every later plan); the NDV comes from the KMV sketch aggregate
-    * in a second shuffle-free pass. Persists the entry and returns it.
+    * in a second shuffle-free pass.
     */
-  def analyze(s: SparkSession, d: String, table: String,
-      df: DataFrame, key: String): TableStats = {
+  private def measure(df: DataFrame, key: String,
+      fingerprint: String): TableStats = {
     val g = df.groupBy(col(key)).agg(count(lit(1)).as("__n"))
       .agg(max(col("__n")).as("mx"), count(lit(1)).as("groups"),
         sum(col("__n")).as("tot"))
@@ -66,9 +66,10 @@ object StatsCatalog {
       org.apache.spark.sql.graft.SketchAggregates.kmvEstimate(
         concat(lit("stats:"), col(key).cast("string")), 4096).as("ndv"))
       .head().getDouble(0).round
-    val st = TableStats(g.getLong(2), ndv, g.getLong(0), g.getLong(3),
-      CommitLog.srcFingerprint(d, table))
-    val f = entryFile(d, table, key)
+    TableStats(g.getLong(2), ndv, g.getLong(0), g.getLong(3), fingerprint)
+  }
+
+  private def persist(f: File, st: TableStats): TableStats = {
     f.getParentFile.mkdirs()
     val body = Seq(s"fp=${st.fingerprint}", s"rows=${st.rows}",
       s"ndv=${st.ndv}", s"max_key_rows=${st.maxKeyRows}",
@@ -79,6 +80,14 @@ object StatsCatalog {
     CommitLog.writeAtomic(f, body)
     st
   }
+
+  /** ANALYZE a source parquet table: measure + persist, fingerprinted
+    * by the source files so a testdata rebuild reads as stale.
+    */
+  def analyze(s: SparkSession, d: String, table: String,
+      df: DataFrame, key: String): TableStats =
+    persist(entryFile(d, table, key),
+      measure(df, key, CommitLog.srcFingerprint(d, table)))
 
   /** Read the persisted entry; None when absent, STALE (the stored
     * fingerprint no longer matches the source parquet) or UNPARSEABLE
@@ -113,5 +122,58 @@ object StatsCatalog {
     read(d, table, key) match {
       case Some(st) => StatsResult(st, "catalog")
       case None => StatsResult(analyze(s, d, table, df, key), "analyzed")
+    }
+
+  // ---- commit-log-table entries (ANALYZE-on-write) -----------------
+  // The entry is keyed on the TABLE DIR and fingerprinted by the
+  // commit VERSION it was analyzed at, so ANY later commit makes it
+  // stale by construction — the freshness test is one metadata read
+  // (latestVersion), never a file-listing fingerprint. Paired with
+  // [[CommitLog.commitAndAnalyze]] this is the Iceberg
+  // ANALYZE-on-write idea: stats refresh rides the commit, and a
+  // planner (j19's costGuardedJoinFromCatalog discipline) can trust a
+  // fresh entry without running a single statistics job.
+
+  private[graft] def tableEntryFile(tableDir: String, key: String): File =
+    new File(s"${System.getProperty("java.io.tmpdir")}/graft_stats/" +
+      s"_commitlog/${tag(tableDir)}__$key.txt")
+
+  /** ANALYZE the head snapshot of a commit-log table; the entry's
+    * fingerprint records the version analyzed.
+    */
+  def analyzeTable(s: SparkSession, tableDir: String,
+      key: String): TableStats = {
+    val v = CommitLog.latestVersion(tableDir)
+    persist(tableEntryFile(tableDir, key),
+      measure(CommitLog.read(s, tableDir, Some(v)), key, s"v$v"))
+  }
+
+  /** Read a commit-log table's entry; None when absent, unparseable,
+    * or STALE — analyzed at any version other than the current head
+    * (a commit without the ANALYZE refresh leaves the entry stale on
+    * purpose: planning against pre-append stats is how a skewed
+    * append silently breaks a join strategy).
+    */
+  def readTable(tableDir: String, key: String): Option[TableStats] = {
+    val f = tableEntryFile(tableDir, key)
+    if (!f.isFile) None
+    else scala.util.Try {
+      val kv = Files.readAllLines(f.toPath)
+        .toArray(Array.empty[String]).toSeq
+        .filter(_.contains("=")).map { l =>
+          val Array(k, v) = l.split("=", 2); (k, v)
+        }.toMap
+      TableStats(kv("rows").toLong, kv("ndv").toLong,
+        kv("max_key_rows").toLong, kv("skew").toLong, kv("fp"))
+    }.toOption
+      .filter(_.fingerprint == s"v${CommitLog.latestVersion(tableDir)}")
+  }
+
+  /** Commit-log catalog read with the measured fallback. */
+  def readOrAnalyzeTable(s: SparkSession, tableDir: String,
+      key: String): StatsResult =
+    readTable(tableDir, key) match {
+      case Some(st) => StatsResult(st, "catalog")
+      case None => StatsResult(analyzeTable(s, tableDir, key), "analyzed")
     }
 }
