@@ -507,6 +507,102 @@ object QueriesVector {
       arm(1).unionAll(arm(2)).unionAll(arm(3))
     }),
 
+    // FILTERED ANN (VERDICT r16 #5) — predicate + similarity search
+    // combined, the most common production vector workload: "nearest
+    // neighbors among documents WHERE <metadata predicate>". The
+    // pre/post-filter policy is the real decision an engine makes, and
+    // it is chosen here FROM THE STATS CATALOG, not measured per
+    // query: for an equality/in-list predicate on the label key the
+    // catalog's (rows, ndv) give the uniform-assumption estimate
+    // est = nvals·rows/ndv, and
+    //  - LOW selectivity (est ≤ rows/4) → PRE-FILTER: filter the
+    //    corpus first and search exactly — the filtered set is small
+    //    enough that brute top-k over it beats fixing up an index scan
+    //    (and is exact by construction, the honest property);
+    //  - HIGH selectivity → POST-FILTER over the IVF index, with the
+    //    PROBE WIDENING correction: filtered-out candidates shrink a
+    //    cell's usable answers, so nProbe = min(3, ceil(2·ndv/nvals))
+    //    widens the base-2 probe as the estimated pass rate drops.
+    // Both arms report the catalog-derived decision columns, the
+    // actual filtered-corpus size, and the recall of the served
+    // answer against the FILTERED exact truth (d24's discipline) —
+    // the oracle recomputes the estimates from count distinct (the
+    // KMV NDV is exact under its buffer at these cardinalities), the
+    // routing from v4's exact CTE shapes, and every count.
+    "v22_filtered_ann" -> ((s, d) => {
+      import graft.storage.StatsCatalog
+      val p = prep(s, d)
+      val probes = p.filter(col("id") < 5)
+        .select(col("id").as("id_q"), col("v").as("vq"),
+          col("n2").as("n2q"))
+      val labels = Tables.embeddings(s, d)
+        .select(col("vec_id").as("id_n"),
+          col("label").cast("long").as("lbl"))
+      val st = StatsCatalog.readOrAnalyze(s, d, "embeddings",
+        Tables.embeddings(s, d), "label").stats
+      def arm(name: String, pred: Column, nvals: Long): DataFrame = {
+        val estRows = nvals * st.rows / st.ndv
+        val prefilter = estRows * 4L <= st.rows
+        val nProbe = if (prefilter) 0L
+          else math.min(3L, (2L * st.ndv + nvals - 1L) / nvals)
+        val corpusF = p
+          .select(col("id").as("id_n"), col("v").as("vn"),
+            col("n2").as("n2n"))
+          .join(labels, Seq("id_n")).filter(pred)
+        val exactPairs = corpusF.crossJoin(broadcast(probes))
+          .filter(col("id_n") =!= col("id_q"))
+          .select(col("id_q"), col("id_n"),
+            round(VectorOps.cosineFromParts(
+              VectorOps.dot(col("vq"), col("vn")),
+              col("n2q"), col("n2n")), 6).as("cos"))
+        val truth = RelationalOps.topKPerGroup(exactPairs, Seq("id_q"),
+          Seq(col("cos").desc, col("id_n").asc), 5)
+          .select("id_q", "id_n")
+        val hits =
+          if (prefilter)
+            // the pre-filter arm SERVES the filtered exact answer —
+            // recall 1 by construction, reported as such
+            truth.agg(count(lit(1)).as("n_truth"),
+              count(lit(1)).as("n_hits"))
+          else {
+            val cents = p.filter(col("id") < 10)
+            val cc = VectorOps.routeToCentroids(p, cents, 1,
+                keepPayload = true)
+              .select(col("id").as("id_n"), col("centroid_id"),
+                col("v").as("vn"), col("n2").as("n2n"))
+            val pq = VectorOps.routeToCentroidsRanked(probes, cents,
+                nProbe.toInt)
+              .select(col("id").as("id_q"), col("centroid_id"),
+                col("v").as("vq"), col("n2").as("n2q"))
+            val candPairs = cc.join(broadcast(pq), Seq("centroid_id"))
+              .filter(col("id_q") =!= col("id_n"))
+              .join(labels, Seq("id_n")).filter(pred)
+              .select(col("id_q"), col("id_n"),
+                round(VectorOps.cosineFromParts(
+                  VectorOps.dot(col("vq"), col("vn")),
+                  col("n2q"), col("n2n")), 6).as("cos"))
+            val cand = RelationalOps.topKPerGroup(candPairs,
+              Seq("id_q"), Seq(col("cos").desc, col("id_n").asc), 5)
+              .select(col("id_q"), col("id_n"), lit(1L).as("hit"))
+            truth.join(cand, Seq("id_q", "id_n"), "left")
+              .agg(count(lit(1)).as("n_truth"),
+                count(col("hit")).as("n_hits"))
+          }
+        hits
+          .crossJoin(broadcast(corpusF
+            .agg(count(lit(1)).as("rows_pass"))))
+          .select(lit(name).as("pred"),
+            lit(if (prefilter) "prefilter" else "postfilter_ivf")
+              .as("policy"),
+            lit(nProbe).as("n_probe"), lit(estRows).as("est_rows"),
+            col("rows_pass"), col("n_truth"), col("n_hits"),
+            round(col("n_hits").cast("double") /
+              col("n_truth").cast("double"), 6).as("recall"))
+      }
+      arm("label=7", col("lbl") === 7L, 1L)
+        .unionByName(arm("label<>7", col("lbl") =!= 7L, 9L))
+    }),
+
     // Cluster-quality gate for the deterministic k-means stack — the
     // centroid-based (simplified) SILHOUETTE per cluster: a(i) =
     // distance to the OWN (nearest) centroid, b(i) = distance to the
@@ -1366,6 +1462,86 @@ object QueriesVector {
          |UNION ALL
          |${armSql(3)}""".stripMargin
     },
+    // v22: the catalog estimates recomputed from count distinct (the
+    // KMV NDV is exact at label cardinality), the policy/widening CASE
+    // arms from the same integer arithmetic as the Spark side, the
+    // pre-filter arm as the filtered exact top-5 (recall 1 by
+    // construction), and the post-filter arm through v4's exact
+    // routing CTEs with the label predicate applied to candidates.
+    "v22_filtered_ann" ->
+      s"""WITH $preparedSql,
+         |lbl AS (SELECT vec_id, CAST(label AS BIGINT) AS lbl
+         |  FROM embeddings),
+         |st AS (SELECT count(*) AS nr, count(DISTINCT label) AS ndv
+         |  FROM embeddings),
+         |exA AS (SELECT id_q, id_n FROM (
+         |  SELECT a.vec_id AS id_q, b.vec_id AS id_n,
+         |    row_number() OVER (PARTITION BY a.vec_id
+         |      ORDER BY round($dotSql / sqrt(a.n2 * b.n2), 6) DESC,
+         |        b.vec_id) AS rank
+         |  FROM n a JOIN n b ON b.vec_id <> a.vec_id
+         |  JOIN lbl ON lbl.vec_id = b.vec_id AND lbl.lbl = 7
+         |  WHERE a.vec_id < 5) q WHERE rank <= 5),
+         |exB AS (SELECT id_q, id_n FROM (
+         |  SELECT a.vec_id AS id_q, b.vec_id AS id_n,
+         |    row_number() OVER (PARTITION BY a.vec_id
+         |      ORDER BY round($dotSql / sqrt(a.n2 * b.n2), 6) DESC,
+         |        b.vec_id) AS rank
+         |  FROM n a JOIN n b ON b.vec_id <> a.vec_id
+         |  JOIN lbl ON lbl.vec_id = b.vec_id AND lbl.lbl <> 7
+         |  WHERE a.vec_id < 5) q WHERE rank <= 5),
+         |cent AS (SELECT vec_id AS centroid_id, v, n2 FROM n
+         |  WHERE vec_id < 10),
+         |ca AS (SELECT id_n, centroid_id FROM (
+         |  SELECT a.vec_id AS id_n, b.centroid_id,
+         |    row_number() OVER (PARTITION BY a.vec_id
+         |      ORDER BY $dotSql / sqrt(a.n2 * b.n2) DESC,
+         |        b.centroid_id) AS rk
+         |  FROM n a JOIN cent b ON true) q WHERE rk = 1),
+         |npb AS (SELECT least(3, (2 * ndv + 9 - 1) // 9) AS np FROM st),
+         |pr AS (SELECT id_q, centroid_id FROM (
+         |  SELECT a.vec_id AS id_q, b.centroid_id,
+         |    row_number() OVER (PARTITION BY a.vec_id
+         |      ORDER BY $dotSql / sqrt(a.n2 * b.n2) DESC,
+         |        b.centroid_id) AS rk
+         |  FROM n a JOIN cent b ON true
+         |  WHERE a.vec_id < 5) q, npb WHERE q.rk <= npb.np),
+         |candB AS (SELECT id_q, id_n FROM (
+         |  SELECT id_q, id_n, row_number() OVER (PARTITION BY id_q
+         |      ORDER BY cos DESC, id_n) AS rank FROM (
+         |    SELECT a.vec_id AS id_q, b.vec_id AS id_n,
+         |      round($dotSql / sqrt(a.n2 * b.n2), 6) AS cos
+         |    FROM pr
+         |    JOIN n a ON a.vec_id = pr.id_q
+         |    JOIN ca ON ca.centroid_id = pr.centroid_id
+         |    JOIN n b ON b.vec_id = ca.id_n
+         |    JOIN lbl ON lbl.vec_id = b.vec_id AND lbl.lbl <> 7
+         |    WHERE b.vec_id <> a.vec_id) p) q WHERE rank <= 5),
+         |hitB AS (SELECT count(*) AS n_truth, count(candB.id_q) AS n_hits
+         |  FROM exB LEFT JOIN candB
+         |    ON candB.id_q = exB.id_q AND candB.id_n = exB.id_n),
+         |rA AS (SELECT count(*) AS rows_pass FROM lbl WHERE lbl = 7),
+         |rB AS (SELECT count(*) AS rows_pass FROM lbl WHERE lbl <> 7),
+         |hA AS (SELECT count(*) AS n FROM exA)
+         |SELECT 'label=7' AS pred,
+         |  CASE WHEN (1 * st.nr // st.ndv) * 4 <= st.nr
+         |    THEN 'prefilter' ELSE 'postfilter_ivf' END AS policy,
+         |  CAST(CASE WHEN (1 * st.nr // st.ndv) * 4 <= st.nr THEN 0
+         |    ELSE least(3, 2 * st.ndv) END AS BIGINT) AS n_probe,
+         |  CAST(1 * st.nr // st.ndv AS BIGINT) AS est_rows,
+         |  rA.rows_pass, hA.n AS n_truth, hA.n AS n_hits,
+         |  round(CAST(hA.n AS DOUBLE) / hA.n, 6) AS recall
+         |FROM st, rA, hA
+         |UNION ALL
+         |SELECT 'label<>7',
+         |  CASE WHEN (9 * st.nr // st.ndv) * 4 <= st.nr
+         |    THEN 'prefilter' ELSE 'postfilter_ivf' END,
+         |  CAST(CASE WHEN (9 * st.nr // st.ndv) * 4 <= st.nr THEN 0
+         |    ELSE npb.np END AS BIGINT),
+         |  CAST(9 * st.nr // st.ndv AS BIGINT),
+         |  rB.rows_pass, hitB.n_truth, hitB.n_hits,
+         |  round(CAST(hitB.n_hits AS DOUBLE) / hitB.n_truth, 6)
+         |FROM st, npb, rB, hitB""".stripMargin,
     "v4_ivf_topk" ->
       s"""WITH $preparedSql,
          |cent AS (SELECT vec_id AS centroid_id, v, n2 FROM n
