@@ -315,13 +315,22 @@ class PlanAuditSpec extends SparkTestBase {
   }
 
   test("sketch probes broadcast the sketch, never shuffle the probe side") {
-    // CMS estimate + both bloom word lookups are broadcast joins: the
-    // sketch is O(d*w)/O(words) rows by construction
+    // CMS estimate is a broadcast join: the sketch is O(d*w) rows by
+    // construction
     assert(plan("sk3_cms_topk").contains("BroadcastHashJoin"),
       "sk3's probe must broadcast the counter table")
+    // the bloom bit table collapses to ONE broadcast map row; both
+    // hash lookups are scalar element_at probes — no join operator at
+    // all on the probe path, and the probe side never exchanges before
+    // the might projection (the r16 shape paid two broadcast joins)
     val bloom = plan("sk4_bloom_filter")
-    assert("BroadcastHashJoin".r.findAllIn(bloom).size >= 2,
-      s"sk4 must broadcast the filter for both hash lookups:\n$bloom")
+    assert("BroadcastExchange".r.findAllIn(bloom).size >= 1 &&
+      bloom.contains("element_at(__bfmap"),
+      s"sk4 must probe the broadcast bit map, not join word rows:\n$bloom")
+    // exactly one broadcast of the bit map feeds the might projection;
+    // the word-row form would show two hash-join broadcasts here
+    assert("element_at\\(__bfmap".r.findAllIn(bloom).size >= 2,
+      s"both hash lookups must read the one broadcast map:\n$bloom")
   }
 
   test("native hll aggregate plans partial buffers, no register shuffle") {
