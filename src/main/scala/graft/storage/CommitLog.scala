@@ -83,13 +83,90 @@ object CommitLog {
   final case class RangePredicate(col: String, lo: String, hi: String,
       cmp: (String, String) => Int = _ compareTo _)
 
+  /** An EQUALITY pruning predicate for [[planScan]] (`col = value`),
+    * evaluated against per-file [[Bloom]] filters: a file is skippable
+    * when its filter proves the value ABSENT (no false negatives by
+    * construction); a filter hit keeps the file (false positives only
+    * cost a read, never correctness). This is the point-lookup
+    * complement to [[RangePredicate]] zone maps: on a high-cardinality
+    * column scattered across ingest-ordered files, every file's
+    * min/max spans the whole domain (range pruning is powerless) while
+    * a Bloom filter still proves most files free of any given key.
+    */
+  final case class EqPredicate(col: String, value: Long)
+
+  /** A fixed-size Bloom filter carried per (file, column) in the
+    * manifest (`F` lines) — the Iceberg/Parquet file-level
+    * bloom-filter-index idea reduced to its invariant: `k` deterministic
+    * hash probes over `m` bits, a file skippable iff ANY probe bit is
+    * unset. The hash family is the deliberately-pedestrian
+    * `((x mod P) * a_i + b_i) mod P mod m` over the Mersenne prime
+    * P = 2^31 - 1 — integer-only and reproducible in ANSI SQL, so the
+    * correctness oracle can recompute membership relationally
+    * (production would use murmur/xxhash; the skipping ECONOMICS are
+    * hash-agnostic). `bits` is an m-bit set packed into 64-bit words.
+    */
+  final case class Bloom(m: Int, k: Int, bits: Array[Long]) {
+    require(m > 0 && m % 64 == 0 && bits.length == m / 64,
+      s"bloom bits must pack m=$m into ${m / 64} words, got ${bits.length}")
+    require(k >= 1 && k <= Bloom.A.length, s"k=$k outside 1..${Bloom.A.length}")
+
+    def mightContain(x: Long): Boolean =
+      (0 until k).forall { i =>
+        val p = Bloom.probe(x, i, m)
+        (bits(p >>> 6) & (1L << (p & 63))) != 0L
+      }
+
+    /** Hex encoding for the manifest line (m/4 hex chars). */
+    def encode: String = bits.map(w => f"$w%016x").mkString
+  }
+
+  object Bloom {
+    /** 2^31 - 1 (Mersenne prime): keeps every intermediate product
+      * below 2^63 for the multiplier set below.
+      */
+    val P: Long = 2147483647L
+    private[CommitLog] val A =
+      Array(1103515245L, 1299709L, 104729L, 7368787L, 15485863L)
+    private[CommitLog] val B =
+      Array(12345L, 99991L, 31337L, 271L, 63689L)
+
+    /** Probe i's bit position for value x — pure integer arithmetic
+      * (`((x % P + P) % P * a_i + b_i) % P % m`), mirrored verbatim by
+      * the SQL oracles.
+      */
+    def probe(x: Long, i: Int, m: Int): Int =
+      ((((x % P) + P) % P * A(i) + B(i)) % P % m).toInt
+
+    def build(m: Int, k: Int, xs: IterableOnce[Long]): Bloom = {
+      val bits = new Array[Long](m / 64)
+      xs.iterator.foreach { x =>
+        var i = 0
+        while (i < k) {
+          val p = probe(x, i, m)
+          bits(p >>> 6) |= (1L << (p & 63))
+          i += 1
+        }
+      }
+      Bloom(m, k, bits)
+    }
+
+    def decode(m: Int, k: Int, hex: String): Bloom = {
+      require(hex.length == m / 4,
+        s"bloom hex length ${hex.length} != ${m / 4} for m=$m")
+      Bloom(m, k, hex.grouped(16)
+        .map(java.lang.Long.parseUnsignedLong(_, 16)).toArray)
+    }
+  }
+
   /** What scan planning decided, from manifest metadata alone:
     * `selected` is the file list the reader must open; `skipped`
     * counts, per predicate column, how many live files that predicate
-    * alone proved disjoint (a file can count under several);
-    * `noStats` — a subset of `selected` — flags kept files the
-    * planner could not fully evaluate (missing stats for at least one
-    * predicate column): conservatively read, never skipped blind.
+    * alone proved disjoint (a file can count under several; equality
+    * predicates count under `"<col>="`); `noStats` — a subset of
+    * `selected` — flags kept files the planner could not fully
+    * evaluate (missing stats for at least one predicate column):
+    * conservatively read, never skipped blind.
     */
   final case class ScanPlan(selected: Seq[String],
       skipped: Map[String, Long], noStats: Seq[String])
@@ -154,24 +231,57 @@ object CommitLog {
     */
   def commit(tableDir: String, added: Seq[String], removed: Seq[String],
       expectedCurrent: Long, stats: Map[String, Map[String, ColStats]],
-      deletes: Seq[String]): Long = {
-    // Stats may only ride the files THIS commit adds: a stats line for
-    // an untouched file would silently shadow-update pruning metadata
-    // outside the add/remove ledger (ADVICE r16 — the statsAt replay
-    // assumes stats ⊆ added, and this require makes that a contract,
-    // not a convention).
-    val extraneous = stats.keySet -- added.toSet
-    require(extraneous.isEmpty,
-      s"commit stats must cover only added files; extraneous: " +
-        extraneous.toSeq.sorted.mkString(", "))
+      deletes: Seq[String]): Long =
+    commitTagged(tableDir, added, removed, expectedCurrent, stats, deletes)
+
+  /** The FULL commit surface: [[commit]] plus per-file Bloom filters
+    * (`F` lines) and an operation tag (`O` line — `op =
+    * Some("replace")` marks a physical rewrite with no logical row
+    * change, which is what lets [[changes]] render the commit as an
+    * empty change set instead of refusing). Separate name because
+    * Scala allows default arguments on only one `commit` overload.
+    */
+  def commitTagged(tableDir: String, added: Seq[String],
+      removed: Seq[String], expectedCurrent: Long,
+      stats: Map[String, Map[String, ColStats]] = Map.empty,
+      deletes: Seq[String] = Nil,
+      blooms: Map[String, Map[String, Bloom]] = Map.empty,
+      op: Option[String] = None): Long = {
     val next = expectedCurrent + 1
-    val body = (s"P $expectedCurrent" +:
-      (added.sorted.map("A " + _) ++ removed.sorted.map("R " + _) ++
-        deletes.sorted.map("D " + _) ++ statsLines(stats)))
-      .mkString("", "\n", "\n")
+    val body = manifestBody(expectedCurrent, added, removed, deletes,
+      stats, blooms, op)
     if (!publishAtomic(tableDir, manifestName(next), body))
       throw CommitConflict(next, latestVersion(tableDir))
     next
+  }
+
+  /** The one place a manifest body is assembled — shared by linear
+    * [[commit]] and branch [[commitToRef]] so the metadata contracts
+    * (stats/blooms ⊆ added, sorted deterministic line order) hold for
+    * every writer.
+    */
+  private def manifestBody(parent: Long, added: Seq[String],
+      removed: Seq[String], deletes: Seq[String],
+      stats: Map[String, Map[String, ColStats]],
+      blooms: Map[String, Map[String, Bloom]],
+      op: Option[String]): String = {
+    // Stats/blooms may only ride the files THIS commit adds: a line
+    // for an untouched file would silently shadow-update pruning
+    // metadata outside the add/remove ledger (ADVICE r16 — the replay
+    // assumes attachments ⊆ added, and this require makes that a
+    // contract, not a convention).
+    val extraneous = (stats.keySet ++ blooms.keySet) -- added.toSet
+    require(extraneous.isEmpty,
+      s"commit stats/blooms must cover only added files; extraneous: " +
+        extraneous.toSeq.sorted.mkString(", "))
+    op.foreach(o => require(!o.contains('\n') && o.nonEmpty,
+      "op tag must be a non-empty single line"))
+    (s"P $parent" +:
+      (op.map("O " + _).toSeq ++
+        added.sorted.map("A " + _) ++ removed.sorted.map("R " + _) ++
+        deletes.sorted.map("D " + _) ++ statsLines(stats) ++
+        bloomLines(blooms)))
+      .mkString("", "\n", "\n")
   }
 
   /** THE atomic-publish primitive every log write rides (manifests,
@@ -184,8 +294,11 @@ object CommitLog {
     * reasoning lives in one place.
     */
   private def publishAtomic(tableDir: String, name: String,
+      body: String): Boolean =
+    publishAtomicIn(logDir(tableDir), name, body)
+
+  private def publishAtomicIn(dir: File, name: String,
       body: String): Boolean = {
-    val dir = logDir(tableDir)
     dir.mkdirs()
     val tmp = new File(dir, s"_tmp_${java.util.UUID.randomUUID()}")
     Files.write(tmp.toPath, body.getBytes(StandardCharsets.UTF_8))
@@ -257,12 +370,207 @@ object CommitLog {
     sys.error("unreachable")
   }
 
+  // ------------------------------------------------------------------
+  // Named refs & branches — the WRITE-AUDIT-PUBLISH surface
+  // (the public Iceberg branch/tag + WAP pattern). A ref is a named
+  // pointer to a version; its history is its own append-only journal
+  // of `r%05d.txt` files under `_log/_refs/<name>/`, each advanced by
+  // the SAME create-exclusive hard-link CAS manifests use — so two
+  // writers racing one ref cannot both win, and a reader never sees a
+  // torn ref. Version NUMBERS stay global (the manifest namespace is
+  // one atomic counter); LINEAGE is what a ref names: a branch commit
+  // records its branch head as parent, and every replay above follows
+  // parent pointers, so branches co-exist in one log without seeing
+  // each other. At 100 TB this is how risky writes ship: stage a
+  // candidate commit on a branch (invisible to main's readers), run
+  // the audit suite against the branch head, and PUBLISH by
+  // fast-forwarding main — an O(1) metadata CAS, no data movement —
+  // or walk away, leaving main untouched and the branch's files to
+  // the vacuum.
+  // ------------------------------------------------------------------
+
+  /** Another writer advanced this ref past the sequence this writer
+    * raced for.
+    */
+  final case class RefConflict(name: String, seenSeq: Long)
+    extends RuntimeException(
+      s"ref '$name' advanced concurrently (lost the CAS at seq $seenSeq)")
+
+  private def refDir(tableDir: String, name: String): File = {
+    require(name.matches("[A-Za-z0-9_][A-Za-z0-9_./-]*"),
+      s"bad ref name '$name'")
+    new File(new File(logDir(tableDir), "_refs"), name)
+  }
+
+  private def refSeqName(seq: Long): String = f"r$seq%05d.txt"
+
+  /** (journal seq, version) the ref currently points at. */
+  def refHead(tableDir: String, name: String): Option[(Long, Long)] = {
+    val fs = Option(refDir(tableDir, name).listFiles())
+      .fold(Seq.empty[File])(_.toSeq)
+      .filter(f => f.getName.startsWith("r") && f.getName.endsWith(".txt"))
+    if (fs.isEmpty) None
+    else {
+      val f = fs.maxBy(_.getName)
+      val v = Files.readAllLines(f.toPath).toArray(Array.empty[String])
+        .collectFirst { case l if l.startsWith("V ") => l.drop(2).toLong }
+        .getOrElse(throw new IllegalStateException(
+          s"ref journal ${f.getName} of '$name' has no version line"))
+      Some((f.getName.stripPrefix("r").stripSuffix(".txt").toLong, v))
+    }
+  }
+
+  /** The version ref `name` points at; throws on an unknown ref. */
+  def refVersion(tableDir: String, name: String): Long =
+    refHead(tableDir, name).getOrElse(throw new IllegalArgumentException(
+      s"unknown ref '$name'"))._2
+
+  /** Create ref `name` at version `at` (0 = the empty table, so a
+    * branch can be cut before the first commit). Throws [[RefConflict]]
+    * when the ref already exists.
+    */
+  def createRef(tableDir: String, name: String, at: Long): Unit = {
+    val head = latestVersion(tableDir)
+    require(at >= 0 && at <= head,
+      s"ref '$name' target v$at outside committed range 0..$head")
+    if (!publishAtomicIn(refDir(tableDir, name), refSeqName(1L), s"V $at\n"))
+      throw RefConflict(name, 0L)
+  }
+
+  /** Is `anc` on the parent chain of `desc`? (Reflexive; version 0 —
+    * the empty table — is an ancestor of everything.) Walks parent
+    * pointers, so it is correct on branched history; raises
+    * [[SnapshotExpired]] if the walk crosses expired manifests.
+    */
+  def isAncestor(tableDir: String, anc: Long, desc: Long): Boolean = {
+    if (anc == desc) return true
+    if (anc > desc) return false
+    if (anc == 0L) return true
+    val byVersion = listLog(tableDir)
+      .groupBy(f => versionOf(f.getName).get)
+    var v = desc
+    while (v > anc) {
+      val m = byVersion.getOrElse(v, Seq.empty)
+        .find(!_.getName.endsWith(".checkpoint.txt"))
+        .getOrElse(throw SnapshotExpired(v, earliestVersion(tableDir)))
+      v = parseParent(m)
+    }
+    v == anc
+  }
+
+  /** PUBLISH: fast-forward ref `name` to version `to`. Refuses unless
+    * the ref's current version is an ANCESTOR of `to` — a
+    * fast-forward never abandons rows the ref's readers could see
+    * (anything else is a rebase the caller must perform explicitly by
+    * recommitting). The move itself is one create-exclusive CAS on the
+    * ref journal: losing it throws [[RefConflict]] and changes
+    * nothing. This is the WAP publish step — O(1) metadata, no data
+    * movement, atomic.
+    */
+  def fastForward(tableDir: String, name: String, to: Long): Long = {
+    val (seq, cur) = refHead(tableDir, name)
+      .getOrElse(throw new IllegalArgumentException(s"unknown ref '$name'"))
+    require(isAncestor(tableDir, cur, to),
+      s"ref '$name' at v$cur is not an ancestor of v$to: not a " +
+        "fast-forward — the branch diverged; rebase (recommit its " +
+        "changes against the current head) before publishing")
+    if (!publishAtomicIn(refDir(tableDir, name), refSeqName(seq + 1L),
+      s"V $to\n"))
+      throw RefConflict(name, seq)
+    to
+  }
+
+  /** Commit against a BRANCH head: same staging-then-atomic-publish
+    * discipline as [[commit]], but the parent is the ref's current
+    * version and the manifest claims the lowest FREE global version
+    * number (branch writers must not race main's `expected + 1` name —
+    * version numbers are a global namespace, lineage is per-ref).
+    * After the manifest publishes, the ref advances by CAS; losing
+    * THAT race throws [[RefConflict]] and leaves the manifest an
+    * unreferenced orphan — never visible through any ref, reclaimable
+    * once its files are vacuumed — and the caller recommits against
+    * the winner's head.
+    */
+  def commitToRef(tableDir: String, name: String, added: Seq[String],
+      removed: Seq[String],
+      stats: Map[String, Map[String, ColStats]] = Map.empty,
+      deletes: Seq[String] = Nil,
+      blooms: Map[String, Map[String, Bloom]] = Map.empty,
+      op: Option[String] = None): Long = {
+    val (seq, parent) = refHead(tableDir, name)
+      .getOrElse(throw new IllegalArgumentException(s"unknown ref '$name'"))
+    val body = manifestBody(parent, added, removed, deletes, stats,
+      blooms, op)
+    var v = math.max(latestVersion(tableDir), parent) + 1
+    while (!publishAtomic(tableDir, manifestName(v), body)) v += 1
+    if (!publishAtomicIn(refDir(tableDir, name), refSeqName(seq + 1L),
+      s"V $v\n"))
+      throw RefConflict(name, seq)
+    v
+  }
+
   /** (data adds, removes, delete-file adds) of one manifest. */
   private def parse(f: File): (Seq[String], Seq[String], Seq[String]) = {
     val lines = Files.readAllLines(f.toPath).toArray(Array.empty[String])
     (lines.collect { case l if l.startsWith("A ") => l.drop(2) }.toSeq,
       lines.collect { case l if l.startsWith("R ") => l.drop(2) }.toSeq,
       lines.collect { case l if l.startsWith("D ") => l.drop(2) }.toSeq)
+  }
+
+  /** Parent version recorded in a manifest's `P` line. */
+  private def parseParent(f: File): Long =
+    Files.readAllLines(f.toPath).toArray(Array.empty[String])
+      .collectFirst { case l if l.startsWith("P ") => l.drop(2).toLong }
+      .getOrElse(throw new IllegalStateException(
+        s"manifest ${f.getName} has no parent line"))
+
+  /** Operation tag (`O <op>` line) a writer recorded at commit time —
+    * the semantic intent the file lists alone cannot express:
+    * `replace` marks a PHYSICAL rewrite (compaction, z-order, a MOR
+    * fold) whose logical row set is unchanged, which is what lets
+    * [[changes]] render mixed add+remove commits correctly instead of
+    * refusing (the Iceberg snapshot-summary `operation` /
+    * Delta `dataChange=false` idea).
+    */
+  private def parseOp(f: File): Option[String] =
+    Files.readAllLines(f.toPath).toArray(Array.empty[String])
+      .collectFirst { case l if l.startsWith("O ") => l.drop(2) }
+
+  private def checkpointFile(tableDir: String, v: Long): File = {
+    val f = new File(logDir(tableDir), checkpointName(v))
+    if (!f.isFile)
+      throw SnapshotExpired(v, earliestVersion(tableDir))
+    f
+  }
+
+  /** The manifest CHAIN ending at version `asOf`: walk the `P` parent
+    * pointers from `asOf` down to version 0, or to the first version
+    * on the chain that has a checkpoint, whichever comes first.
+    * Returns (checkpoint base version — 0 when replay starts from the
+    * empty table — and the plain manifests oldest → newest). On LINEAR
+    * history (every commit's parent is the previous version) this is
+    * exactly the old `(base + 1) to asOf` replay; on BRANCHED history
+    * (refs/WAP — a commit whose parent is not `version - 1`) it
+    * resolves the state of the lineage the version actually descends
+    * from, never mixing in concurrent branches that happen to hold
+    * nearby version numbers. A missing manifest on the walk raises
+    * [[SnapshotExpired]] (a racing expiry deleted it).
+    */
+  private def chainTo(tableDir: String, asOf: Long): (Long, Seq[File]) = {
+    val byVersion = listLog(tableDir)
+      .groupBy(f => versionOf(f.getName).get)
+    var v = asOf
+    val ms = scala.collection.mutable.ArrayBuffer[File]()
+    while (v > 0L) {
+      val at = byVersion.getOrElse(v, Seq.empty)
+      if (at.exists(_.getName.endsWith(".checkpoint.txt")))
+        return (v, ms.reverse.toSeq)
+      val m = at.find(!_.getName.endsWith(".checkpoint.txt"))
+        .getOrElse(throw SnapshotExpired(asOf, earliestVersion(tableDir)))
+      ms += m
+      v = parseParent(m)
+    }
+    (0L, ms.reverse.toSeq)
   }
 
   /** Stats manifest lines: `S <file>\t<col>\t<min>\t<max>` (tab-split
@@ -288,6 +596,27 @@ object CommitLog {
       .map { case (file, rows) =>
         file -> rows.map(r => r._2 -> r._3).toMap }
 
+  /** Bloom manifest lines: `F <file>\t<col>\t<m>\t<k>\t<hex bits>`. */
+  private def bloomLines(
+      blooms: Map[String, Map[String, Bloom]]): Seq[String] =
+    blooms.toSeq.sortBy(_._1).flatMap { case (file, cols) =>
+      cols.toSeq.sortBy(_._1).map { case (c, b) =>
+        require(!Seq(file, c).exists(v =>
+          v.contains('\t') || v.contains('\n')),
+          s"bloom keys must not contain tabs/newlines: $file.$c")
+        s"F $file\t$c\t${b.m}\t${b.k}\t${b.encode}"
+      }
+    }
+
+  private def parseBlooms(f: File): Map[String, Map[String, Bloom]] =
+    Files.readAllLines(f.toPath).toArray(Array.empty[String])
+      .collect { case l if l.startsWith("F ") => l.drop(2).split('\t') }
+      .collect { case Array(file, c, m, k, hex) =>
+        (file, c, Bloom.decode(m.toInt, k.toInt, hex)) }
+      .groupBy(_._1)
+      .map { case (file, rows) =>
+        file -> rows.map(r => r._2 -> r._3).toMap }
+
   /** Per-file column stats of snapshot `asOf`, replayed like
     * [[liveFiles]]: stats attach to a file when a commit ADDS it (a
     * re-add replaces them — the fold clears any prior stats for every
@@ -298,28 +627,39 @@ object CommitLog {
     * with the file on remove. Only live files appear.
     */
   def statsAt(tableDir: String,
-      asOf: Long): Map[String, Map[String, ColStats]] = {
+      asOf: Long): Map[String, Map[String, ColStats]] =
+    replayFileMeta(tableDir, asOf, parseStats)
+
+  /** Per-file Bloom filters of snapshot `asOf` — the `F`-line sibling
+    * of [[statsAt]], replayed under the identical attach/clear rules
+    * (attach on add, clear on re-add without fresh filters, drop on
+    * remove; only live files appear).
+    */
+  def bloomsAt(tableDir: String,
+      asOf: Long): Map[String, Map[String, Bloom]] =
+    replayFileMeta(tableDir, asOf, parseBlooms)
+
+  /** Shared replay for per-file manifest attachments (range stats `S`
+    * lines, Bloom filters `F` lines): fold the parent chain from the
+    * newest checkpoint, attaching metadata when a commit ADDS a file —
+    * a re-add CLEARS any prior attachment for every file in the
+    * commit's ADD list, so a re-add WITHOUT fresh metadata reads as
+    * "none" (conservatively scanned by [[planScan]]), never as stale
+    * pre-re-add values, which could wrongly skip a file whose new data
+    * widened the range (ADVICE r16) — and dropping with the file on
+    * remove. Missing manifests raise the same typed [[SnapshotExpired]]
+    * as [[liveFiles]]/[[ledgerAt]] under racing expiry.
+    */
+  private def replayFileMeta[T](tableDir: String, asOf: Long,
+      parseMeta: File => Map[String, T]): Map[String, T] = {
     val live = liveFiles(tableDir, asOf).toSet
-    val files = listLog(tableDir)
-    val byVersion = files.groupBy(f => versionOf(f.getName).get)
-    val ckpts = files.filter(_.getName.endsWith(".checkpoint.txt"))
-      .flatMap(f => versionOf(f.getName)).filter(_ <= asOf)
-    val base = if (ckpts.isEmpty) 0L else ckpts.max
-    val start: Map[String, Map[String, ColStats]] =
+    val (base, replay) = chainTo(tableDir, asOf)
+    val start: Map[String, T] =
       if (base == 0L) Map.empty
-      else parseStats(byVersion(base)
-        .find(_.getName.endsWith(".checkpoint.txt"))
-        .getOrElse(throw SnapshotExpired(asOf, earliestVersion(tableDir))))
-    ((base + 1) to asOf).foldLeft(start) { (acc, v) =>
-      // same typed refusal as liveFiles/ledgerAt when a racing
-      // expireSnapshots deleted a manifest between our two listLog
-      // passes — a diagnosable SnapshotExpired, not a bare
-      // NoSuchElementException (ADVICE r16)
-      val m = byVersion.getOrElse(v, Seq.empty)
-        .find(!_.getName.endsWith(".checkpoint.txt"))
-        .getOrElse(throw SnapshotExpired(asOf, earliestVersion(tableDir)))
+      else parseMeta(checkpointFile(tableDir, base))
+    replay.foldLeft(start) { (acc, m) =>
       val (add, rem, _) = parse(m)
-      (acc -- rem -- add) ++ parseStats(m)
+      (acc -- rem -- add) ++ parseMeta(m)
     }.filter { case (f, _) => live.contains(f) }
   }
 
@@ -334,24 +674,37 @@ object CommitLog {
     * conservatively kept and reported in `noStats`.
     */
   def planScan(tableDir: String, asOf: Long,
-      preds: Seq[RangePredicate]): ScanPlan = {
+      preds: Seq[RangePredicate],
+      eqPreds: Seq[EqPredicate] = Nil): ScanPlan = {
     val stats = statsAt(tableDir, asOf)
+    val blooms =
+      if (eqPreds.isEmpty) Map.empty[String, Map[String, Bloom]]
+      else bloomsAt(tableDir, asOf)
     val live = liveFiles(tableDir, asOf)
     val skipped = scala.collection.mutable.Map[String, Long]()
       .withDefaultValue(0L)
     val noStats = scala.collection.mutable.ArrayBuffer[String]()
     val selected = live.filter { f =>
       val cols = stats.getOrElse(f, Map.empty)
+      val fblooms = blooms.getOrElse(f, Map.empty)
       val skips = preds.filter { p =>
         cols.get(p.col).exists(s =>
           p.cmp(s.max, p.lo) < 0 || p.cmp(s.min, p.hi) >= 0)
       }
+      // equality skips: the file's Bloom filter PROVES the value absent
+      // (a missing filter keeps the file — conservative, like missing
+      // range stats)
+      val eqSkips = eqPreds.filter { p =>
+        fblooms.get(p.col).exists(b => !b.mightContain(p.value))
+      }
       skips.foreach(p => skipped(p.col) += 1L)
-      val kept = skips.isEmpty
+      eqSkips.foreach(p => skipped(p.col + "=") += 1L)
+      val kept = skips.isEmpty && eqSkips.isEmpty
       // noStats ⊆ selected by contract: it flags kept files the
       // planner could not fully evaluate (a file another predicate
       // already proved disjoint is just skipped, not blind)
-      if (kept && preds.exists(p => !cols.contains(p.col))) noStats += f
+      if (kept && (preds.exists(p => !cols.contains(p.col)) ||
+        eqPreds.exists(p => !fblooms.contains(p.col)))) noStats += f
       kept
     }
     ScanPlan(selected, skipped.toMap, noStats.toSeq)
@@ -380,23 +733,15 @@ object CommitLog {
     val head = latestVersion(tableDir)
     require(asOf >= 1 && asOf <= head,
       s"unknown snapshot v$asOf (log head is v$head)")
-    val files = listLog(tableDir)
-    val byVersion = files.groupBy(f => versionOf(f.getName).get)
-    val ckpts = files.filter(_.getName.endsWith(".checkpoint.txt"))
-      .flatMap(f => versionOf(f.getName)).filter(_ <= asOf)
-    val base = if (ckpts.isEmpty) 0L else ckpts.max
-    // Every version in (base, asOf] must have a plain manifest, else
-    // history below the horizon was expired out from under the caller.
-    val replay = ((base + 1) to asOf).map { v =>
-      byVersion.getOrElse(v, Seq.empty)
-        .find(!_.getName.endsWith(".checkpoint.txt"))
-        .getOrElse(throw SnapshotExpired(asOf, earliestVersion(tableDir)))
-    }
+    // Replay follows the PARENT CHAIN (not the version-number range):
+    // identical on linear history, and the only correct reading on
+    // branched history — a concurrent branch's commits hold nearby
+    // version numbers but are not on this snapshot's lineage.
+    val (base, replay) = chainTo(tableDir, asOf)
     val start: (Set[String], Set[String]) =
       if (base == 0L) (Set.empty, Set.empty)
       else {
-        val (a, _, dl) = parse(byVersion(base)
-          .find(_.getName.endsWith(".checkpoint.txt")).get)
+        val (a, _, dl) = parse(checkpointFile(tableDir, base))
         (a.toSet, dl.toSet)
       }
     val (data, dels) = replay.foldLeft(start) { case ((live, dlive), m) =>
@@ -487,7 +832,13 @@ object CommitLog {
       s"bad incremental range ($fromV, $toV]: log head is v$head")
     val byVersion = listLog(tableDir)
       .groupBy(f => versionOf(f.getName).get)
-    ((fromV + 1) to toV).flatMap { v =>
+    // Walk the parent chain from toV down to fromV: on linear history
+    // this visits exactly (fromV, toV]; on branched history it visits
+    // only toV's lineage and REFUSES when fromV is not on it (an
+    // increment across lineages has no well-defined file delta).
+    var v = toV
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    while (v > fromV) {
       val m = byVersion.getOrElse(v, Seq.empty)
         .find(!_.getName.endsWith(".checkpoint.txt"))
         .getOrElse(throw SnapshotExpired(v, earliestVersion(tableDir)))
@@ -501,8 +852,16 @@ object CommitLog {
             "positional delete retracts them, and silently unioning " +
             "added files would miscount either way; full rescan or " +
             "row-level merge required")
-      add
-    }.distinct.sorted
+      out ++= add
+      val p = parseParent(m)
+      require(p >= fromV,
+        s"increment ($fromV, $toV]: v$toV's lineage reaches v$p " +
+          s"without passing v$fromV — the versions are on different " +
+          "branches and a file-level increment between them is " +
+          "undefined; read each lineage separately")
+      v = p
+    }
+    out.distinct.sorted.toSeq
   }
 
   /** Read the increment (fromV, toV] as a DataFrame (see
@@ -516,6 +875,102 @@ object CommitLog {
     val base = dataDir(tableDir)
     spark.read.option("basePath", base)
       .parquet(files.map(f => s"$base/$f"): _*)
+  }
+
+  /** CHANGE DATA FEED over `(fromV, toV]` — the ROW-level answer to
+    * [[addedFiles]]' refusal to cross non-append commits (the public
+    * Delta CDF / Iceberg changelog-scan idea): each commit on the
+    * lineage is rendered as its logical row changes, tagged with
+    * `_change_type` (`insert` | `delete`) and `_commit_version`:
+    *
+    *  - an APPEND commit (adds only) emits its added files' rows as
+    *    `insert`;
+    *  - a positional-DELETE commit (`D` only) emits the content of the
+    *    marked rows — read from the PARENT snapshot's files at the
+    *    recorded (file, ordinal) positions, a broadcast semi-join on
+    *    the scan's metadata columns — as `delete`;
+    *  - a commit tagged `O replace` at write time (compaction,
+    *    z-order rewrite, a MOR fold) emits NOTHING: a physical rewrite
+    *    has no logical change;
+    *  - an UNTAGGED commit that removes files REFUSES loudly — the
+    *    file lists alone cannot distinguish a rewrite (no change) from
+    *    an overwrite (every removed row is a logical delete), and
+    *    guessing silently corrupts every downstream CDC consumer.
+    *
+    * A downstream that applies the feed in version order (insert =
+    * union, delete = anti-join on the row's full content or key)
+    * reconstructs exactly `read(toV)` from `read(fromV)` — at 100 TB
+    * this carries erasure requests and late retractions to derived
+    * tables as O(changed rows), where the file-level increment
+    * contract would force a full rebuild.
+    */
+  def changes(spark: SparkSession, tableDir: String, fromV: Long,
+      toV: Long): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col, lit}
+    val head = latestVersion(tableDir)
+    require(fromV >= 0 && fromV <= toV && toV <= head,
+      s"bad change range ($fromV, $toV]: log head is v$head")
+    require(toV > fromV, s"empty change range ($fromV, $toV]")
+    val byVersion = listLog(tableDir)
+      .groupBy(f => versionOf(f.getName).get)
+    val base = dataDir(tableDir)
+    var v = toV
+    val parts = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    while (v > fromV) {
+      val m = byVersion.getOrElse(v, Seq.empty)
+        .find(!_.getName.endsWith(".checkpoint.txt"))
+        .getOrElse(throw SnapshotExpired(v, earliestVersion(tableDir)))
+      val (add, rem, del) = parse(m)
+      val op = parseOp(m)
+      val parent = parseParent(m)
+      if (op.contains("replace")) {
+        // physical rewrite: no logical rows changed, nothing to emit
+      } else if (rem.nonEmpty) {
+        throw new IllegalStateException(
+          s"change feed across untagged rewrite commit v$v " +
+            s"(${rem.size} files removed, no O tag): file lists alone " +
+            "cannot distinguish a compaction (no logical change) from " +
+            "an overwrite (every removed row deleted) — tag rewrite " +
+            "commits with op = Some(\"replace\") at write time")
+      } else {
+        if (add.nonEmpty)
+          parts += spark.read.option("basePath", base)
+            .parquet(add.map(f => s"$base/$f"): _*)
+            .withColumn("_change_type", lit("insert"))
+            .withColumn("_commit_version", lit(v))
+        if (del.nonEmpty) {
+          // the deleted rows' CONTENT lives in the parent snapshot's
+          // files at the recorded positions; the delete side is tiny
+          // (that is the point of MOR), so broadcast the positions and
+          // keep the scan shuffle-free
+          val delDf = spark.read
+            .parquet(del.map(f => s"$base/$f"): _*)
+            .select(col("fpath").as("__fp"), col("pos").as("__ri"))
+          val pfiles = liveFiles(tableDir, parent)
+          parts += spark.read.option("basePath", base)
+            .parquet(pfiles.map(f => s"$base/$f"): _*)
+            .select(col("*"), col("_metadata.file_path").as("__fp"),
+              col("_metadata.row_index").as("__ri"))
+            .join(broadcast(delDf), Seq("__fp", "__ri"), "left_semi")
+            .drop("__fp", "__ri")
+            .withColumn("_change_type", lit("delete"))
+            .withColumn("_commit_version", lit(v))
+        }
+      }
+      require(parent >= fromV,
+        s"change range ($fromV, $toV]: v$toV's lineage reaches " +
+          s"v$parent without passing v$fromV — the versions are on " +
+          "different branches; feed each lineage separately")
+      v = parent
+    }
+    // a range of only replace commits is a legitimate EMPTY feed (a
+    // streaming consumer crossing a compaction sees zero change rows,
+    // not a failure)
+    if (parts.isEmpty)
+      read(spark, tableDir, Some(toV)).limit(0)
+        .withColumn("_change_type", lit(""))
+        .withColumn("_commit_version", lit(0L))
+    else parts.reduce(_ unionByName _)
   }
 
   private[graft] def deleteRecursively(f: File): Unit = {
@@ -533,6 +988,20 @@ object CommitLog {
     val head = latestVersion(tableDir)
     require(keepFrom >= 1 && keepFrom <= head,
       s"retention horizon v$keepFrom outside committed range 1..$head")
+    // LINEAR HISTORY ONLY: a version horizon cannot express ref
+    // reachability — dropping manifests below `keepFrom` could sever
+    // the parent chain of a branch commit whose lineage forks below
+    // the horizon, silently expiring a published branch's history.
+    // Refuse loudly; publish (fast-forward) or abandon branches first.
+    require(!new File(logDir(tableDir), "_refs").exists(),
+      "expireSnapshots supports linear history only: this log carries " +
+        "refs/branches and a version horizon cannot express ref " +
+        "reachability — fast-forward or drop the branches first")
+    require(listLog(tableDir)
+      .filter(f => !f.getName.endsWith(".checkpoint.txt"))
+      .forall(f => parseParent(f) == versionOf(f.getName).get - 1L),
+      "expireSnapshots supports linear history only: this log carries " +
+        "branched manifests (parent != version - 1)")
     val earliest = earliestVersion(tableDir)
     if (keepFrom <= earliest) return (0, 0)
     // Union of live sets (data AND delete files) over every version
@@ -579,6 +1048,7 @@ object CommitLog {
     val body = ((s"P ${asOf - 1}" +: live.map("A " + _)) ++
       dels.map("D " + _) ++
       statsLines(statsAt(tableDir, asOf)) ++
+      bloomLines(bloomsAt(tableDir, asOf)) ++
       bids.toSeq.sorted.map("B " + _) ++
       (if (u > 0L) Seq(s"U $u") else Nil))
       .mkString("", "\n", "\n")
@@ -672,19 +1142,11 @@ object CommitLog {
     */
   private def ledgerAt(tableDir: String, asOf: Long): (Set[Long], Long) = {
     if (asOf == 0L) return (Set.empty, 0L)
-    val files = listLog(tableDir)
-    val byVersion = files.groupBy(f => versionOf(f.getName).get)
-    val ckpts = files.filter(_.getName.endsWith(".checkpoint.txt"))
-      .flatMap(f => versionOf(f.getName)).filter(_ <= asOf)
-    val base = if (ckpts.isEmpty) 0L else ckpts.max
+    val (base, replay) = chainTo(tableDir, asOf)
     val start: (Set[Long], Long) =
       if (base == 0L) (Set.empty, 0L)
-      else parseLedger(byVersion(base)
-        .find(_.getName.endsWith(".checkpoint.txt")).get)
-    ((base + 1) to asOf).foldLeft(start) { (acc, v) =>
-      val m = byVersion.getOrElse(v, Seq.empty)
-        .find(!_.getName.endsWith(".checkpoint.txt"))
-        .getOrElse(throw SnapshotExpired(asOf, earliestVersion(tableDir)))
+      else parseLedger(checkpointFile(tableDir, base))
+    replay.foldLeft(start) { (acc, m) =>
       val (bs, u) = parseLedger(m)
       (acc._1 ++ bs, math.max(acc._2, u))
     }

@@ -44,17 +44,31 @@ class CommitLogStreamProvider extends StreamSourceProvider {
     params.getOrElse("path", throw new IllegalArgumentException(
       "commit-log stream needs .option(\"path\", <tableDir>)"))
 
+  private def cdfMode(params: Map[String, String]): Boolean =
+    params.getOrElse("mode", "increment") match {
+      case "increment" => false
+      case "cdf" => true
+      case other => throw new IllegalArgumentException(
+        s"commit-log stream mode must be 'increment' or 'cdf', " +
+          s"got '$other'")
+    }
+
   override def sourceSchema(ctx: SQLContext, schema: Option[StructType],
       providerName: String,
       params: Map[String, String]): (String, StructType) =
-    ("graft-commitlog", schema.getOrElse(
-      CommitLog.read(ctx.sparkSession, tableDir(params)).schema))
+    ("graft-commitlog", schema.getOrElse {
+      val data = CommitLog.read(ctx.sparkSession, tableDir(params)).schema
+      if (cdfMode(params))
+        data.add("_change_type", "string").add("_commit_version", "long")
+      else data
+    })
 
   override def createSource(ctx: SQLContext, metadataPath: String,
       schema: Option[StructType], providerName: String,
       params: Map[String, String]): Source =
     new CommitLogSource(ctx, tableDir(params),
-      params.getOrElse("maxVersionsPerBatch", "1").toLong)
+      params.getOrElse("maxVersionsPerBatch", "1").toLong,
+      cdfMode(params))
 }
 
 object CommitLogStream {
@@ -65,12 +79,16 @@ object CommitLogStream {
 }
 
 private class CommitLogSource(ctx: SQLContext, dir: String,
-    maxVersionsPerBatch: Long) extends Source {
+    maxVersionsPerBatch: Long, cdf: Boolean) extends Source {
   require(maxVersionsPerBatch >= 1L,
     s"maxVersionsPerBatch must be >= 1, got $maxVersionsPerBatch")
 
-  override val schema: StructType =
-    CommitLog.read(ctx.sparkSession, dir).schema
+  override val schema: StructType = {
+    val data = CommitLog.read(ctx.sparkSession, dir).schema
+    if (cdf) data.add("_change_type", "string")
+      .add("_commit_version", "long")
+    else data
+  }
 
   /** Highest version already handed to the engine — getBatch bumps it
     * (covers checkpoint-recovery replay, where the engine calls
@@ -95,7 +113,14 @@ private class CommitLogSource(ctx: SQLContext, dir: String,
     val from = start.map(asVersion).getOrElse(0L)
     val to = asVersion(end)
     offered = math.max(offered, to)
-    val inc = CommitLog.readIncrement(ctx.sparkSession, dir, from, to)
+    // cdf mode renders each version's ROW-level changes (inserts AND
+    // deletes, replace commits as zero rows) instead of the file-level
+    // increment — the streaming form of Delta CDF, inheriting
+    // CommitLog.changes' refusal of untagged rewrites
+    val batch =
+      if (cdf) CommitLog.changes(ctx.sparkSession, dir, from, to)
+      else CommitLog.readIncrement(ctx.sparkSession, dir, from, to)
+    val inc = batch
       .asInstanceOf[org.apache.spark.sql.classic.Dataset[
         org.apache.spark.sql.Row]]
     // re-plan as a STREAMING frame: same schema, same rows, the flag

@@ -1,0 +1,190 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.storage.CommitLog
+
+/** The round-17 commit-log surface: branch refs + write-audit-publish
+  * (parent-chain replay, ref CAS, fast-forward-only publish), per-file
+  * Bloom filters (equality skipping, replay/checkpoint carriage), and
+  * the row-level change data feed (inserts, MOR deletes, replace-tag
+  * no-ops, untagged-rewrite refusal).
+  */
+class CommitLogBranchSpec extends SparkTestBase {
+
+  private def freshDir(): String = {
+    val f = Files.createTempDirectory("graft_clb_test").toFile
+    f.deleteOnExit()
+    f.getAbsolutePath
+  }
+
+  private def stage(dir: String, rel: String, rows: Seq[(Long, String)])
+      : Unit = {
+    import spark.implicits._
+    rows.toDF("k", "part").write.mode("overwrite")
+      .parquet(s"${CommitLog.dataDir(dir)}/$rel")
+  }
+
+  test("branch commits are invisible to other lineages (chain replay)") {
+    val t = freshDir()
+    stage(t, "f1", Seq((1L, "a")))
+    stage(t, "f2", Seq((2L, "b")))
+    stage(t, "f3", Seq((3L, "c")))
+    CommitLog.commit(t, Seq("f1"), Nil, 0L) // v1
+    CommitLog.createRef(t, "main", 1L)
+    CommitLog.createRef(t, "wap", 1L)
+    // main advances linearly to v2 while the branch stages v3 off v1
+    CommitLog.commit(t, Seq("f2"), Nil, 1L) // v2, parent 1
+    CommitLog.fastForward(t, "main", 2L)
+    val bv = CommitLog.commitToRef(t, "wap", Seq("f3"), Nil) // v3, parent 1
+    assert(bv === 3L)
+    // each lineage resolves ONLY its own chain
+    assert(CommitLog.liveFiles(t, 2L) === Seq("f1", "f2"))
+    assert(CommitLog.liveFiles(t, 3L) === Seq("f1", "f3"))
+    assert(CommitLog.read(spark, t, Some(2L)).count() === 2L)
+    assert(CommitLog.read(spark, t, Some(3L)).count() === 2L)
+    assert(CommitLog.refVersion(t, "main") === 2L)
+    assert(CommitLog.refVersion(t, "wap") === 3L)
+  }
+
+  test("fast-forward publishes ancestors only; diverged branches refuse") {
+    val t = freshDir()
+    stage(t, "f1", Seq((1L, "a")))
+    stage(t, "f2", Seq((2L, "b")))
+    stage(t, "f3", Seq((3L, "c")))
+    CommitLog.commit(t, Seq("f1"), Nil, 0L) // v1
+    CommitLog.createRef(t, "main", 1L)
+    CommitLog.createRef(t, "good", 1L)
+    val gv = CommitLog.commitToRef(t, "good", Seq("f2"), Nil) // v2 off v1
+    // publish: v1 is an ancestor of v2 -> main moves, O(1) metadata
+    assert(CommitLog.fastForward(t, "main", gv) === gv)
+    assert(CommitLog.refVersion(t, "main") === gv)
+    // a second branch still rooted at v1 is now DIVERGED from main
+    CommitLog.createRef(t, "stale", 1L)
+    val sv = CommitLog.commitToRef(t, "stale", Seq("f3"), Nil) // v3 off v1
+    val e = intercept[IllegalArgumentException] {
+      CommitLog.fastForward(t, "main", sv)
+    }
+    assert(e.getMessage.contains("not a fast-forward"))
+    assert(CommitLog.refVersion(t, "main") === gv) // unchanged
+    // duplicate ref creation loses the create CAS
+    intercept[CommitLog.RefConflict] { CommitLog.createRef(t, "main", 1L) }
+  }
+
+  test("racing branch writers: ref CAS serializes, retries all land") {
+    val t = freshDir()
+    stage(t, "f0", Seq((0L, "z")))
+    (1 to 8).foreach(i => stage(t, s"w$i", Seq((i.toLong, "w"))))
+    CommitLog.commit(t, Seq("f0"), Nil, 0L)
+    CommitLog.createRef(t, "b", 1L)
+    val threads = (1 to 8).map { i =>
+      new Thread(() => {
+        var done = false
+        while (!done) {
+          try { CommitLog.commitToRef(t, "b", Seq(s"w$i"), Nil); done = true }
+          catch { case _: CommitLog.RefConflict => () } // recommit on new head
+        }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    val head = CommitLog.refVersion(t, "b")
+    assert(CommitLog.liveFiles(t, head).toSet ===
+      ((1 to 8).map(i => s"w$i").toSet + "f0"))
+  }
+
+  test("increments and expiry refuse across branched history") {
+    val t = freshDir()
+    stage(t, "f1", Seq((1L, "a")))
+    stage(t, "f2", Seq((2L, "b")))
+    stage(t, "f3", Seq((3L, "c")))
+    CommitLog.commit(t, Seq("f1"), Nil, 0L) // v1
+    CommitLog.commit(t, Seq("f2"), Nil, 1L) // v2 on main
+    CommitLog.createRef(t, "b", 1L)
+    val bv = CommitLog.commitToRef(t, "b", Seq("f3"), Nil) // v3 off v1
+    // (2, 3]: v3's lineage skips v2 — refuse, don't fabricate a delta
+    val e = intercept[IllegalArgumentException] {
+      CommitLog.addedFiles(t, 2L, bv)
+    }
+    assert(e.getMessage.contains("different branches"))
+    // same-lineage increment through the branch point still works
+    assert(CommitLog.addedFiles(t, 1L, bv) === Seq("f3"))
+    // expiry refuses while refs exist (reachability is not a horizon)
+    val e2 = intercept[IllegalArgumentException] {
+      CommitLog.expireSnapshots(t, 2L)
+    }
+    assert(e2.getMessage.contains("linear history only"))
+  }
+
+  test("bloom: probe determinism, roundtrip, planScan equality skipping") {
+    val b = CommitLog.Bloom.build(512, 3, Seq(1L, 2L, 3L))
+    assert(Seq(1L, 2L, 3L).forall(b.mightContain))
+    val dec = CommitLog.Bloom.decode(512, 3, b.encode)
+    assert(dec.bits.toSeq === b.bits.toSeq)
+    // absent keys: overwhelmingly rejected at this load factor
+    val misses = (1000L to 1999L).count(dec.mightContain)
+    assert(misses < 50, s"false-positive storm: $misses/1000")
+
+    val t = freshDir()
+    stage(t, "fa", Seq((1L, "a"), (2L, "a")))
+    stage(t, "fb", Seq((100001L, "b"), (100002L, "b")))
+    stage(t, "fc", Seq((7L, "c")))
+    def bloomOf(ks: Seq[Long]) =
+      Map("k" -> CommitLog.Bloom.build(512, 3, ks))
+    CommitLog.commitTagged(t, Seq("fa", "fb"), Nil, 0L,
+      blooms = Map("fa" -> bloomOf(Seq(1L, 2L)),
+        "fb" -> bloomOf(Seq(100001L, 100002L))))
+    CommitLog.commit(t, Seq("fc"), Nil, 1L) // no bloom: conservative
+    val plan = CommitLog.planScan(t, 2L, Nil,
+      Seq(CommitLog.EqPredicate("k", 1L)))
+    assert(plan.selected.contains("fa"))
+    assert(!plan.selected.contains("fb"))
+    assert(plan.selected.contains("fc")) // no filter -> kept
+    assert(plan.noStats === Seq("fc"))
+    assert(plan.skipped.getOrElse("k=", 0L) === 1L)
+    // checkpoint carries F lines: expire below v2, skipping still works
+    CommitLog.expireSnapshots(t, 2L)
+    val plan2 = CommitLog.planScan(t, 2L, Nil,
+      Seq(CommitLog.EqPredicate("k", 100001L)))
+    assert(plan2.selected.toSet === Set("fb", "fc"))
+  }
+
+  test("changes: inserts, MOR delete content, replace no-op, refusals") {
+    import org.apache.spark.sql.functions.col
+    val t = freshDir()
+    stage(t, "f1", Seq((1L, "a"), (2L, "a")))
+    stage(t, "f2", Seq((3L, "b")))
+    CommitLog.commit(t, Seq("f1"), Nil, 0L) // v1: +2 rows
+    CommitLog.commit(t, Seq("f2"), Nil, 1L) // v2: +1 row
+    // v3: MOR-delete k=2 (positional delete file, no rewrite)
+    CommitLog.deleteRows(spark, t, CommitLog.liveFiles(t, 2L),
+      col("k") === 2L)
+      .coalesce(1).write.parquet(s"${CommitLog.dataDir(t)}/del3")
+    CommitLog.commit(t, Nil, Nil, 2L, Map.empty, Seq("del3"))
+    // v4: fold tagged replace — rewrite f1 minus the mark, retire del3
+    CommitLog.read(spark, t, Some(3L)).filter(col("part") === "a")
+      .coalesce(1).write.parquet(s"${CommitLog.dataDir(t)}/f1r")
+    CommitLog.commitTagged(t, Seq("f1r"), Seq("f1", "del3"), 3L,
+      op = Some("replace"))
+
+    val ch = CommitLog.changes(spark, t, 0L, 4L)
+      .select("k", "part", "_change_type", "_commit_version")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getString(2), r.getLong(3))).toSet
+    assert(ch === Set(
+      (1L, "a", "insert", 1L), (2L, "a", "insert", 1L),
+      (3L, "b", "insert", 2L), (2L, "a", "delete", 3L)))
+    // cumulative apply reconstructs the head: inserts minus deletes
+    val headKeys = CommitLog.read(spark, t).select("k")
+      .collect().map(_.getLong(0)).toSet
+    assert(headKeys === Set(1L, 3L))
+    // a replace-only range is an EMPTY feed, not a failure
+    assert(CommitLog.changes(spark, t, 3L, 4L).count() === 0L)
+    // an UNTAGGED rewrite refuses loudly
+    stage(t, "f2r", Seq((3L, "b")))
+    CommitLog.commit(t, Seq("f2r"), Seq("f2"), 4L)
+    val e = intercept[IllegalStateException] {
+      CommitLog.changes(spark, t, 4L, 5L).count()
+    }
+    assert(e.getMessage.contains("untagged rewrite"))
+  }
+}
