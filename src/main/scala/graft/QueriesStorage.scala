@@ -603,7 +603,10 @@ object QueriesStorage {
     */
   private[graft] def stor15Table(s: SparkSession, d: String): String = {
     import graft.storage.CommitLog
-    val base = s"${System.getProperty("java.io.tmpdir")}/graft_mor/" +
+    // dir bumped _mor -> _mor2 when the fold commit gained its
+    // `O replace` tag (st13's change feed reads this table; an old
+    // cached build with an untagged fold would refuse)
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_mor2/" +
       s"${tag(d)}_${srcFingerprint(d, "lineitem")}"
     QueriesStorage.synchronized {
       if (CommitLog.latestVersion(base) < 3L) {
@@ -658,8 +661,12 @@ object QueriesStorage {
               st.getDate(1).toString, st.getDate(2).toString))))
           }
         }.unzip
-        CommitLog.commit(base, adds, cands :+ "del_v2", 2L,
-          statsAdd.toMap)
+        // tagged `replace`: the fold is a PHYSICAL rewrite (marks
+        // applied, no logical row change beyond what v2 already
+        // retracted) — the tag is what lets the st13 change feed
+        // render this commit as zero change rows instead of refusing
+        CommitLog.commitTagged(base, adds, cands :+ "del_v2", 2L,
+          statsAdd.toMap, op = Some("replace"))
       }
     }
     base
@@ -754,6 +761,157 @@ object QueriesStorage {
         CommitLog.commit(base, st2.map(_._2).toSeq,
           st1.map(_._2).toSeq, 1L,
           st2.map { case (_, p, cs) => p -> cs }.toMap)
+      }
+    }
+    base
+  }
+
+  /** stor17's table: WRITE-AUDIT-PUBLISH through branch refs (the
+    * public Iceberg WAP pattern on [[graft.storage.CommitLog]]'s
+    * journaled refs). v1 commits every ship month EXCEPT the newest
+    * (the held-out "incoming batch") and cuts ref `main` there. Two
+    * candidate commits then land on BRANCHES — invisible to main's
+    * readers: `wap_bad` stages the held-out month with an impossible
+    * quantity (+1000, violating the audit rule `l_quantity <= 100`),
+    * `wap_good` stages it unchanged. The WAP loop audits each branch's
+    * INCREMENT (only the candidate rows — never a full rescan) and
+    * publishes ONLY the clean one by fast-forwarding `main`: an O(1)
+    * metadata CAS, no data movement. The bad branch stays parked off
+    * main forever — its rows never reachable through the published
+    * lineage, its files left to the vacuum. At 100 TB this is how
+    * risky ingest ships: full-fidelity staging in the real table,
+    * audit against real files, publish or walk away atomically.
+    * Build-once per (dir, fingerprint).
+    */
+  private[graft] def stor17Table(s: SparkSession, d: String): String = {
+    import graft.storage.CommitLog
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_wap/" +
+      s"${tag(d)}_${srcFingerprint(d, "lineitem")}"
+    QueriesStorage.synchronized {
+      if (CommitLog.latestVersion(base) < 3L) {
+        rmrf(new java.io.File(base))
+        val dataDir = CommitLog.dataDir(base)
+        stageMonthFiles(s, d, dataDir): Unit
+        // de-Hive (stor11's discipline): candidate files must coexist
+        // with month files under one read schema
+        listDirs(dataDir, "file_month=").foreach { hive =>
+          val plain = "m_" + hive.stripPrefix("file_month=")
+          require(new java.io.File(dataDir, hive)
+            .renameTo(new java.io.File(dataDir, plain)),
+            s"rename $hive -> $plain failed")
+        }
+        val plains = listDirs(dataDir, "m_")
+        val heldOut = plains.max // ISO month names: lexicographic = time
+        // v1: everything except the held-out newest month
+        CommitLog.commit(base, plains.filterNot(_ == heldOut), Nil, 0L)
+        CommitLog.createRef(base, "main", 1L)
+        // bad candidate on its own branch: quantity pushed past the
+        // audit ceiling — a corrupt upstream batch, staged in full
+        s.read.parquet(s"$dataDir/$heldOut")
+          .withColumn("l_quantity", col("l_quantity") + lit(1000.0))
+          .write.parquet(s"$dataDir/cand_bad")
+        CommitLog.createRef(base, "wap_bad", 1L)
+        CommitLog.commitToRef(base, "wap_bad", Seq("cand_bad"), Nil) // v2
+        // good candidate: the held-out month as staged
+        CommitLog.createRef(base, "wap_good", 1L)
+        CommitLog.commitToRef(base, "wap_good", Seq(heldOut), Nil) // v3
+        // the WAP loop: audit each branch's increment, publish clean
+        Seq("wap_bad", "wap_good").foreach { ref =>
+          val mainV = CommitLog.refVersion(base, "main")
+          val bv = CommitLog.refVersion(base, ref)
+          val viol = CommitLog.readIncrement(s, base, mainV, bv)
+            .filter(col("l_quantity") > 100.0).count()
+          if (viol == 0L) CommitLog.fastForward(base, "main", bv): Unit
+        }
+        require(CommitLog.refVersion(base, "main") == 3L,
+          "WAP publish did not land on the good branch")
+      }
+    }
+    base
+  }
+
+  /** stor18's table: per-file BLOOM FILTERS in the manifest — equality
+    * skipping where zone maps are powerless. lineitem is laid out in
+    * INGEST ORDER (orderkey-range buckets of ~2000 rows; the file
+    * count scales with the data, the real-table invariant) and carries
+    * a derived lookup key `k = (orderkey*131 + linenumber) % 100000`
+    * that is uniform across files — so every file's (min, max) range
+    * on `k` spans nearly the whole domain and a point predicate prunes
+    * NOTHING from range stats, while each file holds only ~2% of the
+    * key space and its Bloom filter (m=16384, k=3) proves it free of
+    * almost any given key. The filters are built DISTRIBUTED: probe
+    * positions exploded per row, OR-folded into 64-bit words with
+    * `bit_or` grouped by (file, word) — the driver only assembles
+    * manifest lines from #files rows (at 100 TB the same shuffle shape
+    * builds a million file filters; nothing driver-side grows with
+    * rows). Build-once per (dir, fingerprint).
+    */
+  private[graft] def stor18Table(s: SparkSession, d: String): String = {
+    import graft.storage.CommitLog
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_bloom/" +
+      s"${tag(d)}_${srcFingerprint(d, "lineitem")}"
+    QueriesStorage.synchronized {
+      if (CommitLog.latestVersion(base) < 1L) {
+        rmrf(new java.io.File(base))
+        val dataDir = CommitLog.dataDir(base)
+        val li = Tables.lineitem(s, d)
+        val n = li.count()
+        val mxo = li.agg(max(col("l_orderkey"))).head().getLong(0)
+        val nF = math.max(32L, (n + 1999L) / 2000L)
+        val step = (mxo + nF - 1L) / nF
+        val src = li.select(
+          expr(s"CAST((l_orderkey - 1) DIV $step AS LONG)").as("bucket"),
+          ((col("l_orderkey") * 131L + col("l_linenumber")) % 100000L)
+            .cast("long").as("k"),
+          floor(col("l_quantity") * 100 + lit(0.5)).cast("long")
+            .as("cents"))
+        src.write.partitionBy("bucket").parquet(dataDir)
+        // metadata aggregates run on the PRE-WRITE frame (identical
+        // rows; avoids the hive partition-column INT read-back trap)
+        // range stats on k (the honest negative control: committed,
+        // and useless by construction on this layout)
+        val ranges = CommitLog.collectMeta(
+          src.groupBy("bucket")
+            .agg(min(col("k")).as("k0"), max(col("k")).as("k1")),
+          "stor18 range stats")
+          .map { r =>
+            f"b_${r.getLong(0)}%05d" -> Map("k" -> CommitLog.ColStats(
+              r.getLong(1).toString, r.getLong(2).toString))
+          }.toMap
+        // Bloom build, distributed: k's 3 probe positions per row ->
+        // (file, word, bit) -> bit_or word fold -> one row per file
+        val (bm, bk) = (16384, 3)
+        val probeCols = (0 until bk).map { i =>
+          ((col("k") % CommitLog.Bloom.P * lit(CommitLog.Bloom.A(i)) +
+            lit(CommitLog.Bloom.B(i)))
+            % CommitLog.Bloom.P % bm).cast("long")
+        }
+        val words = src
+          .select(col("bucket"), explode(array(probeCols: _*)).as("pos"))
+          .select(col("bucket"), shiftright(col("pos"), 6).as("w"),
+            expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))")
+              .as("b"))
+          .groupBy("bucket", "w").agg(expr("bit_or(b)").as("bits"))
+          .groupBy("bucket")
+          .agg(collect_list(struct(col("w"), col("bits"))).as("words"))
+        val blooms = CommitLog.collectMeta(words, "stor18 bloom words")
+          .map { r =>
+            val arr = new Array[Long](bm / 64)
+            r.getSeq[org.apache.spark.sql.Row](1).foreach { wr =>
+              arr(wr.getLong(0).toInt) = wr.getLong(1)
+            }
+            f"b_${r.getLong(0)}%05d" ->
+              Map("k" -> CommitLog.Bloom(bm, bk, arr))
+          }.toMap
+        // de-Hive to the plain per-bucket file names the manifest uses
+        listDirs(dataDir, "bucket=").foreach { hive =>
+          val plain = f"b_${hive.stripPrefix("bucket=").toLong}%05d"
+          require(new java.io.File(dataDir, hive)
+            .renameTo(new java.io.File(dataDir, plain)),
+            s"rename $hive -> $plain failed")
+        }
+        CommitLog.commitTagged(base, ranges.keys.toSeq.sorted, Nil, 0L,
+          stats = ranges, blooms = blooms)
       }
     }
     base
@@ -1181,6 +1339,95 @@ object QueriesStorage {
             lit(plan.skipped.getOrElse("pk", 0L)).as("n_skip_pk"),
             col("rows_scanned"), col("rows_matched"),
             col("sum_qty_cents_matched"), col("sum_qty_cents_total"))
+      }.reduce(_ unionByName _)
+    }),
+
+    // WRITE-AUDIT-PUBLISH through branch refs (the Iceberg WAP
+    // pattern): v1 = every month but the newest, ref `main` cut there;
+    // v2 = a corrupt candidate batch (quantity +1000) committed on
+    // branch `wap_bad`; v3 = the clean candidate on `wap_good`. The
+    // audit runs on each branch's INCREMENT only, and publish is an
+    // O(1) fast-forward CAS of `main` — the bad branch's rows are
+    // NEVER reachable through the published lineage (the `published`
+    // column is isAncestor against the final main ref). The oracle
+    // recomputes every stage from raw lineitem month arithmetic: the
+    // held-out month's rows/cents, the +1000-per-row cents shift on
+    // the bad branch, the violation counts, and the publish verdicts.
+    // CommitLogBranchSpec pins the protocol side (CAS races,
+    // fast-forward refusal on divergence, branch-blind replay).
+    "stor17_wap_publish" -> ((s, d) => {
+      import graft.storage.CommitLog
+      val t = stor17Table(s, d)
+      val mainV = CommitLog.refVersion(t, "main")
+      (1L to 3L).map { v =>
+        val viol =
+          if (v == 1L) lit(0L)
+          else lit(CommitLog.readIncrement(s, t, 1L, v)
+            .filter(col("l_quantity") > 100.0).count())
+        CommitLog.read(s, t, Some(v))
+          .agg(count(lit(1)).as("rows_visible"),
+            sum(floor(col("l_quantity") * 100 + lit(0.5)).cast("long"))
+              .cast("long").as("sum_qty_cents"))
+          .select(lit(v).as("version"),
+            lit(CommitLog.liveFiles(t, v).size.toLong).as("n_files"),
+            col("rows_visible"), col("sum_qty_cents"),
+            viol.as("audit_viol"),
+            lit(if (CommitLog.isAncestor(t, v, mainV)) 1L else 0L)
+              .as("published"))
+      }.reduce(_ unionByName _)
+    }),
+
+    // BLOOM-FILTER FILE SKIPPING from the manifest — equality pruning
+    // where zone maps are powerless: the lookup key is uniform across
+    // ingest-ordered files, so every file's (min, max) covers ~the
+    // whole domain and the range probe (`zone_selected`) keeps nearly
+    // everything, while the per-file Bloom filter (`bloom_selected`)
+    // keeps only the files that can contain the key — for the `hit`
+    // probe the handful that actually do (plus rare false positives),
+    // for the in-domain `miss` probe almost none. rows_scanned is the
+    // measured read cost of the bloom plan; rows_matched/cents are
+    // exact (no false negatives, so every matching row lives in a
+    // selected file). The oracle recomputes the bucket layout, both
+    // probe keys, AND bit-exact Bloom membership relationally — the
+    // hash family is integer arithmetic shared verbatim with the
+    // planner (a file passes iff for each of the 3 target bits some
+    // row sets it via any of its 3 probes).
+    "stor18_bloom_skip" -> ((s, d) => {
+      import graft.storage.CommitLog
+      val t = stor18Table(s, d)
+      val numCmp = (a: String, b: String) => a.toLong.compare(b.toLong)
+      val tbl = CommitLog.read(s, t)
+      // both probes MID-domain (smallest present/absent key >= 50000):
+      // an edge key would let the min/max zone maps prune by accident
+      // and understate the contrast this query measures
+      val qhit = tbl.filter(col("k") >= 50000L).agg(min(col("k")))
+        .head().getLong(0)
+      val qmiss = s.range(50000L, 100000L).toDF("id")
+        .join(tbl.select(col("k")).distinct(), col("id") === col("k"),
+          "left_anti")
+        .agg(min(col("id"))).head().getLong(0)
+      val nFiles = CommitLog.liveFiles(t, 1L).size.toLong
+      Seq(("hit", qhit), ("miss", qmiss)).map { case (label, qk) =>
+        val zone = CommitLog.planScan(t, 1L,
+          Seq(CommitLog.RangePredicate("k", qk.toString,
+            (qk + 1L).toString, numCmp)))
+        val bloom = CommitLog.planScan(t, 1L, Nil,
+          Seq(CommitLog.EqPredicate("k", qk)))
+        val scanned =
+          if (bloom.selected.isEmpty)
+            s.range(1).select(lit(0L).as("rows_scanned"),
+              lit(0L).as("rows_matched"), lit(0L).as("cents_matched"))
+          else CommitLog.readFiles(s, t, bloom.selected)
+            .agg(count(lit(1)).as("rows_scanned"),
+              sum(when(col("k") === qk, 1L).otherwise(0L))
+                .as("rows_matched"),
+              coalesce(sum(when(col("k") === qk, col("cents"))), lit(0L))
+                .cast("long").as("cents_matched"))
+        scanned.select(lit(label).as("probe"), lit(qk).as("qk"),
+          lit(nFiles).as("n_files"),
+          lit(zone.selected.size.toLong).as("zone_selected"),
+          lit(bloom.selected.size.toLong).as("bloom_selected"),
+          col("rows_scanned"), col("rows_matched"), col("cents_matched"))
       }.reduce(_ unionByName _)
     }),
 
@@ -1782,6 +2029,97 @@ object QueriesStorage {
          |  a2.n_skip_dm, a2.n_skip_pk, a2.rows_scanned,
          |  mt.rows_matched, mt.cents_m, n.total
          |FROM a2, mt, n""".stripMargin,
+    // stor17: the WAP ledger from raw month arithmetic — v1 is all
+    // months but the newest; the bad branch shifts every held-out row
+    // by exactly +1000 quantity (= +100000 cents) and fails the audit
+    // with one violation per row; the good branch is the held-out
+    // month verbatim and publishes.
+    "stor17_wap_publish" ->
+      """WITH f AS (SELECT date_trunc('month', l_shipdate)::DATE AS m,
+        |    count(*) AS n_rows,
+        |    CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS cents
+        |  FROM lineitem GROUP BY 1),
+        |p AS (SELECT CAST(count(*) AS BIGINT) AS n_months,
+        |    CAST(sum(n_rows) AS BIGINT) AS rows_all,
+        |    CAST(sum(cents) AS BIGINT) AS cents_all,
+        |    max(m) AS mx FROM f),
+        |h AS (SELECT CAST(f.n_rows AS BIGINT) AS n_ho,
+        |    f.cents AS cents_ho
+        |  FROM f, p WHERE f.m = p.mx)
+        |SELECT CAST(1 AS BIGINT) AS version,
+        |  p.n_months - 1 AS n_files,
+        |  p.rows_all - h.n_ho AS rows_visible,
+        |  p.cents_all - h.cents_ho AS sum_qty_cents,
+        |  CAST(0 AS BIGINT) AS audit_viol,
+        |  CAST(1 AS BIGINT) AS published
+        |FROM p, h
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), p.n_months, p.rows_all,
+        |  p.cents_all + 100000 * h.n_ho, h.n_ho, CAST(0 AS BIGINT)
+        |FROM p, h
+        |UNION ALL
+        |SELECT CAST(3 AS BIGINT), p.n_months, p.rows_all, p.cents_all,
+        |  CAST(0 AS BIGINT), CAST(1 AS BIGINT)
+        |FROM p, h""".stripMargin,
+    // stor18: the bucket layout, both probe keys, and BIT-EXACT Bloom
+    // membership recomputed relationally: a file passes for a query
+    // key iff for EACH of the key's 3 target bit positions SOME row in
+    // the file sets that position via ANY of its 3 probes (cross-probe
+    // collisions included — this is exactly "the bit is set", so the
+    // oracle reproduces false positives too, not just true hits).
+    "stor18_bloom_skip" -> {
+      def pr(v: String, i: Int): String =
+        s"((($v) % 2147483647) * " +
+          s"${graft.storage.CommitLog.Bloom.A(i)} + " +
+          s"${graft.storage.CommitLog.Bloom.B(i)}) % 2147483647 % 16384"
+      def arm(label: String, qv: String): String = {
+        val hits = (0 until 3).map { ti =>
+          val tgt = pr(qv, ti)
+          val any = (0 until 3)
+            .map(pi => s"${pr("b.k", pi)} = ($tgt)").mkString(" OR ")
+          s"max(CASE WHEN $any THEN 1 ELSE 0 END) = 1"
+        }.mkString(" AND ")
+        s"""SELECT '$label' AS probe, CAST($qv AS BIGINT) AS qk,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM fs) AS n_files,
+           |  (SELECT CAST(sum(CASE WHEN fs.mnk <= $qv AND fs.mxk >= $qv
+           |      THEN 1 ELSE 0 END) AS BIGINT) FROM fs, q)
+           |    AS zone_selected,
+           |  s.bloom_selected, s.rows_scanned,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM b, q
+           |    WHERE b.k = $qv) AS rows_matched,
+           |  (SELECT CAST(coalesce(sum(b.cents), 0) AS BIGINT)
+           |    FROM b, q WHERE b.k = $qv) AS cents_matched
+           |FROM (SELECT
+           |    CAST(sum(CASE WHEN sel THEN 1 ELSE 0 END) AS BIGINT)
+           |      AS bloom_selected,
+           |    CAST(sum(CASE WHEN sel THEN nr ELSE 0 END) AS BIGINT)
+           |      AS rows_scanned
+           |  FROM (SELECT b.bucket, max(b.nr) AS nr, ($hits) AS sel
+           |    FROM br b, q GROUP BY b.bucket)) s, q""".stripMargin
+      }
+      s"""WITH p AS (SELECT max(l_orderkey) AS mxo, count(*) AS n
+         |  FROM lineitem),
+         |prm AS (SELECT mxo, n,
+         |    (mxo + GREATEST(32, (n + 1999) // 2000) - 1)
+         |      // GREATEST(32, (n + 1999) // 2000) AS step
+         |  FROM p),
+         |b AS (SELECT (l.l_orderkey - 1) // prm.step AS bucket,
+         |    (l.l_orderkey * 131 + l.l_linenumber) % 100000 AS k,
+         |    CAST(floor(l.l_quantity * 100 + 0.5) AS BIGINT) AS cents
+         |  FROM lineitem l CROSS JOIN prm),
+         |q AS (SELECT
+         |    (SELECT min(k) FROM b WHERE k >= 50000) AS qhit,
+         |    (SELECT min(x) FROM range(50000, 100000) t(x)
+         |      WHERE x NOT IN (SELECT k FROM b)) AS qmiss),
+         |fs AS (SELECT bucket, count(*) AS nr, min(k) AS mnk,
+         |    max(k) AS mxk FROM b GROUP BY 1),
+         |br AS (SELECT b.bucket, b.k, fs.nr
+         |  FROM b JOIN fs USING (bucket))
+         |${arm("hit", "q.qhit")}
+         |UNION ALL
+         |${arm("miss", "q.qmiss")}""".stripMargin
+    },
     // stor13: the merge band, the key-bucket layout, and both cent
     // checksums recomputed from raw orders. Updated rows are worth
     // k*100 cents exactly (price := key, integer-valued double);

@@ -96,6 +96,32 @@ object QueriesStreaming {
             lit(nBatches.toLong).as("n_batches"))
       }.reduce(_ unionByName _)
     }),
+
+    // CHANGE DATA FEED over the commit log (the Delta CDF / Iceberg
+    // changelog idea): the stor15 merge-on-read table's history —
+    // v1 append (every month), v2 positional delete (the ship
+    // window), v3 fold tagged `replace` — rendered as row-level
+    // changes: v1's rows as `insert`, v2's marked rows (content read
+    // back from the parent snapshot at the recorded positions) as
+    // `delete`, v3 as NOTHING (a physical rewrite has no logical
+    // change; untagged rewrites refuse — CommitLogBranchSpec). This
+    // is the production answer to the file-level increment contract's
+    // refusal to cross a delete: downstream tables consume erasures
+    // as O(changed rows). The same feed streams via the commit-log
+    // source's mode=cdf (StreamingSpec). The oracle recomputes both
+    // change sets from raw lineitem window arithmetic.
+    "st13_cdf" -> ((s, d) => {
+      import graft.storage.CommitLog
+      val t = QueriesStorage.stor15Table(s, d)
+      CommitLog.changes(s, t, 0L, 3L)
+        .select(col("_commit_version").as("version"),
+          col("_change_type").as("change_type"),
+          floor(col("l_quantity") * 100 + lit(0.5)).cast("long")
+            .as("cents"))
+        .groupBy("version", "change_type")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("cents")).cast("long").as("sum_qty_cents"))
+    }),
     // Tumbling 1-hour event-time windows per event type.
     "st1_tumbling_window" -> ((s, d) => {
       StreamingOps.tumblingAgg(Tables.events(s, d), "ts", "1 hour",
@@ -468,6 +494,27 @@ object QueriesStreaming {
         |  CAST(3 AS BIGINT) AS n_batches
         |FROM v JOIN f ON f.m <= v.hi
         |GROUP BY 1""".stripMargin,
+    // st13: the change feed from raw window arithmetic — v1 inserts
+    // everything, v2 deletes exactly the [1997-04-15, 1997-06-20) ship
+    // window (stor15's shared ground truth), v3 (the tagged fold)
+    // contributes no change rows at all.
+    "st13_cdf" ->
+      """WITH t AS (SELECT
+        |    CAST(count(*) AS BIGINT) AS n_all,
+        |    CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS c_all,
+        |    CAST(sum(CASE WHEN l_shipdate::DATE >= DATE '1997-04-15'
+        |      AND l_shipdate::DATE < DATE '1997-06-20'
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_del,
+        |    CAST(sum(CASE WHEN l_shipdate::DATE >= DATE '1997-04-15'
+        |      AND l_shipdate::DATE < DATE '1997-06-20'
+        |      THEN CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)
+        |      ELSE 0 END) AS BIGINT) AS c_del
+        |  FROM lineitem)
+        |SELECT CAST(1 AS BIGINT) AS version, 'insert' AS change_type,
+        |  n_all AS n_rows, c_all AS sum_qty_cents FROM t
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), 'delete', n_del, c_del FROM t""".stripMargin,
     "st8_disorder" ->
       """WITH a AS (
         |  SELECT event_type, epoch_us(ts) AS us,

@@ -126,9 +126,12 @@ object CommitLog {
       * below 2^63 for the multiplier set below.
       */
     val P: Long = 2147483647L
-    private[CommitLog] val A =
+    /** Public: Bloom BUILDERS (distributed `bit_or` folds) and the SQL
+      * oracles must use the exact constants the planner probes with.
+      */
+    val A: Array[Long] =
       Array(1103515245L, 1299709L, 104729L, 7368787L, 15485863L)
-    private[CommitLog] val B =
+    val B: Array[Long] =
       Array(12345L, 99991L, 31337L, 271L, 63689L)
 
     /** Probe i's bit position for value x — pure integer arithmetic
@@ -830,6 +833,13 @@ object CommitLog {
     val head = latestVersion(tableDir)
     require(fromV >= 0 && fromV <= toV && toV <= head,
       s"bad incremental range ($fromV, $toV]: log head is v$head")
+    // horizon check FIRST: a range reaching below the expiry horizon
+    // reports the typed SnapshotExpired, not whichever lineage refusal
+    // the descending walk happens to meet first (expiry refuses
+    // branched logs, so on any expired log fromV+1 < earliest means
+    // that manifest is gone)
+    val earliest = earliestVersion(tableDir)
+    if (fromV + 1 < earliest) throw SnapshotExpired(fromV + 1, earliest)
     val byVersion = listLog(tableDir)
       .groupBy(f => versionOf(f.getName).get)
     // Walk the parent chain from toV down to fromV: on linear history
@@ -911,6 +921,9 @@ object CommitLog {
     require(fromV >= 0 && fromV <= toV && toV <= head,
       s"bad change range ($fromV, $toV]: log head is v$head")
     require(toV > fromV, s"empty change range ($fromV, $toV]")
+    // horizon first — same rationale as addedFiles
+    val earliest = earliestVersion(tableDir)
+    if (fromV + 1 < earliest) throw SnapshotExpired(fromV + 1, earliest)
     val byVersion = listLog(tableDir)
       .groupBy(f => versionOf(f.getName).get)
     val base = dataDir(tableDir)

@@ -843,4 +843,53 @@ class StreamingSpec extends SparkTestBase {
     assert(err.getMessage.contains("non-append commit") ||
       Option(err.getCause).exists(_.getMessage.contains("non-append commit")))
   }
+
+  test("commit-log stream mode=cdf: insert/delete batches, replace " +
+    "no-ops, restart resumes from the checkpointed version") {
+    import graft.storage.CommitLog
+    import org.apache.spark.sql.graft.CommitLogStream
+    val up = java.nio.file.Files.createTempDirectory("graft_cdf_up")
+      .toFile.getAbsolutePath
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_cdf_ck")
+      .toFile.getAbsolutePath
+    def stage(rel: String, rows: Seq[(Long, Long)]): Unit =
+      rows.toDF("k", "v").write
+        .parquet(s"${CommitLog.dataDir(up)}/$rel")
+    stage("f1", Seq((1L, 10L), (2L, 20L)))
+    CommitLog.commit(up, Seq("f1"), Nil, 0L) // v1: +2
+    CommitLog.deleteRows(spark, up, CommitLog.liveFiles(up, 1L),
+      col("k") === 2L)
+      .coalesce(1).write.parquet(s"${CommitLog.dataDir(up)}/del2")
+    CommitLog.commit(up, Nil, Nil, 1L, Map.empty, Seq("del2")) // v2: -1
+    // v3: the fold, tagged replace — must stream as ZERO change rows
+    CommitLog.read(spark, up, Some(2L))
+      .coalesce(1).write.parquet(s"${CommitLog.dataDir(up)}/f1r")
+    CommitLog.commitTagged(up, Seq("f1r"), Seq("f1", "del2"), 2L,
+      op = Some("replace"))
+    val batches = scala.collection.mutable
+      .ArrayBuffer.empty[(Long, Long, Long)] // (id, inserts, deletes)
+    def run(): Unit = {
+      val q = spark.readStream.format(CommitLogStream.Format)
+        .option("path", up).option("mode", "cdf").load()
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          val ins = b.filter(col("_change_type") === "insert").count()
+          val del = b.filter(col("_change_type") === "delete").count()
+          batches.synchronized { batches += ((id, ins, del)) }: Unit
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    run()
+    // one version per micro-batch: v1 = 2 inserts, v2 = 1 delete
+    // (with the deleted row's CONTENT), v3 = a replace no-op batch
+    assert(batches.toList === List((0L, 2L, 0L), (1L, 0L, 1L),
+      (2L, 0L, 0L)), s"got $batches")
+    // restart: only the new append flows, from the checkpointed version
+    batches.clear()
+    stage("f2", Seq((5L, 50L)))
+    CommitLog.commit(up, Seq("f2"), Nil, 3L) // v4: +1
+    run()
+    assert(batches.toList === List((3L, 1L, 0L)), s"got $batches")
+  }
 }
