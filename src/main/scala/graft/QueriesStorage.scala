@@ -917,6 +917,86 @@ object QueriesStorage {
     base
   }
 
+  /** stor19's table: PARTITION EVOLUTION (the Iceberg hidden-
+    * partitioning idea reduced to its manifest invariant): a table's
+    * layout SPEC can change mid-life without rewriting history. v1
+    * commits lineitem's OLD era (ship < 1998) as ship-month files
+    * carrying ONLY ship bounds — the time-partitioned spec every
+    * ingest pipeline starts with. v2 is the evolution: the NEW era
+    * (ship >= 1996) lands as orderkey-range buckets carrying ONLY
+    * orderkey bounds — the spec you migrate to when point lookups by
+    * key start dominating. Neither era is rewritten, stats stay
+    * heterogeneous per file, and `planScan`'s conservative rule (a
+    * file missing a predicate's column is KEPT and reported in
+    * noStats) is exactly what makes the evolution safe: each
+    * predicate prunes its own era hard and reads the other era
+    * whole, and results never depend on which spec a row landed
+    * under. Build-once per (dir, fingerprint).
+    */
+  private[graft] def stor19Table(s: SparkSession, d: String): String = {
+    import graft.storage.CommitLog
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_pevo/" +
+      s"${tag(d)}_${srcFingerprint(d, "lineitem")}_c1998"
+    QueriesStorage.synchronized {
+      if (CommitLog.latestVersion(base) < 2L) {
+        rmrf(new java.io.File(base))
+        val dataDir = CommitLog.dataDir(base)
+        val li = Tables.lineitem(s, d).select(
+          col("l_orderkey").cast("long").as("okey"),
+          floor(col("l_quantity") * 100 + lit(0.5)).cast("long")
+            .as("cents"),
+          col("l_shipdate").cast("date").as("ship"),
+          date_trunc("month", col("l_shipdate")).cast("date")
+            .as("file_month"))
+        val cut = "1998-01-01" // the synthetic ship domain is 1995..2001
+        // v1: the OLD era under the month spec, ship bounds only
+        val old = li.filter(col("ship") < lit(cut).cast("date"))
+        old.write.partitionBy("file_month").parquet(dataDir)
+        val st1 = CommitLog.collectMeta(old.groupBy("file_month")
+          .agg(min(col("ship")).as("mn"), max(col("ship")).as("mx")),
+          "stor19 v1 stats")
+          .map { r =>
+            (s"file_month=${r.getDate(0)}", s"m_${r.getDate(0)}",
+              Map("ship" -> CommitLog.ColStats(r.getDate(1).toString,
+                r.getDate(2).toString)))
+          }
+        st1.foreach { case (hive, plain, _) =>
+          require(new java.io.File(dataDir, hive)
+            .renameTo(new java.io.File(dataDir, plain)),
+            s"rename $hive -> $plain failed")
+        }
+        CommitLog.commit(base, st1.map(_._2).toSeq, Nil, 0L,
+          st1.map { case (_, p, cs) => p -> cs }.toMap)
+        // v2: the evolution — the NEW era under the key spec, orderkey
+        // bounds only (16 contiguous key-range buckets)
+        val nw = li.filter(col("ship") >= lit(cut).cast("date"))
+        // step derives from the NEW era's max key: recoverable later
+        // from the v2 manifest stats alone (metadata-only planning)
+        val mxo = nw.agg(max(col("okey"))).head().getLong(0)
+        val step = (mxo + 15L) / 16L
+        val nwB = nw.withColumn("kb",
+          expr(s"CAST((okey - 1) DIV $step AS LONG)"))
+        nwB.write.mode("append").partitionBy("kb").parquet(dataDir)
+        val st2 = CommitLog.collectMeta(nwB.groupBy("kb")
+          .agg(min(col("okey")).as("k0"), max(col("okey")).as("k1")),
+          "stor19 v2 stats")
+          .map { r =>
+            (f"kb=${r.getLong(0)}", f"k_${r.getLong(0)}%03d",
+              Map("okey" -> CommitLog.ColStats(r.getLong(1).toString,
+                r.getLong(2).toString)))
+          }
+        st2.foreach { case (hive, plain, _) =>
+          require(new java.io.File(dataDir, hive)
+            .renameTo(new java.io.File(dataDir, plain)),
+            s"rename $hive -> $plain failed")
+        }
+        CommitLog.commit(base, st2.map(_._2).toSeq, Nil, 1L,
+          st2.map { case (_, p, cs) => p -> cs }.toMap)
+      }
+    }
+    base
+  }
+
   /** stor14's pair of tables: stor9's three append commits as the
     * UPSTREAM, and a DOWNSTREAM derived table built by running
     * [[graft.storage.CommitLog.syncIncrement]] once per upstream
@@ -1339,6 +1419,54 @@ object QueriesStorage {
             lit(plan.skipped.getOrElse("pk", 0L)).as("n_skip_pk"),
             col("rows_scanned"), col("rows_matched"),
             col("sum_qty_cents_matched"), col("sum_qty_cents_total"))
+      }.reduce(_ unionByName _)
+    }),
+
+    // PARTITION EVOLUTION (the Iceberg hidden-partitioning contract):
+    // the old era lives in ship-month files with ship bounds only, the
+    // new era (post-evolution commit) in orderkey buckets with key
+    // bounds only — no history rewritten, stats heterogeneous per
+    // file. The ship probe prunes the OLD era hard and conservatively
+    // keeps every new file (reported in n_nostats); the key probe
+    // prunes the NEW era hard and keeps every old file. Correctness is
+    // layout-blind: rows_matched/cents equal the global predicate
+    // counts because a file missing a predicate column is always read,
+    // never skipped blind. The oracle rebuilds both eras' zone maps
+    // and the band arithmetic from raw lineitem.
+    "stor19_partition_evolution" -> ((s, d) => {
+      import graft.storage.CommitLog
+      val t = stor19Table(s, d)
+      val numCmp = (a: String, b: String) => a.toLong.compare(b.toLong)
+      // band bounds from the v2 manifest stats ALONE (metadata-only):
+      // max okey over the key-spec era's bounds = the builder's mxo
+      val mxo = CommitLog.statsAt(t, 2L).values.flatMap(_.get("okey"))
+        .map(_.max.toLong).max
+      val step = (mxo + 15L) / 16L
+      val (blo, bhi) = (mxo / 4L, mxo / 4L + (step + 1L) / 2L)
+      val nFiles = CommitLog.liveFiles(t, 2L).size.toLong
+      val probes = Seq(
+        ("ship",
+          Seq(CommitLog.RangePredicate("ship", "1996-03-01",
+            "1996-06-01")),
+          col("ship") >= lit("1996-03-01").cast("date") &&
+            col("ship") < lit("1996-06-01").cast("date")),
+        ("key",
+          Seq(CommitLog.RangePredicate("okey", blo.toString,
+            bhi.toString, numCmp)),
+          col("okey") >= blo && col("okey") < bhi))
+      probes.map { case (label, preds, rowPred) =>
+        val plan = CommitLog.planScan(t, 2L, preds)
+        CommitLog.readFiles(s, t, plan.selected)
+          .agg(count(lit(1)).as("rows_scanned"),
+            sum(when(rowPred, 1L).otherwise(0L)).as("rows_matched"),
+            coalesce(sum(when(rowPred, col("cents"))), lit(0L))
+              .cast("long").as("cents_matched"))
+          .select(lit(label).as("probe"),
+            lit(nFiles).as("n_files"),
+            lit((nFiles - plan.selected.size).toLong).as("n_skipped"),
+            lit(plan.noStats.size.toLong).as("n_nostats"),
+            col("rows_scanned"), col("rows_matched"),
+            col("cents_matched"))
       }.reduce(_ unionByName _)
     }),
 
@@ -2062,6 +2190,64 @@ object QueriesStorage {
         |SELECT CAST(3 AS BIGINT), p.n_months, p.rows_all, p.cents_all,
         |  CAST(0 AS BIGINT), CAST(1 AS BIGINT)
         |FROM p, h""".stripMargin,
+    // stor19: both eras' zone maps and the band arithmetic from raw
+    // lineitem — old era = ship-month files with ship bounds, new era
+    // (ship >= 1998) = 16 key buckets with okey bounds; each probe
+    // prunes only its own era and conservatively reads the other
+    // (n_nostats = the other era's live file count), and matched
+    // rows/cents are the global predicate counts (layout-blind).
+    "stor19_partition_evolution" ->
+      """WITH li AS (SELECT l_orderkey AS okey,
+        |    CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS cents,
+        |    l_shipdate::DATE AS ship,
+        |    date_trunc('month', l_shipdate)::DATE AS m
+        |  FROM lineitem),
+        |p AS (SELECT max(okey) AS mxo, (max(okey) + 15) // 16 AS step
+        |  FROM li WHERE ship >= DATE '1998-01-01'),
+        |pp AS (SELECT mxo, step, mxo // 4 AS blo,
+        |    mxo // 4 + (step + 1) // 2 AS bhi FROM p),
+        |oldf AS (SELECT m, count(*) AS nr, min(ship) AS mn,
+        |    max(ship) AS mx
+        |  FROM li WHERE ship < DATE '1998-01-01' GROUP BY 1),
+        |newf AS (SELECT (okey - 1) // pp.step AS kb, count(*) AS nr,
+        |    min(okey) AS k0, max(okey) AS k1
+        |  FROM li, pp WHERE ship >= DATE '1998-01-01' GROUP BY 1),
+        |nf AS (SELECT (SELECT count(*) FROM oldf) +
+        |    (SELECT count(*) FROM newf) AS n_files),
+        |sarm AS (SELECT
+        |    CAST(sum(CASE WHEN mx < DATE '1996-03-01'
+        |      OR mn >= DATE '1996-06-01' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_skipped,
+        |    CAST(sum(CASE WHEN mx < DATE '1996-03-01'
+        |      OR mn >= DATE '1996-06-01' THEN 0 ELSE nr END) AS BIGINT)
+        |      AS rows_old FROM oldf),
+        |smt AS (SELECT CAST(count(*) AS BIGINT) AS rows_matched,
+        |    CAST(coalesce(sum(cents), 0) AS BIGINT) AS cents_matched
+        |  FROM li WHERE ship >= DATE '1996-03-01'
+        |    AND ship < DATE '1996-06-01'),
+        |karm AS (SELECT
+        |    CAST(sum(CASE WHEN k1 < pp.blo OR k0 >= pp.bhi
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_skipped,
+        |    CAST(sum(CASE WHEN k1 < pp.blo OR k0 >= pp.bhi
+        |      THEN 0 ELSE nr END) AS BIGINT) AS rows_new
+        |  FROM newf, pp),
+        |kmt AS (SELECT CAST(count(*) AS BIGINT) AS rows_matched,
+        |    CAST(coalesce(sum(cents), 0) AS BIGINT) AS cents_matched
+        |  FROM li, pp WHERE okey >= pp.blo AND okey < pp.bhi)
+        |SELECT 'ship' AS probe, CAST(nf.n_files AS BIGINT) AS n_files,
+        |  sarm.n_skipped,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM newf) AS n_nostats,
+        |  sarm.rows_old +
+        |    (SELECT CAST(sum(nr) AS BIGINT) FROM newf) AS rows_scanned,
+        |  smt.rows_matched, smt.cents_matched
+        |FROM nf, sarm, smt
+        |UNION ALL
+        |SELECT 'key', CAST(nf.n_files AS BIGINT), karm.n_skipped,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM oldf),
+        |  karm.rows_new +
+        |    (SELECT CAST(sum(nr) AS BIGINT) FROM oldf),
+        |  kmt.rows_matched, kmt.cents_matched
+        |FROM nf, karm, kmt""".stripMargin,
     // stor18: the bucket layout, both probe keys, and BIT-EXACT Bloom
     // membership recomputed relationally: a file passes for a query
     // key iff for EACH of the key's 3 target bit positions SOME row in
