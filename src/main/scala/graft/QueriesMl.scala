@@ -272,6 +272,203 @@ object QueriesMl {
        |FROM c""".stripMargin
   }
 
+  /** ml4's shared SQL body (everything AFTER the `ml4_cells` relation):
+    * GRADIENT-BOOSTED DEPTH-1 STUMPS, squared loss, learning rate 0.5,
+    * three rounds — fit entirely in the plan over the (x1, x2) CELL
+    * GRID (≤ 51×11 cells: quantity units × discount percent), which is
+    * the whole sufficient statistic for stump ensembles on quantized
+    * features. The bit-determinism discipline that makes this
+    * oracle-hashable: every cross-cell aggregation sums EXACT LONGS
+    * (per-region conditional n/Σy), and doubles appear only in
+    * constant-size FIXED-ORDER expressions — residual sums decompose
+    * as Σ_regions (Σy_region − n_region · F_region) over the ≤ 2^r
+    * piecewise-constant regions of the ensemble, never as a float sum
+    * over data rows or cells whose order an engine could change. The
+    * greedy split argmax (gain = RsumL²/nL + RsumR²/nR over the 59
+    * candidate thresholds) and the leaf values are therefore identical
+    * doubles on both engines. Spark binds `ml4_cells` to a cached
+    * 561-row frame (lineitem scanned ONCE); the oracle binds it to a
+    * CTE over raw lineitem. At 100 TB: one groupBy over the fact
+    * table, then constant-size arithmetic — the tree ensemble never
+    * rescans.
+    *
+    * Returned as NAMED PARTS: the oracle assembles them into one CTE
+    * chain; Spark evaluates the same texts in four staged plans
+    * (cached single-row views aliased back under the CTE names), so
+    * the optimizer never analyzes one giant nested tree — the staging
+    * is a pure plan-size fix, every expression string is shared.
+    */
+  private[graft] def ml4Parts: Map[String, String] = {
+    def D(x: String) = s"CAST($x AS DOUBLE)"
+    val thrRows = ((1 to 49).map(t => s"SELECT 1 AS f, $t AS t") ++
+      (0 to 9).map(t => s"SELECT 2 AS f, $t AS t"))
+      .mkString("\nUNION ALL\n")
+    val f0 = s"(${D("st")} / ${D("nt")})"
+    // round 1: one region (the whole table), candidate sums are plain
+    val cand1 =
+      """SELECT thr.f, thr.t,
+        |    CAST(sum(CASE WHEN (CASE WHEN thr.f = 1 THEN c.x1
+        |      ELSE c.x2 END) <= thr.t THEN c.n ELSE 0 END) AS BIGINT)
+        |      AS nl,
+        |    CAST(sum(CASE WHEN (CASE WHEN thr.f = 1 THEN c.x1
+        |      ELSE c.x2 END) <= thr.t THEN c.sy ELSE 0 END) AS BIGINT)
+        |      AS syl
+        |  FROM ml4_cells c CROSS JOIN thr GROUP BY thr.f, thr.t"""
+        .stripMargin
+    val b1RsumL = s"(${D("syl")} - ${D("nl")} * $f0)"
+    val b1RsumR = s"((${D("st")} - ${D("syl")}) - (${D("nt")} - ${D("nl")}) * $f0)"
+    // argmax as ORDER BY + LIMIT 1 (TakeOrdered — no all-to-one window
+    // shuffle), totally ordered by (gain DESC, f, t) so both engines
+    // pick the identical split
+    def best(rsumL: String, rsumR: String, nl: String, nt: String,
+        keep: String): String =
+      s"""SELECT * FROM (SELECT $keep,
+         |    (0.5 * $rsumL / ${D(nl)}) AS vl,
+         |    (0.5 * $rsumR / (${D(nt)} - ${D(nl)})) AS vr,
+         |    ($rsumL * $rsumL / ${D(nl)} +
+         |      $rsumR * $rsumR / (${D(nt)} - ${D(nl)})) AS gain
+         |  FROM src WHERE $nl > 0 AND $nl < $nt)
+         |ORDER BY gain DESC, f, t LIMIT 1""".stripMargin
+    val best1 = best(b1RsumL, b1RsumR, "nl", "nt",
+      "f, t, nt, st, qt").replace("FROM src", "FROM cand1 CROSS JOIN g")
+    // round 2: two regions (sides of stump 1); region membership and
+    // per-region conditional Long sums
+    val in1 = "(CASE WHEN b.f1 = 1 THEN c.x1 ELSE c.x2 END) <= b.t1"
+    val xf = "(CASE WHEN thr.f = 1 THEN c.x1 ELSE c.x2 END)"
+    def csum(cond: String, v: String, as: String) =
+      s"CAST(sum(CASE WHEN $cond THEN $v ELSE 0 END) AS BIGINT) AS $as"
+    val cand2 =
+      s"""SELECT thr.f, thr.t, b.f1, b.t1, b.vl1, b.vr1, b.nt, b.st,
+         |    b.qt,
+         |    ${csum(s"$in1 AND $xf <= thr.t", "c.n", "n0l")},
+         |    ${csum(s"$in1 AND $xf <= thr.t", "c.sy", "sy0l")},
+         |    ${csum(s"NOT ($in1) AND $xf <= thr.t", "c.n", "n1l")},
+         |    ${csum(s"NOT ($in1) AND $xf <= thr.t", "c.sy", "sy1l")},
+         |    ${csum(in1, "c.n", "nr0")},
+         |    ${csum(in1, "c.sy", "syr0")}
+         |  FROM ml4_cells c
+         |    CROSS JOIN (SELECT f AS f1, t AS t1, vl AS vl1, vr AS vr1,
+         |      nt, st, qt FROM best1) b
+         |    CROSS JOIN thr
+         |  GROUP BY thr.f, thr.t, b.f1, b.t1, b.vl1, b.vr1, b.nt,
+         |    b.st, b.qt""".stripMargin
+    val (fA, fB) = (s"($f0 + vl1)", s"($f0 + vr1)") // F after round 1
+    val b2RsumL = s"((${D("sy0l")} - ${D("n0l")} * $fA)" +
+      s" + (${D("sy1l")} - ${D("n1l")} * $fB))"
+    val b2RsumR = s"(((${D("syr0")} - ${D("sy0l")})" +
+      s" - (${D("nr0")} - ${D("n0l")}) * $fA)" +
+      s" + (((${D("st")} - ${D("syr0")}) - ${D("sy1l")})" +
+      s" - ((${D("nt")} - ${D("nr0")}) - ${D("n1l")}) * $fB))"
+    val best2 = best(b2RsumL, b2RsumR, "(n0l + n1l)", "nt",
+      "f, t, f1, t1, vl1, vr1, nt, st, qt")
+      .replace("FROM src", "FROM cand2")
+    // round 3: four regions (stump 1 × stump 2)
+    val in1b = "(CASE WHEN b.f1 = 1 THEN c.x1 ELSE c.x2 END) <= b.t1"
+    val in2b = "(CASE WHEN b.f2 = 1 THEN c.x1 ELSE c.x2 END) <= b.t2"
+    val regs = Seq(("00", s"$in1b AND $in2b"),
+      ("01", s"$in1b AND NOT ($in2b)"),
+      ("10", s"NOT ($in1b) AND $in2b"),
+      ("11", s"NOT ($in1b) AND NOT ($in2b)"))
+    val cand3Sums = regs.flatMap { case (r, cond) => Seq(
+      csum(s"$cond AND $xf <= thr.t", "c.n", s"nl$r"),
+      csum(s"$cond AND $xf <= thr.t", "c.sy", s"syl$r"),
+      csum(cond, "c.n", s"nr$r"),
+      csum(cond, "c.sy", s"syr$r"))
+    }
+    val carry2 = "f1, t1, vl1, vr1, f2, t2, vl2, vr2, nt, st, qt"
+    val cand3 =
+      s"""SELECT thr.f, thr.t, b.f1, b.t1, b.vl1, b.vr1, b.f2, b.t2,
+         |    b.vl2, b.vr2, b.nt, b.st, b.qt,
+         |    ${cand3Sums.mkString(",\n    ")}
+         |  FROM ml4_cells c
+         |    CROSS JOIN (SELECT f AS f2, t AS t2, vl AS vl2, vr AS vr2,
+         |      f1, t1, vl1, vr1, nt, st, qt FROM best2) b
+         |    CROSS JOIN thr
+         |  GROUP BY thr.f, thr.t, b.f1, b.t1, b.vl1, b.vr1, b.f2,
+         |    b.t2, b.vl2, b.vr2, b.nt, b.st, b.qt""".stripMargin
+    // F after round 2 per region: + vl1/vr1 by stump-1 side, + vl2/vr2
+    // by stump-2 side
+    def f2of(r: String) = {
+      val s1 = if (r(0) == '0') "vl1" else "vr1"
+      val s2 = if (r(1) == '0') "vl2" else "vr2"
+      s"($f0 + $s1 + $s2)"
+    }
+    val b3RsumL = regs.map { case (r, _) =>
+      s"(${D(s"syl$r")} - ${D(s"nl$r")} * ${f2of(r)})"
+    }.mkString("(", " + ", ")")
+    val b3RsumR = regs.map { case (r, _) =>
+      s"((${D(s"syr$r")} - ${D(s"syl$r")})" +
+        s" - (${D(s"nr$r")} - ${D(s"nl$r")}) * ${f2of(r)})"
+    }.mkString("(", " + ", ")")
+    val nl3 = regs.map { case (r, _) => s"nl$r" }.mkString("(", " + ", ")")
+    val best3 = best(b3RsumL, b3RsumR, nl3, "nt",
+      s"f, t, $carry2").replace("FROM src", "FROM cand3")
+    // final fit: eight regions, SSE from exact per-region (n, Σy) and
+    // the global Σy² — a fixed-order 8-term combination
+    val in3b = "(CASE WHEN b.f3 = 1 THEN c.x1 ELSE c.x2 END) <= b.t3"
+    val regs3 = for (a <- Seq("0", "1"); bb <- Seq("0", "1");
+        cc <- Seq("0", "1")) yield {
+      val cond = Seq(
+        if (a == "0") in1b else s"NOT ($in1b)",
+        if (bb == "0") in2b else s"NOT ($in2b)",
+        if (cc == "0") in3b else s"NOT ($in3b)").mkString("(", ") AND (", ")")
+      (s"$a$bb$cc", cond)
+    }
+    val finSums = regs3.flatMap { case (r, cond) => Seq(
+      csum(cond, "c.n", s"fn$r"), csum(cond, "c.sy", s"fsy$r")) }
+    def f3of(r: String) = {
+      val s1 = if (r(0) == '0') "vl1" else "vr1"
+      val s2 = if (r(1) == '0') "vl2" else "vr2"
+      val s3 = if (r(2) == '0') "vl3" else "vr3"
+      s"($f0 + $s1 + $s2 + $s3)"
+    }
+    val sse = s"(${D("qt")} - " +
+      regs3.map { case (r, _) =>
+        s"(2 * ${f3of(r)} * ${D(s"fsy$r")}" +
+          s" - ${f3of(r)} * ${f3of(r)} * ${D(s"fn$r")})"
+      }.mkString("(", " + ", ")") + ")"
+    val sst = s"(${D("qt")} - ${D("st")} * ${D("st")} / ${D("nt")})"
+    val fin =
+      s"""SELECT b.*, ${finSums.mkString(",\n    ")}
+         |  FROM ml4_cells c
+         |    CROSS JOIN (SELECT f AS f3, t AS t3, vl AS vl3, vr AS vr3,
+         |      $carry2 FROM best3) b
+         |  GROUP BY b.f3, b.t3, b.vl3, b.vr3, b.f1, b.t1, b.vl1,
+         |    b.vr1, b.f2, b.t2, b.vl2, b.vr2, b.nt, b.st, b.qt"""
+        .stripMargin
+    def pick(c1: String, c2: String, c3: String) =
+      s"(CASE rt.r WHEN 1 THEN $c1 WHEN 2 THEN $c2 ELSE $c3 END)"
+    val gSql = "SELECT CAST(sum(n) AS BIGINT) AS nt, " +
+      "CAST(sum(sy) AS BIGINT) AS st, " +
+      "CAST(sum(qy) AS BIGINT) AS qt FROM ml4_cells"
+    val finalSelect =
+      s"""rt AS (SELECT 1 AS r UNION ALL SELECT 2 UNION ALL SELECT 3)
+         |SELECT CAST(rt.r AS BIGINT) AS round,
+         |  CAST(${pick("f1", "f2", "f3")} AS BIGINT) AS feature,
+         |  CAST(${pick("t1", "t2", "t3")} AS BIGINT) AS threshold,
+         |  round(${pick("vl1", "vl2", "vl3")}, 6) AS leaf_left,
+         |  round(${pick("vr1", "vr2", "vr3")}, 6) AS leaf_right,
+         |  round(1.0 - $sse / $sst, 6) AS r2_final
+         |FROM fin CROSS JOIN rt""".stripMargin
+    Map("thr" -> thrRows, "g" -> gSql, "cand1" -> cand1,
+      "best1" -> best1, "cand2" -> cand2, "best2" -> best2,
+      "cand3" -> cand3, "best3" -> best3, "fin" -> fin,
+      "final" -> finalSelect)
+  }
+
+  /** The cells relation both engines bind `ml4_cells` to: the exact
+    * (x1, x2) grid with n/Σy/Σy² Longs.
+    */
+  private[graft] val ml4CellsSql: String =
+    """SELECT CAST(floor(l_quantity) AS BIGINT) AS x1,
+      |  CAST(floor(l_discount * 100) AS BIGINT) AS x2,
+      |  CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(CAST(floor(l_extendedprice / 10) AS BIGINT))
+      |    AS BIGINT) AS sy,
+      |  CAST(sum(CAST(floor(l_extendedprice / 10) AS BIGINT) *
+      |    CAST(floor(l_extendedprice / 10) AS BIGINT)) AS BIGINT) AS qy
+      |FROM lineitem GROUP BY 1, 2""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Grouped closed-form OLS — y ≈ b0 + b1·quantity + b2·discount per
     // returnflag, fit ENTIRELY in the plan: one exact-moment pass
@@ -320,6 +517,49 @@ object QueriesMl {
     "ml3_cv_ridge" -> ((s, d) => {
       Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
       s.sql(ml3Sql)
+    }),
+
+    // GRADIENT-BOOSTED STUMPS (three rounds, lr 0.5, squared loss):
+    // greedy split search over 59 thresholds per round, leaf values,
+    // and final R² — all from the quantized (quantity, discount) cell
+    // grid, lineitem scanned ONCE into a cached 561-row frame. Every
+    // cross-cell sum is an exact conditional Long per ensemble region;
+    // doubles live only in fixed-order constant-size expressions, so
+    // the model is bit-identical on both engines (see [[ml4Body]]).
+    "ml4_boost_stumps" -> ((s, d) => {
+      val p = ml4Parts
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+      // the grid is ≤ 561 rows: one cached partition, so every staged
+      // job downstream schedules 1-2 tasks instead of 32 empty ones
+      s.sql(ml4CellsSql).coalesce(1).cache()
+        .createOrReplaceTempView("ml4_cells")
+      // Staged evaluation of the SAME texts the oracle chains as CTEs.
+      // Each stage's output is ONE ROW of model scalars (the boosting
+      // state), re-bound as a literal relation for the next stage —
+      // BIT-exact (the collected doubles go back in as values, never
+      // through text) and constant-size on the driver (this is model
+      // state, not data). Without this, the one-text form inlines a
+      // 400+-operator tree whose analysis/codegen dwarfs the compute
+      // (3.8 s for a 561-row grid); staged it is the cells pass plus
+      // four trivial jobs.
+      def stage(sql: String, view: String): Unit = {
+        val df = s.sql(sql)
+        s.createDataFrame(java.util.Arrays.asList(df.collect(): _*),
+          df.schema).createOrReplaceTempView(view)
+      }
+      stage(s"WITH thr AS (${p("thr")}), g AS (${p("g")}), " +
+        s"cand1 AS (${p("cand1")}) SELECT * FROM (${p("best1")})",
+        "ml4_b1")
+      stage(s"WITH thr AS (${p("thr")}), " +
+        s"best1 AS (SELECT * FROM ml4_b1), " +
+        s"cand2 AS (${p("cand2")}) SELECT * FROM (${p("best2")})",
+        "ml4_b2")
+      stage(s"WITH thr AS (${p("thr")}), " +
+        s"best2 AS (SELECT * FROM ml4_b2), " +
+        s"cand3 AS (${p("cand3")}) SELECT * FROM (${p("best3")})",
+        "ml4_b3")
+      s.sql(s"WITH best3 AS (SELECT * FROM ml4_b3), " +
+        s"fin AS (${p("fin")}), ${p("final")}")
     })
   )
 
@@ -362,6 +602,17 @@ object QueriesMl {
         s"""WITH $momentsCte
            |$ridgeArms""".stripMargin,
       // the SAME text Spark executes — the strongest oracle form
-      "ml3_cv_ridge" -> ml3Sql)
+      "ml3_cv_ridge" -> ml3Sql,
+      // identical part texts chained as one CTE tree; ml4_cells bound
+      // over raw lineitem where Spark binds the cached cells frame
+      "ml4_boost_stumps" -> {
+        val p = ml4Parts
+        s"WITH ml4_cells AS ($ml4CellsSql),\n" +
+          s"thr AS (${p("thr")}),\ng AS (${p("g")}),\n" +
+          s"cand1 AS (${p("cand1")}),\nbest1 AS (${p("best1")}),\n" +
+          s"cand2 AS (${p("cand2")}),\nbest2 AS (${p("best2")}),\n" +
+          s"cand3 AS (${p("cand3")}),\nbest3 AS (${p("best3")}),\n" +
+          s"fin AS (${p("fin")}),\n${p("final")}"
+      })
   }
 }
