@@ -1422,6 +1422,43 @@ object QueriesStorage {
       }.reduce(_ unionByName _)
     }),
 
+    // BATCH POINT-LOOKUP FILE PRUNING (the GDPR-erasure / dynamic-
+    // file-pruning shape): a 40-key IN-list planned against the
+    // manifest Bloom filters in ONE pass — a file is opened iff its
+    // filter admits ANY key in the batch. On stor18's ingest-ordered
+    // layout the zone maps would keep every file for every key; the
+    // batch bloom plan opens only the files that might hold any of
+    // the 40 keys, and correctness is exact (no false negatives, so
+    // every matching row lives in a selected file — rows_matched,
+    // cents, and distinct keys found all equal the global IN-list
+    // counts). The oracle recomputes bit-exact batch membership
+    // relationally with the key as a COLUMN (no text explosion).
+    "stor20_bloom_in_prune" -> ((s, d) => {
+      import graft.storage.CommitLog
+      val t = stor18Table(s, d)
+      val keys = (0 until 40).map(i => i * 2500L + 7L)
+      val plan = CommitLog.planScan(t, 1L, Nil, Nil,
+        Seq(CommitLog.InPredicate("k", keys)))
+      val nFiles = CommitLog.liveFiles(t, 1L).size.toLong
+      val inSet = col("k").isin(keys: _*)
+      val agg =
+        if (plan.selected.isEmpty)
+          s.range(1).select(lit(0L).as("rows_scanned"),
+            lit(0L).as("rows_matched"), lit(0L).as("cents_matched"),
+            lit(0L).as("n_keys_found"))
+        else CommitLog.readFiles(s, t, plan.selected)
+          .agg(count(lit(1)).as("rows_scanned"),
+            sum(when(inSet, 1L).otherwise(0L)).as("rows_matched"),
+            coalesce(sum(when(inSet, col("cents"))), lit(0L))
+              .cast("long").as("cents_matched"),
+            countDistinct(when(inSet, col("k"))).as("n_keys_found"))
+      agg.select(lit(40L).as("n_keys"),
+        lit(nFiles).as("n_files"),
+        lit(plan.selected.size.toLong).as("bloom_selected"),
+        col("rows_scanned"), col("rows_matched"),
+        col("cents_matched"), col("n_keys_found"))
+    }),
+
     // PARTITION EVOLUTION (the Iceberg hidden-partitioning contract):
     // the old era lives in ship-month files with ship bounds only, the
     // new era (post-evolution commit) in orderkey buckets with key
@@ -2248,6 +2285,56 @@ object QueriesStorage {
         |    (SELECT CAST(sum(nr) AS BIGINT) FROM oldf),
         |  kmt.rows_matched, kmt.cents_matched
         |FROM nf, karm, kmt""".stripMargin,
+    // stor20: the batch form of stor18's membership arithmetic with
+    // the query key as a COLUMN — per (file, key) the same 3-target ×
+    // 3-probe bit test, a file selected iff ANY key passes; matched
+    // rows/cents/distinct keys from the raw IN-list join.
+    "stor20_bloom_in_prune" -> {
+      def pr(v: String, i: Int): String =
+        s"((($v) % 2147483647) * " +
+          s"${graft.storage.CommitLog.Bloom.A(i)} + " +
+          s"${graft.storage.CommitLog.Bloom.B(i)}) % 2147483647 % 16384"
+      val hit = (0 until 3).map { ti =>
+        val tgt = pr("ks.qk", ti)
+        val any = (0 until 3)
+          .map(pi => s"${pr("br.k", pi)} = ($tgt)").mkString(" OR ")
+        s"max(CASE WHEN $any THEN 1 ELSE 0 END) = 1"
+      }.mkString(" AND ")
+      s"""WITH p AS (SELECT max(l_orderkey) AS mxo, count(*) AS n
+         |  FROM lineitem),
+         |prm AS (SELECT mxo, n,
+         |    (mxo + GREATEST(32, (n + 1999) // 2000) - 1)
+         |      // GREATEST(32, (n + 1999) // 2000) AS step
+         |  FROM p),
+         |b AS (SELECT (l.l_orderkey - 1) // prm.step AS bucket,
+         |    (l.l_orderkey * 131 + l.l_linenumber) % 100000 AS k,
+         |    CAST(floor(l.l_quantity * 100 + 0.5) AS BIGINT) AS cents
+         |  FROM lineitem l CROSS JOIN prm),
+         |ks AS (SELECT x * 2500 + 7 AS qk FROM range(0, 40) t(x)),
+         |fs AS (SELECT bucket, count(*) AS nr FROM b GROUP BY 1),
+         |br AS (SELECT b.bucket, b.k FROM b),
+         |fk AS (SELECT br.bucket, ks.qk, ($hit) AS hit
+         |  FROM br, ks GROUP BY br.bucket, ks.qk),
+         |fsel AS (SELECT bucket,
+         |    max(CASE WHEN hit THEN 1 ELSE 0 END) = 1 AS sel
+         |  FROM fk GROUP BY bucket),
+         |ag AS (SELECT
+         |    CAST(sum(CASE WHEN sel THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS bloom_selected,
+         |    CAST(sum(CASE WHEN sel THEN nr ELSE 0 END) AS BIGINT)
+         |      AS rows_scanned
+         |  FROM fsel JOIN fs USING (bucket)),
+         |mt AS (SELECT CAST(count(*) AS BIGINT) AS rows_matched,
+         |    CAST(coalesce(sum(b.cents), 0) AS BIGINT)
+         |      AS cents_matched,
+         |    CAST(count(DISTINCT b.k) AS BIGINT) AS n_keys_found
+         |  FROM b JOIN ks ON b.k = ks.qk)
+         |SELECT CAST(40 AS BIGINT) AS n_keys,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM fs) AS n_files,
+         |  ag.bloom_selected, ag.rows_scanned,
+         |  mt.rows_matched, mt.cents_matched, mt.n_keys_found
+         |FROM ag, mt""".stripMargin
+    },
     // stor18: the bucket layout, both probe keys, and BIT-EXACT Bloom
     // membership recomputed relationally: a file passes for a query
     // key iff for EACH of the key's 3 target bit positions SOME row in

@@ -95,6 +95,17 @@ object CommitLog {
     */
   final case class EqPredicate(col: String, value: Long)
 
+  /** A BATCH equality predicate (`col IN (values)`) for [[planScan]]:
+    * a file is skippable when its Bloom filter proves EVERY value
+    * absent — the metadata form of dynamic file pruning. This is the
+    * GDPR-batch shape: a nightly erasure run carries thousands of
+    * subject keys, and at 100 TB the difference between "open every
+    * file" and "open the handful whose filters might hold any key" is
+    * the whole cost of the job. Probing is O(|values| · k) bit tests
+    * per file — driver-side metadata arithmetic, no data I/O.
+    */
+  final case class InPredicate(col: String, values: Seq[Long])
+
   /** A fixed-size Bloom filter carried per (file, column) in the
     * manifest (`F` lines) — the Iceberg/Parquet file-level
     * bloom-filter-index idea reduced to its invariant: `k` deterministic
@@ -678,10 +689,12 @@ object CommitLog {
     */
   def planScan(tableDir: String, asOf: Long,
       preds: Seq[RangePredicate],
-      eqPreds: Seq[EqPredicate] = Nil): ScanPlan = {
+      eqPreds: Seq[EqPredicate] = Nil,
+      inPreds: Seq[InPredicate] = Nil): ScanPlan = {
     val stats = statsAt(tableDir, asOf)
     val blooms =
-      if (eqPreds.isEmpty) Map.empty[String, Map[String, Bloom]]
+      if (eqPreds.isEmpty && inPreds.isEmpty)
+        Map.empty[String, Map[String, Bloom]]
       else bloomsAt(tableDir, asOf)
     val live = liveFiles(tableDir, asOf)
     val skipped = scala.collection.mutable.Map[String, Long]()
@@ -700,14 +713,20 @@ object CommitLog {
       val eqSkips = eqPreds.filter { p =>
         fblooms.get(p.col).exists(b => !b.mightContain(p.value))
       }
+      // batch skip: the filter proves EVERY value in the IN-list absent
+      val inSkips = inPreds.filter { p =>
+        fblooms.get(p.col).exists(b => !p.values.exists(b.mightContain))
+      }
       skips.foreach(p => skipped(p.col) += 1L)
       eqSkips.foreach(p => skipped(p.col + "=") += 1L)
-      val kept = skips.isEmpty && eqSkips.isEmpty
+      inSkips.foreach(p => skipped(p.col + " in") += 1L)
+      val kept = skips.isEmpty && eqSkips.isEmpty && inSkips.isEmpty
       // noStats ⊆ selected by contract: it flags kept files the
       // planner could not fully evaluate (a file another predicate
       // already proved disjoint is just skipped, not blind)
       if (kept && (preds.exists(p => !cols.contains(p.col)) ||
-        eqPreds.exists(p => !fblooms.contains(p.col)))) noStats += f
+        eqPreds.exists(p => !fblooms.contains(p.col)) ||
+        inPreds.exists(p => !fblooms.contains(p.col)))) noStats += f
       kept
     }
     ScanPlan(selected, skipped.toMap, noStats.toSeq)

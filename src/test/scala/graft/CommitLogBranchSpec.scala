@@ -141,6 +141,14 @@ class CommitLogBranchSpec extends SparkTestBase {
     assert(plan.selected.contains("fc")) // no filter -> kept
     assert(plan.noStats === Seq("fc"))
     assert(plan.skipped.getOrElse("k=", 0L) === 1L)
+    // batch IN-list: a file is kept iff ANY key might be present;
+    // a filterless file stays conservatively kept
+    val planIn = CommitLog.planScan(t, 2L, Nil, Nil,
+      Seq(CommitLog.InPredicate("k", Seq(2L, 500L))))
+    assert(planIn.selected.contains("fa")) // holds 2
+    assert(!planIn.selected.contains("fb")) // holds neither
+    assert(planIn.selected.contains("fc")) // no filter
+    assert(planIn.skipped.getOrElse("k in", 0L) === 1L)
     // checkpoint carries F lines: expire below v2, skipping still works
     CommitLog.expireSnapshots(t, 2L)
     val plan2 = CommitLog.planScan(t, 2L, Nil,
