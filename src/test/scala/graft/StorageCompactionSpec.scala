@@ -314,4 +314,44 @@ class StorageCompactionSpec extends SparkTestBase {
     val live = CommitLog.liveFiles(t, 4L)
     assert(live.nonEmpty && live.forall(_ > "file_month=1995-06-30"))
   }
+
+  test("stor17: the bad branch's rows are physically parked off main") {
+    import org.apache.spark.sql.functions._
+    val t = QueriesStorage.stor17Table(spark, sf001)
+    // the ref ledger: main published the GOOD candidate only
+    assert(CommitLog.refVersion(t, "main") === 3L)
+    assert(CommitLog.refVersion(t, "wap_bad") === 2L)
+    assert(CommitLog.isAncestor(t, 2L, CommitLog.refVersion(t, "main"))
+      === false)
+    // main's head carries ZERO audit-violating rows; the bad branch
+    // still resolves (time travel) and is all-violating on its month
+    assert(CommitLog.read(spark, t, Some(3L))
+      .filter(col("l_quantity") > 100.0).count() === 0L)
+    val badRows = CommitLog.read(spark, t, Some(2L))
+      .filter(col("l_quantity") > 100.0).count()
+    assert(badRows > 0L)
+    // the staged bad file exists on disk but is referenced by NO
+    // main-lineage manifest — vacuum-eligible, never reader-visible
+    assert(new File(CommitLog.dataDir(t), "cand_bad").isDirectory)
+    assert(!CommitLog.liveFiles(t, 3L).contains("cand_bad"))
+  }
+
+  test("stor18/stor19: manifest attachments match each file's era") {
+    val t18 = QueriesStorage.stor18Table(spark, sf001)
+    // every committed file carries BOTH the range stats and the bloom
+    val st = CommitLog.statsAt(t18, 1L)
+    val bl = CommitLog.bloomsAt(t18, 1L)
+    val live = CommitLog.liveFiles(t18, 1L)
+    assert(st.keySet === live.toSet && bl.keySet === live.toSet)
+    assert(bl.values.forall(m => m.keySet === Set("k") &&
+      m("k").m === 16384 && m("k").k === 3))
+    // partition evolution: old-era files carry ship bounds ONLY, the
+    // key-spec era okey bounds ONLY — heterogeneous in one manifest
+    val t19 = QueriesStorage.stor19Table(spark, sf001)
+    val st19 = CommitLog.statsAt(t19, 2L)
+    val (old, nw) = st19.keys.partition(_.startsWith("m_"))
+    assert(old.nonEmpty && nw.nonEmpty)
+    assert(old.forall(f => st19(f).keySet === Set("ship")))
+    assert(nw.forall(f => st19(f).keySet === Set("okey")))
+  }
 }
