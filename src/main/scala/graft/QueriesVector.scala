@@ -1474,22 +1474,23 @@ object QueriesVector {
          |  FROM embeddings),
          |st AS (SELECT count(*) AS nr, count(DISTINCT label) AS ndv
          |  FROM embeddings),
+         |q5 AS (SELECT * FROM n WHERE vec_id < 5),
          |exA AS (SELECT id_q, id_n FROM (
          |  SELECT a.vec_id AS id_q, b.vec_id AS id_n,
          |    row_number() OVER (PARTITION BY a.vec_id
          |      ORDER BY round($dotSql / sqrt(a.n2 * b.n2), 6) DESC,
          |        b.vec_id) AS rank
-         |  FROM n a JOIN n b ON b.vec_id <> a.vec_id
-         |  JOIN lbl ON lbl.vec_id = b.vec_id AND lbl.lbl = 7
-         |  WHERE a.vec_id < 5) q WHERE rank <= 5),
+         |  FROM q5 a JOIN n b ON b.vec_id <> a.vec_id
+         |  JOIN lbl ON lbl.vec_id = b.vec_id AND lbl.lbl = 7) q
+         |  WHERE rank <= 5),
          |exB AS (SELECT id_q, id_n FROM (
          |  SELECT a.vec_id AS id_q, b.vec_id AS id_n,
          |    row_number() OVER (PARTITION BY a.vec_id
          |      ORDER BY round($dotSql / sqrt(a.n2 * b.n2), 6) DESC,
          |        b.vec_id) AS rank
-         |  FROM n a JOIN n b ON b.vec_id <> a.vec_id
-         |  JOIN lbl ON lbl.vec_id = b.vec_id AND lbl.lbl <> 7
-         |  WHERE a.vec_id < 5) q WHERE rank <= 5),
+         |  FROM q5 a JOIN n b ON b.vec_id <> a.vec_id
+         |  JOIN lbl ON lbl.vec_id = b.vec_id AND lbl.lbl <> 7) q
+         |  WHERE rank <= 5),
          |cent AS (SELECT vec_id AS centroid_id, v, n2 FROM n
          |  WHERE vec_id < 10),
          |ca AS (SELECT id_n, centroid_id FROM (
@@ -1504,19 +1505,19 @@ object QueriesVector {
          |    row_number() OVER (PARTITION BY a.vec_id
          |      ORDER BY $dotSql / sqrt(a.n2 * b.n2) DESC,
          |        b.centroid_id) AS rk
-         |  FROM n a JOIN cent b ON true
-         |  WHERE a.vec_id < 5) q, npb WHERE q.rk <= npb.np),
+         |  FROM q5 a JOIN cent b ON true) q, npb WHERE q.rk <= npb.np),
+         |cand0 AS (SELECT pr.id_q, ca.id_n
+         |  FROM pr JOIN ca ON ca.centroid_id = pr.centroid_id),
+         |candF AS (SELECT c.id_q, c.id_n FROM cand0 c
+         |  JOIN lbl ON lbl.vec_id = c.id_n AND lbl.lbl <> 7
+         |  WHERE c.id_n <> c.id_q),
          |candB AS (SELECT id_q, id_n FROM (
-         |  SELECT id_q, id_n, row_number() OVER (PARTITION BY id_q
-         |      ORDER BY cos DESC, id_n) AS rank FROM (
-         |    SELECT a.vec_id AS id_q, b.vec_id AS id_n,
-         |      round($dotSql / sqrt(a.n2 * b.n2), 6) AS cos
-         |    FROM pr
-         |    JOIN n a ON a.vec_id = pr.id_q
-         |    JOIN ca ON ca.centroid_id = pr.centroid_id
-         |    JOIN n b ON b.vec_id = ca.id_n
-         |    JOIN lbl ON lbl.vec_id = b.vec_id AND lbl.lbl <> 7
-         |    WHERE b.vec_id <> a.vec_id) p) q WHERE rank <= 5),
+         |  SELECT c.id_q, c.id_n, row_number() OVER (PARTITION BY c.id_q
+         |      ORDER BY round($dotSql / sqrt(a.n2 * b.n2), 6) DESC,
+         |        c.id_n) AS rank
+         |  FROM candF c
+         |  JOIN n a ON a.vec_id = c.id_q
+         |  JOIN n b ON b.vec_id = c.id_n) q WHERE rank <= 5),
          |hitB AS (SELECT count(*) AS n_truth, count(candB.id_q) AS n_hits
          |  FROM exB LEFT JOIN candB
          |    ON candB.id_q = exB.id_q AND candB.id_n = exB.id_n),
