@@ -57,11 +57,6 @@ object QueriesMl {
   private def solveSql(lam: String): Map[String, String] =
     solveSqlOn(identity, lam)
 
-  /** [[solveSql]] with the moment columns addressed through a renamer
-    * (`c("n")` → the SQL reference for that moment) — what lets ml3
-    * run the SAME solve text against per-fold TRAIN moments (`tn_0`,
-    * `ts1_0`, …) without restating the Cramer expansion.
-    */
   /** The four Cramer determinants alone (det, det0, det1, det2) — the
     * expensive texts, split out so ml3 can materialize each ONCE as a
     * named column instead of repeating the full expansion inside every
@@ -94,6 +89,11 @@ object QueriesMl {
     Map("det" -> det, "det0" -> det0, "det1" -> det1, "det2" -> det2)
   }
 
+  /** [[solveSql]] with the moment columns addressed through a renamer
+    * (`c("n")` → the SQL reference for that moment) — what lets ml3
+    * run the SAME solve text against per-fold TRAIN moments (`tn_0`,
+    * `ts1_0`, …) without restating the Cramer expansion.
+    */
   private def solveSqlOn(c: String => String,
       lam: String): Map[String, String] = {
     val dets = detSqlOn(c, lam)
@@ -525,7 +525,7 @@ object QueriesMl {
     // grid, lineitem scanned ONCE into a cached 561-row frame. Every
     // cross-cell sum is an exact conditional Long per ensemble region;
     // doubles live only in fixed-order constant-size expressions, so
-    // the model is bit-identical on both engines (see [[ml4Body]]).
+    // the model is bit-identical on both engines (see [[ml4Parts]]).
     "ml4_boost_stumps" -> ((s, d) => {
       val p = ml4Parts
       Tables.lineitem(s, d).createOrReplaceTempView("lineitem")

@@ -923,7 +923,7 @@ object QueriesStorage {
     * commits lineitem's OLD era (ship < 1998) as ship-month files
     * carrying ONLY ship bounds — the time-partitioned spec every
     * ingest pipeline starts with. v2 is the evolution: the NEW era
-    * (ship >= 1996) lands as orderkey-range buckets carrying ONLY
+    * (ship >= 1998) lands as orderkey-range buckets carrying ONLY
     * orderkey bounds — the spec you migrate to when point lookups by
     * key start dominating. Neither era is rewritten, stats stay
     * heterogeneous per file, and `planScan`'s conservative rule (a

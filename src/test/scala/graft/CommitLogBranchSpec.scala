@@ -71,7 +71,11 @@ class CommitLogBranchSpec extends SparkTestBase {
     intercept[CommitLog.RefConflict] { CommitLog.createRef(t, "main", 1L) }
   }
 
-  test("racing branch writers: ref CAS serializes, retries all land") {
+  /** The ref-CAS race body, shared by the hard-link and
+    * conditional-PUT runs (VERDICT r17 #5: the WAP publish CAS must
+    * only assume the PublishPrimitive contract, never link(2)).
+    */
+  private def refCasRace(): Unit = {
     val t = freshDir()
     stage(t, "f0", Seq((0L, "z")))
     (1 to 8).foreach(i => stage(t, s"w$i", Seq((i.toLong, "w"))))
@@ -90,6 +94,84 @@ class CommitLogBranchSpec extends SparkTestBase {
     val head = CommitLog.refVersion(t, "b")
     assert(CommitLog.liveFiles(t, head).toSet ===
       ((1 to 8).map(i => s"w$i").toSet + "f0"))
+  }
+
+  test("racing branch writers: ref CAS serializes, retries all land") {
+    refCasRace()
+  }
+
+  test("the ref CAS race holds under the conditional-PUT primitive") {
+    val old = CommitLog.publishPrimitive
+    CommitLog.publishPrimitive = CommitLog.ConditionalPutPublish
+    try refCasRace()
+    finally CommitLog.publishPrimitive = old
+  }
+
+  test("ref journal head ordering is numeric past seq 99999") {
+    val t = freshDir()
+    stage(t, "f1", Seq((1L, "a")))
+    stage(t, "f2", Seq((2L, "b")))
+    CommitLog.commit(t, Seq("f1"), Nil, 0L) // v1
+    CommitLog.commit(t, Seq("f2"), Nil, 1L) // v2
+    CommitLog.createRef(t, "busy", 1L)
+    // a long-lived publisher's journal: seq 99999 points at v1, seq
+    // 100000 (which sorts lexicographically BEFORE "r99999.txt") moved
+    // the ref to v2 — the head MUST be the numeric max, not the
+    // string max (VERDICT r17 nit)
+    val rd = new java.io.File(t, "_log/_refs/busy")
+    Files.write(new java.io.File(rd, "r99999.txt").toPath,
+      "V 1\n".getBytes("UTF-8"))
+    Files.write(new java.io.File(rd, "r100000.txt").toPath,
+      "V 2\n".getBytes("UTF-8"))
+    assert(CommitLog.refHead(t, "busy") === Some((100000L, 2L)))
+    assert(CommitLog.refVersion(t, "busy") === 2L)
+    // and the next CAS claims seq 100001, not a re-pad collision
+    assert(CommitLog.fastForward(t, "busy", 2L) === 2L)
+    assert(CommitLog.refHead(t, "busy") === Some((100001L, 2L)))
+  }
+
+  test("ref names cannot traverse out of _log/_refs (ADVICE r17)") {
+    val t = freshDir()
+    stage(t, "f1", Seq((1L, "a")))
+    CommitLog.commit(t, Seq("f1"), Nil, 0L)
+    Seq("a/../../x", "..", "a/..", "./x", "a//b").foreach { bad =>
+      val e = intercept[IllegalArgumentException] {
+        CommitLog.createRef(t, bad, 1L)
+      }
+      assert(e.getMessage.contains("bad ref name"), s"'$bad': $e")
+    }
+    // plain nested names still work
+    CommitLog.createRef(t, "team/exp.1", 1L)
+    assert(CommitLog.refVersion(t, "team/exp.1") === 1L)
+  }
+
+  test("default reads resolve through main on a branched log (ADVICE r17)") {
+    val t = freshDir()
+    stage(t, "f1", Seq((1L, "a")))
+    stage(t, "cand", Seq((2L, "b"), (3L, "b")))
+    CommitLog.commit(t, Seq("f1"), Nil, 0L) // v1
+    CommitLog.createRef(t, "main", 1L)
+    // a WAP candidate commits LAST on its branch and fails audit —
+    // the global max version is now off-main
+    CommitLog.createRef(t, "wap", 1L)
+    CommitLog.commitToRef(t, "wap", Seq("cand"), Nil) // v2, unpublished
+    assert(CommitLog.latestVersion(t) === 2L)
+    assert(CommitLog.defaultVersion(t) === 1L)
+    // the default reader sees ONLY main's rows, never the parked batch
+    assert(CommitLog.read(spark, t).count() === 1L)
+    // explicit version still reaches the branch (audit tooling)
+    assert(CommitLog.read(spark, t, Some(2L)).count() === 3L)
+    // after publish, the default follows the fast-forwarded main
+    CommitLog.fastForward(t, "main", 2L)
+    assert(CommitLog.defaultVersion(t) === 2L)
+    assert(CommitLog.read(spark, t).count() === 3L)
+    // a branched log WITHOUT a main ref refuses defaulting outright
+    val t2 = freshDir()
+    stage(t2, "g1", Seq((1L, "a")))
+    CommitLog.commit(t2, Seq("g1"), Nil, 0L)
+    CommitLog.createRef(t2, "exp", 1L)
+    val e = intercept[IllegalStateException](CommitLog.read(spark, t2))
+    assert(e.getMessage.contains("no 'main' ref"))
   }
 
   test("increments and expiry refuse across branched history") {

@@ -176,7 +176,12 @@ class CommitLogSpec extends SparkTestBase {
       .toSet === Set(1L, 2L, 3L))
   }
 
-  test("eight concurrent committers all land; final set is the union") {
+  /** The 8-writer race body, shared by the hard-link and
+    * conditional-PUT runs: the protocol's liveness + safety argument
+    * must hold under any [[CommitLog.PublishPrimitive]] honoring the
+    * claim-or-fail contract (VERDICT r17 #5).
+    */
+  private def eightWriterRace(): Unit = {
     val t = freshDir()
     val n = 8
     (1 to n).foreach(i => stage(t, s"f$i", Seq((i.toLong, "x"))))
@@ -201,6 +206,48 @@ class CommitLogSpec extends SparkTestBase {
       (1 to n).map(i => s"f$i").sorted)
     // total-order contention bound: each retry round has one winner
     assert(conflicts.get() <= n * (n - 1) / 2)
+  }
+
+  private[graft] def withPrimitive[T](p: CommitLog.PublishPrimitive)
+      (body: => T): T = {
+    val old = CommitLog.publishPrimitive
+    CommitLog.publishPrimitive = p
+    try body finally CommitLog.publishPrimitive = old
+  }
+
+  test("eight concurrent committers all land; final set is the union") {
+    eightWriterRace()
+  }
+
+  test("the 8-writer race holds under the conditional-PUT primitive") {
+    // the object-store shape: no link(2), claim-or-fail decided by one
+    // create-exclusive write of the final name
+    withPrimitive(CommitLog.ConditionalPutPublish)(eightWriterRace())
+  }
+
+  test("concurrent batch replays stay exactly-once under conditional PUT") {
+    import spark.implicits._
+    withPrimitive(CommitLog.ConditionalPutPublish) {
+      val t = freshDir()
+      val barrier = new java.util.concurrent.CyclicBarrier(2)
+      val landed = new java.util.concurrent.atomic.AtomicInteger(0)
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val dfs = Seq(Seq((1L, "a")).toDF("k", "part"),
+        Seq((1L, "a")).toDF("k", "part"))
+      val threads = dfs.map { df =>
+        new Thread(() => {
+          try {
+            barrier.await()
+            if (CommitLog.appendBatch(t, df, 7L))
+              landed.incrementAndGet(): Unit
+          } catch { case x: Throwable => errs.add(x): Unit }
+        })
+      }
+      threads.foreach(_.start()); threads.foreach(_.join())
+      assert(errs.isEmpty, errs.toString)
+      assert(landed.get() === 1, "the batch must commit exactly once")
+      assert(CommitLog.read(spark, t).count() === 1L)
+    }
   }
 
   test("concurrent replays of one batch id: exactly one commits") {
@@ -495,6 +542,110 @@ class CommitLogSpec extends SparkTestBase {
     assert(ghost.setLastModified(System.currentTimeMillis() - 7200000L))
     assert(CommitLog.vacuumOrphans(t, graceMs = 3600000L) === 0)
     assert(!ghost.exists())
+  }
+
+  test("equality deletes: key anti-join read, fold, checkpoint carriage") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val t = freshDir()
+    stage(t, "f1", Seq((1L, "a"), (2L, "a")))
+    stage(t, "f2", Seq((3L, "b"), (4L, "b")))
+    CommitLog.commit(t, Seq("f1", "f2"), Nil, 0L) // v1
+    // v2: erase subjects k ∈ {2, 3} BY KEY — one tiny file of key
+    // values, no scan to locate positions, no rewrite
+    Seq(2L, 3L).toDF("k").coalesce(1)
+      .write.parquet(s"${CommitLog.dataDir(t)}/eq2")
+    CommitLog.commitTagged(t, Nil, Nil, 1L,
+      eqDeletes = Seq(("eq2", Seq("k"))))
+    assert(CommitLog.liveEqDeleteFiles(t, 2L) === Seq(("eq2", Seq("k"))))
+    assert(CommitLog.read(spark, t).select("k").as[Long].collect()
+      .toSet === Set(1L, 4L))
+    // v1 time travel is untouched
+    assert(CommitLog.read(spark, t, Some(1L)).count() === 4L)
+    // the feed renders the erasure as row-level deletes
+    val ch = CommitLog.changes(spark, t, 1L, 2L)
+      .select("k", "_change_type").as[(Long, String)].collect().toSet
+    assert(ch === Set((2L, "delete"), (3L, "delete")))
+    // file-level increments refuse to cross it
+    intercept[IllegalStateException](CommitLog.addedFiles(t, 1L, 2L))
+    // v3: the FOLD — rewrite both files with the keys applied, retire
+    // the E file in the same atomic commit, tagged replace
+    CommitLog.read(spark, t, Some(2L)).coalesce(1)
+      .write.parquet(s"${CommitLog.dataDir(t)}/fold3")
+    CommitLog.commitTagged(t, Seq("fold3"), Seq("f1", "f2", "eq2"), 2L,
+      op = Some("replace"))
+    assert(CommitLog.liveEqDeleteFiles(t, 3L) === Nil)
+    assert(CommitLog.read(spark, t).select("k").as[Long].collect()
+      .toSet === Set(1L, 4L))
+    assert(CommitLog.changes(spark, t, 2L, 3L).count() === 0L)
+    // a re-marked key across two overlapping E commits emits once:
+    // v4 re-erases k=2 (already gone) plus k=4 — only k=4 is a change
+    Seq(2L, 4L).toDF("k").coalesce(1)
+      .write.parquet(s"${CommitLog.dataDir(t)}/eq4")
+    CommitLog.commitTagged(t, Nil, Nil, 3L,
+      eqDeletes = Seq(("eq4", Seq("k"))))
+    val ch4 = CommitLog.changes(spark, t, 3L, 4L)
+      .select("k", "_change_type").as[(Long, String)].collect().toSet
+    assert(ch4 === Set((4L, "delete")),
+      "an already-erased key must not re-emit (at-most-once deletes)")
+    // E lines ride the checkpoint across expiry
+    CommitLog.expireSnapshots(t, 4L)
+    assert(CommitLog.liveEqDeleteFiles(t, 4L) === Seq(("eq4", Seq("k"))))
+    assert(CommitLog.read(spark, t).select("k").as[Long].collect()
+      .toSet === Set(1L))
+    // tabs/commas in key columns are refused at write
+    intercept[IllegalArgumentException] {
+      CommitLog.commitTagged(t, Nil, Nil, 4L,
+        eqDeletes = Seq(("x", Seq("a,b"))))
+    }
+  }
+
+  test("overlapping positional deletes: the feed emits each row once") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val t = freshDir()
+    stage(t, "f1", Seq((1L, "a"), (2L, "a"), (3L, "a")))
+    CommitLog.commit(t, Seq("f1"), Nil, 0L) // v1
+    // v2 marks k=2; v3 marks k∈{2,3} — k=2 re-marked (both delete
+    // files scan RAW files, so overlap is the documented shape)
+    CommitLog.deleteRows(spark, t, Seq("f1"), col("k") === 2L)
+      .coalesce(1).write.parquet(s"${CommitLog.dataDir(t)}/d2")
+    CommitLog.commit(t, Nil, Nil, 1L, Map.empty, Seq("d2"))
+    CommitLog.deleteRows(spark, t, Seq("f1"),
+      col("k") === 2L || col("k") === 3L)
+      .coalesce(1).write.parquet(s"${CommitLog.dataDir(t)}/d3")
+    CommitLog.commit(t, Nil, Nil, 2L, Map.empty, Seq("d3"))
+    // application was always correct (anti-join): head sees only k=1
+    assert(CommitLog.read(spark, t).select("k").as[Long].collect()
+      .toSet === Set(1L))
+    // the FEED must also be at-most-once per logical row (ADVICE r17):
+    // v3's delete emits ONLY k=3 — k=2 was already dead at the parent
+    val ch = CommitLog.changes(spark, t, 1L, 3L)
+      .select("k", "_change_type", "_commit_version")
+      .as[(Long, String, Long)].collect().toSet
+    assert(ch === Set((2L, "delete", 2L), (3L, "delete", 3L)),
+      s"duplicate delete rows in the feed: $ch")
+  }
+
+  test("lineageVersions and addedBytes: paced-source metadata") {
+    val t = freshDir()
+    stage(t, "f1", Seq((1L, "a")))
+    stage(t, "f2", Seq((2L, "b")))
+    stage(t, "f3", Seq((3L, "c")))
+    CommitLog.commit(t, Seq("f1"), Nil, 0L)
+    CommitLog.commit(t, Seq("f2"), Nil, 1L)
+    CommitLog.commit(t, Seq("f3"), Nil, 2L)
+    assert(CommitLog.lineageVersions(t, 0L, 3L) === Seq(1L, 2L, 3L))
+    assert(CommitLog.lineageVersions(t, 2L, 3L) === Seq(3L))
+    assert(CommitLog.lineageVersions(t, 3L, 3L) === Nil)
+    // each commit added one parquet dir: bytes are positive and sum to
+    // the data dir's total
+    val per = (1L to 3L).map(CommitLog.addedBytes(t, _))
+    assert(per.forall(_ > 0L))
+    def du(f: File): Long =
+      if (f.isDirectory) Option(f.listFiles()).fold(0L)(_.map(du).sum)
+      else f.length()
+    assert(per.sum === du(new File(CommitLog.dataDir(t))))
   }
 
   test("collectMeta: manifest-scale collects are bounded and loud") {
