@@ -506,7 +506,10 @@ object QueriesStorage {
     */
   private[graft] def stor13Table(s: SparkSession, d: String): String = {
     import graft.storage.CommitLog
-    val base = s"${System.getProperty("java.io.tmpdir")}/graft_merge/" +
+    // dir bumped _merge -> _merge2 when the MERGE commit gained its
+    // changeset attachment (st14 reads this table's change feed; an
+    // old cached build without cs_v2 would refuse)
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_merge2/" +
       s"${tag(d)}_${srcFingerprint(d, "orders")}"
     val numCmp = (a: String, b: String) => a.toLong.compare(b.toLong)
     QueriesStorage.synchronized {
@@ -578,8 +581,27 @@ object QueriesStorage {
               CommitLog.ColStats(insSt.getLong(1).toString,
                 insSt.getLong(2).toString))))
           }
-        CommitLog.commit(base, adds ++ insAdds, cands, 1L,
-          statsAdd.toMap ++ insStats)
+        // CHANGESET (VERDICT r17 #2): the writer KNOWS each logical
+        // change while it computes the merge — record them as one tiny
+        // attachment (table columns + _change_type) so the change feed
+        // renders this COW rewrite as update preimage/postimage pairs
+        // instead of refusing. O(changed rows) bytes, written from the
+        // same expressions as the rewrite (bit-identical values).
+        val pre = CommitLog.read(s, base)
+        val updPre = pre.filter(inBand && col("o_orderkey") % 3 === 0)
+        (pre.filter(inBand && col("o_orderkey") % 3 === 1)
+          .withColumn("_change_type", lit("delete")))
+          .unionByName(updPre
+            .withColumn("_change_type", lit("update_preimage")))
+          .unionByName(updPre
+            .withColumn("o_totalprice",
+              col("o_orderkey").cast("double"))
+            .withColumn("_change_type", lit("update_postimage")))
+          .unionByName(ins.withColumn("_change_type", lit("insert")))
+          .coalesce(1).write.parquet(s"$dataDir/cs_v2")
+        CommitLog.commitTagged(base, adds ++ insAdds, cands, 1L,
+          statsAdd.toMap ++ insStats, op = Some("merge"),
+          changeset = Some("cs_v2"))
       }
     }
     base
@@ -917,6 +939,146 @@ object QueriesStorage {
     base
   }
 
+  /** stor22's table: STRING-keyed manifest Bloom filters (VERDICT r17
+    * #4 — stor18's machinery generalized past Long keys). The
+    * documents corpus gets a document URI `source:lang:lpad(doc_id,
+    * 8)` — the text-corpus identity shape — laid out in doc_id-range
+    * buckets (~2000 rows/file, floor 32: file count scales with the
+    * corpus). Each file commits BOTH range stats on the uri string
+    * (the honest negative control: sources/langs interleave within
+    * every bucket, so each file's (min, max) spans nearly the whole
+    * string domain and a point probe prunes ~nothing) AND a Bloom
+    * filter over `md5Prefix60(uri)` — the md5-prefix60 mapping the
+    * text/curation families already use, ANSI-reproducible so the
+    * oracle recomputes bit-exact membership. The filter build is
+    * distributed exactly like stor18 (probe positions exploded per
+    * row, bit_or word folds by (file, word), driver assembles
+    * O(#files) lines). Build-once per (dir, fingerprint).
+    */
+  private[graft] def stor22Table(s: SparkSession, d: String): String = {
+    import graft.storage.CommitLog
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_sbloom/" +
+      s"${tag(d)}_${srcFingerprint(d, "documents")}"
+    QueriesStorage.synchronized {
+      if (CommitLog.latestVersion(base) < 1L) {
+        rmrf(new java.io.File(base))
+        val dataDir = CommitLog.dataDir(base)
+        val docs = Tables.documents(s, d)
+        val n = docs.count()
+        val mxid = docs.agg(max(col("doc_id"))).head().getLong(0)
+        val nF = math.max(32L, (n + 1999L) / 2000L)
+        val step = (mxid + nF) / nF
+        val src = docs.select(
+          expr(s"CAST(doc_id DIV $step AS LONG)").as("bucket"),
+          concat(col("source"), lit(":"), col("lang"), lit(":"),
+            lpad(col("doc_id").cast("string"), 8, "0")).as("uri"),
+          col("n_chars"))
+          .withColumn("h",
+            graft.operators.TextOps.md5Prefix60(col("uri")))
+        src.write.partitionBy("bucket").parquet(dataDir)
+        // uri range stats: committed, and ~powerless by construction
+        val ranges = CommitLog.collectMeta(
+          src.groupBy("bucket")
+            .agg(min(col("uri")).as("u0"), max(col("uri")).as("u1")),
+          "stor22 range stats")
+          .map { r =>
+            f"b_${r.getLong(0)}%05d" -> Map("uri" -> CommitLog.ColStats(
+              r.getString(1), r.getString(2)))
+          }.toMap
+        // Bloom build over h, distributed (stor18's shuffle shape)
+        val (bm, bk) = (16384, 3)
+        val probeCols = (0 until bk).map { i =>
+          ((col("h") % CommitLog.Bloom.P * lit(CommitLog.Bloom.A(i)) +
+            lit(CommitLog.Bloom.B(i)))
+            % CommitLog.Bloom.P % bm).cast("long")
+        }
+        val words = src
+          .select(col("bucket"), explode(array(probeCols: _*)).as("pos"))
+          .select(col("bucket"), shiftright(col("pos"), 6).as("w"),
+            expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))")
+              .as("b"))
+          .groupBy("bucket", "w").agg(expr("bit_or(b)").as("bits"))
+          .groupBy("bucket")
+          .agg(collect_list(struct(col("w"), col("bits"))).as("words"))
+        val blooms = CommitLog.collectMeta(words, "stor22 bloom words")
+          .map { r =>
+            val arr = new Array[Long](bm / 64)
+            r.getSeq[org.apache.spark.sql.Row](1).foreach { wr =>
+              arr(wr.getLong(0).toInt) = wr.getLong(1)
+            }
+            f"b_${r.getLong(0)}%05d" ->
+              Map("uri" -> CommitLog.Bloom(bm, bk, arr))
+          }.toMap
+        listDirs(dataDir, "bucket=").foreach { hive =>
+          val plain = f"b_${hive.stripPrefix("bucket=").toLong}%05d"
+          require(new java.io.File(dataDir, hive)
+            .renameTo(new java.io.File(dataDir, plain)),
+            s"rename $hive -> $plain failed")
+        }
+        CommitLog.commitTagged(base, ranges.keys.toSeq.sorted, Nil, 0L,
+          stats = ranges, blooms = blooms)
+      }
+    }
+    base
+  }
+
+  /** stor23's coordinator: a FACT + derived AGGREGATE pair (the
+    * reference's K1+K3 shape — full table + report landed by one job)
+    * committed through [[graft.storage.TxnLog]] so each batch becomes
+    * visible in BOTH tables atomically. Txn 1 lands every ship month
+    * but the last two, txn 2 the second-to-last; txn 3 (the last
+    * month) is STAGED IN BOTH TABLES but its marker never publishes —
+    * the crash-before-commit-point — so no reader ever sees it in
+    * either table, and the invariant `agg ≡ rollup(fact)` holds at
+    * every commit point by construction. Build-once per (dir,
+    * fingerprint); returns (coordDir, factDir, aggDir).
+    */
+  private[graft] def stor23Coord(s: SparkSession,
+      d: String): (String, String, String) = {
+    import graft.storage.{CommitLog, TxnLog}
+    val coord = s"${System.getProperty("java.io.tmpdir")}/graft_txn/" +
+      s"${tag(d)}_${srcFingerprint(d, "lineitem")}"
+    val fact = s"$coord/fact"
+    val agg = s"$coord/agg"
+    QueriesStorage.synchronized {
+      if (CommitLog.latestVersion(fact) < 2L) {
+        rmrf(new java.io.File(coord))
+        val li = Tables.lineitem(s, d).select(
+          date_trunc("month", col("l_shipdate")).cast("date")
+            .as("month"),
+          floor(col("l_quantity") * 100 + lit(0.5)).cast("long")
+            .as("cents"))
+        // the month spine is a BOUNDED driver list (≤ ~84 entries)
+        val months = li.select("month").distinct().collect()
+          .map(_.getDate(0)).sortBy(_.toString).toSeq
+        require(months.size >= 3, "stor23 needs at least three months")
+        def stageTxn(id: Long,
+            ms: Seq[java.sql.Date]): Seq[TxnLog.Part] = {
+          val rows = li.filter(col("month").isin(ms: _*))
+          rows.write.parquet(s"${CommitLog.dataDir(fact)}/f_t$id")
+          rows.groupBy("month")
+            .agg(count(lit(1)).as("n_rows"),
+              sum(col("cents")).cast("long").as("cents_sum"))
+            .coalesce(1)
+            .write.parquet(s"${CommitLog.dataDir(agg)}/a_t$id")
+          val parts = Seq(TxnLog.Part(fact, Seq(s"f_t$id")),
+            TxnLog.Part(agg, Seq(s"a_t$id")))
+          TxnLog.stage(id, parts)
+          parts
+        }
+        stageTxn(1L, months.dropRight(2))
+        TxnLog.commitMarker(coord, 1L, Seq(fact, agg))
+        stageTxn(2L, Seq(months(months.size - 2)))
+        TxnLog.commitMarker(coord, 2L, Seq(fact, agg))
+        // txn 3: staged in BOTH tables, marker never published — the
+        // crash between stage and commit point
+        stageTxn(3L, Seq(months.last))
+        TxnLog.recover(coord): Unit
+      }
+    }
+    (coord, fact, agg)
+  }
+
   /** stor19's table: PARTITION EVOLUTION (the Iceberg hidden-
     * partitioning idea reduced to its manifest invariant): a table's
     * layout SPEC can change mid-life without rewriting history. v1
@@ -992,6 +1154,97 @@ object QueriesStorage {
         }
         CommitLog.commit(base, st2.map(_._2).toSeq, Nil, 1L,
           st2.map { case (_, p, cs) => p -> cs }.toMap)
+      }
+    }
+    base
+  }
+
+  /** stor21's table: EQUALITY deletes through the commit log (VERDICT
+    * r17 #1 — erasure BY SUBJECT KEY, completing the delete triangle:
+    * COW stor11 rewrites files, positional stor15 marks ordinals,
+    * equality stor21 ships only the KEYS). stor15's month layout plus
+    * a subject key `k = dm·10^12 + l_orderkey·8 + l_linenumber` (dm =
+    * days since 1992-01-01): the ship day rides the high bits, so key
+    * collisions — this synthetic lineitem duplicates (okey, ln) pairs
+    * — can only pair rows with the SAME ship day, keeping "key
+    * matches the window" ⟺ "row in the window" exact (bounds: dm <
+    * 4096 by the data's 1995..2001 domain, okey·8+ln < 10^12 through
+    * sf100, k < 2^62). v2 publishes ONE equality-delete file holding
+    * the DISTINCT keys of the [CowLo, CowHi) window — the erasure
+    * request IS the file: O(keys) bytes, no scan to locate ordinals,
+    * no rewrite; reads apply it as a broadcast anti-join on k. v3
+    * FOLDS exactly like stor15: only the ship-stats planScan
+    * candidates are rewritten with the keys applied (a file left
+    * empty is dropped) and the E file retires in the same atomic
+    * `replace` commit. Build-once per (dir, fingerprint).
+    */
+  private[graft] def stor21Table(s: SparkSession, d: String): String = {
+    import graft.storage.CommitLog
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_eqdel/" +
+      s"${tag(d)}_${srcFingerprint(d, "lineitem")}"
+    QueriesStorage.synchronized {
+      if (CommitLog.latestVersion(base) < 3L) {
+        rmrf(new java.io.File(base))
+        val dataDir = CommitLog.dataDir(base)
+        Tables.lineitem(s, d).select(
+          (datediff(col("l_shipdate").cast("date"),
+            lit("1992-01-01").cast("date")).cast("long")
+            * 1000000000000L +
+            col("l_orderkey") * 8L + col("l_linenumber")).as("k"),
+          col("l_quantity"),
+          col("l_shipdate").cast("date").as("ship"),
+          date_trunc("month", col("l_shipdate")).cast("date")
+            .as("file_month"))
+          .write.partitionBy("file_month").parquet(dataDir)
+        val stats = CommitLog.collectMeta(s.read.parquet(dataDir)
+          .groupBy("file_month")
+          .agg(min(col("ship")).as("mn"), max(col("ship")).as("mx")),
+          "stor21 manifest stats")
+          .map { r =>
+            (s"file_month=${r.getDate(0)}", s"m_${r.getDate(0)}",
+              CommitLog.ColStats(r.getDate(1).toString,
+                r.getDate(2).toString))
+          }
+        // de-Hive (stor11's discipline): fold files must coexist with
+        // originals under one read schema
+        stats.foreach { case (hive, plain, _) =>
+          require(new java.io.File(dataDir, hive)
+            .renameTo(new java.io.File(dataDir, plain)),
+            s"rename $hive -> $plain failed")
+        }
+        CommitLog.commit(base, stats.map(_._2).toSeq, Nil, 0L,
+          stats.map { case (_, p, cs) => p -> Map("ship" -> cs) }.toMap)
+        // --- v2: the EQUALITY delete — distinct window keys, one tiny
+        // file, zero data files touched (contrast stor15: even the
+        // positional form had to SCAN candidates to learn ordinals)
+        val delPred = col("ship") >= lit(CowLo).cast("date") &&
+          col("ship") < lit(CowHi).cast("date")
+        CommitLog.read(s, base).filter(delPred)
+          .select(col("k")).distinct()
+          .coalesce(1).write.parquet(s"$dataDir/eq_v2")
+        CommitLog.commitTagged(base, Nil, Nil, 1L,
+          eqDeletes = Seq(("eq_v2", Seq("k"))))
+        // --- v3: the FOLD — candidates from ship stats alone, each
+        // rewritten with the reader's own key anti-join, the E file
+        // retired in the same atomic commit
+        val cands = CommitLog.planScan(base, 1L,
+          Seq(CommitLog.RangePredicate("ship", CowLo, CowHi))).selected
+        val keys = s.read.parquet(s"$dataDir/eq_v2")
+        val (adds, statsAdd) = cands.flatMap { f =>
+          val kept = CommitLog.readFiles(s, base, Seq(f))
+            .join(broadcast(keys), Seq("k"), "left_anti")
+          val st = kept.agg(count(lit(1)), min(col("ship")),
+            max(col("ship"))).head()
+          if (st.getLong(0) == 0L) None // fully erased: drop
+          else {
+            val out = s"fold3_$f"
+            kept.write.parquet(s"$dataDir/$out")
+            Some((out, out -> Map("ship" -> CommitLog.ColStats(
+              st.getDate(1).toString, st.getDate(2).toString))))
+          }
+        }.unzip
+        CommitLog.commitTagged(base, adds, cands :+ "eq_v2", 2L,
+          statsAdd.toMap, op = Some("replace"))
       }
     }
     base
@@ -1374,6 +1627,46 @@ object QueriesStorage {
       }.reduce(_ unionByName _)
     }),
 
+    // EQUALITY DELETE through the commit log (VERDICT r17 #1 — the
+    // third delete form, closing the triangle: COW stor11 rewrites
+    // whole files synchronously, positional stor15 scans candidates
+    // once to learn (file, ordinal) pairs, equality stor21 writes
+    // ONLY THE SUBJECT KEYS — the GDPR-erasure request lands as one
+    // tiny file with zero data I/O, and reads apply it as a broadcast
+    // anti-join on the key). v3 folds like stor15: candidates from
+    // ship stats alone are rewritten with the keys applied and the E
+    // file retires atomically. The query reports the per-version
+    // ledger — data/E-file counts, keys marked, visible rows, exact
+    // cents. THREE-WAY PARITY: the delete window matches stor11/
+    // stor15 exactly, so all three oracles recompute the SAME month
+    // arithmetic ground truth — equal rows_visible/cents across the
+    // three queries IS the COW ≡ positional ≡ equality proof
+    // (StorageCompactionSpec asserts the head-state signatures equal
+    // directly). The oracle adds the distinct-key count from the same
+    // key formula.
+    "stor21_eq_delete" -> ((s, d) => {
+      import graft.storage.CommitLog
+      val t = stor21Table(s, d)
+      val dataDir = CommitLog.dataDir(t)
+      (1L to 3L).map { v =>
+        val nData = CommitLog.liveFiles(t, v).size
+        val eqs = CommitLog.liveEqDeleteFiles(t, v)
+        val marked =
+          if (eqs.isEmpty) lit(0L)
+          else lit(s.read.parquet(
+            eqs.map(_._1).map(f => s"$dataDir/$f"): _*).count())
+        CommitLog.read(s, t, Some(v))
+          .agg(count(lit(1)).as("rows_visible"),
+            sum(floor(col("l_quantity") * 100 + lit(0.5)).cast("long"))
+              .cast("long").as("sum_qty_cents"))
+          .select(lit(v).as("version"),
+            lit(nData.toLong).as("n_data_files"),
+            lit(eqs.size.toLong).as("n_eqdelete_files"),
+            marked.as("keys_marked"),
+            col("rows_visible"), col("sum_qty_cents"))
+      }.reduce(_ unionByName _)
+    }),
+
     // Z-ORDER-AWARE COMPACTION, executed (VERDICT r16 #3): v1 is the
     // ingest-ordered month layout (dm bounds tight, pk bounds
     // full-domain per file — stor2's negative control), v2 the same
@@ -1593,6 +1886,107 @@ object QueriesStorage {
           lit(zone.selected.size.toLong).as("zone_selected"),
           lit(bloom.selected.size.toLong).as("bloom_selected"),
           col("rows_scanned"), col("rows_matched"), col("cents_matched"))
+      }.reduce(_ unionByName _)
+    }),
+
+    // MULTI-TABLE ATOMIC COMMIT (VERDICT r17 #6): a fact table and
+    // its derived aggregate land through the transaction log — stage
+    // in both, ONE atomic marker claim, idempotent expose — so
+    // readers see each batch in neither table or both. Txn 3 stages
+    // the last month in both tables but crashes before its marker:
+    // its rows are invisible in BOTH (a per-table commit protocol
+    // would have let one table expose and not the other). The query
+    // full-outer-joins rollup(fact) with the agg table per month —
+    // any parity break (a month on one side only, mismatched
+    // counts/cents) would surface as nulls in the hash — plus the
+    // coordinator ledger: 2 committed txns, both tables at v2, one
+    // staged-pending txn. The oracle recomputes the month arithmetic
+    // with the last month held out. TxnLogSpec pins the crash matrix
+    // (pre-marker invisibility, post-marker recovery, racing
+    // recoverers, abort refusal).
+    "stor23_multitable_txn" -> ((s, d) => {
+      import graft.storage.{CommitLog, TxnLog}
+      val (coord, fact, agg) = stor23Coord(s, d)
+      val factDf = TxnLog.read(s, coord, fact)
+      val aggDf = TxnLog.read(s, coord, agg)
+      val roll = factDf.groupBy("month")
+        .agg(count(lit(1)).as("n_fact_rows"),
+          sum(col("cents")).cast("long").as("cents_fact"))
+      roll.join(aggDf, Seq("month"), "full_outer")
+        .select(col("month"), col("n_fact_rows"), col("cents_fact"),
+          col("n_rows").as("n_agg_rows"),
+          col("cents_sum").as("cents_agg"),
+          lit(TxnLog.committedTxns(coord).size.toLong)
+            .as("n_txns_committed"),
+          lit(CommitLog.latestVersion(fact)).as("fact_version"),
+          lit(CommitLog.latestVersion(agg)).as("agg_version"),
+          lit(TxnLog.stagedTxnIds(fact).size.toLong)
+            .as("n_staged_pending"))
+    }),
+
+    // STRING-KEYED BLOOM FILE SKIPPING (VERDICT r17 #4): point and
+    // batch lookups by DOCUMENT URI over the text corpus, planned
+    // from manifest Bloom filters built on md5Prefix60(uri) — the
+    // erasure/lookup shape for doc_id/text-keyed tables where stor18's
+    // Long-key hashing can't reach. The uri zone maps are the honest
+    // negative control (sources/langs interleave in every bucket, so
+    // string (min, max) keeps ~every file); the bloom plan opens the
+    // handful that can hold the key. Three arms: a present uri, an
+    // absent in-domain uri, and a 10-key batch (InPredicate.ofString —
+    // the GDPR-text shape). Correctness is exact: no false negatives,
+    // so matched rows/chars equal the global uri-equality counts. The
+    // oracle rebuilds the bucket layout, the uris, the md5-prefix60
+    // hashes, and bit-exact Bloom membership relationally.
+    "stor22_string_bloom_skip" -> ((s, d) => {
+      import graft.storage.CommitLog
+      val t = stor22Table(s, d)
+      val docs = CommitLog.read(s, t)
+      // probe construction is a BOUNDED driver-side step (one scalar +
+      // ≤10 uris — the probe set, not data)
+      val mxid = s.read.parquet(s"$d/documents.parquet")
+        .agg(max(col("doc_id"))).head().getLong(0)
+      val hitUri = docs.filter(
+        col("uri").endsWith(f":${mxid / 2L}%08d"))
+        .select(col("uri")).head().getString(0)
+      val missUri = f"src0:en:${mxid + 7L}%08d"
+      val batchIds = (0 until 10).map(i => i.toLong * (mxid / 16L) + 3L)
+      val batchUris = docs.filter(
+        col("uri").substr(lit(-8), lit(8)).cast("long")
+          .isin(batchIds: _*))
+        .select(col("uri")).collect().map(_.getString(0)).toSeq.sorted
+      val nFiles = CommitLog.liveFiles(t, 1L).size.toLong
+      // per-key zone probe, unioned across the batch (disjunction —
+      // planScan's predicate list is a conjunction)
+      def zoneSel(uris: Seq[String]): Long =
+        uris.map(u => CommitLog.planScan(t, 1L,
+          Seq(CommitLog.RangePredicate("uri", u, u + "~")))
+          .selected.toSet).reduce(_ ++ _).size.toLong
+      Seq(("hit", Seq(hitUri)), ("miss", Seq(missUri)),
+        ("batch", batchUris)).map { case (label, uris) =>
+        val sel =
+          if (uris.size == 1)
+            CommitLog.planScan(t, 1L, Nil,
+              Seq(CommitLog.EqPredicate.ofString("uri", uris.head)))
+              .selected
+          else CommitLog.planScan(t, 1L, Nil, Nil,
+            Seq(CommitLog.InPredicate.ofString("uri", uris))).selected
+        val inSet = col("uri").isin(uris: _*)
+        val agg =
+          if (sel.isEmpty)
+            s.range(1).select(lit(0L).as("rows_scanned"),
+              lit(0L).as("rows_matched"), lit(0L).as("chars_matched"))
+          else CommitLog.readFiles(s, t, sel)
+            .agg(count(lit(1)).as("rows_scanned"),
+              sum(when(inSet, 1L).otherwise(0L)).as("rows_matched"),
+              coalesce(sum(when(inSet, col("n_chars"))), lit(0L))
+                .cast("long").as("chars_matched"))
+        agg.select(lit(label).as("probe"),
+          lit(uris.size.toLong).as("n_keys"),
+          lit(nFiles).as("n_files"),
+          lit(zoneSel(uris)).as("zone_selected"),
+          lit(sel.size.toLong).as("bloom_selected"),
+          col("rows_scanned"), col("rows_matched"),
+          col("chars_matched"))
       }.reduce(_ unionByName _)
     }),
 
@@ -2130,6 +2524,60 @@ object QueriesStorage {
         |SELECT CAST(3 AS BIGINT), n_months - n_cand + n_refold,
         |  CAST(0 AS BIGINT), CAST(0 AS BIGINT), rows_kept, c_kept
         |FROM t""".stripMargin,
+    // stor21: the equality-delete ledger from the SAME month
+    // arithmetic as stor11/stor15 (shared ground truth IS the
+    // three-way COW ≡ positional ≡ equality proof): v1 full table,
+    // v2 = one E file carrying the distinct window keys (the subject
+    // key formula restated verbatim: dm·10^12 + okey·8 + ln) with
+    // every data file untouched, v3 = the fold's file ledger with
+    // identical visible state.
+    "stor21_eq_delete" ->
+      """WITH f AS (SELECT date_trunc('month', l_shipdate)::DATE AS m,
+        |    count(*) AS n_rows,
+        |    min(l_shipdate::DATE) AS mn, max(l_shipdate::DATE) AS mx,
+        |    CAST(sum(CASE WHEN l_shipdate::DATE >= DATE '1997-04-15'
+        |      AND l_shipdate::DATE < DATE '1997-06-20'
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_del,
+        |    CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS cents_all,
+        |    CAST(sum(CASE WHEN l_shipdate::DATE < DATE '1997-04-15'
+        |      OR l_shipdate::DATE >= DATE '1997-06-20'
+        |      THEN CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)
+        |      ELSE 0 END) AS BIGINT) AS cents_kept
+        |  FROM lineitem GROUP BY 1),
+        |ks AS (SELECT CAST(count(DISTINCT
+        |      CAST(date_diff('day', DATE '1992-01-01',
+        |        l_shipdate::DATE) AS BIGINT) * 1000000000000
+        |      + l_orderkey * 8 + l_linenumber) AS BIGINT) AS nk
+        |  FROM lineitem
+        |  WHERE l_shipdate::DATE >= DATE '1997-04-15'
+        |    AND l_shipdate::DATE < DATE '1997-06-20'),
+        |z AS (SELECT *,
+        |    NOT (mx < DATE '1997-04-15' OR mn >= DATE '1997-06-20')
+        |      AS cand,
+        |    n_rows - n_del AS n_kept
+        |  FROM f),
+        |t AS (SELECT count(*) AS n_months,
+        |    CAST(sum(n_rows) AS BIGINT) AS rows_all,
+        |    CAST(sum(n_kept) AS BIGINT) AS rows_kept,
+        |    CAST(sum(cents_all) AS BIGINT) AS c_all,
+        |    CAST(sum(cents_kept) AS BIGINT) AS c_kept,
+        |    CAST(sum(CASE WHEN cand THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_cand,
+        |    CAST(sum(CASE WHEN cand AND n_kept > 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_refold
+        |  FROM z)
+        |SELECT CAST(1 AS BIGINT) AS version, n_months AS n_data_files,
+        |  CAST(0 AS BIGINT) AS n_eqdelete_files,
+        |  CAST(0 AS BIGINT) AS keys_marked,
+        |  rows_all AS rows_visible, c_all AS sum_qty_cents FROM t
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), n_months, CAST(1 AS BIGINT),
+        |  ks.nk, rows_kept, c_kept FROM t, ks
+        |UNION ALL
+        |SELECT CAST(3 AS BIGINT), n_months - n_cand + n_refold,
+        |  CAST(0 AS BIGINT), CAST(0 AS BIGINT), rows_kept, c_kept
+        |FROM t""".stripMargin,
     // stor16: both layouts recomputed relationally — month zone maps
     // for v1, the exact zSql interleave rank → 64 equal-row chunk zone
     // maps for v2 (stor4's arithmetic) — plus the 2-D box skip ledger,
@@ -2392,6 +2840,107 @@ object QueriesStorage {
          |${arm("hit", "q.qhit")}
          |UNION ALL
          |${arm("miss", "q.qmiss")}""".stripMargin
+    },
+    // stor23: the month arithmetic with the LAST month held out (txn
+    // 3 staged but never marked): per visible month the fact rollup
+    // and the agg row carry identical counts/cents, and the ledger
+    // columns are the protocol constants (2 committed, both tables at
+    // v2, 1 staged-pending).
+    "stor23_multitable_txn" ->
+      """WITH li AS (SELECT date_trunc('month', l_shipdate)::DATE
+        |      AS month,
+        |    CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM lineitem),
+        |mm AS (SELECT max(month) AS last FROM li),
+        |vis AS (SELECT month, CAST(count(*) AS BIGINT) AS n_fact_rows,
+        |    CAST(sum(cents) AS BIGINT) AS cents_fact
+        |  FROM li, mm WHERE month < mm.last GROUP BY 1)
+        |SELECT month, n_fact_rows, cents_fact,
+        |  n_fact_rows AS n_agg_rows, cents_fact AS cents_agg,
+        |  CAST(2 AS BIGINT) AS n_txns_committed,
+        |  CAST(2 AS BIGINT) AS fact_version,
+        |  CAST(2 AS BIGINT) AS agg_version,
+        |  CAST(1 AS BIGINT) AS n_staged_pending
+        |FROM vis""".stripMargin,
+    // stor22: the string-key form of stor18/stor20's membership
+    // arithmetic — uris, md5-prefix60 hashes, the doc_id bucket
+    // layout, per-(probe, file) bit-exact Bloom membership (3 targets
+    // × 3 probes over the file's row hashes), per-(probe, file) zone
+    // overlap on the uri string bounds, and the matched rows/chars
+    // from raw uri equality.
+    "stor22_string_bloom_skip" -> {
+      def pr(v: String, i: Int): String =
+        s"((($v) % 2147483647) * " +
+          s"${graft.storage.CommitLog.Bloom.A(i)} + " +
+          s"${graft.storage.CommitLog.Bloom.B(i)}) % 2147483647 % 16384"
+      val hit = (0 until 3).map { ti =>
+        val tgt = pr("ks.kh", ti)
+        val any = (0 until 3)
+          .map(pi => s"${pr("br.h", pi)} = ($tgt)").mkString(" OR ")
+        s"max(CASE WHEN $any THEN 1 ELSE 0 END) = 1"
+      }.mkString(" AND ")
+      s"""WITH p AS (SELECT max(doc_id) AS mxid, count(*) AS n
+         |  FROM documents),
+         |prm AS (SELECT mxid, n,
+         |    (mxid + GREATEST(32, (n + 1999) // 2000))
+         |      // GREATEST(32, (n + 1999) // 2000) AS step
+         |  FROM p),
+         |b AS (SELECT d.doc_id, d.doc_id // prm.step AS bucket,
+         |    d.source || ':' || d.lang || ':' ||
+         |      lpad(CAST(d.doc_id AS VARCHAR), 8, '0') AS uri,
+         |    CAST(concat('0x', substr(md5(d.source || ':' || d.lang ||
+         |      ':' || lpad(CAST(d.doc_id AS VARCHAR), 8, '0')), 1, 15))
+         |      AS BIGINT) AS h,
+         |    d.n_chars
+         |  FROM documents d CROSS JOIN prm),
+         |ks AS (
+         |  SELECT 'hit' AS probe, b.uri AS k, b.h AS kh
+         |    FROM b, p WHERE b.doc_id = p.mxid // 2
+         |  UNION ALL
+         |  SELECT 'miss',
+         |    'src0:en:' || lpad(CAST(p.mxid + 7 AS VARCHAR), 8, '0'),
+         |    CAST(concat('0x', substr(md5('src0:en:' ||
+         |      lpad(CAST(p.mxid + 7 AS VARCHAR), 8, '0')), 1, 15))
+         |      AS BIGINT)
+         |  FROM p
+         |  UNION ALL
+         |  SELECT 'batch', b.uri, b.h
+         |    FROM b, p, range(0, 10) t(i)
+         |    WHERE b.doc_id = i * (p.mxid // 16) + 3),
+         |fs AS (SELECT bucket, count(*) AS nr, min(uri) AS mnu,
+         |    max(uri) AS mxu FROM b GROUP BY 1),
+         |br AS (SELECT b.bucket, b.h FROM b),
+         |fk AS (SELECT ks.probe, ks.k, br.bucket, ($hit) AS hit
+         |  FROM br, ks GROUP BY ks.probe, ks.k, br.bucket),
+         |fsel AS (SELECT probe, bucket,
+         |    max(CASE WHEN hit THEN 1 ELSE 0 END) = 1 AS bsel
+         |  FROM fk GROUP BY 1, 2),
+         |zs AS (SELECT ks.probe, fs.bucket,
+         |    max(CASE WHEN fs.mnu <= ks.k AND fs.mxu >= ks.k
+         |      THEN 1 ELSE 0 END) = 1 AS zsel
+         |  FROM ks, fs GROUP BY 1, 2),
+         |ag AS (SELECT f.probe,
+         |    CAST(sum(CASE WHEN f.bsel THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS bloom_selected,
+         |    CAST(sum(CASE WHEN f.bsel THEN fs.nr ELSE 0 END) AS BIGINT)
+         |      AS rows_scanned,
+         |    CAST(sum(CASE WHEN z.zsel THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS zone_selected
+         |  FROM fsel f JOIN fs USING (bucket)
+         |    JOIN zs z ON z.probe = f.probe AND z.bucket = f.bucket
+         |  GROUP BY 1),
+         |nk AS (SELECT probe, CAST(count(*) AS BIGINT) AS n_keys
+         |  FROM ks GROUP BY 1),
+         |mt AS (SELECT ks.probe,
+         |    CAST(count(b.uri) AS BIGINT) AS rows_matched,
+         |    CAST(coalesce(sum(b.n_chars), 0) AS BIGINT)
+         |      AS chars_matched
+         |  FROM ks LEFT JOIN b ON b.uri = ks.k GROUP BY 1)
+         |SELECT ag.probe, nk.n_keys,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM fs) AS n_files,
+         |  ag.zone_selected, ag.bloom_selected, ag.rows_scanned,
+         |  mt.rows_matched, mt.chars_matched
+         |FROM ag JOIN nk USING (probe) JOIN mt USING (probe)""".stripMargin
     },
     // stor13: the merge band, the key-bucket layout, and both cent
     // checksums recomputed from raw orders. Updated rows are worth

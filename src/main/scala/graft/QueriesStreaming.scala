@@ -122,6 +122,68 @@ object QueriesStreaming {
         .agg(count(lit(1)).as("n_rows"),
           sum(col("cents")).cast("long").as("sum_qty_cents"))
     }),
+    // CDF UPDATE PAIRS ACROSS A MERGE (VERDICT r17 #2 — the gap st13
+    // left): stor13's COW MERGE commit now carries a CHANGESET the
+    // writer recorded at commit time (the Delta `_change_data` idea),
+    // so the feed renders the rewrite as update_preimage/postimage
+    // PAIRS plus inserts and deletes instead of refusing — a
+    // downstream sync applies an update across the MERGE as O(changed
+    // rows) where r17's feed forced a full rebuild. The query proves
+    // the CDF contract end-to-end: applying the feed to read(v1)
+    // (minus = delete ∪ update_preimage anti-joined on full content,
+    // plus = insert ∪ update_postimage unioned) reconstructs read(v2)
+    // EXACTLY — the symmetric difference, computed distributively as
+    // a full-outer join of row-multiset counts, is zero — alongside
+    // the feed's change-type ledger and both sides' row/cent
+    // checksums. The oracle recomputes everything from stor13's band
+    // arithmetic over raw orders.
+    "st14_cdf_update_pairs" -> ((s, d) => {
+      import graft.storage.CommitLog
+      val t = QueriesStorage.stor13Table(s, d)
+      val feed = CommitLog.changes(s, t, 1L, 2L)
+      val minus = feed.filter(col("_change_type")
+        .isin("delete", "update_preimage"))
+        .select(col("o_orderkey"), col("o_totalprice"))
+      val plus = feed.filter(col("_change_type")
+        .isin("insert", "update_postimage"))
+        .select(col("o_orderkey"), col("o_totalprice"))
+      val rebuilt = CommitLog.read(s, t, Some(1L))
+        .join(minus, Seq("o_orderkey", "o_totalprice"), "left_anti")
+        .unionByName(plus)
+      val v2 = CommitLog.read(s, t, Some(2L))
+      def cents = sum(floor(col("o_totalprice") * 100 + lit(0.5))
+        .cast("long")).cast("long")
+      val ledger = feed.agg(
+        sum(when(col("_change_type") === "delete", 1L).otherwise(0L))
+          .as("n_delete"),
+        sum(when(col("_change_type") === "update_preimage", 1L)
+          .otherwise(0L)).as("n_update_pre"),
+        sum(when(col("_change_type") === "update_postimage", 1L)
+          .otherwise(0L)).as("n_update_post"),
+        sum(when(col("_change_type") === "insert", 1L).otherwise(0L))
+          .as("n_insert"))
+      val ra = rebuilt.agg(count(lit(1)).as("rows_rebuilt"),
+        cents.as("cents_rebuilt"))
+      val va = v2.agg(count(lit(1)).as("rows_v2"), cents.as("cents_v2"))
+      // exact multiset equality, in-plan: per-row counts full-outer
+      // joined, absolute differences summed — 0 iff rebuilt ≡ v2
+      val da = rebuilt.groupBy("o_orderkey", "o_totalprice")
+        .agg(count(lit(1)).as("na"))
+      val db = v2.groupBy("o_orderkey", "o_totalprice")
+        .agg(count(lit(1)).as("nb"))
+      val sym = da.join(db, Seq("o_orderkey", "o_totalprice"),
+        "full_outer")
+        .agg(coalesce(sum(abs(coalesce(col("na"), lit(0L)) -
+          coalesce(col("nb"), lit(0L)))), lit(0L)).cast("long")
+          .as("sym_diff"))
+      ledger.crossJoin(broadcast(va)).crossJoin(broadcast(ra))
+        .crossJoin(broadcast(sym))
+        .select(col("n_delete"), col("n_update_pre"),
+          col("n_update_post"), col("n_insert"),
+          col("rows_v2"), col("rows_rebuilt"),
+          col("cents_v2"), col("cents_rebuilt"), col("sym_diff"))
+    }),
+
     // Tumbling 1-hour event-time windows per event type.
     "st1_tumbling_window" -> ((s, d) => {
       StreamingOps.tumblingAgg(Tables.events(s, d), "ts", "1 hour",
@@ -515,6 +577,38 @@ object QueriesStreaming {
         |  n_all AS n_rows, c_all AS sum_qty_cents FROM t
         |UNION ALL
         |SELECT CAST(2 AS BIGINT), 'delete', n_del, c_del FROM t""".stripMargin,
+    // st14: the MERGE changeset ledger and the reconstruction parity
+    // from stor13's band arithmetic over raw orders — update pairs
+    // count the band's k%3=0 keys, rebuilt ≡ v2 so both sides carry
+    // the head checksum and the symmetric difference is exactly 0.
+    "st14_cdf_update_pairs" ->
+      """WITH p AS (SELECT max(o_orderkey) AS mx,
+        |    max(o_orderkey) // 4 AS lo,
+        |    max(o_orderkey) // 4 + max(o_orderkey) // 20 AS hi
+        |  FROM orders),
+        |b AS (SELECT o.o_orderkey AS k, o.o_totalprice AS pr,
+        |    (o.o_orderkey >= p.lo AND o.o_orderkey < p.hi) AS band
+        |  FROM orders o CROSS JOIN p),
+        |r AS (SELECT count(*) AS rows_v1,
+        |    CAST(sum(CASE WHEN band AND k % 3 = 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_delete,
+        |    CAST(sum(CASE WHEN band AND k % 3 = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_upd,
+        |    CAST(sum(CASE WHEN band AND k % 3 = 2 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_insert,
+        |    CAST(sum(CASE WHEN band AND k % 3 = 1 THEN 0
+        |        WHEN band AND k % 3 = 0 THEN k * 100
+        |        ELSE CAST(floor(pr * 100 + 0.5) AS BIGINT) END)
+        |      + sum(CASE WHEN band AND k % 3 = 2 THEN k * 100
+        |        ELSE 0 END) AS BIGINT) AS cents_head
+        |  FROM b)
+        |SELECT n_delete, n_upd AS n_update_pre, n_upd AS n_update_post,
+        |  n_insert,
+        |  rows_v1 + n_insert - n_delete AS rows_v2,
+        |  rows_v1 + n_insert - n_delete AS rows_rebuilt,
+        |  cents_head AS cents_v2, cents_head AS cents_rebuilt,
+        |  CAST(0 AS BIGINT) AS sym_diff
+        |FROM r""".stripMargin,
     "st8_disorder" ->
       """WITH a AS (
         |  SELECT event_type, epoch_us(ts) AS us,

@@ -78,7 +78,12 @@ object SparkEntry {
       "text.lm_bigrams" -> Set("x36_backoff_lm"),
       "vector.prep" -> (QueriesVector.queries.keySet -
         "d23_semdedup"),
-      "vector.semdedup_cells" -> Set("d23_semdedup"),
+      // d24 reads the cells via semdedupPairs (its multi-probe arm
+      // routes over the SAME cached ranked corpus) — without it here a
+      // solo d24 bench run absorbed the whole routing-chain build and
+      // looked 3x slower than its baseline (VERDICT r17 #8)
+      "vector.semdedup_cells" -> Set("d23_semdedup",
+        "d24_semdedup_recall"),
       "vector.v19_pairs" -> Set("v19_ivf_tradeoff"),
       "events.rfm_users" -> Set("e9_survival"),
       "events.rfm_ranked" -> Set("e11_rfm", "e14_pareto80"),

@@ -251,11 +251,12 @@ object CommitLog {
     extends RuntimeException(
       s"snapshot v$asOf expired: earliest surviving version is v$earliest")
 
-  private def logDir(tableDir: String): File = new File(tableDir, "_log")
+  private[storage] def logDir(tableDir: String): File =
+    new File(tableDir, "_log")
   def dataDir(tableDir: String): String =
     new File(tableDir, "data").getAbsolutePath
 
-  private def manifestName(v: Long): String = f"v$v%05d.txt"
+  private[storage] def manifestName(v: Long): String = f"v$v%05d.txt"
   private def checkpointName(v: Long): String = f"v$v%05d.checkpoint.txt"
 
   private def versionOf(name: String): Option[Long] =
@@ -462,11 +463,11 @@ object CommitLog {
   @volatile private[graft] var publishPrimitive: PublishPrimitive =
     HardLinkPublish
 
-  private def publishAtomic(tableDir: String, name: String,
+  private[storage] def publishAtomic(tableDir: String, name: String,
       body: String): Boolean =
     publishAtomicIn(logDir(tableDir), name, body)
 
-  private def publishAtomicIn(dir: File, name: String,
+  private[storage] def publishAtomicIn(dir: File, name: String,
       body: String): Boolean =
     publishPrimitive.claim(dir, name, body)
 
@@ -1465,10 +1466,13 @@ object CommitLog {
       "vacuumOrphans needs a positive grace window: an in-flight " +
         "writer stages BEFORE it commits, so the grace must exceed " +
         "the longest stage-to-commit latency or the vacuum races it")
+    // staged-but-unexposed txn bodies (TxnLog) anchor their data files
+    // too: a multi-table txn stages before its marker publishes, and
+    // the vacuum must not race the MARK
     val referenced = listLog(tableDir).flatMap { f =>
       val (a, r, dl) = parse(f)
       a ++ r ++ dl ++ parseEq(f).map(_._1) ++ parseChangeset(f)
-    }.map(_.split("/").head).toSet
+    }.map(_.split("/").head).toSet ++ TxnLog.stagedReferences(tableDir)
     val cutoff = System.currentTimeMillis() - graceMs
     val entries = Option(new File(dataDir(tableDir)).listFiles())
       .fold(Seq.empty[File])(_.toSeq)

@@ -92,7 +92,9 @@ object CommitLogStream {
 
 private class CommitLogSource(ctx: SQLContext, dir: String,
     maxVersionsPerBatch: Long, cdf: Boolean,
-    maxBytesPerBatch: Option[Long]) extends Source {
+    maxBytesPerBatch: Option[Long]) extends Source
+    with org.apache.spark.sql.connector.read.streaming
+      .SupportsTriggerAvailableNow {
   require(maxVersionsPerBatch >= 1L,
     s"maxVersionsPerBatch must be >= 1, got $maxVersionsPerBatch")
   maxBytesPerBatch.foreach(b => require(b >= 1L,
@@ -113,6 +115,41 @@ private class CommitLogSource(ctx: SQLContext, dir: String,
     */
   private var offered: Long = -1L
 
+  /** One paced step above `base` toward `head`: the next offset this
+    * source is willing to serve, or None when caught up. Steps along
+    * the HEAD'S LINEAGE, never by version-number arithmetic — on a
+    * branched log main can skip numbers claimed by concurrent
+    * branches, and offering such a number would make the lineage walk
+    * in getBatch refuse (ADVICE r17). Pacing: at most
+    * `maxVersionsPerBatch` commits, and (when `maxBytesPerBatch` is
+    * set — VERDICT r17 #7) at most the commits whose cumulative added
+    * bytes first reach the cap, minimum one per batch (a single fat
+    * commit still ships whole; versions are the atomic unit) — so a
+    * late-starting consumer's backfill splits into memory-bounded
+    * batches instead of one batch proportional to how far behind it
+    * fell. Sizes come from addedBytes (O(#files in commit) metadata
+    * stats, no data read).
+    */
+  private def nextPaced(base: Long, head: Long): Option[Long] = {
+    if (head <= base) None
+    else {
+      val lineage = CommitLog.lineageVersions(dir, base, head)
+      val take = math.min(lineage.size.toLong, maxVersionsPerBatch).toInt
+      val capped = maxBytesPerBatch match {
+        case None => take
+        case Some(cap) =>
+          var acc = 0L
+          var n = 0
+          while (n < take && acc < cap) {
+            acc += CommitLog.addedBytes(dir, lineage(n))
+            n += 1
+          }
+          n
+      }
+      Some(lineage(capped - 1))
+    }
+  }
+
   override def getOffset: Option[Offset] = {
     // track the REF head, not the global version counter: on a
     // branched log the global max can be an unpublished branch head
@@ -124,38 +161,57 @@ private class CommitLogSource(ctx: SQLContext, dir: String,
     if (head == 0L) None
     else {
       val base = if (offered < 0L) 0L else offered
-      if (head <= base) Some(LongOffset(base))
-      else {
-        // step along the HEAD'S LINEAGE, never by version-number
-        // arithmetic: on a branched log main can skip numbers claimed
-        // by concurrent branches, and offering such a number would
-        // make the lineage walk in getBatch refuse
-        val lineage = CommitLog.lineageVersions(dir, base, head)
-        val take = math.min(lineage.size.toLong, maxVersionsPerBatch).toInt
-        // byte pacing (VERDICT r17 #7): admit commits until their
-        // cumulative added bytes reach the cap — at least one per
-        // batch (a single fat commit still ships whole; versions are
-        // the atomic unit) — so a late-starting consumer's backfill
-        // splits into memory-bounded batches instead of one batch
-        // proportional to how far behind it fell. Sizes come from
-        // addedBytes (O(#files in commit) metadata stats, no data
-        // read).
-        val capped = maxBytesPerBatch match {
-          case None => take
-          case Some(cap) =>
-            var acc = 0L
-            var n = 0
-            while (n < take && acc < cap) {
-              acc += CommitLog.addedBytes(dir, lineage(n))
-              n += 1
-            }
-            n
-        }
-        val next = lineage(capped - 1)
-        offered = math.max(offered, next)
-        Some(LongOffset(next))
-      }
+      val next = nextPaced(base, head).getOrElse(base)
+      offered = math.max(offered, next)
+      Some(LongOffset(next))
     }
+  }
+
+  // ---- SupportsTriggerAvailableNow (VERDICT r17 #7) ----------------
+  // Implemented NATIVELY (not via the engine's config-gated
+  // AvailableNowSourceWrapper, which pins its target from ONE paced
+  // getOffset and would stop a multi-batch catch-up after the first
+  // step): prepareForTriggerAvailableNow pins the main-lineage head at
+  // query start, latestOffset drains toward it through the same
+  // version/byte pacing, and the engine stops when the pinned target
+  // is reached — a paced, finite backfill.
+
+  /** Catch-up target pinned at AvailableNow query start. */
+  private var availableNowTarget: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget = Some(CommitLog.defaultVersion(dir))
+
+  override def getDefaultReadLimit
+      : org.apache.spark.sql.connector.read.streaming.ReadLimit =
+    org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable()
+
+  /** Admission-control form of [[getOffset]]: `start` is the engine's
+    * last known offset (authoritative across restarts — the WAL's
+    * committed offset arrives here before any getBatch call). The
+    * ReadLimit is ignored: pacing is this source's own
+    * maxVersionsPerBatch/maxBytesPerBatch contract.
+    */
+  override def latestOffset(
+      start: org.apache.spark.sql.connector.read.streaming.Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit)
+      : org.apache.spark.sql.connector.read.streaming.Offset = {
+    val base = math.max(Option(start).map(asVersionAny).getOrElse(0L),
+      math.max(offered, 0L))
+    val headAll = CommitLog.defaultVersion(dir)
+    val head = availableNowTarget.fold(headAll)(math.min(headAll, _))
+    nextPaced(base, head) match {
+      case Some(next) =>
+        offered = math.max(offered, next)
+        LongOffset(next)
+      case None => if (base == 0L) null else LongOffset(base)
+    }
+  }
+
+  override def reportLatestOffset()
+      : org.apache.spark.sql.connector.read.streaming.Offset = {
+    val head = CommitLog.defaultVersion(dir)
+    if (head == 0L) null else LongOffset(head)
   }
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
@@ -180,12 +236,20 @@ private class CommitLogSource(ctx: SQLContext, dir: String,
         isStreaming = true)
   }
 
-  private def asVersion(o: Offset): Long = o match {
-    case l: LongOffset => l.offset
-    case other => LongOffset(
-      org.apache.spark.sql.execution.streaming.runtime.SerializedOffset(
-        other.json)).offset
-  }
+  private def asVersion(o: Offset): Long = asVersionAny(o)
+
+  /** v1 and v2 offsets share the json form; the v1 abstract class
+    * implements the connector interface, so one decoder serves
+    * getBatch (v1) and latestOffset (admission control).
+    */
+  private def asVersionAny(
+      o: org.apache.spark.sql.connector.read.streaming.Offset): Long =
+    o match {
+      case l: LongOffset => l.offset
+      case other => LongOffset(
+        org.apache.spark.sql.execution.streaming.runtime.SerializedOffset(
+          other.json)).offset
+    }
 
   override def stop(): Unit = ()
 

@@ -276,6 +276,80 @@ class StorageCompactionSpec extends SparkTestBase {
       f"COW would rewrite $cowBytes B (${cowBytes.toDouble / morBytes}%.1fx)")
   }
 
+  test("stor21: equality delete by key — 3-way parity, fold, economics") {
+    import org.apache.spark.sql.functions._
+    def parquetBytesUnder(f: File): Long =
+      if (f.isDirectory)
+        Option(f.listFiles()).fold(0L)(_.map(parquetBytesUnder).sum)
+      else if (f.getName.endsWith(".parquet")) f.length()
+      else 0L
+    val t = QueriesStorage.stor21Table(spark, sf001)
+    assert(CommitLog.latestVersion(t) === 3L)
+    // v2 touched NOTHING physical: the data-file set is identical to
+    // v1, plus exactly one equality-delete file keyed on k
+    assert(CommitLog.liveFiles(t, 2L) === CommitLog.liveFiles(t, 1L))
+    assert(CommitLog.liveEqDeleteFiles(t, 1L).isEmpty)
+    assert(CommitLog.liveEqDeleteFiles(t, 2L) ===
+      Seq(("eq_v2", Seq("k"))))
+    val win = col("ship") >= lit("1997-04-15").cast("date") &&
+      col("ship") < lit("1997-06-20").cast("date")
+    assert(CommitLog.read(spark, t, Some(2L)).filter(win).count() === 0L)
+    assert(CommitLog.read(spark, t, Some(1L)).filter(win).count() > 0L)
+    // THREE-WAY PARITY, asserted directly: COW head (stor11),
+    // positional-MOR v2 (stor15) and equality v2 carry the identical
+    // (rows, quantity-cents) state for the same delete window
+    def sig(df: org.apache.spark.sql.DataFrame) =
+      df.agg(count(lit(1)),
+        sum(floor(col("l_quantity") * 100 + lit(0.5)).cast("long")))
+        .collect()(0).toSeq
+    val eqSig = sig(CommitLog.read(spark, t, Some(2L)))
+    assert(eqSig === sig(CommitLog.read(spark,
+      QueriesStorage.stor11Table(spark, sf001))))
+    assert(eqSig === sig(CommitLog.read(spark,
+      QueriesStorage.stor15Table(spark, sf001), Some(2L))))
+    // the FOLD: no E files at v3, fold files replaced every candidate
+    // with survivors, visible state unchanged, window plans to zero
+    assert(CommitLog.liveEqDeleteFiles(t, 3L).isEmpty)
+    assert(CommitLog.liveFiles(t, 3L).exists(_.startsWith("fold3_")))
+    assert(sig(CommitLog.read(spark, t, Some(3L))) === eqSig)
+    assert(CommitLog.planScan(t, 3L, Seq(CommitLog.RangePredicate(
+      "ship", "1997-04-15", "1997-06-20"))).selected.isEmpty)
+    // v2 time travel still applies the keys after the fold
+    assert(CommitLog.read(spark, t, Some(2L)).filter(win).count() === 0L)
+    // increments refuse to cross the E commit
+    val e = intercept[IllegalStateException] {
+      CommitLog.addedFiles(t, 1L, 2L)
+    }
+    assert(e.getMessage.contains("delete"))
+    // the CDF renders the erasure as row-level deletes — exactly the
+    // window rows, every one carrying a marked key
+    assert(CommitLog.changes(spark, t, 1L, 2L).count() ===
+      CommitLog.read(spark, t, Some(1L)).filter(win).count())
+    // write-side economics: the equality file is O(keys) bytes where
+    // the synchronous COW alternative rewrites every candidate file —
+    // measured as the candidates' physical bytes. (vs the POSITIONAL
+    // file the ordering is encoding-dependent at this scale: few
+    // distinct dictionary-coded paths + delta-coded ordinals can pack
+    // tighter than near-random 62-bit keys — the equality form's real
+    // edge is needing NO candidate scan to produce, not raw bytes.)
+    val eqBytes = parquetBytesUnder(
+      new File(CommitLog.dataDir(t), "eq_v2"))
+    val candBytes = CommitLog.planScan(t, 1L,
+      Seq(CommitLog.RangePredicate("ship", "1997-04-15", "1997-06-20")))
+      .selected
+      .map(f => parquetBytesUnder(new File(CommitLog.dataDir(t), f)))
+      .sum
+    assert(eqBytes > 0L && candBytes > eqBytes * 2,
+      s"key-file erasure must beat COW rewrite bytes: $eqBytes vs " +
+        s"$candBytes")
+    val delBytes = parquetBytesUnder(new File(
+      CommitLog.dataDir(QueriesStorage.stor15Table(spark, sf001)),
+      "del_v2"))
+    info(s"window erasure: equality file $eqBytes B, positional " +
+      f"$delBytes B, COW would rewrite $candBytes B " +
+      f"(${candBytes.toDouble / eqBytes}%.1fx)")
+  }
+
   test("stor16: z-order rewrite is lossless, tightens stats, keeps v1") {
     import org.apache.spark.sql.functions._
     val t = QueriesStorage.stor16Table(spark, sf001)

@@ -892,4 +892,130 @@ class StreamingSpec extends SparkTestBase {
     run()
     assert(batches.toList === List((3L, 1L, 0L)), s"got $batches")
   }
+
+  test("commit-log stream mode=cdf: a MERGE changeset streams as " +
+    "update pairs") {
+    import graft.storage.CommitLog
+    import org.apache.spark.sql.graft.CommitLogStream
+    val up = java.nio.file.Files.createTempDirectory("graft_cdfm_up")
+      .toFile.getAbsolutePath
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_cdfm_ck")
+      .toFile.getAbsolutePath
+    def stage(rel: String, rows: Seq[(Long, Long)]): Unit =
+      rows.toDF("k", "v").write
+        .parquet(s"${CommitLog.dataDir(up)}/$rel")
+    stage("f1", Seq((1L, 10L), (2L, 20L), (3L, 30L)))
+    CommitLog.commit(up, Seq("f1"), Nil, 0L) // v1: +3
+    // v2: a COW MERGE — k=2 updated to 99, k=3 deleted, k=4 inserted;
+    // the writer attaches the changeset it already knows
+    stage("f1m", Seq((1L, 10L), (2L, 99L), (4L, 40L)))
+    Seq((3L, 30L, "delete"), (2L, 20L, "update_preimage"),
+      (2L, 99L, "update_postimage"), (4L, 40L, "insert"))
+      .toDF("k", "v", "_change_type")
+      .coalesce(1).write.parquet(s"${CommitLog.dataDir(up)}/cs2")
+    CommitLog.commitTagged(up, Seq("f1m"), Seq("f1"), 1L,
+      op = Some("merge"), changeset = Some("cs2"))
+    val batches = scala.collection.mutable
+      .ArrayBuffer.empty[(Long, Map[String, Long])]
+    val q = spark.readStream.format(CommitLogStream.Format)
+      .option("path", up).option("mode", "cdf").load()
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        val m = b.groupBy("_change_type").count().collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        batches.synchronized { batches += ((id, m)) }: Unit
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    assert(batches.toList === List(
+      (0L, Map("insert" -> 3L)),
+      (1L, Map("delete" -> 1L, "update_preimage" -> 1L,
+        "update_postimage" -> 1L, "insert" -> 1L))), s"got $batches")
+  }
+
+  test("commit-log stream: maxBytesPerBatch splits a backfill; " +
+    "Trigger.AvailableNow drains through the pacing and stops") {
+    import graft.storage.CommitLog
+    import org.apache.spark.sql.graft.CommitLogStream
+    val up = java.nio.file.Files.createTempDirectory("graft_bp_up")
+      .toFile.getAbsolutePath
+    def stage(rel: String, rows: Seq[(Long, Long)]): Unit =
+      rows.toDF("k", "v").write
+        .parquet(s"${CommitLog.dataDir(up)}/$rel")
+    (1 to 4).foreach { i =>
+      stage(s"f$i", Seq((i.toLong, i * 10L)))
+      CommitLog.commit(up, Seq(s"f$i"), Nil, i - 1L)
+    }
+    def drain(opts: Map[String, String]): List[Long] = {
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_bp_ck")
+        .toFile.getAbsolutePath
+      val sizes = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val q = spark.readStream.format(CommitLogStream.Format)
+        .option("path", up).options(opts).load()
+        .writeStream.option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          sizes.synchronized { sizes += b.count() }: Unit
+        }
+        .start()
+      // AvailableNow pins the target at start and STOPS when drained —
+      // awaitTermination, not processAllAvailable
+      try assert(q.awaitTermination(120000),
+        "AvailableNow query must terminate on its own") finally q.stop()
+      sizes.toList
+    }
+    // a 1-byte budget forces one version per batch even though the
+    // version cap would allow all four at once: the 4-commit backfill
+    // splits into four memory-bounded batches
+    assert(drain(Map("maxVersionsPerBatch" -> "10",
+      "maxBytesPerBatch" -> "1")) === List(1L, 1L, 1L, 1L))
+    // a generous budget lets the version cap batch the whole backfill
+    assert(drain(Map("maxVersionsPerBatch" -> "10",
+      "maxBytesPerBatch" -> "1000000000")) === List(4L))
+  }
+
+  test("commit-log stream on a branched log follows the main ref, " +
+    "never a parked branch head (ADVICE r17)") {
+    import graft.storage.CommitLog
+    import org.apache.spark.sql.graft.CommitLogStream
+    val up = java.nio.file.Files.createTempDirectory("graft_br_up")
+      .toFile.getAbsolutePath
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_br_ck")
+      .toFile.getAbsolutePath
+    def stage(rel: String, rows: Seq[(Long, Long)]): Unit =
+      rows.toDF("k", "v").write
+        .parquet(s"${CommitLog.dataDir(up)}/$rel")
+    stage("f1", Seq((1L, 10L)))
+    CommitLog.commit(up, Seq("f1"), Nil, 0L) // v1
+    CommitLog.createRef(up, "main", 1L)
+    // an unpublished candidate commits LAST on a branch: the global
+    // max version is now off-main, and an offset tracking it would
+    // wedge every lineage walk with the 'different branches' refusal
+    CommitLog.createRef(up, "wap", 1L)
+    stage("cand", Seq((99L, 990L)))
+    CommitLog.commitToRef(up, "wap", Seq("cand"), Nil) // v2, parked
+    val keys = scala.collection.mutable.ArrayBuffer.empty[Long]
+    def run(): Unit = {
+      val q = spark.readStream.format(CommitLogStream.Format)
+        .option("path", up).load()
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          val ks = b.select("k").collect().map(_.getLong(0))
+          keys.synchronized { keys ++= ks }: Unit
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    run()
+    assert(keys.toList === List(1L),
+      s"the stream must see ONLY main's rows, got $keys")
+    // a clean candidate publishes by fast-forward; the stream follows
+    stage("good", Seq((2L, 20L)))
+    val gv = CommitLog.commitToRef(up, "main", Seq("good"), Nil) // v3
+    assert(gv === 3L)
+    keys.clear()
+    run()
+    assert(keys.toList === List(2L),
+      s"after publish only the increment flows, got $keys")
+  }
 }
