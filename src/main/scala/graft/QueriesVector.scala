@@ -798,12 +798,16 @@ object QueriesVector {
       val pd = semdedupPairs(s, d, np = 2)
         .select("ia", "ib").distinct()
         .join(home, Seq("ib"))
-      val np = pd.groupBy("cid").agg(count(lit(1)).as("n_dup_pairs"))
-      val dr = pd.select("cid", "ib").distinct()
-        .groupBy("cid").agg(count(lit(1)).as("n_dropped"))
+      // ONE aggregation carries both per-cell counters (pairs +
+      // distinct dropped vectors) — the previous two-agg + three-way
+      // join shape paid an extra shuffle/join round purely for plan
+      // structure, and on this ≤10k-row frame the wall cost is the
+      // JOB COUNT, not the data (VERDICT r17 #8's solo-run floor)
+      val pdAgg = pd.groupBy("cid").agg(
+        count(lit(1)).as("n_dup_pairs"),
+        countDistinct(col("ib")).as("n_dropped"))
       cells.groupBy("cid").agg(count(lit(1)).as("n_vecs"))
-        .join(np, Seq("cid"), "left")
-        .join(dr, Seq("cid"), "left")
+        .join(pdAgg, Seq("cid"), "left")
         .na.fill(0L, Seq("n_dup_pairs", "n_dropped"))
         .select(col("cid").as("cell"), col("n_vecs"),
           col("n_dup_pairs"), col("n_dropped"))
