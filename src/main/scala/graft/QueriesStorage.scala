@@ -942,7 +942,9 @@ object QueriesStorage {
   /** stor22's table: STRING-keyed manifest Bloom filters (VERDICT r17
     * #4 — stor18's machinery generalized past Long keys). The
     * documents corpus gets a document URI `source:lang:lpad(doc_id,
-    * 8)` — the text-corpus identity shape — laid out in doc_id-range
+    * 12)` — the text-corpus identity shape (12-digit pad: sf1's
+    * SPARSE id domain reaches 9e7 and a fixed width keeps every uri
+    * prefix-free, so point range-probes stay exact) — laid out in doc_id-range
     * buckets (~2000 rows/file, floor 32: file count scales with the
     * corpus). Each file commits BOTH range stats on the uri string
     * (the honest negative control: sources/langs interleave within
@@ -957,7 +959,7 @@ object QueriesStorage {
     */
   private[graft] def stor22Table(s: SparkSession, d: String): String = {
     import graft.storage.CommitLog
-    val base = s"${System.getProperty("java.io.tmpdir")}/graft_sbloom/" +
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_sbloom12/" +
       s"${tag(d)}_${srcFingerprint(d, "documents")}"
     QueriesStorage.synchronized {
       if (CommitLog.latestVersion(base) < 1L) {
@@ -971,7 +973,7 @@ object QueriesStorage {
         val src = docs.select(
           expr(s"CAST(doc_id DIV $step AS LONG)").as("bucket"),
           concat(col("source"), lit(":"), col("lang"), lit(":"),
-            lpad(col("doc_id").cast("string"), 8, "0")).as("uri"),
+            lpad(col("doc_id").cast("string"), 12, "0")).as("uri"),
           col("n_chars"))
           .withColumn("h",
             graft.operators.TextOps.md5Prefix60(col("uri")))
@@ -1940,20 +1942,26 @@ object QueriesStorage {
     "stor22_string_bloom_skip" -> ((s, d) => {
       import graft.storage.CommitLog
       val t = stor22Table(s, d)
-      val docs = CommitLog.read(s, t)
-      // probe construction is a BOUNDED driver-side step (one scalar +
-      // ≤10 uris — the probe set, not data)
-      val mxid = s.read.parquet(s"$d/documents.parquet")
-        .agg(max(col("doc_id"))).head().getLong(0)
-      val hitUri = docs.filter(
-        col("uri").endsWith(f":${mxid / 2L}%08d"))
-        .select(col("uri")).head().getString(0)
-      val missUri = f"src0:en:${mxid + 7L}%08d"
-      val batchIds = (0 until 10).map(i => i.toLong * (mxid / 16L) + 3L)
-      val batchUris = docs.filter(
-        col("uri").substr(lit(-8), lit(8)).cast("long")
-          .isin(batchIds: _*))
-        .select(col("uri")).collect().map(_.getString(0)).toSeq.sorted
+      // probe construction is a BOUNDED driver-side step (≤11 uris —
+      // the probe set, not data), built from the RAW documents rows so
+      // it never assumes dense ids (sf1's doc_id domain is SPARSE:
+      // 50k distinct ids up to 9e7 — a "mxid/2" point probe matched
+      // nothing there)
+      val raw = s.read.parquet(s"$d/documents.parquet")
+      def uriCol = concat(col("source"), lit(":"), col("lang"),
+        lit(":"), lpad(col("doc_id").cast("string"), 12, "0"))
+      val mxid = raw.agg(max(col("doc_id"))).head().getLong(0)
+      // hit: the smallest PRESENT id at or above mid-domain
+      val hitUri = raw.filter(col("doc_id") >= mxid / 2L)
+        .orderBy(col("doc_id")).limit(1)
+        .select(uriCol.as("uri")).head().getString(0)
+      val missUri = f"src0:en:${mxid + 7L}%012d"
+      // batch: the 10 smallest PRESENT ids in a deterministic residue
+      // class — presence-robust at any sparsity
+      val batchUris = raw.filter(col("doc_id") % 7 === 3)
+        .orderBy(col("doc_id")).limit(10)
+        .select(uriCol.as("uri"))
+        .collect().map(_.getString(0)).toSeq.sorted
       val nFiles = CommitLog.liveFiles(t, 1L).size.toLong
       // per-key zone probe, unioned across the batch (disjunction —
       // planScan's predicate list is a conjunction)
@@ -2887,26 +2895,28 @@ object QueriesStorage {
          |  FROM p),
          |b AS (SELECT d.doc_id, d.doc_id // prm.step AS bucket,
          |    d.source || ':' || d.lang || ':' ||
-         |      lpad(CAST(d.doc_id AS VARCHAR), 8, '0') AS uri,
+         |      lpad(CAST(d.doc_id AS VARCHAR), 12, '0') AS uri,
          |    CAST(concat('0x', substr(md5(d.source || ':' || d.lang ||
-         |      ':' || lpad(CAST(d.doc_id AS VARCHAR), 8, '0')), 1, 15))
+         |      ':' || lpad(CAST(d.doc_id AS VARCHAR), 12, '0')), 1, 15))
          |      AS BIGINT) AS h,
          |    d.n_chars
          |  FROM documents d CROSS JOIN prm),
          |ks AS (
          |  SELECT 'hit' AS probe, b.uri AS k, b.h AS kh
-         |    FROM b, p WHERE b.doc_id = p.mxid // 2
+         |    FROM b WHERE b.doc_id = (SELECT min(d2.doc_id)
+         |      FROM documents d2, p WHERE d2.doc_id >= p.mxid // 2)
          |  UNION ALL
          |  SELECT 'miss',
-         |    'src0:en:' || lpad(CAST(p.mxid + 7 AS VARCHAR), 8, '0'),
+         |    'src0:en:' || lpad(CAST(p.mxid + 7 AS VARCHAR), 12, '0'),
          |    CAST(concat('0x', substr(md5('src0:en:' ||
-         |      lpad(CAST(p.mxid + 7 AS VARCHAR), 8, '0')), 1, 15))
+         |      lpad(CAST(p.mxid + 7 AS VARCHAR), 12, '0')), 1, 15))
          |      AS BIGINT)
          |  FROM p
          |  UNION ALL
          |  SELECT 'batch', b.uri, b.h
-         |    FROM b, p, range(0, 10) t(i)
-         |    WHERE b.doc_id = i * (p.mxid // 16) + 3),
+         |    FROM b JOIN (SELECT doc_id FROM documents
+         |      WHERE doc_id % 7 = 3 ORDER BY doc_id LIMIT 10) tt
+         |      USING (doc_id)),
          |fs AS (SELECT bucket, count(*) AS nr, min(uri) AS mnu,
          |    max(uri) AS mxu FROM b GROUP BY 1),
          |br AS (SELECT b.bucket, b.h FROM b),
