@@ -495,10 +495,14 @@ object QueriesStorage {
     * the layout that gives key-predicate stats real pruning power
     * (month files span the whole key range; ~20 key buckets don't) —
     * then a COPY-ON-WRITE MERGE run through the log. The changeset is
-    * deterministic band arithmetic over the live max key (mx):
-    * keys in [mx/4, mx/4 + mx/20) are updated (k % 3 == 0 →
-    * price := k), deleted (k % 3 == 1), or seed inserts (k % 3 == 2 →
-    * new row at key mx + k, price k). Candidate files come from
+    * deterministic band arithmetic over a RANK-derived key band: lo =
+    * (the key at ascending rank n/4) + 1, hi = (the key at rank
+    * n/4 + n/20) + 1, so the band [lo, hi) covers ~5% of PRESENT rows
+    * at any key sparsity (the old value-derived [mx/4, mx/4+mx/20)
+    * matched ZERO keys on sf1's striped sparse domain — a silent
+    * merge no-op). Band keys are updated (k % 3 == 0 → price := k),
+    * deleted (k % 3 == 1), or seed inserts (k % 3 == 2 → new row at
+    * key mx + k, price k). Candidate files come from
     * [[graft.storage.CommitLog.planScan]] on the key band; ONLY those
     * are rewritten with updates/deletes applied, inserts land as one
     * appended file, and a single commit publishes all of it with
@@ -506,10 +510,12 @@ object QueriesStorage {
     */
   private[graft] def stor13Table(s: SparkSession, d: String): String = {
     import graft.storage.CommitLog
-    // dir bumped _merge -> _merge2 when the MERGE commit gained its
-    // changeset attachment (st14 reads this table's change feed; an
-    // old cached build without cs_v2 would refuse)
-    val base = s"${System.getProperty("java.io.tmpdir")}/graft_merge2/" +
+    // dir bumped _merge -> _merge3 across two build changes: the MERGE
+    // commit gained its changeset attachment (st14 reads the feed),
+    // and the band became RANK-derived (sf1's sparse key stripes left
+    // the old value-derived band [mx/4, mx/4+mx/20) matching ZERO
+    // keys — a silent merge no-op)
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_merge3/" +
       s"${tag(d)}_${srcFingerprint(d, "orders")}"
     val numCmp = (a: String, b: String) => a.toLong.compare(b.toLong)
     QueriesStorage.synchronized {
@@ -543,7 +549,15 @@ object QueriesStorage {
           st.map { case (_, p, cs) =>
             p -> Map("o_orderkey" -> cs) }.toMap)
         // --- the MERGE ---
-        val (bandLo, bandHi) = (mx / 4L, mx / 4L + mx / 20L)
+        // rank-derived band bounds: the key at ascending rank r, via
+        // orderBy+limit(r)+max — exact (keys are distinct), identical
+        // to the oracle's row_number form, and sparsity-proof
+        val nOrd = orders.count()
+        def keyAtRank(r: Long): Long = orders
+          .orderBy(col("o_orderkey")).limit(r.toInt)
+          .agg(max(col("o_orderkey"))).head().getLong(0)
+        val bandLo = keyAtRank(nOrd / 4L) + 1L
+        val bandHi = keyAtRank(nOrd / 4L + nOrd / 20L) + 1L
         val inBand = col("o_orderkey") >= bandLo &&
           col("o_orderkey") < bandHi
         val cands = CommitLog.planScan(base, 1L, Seq(
@@ -2021,7 +2035,17 @@ object QueriesStorage {
       // mx from v1 manifest stats — metadata-only, no data read
       val mx = CommitLog.statsAt(t, 1L).values
         .map(_("o_orderkey").max.toLong).max
-      val (bandLo, bandHi) = (mx / 4L, mx / 4L + mx / 20L)
+      // band bounds are RANK-derived (sparsity-proof — see
+      // stor13Table): the key at ascending rank n/4 (+1) .. rank
+      // n/4 + n/20 (+1), recomputed from the v1 snapshot with the
+      // same orderBy+limit+max form the builder used
+      val v1 = CommitLog.read(s, t, Some(1L))
+      val nOrd = v1.agg(count(lit(1))).head().getLong(0)
+      def keyAtRank(r: Long): Long = v1
+        .orderBy(col("o_orderkey")).limit(r.toInt)
+        .agg(max(col("o_orderkey"))).head().getLong(0)
+      val bandLo = keyAtRank(nOrd / 4L) + 1L
+      val bandHi = keyAtRank(nOrd / 4L + nOrd / 20L) + 1L
       val plan = CommitLog.planScan(t, 1L, Seq(
         CommitLog.RangePredicate("o_orderkey", bandLo.toString,
           bandHi.toString, numCmp)))
@@ -2958,22 +2982,27 @@ object QueriesStorage {
     // inserted keys live above the old max so they can't collide with
     // the band arithmetic.
     "stor13_cow_merge" ->
-      """WITH p AS (SELECT max(o_orderkey) AS mx,
-        |    (max(o_orderkey) + 19) // 20 AS step,
-        |    max(o_orderkey) // 4 AS lo,
-        |    max(o_orderkey) // 4 + max(o_orderkey) // 20 AS hi
+      """WITH p AS (SELECT max(o_orderkey) AS mx, count(*) AS n,
+        |    (max(o_orderkey) + 19) // 20 AS step
         |  FROM orders),
+        |rk AS (SELECT o_orderkey,
+        |    row_number() OVER (ORDER BY o_orderkey) AS rn FROM orders),
+        |bnd AS (SELECT
+        |    (SELECT o_orderkey + 1 FROM rk, p WHERE rn = p.n // 4)
+        |      AS lo,
+        |    (SELECT o_orderkey + 1 FROM rk, p
+        |      WHERE rn = p.n // 4 + p.n // 20) AS hi),
         |b AS (SELECT o.o_orderkey AS k, o.o_totalprice AS pr,
         |    (o.o_orderkey - 1) // p.step AS bucket,
-        |    (o.o_orderkey >= p.lo AND o.o_orderkey < p.hi) AS band
-        |  FROM orders o CROSS JOIN p),
+        |    (o.o_orderkey >= bnd.lo AND o.o_orderkey < bnd.hi) AS band
+        |  FROM orders o CROSS JOIN p CROSS JOIN bnd),
         |f AS (SELECT bucket, min(k) AS mn, max(k) AS mxk,
         |    CAST(sum(CASE WHEN band AND k % 3 = 1 THEN 0 ELSE 1 END)
         |      AS BIGINT) AS n_kept
         |  FROM b GROUP BY 1),
         |fc AS (SELECT f.*,
-        |    NOT (f.mxk < p.lo OR f.mn >= p.hi) AS cand
-        |  FROM f CROSS JOIN p),
+        |    NOT (f.mxk < bnd.lo OR f.mn >= bnd.hi) AS cand
+        |  FROM f CROSS JOIN bnd),
         |ledger AS (SELECT count(*) AS n_files_v1,
         |    CAST(sum(CASE WHEN cand THEN 1 ELSE 0 END) AS BIGINT)
         |      AS n_candidates,

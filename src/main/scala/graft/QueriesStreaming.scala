@@ -153,15 +153,16 @@ object QueriesStreaming {
       val v2 = CommitLog.read(s, t, Some(2L))
       def cents = sum(floor(col("o_totalprice") * 100 + lit(0.5))
         .cast("long")).cast("long")
+      // coalesce: an EMPTY feed must ledger as zeros, never NULLs (a
+      // NULL count reads back as float64 and hash-fails the driver)
+      def n(tp: String) = coalesce(
+        sum(when(col("_change_type") === tp, 1L).otherwise(0L)),
+        lit(0L))
       val ledger = feed.agg(
-        sum(when(col("_change_type") === "delete", 1L).otherwise(0L))
-          .as("n_delete"),
-        sum(when(col("_change_type") === "update_preimage", 1L)
-          .otherwise(0L)).as("n_update_pre"),
-        sum(when(col("_change_type") === "update_postimage", 1L)
-          .otherwise(0L)).as("n_update_post"),
-        sum(when(col("_change_type") === "insert", 1L).otherwise(0L))
-          .as("n_insert"))
+        n("delete").as("n_delete"),
+        n("update_preimage").as("n_update_pre"),
+        n("update_postimage").as("n_update_post"),
+        n("insert").as("n_insert"))
       val ra = rebuilt.agg(count(lit(1)).as("rows_rebuilt"),
         cents.as("cents_rebuilt"))
       val va = v2.agg(count(lit(1)).as("rows_v2"), cents.as("cents_v2"))
@@ -582,13 +583,18 @@ object QueriesStreaming {
     // count the band's k%3=0 keys, rebuilt ≡ v2 so both sides carry
     // the head checksum and the symmetric difference is exactly 0.
     "st14_cdf_update_pairs" ->
-      """WITH p AS (SELECT max(o_orderkey) AS mx,
-        |    max(o_orderkey) // 4 AS lo,
-        |    max(o_orderkey) // 4 + max(o_orderkey) // 20 AS hi
+      """WITH p AS (SELECT max(o_orderkey) AS mx, count(*) AS n
         |  FROM orders),
+        |rk AS (SELECT o_orderkey,
+        |    row_number() OVER (ORDER BY o_orderkey) AS rn FROM orders),
+        |bnd AS (SELECT
+        |    (SELECT o_orderkey + 1 FROM rk, p WHERE rn = p.n // 4)
+        |      AS lo,
+        |    (SELECT o_orderkey + 1 FROM rk, p
+        |      WHERE rn = p.n // 4 + p.n // 20) AS hi),
         |b AS (SELECT o.o_orderkey AS k, o.o_totalprice AS pr,
-        |    (o.o_orderkey >= p.lo AND o.o_orderkey < p.hi) AS band
-        |  FROM orders o CROSS JOIN p),
+        |    (o.o_orderkey >= bnd.lo AND o.o_orderkey < bnd.hi) AS band
+        |  FROM orders o CROSS JOIN bnd),
         |r AS (SELECT count(*) AS rows_v1,
         |    CAST(sum(CASE WHEN band AND k % 3 = 1 THEN 1 ELSE 0 END)
         |      AS BIGINT) AS n_delete,
