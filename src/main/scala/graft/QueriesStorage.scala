@@ -621,6 +621,58 @@ object QueriesStorage {
     base
   }
 
+  /** stor24/stor25's table: orders in month-partitioned files driven
+    * through a 5-commit lifecycle ending in a ROLLBACK — v1/v2 append
+    * eras A (< 1998 — this synthetic orders spans 1995..2001-08, not
+    * classic TPC-H) and B (1998), v3 positionally deletes era-B rows
+    * with `o_orderkey % 7 == 0` (merge-on-read, one delete file, no
+    * rewrite), v4 appends era C (1999), and v5 RESTORES to v2: the
+    * bad-deploy recovery move (Delta RESTORE / Iceberg rollback) that
+    * must undo BOTH the delete and the late append in one atomic
+    * metadata commit — files re-referenced, never copied — while
+    * leaving v1–v4 readable and rendering in the change feed as the
+    * row-level inverse (the deleted band re-inserted, era C deleted).
+    * Build-once per (dir, fingerprint).
+    */
+  private[graft] def stor24Table(s: SparkSession, d: String): String = {
+    import graft.storage.CommitLog
+    // dir bumped _restore -> _restore2 when the era cuts moved to the
+    // synthetic orders' real 1995..2001 date domain
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_restore2/" +
+      s"${tag(d)}_${srcFingerprint(d, "orders")}"
+    QueriesStorage.synchronized {
+      if (CommitLog.latestVersion(base) < 5L) {
+        rmrf(new java.io.File(base))
+        val dataDir = CommitLog.dataDir(base)
+        val src = Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_totalprice"),
+            col("o_orderdate").cast("date").as("odate"),
+            date_trunc("month", col("o_orderdate")).cast("date")
+              .as("omonth"))
+        def dirs() = listDirs(dataDir, "omonth=")
+        val cutA = lit("1998-01-01").cast("date")
+        val cutB = lit("1999-01-01").cast("date")
+        val cutC = lit("2000-01-01").cast("date")
+        src.filter(col("omonth") < cutA)
+          .write.partitionBy("omonth").parquet(dataDir)
+        val eraA = dirs()
+        CommitLog.commit(base, eraA, Nil, 0L)
+        src.filter(col("omonth") >= cutA && col("omonth") < cutB)
+          .write.mode("append").partitionBy("omonth").parquet(dataDir)
+        val eraB = dirs().diff(eraA)
+        CommitLog.commit(base, eraB, Nil, 1L)
+        CommitLog.deleteRows(s, base, eraB, col("o_orderkey") % 7 === 0)
+          .write.parquet(s"$dataDir/del_v3")
+        CommitLog.commit(base, Nil, Nil, 2L, Map.empty, Seq("del_v3"))
+        src.filter(col("omonth") >= cutB && col("omonth") < cutC)
+          .write.mode("append").partitionBy("omonth").parquet(dataDir)
+        CommitLog.commit(base, dirs().diff(eraA ++ eraB), Nil, 3L)
+        CommitLog.restore(s, base, 2L): Unit
+      }
+    }
+    base
+  }
+
   /** stor15's table: the same de-Hived month layout and delete window
     * as stor11, but the delete is MERGE-ON-READ (VERDICT r16 #1 — the
     * one remaining table-format gap): v2 publishes ONE positional
@@ -2012,6 +2064,59 @@ object QueriesStorage {
       }.reduce(_ unionByName _)
     }),
 
+    // SNAPSHOT RESTORE — rollback as a NEW commit (Delta RESTORE /
+    // Iceberg rollback), the bad-deploy recovery move: stor24Table's
+    // v5 rolls the table back to v2, undoing a positional delete AND
+    // a late append era in one atomic metadata commit (files
+    // re-referenced, never copied). Two proofs in one result: the
+    // STATE arm reads the post-restore head grouped by year — every
+    // era A/B row is back with exact cent checksums, era C gone —
+    // and the CDF arm reads changes() across the restore commit,
+    // whose writer-recorded changeset must be the row-level INVERSE
+    // of the rolled-back commits (era B's %7 band re-inserted, era C
+    // deleted). The oracle recomputes both arms from raw orders with
+    // the same era cuts (1998/1999/2000 — the synthetic date domain)
+    // and band arithmetic.
+    "stor24_restore" -> ((s, d) => {
+      import graft.storage.CommitLog
+      val t = stor24Table(s, d)
+      val cents = floor(col("o_totalprice") * 100 + lit(0.5))
+        .cast("long")
+      val state = CommitLog.read(s, t)
+        .groupBy(year(col("odate")).cast("string").as("grp"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(cents).cast("long").as("cents"))
+        .select(lit("state").as("kind"), col("grp"), col("n_rows"),
+          col("cents")) // head must be exactly eras A+B (< 1999)
+      val feed = CommitLog.changes(s, t, 4L, 5L)
+        .groupBy(col("_change_type").as("grp"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(cents).cast("long").as("cents"))
+        .select(lit("cdf").as("kind"), col("grp"), col("n_rows"),
+          col("cents"))
+      state.unionByName(feed)
+    }),
+
+    // The commit HISTORY metadata table (Iceberg `table$history`,
+    // Delta DESCRIBE HISTORY) over the same 5-commit lifecycle: one
+    // row per manifest with parent, operation tag, file-ledger counts,
+    // and the changeset flag — the audit surface an operator reads
+    // before ANY rollback ("what landed since the last good
+    // snapshot?"). Driver-side O(log) metadata, no data bytes. The
+    // oracle pins the whole ledger by construction: append arms carry
+    // one file per month in their era (month counts recomputed from
+    // raw orders), the delete arm exactly one positional-delete file,
+    // and the restore arm removes era C's files plus the delete file
+    // while carrying its changeset.
+    "stor25_history" -> ((s, d) => {
+      import graft.storage.CommitLog
+      CommitLog.history(s, stor24Table(s, d))
+        .select(col("version"), col("parent"),
+          coalesce(col("op"), lit("-")).as("op"),
+          col("n_added"), col("n_removed"), col("n_pos_delete_files"),
+          col("n_eq_delete_files"), col("has_changeset"))
+    }),
+
     // COPY-ON-WRITE MERGE through the commit log — update + delete +
     // insert in ONE atomic commit, completing the DML triangle
     // (append stor7/9, compaction rewrite stor8, delete stor11). The
@@ -2556,6 +2661,54 @@ object QueriesStorage {
         |SELECT CAST(3 AS BIGINT), n_months - n_cand + n_refold,
         |  CAST(0 AS BIGINT), CAST(0 AS BIGINT), rows_kept, c_kept
         |FROM t""".stripMargin,
+    // stor24: the post-restore head must be EXACTLY eras A+B (the
+    // v3 delete undone, era C gone) — per-year counts and cent
+    // checksums from raw orders — and the restore commit's change
+    // feed must be the row-level inverse: inserts = era B's %7 band
+    // (the rows the rolled-back delete had erased), deletes = era C.
+    // Arms guard HAVING count(*) > 0 so an empty band degrades to an
+    // absent group on both engines.
+    "stor24_restore" ->
+      """WITH o AS (SELECT o_orderkey,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+        |    o_orderdate::DATE AS dt FROM orders)
+        |SELECT 'state' AS kind, CAST(year(dt) AS VARCHAR) AS grp,
+        |  count(*) AS n_rows, CAST(sum(cents) AS BIGINT) AS cents
+        |FROM o WHERE dt < DATE '1999-01-01' GROUP BY 2
+        |UNION ALL
+        |SELECT 'cdf', 'insert', count(*), CAST(sum(cents) AS BIGINT)
+        |FROM o WHERE dt >= DATE '1998-01-01' AND dt < DATE '1999-01-01'
+        |  AND o_orderkey % 7 = 0 HAVING count(*) > 0
+        |UNION ALL
+        |SELECT 'cdf', 'delete', count(*), CAST(sum(cents) AS BIGINT)
+        |FROM o WHERE dt >= DATE '1999-01-01' AND dt < DATE '2000-01-01'
+        |HAVING count(*) > 0""".stripMargin,
+    // stor25: the whole commit ledger by construction — append arms
+    // carry one file (month dir) per era month, recomputed from raw
+    // orders; v3 exactly one positional-delete file; the restore
+    // removes era C's month dirs plus the delete file and carries its
+    // changeset.
+    "stor25_history" ->
+      """WITH m AS (SELECT
+        |    CAST(count(DISTINCT CASE WHEN dt < DATE '1998-01-01'
+        |      THEN date_trunc('month', dt) END) AS BIGINT) AS ma,
+        |    CAST(count(DISTINCT CASE WHEN dt >= DATE '1998-01-01'
+        |      AND dt < DATE '1999-01-01'
+        |      THEN date_trunc('month', dt) END) AS BIGINT) AS mb,
+        |    CAST(count(DISTINCT CASE WHEN dt >= DATE '1999-01-01'
+        |      AND dt < DATE '2000-01-01'
+        |      THEN date_trunc('month', dt) END) AS BIGINT) AS mc
+        |  FROM (SELECT o_orderdate::DATE AS dt FROM orders))
+        |SELECT CAST(1 AS BIGINT) AS version, CAST(0 AS BIGINT) AS parent,
+        |  '-' AS op, ma AS n_added, CAST(0 AS BIGINT) AS n_removed,
+        |  CAST(0 AS BIGINT) AS n_pos_delete_files,
+        |  CAST(0 AS BIGINT) AS n_eq_delete_files,
+        |  CAST(0 AS BIGINT) AS has_changeset FROM m
+        |UNION ALL SELECT 2, 1, '-', mb, 0, 0, 0, 0 FROM m
+        |UNION ALL SELECT 3, 2, '-', 0, 0, 1, 0, 0 FROM m
+        |UNION ALL SELECT 4, 3, '-', mc, 0, 0, 0, 0 FROM m
+        |UNION ALL SELECT 5, 4, 'restore v2', 0, mc + 1, 0, 0, 1
+        |FROM m""".stripMargin,
     // stor21: the equality-delete ledger from the SAME month
     // arithmetic as stor11/stor15 (shared ground truth IS the
     // three-way COW ≡ positional ≡ equality proof): v1 full table,

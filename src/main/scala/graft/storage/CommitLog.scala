@@ -1342,6 +1342,123 @@ object CommitLog {
     else parts.reduce(_ unionByName _)
   }
 
+  /** RESTORE the table to snapshot `toV` as a NEW commit (the Delta
+    * RESTORE / Iceberg rollback idea): history is preserved — the
+    * restore is one more manifest whose live sets equal `toV`'s, never
+    * a rewind of the version counter. Metadata-only on the data plane
+    * (files are re-referenced, not copied): the commit re-ADDS files
+    * live at `toV` but dropped since, REMOVES files (data, positional-
+    * delete, and equality-delete alike) that became live after `toV`,
+    * and re-publishes `toV`'s delete files dropped since — replaying
+    * the manifest fold over the result lands exactly on `toV`'s
+    * (data, pos-delete, eq-delete) triple. Re-added files get their
+    * `toV` stats/Bloom attachments back (a re-add without metadata
+    * would read as "no stats" — [[replayFileMeta]] — and planScan
+    * would stop pruning them).
+    *
+    * The commit carries a CHANGESET (`C` line) of the logical row diff
+    * — `read(toV) exceptAll read(head)` as inserts, the reverse as
+    * deletes, O(changed rows) bytes — so [[changes]] renders the
+    * restore instead of refusing the mixed add+remove, and a CDC
+    * consumer that applies the feed undoes the rolled-back commits
+    * row-by-row. [[addedFiles]]/[[readIncrement]] still refuse across
+    * it by design: a file-level incremental reader cannot survive a
+    * rollback and must resync (or switch to the row-level feed).
+    *
+    * Linear history only (same refusal as [[expireSnapshots]]): on a
+    * branched log "the table's state" is per-ref, and rolling back a
+    * ref is [[fastForward]]'s inverse problem, not a linear restore.
+    * Restoring BELOW the expiry horizon fails with the usual typed
+    * [[SnapshotExpired]] (the target's manifests are gone). Returns
+    * the new head version; restoring to a snapshot whose live sets
+    * already equal the head's is refused — a no-op restore commit
+    * would render an empty changeset and burn a version for nothing.
+    */
+  def restore(spark: SparkSession, tableDir: String, toV: Long): Long = {
+    import org.apache.spark.sql.functions.lit
+    val head = latestVersion(tableDir)
+    require(toV >= 1 && toV < head,
+      s"restore target v$toV outside rollback range 1..${head - 1}")
+    requireLinearHistory(tableDir, "restore")
+    val (dH, delH, eqH) = liveSets(tableDir, head)
+    val (dT, delT, eqT) = liveSets(tableDir, toV)
+    require(dH != dT || delH != delT || eqH != eqT,
+      s"restore to v$toV is a no-op: snapshot v$head already has " +
+        "identical live sets")
+    val readd = dT.diff(dH)
+    val removed = dH.diff(dT) ++ delH.diff(delT) ++
+      eqH.map(_._1).diff(eqT.map(_._1))
+    // the logical diff, recorded while both snapshots are readable —
+    // multiset except, so duplicate rows restore with exact counts
+    val cur = read(spark, tableDir, Some(head))
+    val tgt = read(spark, tableDir, Some(toV))
+    require(cur.columns.sorted.sameElements(tgt.columns.sorted),
+      s"restore across a schema change (v$toV: " +
+        s"${tgt.columns.sorted.mkString(",")} vs v$head: " +
+        s"${cur.columns.sorted.mkString(",")}) cannot render a " +
+        "changeset: roll the schema forward instead")
+    val curAligned = cur.select(tgt.columns.toIndexedSeq.map(
+      org.apache.spark.sql.functions.col): _*)
+    val cs = s"cs_restore_v${head + 1}"
+    tgt.exceptAll(curAligned)
+      .withColumn("_change_type", lit("insert"))
+      .unionByName(curAligned.exceptAll(tgt)
+        .withColumn("_change_type", lit("delete")))
+      .coalesce(1).write.parquet(s"${dataDir(tableDir)}/$cs")
+    commitTagged(tableDir, readd, removed, head,
+      stats = statsAt(tableDir, toV).view
+        .filterKeys(readd.contains).toMap,
+      deletes = delT.diff(delH),
+      blooms = bloomsAt(tableDir, toV).view
+        .filterKeys(readd.contains).toMap,
+      op = Some(s"restore v$toV"),
+      eqDeletes = eqT.filterNot(e => eqH.exists(_._1 == e._1)),
+      changeset = Some(cs))
+  }
+
+  /** The table's commit HISTORY as a DataFrame — the inspection
+    * metadata table (Iceberg `table$history`/`$snapshots`, Delta
+    * DESCRIBE HISTORY): one row per resolvable manifest with the
+    * commit's parent, operation tag, file-ledger counts, and whether
+    * it carries a changeset. Driver-side O(log) metadata — no data
+    * bytes touched — then a DataFrame so history joins/filters like
+    * any table ("which commits removed files", "when did the delete
+    * land"). Checkpoints are replay artifacts, not commits, and are
+    * excluded; versions below the expiry horizon are gone from the
+    * log and so from the history.
+    */
+  def history(spark: SparkSession, tableDir: String): DataFrame = {
+    val rows = listLog(tableDir)
+      .filter(f => !f.getName.endsWith(".checkpoint.txt"))
+      .sortBy(f => versionOf(f.getName).get)
+      .map { m =>
+        val (add, rem, del) = parse(m)
+        (versionOf(m.getName).get, parseParent(m),
+          parseOp(m).orNull, add.size.toLong, rem.size.toLong,
+          del.size.toLong, parseEq(m).size.toLong,
+          if (parseChangeset(m).isDefined) 1L else 0L)
+      }
+    spark.createDataFrame(rows).toDF("version", "parent", "op",
+      "n_added", "n_removed", "n_pos_delete_files", "n_eq_delete_files",
+      "has_changeset")
+  }
+
+  /** The shared linear-history gate of [[expireSnapshots]] and
+    * [[restore]]: both reason over "the table's one lineage", which a
+    * branched log does not have. Refuse loudly; publish (fast-forward)
+    * or abandon branches first.
+    */
+  private def requireLinearHistory(tableDir: String, what: String): Unit = {
+    require(!new File(logDir(tableDir), "_refs").exists(),
+      s"$what supports linear history only: this log carries " +
+        "refs/branches — fast-forward or drop the branches first")
+    require(listLog(tableDir)
+      .filter(f => !f.getName.endsWith(".checkpoint.txt"))
+      .forall(f => parseParent(f) == versionOf(f.getName).get - 1L),
+      s"$what supports linear history only: this log carries " +
+        "branched manifests (parent != version - 1)")
+  }
+
   private[graft] def deleteRecursively(f: File): Unit = {
     Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
     f.delete(): Unit
@@ -1361,16 +1478,7 @@ object CommitLog {
     // reachability — dropping manifests below `keepFrom` could sever
     // the parent chain of a branch commit whose lineage forks below
     // the horizon, silently expiring a published branch's history.
-    // Refuse loudly; publish (fast-forward) or abandon branches first.
-    require(!new File(logDir(tableDir), "_refs").exists(),
-      "expireSnapshots supports linear history only: this log carries " +
-        "refs/branches and a version horizon cannot express ref " +
-        "reachability — fast-forward or drop the branches first")
-    require(listLog(tableDir)
-      .filter(f => !f.getName.endsWith(".checkpoint.txt"))
-      .forall(f => parseParent(f) == versionOf(f.getName).get - 1L),
-      "expireSnapshots supports linear history only: this log carries " +
-        "branched manifests (parent != version - 1)")
+    requireLinearHistory(tableDir, "expireSnapshots")
     val earliest = earliestVersion(tableDir)
     if (keepFrom <= earliest) return (0, 0)
     // Union of live sets (data AND delete files) over every version

@@ -270,6 +270,9 @@ class PlanAuditSpec extends SparkTestBase {
       val objectSerde = Set("m2_decode_features", "m3_header_decode",
         "m4_thumbnail", "m5_wav_decode", "m6_video_decode",
         "st5_custom_state", "st10_quota")
+      // metadata-plane queries: stor25 is a driver-side O(log) history
+      // scan (LocalTableScan by design — no data plan to codegen)
+      val metadataPlane = Set("stor25_history")
       // j13 runs on its own FORKED session with AQE force-enabled (the
       // whole point of the query is runtime skew-splitting), so its
       // initial plan is an unexecuted AdaptiveSparkPlan with no codegen
@@ -284,7 +287,7 @@ class PlanAuditSpec extends SparkTestBase {
       val cacheRooted = Set("d2_jaccard_pairs", "d7_dedup_clusters",
         "d9_pagerank")
       for (q <- Bench.headline.filterNot(objectSerde)
-          .filterNot(aqeForked)) {
+          .filterNot(aqeForked).filterNot(metadataPlane)) {
         val p = plan(q)
         assert(p.contains("*(") ||
           (cacheRooted(q) &&
