@@ -673,6 +673,70 @@ object QueriesStorage {
     base
   }
 
+  /** stor26's table: 1997 orders in month files driven through two
+    * COW delete rewrites, then TAG-PINNED RETENTION — v1 appends the
+    * 12 month dirs, v2 rewrites Jan–Jun applying an erasure
+    * (`o_orderkey % 5 == 0` dropped), v3 rewrites those files AGAIN
+    * (`% 3 == 0` dropped from the remainder); tag `raw` pins v1, ref
+    * `main` marks the head, and `expireSnapshots(3)` runs AT BUILD
+    * TIME so the steady-state table is post-expiry: the pinned v1
+    * resolves forever (originals kept on disk for the audit tag), the
+    * untagged v2 is gone, and v2's intermediate rewrite files — live
+    * ONLY there — are physically reclaimed. Build-once per
+    * (dir, fingerprint); the expiry is idempotent, so a rebuild race
+    * re-lands the same state.
+    */
+  private[graft] def stor26Table(s: SparkSession, d: String): String = {
+    import graft.storage.CommitLog
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_tagretain/" +
+      s"${tag(d)}_${srcFingerprint(d, "orders")}"
+    QueriesStorage.synchronized {
+      if (CommitLog.latestVersion(base) < 3L) {
+        rmrf(new java.io.File(base))
+        val dataDir = CommitLog.dataDir(base)
+        val src = Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_totalprice"),
+            col("o_orderdate").cast("date").as("odate"),
+            date_trunc("month", col("o_orderdate")).cast("date")
+              .as("omonth"))
+          .filter(year(col("odate")) === 1997)
+        // plain per-month file names (m_01..m_12), with omonth kept as
+        // a DATA column: COW rewrites must coexist with originals
+        // under one read schema, and Hive-style `omonth=` dirs mixed
+        // with plain rewrite files trip Spark's partition-discovery
+        // conflict (stor11's de-Hive discipline, applied at write)
+        val eraA = (1 to 12).map { m =>
+          val out = f"m_$m%02d"
+          src.filter(month(col("omonth")) === m)
+            .write.parquet(s"$dataDir/$out")
+          out
+        }
+        CommitLog.commit(base, eraA, Nil, 0L)
+        val half = eraA.filter(_.stripPrefix("m_").toInt <= 6)
+        val rw1 = half.zipWithIndex.map { case (f, i) =>
+          val out = s"rw1_$i"
+          CommitLog.readFiles(s, base, Seq(f))
+            .filter(!(col("o_orderkey") % 5 === 0))
+            .write.parquet(s"$dataDir/$out")
+          out
+        }
+        CommitLog.commit(base, rw1, half, 1L)
+        val rw2 = rw1.zipWithIndex.map { case (f, i) =>
+          val out = s"rw2_$i"
+          CommitLog.readFiles(s, base, Seq(f))
+            .filter(!(col("o_orderkey") % 3 === 0))
+            .write.parquet(s"$dataDir/$out")
+          out
+        }
+        CommitLog.commit(base, rw2, rw1, 2L)
+        CommitLog.createRef(base, "raw", 1L)
+        CommitLog.createRef(base, "main", 3L)
+        CommitLog.expireSnapshots(base, 3L): Unit
+      }
+    }
+    base
+  }
+
   /** stor15's table: the same de-Hived month layout and delete window
     * as stor11, but the delete is MERGE-ON-READ (VERDICT r16 #1 — the
     * one remaining table-format gap): v2 publishes ONE positional
@@ -2117,6 +2181,89 @@ object QueriesStorage {
           col("n_eq_delete_files"), col("has_changeset"))
     }),
 
+    // TAG-PINNED RETENTION (the Iceberg expire-keeps-tagged-snapshots
+    // idea): expiry with a ref below the horizon keeps that snapshot
+    // readable forever — the audit-tag contract. stor26Table runs the
+    // lifecycle at build time (two COW erasure rewrites, tag `raw` at
+    // v1, expire to the head); this query proves all four outcomes at
+    // once: the TAGGED v1 still serves the full pre-erasure 1997 rows
+    // with exact cents (through its pin checkpoint — its parent
+    // manifests are gone), the head serves the post-erasure state,
+    // the UNTAGGED v2 is unresolvable, and v2's intermediate rewrite
+    // files — live only there — were physically reclaimed while the
+    // pinned originals stayed on disk. The oracle recomputes both row
+    // arms from raw orders (the two-step erasure composes to
+    // `%5==0 OR %3==0` over Jan–Jun) and pins the protocol arms by
+    // construction.
+    "stor26_tagged_expiry" -> ((s, d) => {
+      import graft.storage.CommitLog
+      val t = stor26Table(s, d)
+      val cents = floor(col("o_totalprice") * 100 + lit(0.5))
+        .cast("long")
+      def arm(label: String, v: Long) =
+        CommitLog.read(s, t, Some(v))
+          .agg(count(lit(1)).as("n"), sum(cents).cast("long").as("cents"))
+          .select(lit(label).as("arm"), col("n"), col("cents"))
+      val v2Resolvable =
+        try { CommitLog.liveFiles(t, 2L); 1L }
+        catch { case _: CommitLog.SnapshotExpired => 0L }
+      val dd = new java.io.File(CommitLog.dataDir(t))
+      val rw1Left = Option(dd.listFiles())
+        .fold(Seq.empty[java.io.File])(_.toSeq)
+        .count(_.getName.startsWith("rw1_")).toLong
+      // breadth of the pinned snapshot — data-derived (robust to an
+      // empty month at tiny SF), and reading it at all proves the
+      // pinned originals are still on disk
+      val months = CommitLog.read(s, t, Some(CommitLog.refVersion(t, "raw")))
+        .agg(countDistinct(col("omonth")).as("n"))
+        .select(lit("months_pinned").as("arm"), col("n"),
+          lit(0L).as("cents"))
+      arm("tag_raw", CommitLog.refVersion(t, "raw"))
+        .unionByName(arm("head", CommitLog.refVersion(t, "main")))
+        .unionByName(months)
+        .unionByName(s.range(1).select(lit("protocol").as("arm"),
+          lit(v2Resolvable * 10L + rw1Left).as("n"),
+          lit(0L).as("cents")))
+    }),
+
+    // METADATA-ONLY AGGREGATES (the Iceberg aggregate-pushdown idea):
+    // min/max answered from manifest stats with ZERO data bytes — at
+    // 100 TB a full-column extremum becomes an O(manifest) driver
+    // lookup. Three arms: stor13's table BEFORE the merge (bucket
+    // stats fold to the raw key domain), its post-merge HEAD (the
+    // fold must track the rewrite's tightened stats AND the insert
+    // file's shifted keys — metadata answers stay exact across DML),
+    // and stor24's MOR-delete snapshot where aggBounds REFUSES (live
+    // delete files mask rows; stats describe the raw file) and the
+    // reader falls back to a scan — refusal over a silently-wrong
+    // answer. The oracle recomputes all three from raw orders: the
+    // key domain, the band arithmetic's insert shift, and the
+    // era-minus-band extremum.
+    "stor27_meta_agg" -> ((s, d) => {
+      import graft.storage.CommitLog
+      val numCmp = (a: String, b: String) => a.toLong.compare(b.toLong)
+      val t13 = stor13Table(s, d)
+      val t24 = stor24Table(s, d)
+      def metaArm(label: String, v: Long) = {
+        val (mn, mx) = CommitLog.aggBounds(t13, v, "o_orderkey", numCmp)
+          .getOrElse(sys.error(s"$label: stats-complete table must " +
+            "answer from metadata"))
+        s.range(1).select(lit(label).as("arm"),
+          lit("manifest").as("src"),
+          lit(mn.toLong).as("mn"), lit(mx.toLong).as("mx"))
+      }
+      // the MOR snapshot refuses metadata bounds -> scan fallback
+      require(CommitLog.aggBounds(t24, 3L, "o_orderkey", numCmp).isEmpty,
+        "live delete files must refuse metadata aggregates")
+      val fallback = CommitLog.read(s, t24, Some(3L))
+        .agg(min(col("o_orderkey")).as("mn"),
+          max(col("o_orderkey")).as("mx"))
+        .select(lit("mor_v3").as("arm"), lit("scan").as("src"),
+          col("mn"), col("mx"))
+      metaArm("v1", 1L).unionByName(metaArm("head", 2L))
+        .unionByName(fallback)
+    }),
+
     // COPY-ON-WRITE MERGE through the commit log — update + delete +
     // insert in ONE atomic commit, completing the DML triangle
     // (append stor7/9, compaction rewrite stor8, delete stor11). The
@@ -2661,6 +2808,59 @@ object QueriesStorage {
         |SELECT CAST(3 AS BIGINT), n_months - n_cand + n_refold,
         |  CAST(0 AS BIGINT), CAST(0 AS BIGINT), rows_kept, c_kept
         |FROM t""".stripMargin,
+    // stor27: v1 metadata bounds = the raw key domain; head bounds =
+    // min unchanged (the key 1..rank-n/4 region is never in the
+    // band), max shifted by the insert arm (mx + the largest band key
+    // with k%3=2, or unshifted when the band has no insert keys);
+    // the MOR arm = era A+B keys minus era-B's %7 band, scanned.
+    "stor27_meta_agg" ->
+      """WITH p AS (SELECT max(o_orderkey) AS mx, count(*) AS n
+        |  FROM orders),
+        |rk AS (SELECT o_orderkey,
+        |    row_number() OVER (ORDER BY o_orderkey) AS rn FROM orders),
+        |bnd AS (SELECT
+        |    (SELECT o_orderkey + 1 FROM rk, p WHERE rn = p.n // 4)
+        |      AS lo,
+        |    (SELECT o_orderkey + 1 FROM rk, p
+        |      WHERE rn = p.n // 4 + p.n // 20) AS hi),
+        |ins AS (SELECT max(o.o_orderkey) AS mk
+        |  FROM orders o CROSS JOIN bnd
+        |  WHERE o.o_orderkey >= bnd.lo AND o.o_orderkey < bnd.hi
+        |    AND o.o_orderkey % 3 = 2)
+        |SELECT 'v1' AS arm, 'manifest' AS src,
+        |  min(o_orderkey) AS mn, max(o_orderkey) AS mx FROM orders
+        |UNION ALL
+        |SELECT 'head', 'manifest',
+        |  (SELECT min(o_orderkey) FROM orders),
+        |  p.mx + coalesce(ins.mk, 0) FROM p CROSS JOIN ins
+        |UNION ALL
+        |SELECT 'mor_v3', 'scan', min(o_orderkey), max(o_orderkey)
+        |FROM orders
+        |WHERE o_orderdate::DATE < DATE '1999-01-01'
+        |  AND NOT (o_orderdate::DATE >= DATE '1998-01-01'
+        |    AND o_orderkey % 7 = 0)""".stripMargin,
+    // stor26: the tagged snapshot serves the FULL pre-erasure 1997
+    // rows; the head serves the remainder after the composed two-step
+    // erasure (%5 then %3 over Jan–Jun = %5 OR %3); months_pinned is
+    // the pinned snapshot's month breadth (data-derived); the protocol
+    // arm packs v2-resolvable (0) and leftover intermediate files (0).
+    "stor26_tagged_expiry" ->
+      """WITH o AS (SELECT o_orderkey AS k,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+        |    o_orderdate::DATE AS dt FROM orders
+        |  WHERE year(o_orderdate::DATE) = 1997)
+        |SELECT 'tag_raw' AS arm, count(*) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS cents FROM o
+        |UNION ALL
+        |SELECT 'head', count(*), CAST(sum(cents) AS BIGINT) FROM o
+        |WHERE NOT (month(dt) <= 6 AND (k % 5 = 0 OR k % 3 = 0))
+        |UNION ALL
+        |SELECT 'months_pinned',
+        |  CAST(count(DISTINCT date_trunc('month', dt)) AS BIGINT),
+        |  CAST(0 AS BIGINT) FROM o
+        |UNION ALL
+        |SELECT 'protocol', CAST(0 AS BIGINT), CAST(0 AS BIGINT)"""
+        .stripMargin,
     // stor24: the post-restore head must be EXACTLY eras A+B (the
     // v3 delete undone, era C gone) — per-year counts and cent
     // checksums from raw orders — and the restore commit's change

@@ -921,6 +921,31 @@ object CommitLog {
     ScanPlan(selected, skipped.toMap, noStats.toSeq)
   }
 
+  /** METADATA-ONLY AGGREGATES: min/max of `column` at snapshot `asOf`
+    * answered from manifest stats alone — O(manifest) on the driver,
+    * ZERO data bytes (the Iceberg aggregate-pushdown idea: per-file
+    * stats are exact data min/max, so the fold over live files IS the
+    * table extremum; at 100 TB this turns a full-column scan into a
+    * metadata lookup). Sound ONLY when every live file carries stats
+    * for the column AND no positional/equality delete files are live
+    * (a masked row may hold the extremum, and stats describe the RAW
+    * file): returns None in those cases and the caller falls back to
+    * a scan — refusal over a silently-wrong answer.
+    */
+  def aggBounds(tableDir: String, asOf: Long, column: String,
+      cmp: (String, String) => Int): Option[(String, String)] = {
+    val (live, dels, eqs) = liveSets(tableDir, asOf)
+    if (dels.nonEmpty || eqs.nonEmpty) return None
+    val stats = statsAt(tableDir, asOf)
+    val per = live.map(f => stats.get(f).flatMap(_.get(column)))
+    if (per.isEmpty || per.exists(_.isEmpty)) None
+    else {
+      val bs = per.flatten
+      Some((bs.map(_.min).reduce((a, b) => if (cmp(a, b) <= 0) a else b),
+        bs.map(_.max).reduce((a, b) => if (cmp(a, b) >= 0) a else b)))
+    }
+  }
+
   /** Read an explicit planned file list (e.g. [[ScanPlan.selected]])
     * of this table as a DataFrame.
     */
@@ -1443,67 +1468,123 @@ object CommitLog {
       "has_changeset")
   }
 
-  /** The shared linear-history gate of [[expireSnapshots]] and
-    * [[restore]]: both reason over "the table's one lineage", which a
-    * branched log does not have. Refuse loudly; publish (fast-forward)
-    * or abandon branches first.
+  /** [[restore]]'s gate: it reasons over "the table's one lineage",
+    * which a log carrying refs does not have (a ref's rollback is
+    * [[fastForward]]'s inverse problem, and a plain restore commit
+    * would land invisibly BEHIND a `main` ref). Refuse loudly;
+    * publish (fast-forward) or abandon branches first.
     */
   private def requireLinearHistory(tableDir: String, what: String): Unit = {
     require(!new File(logDir(tableDir), "_refs").exists(),
       s"$what supports linear history only: this log carries " +
         "refs/branches — fast-forward or drop the branches first")
+    requireLinearManifests(tableDir, what)
+  }
+
+  /** The weaker gate [[expireSnapshots]] shares with
+    * [[requireLinearHistory]]: every manifest's parent must be the
+    * previous version. Refs over such a log are tags/publish markers
+    * (well-defined pins); FORKED manifests are not, because a version
+    * horizon cannot express reachability on a branched parent chain.
+    */
+  private def requireLinearManifests(tableDir: String, what: String): Unit =
     require(listLog(tableDir)
       .filter(f => !f.getName.endsWith(".checkpoint.txt"))
       .forall(f => parseParent(f) == versionOf(f.getName).get - 1L),
       s"$what supports linear history only: this log carries " +
         "branched manifests (parent != version - 1)")
-  }
 
   private[graft] def deleteRecursively(f: File): Unit = {
     Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
     f.delete(): Unit
   }
 
-  /** Expire every snapshot below `keepFrom`: write a checkpoint of
-    * `keepFrom`'s live set FIRST (readers racing the expiry still
-    * resolve surviving versions), then delete the expired manifests,
-    * then physically delete data files referenced ONLY by expired
-    * snapshots. Returns (manifestsExpired, dataFilesDeleted).
+  /** Expire every snapshot below `keepFrom` that no ref PINS: write a
+    * checkpoint of `keepFrom`'s live set FIRST (readers racing the
+    * expiry still resolve surviving versions), then delete the expired
+    * manifests, then physically delete data files referenced ONLY by
+    * expired snapshots. Returns (manifestsExpired, dataFilesDeleted).
+    *
+    * TAG RETENTION (the Iceberg expire-keeps-tagged-snapshots idea):
+    * a ref whose head sits below the horizon pins its snapshot through
+    * the expiry — the pin gets its own checkpoint (so replay resolves
+    * it after its parent manifests drop), its live files join the
+    * surviving set, and only its plain manifest is dropped. An audit
+    * tag cut years ago stays readable under any retention policy,
+    * costing exactly its un-shared files. Branched MANIFESTS still
+    * refuse (a version horizon cannot express reachability on a
+    * forked parent chain); refs over linear history are tags/publish
+    * markers, and pinning is well-defined.
     */
   def expireSnapshots(tableDir: String, keepFrom: Long): (Int, Int) = {
     val head = latestVersion(tableDir)
     require(keepFrom >= 1 && keepFrom <= head,
       s"retention horizon v$keepFrom outside committed range 1..$head")
-    // LINEAR HISTORY ONLY: a version horizon cannot express ref
-    // reachability — dropping manifests below `keepFrom` could sever
-    // the parent chain of a branch commit whose lineage forks below
-    // the horizon, silently expiring a published branch's history.
-    requireLinearHistory(tableDir, "expireSnapshots")
+    requireLinearManifests(tableDir, "expireSnapshots")
     val earliest = earliestVersion(tableDir)
     if (keepFrom <= earliest) return (0, 0)
+    // A pinned snapshot's checkpoint keeps earliestVersion BELOW the
+    // horizon after a first expiry pass, so versions in the expired
+    // range (and refs pointing into it) may already be unresolvable —
+    // tolerate those instead of tearing a re-run.
+    def liveUnion(v: Long): Option[Set[String]] =
+      try {
+        val (a, dl, eq) = liveSets(tableDir, v)
+        Some((a ++ dl ++ eq.map(_._1)).toSet)
+      } catch { case _: SnapshotExpired => None }
+    // refs below the horizon pin their snapshots (a ref at 0 — the
+    // empty table — or at an already-expired version pins nothing)
+    val pinned = listRefs(tableDir)
+      .map(r => refVersion(tableDir, r))
+      .filter(v => v >= earliest && v < keepFrom)
+      .filter(v => liveUnion(v).isDefined)
+      .distinct.sorted
+    val pinnedSet = pinned.toSet
     // Union of live sets (data AND delete files) over every version
-    // the caller may still read.
-    val surviving = (keepFrom to head).flatMap { v =>
+    // the caller may still read — the kept range AND the pins.
+    val surviving = ((keepFrom to head) ++ pinned).flatMap { v =>
       val (a, dl, eq) = liveSets(tableDir, v); a ++ dl ++ eq.map(_._1)
     }.toSet
     // Union over expired versions — resolvable while their manifests
     // still exist.
-    val expired = (earliest until keepFrom).flatMap { v =>
-      val (a, dl, eq) = liveSets(tableDir, v); a ++ dl ++ eq.map(_._1)
-    }.toSet
-    // 1. checkpoint the horizon — atomically published, and carrying
-    // the live set, its stats AND the exactly-once ledger, so expiry
-    // can't tear a checkpoint or reopen a committed batch for replay
+    val expired = (earliest until keepFrom)
+      .flatMap(v => liveUnion(v).getOrElse(Set.empty)).toSet
+    // 1. checkpoint the horizon and every pin — atomically published,
+    // each carrying its live set, stats AND exactly-once ledger, so
+    // expiry can't tear a checkpoint or reopen a committed batch for
+    // replay, and a pinned snapshot resolves standalone
     checkpoint(tableDir, Some(keepFrom)): Unit
-    // 2. drop expired manifests
+    pinned.foreach(v => checkpoint(tableDir, Some(v)): Unit)
+    // 2. drop expired manifests, keeping each pin's checkpoint
     val dropped = listLog(tableDir).filter { f =>
-      versionOf(f.getName).exists(_ < keepFrom) }
+      versionOf(f.getName).exists(v => v < keepFrom &&
+        !(pinnedSet(v) && f.getName.endsWith(".checkpoint.txt"))) }
     dropped.foreach(f => Files.deleteIfExists(f.toPath))
     // 3. physically delete orphaned data files
     val orphans = (expired -- surviving).toSeq.sorted
     val base = dataDir(tableDir)
     orphans.foreach(rel => deleteRecursively(new File(base, rel)))
     (dropped.size, orphans.size)
+  }
+
+  /** Every ref name under `_log/_refs` (nested names as `a/b` paths) —
+    * the inspection sibling of [[refHead]], and what expiry walks to
+    * find pins. A ref is any directory holding at least one journal
+    * entry.
+    */
+  def listRefs(tableDir: String): Seq[String] = {
+    val root = new File(logDir(tableDir), "_refs")
+    def walk(dir: File, prefix: String): Seq[String] = {
+      val kids = Option(dir.listFiles()).fold(Seq.empty[File])(_.toSeq)
+      val here =
+        if (prefix.nonEmpty &&
+          kids.exists(f => f.isFile && refSeqOf(f.getName).isDefined))
+          Seq(prefix)
+        else Nil
+      here ++ kids.filter(_.isDirectory).sortBy(_.getName).flatMap(k =>
+        walk(k, if (prefix.isEmpty) k.getName else s"$prefix/${k.getName}"))
+    }
+    if (!root.isDirectory) Nil else walk(root, "").sorted
   }
 
   /** Write the checkpoint manifest of version `asOf` (default: the

@@ -190,11 +190,65 @@ class CommitLogBranchSpec extends SparkTestBase {
     assert(e.getMessage.contains("different branches"))
     // same-lineage increment through the branch point still works
     assert(CommitLog.addedFiles(t, 1L, bv) === Seq("f3"))
-    // expiry refuses while refs exist (reachability is not a horizon)
+    // expiry refuses while a FORKED manifest exists (v3's parent is
+    // v1): a version horizon cannot express reachability on a
+    // branched parent chain. Refs over LINEAR manifests are fine —
+    // they pin (see the tag-retention tests below).
     val e2 = intercept[IllegalArgumentException] {
       CommitLog.expireSnapshots(t, 2L)
     }
     assert(e2.getMessage.contains("linear history only"))
+  }
+
+  test("tag retention: a pinned snapshot survives expiry, others drop") {
+    val t = freshDir()
+    stage(t, "f1", Seq((1L, "a"), (2L, "a")))
+    stage(t, "f2", Seq((3L, "b")))
+    stage(t, "f3", Seq((4L, "c")))
+    CommitLog.commit(t, Seq("f1"), Nil, 0L,
+      Map("f1" -> Map("k" -> CommitLog.ColStats("1", "2"))))
+    CommitLog.commit(t, Seq("f2"), Nil, 1L) // v2
+    CommitLog.commit(t, Seq("f3"), Nil, 2L) // v3
+    CommitLog.createRef(t, "tags/q1", 1L) // nested ref name
+    CommitLog.createRef(t, "main", 3L)
+    assert(CommitLog.listRefs(t) === Seq("main", "tags/q1"))
+    val (m, d) = CommitLog.expireSnapshots(t, 3L)
+    assert(m === 2 && d === 0) // v1/v2 plain manifests; no data loss
+    // the tag still resolves — full live set, content, AND stats
+    assert(CommitLog.refVersion(t, "tags/q1") === 1L)
+    assert(CommitLog.liveFiles(t, 1L) === Seq("f1"))
+    assert(CommitLog.read(spark, t, Some(1L)).count() === 2L)
+    assert(CommitLog.statsAt(t, 1L).get("f1")
+      .exists(_("k") === CommitLog.ColStats("1", "2")))
+    // the untagged v2 is gone; head and default (main) reads are whole
+    intercept[CommitLog.SnapshotExpired](CommitLog.liveFiles(t, 2L))
+    assert(CommitLog.read(spark, t).count() === 4L)
+    // a second pass is idempotent: the pin persists, nothing re-drops
+    assert(CommitLog.expireSnapshots(t, 3L) === ((0, 0)))
+    assert(CommitLog.liveFiles(t, 1L) === Seq("f1"))
+  }
+
+  test("tag retention: only the pin keeps a removed file's bytes") {
+    def build(tagged: Boolean): String = {
+      val t = freshDir()
+      stage(t, "f1", Seq((1L, "a")))
+      stage(t, "f2", Seq((2L, "b")))
+      CommitLog.commit(t, Seq("f1"), Nil, 0L)
+      CommitLog.commit(t, Seq("f2"), Seq("f1"), 1L) // v2 drops f1
+      if (tagged) {
+        CommitLog.createRef(t, "keep", 1L)
+        CommitLog.createRef(t, "main", 2L)
+      }
+      t
+    }
+    val untagged = build(tagged = false)
+    assert(CommitLog.expireSnapshots(untagged, 2L) === ((1, 1)))
+    assert(!new java.io.File(CommitLog.dataDir(untagged), "f1").exists())
+    val tagged = build(tagged = true)
+    assert(CommitLog.expireSnapshots(tagged, 2L) === ((1, 0)))
+    assert(new java.io.File(CommitLog.dataDir(tagged), "f1").exists())
+    assert(CommitLog.read(spark, tagged,
+      Some(CommitLog.refVersion(tagged, "keep"))).count() === 1L)
   }
 
   test("bloom: probe determinism, roundtrip, planScan equality skipping") {

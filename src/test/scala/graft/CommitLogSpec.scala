@@ -648,6 +648,31 @@ class CommitLogSpec extends SparkTestBase {
     assert(per.sum === du(new File(CommitLog.dataDir(t))))
   }
 
+  test("aggBounds: metadata extremum, refusals on gaps and deletes") {
+    import org.apache.spark.sql.functions.col
+    val numCmp = (a: String, b: String) => a.toLong.compare(b.toLong)
+    val t = freshDir()
+    stage(t, "f1", Seq((3L, "a"), (7L, "a")))
+    stage(t, "f2", Seq((1L, "b"), (9L, "b")))
+    CommitLog.commit(t, Seq("f1"), Nil, 0L,
+      Map("f1" -> Map("k" -> CommitLog.ColStats("3", "7"))))
+    // a live file without stats for the column: refuse
+    CommitLog.commit(t, Seq("f2"), Nil, 1L)
+    assert(CommitLog.aggBounds(t, 1L, "k", numCmp) === Some(("3", "7")))
+    assert(CommitLog.aggBounds(t, 2L, "k", numCmp) === None)
+    // stats arrive with a re-add: the fold spans both files
+    CommitLog.commit(t, Seq("f2"), Nil, 2L,
+      Map("f2" -> Map("k" -> CommitLog.ColStats("1", "9"))))
+    assert(CommitLog.aggBounds(t, 3L, "k", numCmp) === Some(("1", "9")))
+    // a live positional-delete file may mask the extremum: refuse
+    CommitLog.deleteRows(spark, t, Seq("f2"), col("k") === 9L)
+      .write.parquet(s"${CommitLog.dataDir(t)}/del_v4")
+    CommitLog.commit(t, Nil, Nil, 3L, Map.empty, Seq("del_v4"))
+    assert(CommitLog.aggBounds(t, 4L, "k", numCmp) === None)
+    // earlier snapshots still answer from metadata
+    assert(CommitLog.aggBounds(t, 3L, "k", numCmp) === Some(("1", "9")))
+  }
+
   test("collectMeta: manifest-scale collects are bounded and loud") {
     import spark.implicits._
     val df = Seq(1L, 2L, 3L).toDF("k")
