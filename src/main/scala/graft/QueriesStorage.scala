@@ -737,6 +737,39 @@ object QueriesStorage {
     base
   }
 
+  /** stor28's table: orders through a COLUMN-MAPPING lifecycle — v1
+    * appends 1997 (physical columns `o_orderkey, o_totalprice,
+    * odate`), v2 RENAMES `o_totalprice` → `price` (metadata-only; no
+    * file touched), v3 appends 1998 still writing the frozen PHYSICAL
+    * name (the writer-side contract that keeps every era's files
+    * byte-compatible), v4 DROPS `odate`. Head reads serve
+    * `(o_orderkey, price)` across both eras; time travel serves v1
+    * under its own era's names. Build-once per (dir, fingerprint).
+    */
+  private[graft] def stor28Table(s: SparkSession, d: String): String = {
+    import graft.storage.CommitLog
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_colmap/" +
+      s"${tag(d)}_${srcFingerprint(d, "orders")}"
+    QueriesStorage.synchronized {
+      if (CommitLog.latestVersion(base) < 4L) {
+        rmrf(new java.io.File(base))
+        val dataDir = CommitLog.dataDir(base)
+        def era(y: Int) = Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_totalprice"),
+            col("o_orderdate").cast("date").as("odate"))
+          .filter(year(col("odate")) === y)
+        era(1997).write.parquet(s"$dataDir/p1")
+        CommitLog.commit(base, Seq("p1"), Nil, 0L)
+        CommitLog.commitSchemaChange(base,
+          Seq("o_totalprice" -> "price"), Nil, 1L)
+        era(1998).write.parquet(s"$dataDir/p2")
+        CommitLog.commit(base, Seq("p2"), Nil, 2L)
+        CommitLog.commitSchemaChange(base, Nil, Seq("odate"), 3L): Unit
+      }
+    }
+    base
+  }
+
   /** stor15's table: the same de-Hived month layout and delete window
     * as stor11, but the delete is MERGE-ON-READ (VERDICT r16 #1 — the
     * one remaining table-format gap): v2 publishes ONE positional
@@ -2264,6 +2297,38 @@ object QueriesStorage {
         .unionByName(fallback)
     }),
 
+    // COLUMN MAPPING (the Delta column-mapping / Iceberg field-id
+    // idea): rename and drop as O(1) metadata commits over FROZEN
+    // physical names — no file rewritten at any scale, which at
+    // 100 TB is the difference between an instant ALTER TABLE and a
+    // full-table rewrite. The head serves both eras' files under the
+    // renamed column with the dropped column hidden; time travel
+    // serves v1 under its original names; exact column sets are
+    // pinned by loud requires and the ledger arm. The oracle
+    // recomputes both row arms from raw orders.
+    "stor28_column_mapping" -> ((s, d) => {
+      import graft.storage.CommitLog
+      val t = stor28Table(s, d)
+      val head = CommitLog.read(s, t)
+      require(head.columns.toSeq == Seq("o_orderkey", "price"),
+        s"head must serve the mapped schema, got " +
+          head.columns.mkString(","))
+      val v1 = CommitLog.read(s, t, Some(1L))
+      require(v1.columns.toSeq ==
+        Seq("o_orderkey", "o_totalprice", "odate"),
+        s"v1 must serve its era's names, got ${v1.columns.mkString(",")}")
+      def cents(c: String) = floor(col(c) * 100 + lit(0.5)).cast("long")
+      head.agg(count(lit(1)).as("n"),
+          sum(cents("price")).cast("long").as("cents"))
+        .select(lit("head").as("arm"), col("n"), col("cents"))
+        .unionByName(v1.agg(count(lit(1)).as("n"),
+            sum(cents("o_totalprice")).cast("long").as("cents"))
+          .select(lit("v1_oldname").as("arm"), col("n"), col("cents")))
+        .unionByName(s.range(1).select(lit("schema").as("arm"),
+          lit(head.columns.length.toLong).as("n"),
+          lit(v1.columns.length.toLong).as("cents")))
+    }),
+
     // COPY-ON-WRITE MERGE through the commit log — update + delete +
     // insert in ONE atomic commit, completing the DML triangle
     // (append stor7/9, compaction rewrite stor8, delete stor11). The
@@ -2808,6 +2873,21 @@ object QueriesStorage {
         |SELECT CAST(3 AS BIGINT), n_months - n_cand + n_refold,
         |  CAST(0 AS BIGINT), CAST(0 AS BIGINT), rows_kept, c_kept
         |FROM t""".stripMargin,
+    // stor28: head = both eras under the mapped name; v1 = 1997 under
+    // its era's name; schema arm = (head cols, v1 cols) constants.
+    "stor28_column_mapping" ->
+      """WITH o AS (SELECT
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+        |    year(o_orderdate::DATE) AS y FROM orders)
+        |SELECT 'head' AS arm, count(*) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS cents FROM o
+        |WHERE y IN (1997, 1998)
+        |UNION ALL
+        |SELECT 'v1_oldname', count(*), CAST(sum(cents) AS BIGINT)
+        |FROM o WHERE y = 1997
+        |UNION ALL
+        |SELECT 'schema', CAST(2 AS BIGINT), CAST(3 AS BIGINT)"""
+        .stripMargin,
     // stor27: v1 metadata bounds = the raw key domain; head bounds =
     // min unchanged (the key 1..rank-n/4 region is never in the
     // band), max shifted by the insert arm (mx + the largest band key

@@ -1025,6 +1025,11 @@ object CommitLog {
     * shuffle-free; a table with no delete files pays NOTHING (the
     * metadata columns are never even projected).
     */
+  /* (See also the COLUMN MAPPING section: the snapshot's rename/drop
+   * view is applied LAST, so the scan, delete anti-joins, and stats
+   * operate on physical names and only the reader's output is
+   * logical; time travel shows each snapshot under its era's names.)
+   */
   def read(spark: SparkSession, tableDir: String,
       asOf: Option[Long] = None,
       options: Map[String, String] = Map.empty): DataFrame = {
@@ -1054,13 +1059,16 @@ object CommitLog {
     // O(erasure requests) (that is the point: GDPR-batch erasure by
     // subject key without first locating row ordinals), so Catalyst
     // broadcasts it and the scan stays shuffle-free.
-    eqs.groupBy(_._2).toSeq.sortBy(_._1.mkString(","))
+    val eqApplied = eqs.groupBy(_._2).toSeq.sortBy(_._1.mkString(","))
       .foldLeft(posApplied) { case (df, (cols, group)) =>
         val keys = spark.read
           .parquet(group.map(_._1).map(f => s"$base/$f"): _*)
           .select(cols.map(col): _*)
         df.join(keys, cols, "left_anti")
       }
+    // column mapping LAST: files, delete keys, and stats all speak
+    // physical names; only the reader's output is logical
+    applySchemaView(eqApplied, tableDir, v)
   }
 
   /** The (fpath, pos) rows a positional-delete commit publishes: the
@@ -1608,6 +1616,7 @@ object CommitLog {
     val body = ((s"P ${asOf - 1}" +: live.map("A " + _)) ++
       dels.map("D " + _) ++
       eqs.map { case (p, cols) => s"E $p\t${cols.mkString(",")}" } ++
+      schemaLines(schemaViewAt(tableDir, asOf)) ++
       statsLines(statsAt(tableDir, asOf)) ++
       bloomLines(bloomsAt(tableDir, asOf)) ++
       bids.toSeq.sorted.map("B " + _) ++
@@ -1615,6 +1624,98 @@ object CommitLog {
       .mkString("", "\n", "\n")
     publishAtomic(tableDir, checkpointName(asOf), body)
   }
+
+  // ------------------------------------------------------------------
+  // COLUMN MAPPING — rename/drop as metadata (the Delta column-mapping
+  // / Iceberg field-id idea, restated for a name-keyed log): PHYSICAL
+  // column names are frozen at first write and never change; a rename
+  // only moves the LOGICAL name in a journaled mapping, and a drop
+  // hides the physical column — both O(1) metadata commits, no file
+  // rewritten at any scale. Readers apply the mapping of the snapshot
+  // they read (time travel shows each era under its own names);
+  // writers, stats, planScan predicates, and the change feed all speak
+  // PHYSICAL names, so a rename can never invalidate a file, a stats
+  // line, or a downstream CDC consumer.
+  // ------------------------------------------------------------------
+
+  /** Commit a schema change: `renames` as (physical, new logical),
+    * `drops` as physical names — one atomic metadata-only manifest
+    * (`M` lines, op-tagged `schema`), versioned like any commit.
+    * Refuses a rename/drop of a physical name already dropped, and a
+    * rename onto a logical name another column currently holds (two
+    * columns may not answer to one name).
+    */
+  def commitSchemaChange(tableDir: String,
+      renames: Seq[(String, String)], drops: Seq[String],
+      expectedCurrent: Long): Long = {
+    require(renames.nonEmpty || drops.nonEmpty, "empty schema change")
+    (renames.flatMap(r => Seq(r._1, r._2)) ++ drops).foreach(v =>
+      require(v.nonEmpty && !v.contains('\t') && !v.contains('\n'),
+        s"schema-change names must be non-empty and tab/newline-free: " +
+          s"'$v'"))
+    val cur = schemaViewAt(tableDir, expectedCurrent).toMap
+    (renames.map(_._1) ++ drops).foreach(p =>
+      require(!cur.get(p).contains(None),
+        s"physical column '$p' was already dropped"))
+    renames.foreach { case (p, l) =>
+      val taken = cur.exists { case (p2, m) =>
+        p2 != p && m.contains(l) }
+      require(!taken,
+        s"logical name '$l' is already held by another column")
+    }
+    val next = expectedCurrent + 1
+    val body = (s"P $expectedCurrent" +: "O schema" +:
+      (renames.sortBy(_._1).map { case (p, l) => s"M rename\t$p\t$l" } ++
+        drops.sorted.map(p => s"M drop\t$p")))
+      .mkString("", "\n", "\n")
+    if (!publishAtomic(tableDir, manifestName(next), body))
+      throw CommitConflict(next, latestVersion(tableDir))
+    next
+  }
+
+  /** The column mapping of snapshot `asOf` as ordered (physical →
+    * Some(current logical) | None-for-dropped) entries — replayed over
+    * the parent chain like [[liveFiles]], checkpoint-aware. Physical
+    * names absent from the result are unmapped (logical == physical).
+    */
+  def schemaViewAt(tableDir: String,
+      asOf: Long): Seq[(String, Option[String])] = {
+    if (asOf == 0L) return Nil
+    val (base, replay) = chainTo(tableDir, asOf)
+    val start: Seq[(String, Option[String])] =
+      if (base == 0L) Nil
+      else parseSchemaOps(checkpointFile(tableDir, base))
+    (start ++ replay.flatMap(parseSchemaOps))
+      .foldLeft(Seq.empty[(String, Option[String])]) { (acc, op) =>
+        acc.filterNot(_._1 == op._1) :+ op
+      }
+  }
+
+  /** Apply snapshot `asOf`'s column mapping to a physically-named
+    * frame: renames then drops, in mapping order. [[read]] calls this
+    * last, so MOR/equality anti-joins ran against physical names.
+    */
+  private def applySchemaView(df: DataFrame, tableDir: String,
+      asOf: Long): DataFrame =
+    schemaViewAt(tableDir, asOf).foldLeft(df) {
+      case (d, (phys, Some(logical))) => d.withColumnRenamed(phys, logical)
+      case (d, (phys, None)) => d.drop(phys)
+    }
+
+  private def schemaLines(view: Seq[(String, Option[String])]): Seq[String] =
+    view.map {
+      case (p, Some(l)) => s"M rename\t$p\t$l"
+      case (p, None) => s"M drop\t$p"
+    }
+
+  private def parseSchemaOps(f: File): Seq[(String, Option[String])] =
+    Files.readAllLines(f.toPath).toArray(Array.empty[String])
+      .collect { case l if l.startsWith("M ") => l.drop(2).split('\t') }
+      .collect {
+        case Array("rename", p, l) => (p, Some(l))
+        case Array("drop", p) => (p, None)
+      }
+      .toSeq
 
   /** In-flight-staging sentinel for `data/<rel>`: a writer touches it
     * BEFORE staging and removes it after its commit publishes (or on
