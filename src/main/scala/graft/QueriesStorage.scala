@@ -770,6 +770,50 @@ object QueriesStorage {
     base
   }
 
+  /** stor29's table: orders 1997 + a ONE-COMMIT MOR UPSERT (the Hudi
+    * merge-on-read upsert / Iceberg eq-delete-plus-data-file shape):
+    * v2 publishes the batch file AND its keys as an equality delete
+    * in one atomic commit — updates (`k % 10 == 0` → price := k) mask
+    * their old versions by KEY (no position scan, no rewrite) while
+    * the batch's own rows survive under the sequence rule (an eq
+    * delete applies only to strictly older files); inserts land as
+    * brand-new keys (`mx + k` for `k % 10 == 5`, price := k). At
+    * 100 TB this is the low-latency upsert path: O(batch) bytes
+    * written synchronously, the rewrite deferred to compaction.
+    * Build-once per (dir, fingerprint).
+    */
+  private[graft] def stor29Table(s: SparkSession, d: String): String = {
+    import graft.storage.CommitLog
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_upsert/" +
+      s"${tag(d)}_${srcFingerprint(d, "orders")}"
+    QueriesStorage.synchronized {
+      if (CommitLog.latestVersion(base) < 2L) {
+        rmrf(new java.io.File(base))
+        val dataDir = CommitLog.dataDir(base)
+        val o97 = Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_totalprice"))
+          .filter(year(col("o_orderdate")) === 1997)
+        o97.write.parquet(s"$dataDir/p1")
+        CommitLog.commit(base, Seq("p1"), Nil, 0L)
+        val mx = Tables.orders(s, d)
+          .agg(max(col("o_orderkey"))).head().getLong(0)
+        val updates = o97.filter(col("o_orderkey") % 10 === 0)
+          .select(col("o_orderkey"),
+            col("o_orderkey").cast("double").as("o_totalprice"))
+        val inserts = o97.filter(col("o_orderkey") % 10 === 5)
+          .select((col("o_orderkey") + mx).as("o_orderkey"),
+            col("o_orderkey").cast("double").as("o_totalprice"))
+        val batch = updates.unionByName(inserts)
+        batch.write.parquet(s"$dataDir/up_v2")
+        batch.select(col("o_orderkey")).coalesce(1)
+          .write.parquet(s"$dataDir/ek_v2")
+        CommitLog.commitTagged(base, Seq("up_v2"), Nil, 1L,
+          eqDeletes = Seq(("ek_v2", Seq("o_orderkey")))): Unit
+      }
+    }
+    base
+  }
+
   /** stor15's table: the same de-Hived month layout and delete window
     * as stor11, but the delete is MERGE-ON-READ (VERDICT r16 #1 — the
     * one remaining table-format gap): v2 publishes ONE positional
@@ -2329,6 +2373,37 @@ object QueriesStorage {
           lit(v1.columns.length.toLong).as("cents")))
     }),
 
+    // ONE-COMMIT MOR UPSERT (the Hudi upsert / Iceberg eq-delete +
+    // data-file shape, vs stor13's synchronous COW merge): the batch
+    // file and its keys publish atomically; the sequence rule (an
+    // equality delete applies only to STRICTLY OLDER files) keeps the
+    // batch from deleting itself, so updated keys serve the batch's
+    // row, untouched keys the original, and inserts appear — with
+    // O(batch) bytes written and zero files rewritten. Arms: the full
+    // head state, the updated keys (price must equal the key), and
+    // the inserted keys (above the old key domain). The oracle
+    // recomputes all three from raw orders' 1997 era and %10
+    // arithmetic.
+    "stor29_mor_upsert" -> ((s, d) => {
+      import graft.storage.CommitLog
+      val t = stor29Table(s, d)
+      val mx = Tables.orders(s, d)
+        .agg(max(col("o_orderkey"))).head().getLong(0)
+      val head = CommitLog.read(s, t)
+      val cents = floor(col("o_totalprice") * 100 + lit(0.5))
+        .cast("long")
+      def arm(label: String, df: org.apache.spark.sql.DataFrame) =
+        df.agg(count(lit(1)).as("n"),
+            sum(cents).cast("long").as("cents"))
+          .select(lit(label).as("arm"), col("n"), col("cents"))
+      arm("head", head)
+        .unionByName(arm("updated",
+          head.filter(col("o_orderkey") % 10 === 0 &&
+            col("o_orderkey") <= mx)))
+        .unionByName(arm("inserted",
+          head.filter(col("o_orderkey") > mx)))
+    }),
+
     // COPY-ON-WRITE MERGE through the commit log — update + delete +
     // insert in ONE atomic commit, completing the DML triangle
     // (append stor7/9, compaction rewrite stor8, delete stor11). The
@@ -2873,6 +2948,30 @@ object QueriesStorage {
         |SELECT CAST(3 AS BIGINT), n_months - n_cand + n_refold,
         |  CAST(0 AS BIGINT), CAST(0 AS BIGINT), rows_kept, c_kept
         |FROM t""".stripMargin,
+    // stor29: head = 1997 with %10==0 keys repriced to the key, plus
+    // %10==5 keys re-inserted above the global key domain at price k;
+    // updated/inserted arms recompute the same %10 arithmetic.
+    "stor29_mor_upsert" ->
+      """WITH p AS (SELECT max(o_orderkey) AS mx FROM orders),
+        |o97 AS (SELECT o_orderkey AS k,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents0
+        |  FROM orders WHERE year(o_orderdate::DATE) = 1997),
+        |hd AS (SELECT count(*) AS n,
+        |    CAST(sum(CASE WHEN k % 10 = 0 THEN k * 100
+        |      ELSE cents0 END) AS BIGINT) AS cents FROM o97),
+        |ins AS (SELECT count(*) AS n,
+        |    CAST(coalesce(sum(k * 100), 0) AS BIGINT) AS cents
+        |  FROM o97 WHERE k % 10 = 5),
+        |upd AS (SELECT count(*) AS n,
+        |    CAST(coalesce(sum(k * 100), 0) AS BIGINT) AS cents
+        |  FROM o97 WHERE k % 10 = 0)
+        |SELECT 'head' AS arm, hd.n + ins.n AS n,
+        |  CAST(hd.cents + ins.cents AS BIGINT) AS cents
+        |FROM hd CROSS JOIN ins
+        |UNION ALL
+        |SELECT 'updated', n, cents FROM upd
+        |UNION ALL
+        |SELECT 'inserted', n, cents FROM ins""".stripMargin,
     // stor28: head = both eras under the mapped name; v1 = 1997 under
     // its era's name; schema arm = (head cols, v1 cols) constants.
     "stor28_column_mapping" ->

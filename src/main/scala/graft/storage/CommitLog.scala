@@ -1040,9 +1040,9 @@ object CommitLog {
     val (files, dels, eqs) = liveSets(tableDir, v)
     require(files.nonEmpty, s"snapshot v$v is empty")
     val base = dataDir(tableDir)
-    val scan = spark.read.option("basePath", base).options(options)
-      .parquet(files.map(f => s"$base/$f"): _*)
-    val posApplied =
+    def scanOf(fs: Seq[String]): DataFrame = {
+      val scan = spark.read.option("basePath", base).options(options)
+        .parquet(fs.map(f => s"$base/$f"): _*)
       if (dels.isEmpty) scan
       else {
         val delDf = spark.read.parquet(dels.map(f => s"$base/$f"): _*)
@@ -1053,22 +1053,77 @@ object CommitLog {
           .join(delDf, Seq("__fp", "__ri"), "left_anti")
           .drop("__fp", "__ri")
       }
+    }
     // EQUALITY-delete apply: per key-column set, one anti-join of the
     // scan against the union of that set's delete files ON THE KEY
     // COLUMNS — no positions, no metadata columns. The delete side is
     // O(erasure requests) (that is the point: GDPR-batch erasure by
     // subject key without first locating row ordinals), so Catalyst
     // broadcasts it and the scan stays shuffle-free.
-    val eqApplied = eqs.groupBy(_._2).toSeq.sortBy(_._1.mkString(","))
-      .foldLeft(posApplied) { case (df, (cols, group)) =>
-        val keys = spark.read
-          .parquet(group.map(_._1).map(f => s"$base/$f"): _*)
-          .select(cols.map(col): _*)
-        df.join(keys, cols, "left_anti")
+    //
+    // SEQUENCE SEMANTICS (the Iceberg sequence-number rule): an
+    // equality delete applies only to data files first-added STRICTLY
+    // BEFORE the delete file — a row inserted at or after the erasure
+    // is a NEW row, not a late victim. This is what makes a one-commit
+    // MOR UPSERT sound: `commitTagged(added = new rows, eqDeletes =
+    // their keys)` masks the old versions without the batch deleting
+    // itself. Files partition into groups by applicable delete set
+    // (one group — a plain erasure — keeps today's single-scan plan).
+    def foldEq(df: DataFrame,
+        applying: Seq[(String, Seq[String])]): DataFrame =
+      applying.groupBy(_._2).toSeq.sortBy(_._1.mkString(","))
+        .foldLeft(df) { case (d, (cols, group)) =>
+          val keys = spark.read
+            .parquet(group.map(_._1).map(f => s"$base/$f"): _*)
+            .select(cols.map(col): _*)
+          d.join(keys, cols, "left_anti")
+        }
+    val eqApplied =
+      if (eqs.isEmpty) scanOf(files)
+      else {
+        val (addV, eqV) = seqVersions(tableDir, v)
+        def applying(f: String): Seq[(String, Seq[String])] =
+          eqs.filter { case (p, _) =>
+            eqV.getOrElse(p, Long.MaxValue) > addV.getOrElse(f, 0L) }
+        val groups = files.groupBy(f => applying(f).map(_._1))
+        if (groups.size == 1) foldEq(scanOf(files), applying(files.head))
+        else groups.toSeq.sortBy(_._1.mkString(","))
+          .map { case (_, gf) => foldEq(scanOf(gf), applying(gf.head)) }
+          .reduce(_ unionByName _)
       }
     // column mapping LAST: files, delete keys, and stats all speak
     // physical names; only the reader's output is logical
     applySchemaView(eqApplied, tableDir, v)
+  }
+
+  /** FIRST-ADD sequence numbers of snapshot `asOf`'s live data and
+    * equality-delete files — (dataFile → version, eqFile → version),
+    * replayed along the parent chain. A re-add (restore) keeps the
+    * ORIGINAL sequence (file names are unique and files immutable, so
+    * first-add identifies the content's true age — the property that
+    * keeps "delete applies to strictly older data" correct across
+    * rollbacks). Checkpoint base: data files seq 0, eq files seq
+    * `base` — i.e. a checkpointed erasure applies to every
+    * checkpointed data file, preserving pre-expiry behavior.
+    */
+  private def seqVersions(tableDir: String,
+      asOf: Long): (Map[String, Long], Map[String, Long]) = {
+    val (cpBase, replay) = chainTo(tableDir, asOf)
+    val start: (Map[String, Long], Map[String, Long]) =
+      if (cpBase == 0L) (Map.empty, Map.empty)
+      else {
+        val cp = checkpointFile(tableDir, cpBase)
+        val (a, _, _) = parse(cp)
+        (a.map(_ -> 0L).toMap, parseEq(cp).map(_._1 -> cpBase).toMap)
+      }
+    replay.foldLeft(start) { case ((dv, ev), m) =>
+      val mv = versionOf(m.getName).get
+      val (add, _, _) = parse(m)
+      (add.foldLeft(dv)((acc, f) =>
+        if (acc.contains(f)) acc else acc + (f -> mv)),
+        parseEq(m).map(_._1).foldLeft(ev)((acc, f) =>
+          if (acc.contains(f)) acc else acc + (f -> mv)))
+    }
   }
 
   /** The (fpath, pos) rows a positional-delete commit publishes: the

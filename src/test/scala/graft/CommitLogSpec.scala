@@ -673,6 +673,38 @@ class CommitLogSpec extends SparkTestBase {
     assert(CommitLog.aggBounds(t, 3L, "k", numCmp) === Some(("1", "9")))
   }
 
+  test("one-commit MOR upsert: eq deletes skip the batch's own file") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val t = freshDir()
+    stage(t, "f1", Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    CommitLog.commit(t, Seq("f1"), Nil, 0L)
+    // upsert = ONE commit: the batch file + its keys as an eq delete.
+    // Sequence semantics (eq applies only to strictly older files)
+    // keep the batch from deleting itself.
+    stage(t, "up2", Seq((2L, "B"), (9L, "z")))
+    Seq(2L, 9L).toDF("k").write
+      .parquet(s"${CommitLog.dataDir(t)}/ek2")
+    CommitLog.commitTagged(t, Seq("up2"), Nil, 1L,
+      eqDeletes = Seq(("ek2", Seq("k"))))
+    def state() = CommitLog.read(spark, t)
+      .collect().map(r => (r.getAs[Long]("k"), r.getAs[String]("part")))
+      .toSet
+    assert(state() === Set((1L, "a"), (2L, "B"), (3L, "c"), (9L, "z")))
+    // a second upsert re-targets a key the FIRST batch inserted: the
+    // older batch file is now strictly older, so it masks correctly
+    stage(t, "up3", Seq((9L, "Z")))
+    Seq(9L).toDF("k").write
+      .parquet(s"${CommitLog.dataDir(t)}/ek3")
+    CommitLog.commitTagged(t, Seq("up3"), Nil, 2L,
+      eqDeletes = Seq(("ek3", Seq("k"))))
+    assert(state() === Set((1L, "a"), (2L, "B"), (3L, "c"), (9L, "Z")))
+    // time travel: each snapshot under its own delete horizon
+    assert(CommitLog.read(spark, t, Some(1L)).count() === 3L)
+    assert(CommitLog.read(spark, t, Some(2L))
+      .filter(col("k") === 9L).count() === 1L)
+  }
+
   test("collectMeta: manifest-scale collects are bounded and loud") {
     import spark.implicits._
     val df = Seq(1L, 2L, 3L).toDF("k")
