@@ -2404,6 +2404,32 @@ object QueriesStorage {
           head.filter(col("o_orderkey") > mx)))
     }),
 
+    // ROW LINEAGE (the Iceberg `_snapshot_id` / Delta row-tracking
+    // idea at file granularity): every row tagged with the commit
+    // that FIRST added its file, derived at read time from the
+    // replayed (file → version) map broadcast against the scan's
+    // metadata path — zero data rewritten, no table redesign, and the
+    // audit query "which commit produced these rows?" works at any
+    // scale. Two arms over stor24's lifecycle: the MOR snapshot v3
+    // (era B minus the %7 band, every row tagging its true era) and
+    // the post-restore head (the un-deleted band rows return STILL
+    // tagging era B's commit — lineage is the content's age, not the
+    // rollback's). The oracle recomputes both from era/band
+    // arithmetic.
+    "stor30_row_lineage" -> ((s, d) => {
+      import graft.storage.CommitLog
+      val t = stor24Table(s, d)
+      val cents = floor(col("o_totalprice") * 100 + lit(0.5))
+        .cast("long")
+      def arm(label: String, v: Long) =
+        CommitLog.readWithLineage(s, t, Some(v))
+          .groupBy(col("_commit_version"))
+          .agg(count(lit(1)).as("n"), sum(cents).cast("long").as("cents"))
+          .select(lit(label).as("arm"), col("_commit_version"),
+            col("n"), col("cents"))
+      arm("mor_v3", 3L).unionByName(arm("head", 5L))
+    }),
+
     // COPY-ON-WRITE MERGE through the commit log — update + delete +
     // insert in ONE atomic commit, completing the DML triangle
     // (append stor7/9, compaction rewrite stor8, delete stor11). The
@@ -2948,6 +2974,24 @@ object QueriesStorage {
         |SELECT CAST(3 AS BIGINT), n_months - n_cand + n_refold,
         |  CAST(0 AS BIGINT), CAST(0 AS BIGINT), rows_kept, c_kept
         |FROM t""".stripMargin,
+    // stor30: per-commit row groups from era arithmetic — era A
+    // (< 1998) tags v1, era B (1998) tags v2; the MOR arm drops era
+    // B's %7 keys, the head arm restores them (same v2 tag).
+    "stor30_row_lineage" ->
+      """WITH o AS (SELECT o_orderkey AS k,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+        |    o_orderdate::DATE AS dt FROM orders
+        |  WHERE o_orderdate::DATE < DATE '1999-01-01'),
+        |t AS (SELECT *,
+        |    CASE WHEN dt < DATE '1998-01-01' THEN 1 ELSE 2 END AS cv,
+        |    (dt >= DATE '1998-01-01' AND k % 7 = 0) AS banded
+        |  FROM o)
+        |SELECT 'mor_v3' AS arm, CAST(cv AS BIGINT) AS _commit_version,
+        |  count(*) AS n, CAST(sum(cents) AS BIGINT) AS cents
+        |FROM t WHERE NOT banded GROUP BY 2
+        |UNION ALL
+        |SELECT 'head', CAST(cv AS BIGINT), count(*),
+        |  CAST(sum(cents) AS BIGINT) FROM t GROUP BY 2""".stripMargin,
     // stor29: head = 1997 with %10==0 keys repriced to the key, plus
     // %10==5 keys re-inserted above the global key domain at price k;
     // updated/inserted arms recompute the same %10 arithmetic.

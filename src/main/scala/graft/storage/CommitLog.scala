@@ -1032,8 +1032,13 @@ object CommitLog {
    */
   def read(spark: SparkSession, tableDir: String,
       asOf: Option[Long] = None,
-      options: Map[String, String] = Map.empty): DataFrame = {
-    import org.apache.spark.sql.functions.col
+      options: Map[String, String] = Map.empty): DataFrame =
+    readInternal(spark, tableDir, asOf, options, keepRel = false)
+
+  private def readInternal(spark: SparkSession, tableDir: String,
+      asOf: Option[Long], options: Map[String, String],
+      keepRel: Boolean): DataFrame = {
+    import org.apache.spark.sql.functions.{col, element_at, split}
     // default through the MAIN ref on a branched log — never the
     // global version counter (see defaultVersion)
     val v = asOf.getOrElse(defaultVersion(tableDir))
@@ -1041,8 +1046,15 @@ object CommitLog {
     require(files.nonEmpty, s"snapshot v$v is empty")
     val base = dataDir(tableDir)
     def scanOf(fs: Seq[String]): DataFrame = {
-      val scan = spark.read.option("basePath", base).options(options)
+      val scan0 = spark.read.option("basePath", base).options(options)
         .parquet(fs.map(f => s"$base/$f"): _*)
+      // lineage support: the committed entry name is the parent
+      // component of the part file's path — captured AT SCAN TIME
+      // (metadata columns do not survive joins), then an ordinary
+      // column
+      val scan = if (!keepRel) scan0
+      else scan0.withColumn("__rel",
+        element_at(split(col("_metadata.file_path"), "/"), -2))
       if (dels.isEmpty) scan
       else {
         val delDf = spark.read.parquet(dels.map(f => s"$base/$f"): _*)
@@ -1094,6 +1106,32 @@ object CommitLog {
     // column mapping LAST: files, delete keys, and stats all speak
     // physical names; only the reader's output is logical
     applySchemaView(eqApplied, tableDir, v)
+  }
+
+  /** ROW LINEAGE: snapshot `asOf` with a `_commit_version` column —
+    * the commit that first added each row's file (first-add, so a
+    * restore re-add keeps the row's true age), the Iceberg
+    * `_snapshot_id` / Delta row-tracking idea at file granularity.
+    * Zero data rewritten: lineage is derived at read time by joining
+    * the scan's `_metadata.file_path` parent entry against the
+    * O(live files) replayed (file → version) map, broadcast so the
+    * scan stays shuffle-free. MOR/equality deletes and column mapping
+    * apply exactly as in [[read]] (the lineage column rides the same
+    * frame). The audit query this serves — "which commit produced
+    * these rows?" — needs no table redesign at any scale.
+    */
+  def readWithLineage(spark: SparkSession, tableDir: String,
+      asOf: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val v = asOf.getOrElse(defaultVersion(tableDir))
+    val (addV, _) = seqVersions(tableDir, v)
+    val live = liveFiles(tableDir, v).toSet
+    import spark.implicits._
+    val lineage = addV.view.filterKeys(live.contains).toSeq
+      .toDF("__rel", "_commit_version")
+    readInternal(spark, tableDir, Some(v), Map.empty, keepRel = true)
+      .join(broadcast(lineage), Seq("__rel"), "left")
+      .drop("__rel")
   }
 
   /** FIRST-ADD sequence numbers of snapshot `asOf`'s live data and

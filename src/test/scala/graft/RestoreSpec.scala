@@ -141,6 +141,21 @@ class RestoreSpec extends SparkTestBase {
     intercept[IllegalArgumentException](CommitLog.restore(spark, b, 1L))
   }
 
+  test("row lineage: first-add commit per row, MOR-aware, restore-stable") {
+    val t = buildTable()
+    def lin(v: Long): Set[(Long, Long)] =
+      CommitLog.readWithLineage(spark, t, Some(v))
+        .collect().map(r => (r.getAs[Long]("k"),
+          r.getAs[Long]("_commit_version"))).toSet
+    // v4: k=3 masked by the v3 positional delete; f3's row tags v4
+    assert(lin(4L) === Set((1L, 1L), (2L, 1L), (4L, 2L), (5L, 4L)))
+    // after the restore, k=3 is visible again and still tags its
+    // FIRST-ADD commit (v2) — lineage is the content's true age, not
+    // the rollback's
+    CommitLog.restore(spark, t, 2L)
+    assert(lin(5L) === Set((1L, 1L), (2L, 1L), (3L, 2L), (4L, 2L)))
+  }
+
   test("history(): one row per commit, ledger counts, changeset flag") {
     val t = buildTable()
     CommitLog.restore(spark, t, 2L)
