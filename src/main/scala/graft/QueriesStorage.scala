@@ -787,7 +787,7 @@ object QueriesStorage {
     val base = s"${System.getProperty("java.io.tmpdir")}/graft_upsert/" +
       s"${tag(d)}_${srcFingerprint(d, "orders")}"
     QueriesStorage.synchronized {
-      if (CommitLog.latestVersion(base) < 2L) {
+      if (CommitLog.latestVersion(base) < 3L) {
         rmrf(new java.io.File(base))
         val dataDir = CommitLog.dataDir(base)
         val o97 = Tables.orders(s, d)
@@ -808,7 +808,16 @@ object QueriesStorage {
         batch.select(col("o_orderkey")).coalesce(1)
           .write.parquet(s"$dataDir/ek_v2")
         CommitLog.commitTagged(base, Seq("up_v2"), Nil, 1L,
-          eqDeletes = Seq(("ek_v2", Seq("o_orderkey")))): Unit
+          eqDeletes = Seq(("ek_v2", Seq("o_orderkey"))))
+        // v3: the FOLD — materialize the upsert into one compacted
+        // file, retiring the eq-delete file and both data files in a
+        // single `replace` commit (identical logical rows, so the
+        // change feed renders it as a no-op): the deferred rewrite
+        // that restores the zero-anti-join scan
+        CommitLog.read(s, base, Some(2L)).coalesce(1)
+          .write.parquet(s"$dataDir/fold_v3")
+        CommitLog.commitTagged(base, Seq("fold_v3"),
+          Seq("p1", "up_v2", "ek_v2"), 2L, op = Some("replace")): Unit
       }
     }
     base
@@ -2379,29 +2388,39 @@ object QueriesStorage {
     // equality delete applies only to STRICTLY OLDER files) keeps the
     // batch from deleting itself, so updated keys serve the batch's
     // row, untouched keys the original, and inserts appear — with
-    // O(batch) bytes written and zero files rewritten. Arms: the full
-    // head state, the updated keys (price must equal the key), and
-    // the inserted keys (above the old key domain). The oracle
-    // recomputes all three from raw orders' 1997 era and %10
-    // arithmetic.
+    // O(batch) bytes written and zero files rewritten. Arms: the MOR
+    // state (anti-join read), the updated keys (price must equal the
+    // key), the inserted keys (above the old key domain), the FOLD
+    // (v3 materializes the upsert into one file, retiring the eq
+    // file — identical rows, zero-anti-join scan restored), and the
+    // file ledger (one eq file at v2, none at v3, one data file
+    // after the fold). The oracle recomputes the row arms from raw
+    // orders' 1997 era and %10 arithmetic.
     "stor29_mor_upsert" -> ((s, d) => {
       import graft.storage.CommitLog
       val t = stor29Table(s, d)
       val mx = Tables.orders(s, d)
         .agg(max(col("o_orderkey"))).head().getLong(0)
-      val head = CommitLog.read(s, t)
+      // v2 = the MOR state (anti-join read path); v3 = the fold
+      val mor = CommitLog.read(s, t, Some(2L))
       val cents = floor(col("o_totalprice") * 100 + lit(0.5))
         .cast("long")
       def arm(label: String, df: org.apache.spark.sql.DataFrame) =
         df.agg(count(lit(1)).as("n"),
             sum(cents).cast("long").as("cents"))
           .select(lit(label).as("arm"), col("n"), col("cents"))
-      arm("head", head)
+      val ledger = s.range(1).select(lit("ledger").as("arm"),
+        lit(CommitLog.liveEqDeleteFiles(t, 2L).size * 10L +
+          CommitLog.liveEqDeleteFiles(t, 3L).size).as("n"),
+        lit(CommitLog.liveFiles(t, 3L).size.toLong).as("cents"))
+      arm("head", mor)
         .unionByName(arm("updated",
-          head.filter(col("o_orderkey") % 10 === 0 &&
+          mor.filter(col("o_orderkey") % 10 === 0 &&
             col("o_orderkey") <= mx)))
         .unionByName(arm("inserted",
-          head.filter(col("o_orderkey") > mx)))
+          mor.filter(col("o_orderkey") > mx)))
+        .unionByName(arm("folded", CommitLog.read(s, t, Some(3L))))
+        .unionByName(ledger)
     }),
 
     // ROW LINEAGE (the Iceberg `_snapshot_id` / Delta row-tracking
@@ -3015,7 +3034,14 @@ object QueriesStorage {
         |UNION ALL
         |SELECT 'updated', n, cents FROM upd
         |UNION ALL
-        |SELECT 'inserted', n, cents FROM ins""".stripMargin,
+        |SELECT 'inserted', n, cents FROM ins
+        |UNION ALL
+        |SELECT 'folded', hd.n + ins.n,
+        |  CAST(hd.cents + ins.cents AS BIGINT)
+        |FROM hd CROSS JOIN ins
+        |UNION ALL
+        |SELECT 'ledger', CAST(10 AS BIGINT), CAST(1 AS BIGINT)"""
+        .stripMargin,
     // stor28: head = both eras under the mapped name; v1 = 1997 under
     // its era's name; schema arm = (head cols, v1 cols) constants.
     "stor28_column_mapping" ->

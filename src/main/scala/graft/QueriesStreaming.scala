@@ -72,7 +72,95 @@ object QueriesStreaming {
     (up, down)
   }
 
+  /** st15's pair: a CDC-shaped UPSTREAM — three append commits of
+    * keyed re-pricings over orders 1997 (the base, then price := k on
+    * `k % 10 == 0`, then price := 2k on `k % 100 == 0`) — streamed
+    * through the commit-log source (one version per micro-batch) into
+    * a DOWNSTREAM table via [[graft.storage.CommitLog.upsertBatch]]:
+    * each trigger lands the batch file plus its keys as an equality
+    * delete in ONE exactly-once ledgered commit, so the downstream is
+    * a keyed LATEST-STATE table (the Hudi streaming-upsert shape)
+    * while st12's appendBatch downstream is an append log. Build-once
+    * per (dir, fingerprint).
+    */
+  private[graft] def st15Tables(s: SparkSession,
+      d: String): (String, String) = {
+    import graft.storage.CommitLog
+    import org.apache.spark.sql.graft.CommitLogStream
+    val tagd = d.replaceAll("[^A-Za-z0-9]", "_")
+    val fp = CommitLog.srcFingerprint(d, "orders")
+    val up =
+      s"${System.getProperty("java.io.tmpdir")}/graft_cdcup/${tagd}_$fp"
+    val down = s"${System.getProperty("java.io.tmpdir")}/" +
+      s"graft_streamupsert/${tagd}_$fp"
+    QueriesStreaming.synchronized {
+      if (scala.util.Try(CommitLog.latestVersion(up)).getOrElse(0L) < 3L) {
+        CommitLog.deleteRecursively(new java.io.File(up))
+        val dd = CommitLog.dataDir(up)
+        val o97 = graft.sources.Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_totalprice"))
+          .filter(year(col("o_orderdate")) === 1997)
+        o97.write.parquet(s"$dd/b1")
+        CommitLog.commit(up, Seq("b1"), Nil, 0L)
+        o97.filter(col("o_orderkey") % 10 === 0)
+          .select(col("o_orderkey"),
+            col("o_orderkey").cast("double").as("o_totalprice"))
+          .write.parquet(s"$dd/b2")
+        CommitLog.commit(up, Seq("b2"), Nil, 1L)
+        o97.filter(col("o_orderkey") % 100 === 0)
+          .select(col("o_orderkey"),
+            (col("o_orderkey") * 2).cast("double").as("o_totalprice"))
+          .write.parquet(s"$dd/b3")
+        CommitLog.commit(up, Seq("b3"), Nil, 2L)
+      }
+      val complete = scala.util.Try(
+        CommitLog.latestVersion(down) >= 3L &&
+          CommitLog.committedBatchIds(down) == Set(0L, 1L, 2L))
+        .getOrElse(false)
+      if (!complete) {
+        CommitLog.deleteRecursively(new java.io.File(down))
+        val q = s.readStream.format(CommitLogStream.Format)
+          .option("path", up)
+          .option("maxVersionsPerBatch", "1")
+          .load()
+          .writeStream
+          .option("checkpointLocation", s"$down/_streamckpt")
+          .foreachBatch { (b: DataFrame, id: Long) =>
+            CommitLog.upsertBatch(down, b, Seq("o_orderkey"), id): Unit
+          }
+          .start()
+        try q.processAllAvailable() finally q.stop()
+      }
+    }
+    (up, down)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // STREAMING MOR UPSERT (the Hudi streaming-upsert / CDC-ingestion
+    // shape, completing st12's trio: append log → change feed → keyed
+    // LATEST-STATE table): each micro-batch of the CDC stream lands
+    // through upsertBatch — the batch file plus its keys as an
+    // equality delete in ONE exactly-once ledgered commit, old key
+    // versions masked atomically with the batch becoming visible,
+    // O(batch) bytes per trigger and zero rewrites. The query
+    // time-travels the downstream version by version: the row count
+    // is INVARIANT (pure updates), the cents track each re-pricing
+    // wave, and the batch ledger pins exactly-once. The oracle
+    // recomputes every version's state from orders' 1997 era and the
+    // %10/%100 re-pricing arithmetic.
+    "st15_stream_upsert" -> ((s, d) => {
+      import graft.storage.CommitLog
+      val (_, down) = st15Tables(s, d)
+      val nBatches = CommitLog.committedBatchIds(down).size
+      (1L to 3L).map { v =>
+        CommitLog.read(s, down, Some(v))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(floor(col("o_totalprice") * 100 + lit(0.5)).cast("long"))
+              .cast("long").as("cents"))
+          .select(lit(v).as("version"), col("n_rows"), col("cents"),
+            lit(nBatches.toLong).as("n_batches"))
+      }.reduce(_ unionByName _)
+    }),
     // THE COMMIT LOG AS A STREAMING SOURCE (VERDICT r16 #2): the
     // downstream table below was populated by a real readStream over
     // the commit-log source — offset = table version, each micro-batch
@@ -537,6 +625,25 @@ object QueriesStreaming {
   )
 
   def oracle: Map[String, String] = Map(
+    // st15: per-version latest-state — the row count is invariant
+    // (pure updates), cents track the %10 then %100 re-pricing
+    // waves; 3 ledgered batches by construction.
+    "st15_stream_upsert" ->
+      """WITH o97 AS (SELECT o_orderkey AS k,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents0
+        |  FROM orders WHERE year(o_orderdate::DATE) = 1997)
+        |SELECT CAST(1 AS BIGINT) AS version, count(*) AS n_rows,
+        |  CAST(sum(cents0) AS BIGINT) AS cents,
+        |  CAST(3 AS BIGINT) AS n_batches FROM o97
+        |UNION ALL
+        |SELECT 2, count(*),
+        |  CAST(sum(CASE WHEN k % 10 = 0 THEN k * 100
+        |    ELSE cents0 END) AS BIGINT), 3 FROM o97
+        |UNION ALL
+        |SELECT 3, count(*),
+        |  CAST(sum(CASE WHEN k % 100 = 0 THEN k * 200
+        |    WHEN k % 10 = 0 THEN k * 100
+        |    ELSE cents0 END) AS BIGINT), 3 FROM o97""".stripMargin,
     // st12: cumulative derived state per downstream version = the
     // upstream month windows, cumulatively (stor14's arithmetic); the
     // batch ledger is 3 by construction (one micro-batch per upstream

@@ -1971,6 +1971,63 @@ object CommitLog {
     true
   }
 
+  /** EXACTLY-ONCE streaming MOR UPSERT — [[appendBatch]]'s sibling
+    * for keyed CDC ingestion (the Hudi streaming-upsert shape): stage
+    * the micro-batch AND its key set, then publish ONE manifest
+    * carrying the data file, the keys as an equality delete, and the
+    * batch id. The sequence rule (an eq delete applies only to
+    * strictly older files) keeps the batch from masking itself, so
+    * old versions of its keys disappear atomically with the batch
+    * becoming visible — O(batch) bytes per trigger, zero rewrites,
+    * the fold deferred to compaction. Idempotent per batch id under
+    * replay and crash exactly like [[appendBatch]]; the batch must be
+    * key-unique (an in-batch duplicate has no defined winner) and is
+    * refused loudly otherwise. Returns false when the ledger already
+    * carries the id.
+    */
+  def upsertBatch(tableDir: String, batch: DataFrame,
+      keyCols: Seq[String], batchId: Long): Boolean = {
+    import org.apache.spark.sql.functions.col
+    require(keyCols.nonEmpty, "upsertBatch needs key columns")
+    keyCols.foreach(c => require(!c.contains('\t') && !c.contains(',') &&
+      !c.contains('\n'), s"key column name unsafe for manifest: '$c'"))
+    if (committedBatchIds(tableDir).contains(batchId)) return false
+    val keys = batch.select(keyCols.map(col): _*)
+    val n = batch.count()
+    require(keys.distinct().count() == n,
+      s"upsert batch $batchId carries duplicate keys: last-writer-wins " +
+        "within one batch is undefined — pre-aggregate to one row per " +
+        "key before the sink")
+    val rel = f"upsert_$batchId%06d_${java.util.UUID.randomUUID()}"
+    val ek = s"ek_$rel"
+    touchSentinel(tableDir, rel)
+    touchSentinel(tableDir, ek)
+    batch.write.parquet(s"${dataDir(tableDir)}/$rel")
+    keys.coalesce(1).write.parquet(s"${dataDir(tableDir)}/$ek")
+    var done = false
+    while (!done) {
+      val head = latestVersion(tableDir)
+      if (committedBatchIds(tableDir).contains(batchId)) {
+        deleteRecursively(new File(dataDir(tableDir), rel))
+        deleteRecursively(new File(dataDir(tableDir), ek))
+        Files.deleteIfExists(stagingSentinel(tableDir, rel).toPath)
+        Files.deleteIfExists(stagingSentinel(tableDir, ek).toPath): Unit
+        return false
+      }
+      if (!new File(dataDir(tableDir), rel).exists() ||
+        !new File(dataDir(tableDir), ek).exists())
+        throw new IllegalStateException(
+          s"staged $rel vanished before commit (vacuumOrphans grace " +
+            "too short for this writer's stage-to-commit latency)")
+      if (publishAtomic(tableDir, manifestName(head + 1),
+        s"P $head\nB $batchId\nA $rel\nE $ek\t${keyCols.mkString(",")}\n"))
+        done = true
+    }
+    Files.deleteIfExists(stagingSentinel(tableDir, rel).toPath)
+    Files.deleteIfExists(stagingSentinel(tableDir, ek).toPath): Unit
+    true
+  }
+
   /** Highest upstream version a downstream table has consumed via
     * [[syncIncrement]] (the `U` lines) — 0 if never synced.
     * Checkpoint-aware like [[committedBatchIds]]: expiry preserves it.

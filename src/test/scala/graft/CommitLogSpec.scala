@@ -705,6 +705,24 @@ class CommitLogSpec extends SparkTestBase {
       .filter(col("k") === 9L).count() === 1L)
   }
 
+  test("upsertBatch: exactly-once replay, state, key-dup refusal") {
+    import spark.implicits._
+    val t = freshDir()
+    val b0 = Seq((1L, "a"), (2L, "b")).toDF("k", "part")
+    assert(CommitLog.upsertBatch(t, b0, Seq("k"), 0L))
+    // replaying the same batch id is a ledgered no-op
+    assert(!CommitLog.upsertBatch(t, b0, Seq("k"), 0L))
+    assert(CommitLog.latestVersion(t) === 1L)
+    val b1 = Seq((2L, "B"), (5L, "e")).toDF("k", "part")
+    assert(CommitLog.upsertBatch(t, b1, Seq("k"), 1L))
+    val state = CommitLog.read(spark, t).collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[String]("part"))).toSet
+    assert(state === Set((1L, "a"), (2L, "B"), (5L, "e")))
+    // an in-batch duplicate key has no defined winner: refuse
+    intercept[IllegalArgumentException](CommitLog.upsertBatch(t,
+      Seq((7L, "x"), (7L, "y")).toDF("k", "part"), Seq("k"), 2L))
+  }
+
   test("collectMeta: manifest-scale collects are bounded and loud") {
     import spark.implicits._
     val df = Seq(1L, 2L, 3L).toDF("k")
