@@ -1385,12 +1385,15 @@ object CommitLog {
         // physical rewrite: no logical rows changed, nothing to emit
       } else if (rem.nonEmpty) {
         throw new IllegalStateException(
-          s"change feed across untagged rewrite commit v$v " +
-            s"(${rem.size} files removed, no O tag): file lists alone " +
-            "cannot distinguish a compaction (no logical change) from " +
-            "an overwrite (every removed row deleted) — tag rewrite " +
-            "commits with op = Some(\"replace\") or attach a changeset " +
-            "at write time")
+          s"change feed across ${op.fold("untagged")(o => s"'$o'")} " +
+            s"rewrite commit v$v (${rem.size} files removed, " +
+            s"${op.fold("no O tag")(_ => "no changeset")}): file lists " +
+            "alone cannot distinguish a compaction (no logical change) " +
+            "from an overwrite (every removed row deleted) — tag " +
+            "rewrite commits with op = Some(\"replace\") or attach a " +
+            "changeset at write time; a metadata-only restore " +
+            "deliberately has neither, and row-level consumers resync " +
+            "from the restored snapshot")
       } else {
         if (add.nonEmpty)
           parts += spark.read.option("basePath", base)
@@ -1499,8 +1502,18 @@ object CommitLog {
     * the new head version; restoring to a snapshot whose live sets
     * already equal the head's is refused — a no-op restore commit
     * would render an empty changeset and burn a version for nothing.
+    *
+    * SCALE NOTE — `withChangeset`: the row diff is `exceptAll` over
+    * BOTH snapshots, a full two-table shuffle; at 100 TB that can
+    * cost more than the outage. Pass `withChangeset = false` for a
+    * pure-metadata O(manifest) rollback — the commit is op-tagged
+    * `restore vN` with no `C` line, so [[changes]] REFUSES across it
+    * (loudly, like any untagged rewrite) and row-level consumers must
+    * resync from the restored snapshot, which is exactly the honest
+    * contract when the diff was never computed.
     */
-  def restore(spark: SparkSession, tableDir: String, toV: Long): Long = {
+  def restore(spark: SparkSession, tableDir: String, toV: Long,
+      withChangeset: Boolean = true): Long = {
     import org.apache.spark.sql.functions.lit
     val head = latestVersion(tableDir)
     require(toV >= 1 && toV < head,
@@ -1515,22 +1528,31 @@ object CommitLog {
     val removed = dH.diff(dT) ++ delH.diff(delT) ++
       eqH.map(_._1).diff(eqT.map(_._1))
     // the logical diff, recorded while both snapshots are readable —
-    // multiset except, so duplicate rows restore with exact counts
-    val cur = read(spark, tableDir, Some(head))
-    val tgt = read(spark, tableDir, Some(toV))
-    require(cur.columns.sorted.sameElements(tgt.columns.sorted),
-      s"restore across a schema change (v$toV: " +
-        s"${tgt.columns.sorted.mkString(",")} vs v$head: " +
-        s"${cur.columns.sorted.mkString(",")}) cannot render a " +
-        "changeset: roll the schema forward instead")
-    val curAligned = cur.select(tgt.columns.toIndexedSeq.map(
-      org.apache.spark.sql.functions.col): _*)
-    val cs = s"cs_restore_v${head + 1}"
-    tgt.exceptAll(curAligned)
-      .withColumn("_change_type", lit("insert"))
-      .unionByName(curAligned.exceptAll(tgt)
-        .withColumn("_change_type", lit("delete")))
-      .coalesce(1).write.parquet(s"${dataDir(tableDir)}/$cs")
+    // multiset except, so duplicate rows restore with exact counts.
+    // Skipped entirely under withChangeset = false: the diff is a
+    // full two-snapshot shuffle, and a pure-metadata rollback must
+    // not pay it (the change feed then refuses across this commit).
+    val csOpt =
+      if (!withChangeset) None
+      else {
+        val cur = read(spark, tableDir, Some(head))
+        val tgt = read(spark, tableDir, Some(toV))
+        require(cur.columns.sorted.sameElements(tgt.columns.sorted),
+          s"restore across a schema change (v$toV: " +
+            s"${tgt.columns.sorted.mkString(",")} vs v$head: " +
+            s"${cur.columns.sorted.mkString(",")}) cannot render a " +
+            "changeset: roll the schema forward instead, or pass " +
+            "withChangeset = false for a metadata-only rollback")
+        val curAligned = cur.select(tgt.columns.toIndexedSeq.map(
+          org.apache.spark.sql.functions.col): _*)
+        val cs = s"cs_restore_v${head + 1}"
+        tgt.exceptAll(curAligned)
+          .withColumn("_change_type", lit("insert"))
+          .unionByName(curAligned.exceptAll(tgt)
+            .withColumn("_change_type", lit("delete")))
+          .coalesce(1).write.parquet(s"${dataDir(tableDir)}/$cs")
+        Some(cs)
+      }
     commitTagged(tableDir, readd, removed, head,
       stats = statsAt(tableDir, toV).view
         .filterKeys(readd.contains).toMap,
@@ -1539,7 +1561,7 @@ object CommitLog {
         .filterKeys(readd.contains).toMap,
       op = Some(s"restore v$toV"),
       eqDeletes = eqT.filterNot(e => eqH.exists(_._1 == e._1)),
-      changeset = Some(cs))
+      changeset = csOpt)
   }
 
   /** The table's commit HISTORY as a DataFrame — the inspection

@@ -124,6 +124,24 @@ class RestoreSpec extends SparkTestBase {
     assert(CommitLog.changes(spark, t, 2L, 3L).count() === 0L)
   }
 
+  test("metadata-only restore: no diff computed, the feed refuses") {
+    val t = buildTable()
+    CommitLog.restore(spark, t, 2L, withChangeset = false)
+    // the rollback itself is complete and exact
+    assert(keys(CommitLog.read(spark, t)) === Set(1L, 2L, 3L, 4L))
+    assert(CommitLog.liveFiles(t, 5L) === CommitLog.liveFiles(t, 2L))
+    // history shows the op but no changeset flag
+    val h5 = CommitLog.history(spark, t)
+      .filter(col("version") === 5L).head()
+    assert(h5.getString(2) === "restore v2" && h5.getLong(7) === 0L)
+    // the row-level feed across it refuses honestly: the diff was
+    // never computed, so consumers must resync from the snapshot
+    val e = intercept[IllegalStateException](
+      CommitLog.changes(spark, t, 4L, 5L))
+    assert(e.getMessage.contains("restore v2") &&
+      e.getMessage.contains("resync"))
+  }
+
   test("refusals: range, no-op, and branched logs") {
     val t = buildTable()
     intercept[IllegalArgumentException](CommitLog.restore(spark, t, 0L))
