@@ -723,6 +723,28 @@ class CommitLogSpec extends SparkTestBase {
       Seq((7L, "x"), (7L, "y")).toDF("k", "part"), Seq("k"), 2L))
   }
 
+  test("eq-delete read plan: broadcast anti-join, shuffle-free scan") {
+    import spark.implicits._
+    val t = freshDir()
+    stage(t, "f1", Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    CommitLog.commit(t, Seq("f1"), Nil, 0L)
+    Seq(2L).toDF("k").write.parquet(s"${CommitLog.dataDir(t)}/ek")
+    CommitLog.commitTagged(t, Nil, Nil, 1L,
+      eqDeletes = Seq(("ek", Seq("k"))))
+    // the 100 TB contract: the delete side is O(erasure requests), so
+    // it must BROADCAST — a shuffled anti-join would repartition the
+    // whole scan to erase a handful of keys
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val p = CommitLog.read(spark, t)
+        .queryExecution.executedPlan.toString
+      assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+        s"eq-delete apply must be a broadcast anti-join:\n$p")
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"the scan must stay shuffle-free under an eq delete:\n$p")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("collectMeta: manifest-scale collects are bounded and loud") {
     import spark.implicits._
     val df = Seq(1L, 2L, 3L).toDF("k")
