@@ -399,14 +399,29 @@ object DedupOps {
   /** The shared back half: exact-intersection verification of candidate
     * pairs against the shingle index, with the symmetric Jaccard gate
     * in exact integers.
+    *
+    * IN-ROW intersection (r18): pack each doc's shingle set once
+    * (O(corpus) rows), join candidate pairs to the two arrays by id,
+    * and intersect per pair in the projection. The old formulation
+    * joined pairs to the EXPLODED index on (id_b, s) — a shuffle of
+    * |cand| · |shingles(a)| rows plus a pair-grained hash aggregate,
+    * measured at ~1.6k CPU-seconds for d17's sf1 clone density; this
+    * shape shuffles |cand| rows carrying two packed arrays and pays
+    * O(|A|+|B|) per pair in-row (d17 sf1: 55.7 s → a fraction; same
+    * exact integers, zero-intersection pairs die at the same gate).
     */
   private def verifyJaccardPairs(cand: DataFrame, e: DataFrame,
       tNum: Int, tDen: Int): DataFrame = {
-    val ea = e.select(col("id").as("id_a"), col("n").as("n_a"), col("s"))
-    val eb = e.select(col("id").as("id_b"), col("n").as("n_b"), col("s"))
-    cand.join(ea, Seq("id_a")).join(eb, Seq("id_b", "s"))
-      .groupBy("id_a", "id_b", "n_a", "n_b")
-      .agg(count(lit(1)).as("inter"))
+    val packed = e.groupBy(col("id"), col("n"))
+      .agg(collect_set(col("s")).as("ss"))
+    val ea = packed.select(col("id").as("id_a"), col("n").as("n_a"),
+      col("ss").as("ss_a"))
+    val eb = packed.select(col("id").as("id_b"), col("n").as("n_b"),
+      col("ss").as("ss_b"))
+    cand.join(ea, Seq("id_a")).join(eb, Seq("id_b"))
+      .select(col("id_a"), col("id_b"), col("n_a"), col("n_b"),
+        size(array_intersect(col("ss_a"), col("ss_b"))).cast("long")
+          .as("inter"))
       .filter(col("inter") * lit(tDen + tNum) >=
         (col("n_a") + col("n_b")) * lit(tNum))
       .select(col("id_a"), col("id_b"), col("inter"),
