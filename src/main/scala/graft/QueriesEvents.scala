@@ -121,56 +121,74 @@ object QueriesEvents {
           when(col("j") === col("arm"), lit("(null)"))
             .otherwise(col("j")).as("j"), col("p"))
         .groupBy("arm", "i", "j").agg(sum(col("p")).as("p"))
-        .coalesce(1) // ≤ arms·edges rows: one task per round, not 8
-        .localCheckpoint(eager = false)
-      val absorbing = arms
-        .select(col("arm"), lit("(conv)").as("st"), lit(1.0).as("v"))
-        .unionAll(arms
-          .select(col("arm"), lit("(null)").as("st"), lit(0.0).as("v")))
-      var v = ae.select(col("arm"), col("i").as("st")).distinct()
-        .select(col("arm"), col("st"), lit(0.0).as("v"))
-        .unionAll(absorbing)
-        .localCheckpoint(eager = false)
-      for (_ <- 1 to MarkovRounds) {
-        val trans = ae
-          .join(v.select(col("arm"), col("st").as("j"), col("v")),
-            Seq("arm", "j"))
-          .select(col("arm"), col("i"), col("j"),
-            (col("p") * col("v")).as("t"))
-          .groupBy("arm", "i")
-          .agg(array_sort(collect_list(struct(col("j"), col("t"))))
-            .as("ts"))
-          .select(col("arm"), col("i").as("st"),
-            aggregate(col("ts"), lit(0.0),
-              (a, x) => a + x.getField("t")).as("v"))
-        // per-round lineage cut: although v_r references v_{r-1} only
-        // once (linear plan growth — no 2^R law here), a measured
-        // comparison showed the un-cut 10-deep plan pays ~2× in
-        // analysis/codegen over 10 cheap materializations of a
-        // ≤40-row frame (25.8 s vs 13.3 s at sf0.01); coalesce(1)
-        // keeps each round's job at one task
-        v = trans.unionAll(absorbing).coalesce(1)
-          .localCheckpoint(eager = false)
+      // OPT r18 (guide §1.2 step 1 / §2.4): the value iteration used to
+      // run as MarkovRounds sequential materialized rounds (join +
+      // hash-agg + coalesce(1) + localCheckpoint each) — ~50 scheduled
+      // jobs whose wall time was pure BSP-barrier floor on a ≤(arms·
+      // edges)-row frame. The matrix is CONSTANT-SIZE (≤ (types+3)² per
+      // arm), so the whole fixed-horizon iteration folds into ONE
+      // projection: pack each arm's rewritten matrix into a single row
+      // (targets j-ascending per source, sources i-ascending), then run
+      // the 10 rounds as an `aggregate(sequence(...))` over a
+      // state-value MAP. Fold order is IDENTICAL to the round form —
+      // new v(i) = Σ_{j asc} p(i,j)·v(j), multiply-then-add per term —
+      // so every intermediate double is bit-equal and the oracle hash
+      // cannot move. One job instead of ~50; at 100 TB the corpus scan
+      // (markovEdges) is untouched and the solve stops paying 10
+      // scheduling barriers.
+      val packed = ae
+        .groupBy(col("arm"), col("i"))
+        .agg(array_sort(collect_list(struct(col("j"), col("p"))))
+          .as("tgts"))
+        .groupBy(col("arm"))
+        .agg(array_sort(collect_list(struct(col("i"), col("tgts"))))
+          .as("srcs"))
+      val one = packed.agg(
+        array_sort(collect_list(struct(col("arm"), col("srcs"))))
+          .as("arms"))
+      val absorbing = map(lit("(conv)"), lit(1.0),
+        lit("(null)"), lit(0.0))
+      def vIter(srcs: Column): Column = {
+        val v0 = map_concat(map_from_entries(transform(srcs,
+          sc => struct(sc.getField("i"), lit(0.0)))), absorbing)
+        aggregate(sequence(lit(1), lit(MarkovRounds)), v0, (acc, _) =>
+          map_concat(map_from_entries(transform(srcs, sc =>
+            struct(sc.getField("i"),
+              aggregate(sc.getField("tgts"), lit(0.0), (a, t) =>
+                a + t.getField("p") *
+                  element_at(acc, t.getField("j")))))),
+            absorbing))
       }
-      val pBase = v.filter(col("arm") === "(base)" &&
-          col("st") === "(start)").select(col("v").as("pb"))
-      val eff = v.filter(col("arm") =!= "(base)" &&
-          col("st") === "(start)")
-        .crossJoin(broadcast(pBase))
-        .select(col("arm").as("channel"), col("pb"),
-          col("v").as("pr"),
-          when(col("pb") > 0.0, lit(1.0) - col("v") / col("pb"))
-            .otherwise(lit(0.0)).as("eff"))
-      val tot = eff
-        .agg(array_sort(collect_list(struct(col("channel"), col("eff"))))
-          .as("es"))
-        .select(aggregate(col("es"), lit(0.0),
-          (a, x) => a + x.getField("eff")).as("te"))
-      eff.crossJoin(broadcast(tot))
-        .select(col("channel"), round(col("pb"), 6).as("p_base"),
-          round(col("pr"), 6).as("p_removed"),
-          round(col("eff"), 6).as("removal_effect"),
-          round(when(col("te") > 0.0, col("eff") / col("te"))
+      val armVals = transform(col("arms"), a => struct(
+        a.getField("arm").as("channel"),
+        element_at(vIter(a.getField("srcs")), lit("(start)")).as("pr")))
+      val withPb = one.select(armVals.as("avs"))
+        .select(col("avs"),
+          element_at(filter(col("avs"),
+            x => x.getField("channel") === "(base)"), 1)
+            .getField("pr").as("pb"))
+      // channels stay in arm-ascending order (the arms array is sorted,
+      // filter preserves order) — the SAME order the round form's
+      // array_sort(struct(channel, eff)) fold used, so the total-effect
+      // sum folds identical doubles in the identical order.
+      val effs = transform(
+        filter(col("avs"), x => x.getField("channel") =!= "(base)"),
+        x => struct(x.getField("channel").as("channel"),
+          x.getField("pr").as("pr"),
+          when(col("pb") > 0.0,
+            lit(1.0) - x.getField("pr") / col("pb"))
+            .otherwise(lit(0.0)).as("eff")))
+      val withTe = withPb.select(col("pb"), effs.as("effs"))
+        .select(col("pb"), col("effs"),
+          aggregate(col("effs"), lit(0.0),
+            (a, x) => a + x.getField("eff")).as("te"))
+      withTe
+        .select(col("pb"), col("te"), explode(col("effs")).as("e"))
+        .select(col("e.channel").as("channel"),
+          round(col("pb"), 6).as("p_base"),
+          round(col("e.pr"), 6).as("p_removed"),
+          round(col("e.eff"), 6).as("removal_effect"),
+          round(when(col("te") > 0.0, col("e.eff") / col("te"))
             .otherwise(lit(0.0)), 6).as("share"))
     }),
 
