@@ -490,21 +490,41 @@ object QueriesVector {
         .select(col("rk"), (col("cell_n") -
           when(col("centroid_id") === col("self_cell"), 1L)
             .otherwise(0L)).as("c"))
-      def arm(np: Int): DataFrame = {
-        val cand = RelationalOps.topKPerGroup(
-            pairs.filter(col("rk") <= np), Seq("id_q"),
-            Seq(col("cos").desc, col("id_n").asc), 5)
-          .select(col("id_q"), col("id_n"), lit(1L).as("hit"))
-        val hits = exact.join(cand, Seq("id_q", "id_n"), "left")
-          .agg(count(lit(1)).as("n_truth"),
-            count(col("hit")).as("n_hits"))
-        val scanned = scanCost.filter(col("rk") <= np)
-          .agg(sum(col("c")).as("n_scanned"))
-        hits.crossJoin(broadcast(scanned))
-          .select(lit(np.toLong).as("nprobe"), col("n_truth"),
-            col("n_hits"), col("n_scanned"))
-      }
-      arm(1).unionAll(arm(2)).unionAll(arm(3))
+      // OPT r18 (guide §1.2 step 1 / §2.4): the three arms used to be
+      // three unioned sub-plans, each re-filtering the routed pairs,
+      // re-running the top-5 window, re-joining the exact truth and
+      // re-aggregating the scan cost — the `exact` brute-force subtree
+      // executed once PER ARM and the union scheduled ~49 jobs. An arm
+      // is a monotone rk ≤ np filter, so all three compute in ONE pass:
+      // each pair/cost row explodes to the probe widths it is visible
+      // at (np ∈ rk..3 — ≤3× a tiny frame), one window ranks all arms'
+      // candidates, one agg counts hits per arm, and the scan cost
+      // folds as three conditional sums (sum-over-subset ≡ the old
+      // filter+sum, including the null-on-empty case: `when` without
+      // `otherwise`). Same math per arm ⇒ identical rows; ~8 jobs
+      // instead of ~49, and the exact-truth subtree runs once.
+      val nps = Seq(1, 2, 3)
+      val scanned = scanCost.agg(
+        sum(when(col("rk") <= 1, col("c"))).as("s1"),
+        sum(when(col("rk") <= 2, col("c"))).as("s2"),
+        sum(when(col("rk") <= 3, col("c"))).as("s3"))
+      val scannedRows = scanned.select(explode(array(nps.map(np =>
+          struct(lit(np.toLong).as("np"),
+            col(s"s$np").as("n_scanned"))): _*)).as("x"))
+        .select(col("x.np").as("np"), col("x.n_scanned").as("n_scanned"))
+      val cand = RelationalOps.topKPerGroup(
+          pairs.select(col("id_q"), col("id_n"), col("cos"),
+            explode(sequence(col("rk").cast("long"), lit(3L))).as("np")),
+          Seq("np", "id_q"), Seq(col("cos").desc, col("id_n").asc), 5)
+        .select(col("np"), col("id_q"), col("id_n"), lit(1L).as("hit"))
+      val ex3 = exact.select(col("id_q"), col("id_n"),
+        explode(array(nps.map(np => lit(np.toLong)): _*)).as("np"))
+      ex3.join(cand, Seq("np", "id_q", "id_n"), "left")
+        .groupBy("np")
+        .agg(count(lit(1)).as("n_truth"), count(col("hit")).as("n_hits"))
+        .join(broadcast(scannedRows), Seq("np"))
+        .select(col("np").as("nprobe"), col("n_truth"),
+          col("n_hits"), col("n_scanned"))
     }),
 
     // FILTERED ANN (VERDICT r16 #5) — predicate + similarity search
