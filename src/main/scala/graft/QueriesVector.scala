@@ -371,7 +371,6 @@ object QueriesVector {
     // operand order — bit-equal, so the greedy path cannot diverge.
     // The expensive part is v1 itself; selection runs on O(probes·k²).
     "v17_mmr_diversity" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
       val p = prep(s, d)
       val c = VectorOps.bruteForceTopK(p, p.filter(col("id") < 5), 10)
         .select(col("id_q"), col("id_n"), col("cos"))
@@ -389,35 +388,64 @@ object QueriesVector {
           round(VectorOps.cosineFromParts(
             VectorOps.dot(col("v_a"), col("v_b")),
             col("n2_a"), col("n2_b")), 6).as("sim"))
-        .localCheckpoint(eager = false)
-      val w = Window.partitionBy("id_q")
-        .orderBy(col("score").desc, col("id_n").asc)
-      var selected = c.withColumn("score", col("cos"))
-        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-        .select(col("id_q"), col("id_n"), lit(1L).as("sel_rank"),
-          col("score"))
-        .localCheckpoint(eager = false)
-      for (k <- 2 to 5) {
-        val selIds = selected.select(col("id_q"), col("id_n"))
-        val rem = c.join(selIds, Seq("id_q", "id_n"), "left_anti")
-        val ms = rem
-          .join(sims.withColumnRenamed("id_a", "id_n"),
-            Seq("id_q", "id_n"))
-          .join(selIds.select(col("id_q"), col("id_n").as("id_b")),
-            Seq("id_q", "id_b"))
-          .groupBy("id_q", "id_n", "cos")
-          .agg(max(col("sim")).as("maxsim"))
-        val next = ms
-          .withColumn("score",
-            lit(0.7) * col("cos") - lit(0.3) * col("maxsim"))
-          .withColumn("rn", row_number().over(w))
-          .filter(col("rn") === 1)
-          .select(col("id_q"), col("id_n"), lit(k.toLong).as("sel_rank"),
-            col("score"))
-        selected = selected.union(next).localCheckpoint(eager = false)
-      }
-      selected.select(col("id_q"), col("id_n"), col("sel_rank"),
-        round(col("score"), 6).as("score"))
+      // OPT r18 (guide §1.2 step 1 / §2.4): the greedy recursion used to
+      // run as 4 materialized stages (anti-join + sims join + hash-agg +
+      // window argmax + union + checkpoint each) — ~41 scheduled jobs
+      // selecting 5 of ≤10 candidates per probe. The per-probe state is
+      // bounded (k candidates + k² pairwise sims), so the whole greedy
+      // unroll folds into ONE projection: pack each probe's candidates
+      // and sim map into a row, then run steps 2..5 as an
+      // aggregate(sequence(...)) over a (selected, remaining) state.
+      // Each step scores remaining candidates with the identical
+      // arithmetic (0.7·cos − 0.3·max-sim-to-selected; max over doubles
+      // is order-free) and picks the argmax through an array_sort on
+      // (−score, id_n) — the same (score desc, id_n asc) total order the
+      // window used, on the same 6dp-rounded doubles — so the greedy
+      // path cannot diverge and the oracle hash is unchanged. ~8 jobs
+      // instead of ~41; the expensive part (v1's exact search) is
+      // untouched.
+      val candPack = c.groupBy("id_q")
+        .agg(array_sort(collect_list(struct(col("id_n"), col("cos"))))
+          .as("cand"))
+      val simPack = sims.groupBy("id_q")
+        .agg(map_from_entries(collect_list(struct(
+          struct(col("id_a"), col("id_b")).as("k"), col("sim").as("v"))))
+          .as("sm"))
+      val joined = candPack.join(simPack, Seq("id_q"))
+      def pairKey(a: Column, b: Column): Column =
+        struct(a.as("id_a"), b.as("id_b"))
+      val first = element_at(array_sort(transform(col("cand"), r =>
+        struct((-r.getField("cos")).as("ns"),
+          r.getField("id_n").as("id_n"),
+          r.getField("cos").as("cos")))), 1)
+      val state0 = struct(
+        array(struct(first.getField("id_n").as("id_n"),
+          lit(1L).as("sel_rank"),
+          first.getField("cos").as("score"))).as("sel"),
+        filter(col("cand"),
+          r => r.getField("id_n") =!= first.getField("id_n")).as("rem"))
+      val folded = aggregate(sequence(lit(2), lit(5)), state0, (st, k) => {
+        val sel = st.getField("sel")
+        val rem = st.getField("rem")
+        val scored = transform(rem, r => {
+          val ms = array_max(transform(sel, sp => element_at(col("sm"),
+            pairKey(r.getField("id_n"), sp.getField("id_n")))))
+          val score = lit(0.7) * r.getField("cos") - lit(0.3) * ms
+          struct((-score).as("ns"), r.getField("id_n").as("id_n"),
+            r.getField("cos").as("cos"), score.as("score"))
+        })
+        val pick = element_at(array_sort(scored), 1)
+        struct(
+          concat(sel, array(struct(pick.getField("id_n").as("id_n"),
+            k.cast("long").as("sel_rank"),
+            pick.getField("score").as("score")))).as("sel"),
+          filter(rem, r =>
+            r.getField("id_n") =!= pick.getField("id_n")).as("rem"))
+      })
+      joined.select(col("id_q"), explode(folded.getField("sel")).as("s"))
+        .select(col("id_q"), col("s.id_n").as("id_n"),
+          col("s.sel_rank").as("sel_rank"),
+          round(col("s.score"), 6).as("score"))
     }),
 
     // Per-dimension feature standardization (z-scoring) — the ML
