@@ -547,14 +547,29 @@ object QueriesMl {
         s.createDataFrame(java.util.Arrays.asList(df.collect(): _*),
           df.schema).createOrReplaceTempView(view)
       }
-      stage(s"WITH thr AS (${p("thr")}), g AS (${p("g")}), " +
+      // OPT r18 (guide §1.2 step 2): the 59-row threshold relation was
+      // re-parsed and re-analyzed as a 59-branch UNION ALL CTE inside
+      // every stage (3×). Bind it once as a literal-rows view — the
+      // same rows the oracle's `thr` CTE enumerates; stage plans shrink
+      // and the analysis cost is paid once.
+      import scala.jdk.CollectionConverters._
+      s.createDataFrame(
+        ((1 to 49).map(t => org.apache.spark.sql.Row(1, t)) ++
+          (0 to 9).map(t => org.apache.spark.sql.Row(2, t))).asJava,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("f",
+            org.apache.spark.sql.types.IntegerType, nullable = false),
+          org.apache.spark.sql.types.StructField("t",
+            org.apache.spark.sql.types.IntegerType, nullable = false))))
+        .createOrReplaceTempView("ml4_thr")
+      stage(s"WITH thr AS (SELECT * FROM ml4_thr), g AS (${p("g")}), " +
         s"cand1 AS (${p("cand1")}) SELECT * FROM (${p("best1")})",
         "ml4_b1")
-      stage(s"WITH thr AS (${p("thr")}), " +
+      stage(s"WITH thr AS (SELECT * FROM ml4_thr), " +
         s"best1 AS (SELECT * FROM ml4_b1), " +
         s"cand2 AS (${p("cand2")}) SELECT * FROM (${p("best2")})",
         "ml4_b2")
-      stage(s"WITH thr AS (${p("thr")}), " +
+      stage(s"WITH thr AS (SELECT * FROM ml4_thr), " +
         s"best2 AS (SELECT * FROM ml4_b2), " +
         s"cand3 AS (${p("cand3")}) SELECT * FROM (${p("best3")})",
         "ml4_b3")

@@ -2078,9 +2078,11 @@ object QueriesStorage {
       // and understate the contrast this query measures
       val qhit = tbl.filter(col("k") >= 50000L).agg(min(col("k")))
         .head().getLong(0)
+      // OPT r18 (guide §2.4): anti-join semantics don't need the right
+      // side distinct — dropping it removes one exchange + aggregate
+      // over the table; result identical.
       val qmiss = s.range(50000L, 100000L).toDF("id")
-        .join(tbl.select(col("k")).distinct(), col("id") === col("k"),
-          "left_anti")
+        .join(tbl.select(col("k")), col("id") === col("k"), "left_anti")
         .agg(min(col("id"))).head().getLong(0)
       val nFiles = CommitLog.liveFiles(t, 1L).size.toLong
       Seq(("hit", qhit), ("miss", qmiss)).map { case (label, qk) =>
