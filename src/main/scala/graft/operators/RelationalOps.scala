@@ -270,6 +270,18 @@ object RelationalOps {
     rangePrefixAgg(df, order, primary, lit(1L), sum, nullSafe(_ + _),
       out, inclusive = true, bucket)
 
+  /** Per-group 1-indexed row_number over `order` within each
+    * `groupCols` combination — [[globalRowNumber]]'s grouped form
+    * (rangePrefixAggsBy underneath): one machinery pass ranks every
+    * group instead of one pipeline per group.
+    */
+  def groupedRowNumber(df: DataFrame, groupCols: Seq[String],
+      order: Seq[Column], primary: Column, out: String,
+      bucket: Option[Column] = None): DataFrame =
+    rangePrefixAggsBy(df, groupCols, order, primary,
+      Seq(PrefixSpec(lit(1L), sum, nullSafe(_ + _), out,
+        inclusive = true)), bucket)
+
   /** Global inclusive running sum of `value` over `order`. */
   def globalRunningSum(df: DataFrame, order: Seq[Column],
       primary: Column, value: Column, out: String): DataFrame =
